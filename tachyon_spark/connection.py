@@ -1,0 +1,188 @@
+"""Connection / Inserter / Query — the engine's public API.
+
+Mirrors the shape of the reference's embedding API (Connection::create_stream /
+prepare_insert / prepare_query, tachyon_core/src/lib.rs:429-577) on top of
+Spark:
+
+    db_dir/
+      catalog/            one row per stream (see catalog.py)
+      samples/            parquet, partitioned by stream_id
+        stream_id=<uuid>/ ts-sorted row groups
+
+Samples schema: (ts long, value double, value_int long, stream_id string
+partition col). Integer streams (i64/u64) write value_int, float streams write
+value — exact 64-bit integers survive (no double rounding at 2^53+). The query
+builder projects whichever column the stream's declared value_type selects, so
+Parquet column pruning reads only one of the two.
+
+Timestamps are unitless longs (ms by convention), exactly like the reference
+(Timestamp = u64, lib.rs:49) — no timezone traps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tachyon_spark.catalog import Catalog
+from tachyon_spark.promql import parse
+from tachyon_spark.promql.ast import VectorSelector
+from tachyon_spark.session import get_spark
+from tachyon_spark.types import VT_F64, is_integer
+
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("value_int", T.LongType(), True),
+    ]
+)
+
+# Reference rotates files at 62,500 samples (storage/mod.rs:8); we cap parquet
+# files similarly so ingest produces splittable, prunable files.
+MAX_RECORDS_PER_FILE = 4_000_000
+
+
+class Connection:
+    def __init__(self, db_dir: str, spark: SparkSession | None = None):
+        self.db_dir = db_dir
+        os.makedirs(db_dir, exist_ok=True)
+        self.spark = spark or get_spark()
+        self.catalog = Catalog(self.spark, db_dir)
+        self.samples_path = os.path.join(db_dir, "samples")
+
+    # --- stream admin (lib.rs:429-473) -----------------------------------
+    def create_stream(self, selector: str, value_type: str) -> str:
+        sel = self._parse_selector(selector)
+        labels = {m.label: m.value for m in sel.matchers}
+        return self.catalog.create_stream(sel.name, labels, value_type)
+
+    def check_stream_exists(self, selector: str) -> bool:
+        sel = self._parse_selector(selector)
+        return len(self.catalog.resolve(sel.name, sel.matchers)) > 0
+
+    def get_all_streams(self) -> list:
+        return self.catalog.all_streams()
+
+    def _parse_selector(self, selector: str) -> VectorSelector:
+        expr = parse(selector)
+        if not isinstance(expr, VectorSelector):
+            raise ValueError(f"expected a vector selector, got {type(expr).__name__}")
+        for m in expr.matchers:
+            if m.op != "=":
+                raise ValueError("stream creation requires plain '=' matchers")
+        return expr
+
+    # --- ingest (lib.rs:513-554) ------------------------------------------
+    def prepare_insert(self, selector: str) -> "Inserter":
+        sel = self._parse_selector(selector)
+        rows = self.catalog.resolve(sel.name, sel.matchers)
+        if len(rows) != 1:
+            raise ValueError(f"selector must resolve to exactly 1 stream, got {len(rows)}")
+        return Inserter(self, rows[0].stream_id, rows[0].value_type)
+
+    def _write_samples(self, df: DataFrame, single_stream: bool = False) -> None:
+        # One stream's buffer fits one task; bulk loads shuffle by stream so
+        # each partition directory is written by one task (big files, sorted).
+        df = df.coalesce(1) if single_stream else df.repartition("stream_id")
+        (
+            df.sortWithinPartitions("ts")
+            .write.mode("append")
+            .option("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
+            .partitionBy("stream_id")
+            .parquet(self.samples_path)
+        )
+
+    def bulk_load(self, df: DataFrame) -> None:
+        """Bulk-append a (stream_id, ts, value, value_int) frame."""
+        self._write_samples(df.select(*SAMPLES_SCHEMA.fieldNames()))
+
+    def samples_df(self) -> DataFrame:
+        if not os.path.isdir(self.samples_path):
+            return self.spark.createDataFrame([], SAMPLES_SCHEMA)
+        return self.spark.read.schema(SAMPLES_SCHEMA).parquet(self.samples_path)
+
+    def stream_samples(self, stream_id: str, value_type: str) -> DataFrame:
+        """(ts, value) frame for one stream, value column typed per catalog."""
+        df = self.samples_df().where(F.col("stream_id") == stream_id)
+        col = F.col("value") if value_type == VT_F64 else F.col("value_int")
+        return df.select(F.col("ts"), col.alias("value"))
+
+    # --- query (lib.rs:495-510) --------------------------------------------
+    def query(self, promql: str, start: int | None = None, end: int | None = None) -> "Query":
+        from tachyon_spark.plans.builder import PlanBuilder
+
+        expr = parse(promql)
+        plan = PlanBuilder(self, start, end).build(expr)
+        if plan.df is None and plan.literal is not None:
+            plan.df = self.spark.range(1).select(F.lit(plan.literal).alias("value"))
+        return Query(plan)
+
+    # prepare_query is the reference's name for the same thing
+    prepare_query = query
+
+
+class Inserter:
+    """Buffered appends for one stream; flush() writes one parquet batch."""
+
+    def __init__(self, conn: Connection, stream_id: str, value_type: str):
+        self.conn = conn
+        self.stream_id = stream_id
+        self.value_type = value_type
+        self._buf: list[tuple[int, float | int]] = []
+
+    def insert(self, ts: int, value) -> None:
+        self._buf.append((ts, value))
+
+    # typed aliases mirroring insert_{integer64,uinteger64,float64}
+    insert_integer64 = insert
+    insert_uinteger64 = insert
+    insert_float64 = insert
+
+    def flush(self) -> None:
+        if not self._buf:
+            return
+        if is_integer(self.value_type):
+            rows = [(self.stream_id, ts, None, int(v)) for ts, v in self._buf]
+        else:
+            rows = [(self.stream_id, ts, float(v), None) for ts, v in self._buf]
+        df = self.conn.spark.createDataFrame(rows, SAMPLES_SCHEMA)
+        self.conn._write_samples(df, single_stream=True)
+        self._buf.clear()
+
+
+class Query:
+    """DataFrame-backed query result.
+
+    Mirrors the reference's pull API (return_type/value_type/next_*,
+    lib.rs:556-577) but the natural Spark surface is .df() — a DataFrame the
+    caller can collect, write, or compose further.
+    """
+
+    def __init__(self, plan):
+        self.plan = plan  # plans.builder.Plan
+
+    @property
+    def return_type(self) -> str:
+        return self.plan.return_type
+
+    @property
+    def value_type(self) -> str:
+        return self.plan.value_type
+
+    def df(self) -> DataFrame:
+        return self.plan.ordered_df()
+
+    def rows(self) -> list[tuple]:
+        """Collect as [(ts, value)] for vectors / [value] for scalars."""
+        if self.plan.return_type == "vector":
+            return [(r.ts, r.value) for r in self.df().collect()]
+        return [r.value for r in self.df().collect()]
+
+    def scalar(self):
+        vals = self.rows()
+        return vals[0] if vals else None

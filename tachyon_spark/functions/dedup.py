@@ -1,0 +1,237 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are built-in JVM expressions (split/explode/groupBy/join, md5 +
+conv for hashing) — no Python UDFs — so they whole-stage-codegen and scale to
+100 TB: shingling is a narrow map, candidate generation shuffles on shingle /
+band-bucket keys (bounded-width keys, salted naturally by hash), verification
+joins only candidate pairs.
+
+Hashing is md5-based (not Spark's murmur3 hash()) so results are
+engine-independent and cross-checkable against DuckDB oracles byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_long(col) -> F.Column:
+    """First 15 hex chars of md5 as a non-negative long (60 bits)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text_col) -> F.Column:
+    return F.split(text_col, " ")
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = tokens(F.col(text_col))
+    # shingle i = tokens[i..i+n-1] joined; sequence over 0..len-n
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the smallest id per identical text. Returns kept ids.
+
+    Hash-groupBy on the full text (or md5 of it): one shuffle on the group
+    key; at 100 TB group on md5(text) to keep shuffle rows narrow.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs (a < b) with word-n-gram Jaccard >= threshold.
+
+    Inverted-index self-join on shingle: only documents sharing a shingle are
+    compared (never the full cross product). Returns (doc_a, doc_b, jaccard).
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+        .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per document: (id, sig array<long>[num_hashes]).
+
+    hash_j(shingle) = md5("<j>:<shingle>") — deterministic, engine-neutral.
+    One explode + one groupBy(id) with num_hashes min() partials: a single
+    shuffle whose width is num_hashes longs per doc.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(_md5_long(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    return mins.select("id", F.array(*[f"h{j}" for j in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding candidate pairs, verified by exact Jaccard.
+
+    Scale path of ngram_jaccard_pairs: shingle→minhash→band→bucket-join.
+    Candidates collide on any band (rows/band = num_hashes/bands); each
+    candidate pair is then verified with the true shingle Jaccard so the
+    output contains no LSH false positives. Returns (doc_a, doc_b, jaccard).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, id_col, text_col).cache()
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig").getItem(b * rows_per_band + r).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = band_rows.select(F.col("id").alias("doc_a"), "band", "bucket")
+    right = band_rows.select(F.col("id").alias("doc_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, 0.0, n, id_col, text_col).withColumnRenamed("jaccard", "jaccard")
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from md5 token hashes: (id, simhash long).
+
+    For each of 64 bit positions, sum +1/-1 over tokens by that bit of the
+    token's md5-derived hash; the sign of the sum sets the output bit. Pure
+    column expressions (explode + groupBy + bit ops) — no UDF.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = _md5_long(F.col("tok"))  # 60 usable bits; use lower 60, top 4 from 2nd slice
+    h2 = F.conv(F.substring(F.md5(F.col("tok")), 16, 15), 16, 10).cast("long")
+    agg = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h if b < 60 else h2, b if b < 60 else b - 60).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    bits = None
+    for b in range(64):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(term, b)
+        bits = term if bits is None else bits.bitwiseOR(term)
+    return agg.select("id", bits.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Candidate generation by 4-band blocking on 16-bit chunks (a pair within
+    hamming 3 must agree on at least one of 4 chunks — pigeonhole), then the
+    exact popcount(xor) check. Avoids the full cross join at scale.
+    """
+    sig = simhash64(df, id_col, text_col).cache()
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.key")
+    a = chunks.select(F.col("id").alias("doc_a"), F.col("simhash").alias("sa"), "chunk", "key")
+    b = chunks.select(F.col("id").alias("doc_b"), F.col("simhash").alias("sb"), "chunk", "key")
+    cand = (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,91 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All built-in column expressions — they codegen and
+scale linearly with no shuffle (except explicit groupBys by the caller).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# A small english stopword set for the n-gram/stopword-ratio heuristic.
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be", "are",
+]
+
+
+def _tokens(text_col) -> F.Column:
+    return F.filter(F.split(text_col, " "), lambda t: t != "")
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document stats: token count, char count, avg token length."""
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def language_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Stopword-ratio language heuristic: 'en' if ratio > threshold."""
+    toks = _tokens(F.lower(F.col(text_col)))
+    stop = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    ratio = stop.cast("double") / F.greatest(F.size(toks), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.when(ratio > threshold, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1] from length / punctuation / stopwords.
+
+    score = 0.4*len_score + 0.3*(1 - punct_ratio) + 0.3*min(1, 10*stop_ratio)
+    with len_score = min(1, n_tokens/100). Deterministic, SQL-expressible.
+    """
+    text = F.col(text_col)
+    toks = _tokens(F.lower(text))
+    n_tok = F.size(toks)
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    punct_ratio = punct.cast("double") / F.greatest(F.length(text), F.lit(1))
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))).cast("double")
+        / F.greatest(n_tok, F.lit(1))
+    )
+    len_score = F.least(F.lit(1.0), n_tok.cast("double") / 100.0)
+    score = 0.4 * len_score + 0.3 * (1.0 - punct_ratio) + 0.3 * F.least(F.lit(1.0), 10.0 * stop_ratio)
+    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+
+
+def token_count(df: DataFrame, text_col: str = "text", bpe_like: bool = False) -> F.Column:
+    """Token count column: whitespace, or a BPE-ish regex split
+    (word pieces + digits + punctuation as separate tokens)."""
+    if bpe_like:
+        toks = F.filter(
+            F.split(F.col(text_col), r"(?=[^\w])|(?<=[^\w])|(?<=\d)(?=\D)|(?<=\D)(?=\d)"),
+            lambda t: F.trim(t) != "",
+        )
+    else:
+        toks = _tokens(F.col(text_col))
+    return F.size(toks)
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic 64-bit-ish fingerprint (md5 prefix of normalized text)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.select(F.col(id_col), F.substring(F.md5(norm), 1, 16).alias("fingerprint"))

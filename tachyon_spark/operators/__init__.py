@@ -1,0 +1,13 @@
+from tachyon_spark.operators.aggregates import grouped_agg, scalar_agg
+from tachyon_spark.operators.interpolate import interpolated_binop
+from tachyon_spark.operators.topk import bottom_k, top_k
+from tachyon_spark.operators.select import select_range
+
+__all__ = [
+    "scalar_agg",
+    "grouped_agg",
+    "interpolated_binop",
+    "top_k",
+    "bottom_k",
+    "select_range",
+]

@@ -1,0 +1,250 @@
+"""AST -> DataFrame plan builder.
+
+The reference plans an AST into a Volcano pull tree of 8 TNode variants
+(tachyon_core/src/query/planner.rs:234-261, execution/node/mod.rs:35-44). Here
+the same AST becomes a *declarative* DataFrame plan: Catalyst is our
+optimizer and physical planner, so selector filters push down to Parquet,
+aggregates get map-side partial aggregation, and topk compiles to
+TakeOrderedAndProject — the distributed equivalents of the reference's
+hand-wired ScanHint / heap strategies (SURVEY §4).
+
+Semantics encoded here (with reference citations):
+  - number literals are f64 (planner.rs:135-144);
+  - promotion lattice u64 < i64 < f64; / and % always f64 (lib.rs:64-72,
+    306-362);
+  - comparisons are FILTERS keeping the (computed) sample values
+    (vector_to_scalar.rs:62-77);
+  - scalar OP vector: the reference swaps operands (binary_op.rs:103-105, a
+    bug); we evaluate the written order — divergence documented in tests;
+  - vector OP vector: interpolating temporal join (vector_to_vector.rs);
+  - aggregate empty-input contract (aggregate.rs:96-104);
+  - @/offset pin the selector start (planner.rs:162-180): @start()=0,
+    @end()=MAX, @t=t, then offset is added; without @, offset is ignored.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tachyon_spark.operators.aggregates import grouped_agg, scalar_agg
+from tachyon_spark.operators.interpolate import interpolated_binop
+from tachyon_spark.operators.select import select_range
+from tachyon_spark.operators.topk import bottom_k, top_k
+from tachyon_spark.promql import ast
+from tachyon_spark.types import VT_F64, VT_I64, VT_U64, is_integer, promote, result_type
+
+U64_MAX = (1 << 63) - 1  # reference uses u64::MAX; we cap at i64 max (JVM long)
+
+_ARITH = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: a % b,
+}
+_CMP = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    ">": lambda a, b: a > b,
+    "<": lambda a, b: a < b,
+    ">=": lambda a, b: a >= b,
+    "<=": lambda a, b: a <= b,
+}
+
+
+@dataclass
+class Plan:
+    kind: str  # 'vector' | 'scalar' | 'topk' | 'grouped'
+    df: DataFrame | None
+    value_type: str
+    literal: float | None = None  # plan-time-known scalar (number literals)
+    group_cols: tuple[str, ...] = ()
+
+    @property
+    def return_type(self) -> str:
+        # GetK declares ReturnType::Scalar in the reference (get_k.rs) even
+        # though it yields multiple rows; we mirror that.
+        return "vector" if self.kind in ("vector", "grouped") else "scalar"
+
+    def ordered_df(self) -> DataFrame:
+        if self.kind == "vector":
+            cols = [c for c in ("stream_id", "ts") if c in self.df.columns]
+            return self.df.orderBy(*cols).select("ts", "value")
+        if self.kind == "grouped":
+            return self.df.orderBy(*self.group_cols)
+        if self.kind == "topk":
+            return self.df  # already TakeOrderedAndProject-ordered
+        return self.df.select("value")
+
+
+class PlanBuilder:
+    def __init__(self, conn, start: int | None, end: int | None):
+        self.conn = conn
+        self.start = start
+        self.end = end
+
+    # ------------------------------------------------------------------ build
+    def build(self, expr) -> Plan:
+        if isinstance(expr, ast.NumberLiteral):
+            return Plan("scalar", None, VT_F64, literal=float(expr.value))
+        if isinstance(expr, ast.VectorSelector):
+            return self._selector(expr)
+        if isinstance(expr, ast.BinaryOp):
+            return self._binary(expr)
+        if isinstance(expr, ast.Aggregate):
+            return self._aggregate(expr)
+        if isinstance(expr, ast.GetK):
+            return self._getk(expr)
+        raise ValueError(f"unsupported expression: {expr!r}")
+
+    # --------------------------------------------------------------- selector
+    def _selector(self, sel: ast.VectorSelector) -> Plan:
+        rows = self.conn.catalog.resolve(sel.name, sel.matchers)
+        if not rows:
+            raise ValueError(f"no streams matched selector {sel.name!r}")
+
+        start, end = self.start, self.end
+        if sel.at_anchor == "start":
+            start = 0
+        elif sel.at_anchor == "end":
+            start = U64_MAX
+        elif sel.at_ts is not None:
+            start = sel.at_ts
+        if (sel.at_anchor or sel.at_ts is not None) and sel.offset:
+            start = (start or 0) + sel.offset  # planner.rs:171-177 (Pos adds)
+
+        vt = rows[0].value_type
+        for r in rows[1:]:
+            vt = promote(vt, r.value_type)
+
+        ids = [r.stream_id for r in rows]
+        df = select_range(self.conn.samples_df(), ids, start, end)
+        types = {r.value_type for r in rows}
+        if types == {VT_F64}:
+            value = F.col("value")
+        elif VT_F64 in types:  # mixed int/float streams -> promoted f64
+            value = F.coalesce(F.col("value"), F.col("value_int").cast("double"))
+        else:
+            value = F.col("value_int")
+        df = df.select("stream_id", "ts", value.alias("value"))
+        return Plan("vector", df, vt)
+
+    # ----------------------------------------------------------------- binary
+    def _binary(self, node: ast.BinaryOp) -> Plan:
+        op = node.op
+        lhs = self.build(node.lhs)
+        rhs = self.build(node.rhs)
+        is_cmp = op in _CMP
+
+        if lhs.kind in ("scalar", "topk") and rhs.kind in ("scalar", "topk"):
+            if is_cmp:
+                raise ValueError("scalar comparison is not supported (reference panics)")
+            return self._scalar_scalar(op, lhs, rhs)
+        if lhs.kind == "vector" and rhs.kind in ("scalar", "topk"):
+            return self._vector_scalar(op, lhs, rhs, scalar_on_left=False)
+        if lhs.kind in ("scalar", "topk") and rhs.kind == "vector":
+            # Correct written-order semantics (reference swaps: binary_op.rs:103-105)
+            return self._vector_scalar(op, rhs, lhs, scalar_on_left=True)
+        if lhs.kind == "vector" and rhs.kind == "vector":
+            if is_cmp:
+                raise ValueError("vector-to-vector comparison is not supported (reference panics)")
+            vt = result_type(op, lhs.value_type, rhs.value_type)
+            out = interpolated_binop(
+                lhs.df.select("ts", "value"),
+                rhs.df.select("ts", "value"),
+                op,
+                integer_result=is_integer(promote(lhs.value_type, rhs.value_type)),
+            )
+            return Plan("vector", out, vt)
+        raise ValueError(f"unsupported operand kinds: {lhs.kind} {op} {rhs.kind}")
+
+    def _scalar_scalar(self, op: str, lhs: Plan, rhs: Plan) -> Plan:
+        vt = result_type(op, lhs.value_type, rhs.value_type)
+        if lhs.literal is not None and rhs.literal is not None:
+            a, b = lhs.literal, rhs.literal
+            val = math.fmod(a, b) if op == "%" else _ARITH[op](a, b)
+            return Plan("scalar", None, VT_F64, literal=float(val))
+        a_df = self._scalar_df(lhs, "__a")
+        b_df = self._scalar_df(rhs, "__b")
+        joined = a_df.crossJoin(F.broadcast(b_df))
+        a, b = F.col("__a"), F.col("__b")
+        if op in ("/", "%") or vt == VT_F64:
+            a, b = a.cast("double"), b.cast("double")
+        out = joined.select(_ARITH[op](a, b).alias("value"))
+        return Plan("scalar", out, vt)
+
+    def _scalar_df(self, plan: Plan, alias: str) -> DataFrame:
+        if plan.literal is not None:
+            return self.conn.spark.range(1).select(F.lit(plan.literal).alias(alias))
+        return plan.df.select(F.col("value").alias(alias))
+
+    def _vector_scalar(self, op: str, vec: Plan, scalar: Plan, scalar_on_left: bool) -> Plan:
+        df = vec.df
+        if scalar.literal is not None:
+            s_col = F.lit(scalar.literal)
+        else:
+            df = df.crossJoin(F.broadcast(self._scalar_df(scalar, "__s")))
+            s_col = F.col("__s")
+
+        if op in _CMP:
+            # filter semantics: keep sample rows where the comparison holds
+            cond = _CMP[op](F.col("value").cast("double"), s_col.cast("double"))
+            out = df.where(cond)
+            keep = [c for c in ("stream_id", "ts") if c in out.columns] + ["value"]
+            return Plan("vector", out.select(*keep), vec.value_type)
+
+        vt = result_type(op, vec.value_type, scalar.value_type)
+        v_col = F.col("value")
+        if vt == VT_F64:
+            v_col, s_col = v_col.cast("double"), s_col.cast("double")
+        a, b = (s_col, v_col) if scalar_on_left else (v_col, s_col)
+        result = _ARITH[op](a, b)
+        if is_integer(vt):
+            result = result.cast("long")
+        keep = [c for c in ("stream_id", "ts") if c in df.columns]
+        return Plan("vector", df.select(*keep, result.alias("value")), vt)
+
+    # -------------------------------------------------------------- aggregate
+    def _aggregate(self, node: ast.Aggregate) -> Plan:
+        child = self.build(node.child)
+        if child.kind not in ("vector", "topk"):
+            raise ValueError("aggregate requires a vector input")
+        func = node.func
+        if func in ("sum", "min", "max"):
+            vt = child.value_type
+        elif func == "count":
+            vt = VT_U64
+        else:  # avg
+            vt = VT_F64
+
+        if node.by:
+            df = self._attach_labels(child.df, node.by)
+            out = grouped_agg(df, func, list(node.by))
+            return Plan("grouped", out, vt, group_cols=tuple(node.by))
+        return Plan("scalar", scalar_agg(child.df, func), vt)
+
+    def _attach_labels(self, df: DataFrame, labels: tuple[str, ...]) -> DataFrame:
+        cat = self.conn.catalog.df().select(
+            "stream_id", *[F.col("labels").getItem(l).alias(l) for l in labels]
+        )
+        return df.join(F.broadcast(cat), "stream_id", "left")
+
+    # ------------------------------------------------------------------ getk
+    def _getk(self, node: ast.GetK) -> Plan:
+        k_plan = self.build(node.k)
+        if k_plan.kind not in ("scalar", "topk"):
+            raise ValueError("topk/bottomk k must be a scalar expression")
+        if k_plan.literal is not None:
+            k = int(k_plan.literal)
+        else:
+            row = k_plan.df.select("value").collect()
+            k = int(row[0].value) if row else 0
+        child = self.build(node.child)
+        if child.kind != "vector":
+            raise ValueError("topk/bottomk requires a vector input")
+        fn = top_k if node.func == "topk" else bottom_k
+        return Plan("topk", fn(child.df, k), child.value_type)

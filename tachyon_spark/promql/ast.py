@@ -1,0 +1,60 @@
+"""AST for the supported PromQL subset.
+
+Matches the surface the reference's planner accepts
+(tachyon_core/src/query/planner.rs:234-261): vector selectors with matchers,
+@/offset modifiers, number literals, + - * / %, comparison filters,
+sum/count/avg/min/max/topk/bottomk, parens — plus our extensions: `by (label)`
+grouping on aggregates and != / =~ / !~ matchers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Matcher:
+    label: str
+    op: str  # '=', '!=', '=~', '!~'
+    value: str
+
+
+@dataclass(frozen=True)
+class VectorSelector:
+    name: str
+    matchers: tuple[Matcher, ...] = ()
+    at_ts: int | None = None  # `@ <ts>` pins start (planner.rs:162-180)
+    at_anchor: str | None = None  # 'start' | 'end' for @ start()/@ end()
+    offset: int = 0  # `offset <n>` shifts start
+
+
+@dataclass(frozen=True)
+class NumberLiteral:
+    value: float  # always f64 (planner.rs:135-144)
+
+
+@dataclass(frozen=True)
+class BinaryOp:
+    op: str  # + - * / % == != > < >= <=
+    lhs: object
+    rhs: object
+
+
+@dataclass(frozen=True)
+class Aggregate:
+    func: str  # sum count avg min max
+    child: object
+    by: tuple[str, ...] = ()  # grouping labels (extension; reference ignores `by`)
+
+
+@dataclass(frozen=True)
+class GetK:
+    func: str  # topk | bottomk
+    k: object  # scalar expression
+    child: object
+
+
+ARITH_OPS = frozenset({"+", "-", "*", "/", "%"})
+CMP_OPS = frozenset({"==", "!=", ">", "<", ">=", "<="})
+AGG_FUNCS = frozenset({"sum", "count", "avg", "min", "max"})
+GETK_FUNCS = frozenset({"topk", "bottomk"})

@@ -1,0 +1,230 @@
+"""Hand-rolled lexer + recursive-descent parser for the PromQL subset.
+
+The reference delegates to a PromQL parser submodule and then rejects
+everything outside its subset (query/planner.rs:125-232). We parse exactly the
+accepted subset directly, with standard PromQL precedence:
+    * / %   (highest)
+    + -
+    == != > < >= <=   (lowest)
+
+Extensions beyond the reference: `by (l1, l2)` on aggregates, !=/=~/!~
+matchers, unary minus on number literals.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from tachyon_spark.promql import ast
+
+
+class PromQLError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<number>\d+(\.\d+)?([eE][+-]?\d+)?)
+  | (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<op>=~|!~|==|!=|>=|<=|[><=+\-*/%(){},@])
+    """,
+    re.VERBOSE,
+)
+
+KEYWORDS = {"offset", "by", "start", "end"} | set(ast.AGG_FUNCS) | set(ast.GETK_FUNCS)
+
+
+@dataclass
+class Token:
+    kind: str  # number | ident | string | op
+    text: str
+    pos: int
+
+
+def tokenize(src: str) -> list[Token]:
+    tokens: list[Token] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise PromQLError(f"unexpected character {src[pos]!r} at {pos} in {src!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        tokens.append(Token(kind, m.group(), m.start()))
+    return tokens
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.src = src
+        self.tokens = tokenize(src)
+        self.i = 0
+
+    def peek(self) -> Token | None:
+        return self.tokens[self.i] if self.i < len(self.tokens) else None
+
+    def next(self) -> Token:
+        tok = self.peek()
+        if tok is None:
+            raise PromQLError(f"unexpected end of query: {self.src!r}")
+        self.i += 1
+        return tok
+
+    def expect(self, text: str) -> Token:
+        tok = self.next()
+        if tok.text != text:
+            raise PromQLError(f"expected {text!r}, got {tok.text!r} at {tok.pos} in {self.src!r}")
+        return tok
+
+    def at(self, text: str) -> bool:
+        tok = self.peek()
+        return tok is not None and tok.text == text
+
+    # precedence climbing ---------------------------------------------------
+    def parse(self):
+        expr = self.parse_cmp()
+        if self.peek() is not None:
+            tok = self.peek()
+            raise PromQLError(f"trailing input at {tok.pos}: {tok.text!r}")
+        return expr
+
+    def parse_cmp(self):
+        lhs = self.parse_add()
+        while self.peek() and self.peek().text in ast.CMP_OPS:
+            op = self.next().text
+            rhs = self.parse_add()
+            lhs = ast.BinaryOp(op, lhs, rhs)
+        return lhs
+
+    def parse_add(self):
+        lhs = self.parse_mul()
+        while self.peek() and self.peek().text in ("+", "-"):
+            op = self.next().text
+            rhs = self.parse_mul()
+            lhs = ast.BinaryOp(op, lhs, rhs)
+        return lhs
+
+    def parse_mul(self):
+        lhs = self.parse_unary()
+        while self.peek() and self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            rhs = self.parse_unary()
+            lhs = ast.BinaryOp(op, lhs, rhs)
+        return lhs
+
+    def parse_unary(self):
+        if self.at("-"):
+            self.next()
+            child = self.parse_unary()
+            if isinstance(child, ast.NumberLiteral):
+                return ast.NumberLiteral(-child.value)
+            return ast.BinaryOp("*", ast.NumberLiteral(-1.0), child)
+        return self.parse_primary()
+
+    def parse_primary(self):
+        tok = self.peek()
+        if tok is None:
+            raise PromQLError(f"unexpected end of query: {self.src!r}")
+        if tok.text == "(":
+            self.next()
+            inner = self.parse_cmp()
+            self.expect(")")
+            return inner
+        if tok.kind == "number":
+            self.next()
+            return ast.NumberLiteral(float(tok.text))
+        if tok.kind == "ident":
+            if tok.text in ast.AGG_FUNCS:
+                return self.parse_aggregate()
+            if tok.text in ast.GETK_FUNCS:
+                return self.parse_getk()
+            return self.parse_selector()
+        raise PromQLError(f"unexpected token {tok.text!r} at {tok.pos} in {self.src!r}")
+
+    def parse_aggregate(self):
+        func = self.next().text
+        by: tuple[str, ...] = ()
+        if self.at("by"):
+            self.next()
+            self.expect("(")
+            labels = []
+            while not self.at(")"):
+                labels.append(self.next().text)
+                if self.at(","):
+                    self.next()
+            self.expect(")")
+            by = tuple(labels)
+        self.expect("(")
+        child = self.parse_cmp()
+        self.expect(")")
+        return ast.Aggregate(func, child, by)
+
+    def parse_getk(self):
+        func = self.next().text
+        self.expect("(")
+        k = self.parse_cmp()
+        self.expect(",")
+        child = self.parse_cmp()
+        self.expect(")")
+        return ast.GetK(func, k, child)
+
+    def parse_selector(self):
+        name_tok = self.next()
+        if name_tok.kind != "ident" or name_tok.text in KEYWORDS:
+            raise PromQLError(f"expected metric name, got {name_tok.text!r}")
+        matchers: list[ast.Matcher] = []
+        if self.at("{"):
+            self.next()
+            while not self.at("}"):
+                label = self.next()
+                if label.kind != "ident":
+                    raise PromQLError(f"expected label name, got {label.text!r}")
+                op_tok = self.next()
+                if op_tok.text not in ("=", "!=", "=~", "!~"):
+                    raise PromQLError(f"bad matcher op {op_tok.text!r}")
+                val = self.next()
+                if val.kind != "string":
+                    raise PromQLError(f"matcher value must be a string, got {val.text!r}")
+                matchers.append(ast.Matcher(label.text, op_tok.text, _unquote(val.text)))
+                if self.at(","):
+                    self.next()
+            self.expect("}")
+        at_ts = None
+        at_anchor = None
+        offset = 0
+        while True:
+            if self.at("@"):
+                self.next()
+                tok = self.next()
+                if tok.kind == "number":
+                    at_ts = int(float(tok.text))
+                elif tok.text in ("start", "end"):
+                    at_anchor = tok.text
+                    self.expect("(")
+                    self.expect(")")
+                else:
+                    raise PromQLError(f"bad @ modifier {tok.text!r}")
+            elif self.at("offset"):
+                self.next()
+                tok = self.next()
+                if tok.kind != "number":
+                    raise PromQLError(f"offset needs a number, got {tok.text!r}")
+                offset = int(float(tok.text))
+            else:
+                break
+        return ast.VectorSelector(name_tok.text, tuple(matchers), at_ts, at_anchor, offset)
+
+
+def parse(src: str):
+    """Parse a PromQL-subset query string into an AST."""
+    return Parser(src).parse()

@@ -1,0 +1,103 @@
+"""Aggregate + topk goldens (lib.rs:1032-1150, 1188-1256; FIXTURES.md A/B/D)."""
+
+import pytest
+
+
+def test_sum(fixture_b):
+    assert fixture_b.query("sum(ints)", 0, 100).scalar() == 20
+
+
+def test_sum_empty_no_row(fixture_b):
+    assert fixture_b.query("sum(ints < 0)", 0, 100).rows() == []
+
+
+def test_count(fixture_b):
+    assert fixture_b.query("count(uints)", 0, 100).scalar() == 4
+
+
+def test_count_empty_is_zero(fixture_b):
+    assert fixture_b.query("count(ints < 0)", 0, 100).scalar() == 0
+
+
+def test_avg(fixture_b):
+    assert fixture_b.query("avg(floats)", 0, 100).scalar() == pytest.approx(2.75)
+
+
+def test_avg_empty_no_row(fixture_b):
+    assert fixture_b.query("avg(ints < 0)", 0, 100).rows() == []
+
+
+def test_min_max(fixture_b):
+    assert fixture_b.query("min(ints)", 0, 100).scalar() == 2
+    assert fixture_b.query("max(uints)", 0, 100).scalar() == 4
+    assert fixture_b.query("min(ints < 0)", 0, 100).rows() == []
+    assert fixture_b.query("max(ints < 0)", 0, 100).rows() == []
+
+
+def test_partial_range_aggregates(golden_db):
+    # Fixture A partial range [29,40]: sum=70, count=2, avg=35, min=23, max=47
+    sel = 'http_requests_total{service="web"}'
+    assert golden_db.query(f"sum({sel})", 29, 40).scalar() == 70
+    assert golden_db.query(f"count({sel})", 29, 40).scalar() == 2
+    assert golden_db.query(f"avg({sel})", 29, 40).scalar() == pytest.approx(35.0)
+    assert golden_db.query(f"min({sel})", 29, 40).scalar() == 23
+    assert golden_db.query(f"max({sel})", 29, 40).scalar() == 47
+
+
+def test_topk(fixture_b):
+    assert fixture_b.query("topk(2, ints)", 0, 100).rows() == [8, 6]
+    assert fixture_b.query("topk(100, uints)", 0, 100).rows() == [4, 3, 2, 1]
+    assert fixture_b.query("topk(0, floats)", 0, 100).rows() == []
+
+
+def test_bottomk(fixture_b):
+    assert fixture_b.query("bottomk(2, ints)", 0, 100).rows() == [2, 4]
+    assert fixture_b.query("bottomk(100, uints)", 0, 100).rows() == [1, 2, 3, 4]
+    assert fixture_b.query("bottomk(0, floats)", 0, 100).rows() == []
+
+
+def test_negative_ints(golden_db):
+    # lib.rs:1707-1761
+    assert golden_db.query("topk(2, neg)", 0, 100).rows() == [-1, -5]
+    assert golden_db.query("sum(neg)", 0, 100).scalar() == -1013
+    assert golden_db.query("min(neg)", 0, 100).scalar() == -1000
+
+
+def test_floats_misc(golden_db):
+    # lib.rs:1763-1807
+    assert golden_db.query("bottomk(1, fl)", 0, 100).rows() == pytest.approx([-23.1])
+    assert golden_db.query("avg(fl)", 0, 100).scalar() == pytest.approx(-9.65)
+
+
+def test_vector_plus_aggregate_scalar(golden_db):
+    # web + sum(mobile): each value +127 (lib.rs:1473-1527)
+    q = golden_db.query(
+        'http_requests_total{service="web"} + sum(http_requests_total{service="mobile"})',
+        0, 100,
+    )
+    assert [v for _, v in q.rows()] == [45 + 127, 47 + 127, 23 + 127, 48 + 127]
+
+
+def test_sum_div_sum(golden_db):
+    q = golden_db.query(
+        'sum(http_requests_total{service="web"}) / sum(http_requests_total{service="mobile"})',
+        0, 100,
+    )
+    assert q.scalar() == pytest.approx(163 / 127)
+    assert q.value_type == "f64"
+
+
+def test_same_ts_vector_mul(golden_db):
+    # web * mobile on identical timestamps → [405, 846, 0, 4800] (lib.rs:1259-1313)
+    q = golden_db.query(
+        'http_requests_total{service="web"} * http_requests_total{service="mobile"}',
+        0, 100,
+    )
+    assert q.rows() == [(23, 405), (29, 846), (40, 0), (51, 4800)]
+
+
+def test_grouped_aggregate_extension(golden_db):
+    # beyond-reference: sum by (service) (mg)
+    q = golden_db.query("sum by (service) (mg)", 0, 100)
+    rows = {r.service: r.value for r in q.df().collect()}
+    assert rows == {"web": 30, "mobile": 3}

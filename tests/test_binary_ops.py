@@ -1,0 +1,107 @@
+"""Binary-op goldens from the reference (lib.rs:862-1030, FIXTURES.md B)."""
+
+import pytest
+
+
+def vals(q):
+    return [v for _, v in q.rows()]
+
+
+# --- vector ⊕ vector on shared timestamps (no interpolation needed) --------
+
+def test_ints_plus_floats(fixture_b):
+    q = fixture_b.query("ints + floats", 0, 100)
+    assert vals(q) == pytest.approx([6.1, 7.2, 8.3, 9.4])
+    assert q.value_type == "f64"
+
+
+def test_ints_minus_uints(fixture_b):
+    q = fixture_b.query("ints - uints", 0, 100)
+    assert vals(q) == [1, 2, 3, 4]
+    assert q.value_type == "i64"
+
+
+def test_ints_times_floats(fixture_b):
+    q = fixture_b.query("ints * floats", 0, 100)
+    assert vals(q) == pytest.approx([8.2, 12.8, 13.8, 11.2])
+
+
+def test_ints_div_uints_always_f64(fixture_b):
+    q = fixture_b.query("ints / uints", 0, 100)
+    assert vals(q) == pytest.approx([2.0, 2.0, 2.0, 2.0])
+    assert q.value_type == "f64"
+
+
+def test_ints_mod_floats(fixture_b):
+    q = fixture_b.query("ints % floats", 0, 100)
+    assert vals(q) == pytest.approx([2.0, 0.8, 1.4, 1.0])
+    assert q.value_type == "f64"
+
+
+# --- vector ⊕ scalar ---------------------------------------------------------
+
+def test_ints_plus_literal_promotes_f64(fixture_b):
+    q = fixture_b.query("ints + 2", 0, 100)
+    assert vals(q) == pytest.approx([4.0, 6.0, 8.0, 10.0])
+    assert q.value_type == "f64"  # literals are f64 (planner.rs:135-144)
+
+
+def test_uints_minus_fractional(fixture_b):
+    q = fixture_b.query("uints - 2.5", 0, 100)
+    assert vals(q) == pytest.approx([-1.5, -0.5, 0.5, 1.5])
+
+
+def test_floats_times_11(fixture_b):
+    q = fixture_b.query("floats * 11", 0, 100)
+    assert vals(q) == pytest.approx([45.1, 35.2, 25.3, 15.4])
+
+
+def test_ints_div_negative(fixture_b):
+    q = fixture_b.query("ints / -4", 0, 100)
+    assert vals(q) == pytest.approx([-0.5, -1.0, -1.5, -2.0])
+
+
+def test_uints_mod_2(fixture_b):
+    q = fixture_b.query("uints % 2", 0, 100)
+    assert vals(q) == pytest.approx([1.0, 0.0, 1.0, 0.0])
+
+
+def test_scalar_minus_vector_written_order(fixture_b):
+    # Reference swaps operands (binary_op.rs:103-105 — documented bug);
+    # we evaluate the written order: 10 - ints.
+    q = fixture_b.query("10 - ints", 0, 100)
+    assert vals(q) == pytest.approx([8.0, 6.0, 4.0, 2.0])
+
+
+# --- comparisons = filters keeping computed values ---------------------------
+
+def test_mod_eq_filter_keeps_computed(fixture_b):
+    q = fixture_b.query("(ints % 4) == 2", 0, 100)
+    assert vals(q) == pytest.approx([2.0, 2.0])  # lib.rs:962-970
+
+
+def test_uints_ne(fixture_b):
+    assert vals(fixture_b.query("uints != 2", 0, 100)) == [1, 3, 4]
+
+
+def test_floats_gt(fixture_b):
+    assert vals(fixture_b.query("floats > 2.3", 0, 100)) == pytest.approx([4.1, 3.2])
+
+
+def test_floats_ge(fixture_b):
+    assert vals(fixture_b.query("floats >= 2.3", 0, 100)) == pytest.approx([4.1, 3.2, 2.3])
+
+
+def test_floats_lt(fixture_b):
+    assert vals(fixture_b.query("floats < 3.2", 0, 100)) == pytest.approx([2.3, 1.4])
+
+
+def test_floats_le(fixture_b):
+    assert vals(fixture_b.query("floats <= 3.2", 0, 100)) == pytest.approx([3.2, 2.3, 1.4])
+
+
+# --- scalar-only -------------------------------------------------------------
+
+def test_scalar_expression(fixture_b):
+    q = fixture_b.query("(2 + 3 - 4.5) * (5 / 2.3) % 1", 0, 100)
+    assert q.scalar() == pytest.approx(0.5 * (5 / 2.3) % 1)  # ≈ 0.0870 (lib.rs:1022-1030)
