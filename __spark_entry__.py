@@ -1,38 +1,652 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship query (interpolating temporal add) on sf0.001.
+queries()       — one entry per implemented operator from SURVEY.md §2 plus
+                  the beyond-reference LLM-pipeline operators.
+oracle_sql()    — DuckDB-equivalent ANSI SQL for every SQL-expressible query.
+
+Conventions shared by both sides so value-hashes match:
+  - events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long ns (with
+    spark.sql.legacy.parquet.nanosAsLong=true, set at runtime below); outputs
+    use epoch microseconds (`ts_us`) — exact integers on both engines.
+  - float aggregates are rounded (sums→2, avgs/scores→6) to absorb
+    summation-order differences; per-row arithmetic is left exact.
+  - hashing is md5-based (engine-neutral), never engine-native hash().
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _us(y: int, m: int, d: int) -> int:
+    return int(datetime(y, m, d, tzinfo=timezone.utc).timestamp()) * 1_000_000
+
+
+T0_US = _us(2024, 1, 10)
+T1_US = _us(2024, 1, 20)
+Q1_CUTOFF_US = _us(1998, 9, 2)
+
+NUM_HASHES = 16
+BANDS = 4
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.4
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be", "are",
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_series(spark, sf_dir, event_type: str) -> DataFrame:
+    """One (ts_us, value) series from events, per-ts averaged (dedup-safe)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.where(
+            (F.col("event_type") == event_type)
+            & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+        )
+        .groupBy(F.expr("ts DIV 1000").alias("ts_us"))
+        .agg(F.avg("value").alias("value"))
+    )
+
+
+_SERIES_SQL = (
+    "SELECT epoch_us(ts) AS ts_us, avg(value) AS value FROM events "
+    "WHERE event_type = '{et}' AND epoch_us(ts) BETWEEN {t0} AND {t1} "
+    "GROUP BY epoch_us(ts)"
+)
+
+
+# --------------------------------------------------------------------------
+# reference-surface operators over the events table (stream key = event_type)
+# --------------------------------------------------------------------------
+
+def q_selector_scan(spark, sf_dir):
+    """VectorSelectNode: metric+matcher resolution + time-range scan
+    (vector_select.rs:12-106) → filter + partition/rowgroup pruning."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("event_type") == "click") & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+    ).select(F.expr("ts DIV 1000").alias("ts_us"), "value")
+
+
+def _agg(spark, sf_dir, func, alias, nd=None):
+    ev = _read(spark, sf_dir, "events")
+    base = ev.where(
+        (F.col("event_type") == "click") & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+    )
+    col = func(F.col("value"))
+    if nd is not None:
+        col = F.round(col, nd)
+    return base.agg(col.alias(alias))
+
+
+def q_agg_sum(spark, sf_dir):
+    return _agg(spark, sf_dir, F.sum, "sum_value", 2)
+
+
+def q_agg_count(spark, sf_dir):
+    return _agg(spark, sf_dir, F.count, "count_value")
+
+
+def q_agg_avg(spark, sf_dir):
+    return _agg(spark, sf_dir, F.avg, "avg_value", 6)
+
+
+def q_agg_min(spark, sf_dir):
+    return _agg(spark, sf_dir, F.min, "min_value")
+
+
+def q_agg_max(spark, sf_dir):
+    return _agg(spark, sf_dir, F.max, "max_value")
+
+
+def q_agg_stats(spark, sf_dir):
+    """avg→sum/count decomposition + multi-agg single scan (planner.rs:52-60)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("event_type") == "click") & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+    ).agg(
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count("value").alias("count_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def q_topk_values(spark, sf_dir):
+    """GetKNode topk (get_k.rs:29-139) → TakeOrderedAndProject."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "click")
+        .orderBy(F.desc("value"))
+        .limit(100)
+        .select("value")
+    )
+
+
+def q_bottomk_values(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "click")
+        .orderBy(F.asc("value"))
+        .limit(100)
+        .select("value")
+    )
+
+
+def q_vector_scalar_arith(spark, sf_dir):
+    """VectorToScalarNode arithmetic (vector_to_scalar.rs:35-61)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("event_type") == "view") & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+    ).select(F.expr("ts DIV 1000").alias("ts_us"), (F.col("value") * 2.0 + 1.0).alias("scaled"))
+
+
+def q_comparison_filter(spark, sf_dir):
+    """Comparison = filter keeping sample rows (vector_to_scalar.rs:62-77)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("event_type") == "view")
+        & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+        & (F.col("value") > 15.0)
+    ).select(F.expr("ts DIV 1000").alias("ts_us"), "value")
+
+
+def q_interp_add(spark, sf_dir):
+    """VectorToVectorNode: interpolating temporal full-outer join
+    (vector_to_vector.rs:23-413) — click + view series."""
+    from tachyon_spark.operators.interpolate import interpolated_binop
+
+    a = _events_series(spark, sf_dir, "click").withColumnRenamed("ts_us", "ts")
+    b = _events_series(spark, sf_dir, "view").withColumnRenamed("ts_us", "ts")
+    out = interpolated_binop(a, b, "+", integer_result=False)
+    return out.select(F.col("ts").alias("ts_us"), F.round("value", 6).alias("value"))
+
+
+def q_scalar_arithmetic(spark, sf_dir):
+    """ScalarToScalarNode: sum/count/avg composition into one scalar
+    (scalar_to_scalar.rs:16-46)."""
+    ev = _read(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type") == "error")
+    return base.agg(
+        F.round((F.sum("value") / F.count("value")) * 2.0 + 1.0, 6).alias("value")
+    )
+
+
+# --------------------------------------------------------------------------
+# beyond-reference: relational / windowed analytics (Spark-natural)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        # l_shipdate is parquet TIMESTAMP(MICROS) -> TIMESTAMP_NTZ in Spark
+        li.where(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .orderBy(F.desc("spend"))
+        .limit(10)
+        .select("o_custkey", F.round("spend", 2).alias("spend"))
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user via lag window."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_ns = 30 * 60 * 1_000_000_000
+    flagged = ev.select(
+        "user_id",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > gap_ns, 1
+        ).otherwise(0).alias("new_sess"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg((F.sum("new_sess") + 1).alias("n_sessions"))
+        .select("user_id", "n_sessions")
+    )
+
+
+def q_hourly_rollup(spark, sf_dir):
+    """Time-bucketed rollup (hypertable-style continuous aggregate)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.expr("(ts DIV 1000) DIV 3600000000").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# beyond-reference: LLM-data-pipeline operators
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from tachyon_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from tachyon_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), JACCARD_THRESHOLD, JACCARD_N
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from tachyon_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"),
+        NUM_HASHES,
+        BANDS,
+        JACCARD_THRESHOLD,
+        JACCARD_N,
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from tachyon_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    from tachyon_spark.functions.similarity import brute_force_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
+    others = emb.where(F.col("vec_id") != 0)
+    out = brute_force_cosine_topk(others, qvec, k=20)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def q_text_stats(spark, sf_dir):
+    from tachyon_spark.functions.textstats import text_stats
+
+    return text_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    from tachyon_spark.functions.textstats import language_id
+
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    from tachyon_spark.functions.textstats import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+def q_token_counts_by_source(spark, sf_dir):
+    from tachyon_spark.functions.textstats import _tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.size(_tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from tachyon_spark.functions.textstats import doc_fingerprint
+
+    return doc_fingerprint(_read(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the interpolating temporal join on sf0.001 events."""
+    return q_interp_add(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "selector_scan": q_selector_scan,
+        "agg_sum": q_agg_sum,
+        "agg_count": q_agg_count,
+        "agg_avg": q_agg_avg,
+        "agg_min": q_agg_min,
+        "agg_max": q_agg_max,
+        "agg_stats": q_agg_stats,
+        "topk_values": q_topk_values,
+        "bottomk_values": q_bottomk_values,
+        "vector_scalar_arith": q_vector_scalar_arith,
+        "comparison_filter": q_comparison_filter,
+        "interp_add": q_interp_add,
+        "scalar_arithmetic": q_scalar_arithmetic,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
+        "user_sessions": q_user_sessions,
+        "hourly_rollup": q_hourly_rollup,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_counts_by_source": q_token_counts_by_source,
+        "doc_fingerprint": q_doc_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracle SQL
+
+_CLICK_RANGE = (
+    f"event_type = 'click' AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}"
+)
+
+_INTERP_SQL = f"""
+WITH a AS ({_SERIES_SQL.format(et="click", t0=T0_US, t1=T1_US)}),
+b AS ({_SERIES_SQL.format(et="view", t0=T0_US, t1=T1_US)}),
+j AS (
+  SELECT coalesce(a.ts_us, b.ts_us) AS t, a.value AS va, b.value AS vb
+  FROM a FULL OUTER JOIN b ON a.ts_us = b.ts_us
+),
+w AS (
+  SELECT t, va, vb,
+    last_value(va IGNORE NULLS) OVER wp AS pva,
+    last_value(CASE WHEN va IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pta,
+    first_value(va IGNORE NULLS) OVER wn AS nva,
+    first_value(CASE WHEN va IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nta,
+    last_value(vb IGNORE NULLS) OVER wp AS pvb,
+    last_value(CASE WHEN vb IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS ptb,
+    first_value(vb IGNORE NULLS) OVER wn AS nvb,
+    first_value(CASE WHEN vb IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS ntb
+  FROM j
+  WINDOW
+    wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT t AS ts_us, round(
+  (CASE WHEN va IS NOT NULL THEN va
+        WHEN pta IS NULL THEN nva
+        WHEN nta IS NULL THEN pva
+        ELSE pva + (nva - pva) * (t - pta) / (nta - pta) END)
++ (CASE WHEN vb IS NOT NULL THEN vb
+        WHEN ptb IS NULL THEN nvb
+        WHEN ntb IS NULL THEN pvb
+        ELSE pvb + (nvb - pvb) * (t - ptb) / (ntb - ptb) END), 6) AS value
+FROM w
+"""
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+{JACCARD_N - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) tok,
+       unnest(generate_series(1, greatest(len(w) - {JACCARD_N - 1}, 0))) AS t(i)
+"""
+
+_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = doc_a
+JOIN sizes sb ON sb.id = doc_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _minhash_sql() -> str:
+    hash_cols = ",\n    ".join(
+        f"min(CAST(CONCAT('0x', substr(md5(CONCAT('{j}', ':', shingle)), 1, 15)) AS BIGINT)) AS h{j}"
+        for j in range(NUM_HASHES)
+    )
+    rows_per_band = NUM_HASHES // BANDS
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT id, {b} AS band, CONCAT({cols}) AS bucket FROM sig".format(
+            b=b,
+            cols=", ',', ".join(
+                f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            ).join(["", ""]),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT id, {hash_cols} FROM sh GROUP BY id),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT c.doc_a, c.doc_b,
+       round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.id = c.doc_a
+JOIN sizes sb ON sb.id = c.doc_b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_COSINE_SQL = """
+WITH q AS (
+  SELECT i, x FROM (
+    SELECT unnest(embedding::DOUBLE[]) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id = 0
+  )
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings WHERE vec_id != 0
+),
+scored AS (
+  SELECT v.vec_id,
+         sum(v.x * q.x) / (sqrt(sum(v.x * v.x)) * sqrt(sum(q.x * q.x))) AS score
+  FROM v JOIN q ON v.i = q.i
+  GROUP BY v.vec_id
+)
+SELECT vec_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, vec_id LIMIT 20
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = "list_filter(string_split(text, ' '), t -> t != '')"
+    ltok = "list_filter(string_split(lower(text), ' '), t -> t != '')"
+    stop = f"len(list_filter({ltok}, t -> t IN ({_STOP_LIST})))"
+    return {
+        "selector_scan": (
+            f"SELECT epoch_us(ts) AS ts_us, value FROM events WHERE {_CLICK_RANGE}"
+        ),
+        "agg_sum": f"SELECT round(sum(value), 2) AS sum_value FROM events WHERE {_CLICK_RANGE}",
+        "agg_count": f"SELECT count(value) AS count_value FROM events WHERE {_CLICK_RANGE}",
+        "agg_avg": f"SELECT round(avg(value), 6) AS avg_value FROM events WHERE {_CLICK_RANGE}",
+        "agg_min": f"SELECT min(value) AS min_value FROM events WHERE {_CLICK_RANGE}",
+        "agg_max": f"SELECT max(value) AS max_value FROM events WHERE {_CLICK_RANGE}",
+        "agg_stats": (
+            "SELECT round(sum(value), 2) AS sum_value, count(value) AS count_value, "
+            "round(avg(value), 6) AS avg_value, min(value) AS min_value, "
+            f"max(value) AS max_value FROM events WHERE {_CLICK_RANGE}"
+        ),
+        "topk_values": (
+            "SELECT value FROM events WHERE event_type = 'click' "
+            "ORDER BY value DESC LIMIT 100"
+        ),
+        "bottomk_values": (
+            "SELECT value FROM events WHERE event_type = 'click' "
+            "ORDER BY value ASC LIMIT 100"
+        ),
+        "vector_scalar_arith": (
+            "SELECT epoch_us(ts) AS ts_us, value * 2.0 + 1.0 AS scaled FROM events "
+            f"WHERE event_type = 'view' AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}"
+        ),
+        "comparison_filter": (
+            "SELECT epoch_us(ts) AS ts_us, value FROM events "
+            f"WHERE event_type = 'view' AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US} "
+            "AND value > 15.0"
+        ),
+        "interp_add": _INTERP_SQL,
+        "scalar_arithmetic": (
+            "SELECT round((sum(value) / count(value)) * 2.0 + 1.0, 6) AS value "
+            "FROM events WHERE event_type = 'error'"
+        ),
+        "tpch_q1_pricing": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE epoch_us(l_shipdate) <= {Q1_CUTOFF_US}
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_customers": """
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+            FROM orders GROUP BY o_custkey
+            ORDER BY sum(o_totalprice) DESC LIMIT 10
+        """,
+        "user_sessions": """
+            SELECT user_id, sum(new_sess) + 1 AS n_sessions FROM (
+              SELECT user_id,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                          > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ) GROUP BY user_id
+        """,
+        "hourly_rollup": """
+            SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+                   count(*) AS n, round(avg(value), 6) AS avg_value,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_minhash_lsh": _minhash_sql(),
+        # dedup_simhash: omitted — 64-bit signed bit arithmetic differs across
+        # engines; rows-only check applies.
+        "embedding_cosine_topk": _COSINE_SQL,
+        "text_stats": f"""
+            SELECT doc_id, len({tok}) AS n_tokens, length(text) AS n_chars,
+                   round(list_sum(list_transform({tok}, t -> length(t))) * 1.0
+                         / greatest(len({tok}), 1), 6) AS avg_token_len
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   round({stop} * 1.0 / greatest(len({ltok}), 1), 6) AS stopword_ratio,
+                   CASE WHEN {stop} * 1.0 / greatest(len({ltok}), 1) > 0.05
+                        THEN 'en' ELSE 'unk' END AS lang_pred
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id, round(
+              0.4 * least(1.0, len({ltok}) / 100.0)
+            + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                     * 1.0 / greatest(length(text), 1))
+            + 0.3 * least(1.0, 10.0 * ({stop} * 1.0 / greatest(len({ltok}), 1))), 6) AS quality
+            FROM documents
+        """,
+        "token_counts_by_source": f"""
+            SELECT source, sum(len({tok})) AS total_tokens, count(*) AS n_docs,
+                   round(avg(len({tok})), 6) AS avg_tokens
+            FROM documents GROUP BY source
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)
+                   AS fingerprint
+            FROM documents
+        """,
+    }

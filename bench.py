@@ -1,0 +1,111 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line.
+
+Shapes mirror the reference's Criterion suite (BASELINE.md): full scan,
+range aggregates, top-k, filtered selector, the interpolating vector-to-vector
+add, plus our beyond-reference headliners (TPC-H-ish joins/rollups, minhash
+dedup, cosine top-k, text stats) and parquet ingest throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tachyon_spark.session import get_spark
+
+
+def materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_ingest(spark, sf_dir: str) -> float:
+    """Parquet append-ingest throughput (≈ reference write bench)."""
+    ev = entrymod._read(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="bench_ingest_")
+    t0 = time.time()
+    (
+        ev.select(
+            F.col("event_type").alias("stream_id"),
+            F.expr("ts DIV 1000").alias("ts"),
+            F.col("value"),
+            F.lit(None).cast("long").alias("value_int"),
+        )
+        .repartition("stream_id")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .partitionBy("stream_id")
+        .parquet(out)
+    )
+    dt = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return dt
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("tachyon_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    headline = [
+        "selector_scan",
+        "agg_stats",
+        "topk_values",
+        "vector_scalar_arith",
+        "comparison_filter",
+        "interp_add",
+        "tpch_q1_pricing",
+        "revenue_by_nation",
+        "user_sessions",
+        "hourly_rollup",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "embedding_cosine_topk",
+        "text_stats",
+        "quality_score",
+    ]
+
+    # warm the session (JVM/codegen/file listing) outside the timings
+    entrymod._read(spark, sf_dir, "events").count()
+
+    results: dict[str, float] = {}
+    # full scan + count (≈ reference read bench)
+    t0 = time.time()
+    entrymod._read(spark, sf_dir, "events").selectExpr("count(*)", "sum(value)").collect()
+    results["full_scan_agg"] = round(time.time() - t0, 3)
+
+    for name in headline:
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        results[name] = round(time.time() - t0, 3)
+
+    results["ingest_parquet"] = round(bench_ingest(spark, sf_dir), 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

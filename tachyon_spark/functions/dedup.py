@@ -28,11 +28,14 @@ def tokens(text_col) -> F.Column:
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
     toks = tokens(F.col(text_col))
-    # shingle i = tokens[i..i+n-1] joined; sequence over 0..len-n
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # shingle i = tokens[i..i+n-1] joined; guard: sequence(0, neg) would count DOWN
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .where(F.col("shingle") != "")
@@ -156,11 +159,26 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, 0.0, n, id_col, text_col).withColumnRenamed("jaccard", "jaccard")
+    # Verify ONLY candidate pairs (never the all-pairs Jaccard): candidates
+    # are few, so they broadcast; intersections are counted by walking each
+    # candidate's shingle lists through two joins.
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a_sh = sh.select(F.col("id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("id").alias("doc_b"), "shingle")
+    inter = (
+        F.broadcast(candidates)
+        .join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        inter.join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+        .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
