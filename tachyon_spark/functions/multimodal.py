@@ -1,0 +1,186 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Beyond-reference surface for LLM-training-data pipelines: media payloads are
+opaque `binary` columns plus a typed metadata struct, processed with
+Arrow-batched `mapInPandas` so the heavy bytes stay in columnar batches and
+never round-trip through row-at-a-time Python.
+
+The actual codecs (Pillow/librosa/ffmpeg) are NOT in this container, so the
+decode kernels are deterministic fakes gated behind `_HAVE_CODECS` — the
+Spark-side contract (schemas, batch iteration, partitioning, output shapes)
+is real and tested; swapping in a real decoder changes only the inner
+`_fake_*` functions.
+
+At 100 TB: payload columns dominate I/O, so (a) metadata-only predicates
+must prune before payload read — keep metadata in separate columns, never
+inside the binary; (b) repartition by size-balanced ranges before decode so
+one 4 GB video doesn't skew a task; (c) decode output (features) is tiny —
+write it to its own table keyed by content_id rather than carrying payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # real codecs are absent in this container; keep the import gate honest
+    import PIL.Image  # noqa: F401
+
+    _HAVE_CODECS = True
+except Exception:
+    _HAVE_CODECS = False
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("content_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("content_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("content_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+_FEATURE_DIM = 16
+
+
+def _fake_decode_feature(payload: bytes) -> list[float]:
+    """Deterministic stand-in for decode+embed: digest bytes → unit floats.
+
+    Replace with a real decoder when codecs are available
+    (`raise NotImplementedError` would be the strict alternative).
+    """
+    if payload is None:
+        return [0.0] * _FEATURE_DIM
+    d = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in d[:_FEATURE_DIM]]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """media (MEDIA_SCHEMA) → per-item feature rows via Arrow-batched
+    mapInPandas. One output row per input row; payload bytes never leave the
+    executor."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "content_id": pdf["content_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                    ),
+                    "feature": payloads.map(_fake_decode_feature),
+                }
+            )
+
+    return media.select("content_id", "modality", "payload").mapInPandas(
+        kernel, FEATURES_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: filters to images, batches through mapInPandas.
+    The fake kernel re-hashes payload+dims (a real one decodes and resizes)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _HAVE_CODECS:  # pragma: no cover - codecs absent here
+                raise NotImplementedError("wire PIL resize here")
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(
+                lambda b: hashlib.sha256(
+                    (b or b"") + f"{width}x{height}".encode()
+                ).digest()
+            )
+            yield out
+
+    imgs = media.where(F.col("modality") == "image").select("content_id", "payload")
+    schema = T.StructType(
+        [
+            T.StructField("content_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return imgs.mapInPandas(kernel, schema)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (row explosion
+    inside mapInPandas — output batch larger than input batch, the shape a
+    real ffmpeg-based sampler needs)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"content_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            for cid, payload, dur in zip(
+                pdf["content_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = max(int((dur or 0) // every_ms), 1)
+                for i in range(n):
+                    rows["content_id"].append(cid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts_ms"].append(i * every_ms)
+                    rows["frame"].append(
+                        hashlib.sha256((payload or b"") + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(rows)
+
+    vids = media.where(F.col("modality") == "video").select(
+        "content_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return vids.mapInPandas(kernel, FRAMES_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame, modality: str = "image") -> DataFrame:
+    """Derive a deterministic MEDIA_SCHEMA frame from the documents table
+    (test/bench scaffolding: payload = utf-8 text bytes)."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("content_id"),
+        F.lit(modality).alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            (F.length("text").cast("long") * 10).alias("duration_ms"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )

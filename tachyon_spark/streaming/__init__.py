@@ -1,0 +1,13 @@
+from tachyon_spark.streaming.ingest import start_stream_ingest
+from tachyon_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "start_stream_ingest",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+]

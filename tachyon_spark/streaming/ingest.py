@@ -1,0 +1,60 @@
+"""Structured Streaming ingestion into the samples table.
+
+The reference ingests with a single-threaded buffered Inserter that rotates
+files at 62,500 samples (persistent_writer.rs:76-116, storage/mod.rs:8).
+The Spark-native equivalent for live feeds is a streaming file/queue source
+→ writeStream parquet sink with checkpointing: exactly-once appends, file
+rotation via maxRecordsPerFile, partition-per-stream layout identical to the
+batch path, so batch queries see streamed data with no special casing.
+
+At 100 TB/day the same topology holds — the source becomes Kafka/queue, the
+sink a partitioned table; only trigger/checkpoint configs change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from tachyon_spark.connection import MAX_RECORDS_PER_FILE, SAMPLES_SCHEMA
+
+
+def start_stream_ingest(
+    conn,
+    source_dir: str,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+    max_files_per_trigger: int = 100,
+):
+    """Tail `source_dir` for new parquet drops of SAMPLES_SCHEMA rows and
+    append them to the connection's samples table. Returns the StreamingQuery.
+    """
+    checkpoint_dir = checkpoint_dir or os.path.join(conn.db_dir, "_checkpoints", "ingest")
+    src = (
+        conn.spark.readStream.schema(SAMPLES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    # foreachBatch + the batch writer, NOT a direct parquet sink: the sink's
+    # _spark_metadata log would make every later batch read of samples/ use
+    # MetadataLogFileIndex and silently hide batch-written files. Exactly-once
+    # degrades to at-least-once on batch retry; downstream dedup is the
+    # documented contract for replays.
+    def _append(batch_df, _batch_id):
+        conn._write_samples(batch_df)
+
+    writer = (
+        src.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_source(conn, source_dir: str, schema=None) -> DataFrame:
+    """A streaming DataFrame over a drop directory (for windowed aggs)."""
+    return conn.spark.readStream.schema(schema or SAMPLES_SCHEMA).parquet(source_dir)

@@ -1,0 +1,66 @@
+import hashlib
+
+from pyspark.sql import functions as F
+
+from tachyon_spark.functions.multimodal import (
+    FEATURES_SCHEMA,
+    FRAMES_SCHEMA,
+    MEDIA_SCHEMA,
+    extract_features,
+    media_from_documents,
+    resize_images,
+    sample_frames,
+)
+
+
+def _media(spark):
+    rows = [
+        ("img1", "image", b"\x89PNGfake1", ("image/png", 64, 64, None, None)),
+        ("img2", "image", b"\x89PNGfake2", ("image/png", 32, 32, None, None)),
+        ("vid1", "video", b"RIFFfakevideo", ("video/mp4", 640, 480, 2500, None)),
+        ("aud1", "audio", b"ID3fakeaudio", ("audio/mp3", None, None, 1000, 44100)),
+        ("nul1", "image", None, ("image/png", 1, 1, None, None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_schema_and_rows(spark):
+    media = _media(spark)
+    feats = extract_features(media)
+    assert feats.schema == FEATURES_SCHEMA
+    rows = {r.content_id: r for r in feats.collect()}
+    assert len(rows) == 5
+    assert rows["img1"].n_bytes == len(b"\x89PNGfake1")
+    assert rows["img1"].sha256 == hashlib.sha256(b"\x89PNGfake1").hexdigest()
+    assert len(rows["img1"].feature) == 16
+    assert all(0.0 <= x <= 1.0 for x in rows["img1"].feature)
+    # determinism: same payload → same feature
+    assert rows["nul1"].n_bytes == 0 and rows["nul1"].sha256 is None
+
+
+def test_resize_images_filters_modality(spark):
+    out = resize_images(_media(spark), 8, 8)
+    rows = out.collect()
+    assert {r.content_id for r in rows} == {"img1", "img2", "nul1"}
+    assert all(len(r.payload) == 32 for r in rows)  # sha256 digest length
+
+
+def test_sample_frames_explodes_video(spark):
+    frames = sample_frames(_media(spark), every_ms=1000)
+    assert frames.schema == FRAMES_SCHEMA
+    rows = sorted(frames.collect(), key=lambda r: r.frame_idx)
+    assert [r.content_id for r in rows] == ["vid1", "vid1"]  # 2500ms → 2 frames
+    assert [r.frame_ts_ms for r in rows] == [0, 1000]
+    assert rows[0].frame != rows[1].frame
+
+
+def test_media_from_documents(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "web")], "doc_id long, text string, source string"
+    )
+    m = media_from_documents(docs)
+    # nullability differs on derived frames; names+types are the contract
+    assert m.schema.simpleString() == MEDIA_SCHEMA.simpleString()
+    row = m.head()
+    assert bytes(row.payload) == b"hello world"
+    assert row.meta.duration_ms == 110

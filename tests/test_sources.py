@@ -1,0 +1,53 @@
+import os
+
+from pyspark.sql import functions as F
+
+from tachyon_spark.sources import export_csv, import_csv, samples_file_stats
+
+
+def test_import_csv_roundtrip(db, tmp_path):
+    db.create_stream('cpu{host="a"}', "f64")
+    csv = tmp_path / "in.csv"
+    csv.write_text("Timestamp,Value\n10,1.5\n20,2.5\n30,3.5\n")
+    n = import_csv(db, 'cpu{host="a"}', str(csv))
+    assert n == 3
+    q = db.query('cpu{host="a"}', 0, 100)
+    assert q.rows() == [(10, 1.5), (20, 2.5), (30, 3.5)]
+
+
+def test_import_csv_integer_stream(db, tmp_path):
+    db.create_stream('reqs{host="a"}', "i64")
+    csv = tmp_path / "in.csv"
+    csv.write_text("Timestamp,Value\n10,100\n20,200\n")
+    import_csv(db, 'reqs{host="a"}', str(csv))
+    assert db.query('reqs{host="a"}', 0, 100).rows() == [(10, 100), (20, 200)]
+
+
+def test_export_csv(db, tmp_path, spark):
+    db.create_stream('cpu{host="b"}', "f64")
+    ins = db.prepare_insert('cpu{host="b"}')
+    for ts, v in [(1, 1.0), (2, 2.0)]:
+        ins.insert(ts, v)
+    ins.flush()
+    out = str(tmp_path / "out_csv")
+    export_csv(db.query('cpu{host="b"}', 0, 10).df(), out)
+    back = spark.read.csv(out, header=True, inferSchema=True)
+    assert sorted((r.Timestamp, r.Value) for r in back.collect()) == [(1, 1.0), (2, 2.0)]
+
+
+def test_samples_file_stats(db):
+    db.create_stream('cpu{host="c"}', "f64")
+    ins = db.prepare_insert('cpu{host="c"}')
+    for ts, v in [(1, 1.0), (2, 5.0), (3, 3.0)]:
+        ins.insert(ts, v)
+    ins.flush()
+    stats = samples_file_stats(db).collect()
+    assert len(stats) == 1
+    row = stats[0]
+    assert row["min_timestamp"] == 1 and row["max_timestamp"] == 3
+    assert row["count"] == 3
+    assert row["value_sum"] == 9.0
+    assert row["min_value"] == 1.0 and row["max_value"] == 5.0
+    assert row["first_value"] == 1.0
+    assert row["file_bytes"] > 0 and row["compression_ratio"] is not None
+    assert os.path.exists(row["file"])
