@@ -276,6 +276,71 @@ def q_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_tumbling_window_stats(spark, sf_dir):
+    """Tumbling event-time windows (streaming/windows.py; batch==stream plan)."""
+    from tachyon_spark.streaming.windows import tumbling_window_agg
+
+    ev = _read(spark, sf_dir, "events")
+    ev_us = ev.select(F.expr("ts DIV 1000").alias("ts"), "value")
+    out = tumbling_window_agg(ev_us, "1 day")
+    return out.select(
+        "window_start_us",
+        "n",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+def q_sliding_window_stats(spark, sf_dir):
+    """Sliding windows (1 day / 12 h): each event lands in 2 windows."""
+    from tachyon_spark.streaming.windows import sliding_window_agg
+
+    ev = _read(spark, sf_dir, "events")
+    ev_us = ev.select(F.expr("ts DIV 1000").alias("ts"), "value")
+    out = sliding_window_agg(ev_us, "1 day", "12 hours")
+    return out.select(
+        "window_start_us", "n", F.round("avg_value", 6).alias("avg_value")
+    )
+
+
+def q_session_window_stats(spark, sf_dir):
+    """Per-user session windows (30 min gap) via F.session_window."""
+    from tachyon_spark.streaming.windows import session_window_agg
+
+    ev = _read(spark, sf_dir, "events")
+    ev_us = ev.select(F.expr("ts DIV 1000").alias("ts"), "user_id", "value")
+    out = session_window_agg(ev_us, "30 minutes", keys=["user_id"])
+    return out.select(
+        "user_id",
+        F.col("window_start_us").alias("session_start_us"),
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+def q_asof_join_events(spark, sf_dir):
+    """As-of join (operators/asof.py): each click gets the latest view value
+    at-or-before its ts for the same user. No reference equivalent; DuckDB
+    ASOF JOIN is the oracle."""
+    from tachyon_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    ev_us = ev.select(F.expr("ts DIV 1000").alias("ts"), "user_id", "event_type", "value")
+    clicks = ev_us.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    views = (
+        ev_us.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.avg("value").alias("value"))
+    )
+    out = asof_join(clicks, views, on="ts", by=["user_id"], out_col="view_value")
+    return out.select(
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        "value",
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # beyond-reference: LLM-data-pipeline operators
 # --------------------------------------------------------------------------
@@ -320,6 +385,37 @@ def q_embedding_cosine_topk(spark, sf_dir):
     others = emb.where(F.col("vec_id") != 0)
     out = brute_force_cosine_topk(others, qvec, k=20)
     return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def q_embedding_ann_lsh(spark, sf_dir):
+    """Approximate NN: random-hyperplane LSH bucket probe (similarity.py).
+    Approximate by construction — no SQL oracle; rows-only check."""
+    from tachyon_spark.functions.similarity import lsh_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
+    others = emb.where(F.col("vec_id") != 0)
+    out = lsh_cosine_topk(others, qvec, k=20, planes=4)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents→binary payloads→mapInPandas feature
+    extraction (functions/multimodal.py). Digest-based fake decode — no SQL
+    oracle; rows-only check."""
+    from tachyon_spark.functions.multimodal import extract_features, media_from_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    feats = extract_features(media)
+    return feats.select(
+        "content_id",
+        "n_bytes",
+        "sha256",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+    )
 
 
 def q_text_stats(spark, sf_dir):
@@ -390,6 +486,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "user_sessions": q_user_sessions,
         "hourly_rollup": q_hourly_rollup,
+        "tumbling_window_stats": q_tumbling_window_stats,
+        "sliding_window_stats": q_sliding_window_stats,
+        "session_window_stats": q_session_window_stats,
+        "asof_join_events": q_asof_join_events,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -612,6 +714,48 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "tumbling_window_stats": """
+            SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
+                   count(*) AS n, round(avg(value), 6) AS avg_value,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "sliding_window_stats": """
+            SELECT window_start_us, count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM (
+              SELECT ((epoch_us(ts) // 43200000000) - g.i) * 43200000000 AS window_start_us,
+                     value
+              FROM events, (SELECT unnest([0, 1]) AS i) g
+            ) GROUP BY window_start_us
+        """,
+        "session_window_stats": """
+            WITH s AS (
+              SELECT user_id, epoch_us(ts) AS t, value,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                          OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ), g AS (
+              SELECT user_id, t, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM s
+            )
+            SELECT user_id, min(t) AS session_start_us, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM g GROUP BY user_id, sess_id
+        """,
+        "asof_join_events": """
+            WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type, value FROM events),
+            clicks AS (SELECT user_id, t, value FROM ev WHERE event_type = 'click'),
+            views AS (SELECT user_id, t, avg(value) AS vv FROM ev
+                      WHERE event_type = 'view' GROUP BY user_id, t)
+            SELECT c.user_id, c.t AS ts_us, c.value, round(v.vv, 6) AS view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.t >= v.t
+        """,
+        # embedding_ann_lsh, media_features: approximate / digest-based —
+        # rows-only checks.
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
