@@ -451,6 +451,16 @@ def q_token_counts_by_source(spark, sf_dir):
     )
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish tokenizer (regexp_extract_all; RE2-compatible, no lookarounds)."""
+    from tachyon_spark.functions.textstats import bpe_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(bpe_tokens(F.col("text"))).alias("n_bpe_tokens")
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from tachyon_spark.functions.textstats import doc_fingerprint
 
@@ -501,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts_by_source": q_token_counts_by_source,
+        "token_count_bpe": q_token_count_bpe,
         "doc_fingerprint": q_doc_fingerprint,
     }
 
@@ -787,6 +798,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, sum(len({tok})) AS total_tokens, count(*) AS n_docs,
                    round(avg(len({tok})), 6) AS avg_tokens
             FROM documents GROUP BY source
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents
         """,
         "doc_fingerprint": """
             SELECT doc_id, substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)

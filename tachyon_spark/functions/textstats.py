@@ -34,17 +34,21 @@ def _stopword_count(toks) -> F.Column:
 
 
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-document stats: token count, char count, avg token length."""
-    toks = _tokens(F.col(text_col))
-    n_tok = F.size(toks)
+    """Per-document stats: token count, char count, avg token length.
+
+    sum(len(token)) == length(text) - #spaces (empty tokens contribute 0), so
+    avg_token_len needs no array aggregation — plain string expressions that
+    codegen, instead of an interpreted higher-order lambda.
+    """
+    text = F.col(text_col)
+    n_tok = F.size(_tokens(text))
+    char_sum = F.length(F.replace(text, F.lit(" "), F.lit("")))  # non-space chars
     return df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
-        F.length(F.col(text_col)).alias("n_chars"),
+        F.length(text).alias("n_chars"),
         F.round(
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
-            / F.greatest(n_tok, F.lit(1)),
-            6,
+            char_sum.cast("double") / F.greatest(n_tok, F.lit(1)), 6
         ).alias("avg_token_len"),
     )
 
@@ -92,16 +96,19 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return staged.select(F.col(id_col), F.round(score, 6).alias("quality"))
 
 
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text_col) -> F.Column:
+    """BPE-ish tokens: letter runs, single digits, single punctuation marks
+    (the GPT-2-style pre-tokenizer shape). Plain alternation — no lookarounds,
+    so the same pattern runs on RE2 engines (DuckDB oracle) and codegens."""
+    return F.regexp_extract_all(text_col, F.lit(BPE_TOKEN_RE), 0)
+
+
 def token_count(df: DataFrame, text_col: str = "text", bpe_like: bool = False) -> F.Column:
-    """Token count column: whitespace, or a BPE-ish regex split
-    (word pieces + digits + punctuation as separate tokens)."""
-    if bpe_like:
-        toks = F.filter(
-            F.split(F.col(text_col), r"(?=[^\w])|(?<=[^\w])|(?<=\d)(?=\D)|(?<=\D)(?=\d)"),
-            lambda t: F.trim(t) != "",
-        )
-    else:
-        toks = _tokens(F.col(text_col))
+    """Token count column: whitespace, or the BPE-ish regex tokenizer."""
+    toks = bpe_tokens(F.col(text_col)) if bpe_like else _tokens(F.col(text_col))
     return F.size(toks)
 
 

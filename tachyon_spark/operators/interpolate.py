@@ -40,8 +40,12 @@ def _interp_side(value_col: str, ts_col: str, w_prev, w_next, round_int: bool):
     ts = F.col(ts_col)
     prev_v = F.last(v, ignorenulls=True).over(w_prev)
     prev_ts = F.last(F.when(v.isNotNull(), ts), ignorenulls=True).over(w_prev)
-    next_v = F.first(v, ignorenulls=True).over(w_next)
-    next_ts = F.first(F.when(v.isNotNull(), ts), ignorenulls=True).over(w_next)
+    # "next neighbor" via last() over a DESC-ordered running frame, NOT
+    # first() over [current, unboundedFollowing]: Spark evaluates unbounded-
+    # FOLLOWING frames by rescanning to the partition end per row (O(n^2));
+    # the DESC running frame is the O(n) streaming path. Same semantics.
+    next_v = F.last(v, ignorenulls=True).over(w_next)
+    next_ts = F.last(F.when(v.isNotNull(), ts), ignorenulls=True).over(w_next)
     lin = prev_v + (next_v - prev_v) * (ts - prev_ts) / (next_ts - prev_ts)
     if round_int:
         lin = F.round(lin)
@@ -76,7 +80,11 @@ def interpolated_binop(
 
     part = series_cols or []
     w_prev = Window.partitionBy(*part).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
-    w_next = Window.partitionBy(*part).orderBy(ts_col).rowsBetween(0, Window.unboundedFollowing)
+    w_next = (
+        Window.partitionBy(*part)
+        .orderBy(F.desc(ts_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
 
     va = _interp_side("__va", ts_col, w_prev, w_next, integer_result)
     vb = _interp_side("__vb", ts_col, w_prev, w_next, integer_result)
