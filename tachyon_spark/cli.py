@@ -1,0 +1,119 @@
+"""Command-line shell — parity with the reference CLI.
+
+Reference surface (tachyon_cli/src/main.rs): create-stream, list-all-streams,
+insert, import-csv, query (with CSV export and ASCII chart), parse-headers.
+Same verbs here over the Spark engine; the chart is a dependency-free ASCII
+plot instead of textplots.
+
+Usage:
+    python -m tachyon_spark.cli <db_dir> create-stream '<selector>' f64
+    python -m tachyon_spark.cli <db_dir> list-all-streams
+    python -m tachyon_spark.cli <db_dir> insert '<selector>' <ts> <value>
+    python -m tachyon_spark.cli <db_dir> import-csv '<selector>' <file.csv>
+    python -m tachyon_spark.cli <db_dir> query '<promql>' --start 0 --end 100 [--export out/ | --chart]
+    python -m tachyon_spark.cli <db_dir> parse-headers
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+# reference default end: a fixed ms epoch (tachyon_cli/src/main.rs:195-202)
+DEFAULT_END = 1719776339748
+
+
+def _ascii_chart(rows: list[tuple], width: int = 60, height: int = 12) -> str:
+    if not rows:
+        return "(empty)"
+    ts = [r[0] for r in rows]
+    vs = [float(r[1]) for r in rows]
+    lo, hi = min(vs), max(vs)
+    span = (hi - lo) or 1.0
+    grid = [[" "] * width for _ in range(height)]
+    n = len(rows)
+    for i, v in enumerate(vs):
+        x = int(i * (width - 1) / max(n - 1, 1))
+        y = int((v - lo) / span * (height - 1))
+        grid[height - 1 - y][x] = "*"
+    lines = ["".join(row) for row in grid]
+    lines.append(f"ts [{ts[0]} .. {ts[-1]}]  value [{lo:g} .. {hi:g}]  n={n}")
+    return "\n".join(lines)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tachyon_spark")
+    p.add_argument("db_dir")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("create-stream")
+    sp.add_argument("selector")
+    sp.add_argument("value_type", choices=["i64", "u64", "f64"])
+
+    sub.add_parser("list-all-streams")
+
+    sp = sub.add_parser("insert")
+    sp.add_argument("selector")
+    sp.add_argument("ts", type=int)
+    sp.add_argument("value")
+
+    sp = sub.add_parser("import-csv")
+    sp.add_argument("selector")
+    sp.add_argument("csv_path")
+
+    sp = sub.add_parser("query")
+    sp.add_argument("promql")
+    sp.add_argument("--start", type=int, default=0)
+    sp.add_argument("--end", type=int, default=DEFAULT_END)
+    sp.add_argument("--export", help="directory to write Timestamp,Value CSV")
+    sp.add_argument("--chart", action="store_true")
+
+    sub.add_parser("parse-headers")
+
+    args = p.parse_args(argv)
+
+    from tachyon_spark.connection import Connection
+
+    conn = Connection(args.db_dir)
+
+    if args.cmd == "create-stream":
+        sid = conn.create_stream(args.selector, args.value_type)
+        print(f"created stream {sid}")
+    elif args.cmd == "list-all-streams":
+        for row in conn.get_all_streams():
+            labels = dict(row.labels) if row.labels else {}
+            print(f"{row.stream_id}  {row.name}{labels}  {row.value_type}")
+    elif args.cmd == "insert":
+        ins = conn.prepare_insert(args.selector)
+        v = float(args.value) if "." in args.value else int(args.value)
+        ins.insert(args.ts, v)
+        ins.flush()
+        print("inserted 1 sample")
+    elif args.cmd == "import-csv":
+        from tachyon_spark.sources import import_csv
+
+        n = import_csv(conn, args.selector, args.csv_path)
+        print(f"imported {n} samples")
+    elif args.cmd == "query":
+        q = conn.query(args.promql, args.start, args.end)
+        if args.export:
+            from tachyon_spark.sources import export_csv
+
+            export_csv(q.df(), args.export)
+            print(f"exported to {args.export}")
+        else:
+            rows = q.rows()
+            if args.chart and q.return_type == "vector":
+                print(_ascii_chart(rows))
+            else:
+                for r in rows:
+                    print(r)
+    elif args.cmd == "parse-headers":
+        from tachyon_spark.sources import samples_file_stats
+
+        samples_file_stats(conn).show(truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

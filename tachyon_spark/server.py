@@ -1,0 +1,91 @@
+"""HTTP query shell — parity with the reference web backend.
+
+Reference (tachyon_web_backend/src/main.rs:10-88): axum server exposing
+`POST /query {path, query, start, end}` → `{value_type, timestamps[],
+values[]}` and `GET /health`. Same contract here on the stdlib http.server —
+no extra dependencies — one Connection per database path, cached so repeated
+queries reuse the SparkSession.
+
+This is a thin shell for parity/testing, not the scale path: at scale the
+engine is used as a library (Connection API) or through Spark SQL directly.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_connections: dict[str, object] = {}
+_lock = threading.Lock()
+
+
+def _get_connection(path: str):
+    from tachyon_spark.connection import Connection
+
+    with _lock:
+        if path not in _connections:
+            _connections[path] = Connection(path)
+        return _connections[path]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *args):  # quiet
+        pass
+
+    def _json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._json(200, {"status": "ok"})
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        if self.path != "/query":
+            self._json(404, {"error": "not found"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            conn = _get_connection(req["path"])
+            q = conn.query(req["query"], req.get("start"), req.get("end"))
+            if q.return_type == "vector":
+                rows = q.df().collect()
+                payload = {
+                    "value_type": q.value_type,
+                    "timestamps": [r.ts for r in rows],
+                    "values": [r.value for r in rows],
+                }
+            else:
+                payload = {"value_type": q.value_type, "values": q.rows()}
+            self._json(200, payload)
+        except Exception as exc:  # mirror the reference's error JSON
+            self._json(400, {"error": str(exc)})
+
+
+def serve(host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPServer:
+    """Start the server on a daemon thread; returns the server object
+    (call .shutdown() to stop)."""
+    srv = ThreadingHTTPServer((host, port), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv
+
+
+if __name__ == "__main__":
+    import sys
+
+    port = int(sys.argv[1]) if len(sys.argv) > 1 else 8080
+    server = serve(port=port)
+    print(f"tachyon_spark http server on :{port}")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.shutdown()

@@ -1,0 +1,73 @@
+import json
+import urllib.request
+
+from tachyon_spark.cli import _ascii_chart, main as cli_main
+from tachyon_spark.server import serve
+
+
+def test_cli_end_to_end(tmp_path, spark, capsys):
+    db = str(tmp_path / "clidb")
+    assert cli_main([db, "create-stream", 'cpu{host="a"}', "f64"]) == 0
+    csv = tmp_path / "in.csv"
+    csv.write_text("Timestamp,Value\n10,1.0\n20,2.0\n")
+    assert cli_main([db, "import-csv", 'cpu{host="a"}', str(csv)]) == 0
+    assert cli_main([db, "insert", 'cpu{host="a"}', "30", "3.0"]) == 0
+    assert cli_main([db, "list-all-streams"]) == 0
+    assert cli_main([db, "query", 'cpu{host="a"}', "--start", "0", "--end", "100"]) == 0
+    assert cli_main([db, "query", "sum(cpu)", "--start", "0", "--end", "100"]) == 0
+    assert cli_main([db, "parse-headers"]) == 0
+    out = capsys.readouterr().out
+    assert "created stream" in out
+    assert "imported 2 samples" in out
+    assert "(10, 1.0)" in out and "(30, 3.0)" in out
+    assert "6.0" in out  # sum
+    assert "cpu{'host': 'a'}" in out
+
+
+def test_ascii_chart():
+    chart = _ascii_chart([(0, 1.0), (10, 5.0), (20, 1.0)], width=20, height=5)
+    assert "*" in chart and "n=3" in chart
+    assert _ascii_chart([]) == "(empty)"
+
+
+def test_http_server(tmp_path, spark):
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "webdb")
+    conn = Connection(db, spark)
+    conn.create_stream('web{k="1"}', "f64")
+    ins = conn.prepare_insert('web{k="1"}')
+    ins.insert(10, 1.5)
+    ins.insert(20, 2.5)
+    ins.flush()
+
+    import tachyon_spark.server as srv_mod
+
+    srv_mod._connections[db] = conn  # reuse the test session
+    srv = serve(port=0)
+    port = srv.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert json.load(r)["status"] == "ok"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query",
+            data=json.dumps(
+                {"path": db, "query": 'web{k="1"}', "start": 0, "end": 100}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.load(r)
+        assert body["timestamps"] == [10, 20]
+        assert body["values"] == [1.5, 2.5]
+        # scalar query
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query",
+            data=json.dumps(
+                {"path": db, "query": 'sum(web{k="1"})', "start": 0, "end": 100}
+            ).encode(),
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.load(r)["values"] == [4.0]
+    finally:
+        srv.shutdown()
