@@ -341,6 +341,26 @@ def q_asof_join_events(spark, sf_dir):
     )
 
 
+def q_ewma_final(spark, sf_dir):
+    """Final EWMA (alpha=0.3) per event_type — the stateful-streaming op's
+    batch form (streaming/stateful.py); oracle = DuckDB list_reduce with the
+    identical sequential recurrence."""
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.expr("ts DIV 1000").alias("ts"), "value"))
+        ).alias("pts")
+    )
+    ewma = F.aggregate(
+        F.transform("pts", lambda p: p.getField("value")),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.lit(0.3) * x + F.lit(0.7) * acc
+        ),
+    )
+    return pts.select("event_type", F.round(ewma, 6).alias("ewma"))
+
+
 # --------------------------------------------------------------------------
 # beyond-reference: LLM-data-pipeline operators
 # --------------------------------------------------------------------------
@@ -500,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_stats": q_sliding_window_stats,
         "session_window_stats": q_session_window_stats,
         "asof_join_events": q_asof_join_events,
+        "ewma_final": q_ewma_final,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
@@ -580,9 +601,13 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
 
 
 def _minhash_sql() -> str:
+    # Kirsch-Mitzenmacher double hashing, mirroring functions/dedup.py:
+    # one md5 per shingle, hash_j = (h1 + j*h2) mod 2^31-1.
+    m31 = 2_147_483_647
+    h1 = "CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % " + str(m31)
+    h2 = "CAST(CONCAT('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % " + str(m31)
     hash_cols = ",\n    ".join(
-        f"min(CAST(CONCAT('0x', substr(md5(CONCAT('{j}', ':', shingle)), 1, 15)) AS BIGINT)) AS h{j}"
-        for j in range(NUM_HASHES)
+        f"min((({h1}) + {j} * ({h2})) % {m31}) AS h{j}" for j in range(NUM_HASHES)
     )
     rows_per_band = NUM_HASHES // BANDS
     band_rows = "\n  UNION ALL\n".join(
@@ -764,6 +789,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.user_id, c.t AS ts_us, c.value, round(v.vv, 6) AS view_value
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.t >= v.t
+        """,
+        "ewma_final": """
+            SELECT event_type,
+                   round(list_reduce(list(value ORDER BY ts, value),
+                                     (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+            FROM events GROUP BY event_type
         """,
         # embedding_ann_lsh, media_features: approximate / digest-based —
         # rows-only checks.

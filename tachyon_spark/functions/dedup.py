@@ -21,6 +21,41 @@ def _md5_long(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# Kirsch-Mitzenmacher double hashing: hash_j = (h1 + j*h2) mod MERSENNE31.
+# One md5 per shingle yields both halves; all k minhash functions are then
+# arithmetic — 16x fewer md5s than salting, and the modulus keeps every
+# intermediate below 2^63 so the same formula runs on engines where bigint
+# overflow is an error (DuckDB oracle) as well as where it wraps (JVM).
+MERSENNE31 = 2_147_483_647
+
+
+def _md5_halves(col):
+    """(h1, h2): two independent 60-bit longs from one md5, reduced mod M."""
+    hexstr = F.md5(col)
+    h1 = F.conv(F.substring(hexstr, 1, 15), 16, 10).cast("long") % MERSENNE31
+    h2 = F.conv(F.substring(hexstr, 17, 15), 16, 10).cast("long") % MERSENNE31
+    return h1, h2
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """cache() + eager count(): frames reused by both sides of a self-join
+    would otherwise be recomputed concurrently by independent shuffle-map
+    stages racing an unpopulated lazy cache."""
+    df = df.cache()
+    df.count()
+    return df
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition small-file inputs so narrow heavy work (explode, hashing)
+    uses every core. At scale the scan already has thousands of splits and
+    this is a no-op; locally a 1-file table would otherwise pin one core."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 16):
+        return df.repartition(min(target, 16))
+    return df
+
+
 def tokens(text_col) -> F.Column:
     return F.split(text_col, " ")
 
@@ -28,16 +63,19 @@ def tokens(text_col) -> F.Column:
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
     toks = tokens(F.col(text_col))
-    # shingle i = tokens[i..i+n-1] joined; guard: sequence(0, neg) would count DOWN
+    # shingle i = tokens[i..i+n-1] joined via n element_at lookups (O(1) each;
+    # a slice() here allocates a sub-array per shingle — measurably slower).
+    # guard: sequence(0, neg) would count DOWN
     sh = F.when(
         F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
     )
@@ -68,7 +106,7 @@ def ngram_jaccard_pairs(
     Inverted-index self-join on shingle: only documents sharing a shingle are
     compared (never the full cross product). Returns (doc_a, doc_b, jaccard).
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = _materialize(shingles(df, id_col, text_col, n))
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("doc_a"), "shingle")
     b = sh.select(F.col("id").alias("doc_b"), "shingle")
@@ -94,17 +132,22 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: (id, sig array<long>[num_hashes]).
 
-    hash_j(shingle) = md5("<j>:<shingle>") — deterministic, engine-neutral.
-    One explode + one groupBy(id) with num_hashes min() partials: a single
-    shuffle whose width is num_hashes longs per doc.
+    hash_j(shingle) = (h1 + j*h2) mod 2^31-1 with (h1, h2) from ONE md5 of
+    the shingle (Kirsch-Mitzenmacher) — deterministic, engine-neutral, and
+    16x fewer digest computations than per-j salting. One explode + one
+    groupBy(id) with num_hashes min() partials: a single shuffle whose width
+    is num_hashes longs per doc.
     """
-    sh = shingles(df, id_col, text_col, n)
-    mins = sh.groupBy("id").agg(
+    sh = shingle_df if shingle_df is not None else shingles(df, id_col, text_col, n)
+    h1, h2 = _md5_halves(F.col("shingle"))
+    hashed = sh.select("id", h1.alias("__h1"), h2.alias("__h2"))
+    mins = hashed.groupBy("id").agg(
         *[
-            F.min(_md5_long(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))).alias(f"h{j}")
+            F.min((F.col("__h1") + j * F.col("__h2")) % MERSENNE31).alias(f"h{j}")
             for j in range(num_hashes)
         ]
     )
@@ -130,7 +173,11 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, id_col, text_col).cache()
+    # one shingling pass feeds BOTH the signatures and the verification join
+    sh = _materialize(shingles(df, id_col, text_col, n))
+    sig = _materialize(
+        minhash_signatures(df, num_hashes, n, id_col, text_col, shingle_df=sh)
+    )
     band_rows = sig.select(
         "id",
         F.explode(
@@ -162,7 +209,6 @@ def minhash_lsh_pairs(
     # Verify ONLY candidate pairs (never the all-pairs Jaccard): candidates
     # are few, so they broadcast; intersections are counted by walking each
     # candidate's shingle lists through two joins.
-    sh = shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a_sh = sh.select(F.col("id").alias("doc_a"), "shingle")
     b_sh = sh.select(F.col("id").alias("doc_b"), "shingle")
@@ -189,7 +235,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     token's md5-derived hash; the sign of the sum sets the output bit. Pure
     column expressions (explode + groupBy + bit ops) — no UDF.
     """
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).where(F.col("tok") != "")
@@ -223,7 +269,7 @@ def simhash_pairs(
     hamming 3 must agree on at least one of 4 chunks — pigeonhole), then the
     exact popcount(xor) check. Avoids the full cross join at scale.
     """
-    sig = simhash64(df, id_col, text_col).cache()
+    sig = _materialize(simhash64(df, id_col, text_col))
     chunks = sig.select(
         "id",
         "simhash",

@@ -1,0 +1,87 @@
+import pytest
+
+from pyspark.sql import functions as F
+
+from tachyon_spark.functions.dedup import (
+    MERSENNE31,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_pairs,
+)
+from tachyon_spark.functions.similarity import brute_force_cosine_topk, lsh_cosine_topk
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different text with no overlap at all here"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_shingles(docs):
+    sh = shingles(docs, n=3).collect()
+    by_id = {}
+    for r in sh:
+        by_id.setdefault(r.id, set()).add(r.shingle)
+    assert "the quick brown" in by_id[1]
+    assert "over the lazy" in by_id[2]
+    assert len(by_id[1]) == 7  # 9 tokens -> 7 trigrams, all distinct
+    assert by_id[1] == by_id[4]
+
+
+def test_exact_dedup(docs):
+    kept = {r.doc_id for r in exact_dedup(docs).collect()}
+    assert kept == {1, 2, 3}  # doc 4 deduped to min id 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert pairs[(1, 4)] == 1.0
+    # docs 1,2 share 6 of their 8 distinct union trigrams -> 0.75
+    assert abs(pairs[(1, 2)] - 0.75) < 1e-6
+    assert (1, 3) not in pairs
+
+
+def test_minhash_signatures_shape(docs):
+    sigs = {r.id: r.sig for r in minhash_signatures(docs, 16).collect()}
+    assert len(sigs) == 4 and all(len(s) == 16 for s in sigs.values())
+    assert sigs[1] == sigs[4]  # identical shingle sets -> identical signatures
+    assert all(0 <= h < MERSENNE31 for h in sigs[1])
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_pairs(docs, 16, 4, 0.5).collect()}
+    assert pairs[(1, 4)] == 1.0  # identical sigs always collide
+    assert (1, 3) not in pairs  # verification kills false positives
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(1, 4)] == 0  # identical docs: distance 0
+    # candidate blocking requires agreement on one 16-bit chunk, so only
+    # assert reported pairs respect the bound
+    assert all(h <= 16 for h in pairs.values())
+
+
+def test_cosine_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_cosine_topk(df, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert out[0].score == pytest.approx(1.0)
+    # LSH probe returns a subset of brute force, led by the exact match
+    lsh = lsh_cosine_topk(df, [1.0, 0.0, 0.0], k=2, planes=2).collect()
+    assert lsh and lsh[0].vec_id == 1
