@@ -341,6 +341,28 @@ def q_asof_join_events(spark, sf_dir):
     )
 
 
+def q_value_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per event_type (F.percentile ==
+    quantile_cont). Scale path at 100 TB: approx_percentile (t-digest
+    sketch, mergeable map-side) — exact here so the oracle can match."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def q_distinct_users(spark, sf_dir):
+    """Distinct-count per event_type. Scale path: approx_count_distinct
+    (HyperLogLog++, mergeable) — exact here for the oracle."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_ewma_final(spark, sf_dir):
     """Final EWMA (alpha=0.3) per event_type — the stateful-streaming op's
     batch form (streaming/stateful.py); oracle = DuckDB list_reduce with the
@@ -520,6 +542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_stats": q_sliding_window_stats,
         "session_window_stats": q_session_window_stats,
         "asof_join_events": q_asof_join_events,
+        "value_quantiles": q_value_quantiles,
+        "distinct_users": q_distinct_users,
         "ewma_final": q_ewma_final,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "media_features": q_media_features,
@@ -789,6 +813,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.user_id, c.t AS ts_us, c.value, round(v.vv, 6) AS view_value
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.t >= v.t
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "ewma_final": """
             SELECT event_type,

@@ -48,12 +48,39 @@ MAX_RECORDS_PER_FILE = 4_000_000
 
 
 class Connection:
-    def __init__(self, db_dir: str, spark: SparkSession | None = None):
+    def __init__(
+        self,
+        db_dir: str,
+        spark: SparkSession | None = None,
+        time_bucket: int | None = None,
+    ):
+        """time_bucket: optional bucket width in ts units (e.g. 86_400_000 for
+        daily buckets of ms timestamps). When set, samples are additionally
+        partitioned by ts_bucket = ts DIV time_bucket so time-range queries
+        prune whole partitions — the 100 TB layout. Persisted in the db config
+        so reopening uses the same layout."""
         self.db_dir = db_dir
         os.makedirs(db_dir, exist_ok=True)
         self.spark = spark or get_spark()
         self.catalog = Catalog(self.spark, db_dir)
         self.samples_path = os.path.join(db_dir, "samples")
+        self.time_bucket = self._load_or_store_config(time_bucket)
+
+    def _load_or_store_config(self, time_bucket: int | None) -> int | None:
+        import json
+
+        cfg_path = os.path.join(self.db_dir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                stored = json.load(f).get("time_bucket")
+            if time_bucket is not None and time_bucket != stored:
+                raise ValueError(
+                    f"db was created with time_bucket={stored}; cannot reopen with {time_bucket}"
+                )
+            return stored
+        with open(cfg_path, "w") as f:
+            json.dump({"time_bucket": time_bucket}, f)
+        return time_bucket
 
     # --- stream admin (lib.rs:429-473) -----------------------------------
     def create_stream(self, selector: str, value_type: str) -> str:
@@ -88,12 +115,16 @@ class Connection:
     def _write_samples(self, df: DataFrame, single_stream: bool = False) -> None:
         # One stream's buffer fits one task; bulk loads shuffle by stream so
         # each partition directory is written by one task (big files, sorted).
-        df = df.coalesce(1) if single_stream else df.repartition("stream_id")
+        part_cols = ["stream_id"]
+        if self.time_bucket:
+            df = df.withColumn("ts_bucket", F.expr(f"ts DIV {self.time_bucket}"))
+            part_cols.append("ts_bucket")
+        df = df.coalesce(1) if single_stream else df.repartition(*part_cols)
         (
             df.sortWithinPartitions("ts")
             .write.mode("append")
             .option("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
-            .partitionBy("stream_id")
+            .partitionBy(*part_cols)
             .parquet(self.samples_path)
         )
 
@@ -102,9 +133,14 @@ class Connection:
         self._write_samples(df.select(*SAMPLES_SCHEMA.fieldNames()))
 
     def samples_df(self) -> DataFrame:
+        schema = SAMPLES_SCHEMA
+        if self.time_bucket:
+            schema = T.StructType(
+                list(SAMPLES_SCHEMA.fields) + [T.StructField("ts_bucket", T.LongType(), True)]
+            )
         if not os.path.isdir(self.samples_path):
-            return self.spark.createDataFrame([], SAMPLES_SCHEMA)
-        return self.spark.read.schema(SAMPLES_SCHEMA).parquet(self.samples_path)
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(self.samples_path)
 
     def stream_samples(self, stream_id: str, value_type: str) -> DataFrame:
         """(ts, value) frame for one stream, value column typed per catalog."""

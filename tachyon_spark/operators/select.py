@@ -26,8 +26,16 @@ def select_range(
     end: int | None = None,
     ts_col: str = "ts",
     stream_col: str = "stream_id",
+    time_bucket: int | None = None,
+    bucket_col: str = "ts_bucket",
 ) -> DataFrame:
-    """Filter samples to the given streams and inclusive time range."""
+    """Filter samples to the given streams and inclusive time range.
+
+    With a time-bucketed layout (partition dirs stream_id=X/ts_bucket=N),
+    also filter the bucket column so Catalyst prunes whole time partitions —
+    at 100 TB a narrow range touches only its buckets, not every file of the
+    stream.
+    """
     df = samples
     if stream_ids is not None:
         ids = list(stream_ids)
@@ -35,6 +43,11 @@ def select_range(
             df = df.where(F.col(stream_col) == ids[0])
         else:
             df = df.where(F.col(stream_col).isin(ids))
+    if time_bucket:
+        if start is not None:
+            df = df.where(F.col(bucket_col) >= start // time_bucket)
+        if end is not None:
+            df = df.where(F.col(bucket_col) <= end // time_bucket)
     if start is not None:
         df = df.where(F.col(ts_col) >= F.lit(start))
     if end is not None:

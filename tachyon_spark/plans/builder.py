@@ -122,7 +122,10 @@ class PlanBuilder:
             vt = promote(vt, r.value_type)
 
         ids = [r.stream_id for r in rows]
-        df = select_range(self.conn.samples_df(), ids, start, end)
+        df = select_range(
+            self.conn.samples_df(), ids, start, end,
+            time_bucket=self.conn.time_bucket,
+        )
         types = {r.value_type for r in rows}
         if types == {VT_F64}:
             value = F.col("value")
