@@ -179,6 +179,34 @@ def q_interp_add(spark, sf_dir):
     return out.select(F.col("ts").alias("ts_us"), F.round("value", 6).alias("value"))
 
 
+def q_interp_add_grouped(spark, sf_dir):
+    """Grouped interpolating add: one (click+view) interpolation PER USER.
+    This is the distributed form of interp_add — windows partition by the
+    series key, so 1000 executors each interpolate their users with no
+    global sort (operators/interpolate.py series_cols)."""
+    from tachyon_spark.operators.interpolate import interpolated_binop
+
+    ev = _read(spark, sf_dir, "events")
+    ev_us = ev.select(
+        F.expr("ts DIV 1000").alias("ts"), "user_id", "event_type", "value"
+    )
+
+    def series(et):
+        return (
+            ev_us.where(F.col("event_type") == et)
+            .groupBy("user_id", "ts")
+            .agg(F.avg("value").alias("value"))
+        )
+
+    out = interpolated_binop(
+        series("click"), series("view"), "+", integer_result=False,
+        series_cols=["user_id"],
+    )
+    return out.select(
+        "user_id", F.col("ts").alias("ts_us"), F.round("value", 6).alias("value")
+    )
+
+
 def q_scalar_arithmetic(spark, sf_dir):
     """ScalarToScalarNode: sum/count/avg composition into one scalar
     (scalar_to_scalar.rs:16-46)."""
@@ -494,10 +522,13 @@ def q_token_counts_by_source(spark, sf_dir):
 
 
 def q_token_count_bpe(spark, sf_dir):
-    """BPE-ish tokenizer (regexp_extract_all; RE2-compatible, no lookarounds)."""
+    """BPE-ish tokenizer (regexp_extract_all; RE2-compatible, no lookarounds).
+    Regex matching is the per-row cost here, so spread single-file inputs
+    across cores first (no-op at scale where the scan has many splits)."""
+    from tachyon_spark.functions.dedup import _spread
     from tachyon_spark.functions.textstats import bpe_tokens
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.size(bpe_tokens(F.col("text"))).alias("n_bpe_tokens")
     )
@@ -532,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_scalar_arith": q_vector_scalar_arith,
         "comparison_filter": q_comparison_filter,
         "interp_add": q_interp_add,
+        "interp_add_grouped": q_interp_add_grouped,
         "scalar_arithmetic": q_scalar_arithmetic,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "revenue_by_nation": q_revenue_by_nation,
@@ -590,6 +622,47 @@ w AS (
     wn AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT t AS ts_us, round(
+  (CASE WHEN va IS NOT NULL THEN va
+        WHEN pta IS NULL THEN nva
+        WHEN nta IS NULL THEN pva
+        ELSE pva + (nva - pva) * (t - pta) / (nta - pta) END)
++ (CASE WHEN vb IS NOT NULL THEN vb
+        WHEN ptb IS NULL THEN nvb
+        WHEN ntb IS NULL THEN pvb
+        ELSE pvb + (nvb - pvb) * (t - ptb) / (ntb - ptb) END), 6) AS value
+FROM w
+"""
+
+_INTERP_GROUPED_SQL = """
+WITH a AS (
+  SELECT user_id, epoch_us(ts) AS t, avg(value) AS value FROM events
+  WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)
+),
+b AS (
+  SELECT user_id, epoch_us(ts) AS t, avg(value) AS value FROM events
+  WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts)
+),
+j AS (
+  SELECT coalesce(a.user_id, b.user_id) AS u, coalesce(a.t, b.t) AS t,
+         a.value AS va, b.value AS vb
+  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.t = b.t
+),
+w AS (
+  SELECT u, t, va, vb,
+    last_value(va IGNORE NULLS) OVER wp AS pva,
+    last_value(CASE WHEN va IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pta,
+    first_value(va IGNORE NULLS) OVER wn AS nva,
+    first_value(CASE WHEN va IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nta,
+    last_value(vb IGNORE NULLS) OVER wp AS pvb,
+    last_value(CASE WHEN vb IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS ptb,
+    first_value(vb IGNORE NULLS) OVER wn AS nvb,
+    first_value(CASE WHEN vb IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS ntb
+  FROM j
+  WINDOW
+    wp AS (PARTITION BY u ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY u ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT u AS user_id, t AS ts_us, round(
   (CASE WHEN va IS NOT NULL THEN va
         WHEN pta IS NULL THEN nva
         WHEN nta IS NULL THEN pva
@@ -731,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
             "AND value > 15.0"
         ),
         "interp_add": _INTERP_SQL,
+        "interp_add_grouped": _INTERP_GROUPED_SQL,
         "scalar_arithmetic": (
             "SELECT round((sum(value) / count(value)) * 2.0 + 1.0, 6) AS value "
             "FROM events WHERE event_type = 'error'"

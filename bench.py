@@ -66,15 +66,25 @@ def main():
         "vector_scalar_arith",
         "comparison_filter",
         "interp_add",
+        "interp_add_grouped",
+        "asof_join_events",
         "tpch_q1_pricing",
         "revenue_by_nation",
         "user_sessions",
         "hourly_rollup",
+        "tumbling_window_stats",
+        "session_window_stats",
+        "value_quantiles",
+        "distinct_users",
+        "ewma_final",
         "dedup_exact",
         "dedup_minhash_lsh",
         "embedding_cosine_topk",
+        "embedding_ann_lsh",
         "text_stats",
         "quality_score",
+        "lang_id",
+        "token_count_bpe",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

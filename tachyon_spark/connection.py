@@ -95,6 +95,21 @@ class Connection:
     def get_all_streams(self) -> list:
         return self.catalog.all_streams()
 
+    def delete_stream(self, selector: str) -> int:
+        """Delete matching streams: catalog rows + their samples partitions.
+        (The reference declares but never implements this — lib.rs:458-460
+        is todo!(); partition-dir removal is the natural Spark-side form.)
+        Returns the number of streams deleted."""
+        import shutil
+
+        sel = self._parse_selector(selector)
+        rows = self.catalog.resolve(sel.name, sel.matchers)
+        for r in rows:
+            self.catalog.delete_stream(r.stream_id)
+            part_dir = os.path.join(self.samples_path, f"stream_id={r.stream_id}")
+            shutil.rmtree(part_dir, ignore_errors=True)
+        return len(rows)
+
     def _parse_selector(self, selector: str) -> VectorSelector:
         expr = parse(selector)
         if not isinstance(expr, VectorSelector):

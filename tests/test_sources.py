@@ -35,6 +35,21 @@ def test_export_csv(db, tmp_path, spark):
     assert sorted((r.Timestamp, r.Value) for r in back.collect()) == [(1, 1.0), (2, 2.0)]
 
 
+def test_delete_stream(db):
+    db.create_stream('del{k="1"}', "f64")
+    db.create_stream('del{k="2"}', "f64")
+    ins = db.prepare_insert('del{k="1"}')
+    ins.insert(1, 1.0)
+    ins.flush()
+    assert db.delete_stream('del{k="1"}') == 1
+    assert not db.check_stream_exists('del{k="1"}')
+    assert db.check_stream_exists('del{k="2"}')
+    import pytest
+
+    with pytest.raises(ValueError):  # selector no longer resolves
+        db.query('del{k="1"}', 0, 10)
+
+
 def test_samples_file_stats(db):
     db.create_stream('cpu{host="c"}', "f64")
     ins = db.prepare_insert('cpu{host="c"}')
