@@ -469,6 +469,19 @@ def q_embedding_ann_lsh(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def q_embedding_ann_ivf(spark, sf_dir):
+    """Approximate NN, IVF path: sampled k-means coarse quantizer + nprobe
+    list probe (similarity.py). Approximate — rows-only check."""
+    from tachyon_spark.functions.similarity import ivf_cosine_topk, train_ivf_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
+    others = emb.where(F.col("vec_id") != 0)
+    cents = train_ivf_centroids(others, n_centroids=8, sample=1024)
+    out = ivf_cosine_topk(others, qvec, cents, k=20, nprobe=2)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: documents→binary payloads→mapInPandas feature
     extraction (functions/multimodal.py). Digest-based fake decode — no SQL
@@ -578,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "ewma_final": q_ewma_final,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
         "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -71,6 +71,83 @@ def lsh_bucket(vec_col, dim: int, planes: int = 8, seed: int = 7) -> F.Column:
     return bucket
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample: int = 2048,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centroids from a bounded sample.
+
+    The sample (a few thousand vectors) fits on the driver regardless of
+    table size; Lloyd iterations run in numpy. Deterministic: fixed seed,
+    ordered sample. At 100 TB you train once and persist the centroids."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r.v for r in rows])
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        # cosine assignment == euclidean on normalized vectors
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in cents]
+
+
+def ivf_assign(vec_col, centroids: list[list[float]]) -> F.Column:
+    """Nearest-centroid id (by cosine) as a column expression — JVM-side
+    argmax over the broadcast centroid literals, no Python in the scan."""
+    v = vec_col.cast("array<double>")
+    best_id, best_score = F.lit(0), F.lit(float("-inf"))
+    for i, c in enumerate(centroids):
+        score = cosine(v, F.lit(c).cast("array<double>"))
+        better = score > best_score
+        best_id = F.when(better, F.lit(i)).otherwise(best_id)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_id
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: score only vectors in the nprobe lists nearest the query.
+
+    At scale the assignment column is a partition/cluster key so the probe is
+    a partition-pruned scan of nprobe/n_centroids of the data; here it is an
+    inline filter over the same expression."""
+    import math as _math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a)) or 1e-12
+        nb = _math.sqrt(sum(x * x for x in b)) or 1e-12
+        return dot / (na * nb)
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i]))
+    probe_ids = order[: max(1, nprobe)]
+    assigned = df.withColumn("__list", ivf_assign(F.col(vec_col), centroids))
+    probed = assigned.where(F.col("__list").isin(probe_ids))
+    return brute_force_cosine_topk(probed, query_vec, k, id_col, vec_col)
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -71,6 +71,30 @@ def test_simhash_pairs(docs):
     assert all(h <= 16 for h in pairs.values())
 
 
+def test_ivf_cosine_topk(spark):
+    import random
+
+    from tachyon_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in rows[0][1]]
+    cents = train_ivf_centroids(df, n_centroids=4, sample=200)
+    assert len(cents) == 4 and all(len(c) == 8 for c in cents)
+    exact = [r.vec_id for r in brute_force_cosine_topk(df, q, k=10).collect()]
+    approx = [r.vec_id for r in ivf_cosine_topk(df, q, cents, k=10, nprobe=2).collect()]
+    # query vector itself must be found; recall@10 over half the lists >= 50%
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 5
+
+
 def test_cosine_topk(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

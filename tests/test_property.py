@@ -1,0 +1,105 @@
+"""Property-based tests: the engine vs a direct Python model of the
+reference semantics (promotion lattice, filter comparisons, aggregate
+empty contracts) over randomized streams.
+
+The reference's own tests are fixed goldens (SURVEY §5); hypothesis widens
+that to arbitrary inputs. Streams are built once per example via the shared
+Connection; examples are kept small so each runs in ~1 Spark job.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tachyon_spark.connection import Connection
+
+_counter = [0]
+
+
+@pytest.fixture(scope="module")
+def prop_db(spark, tmp_path_factory):
+    return Connection(str(tmp_path_factory.mktemp("propdb")), spark)
+
+
+def _mk_stream(conn, vt, points):
+    _counter[0] += 1
+    sel = f'prop{_counter[0]}{{t="x"}}'
+    conn.create_stream(sel, vt)
+    ins = conn.prepare_insert(sel)
+    for ts, v in points:
+        ins.insert(ts, v)
+    ins.flush()
+    return sel
+
+# strictly increasing ts with i64-ish values
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=-1_000_000, max_value=1_000_000),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda p: p[0],
+).map(lambda ps: sorted(ps))
+
+scalar_strategy = st.one_of(
+    st.integers(min_value=-100, max_value=100),
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+).filter(lambda s: abs(s) > 1e-6)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(points=points_strategy, scalar=scalar_strategy, op=st.sampled_from("+-*/%"))
+def test_vector_scalar_arith_model(prop_db, points, scalar, op):
+    sel = _mk_stream(prop_db, "i64", points)
+    q = prop_db.query(f"{sel} {op} {scalar}", 0, 20_000)
+    got = q.rows()
+    py = {
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b,
+        "/": lambda a, b: a / b,
+        "%": lambda a, b: math.fmod(a, b),  # f64 modulo (lib.rs:335-362)
+    }[op]
+    # number literals are f64 -> result is f64 (planner.rs:140-143)
+    expected = [(ts, py(float(v), float(scalar))) for ts, v in points]
+    assert len(got) == len(expected)
+    for (gts, gv), (ets, ev) in zip(got, expected):
+        assert gts == ets
+        assert gv == pytest.approx(ev, rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(points=points_strategy, threshold=st.integers(min_value=-1000, max_value=1000))
+def test_comparison_filter_model(prop_db, points, threshold):
+    sel = _mk_stream(prop_db, "i64", points)
+    got = prop_db.query(f"{sel} > {threshold}", 0, 20_000).rows()
+    expected = [(ts, v) for ts, v in points if v > threshold]
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(points=points_strategy)
+def test_aggregates_model(prop_db, points):
+    sel = _mk_stream(prop_db, "i64", points)
+    vals = [v for _, v in points]
+    assert prop_db.query(f"sum({sel})", 0, 20_000).scalar() == sum(vals)
+    assert prop_db.query(f"count({sel})", 0, 20_000).scalar() == len(vals)
+    assert prop_db.query(f"min({sel})", 0, 20_000).scalar() == min(vals)
+    assert prop_db.query(f"max({sel})", 0, 20_000).scalar() == max(vals)
+    assert prop_db.query(f"avg({sel})", 0, 20_000).scalar() == pytest.approx(
+        sum(vals) / len(vals)
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(points=points_strategy, k=st.integers(min_value=0, max_value=10))
+def test_topk_model(prop_db, points, k):
+    sel = _mk_stream(prop_db, "i64", points)
+    got = prop_db.query(f"topk({k}, {sel})", 0, 20_000).rows()
+    expected = sorted((v for _, v in points), reverse=True)[:k]
+    assert got == expected
