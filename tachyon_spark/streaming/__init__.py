@@ -1,4 +1,5 @@
 from tachyon_spark.streaming.ingest import start_stream_ingest
+from tachyon_spark.streaming.rollup import read_rollup, start_continuous_rollup
 from tachyon_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -7,6 +8,8 @@ from tachyon_spark.streaming.windows import (
 
 __all__ = [
     "start_stream_ingest",
+    "start_continuous_rollup",
+    "read_rollup",
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",
