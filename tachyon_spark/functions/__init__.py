@@ -6,8 +6,20 @@ from tachyon_spark.functions.dedup import (
     simhash64,
     simhash_pairs,
 )
-from tachyon_spark.functions.similarity import brute_force_cosine_topk, lsh_cosine_topk
+from tachyon_spark.functions.similarity import (
+    brute_force_cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+    train_ivf_centroids,
+)
+from tachyon_spark.functions.multimodal import (
+    extract_features,
+    media_from_documents,
+    resize_images,
+    sample_frames,
+)
 from tachyon_spark.functions.textstats import (
+    bpe_tokens,
     doc_fingerprint,
     language_id,
     quality_score,
@@ -23,7 +35,14 @@ __all__ = [
     "simhash_pairs",
     "brute_force_cosine_topk",
     "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "train_ivf_centroids",
     "doc_fingerprint",
+    "bpe_tokens",
+    "extract_features",
+    "media_from_documents",
+    "resize_images",
+    "sample_frames",
     "language_id",
     "quality_score",
     "text_stats",

@@ -1,6 +1,7 @@
 from tachyon_spark.operators.aggregates import grouped_agg, scalar_agg
 from tachyon_spark.operators.interpolate import interpolated_binop
 from tachyon_spark.operators.topk import bottom_k, top_k
+from tachyon_spark.operators.asof import asof_join
 from tachyon_spark.operators.select import select_range
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "top_k",
     "bottom_k",
     "select_range",
+    "asof_join",
 ]
