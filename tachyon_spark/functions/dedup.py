@@ -100,22 +100,55 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_postings: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with word-n-gram Jaccard >= threshold.
 
     Inverted-index self-join on shingle: only documents sharing a shingle are
     compared (never the full cross product). Returns (doc_a, doc_b, jaccard).
+
+    max_postings: optional stop-shingle cap — a shingle appearing in more
+    than this many documents is excluded from CANDIDATE GENERATION (its k
+    postings would contribute k^2 join rows; at corpus scale the hottest
+    shingles are boilerplate that dominates the shuffle while providing no
+    discrimination). Sizes and intersections still count every shingle, so
+    reported Jaccard values stay exact; only pairs whose overlap is
+    exclusively capped shingles can be missed. Default None = exact.
     """
     sh = _materialize(shingles(df, id_col, text_col, n))
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("doc_a"), "shingle")
     b = sh.select(F.col("id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    if max_postings is None:
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        # capped postings find the candidate pairs; the intersection is then
+        # recounted over ALL shingles of just those pairs, so Jaccard stays
+        # exact (minhash-style verify) — only pairs overlapping exclusively
+        # in capped shingles can be missed
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        keep = freq.where(F.col("__df") <= max_postings).select("shingle")
+        capped = sh.join(F.broadcast(keep), "shingle")
+        ca = capped.select(F.col("id").alias("doc_a"), "shingle")
+        cb = capped.select(F.col("id").alias("doc_b"), "shingle")
+        candidates = (
+            ca.join(cb, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        inter = (
+            F.broadcast(candidates)
+            .join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
         .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")

@@ -50,6 +50,19 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 3) not in pairs
 
 
+def test_ngram_jaccard_max_postings(docs):
+    """Stop-shingle cap: same pairs with exact jaccard values as the exact
+    path here (the shared trigrams are below the cap)."""
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.5, max_postings=3).collect()
+    }
+    assert capped == exact
+    # cap of 1 kills every shared shingle -> no candidates at all
+    assert ngram_jaccard_pairs(docs, 0.5, max_postings=0).count() == 0
+
+
 def test_minhash_signatures_shape(docs):
     sigs = {r.id: r.sig for r in minhash_signatures(docs, 16).collect()}
     assert len(sigs) == 4 and all(len(s) == 16 for s in sigs.values())
