@@ -103,3 +103,40 @@ def test_topk_model(prop_db, points, k):
     got = prop_db.query(f"topk({k}, {sel})", 0, 20_000).rows()
     expected = sorted((v for _, v in points), reverse=True)[:k]
     assert got == expected
+
+
+def _interp_model(pts_a, pts_b, round_int=True):
+    """Python model of the reference's interpolating add
+    (vector_to_vector.rs:23-413): union of timestamps; a missing side is
+    linearly interpolated between its neighbors (rounded for int streams);
+    before-first/after-last carries the nearest value."""
+
+    def side(pts, t):
+        d = dict(pts)
+        if t in d:
+            return float(d[t])
+        prev = [(ts, v) for ts, v in pts if ts < t]
+        nxt = [(ts, v) for ts, v in pts if ts > t]
+        if not prev:
+            return float(nxt[0][1])
+        if not nxt:
+            return float(prev[-1][1])
+        (t0, v0), (t1, v1) = prev[-1], nxt[0]
+        val = v0 + (v1 - v0) * (t - t0) / (t1 - t0)
+        # round-half-up like Spark/DuckDB ROUND, not banker's rounding
+        return float(math.floor(val + 0.5)) if round_int else val
+
+    ts_union = sorted({t for t, _ in pts_a} | {t for t, _ in pts_b})
+    return [(t, int(side(pts_a, t) + side(pts_b, t))) for t in ts_union]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts_a=points_strategy.map(lambda ps: [(t, abs(v) % 1000) for t, v in ps]),
+    pts_b=points_strategy.map(lambda ps: [(t, abs(v) % 1000) for t, v in ps]),
+)
+def test_interpolating_add_model(prop_db, pts_a, pts_b):
+    sa = _mk_stream(prop_db, "u64", pts_a)
+    sb = _mk_stream(prop_db, "u64", pts_b)
+    got = prop_db.query(f"{sa} + {sb}", 0, 20_000).rows()
+    assert got == _interp_model(pts_a, pts_b)
