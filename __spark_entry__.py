@@ -369,6 +369,27 @@ def q_asof_join_events(spark, sf_dir):
     )
 
 
+def q_range_join_daily(spark, sf_dir):
+    """Range (interval) join: click events matched to 10 daily windows via
+    the bucketized equi-join path (operators/range_join.py), then aggregated
+    per window."""
+    from tachyon_spark.operators.range_join import range_join
+
+    DAY = 86_400_000_000
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.expr("ts DIV 1000").alias("ts"), "value"
+    )
+    intervals = spark.createDataFrame(
+        [(T0_US + k * DAY, T0_US + (k + 1) * DAY - 1, k) for k in range(10)],
+        "start long, end long, window_id int",
+    )
+    joined = range_join(clicks, intervals, bucket=DAY)
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
 def q_value_quantiles(spark, sf_dir):
     """Exact interpolated quantiles per event_type (F.percentile ==
     quantile_cont). Scale path at 100 TB: approx_percentile (t-digest
@@ -587,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_stats": q_sliding_window_stats,
         "session_window_stats": q_session_window_stats,
         "asof_join_events": q_asof_join_events,
+        "range_join_daily": q_range_join_daily,
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
         "ewma_final": q_ewma_final,
@@ -901,6 +923,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.user_id, c.t AS ts_us, c.value, round(v.vv, 6) AS view_value
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.t >= v.t
+        """,
+        "range_join_daily": f"""
+            WITH iv AS (
+              SELECT {T0_US} + k * 86400000000 AS s,
+                     {T0_US} + (k + 1) * 86400000000 - 1 AS e,
+                     k AS window_id
+              FROM (SELECT unnest(generate_series(0, 9)) AS k)
+            )
+            SELECT window_id, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events JOIN iv ON epoch_us(ts) BETWEEN s AND e
+            WHERE event_type = 'click'
+            GROUP BY window_id
         """,
         "value_quantiles": """
             SELECT event_type,
