@@ -369,6 +369,30 @@ def q_asof_join_events(spark, sf_dir):
     )
 
 
+def q_rolling_avg_1h(spark, sf_dir):
+    """Rolling 1-hour average per event_type via a RANGE window frame
+    (rangeBetween on event-time, partitioned by key — distributes per key,
+    no global sort). DuckDB oracle uses the identical RANGE frame."""
+    from pyspark.sql import Window
+
+    HOUR_US = 3_600_000_000
+    ev = _read(spark, sf_dir, "events")
+    ev_us = ev.select(F.expr("ts DIV 1000").alias("ts_us"), "event_type", "value")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-HOUR_US, 0)
+    )
+    out = ev_us.select(
+        "event_type",
+        "ts_us",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+    )
+    # duplicate (event_type, ts_us) rows get identical frames in both
+    # engines; dedupe so the value-hash compare is order-insensitive
+    return out.distinct()
+
+
 def q_range_join_daily(spark, sf_dir):
     """Range (interval) join: click events matched to 10 daily windows via
     the bucketized equi-join path (operators/range_join.py), then aggregated
@@ -609,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats": q_session_window_stats,
         "asof_join_events": q_asof_join_events,
         "range_join_daily": q_range_join_daily,
+        "rolling_avg_1h": q_rolling_avg_1h,
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
         "ewma_final": q_ewma_final,
@@ -923,6 +948,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.user_id, c.t AS ts_us, c.value, round(v.vv, 6) AS view_value
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.t >= v.t
+        """,
+        "rolling_avg_1h": """
+            SELECT DISTINCT event_type, epoch_us(ts) AS ts_us,
+                   round(avg(value) OVER (
+                     PARTITION BY event_type ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+                   ), 6) AS rolling_avg
+            FROM events
         """,
         "range_join_daily": f"""
             WITH iv AS (
