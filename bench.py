@@ -74,6 +74,8 @@ def main():
         "hourly_rollup",
         "tumbling_window_stats",
         "session_window_stats",
+        "rolling_avg_1h",
+        "range_join_daily",
         "value_quantiles",
         "distinct_users",
         "ewma_final",
