@@ -187,6 +187,15 @@ class Inserter:
         self._buf: list[tuple[int, float | int]] = []
 
     def insert(self, ts: int, value) -> None:
+        """Type-checked append (the reference's typed inserts panic on a
+        stream/value type mismatch, lib.rs:519-549)."""
+        if is_integer(self.value_type):
+            if isinstance(value, float) and not value.is_integer():
+                raise TypeError(
+                    f"stream is {self.value_type}; got non-integral float {value!r}"
+                )
+            if self.value_type == "u64" and value < 0:
+                raise TypeError(f"stream is u64; got negative value {value!r}")
         self._buf.append((ts, value))
 
     # typed aliases mirroring insert_{integer64,uinteger64,float64}

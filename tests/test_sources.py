@@ -35,6 +35,21 @@ def test_export_csv(db, tmp_path, spark):
     assert sorted((r.Timestamp, r.Value) for r in back.collect()) == [(1, 1.0), (2, 2.0)]
 
 
+def test_typed_insert_validation(db):
+    import pytest
+
+    db.create_stream('ty{k="i"}', "i64")
+    db.create_stream('ty{k="u"}', "u64")
+    ins_i = db.prepare_insert('ty{k="i"}')
+    ins_i.insert(1, -5)  # negative ok for i64
+    ins_i.insert(2, 3.0)  # integral float ok
+    with pytest.raises(TypeError):
+        ins_i.insert(3, 2.5)  # fractional on int stream
+    ins_u = db.prepare_insert('ty{k="u"}')
+    with pytest.raises(TypeError):
+        ins_u.insert(1, -1)  # negative on u64
+
+
 def test_delete_stream(db):
     db.create_stream('del{k="1"}', "f64")
     db.create_stream('del{k="2"}', "f64")
