@@ -369,6 +369,29 @@ def q_asof_join_events(spark, sf_dir):
     )
 
 
+def q_rate_per_type(spark, sf_dir):
+    """rate/increase/delta semantics per event_type (plans/builder.py
+    _range_func): (last - first) / ts span, via min_by/max_by partial
+    aggregates — one scan, one shuffle."""
+    ev = _read(spark, sf_dir, "events")
+    ev_us = ev.select(F.expr("ts DIV 1000").alias("ts"), "event_type", "value")
+    agg = ev_us.groupBy("event_type").agg(
+        F.min_by("value", "ts").alias("__first"),
+        F.max_by("value", "ts").alias("__last"),
+        F.min("ts").alias("__t0"),
+        F.max("ts").alias("__t1"),
+    )
+    return agg.where(F.col("__t1") > F.col("__t0")).select(
+        "event_type",
+        F.round(F.col("__last") - F.col("__first"), 6).alias("increase"),
+        F.round(
+            (F.col("__last") - F.col("__first"))
+            / (F.col("__t1") - F.col("__t0")).cast("double") * 1_000_000,
+            9,
+        ).alias("rate_per_sec"),
+    )
+
+
 def q_rolling_avg_1h(spark, sf_dir):
     """Rolling 1-hour average per event_type via a RANGE window frame
     (rangeBetween on event-time, partitioned by key — distributes per key,
@@ -634,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "range_join_daily": q_range_join_daily,
         "rolling_avg_1h": q_rolling_avg_1h,
+        "rate_per_type": q_rate_per_type,
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
         "ewma_final": q_ewma_final,
@@ -948,6 +972,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.user_id, c.t AS ts_us, c.value, round(v.vv, 6) AS view_value
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.t >= v.t
+        """,
+        "rate_per_type": """
+            SELECT event_type,
+                   round(arg_max(value, epoch_us(ts)) - arg_min(value, epoch_us(ts)), 6)
+                     AS increase,
+                   round((arg_max(value, epoch_us(ts)) - arg_min(value, epoch_us(ts)))
+                         / (max(epoch_us(ts)) - min(epoch_us(ts))) * 1000000, 9)
+                     AS rate_per_sec
+            FROM events GROUP BY event_type
+            HAVING max(epoch_us(ts)) > min(epoch_us(ts))
         """,
         "rolling_avg_1h": """
             SELECT DISTINCT event_type, epoch_us(ts) AS ts_us,

@@ -99,7 +99,34 @@ class PlanBuilder:
             return self._aggregate(expr)
         if isinstance(expr, ast.GetK):
             return self._getk(expr)
+        if isinstance(expr, ast.RangeFunc):
+            return self._range_func(expr)
         raise ValueError(f"unsupported expression: {expr!r}")
+
+    def _range_func(self, node: ast.RangeFunc) -> Plan:
+        """rate/increase/delta over [start, end] (extension; ast.RangeFunc).
+
+        increase = last(value) - first(value) by ts; delta identical (we do
+        not model counter resets on raw samples); rate = increase per ts
+        unit. PromQL returns nothing for <2 samples — enforced by requiring
+        max(ts) > min(ts). One scan, one 1-row exchange (min_by/max_by are
+        ordinary partial aggregates)."""
+        child = self.build(node.child)
+        if child.kind != "vector":
+            raise ValueError(f"{node.func} requires a vector input")
+        df = child.df
+        agg = df.agg(
+            F.min_by("value", "ts").cast("double").alias("__first"),
+            F.max_by("value", "ts").cast("double").alias("__last"),
+            F.min("ts").alias("__t0"),
+            F.max("ts").alias("__t1"),
+        ).where(F.col("__t1") > F.col("__t0"))
+        diff = F.col("__last") - F.col("__first")
+        if node.func == "rate":
+            value = diff / (F.col("__t1") - F.col("__t0")).cast("double")
+        else:  # increase | delta
+            value = diff
+        return Plan("scalar", agg.select(value.alias("value")), VT_F64)
 
     # --------------------------------------------------------------- selector
     def _selector(self, sel: ast.VectorSelector) -> Plan:

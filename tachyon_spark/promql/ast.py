@@ -54,7 +54,19 @@ class GetK:
     child: object
 
 
+@dataclass(frozen=True)
+class RangeFunc:
+    """rate/increase/delta over the query's [start, end] window (extension —
+    the reference rejects all function calls, planner.rs:218-222, because it
+    has no matrix selectors). Raw-sample semantics: computed from the first
+    and last samples in range; no counter-reset handling."""
+
+    func: str  # rate | increase | delta
+    child: object
+
+
 ARITH_OPS = frozenset({"+", "-", "*", "/", "%"})
 CMP_OPS = frozenset({"==", "!=", ">", "<", ">=", "<="})
 AGG_FUNCS = frozenset({"sum", "count", "avg", "min", "max"})
 GETK_FUNCS = frozenset({"topk", "bottomk"})
+RANGE_FUNCS = frozenset({"rate", "increase", "delta"})

@@ -34,7 +34,12 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-KEYWORDS = {"offset", "by", "start", "end"} | set(ast.AGG_FUNCS) | set(ast.GETK_FUNCS)
+KEYWORDS = (
+    {"offset", "by", "start", "end"}
+    | set(ast.AGG_FUNCS)
+    | set(ast.GETK_FUNCS)
+    | set(ast.RANGE_FUNCS)
+)
 
 
 @dataclass
@@ -148,6 +153,8 @@ class Parser:
                 return self.parse_aggregate()
             if tok.text in ast.GETK_FUNCS:
                 return self.parse_getk()
+            if tok.text in ast.RANGE_FUNCS:
+                return self.parse_range_func()
             return self.parse_selector()
         raise PromQLError(f"unexpected token {tok.text!r} at {tok.pos} in {self.src!r}")
 
@@ -168,6 +175,13 @@ class Parser:
         child = self.parse_cmp()
         self.expect(")")
         return ast.Aggregate(func, child, by)
+
+    def parse_range_func(self):
+        func = self.next().text
+        self.expect("(")
+        child = self.parse_cmp()
+        self.expect(")")
+        return ast.RangeFunc(func, child)
 
     def parse_getk(self):
         func = self.next().text
