@@ -14,7 +14,7 @@ Public surface:
 The PromQL subset matches the reference's planner surface (selectors with
 matchers, @/offset, number literals, + - * / %, comparisons-as-filters,
 sum/count/avg/min/max/topk/bottomk, parens) plus Spark-natural extensions
-(grouped `by (label)` aggregation, regex matchers).
+(grouped `by (label)` aggregation, regex matchers, rate/increase/delta).
 """
 
 from tachyon_spark.connection import Connection, Query
