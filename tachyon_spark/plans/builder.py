@@ -101,7 +101,67 @@ class PlanBuilder:
             return self._getk(expr)
         if isinstance(expr, ast.RangeFunc):
             return self._range_func(expr)
+        if isinstance(expr, ast.MathFunc):
+            return self._math_func(expr)
         raise ValueError(f"unsupported expression: {expr!r}")
+
+    _MATH = {
+        "abs": F.abs,
+        "ceil": F.ceil,
+        "floor": F.floor,
+        "sqrt": F.sqrt,
+        "exp": F.exp,
+        "ln": F.log,
+    }
+
+    def _math_func(self, node: ast.MathFunc) -> Plan:
+        """Elementwise math (extension; ast.MathFunc). Narrow column
+        expression — stays in whole-stage codegen, no shuffle."""
+        child = self.build(node.child)
+        if child.kind == "scalar":
+            if child.literal is not None:
+                import math as m
+
+                fn = {"abs": abs, "ceil": m.ceil, "floor": m.floor,
+                      "sqrt": m.sqrt, "exp": m.exp, "ln": m.log}[node.func]
+                return Plan("scalar", None, VT_F64, literal=float(fn(child.literal)))
+            out = child.df.select(
+                self._MATH[node.func](F.col("value").cast("double")).alias("value")
+            )
+            return Plan("scalar", out, VT_F64)
+        if child.kind != "vector":
+            raise ValueError(f"{node.func} requires a vector or scalar input")
+        vt = child.value_type if node.func == "abs" else VT_F64
+        col = F.col("value") if node.func == "abs" else F.col("value").cast("double")
+        result = self._MATH[node.func](col)
+        keep = [c for c in ("stream_id", "ts") if c in child.df.columns]
+        return Plan("vector", child.df.select(*keep, result.alias("value")), vt)
+
+    def _set_op(self, op: str, lhs: Plan, rhs: Plan) -> Plan:
+        """and/or/unless on the ts key (extension; reference has no set ops,
+        planner.rs:95-107). and = semi-join, unless = anti-join, or = lhs
+        plus rhs rows at timestamps lhs lacks. All are ts-key equi-joins."""
+        if lhs.kind != "vector" or rhs.kind != "vector":
+            raise ValueError(f"{op!r} requires vector operands")
+        l_df = lhs.df.select("ts", "value")
+        r_ts = rhs.df.select("ts").distinct()
+        if op == "and":
+            out = l_df.join(r_ts, "ts", "left_semi")
+            return Plan("vector", out, lhs.value_type)
+        if op == "unless":
+            out = l_df.join(r_ts, "ts", "left_anti")
+            return Plan("vector", out, lhs.value_type)
+        # or: keep all lhs; add rhs rows whose ts is absent from lhs
+        r_extra = rhs.df.select("ts", "value").join(
+            l_df.select("ts").distinct(), "ts", "left_anti"
+        )
+        vt = promote(lhs.value_type, rhs.value_type)
+        out = l_df.select("ts", F.col("value").cast("double").alias("value")).unionByName(
+            r_extra.select("ts", F.col("value").cast("double").alias("value"))
+        )
+        if is_integer(vt):
+            out = out.select("ts", F.col("value").cast("long").alias("value"))
+        return Plan("vector", out, vt)
 
     def _range_func(self, node: ast.RangeFunc) -> Plan:
         """rate/increase/delta over [start, end] (extension; ast.RangeFunc).
@@ -168,6 +228,8 @@ class PlanBuilder:
         op = node.op
         lhs = self.build(node.lhs)
         rhs = self.build(node.rhs)
+        if op in ast.SET_OPS:
+            return self._set_op(op, lhs, rhs)
         is_cmp = op in _CMP
 
         if lhs.kind in ("scalar", "topk") and rhs.kind in ("scalar", "topk"):

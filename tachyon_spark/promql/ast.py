@@ -65,8 +65,20 @@ class RangeFunc:
     child: object
 
 
+@dataclass(frozen=True)
+class MathFunc:
+    """Elementwise math over a vector (extension; the reference rejects all
+    function calls, planner.rs:218-222). abs preserves the input value type;
+    the rest compute in f64."""
+
+    func: str  # abs ceil floor sqrt exp ln
+    child: object
+
+
 ARITH_OPS = frozenset({"+", "-", "*", "/", "%"})
 CMP_OPS = frozenset({"==", "!=", ">", "<", ">=", "<="})
+SET_OPS = frozenset({"and", "or", "unless"})  # extension (ts-key matching)
 AGG_FUNCS = frozenset({"sum", "count", "avg", "min", "max"})
 GETK_FUNCS = frozenset({"topk", "bottomk"})
 RANGE_FUNCS = frozenset({"rate", "increase", "delta"})
+MATH_FUNCS = frozenset({"abs", "ceil", "floor", "sqrt", "exp", "ln"})

@@ -39,6 +39,8 @@ KEYWORDS = (
     | set(ast.AGG_FUNCS)
     | set(ast.GETK_FUNCS)
     | set(ast.RANGE_FUNCS)
+    | set(ast.MATH_FUNCS)
+    | set(ast.SET_OPS)
 )
 
 
@@ -96,12 +98,29 @@ class Parser:
         return tok is not None and tok.text == text
 
     # precedence climbing ---------------------------------------------------
+    # PromQL precedence (low->high): or | and/unless | comparisons | +- | */%
     def parse(self):
-        expr = self.parse_cmp()
+        expr = self.parse_or()
         if self.peek() is not None:
             tok = self.peek()
             raise PromQLError(f"trailing input at {tok.pos}: {tok.text!r}")
         return expr
+
+    def parse_or(self):
+        lhs = self.parse_and()
+        while self.peek() and self.peek().text == "or":
+            self.next()
+            rhs = self.parse_and()
+            lhs = ast.BinaryOp("or", lhs, rhs)
+        return lhs
+
+    def parse_and(self):
+        lhs = self.parse_cmp()
+        while self.peek() and self.peek().text in ("and", "unless"):
+            op = self.next().text
+            rhs = self.parse_cmp()
+            lhs = ast.BinaryOp(op, lhs, rhs)
+        return lhs
 
     def parse_cmp(self):
         lhs = self.parse_add()
@@ -142,7 +161,7 @@ class Parser:
             raise PromQLError(f"unexpected end of query: {self.src!r}")
         if tok.text == "(":
             self.next()
-            inner = self.parse_cmp()
+            inner = self.parse_or()
             self.expect(")")
             return inner
         if tok.kind == "number":
@@ -155,6 +174,8 @@ class Parser:
                 return self.parse_getk()
             if tok.text in ast.RANGE_FUNCS:
                 return self.parse_range_func()
+            if tok.text in ast.MATH_FUNCS:
+                return self.parse_math_func()
             return self.parse_selector()
         raise PromQLError(f"unexpected token {tok.text!r} at {tok.pos} in {self.src!r}")
 
@@ -172,23 +193,30 @@ class Parser:
             self.expect(")")
             by = tuple(labels)
         self.expect("(")
-        child = self.parse_cmp()
+        child = self.parse_or()
         self.expect(")")
         return ast.Aggregate(func, child, by)
 
     def parse_range_func(self):
         func = self.next().text
         self.expect("(")
-        child = self.parse_cmp()
+        child = self.parse_or()
         self.expect(")")
         return ast.RangeFunc(func, child)
+
+    def parse_math_func(self):
+        func = self.next().text
+        self.expect("(")
+        child = self.parse_or()
+        self.expect(")")
+        return ast.MathFunc(func, child)
 
     def parse_getk(self):
         func = self.next().text
         self.expect("(")
-        k = self.parse_cmp()
+        k = self.parse_or()
         self.expect(",")
-        child = self.parse_cmp()
+        child = self.parse_or()
         self.expect(")")
         return ast.GetK(func, k, child)
 

@@ -1,0 +1,63 @@
+"""Set operators (and/or/unless on ts keys) and elementwise math functions —
+extensions; the reference has neither (planner.rs:95-107, 218-222)."""
+
+import pytest
+
+
+# fixture B: ints ts [10,20,30,40] = [2,4,6,8]; floats same ts = [4.1,3.2,2.3,1.4]
+# neg: ts [1,2,3,4] = [-5,-7,-1,-1000]
+
+
+def test_and_semi_join(fixture_b):
+    # ints and (floats > 3) -> floats has ts 10,20 above 3 -> ints rows at 10,20
+    q = fixture_b.query("ints and (floats > 3.0)", 0, 100)
+    assert q.rows() == [(10, 2), (20, 4)]
+
+
+def test_unless_anti_join(fixture_b):
+    q = fixture_b.query("ints unless (floats > 3.0)", 0, 100)
+    assert q.rows() == [(30, 6), (40, 8)]
+
+
+def test_or_union_prefers_lhs(fixture_b):
+    # neg has ts 1..4; ints has ts 10..40 -> disjoint union
+    q = fixture_b.query("neg or ints", 0, 100)
+    assert q.rows() == [(1, -5), (2, -7), (3, -1), (4, -1000), (10, 2), (20, 4), (30, 6), (40, 8)]
+    # overlapping ts: lhs value wins
+    q2 = fixture_b.query("ints or floats", 0, 100)
+    assert q2.rows() == [(10, 2), (20, 4), (30, 6), (40, 8)]
+
+
+def test_abs_preserves_type(fixture_b):
+    q = fixture_b.query("abs(neg)", 0, 100)
+    assert q.rows() == [(1, 5), (2, 7), (3, 1), (4, 1000)]
+    assert q.value_type == "i64"
+
+
+def test_floor_ceil(fixture_b):
+    assert fixture_b.query("floor(floats)", 0, 100).rows() == [
+        (10, 4.0), (20, 3.0), (30, 2.0), (40, 1.0)]
+    assert fixture_b.query("ceil(floats)", 0, 100).rows() == [
+        (10, 5.0), (20, 4.0), (30, 3.0), (40, 2.0)]
+
+
+def test_sqrt_on_expression(fixture_b):
+    # sqrt(ints * ints) == ints as doubles
+    q = fixture_b.query("sqrt(ints * ints)", 0, 100)
+    assert q.rows() == [(10, 2.0), (20, 4.0), (30, 6.0), (40, 8.0)]
+
+
+def test_math_on_scalar_literal(fixture_b):
+    assert fixture_b.query("sqrt(16)", 0, 100).scalar() == 4.0
+    assert fixture_b.query("abs(0 - 3)", 0, 100).scalar() == 3.0
+
+
+def test_math_on_aggregate_scalar(fixture_b):
+    # sum(ints) = 20 -> sqrt = ~4.472
+    assert fixture_b.query("sqrt(sum(ints))", 0, 100).scalar() == pytest.approx(20 ** 0.5)
+
+
+def test_precedence_and_binds_tighter_than_or(fixture_b):
+    # a or b and c == a or (b and c); with disjoint neg/ints: ints and ints = ints
+    q = fixture_b.query("neg or ints and ints", 0, 100)
+    assert len(q.rows()) == 8
