@@ -68,7 +68,7 @@ class Plan:
     def return_type(self) -> str:
         # GetK declares ReturnType::Scalar in the reference (get_k.rs) even
         # though it yields multiple rows; we mirror that.
-        return "vector" if self.kind in ("vector", "grouped") else "scalar"
+        return "vector" if self.kind in ("vector", "grouped", "sorted") else "scalar"
 
     def ordered_df(self) -> DataFrame:
         if self.kind == "vector":
@@ -76,8 +76,8 @@ class Plan:
             return self.df.orderBy(*cols).select("ts", "value")
         if self.kind == "grouped":
             return self.df.orderBy(*self.group_cols)
-        if self.kind == "topk":
-            return self.df  # already TakeOrderedAndProject-ordered
+        if self.kind in ("topk", "sorted"):
+            return self.df  # already value-ordered
         return self.df.select("value")
 
 
@@ -103,7 +103,36 @@ class PlanBuilder:
             return self._range_func(expr)
         if isinstance(expr, ast.MathFunc):
             return self._math_func(expr)
+        if isinstance(expr, ast.SortFunc):
+            return self._sort_func(expr)
+        if isinstance(expr, ast.ClampFunc):
+            return self._clamp_func(expr)
         raise ValueError(f"unsupported expression: {expr!r}")
+
+    def _sort_func(self, node: ast.SortFunc) -> Plan:
+        """sort()/sort_desc(): vector ordered by value (ts kept). Extension;
+        a global sort — at scale prefer topk for bounded results."""
+        child = self.build(node.child)
+        if child.kind != "vector":
+            raise ValueError(f"{node.func} requires a vector input")
+        order = F.asc("value") if node.func == "sort" else F.desc("value")
+        out = child.df.select("ts", "value").orderBy(order, F.asc("ts"))
+        return Plan("sorted", out, child.value_type)
+
+    def _clamp_func(self, node: ast.ClampFunc) -> Plan:
+        """clamp/clamp_min/clamp_max with literal bounds; result f64."""
+        child = self.build(node.child)
+        if child.kind != "vector":
+            raise ValueError(f"{node.func} requires a vector input")
+        v = F.col("value").cast("double")
+        if node.func == "clamp_min":
+            result = F.greatest(v, F.lit(node.args[0]))
+        elif node.func == "clamp_max":
+            result = F.least(v, F.lit(node.args[0]))
+        else:
+            result = F.least(F.greatest(v, F.lit(node.args[0])), F.lit(node.args[1]))
+        keep = [c for c in ("stream_id", "ts") if c in child.df.columns]
+        return Plan("vector", child.df.select(*keep, result.alias("value")), VT_F64)
 
     _MATH = {
         "abs": F.abs,

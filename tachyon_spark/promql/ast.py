@@ -75,6 +75,24 @@ class MathFunc:
     child: object
 
 
+@dataclass(frozen=True)
+class SortFunc:
+    """sort()/sort_desc(): vector reordered by value (extension)."""
+
+    func: str  # sort | sort_desc
+    child: object
+
+
+@dataclass(frozen=True)
+class ClampFunc:
+    """clamp/clamp_min/clamp_max with literal bounds (extension).
+    Results are f64 (PromQL semantics: all function results are floats)."""
+
+    func: str
+    child: object
+    args: tuple[float, ...]
+
+
 ARITH_OPS = frozenset({"+", "-", "*", "/", "%"})
 CMP_OPS = frozenset({"==", "!=", ">", "<", ">=", "<="})
 SET_OPS = frozenset({"and", "or", "unless"})  # extension (ts-key matching)
@@ -82,3 +100,5 @@ AGG_FUNCS = frozenset({"sum", "count", "avg", "min", "max"})
 GETK_FUNCS = frozenset({"topk", "bottomk"})
 RANGE_FUNCS = frozenset({"rate", "increase", "delta"})
 MATH_FUNCS = frozenset({"abs", "ceil", "floor", "sqrt", "exp", "ln"})
+SORT_FUNCS = frozenset({"sort", "sort_desc"})
+CLAMP_FUNCS = frozenset({"clamp", "clamp_min", "clamp_max"})

@@ -41,6 +41,8 @@ KEYWORDS = (
     | set(ast.RANGE_FUNCS)
     | set(ast.MATH_FUNCS)
     | set(ast.SET_OPS)
+    | set(ast.SORT_FUNCS)
+    | set(ast.CLAMP_FUNCS)
 )
 
 
@@ -176,6 +178,10 @@ class Parser:
                 return self.parse_range_func()
             if tok.text in ast.MATH_FUNCS:
                 return self.parse_math_func()
+            if tok.text in ast.SORT_FUNCS:
+                return self.parse_sort_func()
+            if tok.text in ast.CLAMP_FUNCS:
+                return self.parse_clamp_func()
             return self.parse_selector()
         raise PromQLError(f"unexpected token {tok.text!r} at {tok.pos} in {self.src!r}")
 
@@ -210,6 +216,34 @@ class Parser:
         child = self.parse_or()
         self.expect(")")
         return ast.MathFunc(func, child)
+
+    def parse_sort_func(self):
+        func = self.next().text
+        self.expect("(")
+        child = self.parse_or()
+        self.expect(")")
+        return ast.SortFunc(func, child)
+
+    def parse_clamp_func(self):
+        func = self.next().text
+        self.expect("(")
+        child = self.parse_or()
+        args = []
+        while self.at(","):
+            self.next()
+            neg = False
+            if self.at("-"):
+                self.next()
+                neg = True
+            tok = self.next()
+            if tok.kind != "number":
+                raise PromQLError(f"clamp bounds must be numbers, got {tok.text!r}")
+            args.append(-float(tok.text) if neg else float(tok.text))
+        self.expect(")")
+        want = 2 if func == "clamp" else 1
+        if len(args) != want:
+            raise PromQLError(f"{func} takes {want} bound(s), got {len(args)}")
+        return ast.ClampFunc(func, child, tuple(args))
 
     def parse_getk(self):
         func = self.next().text

@@ -57,6 +57,25 @@ def test_math_on_aggregate_scalar(fixture_b):
     assert fixture_b.query("sqrt(sum(ints))", 0, 100).scalar() == pytest.approx(20 ** 0.5)
 
 
+def test_sort_by_value(fixture_b):
+    q = fixture_b.query("sort(floats)", 0, 100)
+    assert q.rows() == [(40, 1.4), (30, 2.3), (20, 3.2), (10, 4.1)]
+    q2 = fixture_b.query("sort_desc(floats)", 0, 100)
+    assert q2.rows() == [(10, 4.1), (20, 3.2), (30, 2.3), (40, 1.4)]
+
+
+def test_clamp_family(fixture_b):
+    assert fixture_b.query("clamp_min(ints, 4)", 0, 100).rows() == [
+        (10, 4.0), (20, 4.0), (30, 6.0), (40, 8.0)]
+    assert fixture_b.query("clamp_max(ints, 5)", 0, 100).rows() == [
+        (10, 2.0), (20, 4.0), (30, 5.0), (40, 5.0)]
+    assert fixture_b.query("clamp(ints, 3, 7)", 0, 100).rows() == [
+        (10, 3.0), (20, 4.0), (30, 6.0), (40, 7.0)]
+    # negative bound parses
+    assert fixture_b.query("clamp_min(neg, -2)", 0, 100).rows() == [
+        (1, -2.0), (2, -2.0), (3, -1.0), (4, -2.0)]
+
+
 def test_precedence_and_binds_tighter_than_or(fixture_b):
     # a or b and c == a or (b and c); with disjoint neg/ints: ints and ints = ints
     q = fixture_b.query("neg or ints and ints", 0, 100)
