@@ -1,0 +1,65 @@
+import os
+
+import pytest
+
+from tachyon_spark.connection import Connection
+from tachyon_spark.maintenance import compact_all, compact_stream, expire_before
+
+DAY = 86_400_000
+
+
+def _many_small_flushes(conn, sel, n_flushes=4):
+    conn.create_stream(sel, "f64")
+    ins = conn.prepare_insert(sel)
+    for i in range(n_flushes):
+        ins.insert(i * 10, float(i))
+        ins.flush()  # one parquet file per flush
+
+
+def test_compact_merges_files_and_preserves_rows(spark, tmp_path):
+    conn = Connection(str(tmp_path / "db"), spark)
+    _many_small_flushes(conn, 'c{k="1"}')
+    sid = conn.get_all_streams()[0].stream_id
+    before = conn.query('c{k="1"}', 0, 1000).rows()
+    n_before = compact_stream(conn, sid)
+    assert n_before == 4
+    part_dir = tmp_path / "db" / "samples" / f"stream_id={sid}"
+    files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert conn.query('c{k="1"}', 0, 1000).rows() == before
+
+
+def test_compact_bucketed_layout(spark, tmp_path):
+    conn = Connection(str(tmp_path / "db"), spark, time_bucket=DAY)
+    conn.create_stream('c{k="2"}', "f64")
+    ins = conn.prepare_insert('c{k="2"}')
+    for i in range(3):
+        ins.insert(i * 10, float(i))          # bucket 0
+        ins.insert(DAY + i * 10, float(i))    # bucket 1
+        ins.flush()
+    before = conn.query('c{k="2"}', 0, 10 * DAY).rows()
+    compact_all(conn)
+    sid = conn.get_all_streams()[0].stream_id
+    b0 = tmp_path / "db" / "samples" / f"stream_id={sid}" / "ts_bucket=0"
+    assert len([f for f in os.listdir(b0) if f.endswith(".parquet")]) == 1
+    assert conn.query('c{k="2"}', 0, 10 * DAY).rows() == before
+
+
+def test_expire_before_drops_only_full_buckets(spark, tmp_path):
+    conn = Connection(str(tmp_path / "db"), spark, time_bucket=DAY)
+    conn.create_stream('e{k="1"}', "f64")
+    ins = conn.prepare_insert('e{k="1"}')
+    for day in range(3):
+        ins.insert(day * DAY + 5, float(day))
+    ins.flush()
+    # cutoff mid-day-1: only day-0's bucket is FULLY below
+    dropped = expire_before(conn, DAY + 500)
+    assert dropped == 1
+    rows = conn.query('e{k="1"}', 0, 10 * DAY).rows()
+    assert rows == [(DAY + 5, 1.0), (2 * DAY + 5, 2.0)]
+
+
+def test_expire_requires_bucketed_layout(spark, tmp_path):
+    conn = Connection(str(tmp_path / "db2"), spark)
+    with pytest.raises(ValueError):
+        expire_before(conn, 100)
