@@ -268,6 +268,51 @@ def q_top_customers(spark, sf_dir):
     )
 
 
+def q_suppliers_by_region(spark, sf_dir):
+    """Two-hop broadcast-dim join chain (supplier -> nation -> region)."""
+    sup = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def q_top_brands_by_revenue(spark, sf_dir):
+    """Fact-to-dim join (lineitem x part) + grouped revenue + top-k."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "p_brand")
+        .limit(10)
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event_type (width 25) — the classic
+    distribution profile; buckets are narrow group keys, fully map-side."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", (F.floor(F.col("value") / 25) * 25).alias("bucket_lo")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_user_sessions(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user via lag window."""
     from pyspark.sql import Window
@@ -649,6 +694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
+        "suppliers_by_region": q_suppliers_by_region,
+        "top_brands_by_revenue": q_top_brands_by_revenue,
+        "value_histogram": q_value_histogram,
         "user_sessions": q_user_sessions,
         "hourly_rollup": q_hourly_rollup,
         "tumbling_window_stats": q_tumbling_window_stats,
@@ -918,6 +966,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
             FROM orders GROUP BY o_custkey
             ORDER BY sum(o_totalprice) DESC LIMIT 10
+        """,
+        "suppliers_by_region": """
+            SELECT r_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS total_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "top_brands_by_revenue": """
+            SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, p_brand
+            LIMIT 10
+        """,
+        "value_histogram": """
+            SELECT event_type, floor(value / 25) * 25 AS bucket_lo, count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "user_sessions": """
             SELECT user_id, sum(new_sess) + 1 AS n_sessions FROM (
