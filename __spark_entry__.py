@@ -318,12 +318,16 @@ def q_user_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap_ns = 30 * 60 * 1_000_000_000
-    flagged = ev.select(
+    # Compare gaps in MICROSECONDS (ts DIV 1000) to mirror the oracle's
+    # epoch_us() truncation — a gap in (30min, 30min+1us) must classify the
+    # same way on both engines.
+    ev_us = ev.select("user_id", F.expr("ts DIV 1000").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev_us.select(
         "user_id",
         F.when(
-            F.col("ts") - F.lag("ts").over(w) > gap_ns, 1
+            F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1
         ).otherwise(0).alias("new_sess"),
     )
     return (
@@ -420,9 +424,13 @@ def q_rate_per_type(spark, sf_dir):
     aggregates — one scan, one shuffle."""
     ev = _read(spark, sf_dir, "events")
     ev_us = ev.select(F.expr("ts DIV 1000").alias("ts"), "event_type", "value")
+    # Tie-break duplicated extreme timestamps deterministically by ordering on
+    # (ts, value) — otherwise min_by/arg_min pick an arbitrary row and the
+    # cross-engine hash can flake.
+    tie = F.struct(F.col("ts"), F.col("value"))
     agg = ev_us.groupBy("event_type").agg(
-        F.min_by("value", "ts").alias("__first"),
-        F.max_by("value", "ts").alias("__last"),
+        F.min_by("value", tie).alias("__first"),
+        F.max_by("value", tie).alias("__last"),
         F.min("ts").alias("__t0"),
         F.max("ts").alias("__t1"),
     )
@@ -983,11 +991,14 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "value_histogram": """
-            SELECT event_type, floor(value / 25) * 25 AS bucket_lo, count(*) AS n
+            -- CAST: DuckDB floor() is DOUBLE, Spark floor() is LONG; align to BIGINT
+            SELECT event_type, CAST(floor(value / 25) * 25 AS BIGINT) AS bucket_lo,
+                   count(*) AS n
             FROM events GROUP BY 1, 2
         """,
         "user_sessions": """
-            SELECT user_id, sum(new_sess) + 1 AS n_sessions FROM (
+            -- CAST: DuckDB sum(int)+1 is HUGEINT, Spark is LONG; align to BIGINT
+            SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions FROM (
               SELECT user_id,
                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
                           > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
@@ -1041,10 +1052,14 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = v.user_id AND c.t >= v.t
         """,
         "rate_per_type": """
+            -- lexicographic struct min/max on (ts, value) mirrors Spark's
+            -- min_by/max_by struct tie-break (deterministic under dup ts)
             SELECT event_type,
-                   round(arg_max(value, epoch_us(ts)) - arg_min(value, epoch_us(ts)), 6)
+                   round(max(struct_pack(t := epoch_us(ts), v := value)).v
+                         - min(struct_pack(t := epoch_us(ts), v := value)).v, 6)
                      AS increase,
-                   round((arg_max(value, epoch_us(ts)) - arg_min(value, epoch_us(ts)))
+                   round((max(struct_pack(t := epoch_us(ts), v := value)).v
+                          - min(struct_pack(t := epoch_us(ts), v := value)).v)
                          / (max(epoch_us(ts)) - min(epoch_us(ts))) * 1000000, 9)
                      AS rate_per_sec
             FROM events GROUP BY event_type
@@ -1118,7 +1133,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "token_counts_by_source": f"""
-            SELECT source, sum(len({tok})) AS total_tokens, count(*) AS n_docs,
+            -- CAST: DuckDB sum(int) is HUGEINT, Spark is LONG; align to BIGINT
+            SELECT source, CAST(sum(len({tok})) AS BIGINT) AS total_tokens,
+                   count(*) AS n_docs,
                    round(avg(len({tok})), 6) AS avg_tokens
             FROM documents GROUP BY source
         """,

@@ -33,22 +33,35 @@ def compact_stream(conn, stream_id: str, target_files: int = 1) -> int:
         if conn.time_bucket
         else [None]
     )
-    for sub in sub_dirs:
+    # Stage the rewrite OUTSIDE the samples tree: a temp dir inside it would
+    # be picked up by concurrent partition discovery as a bogus partition
+    # (and a crash mid-swap could leave the stream's data invisible).
+    stage_root = os.path.join(conn.db_dir, "_compact_tmp")
+    for i, sub in enumerate(sub_dirs):
         src = part_dir if sub is None else os.path.join(part_dir, sub)
         df = conn.spark.read.parquet(src)
-        tmp = src + ".compact_tmp"
+        tmp = os.path.join(stage_root, f"{stream_id}.{i}")
+        old = os.path.join(stage_root, f"{stream_id}.{i}.old")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         (
             df.repartition(target_files)
             .sortWithinPartitions("ts")
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        shutil.rmtree(src)
-        os.replace(tmp, src)
         # drop spark's _SUCCESS marker; partition dirs hold only data files
-        marker = os.path.join(src, "_SUCCESS")
+        marker = os.path.join(tmp, "_SUCCESS")
         if os.path.exists(marker):
             os.remove(marker)
+        # Swap: old-aside -> new-in -> delete-old. Readers racing the swap see
+        # either the old files or the new files, never a missing partition or
+        # a non-partition dir inside the tree; a crash leaves `old` on disk
+        # for manual recovery rather than losing the data.
+        os.replace(src, old)
+        os.replace(tmp, src)
+        shutil.rmtree(old)
+    shutil.rmtree(stage_root, ignore_errors=True)
     return n_before
 
 

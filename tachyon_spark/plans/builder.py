@@ -205,8 +205,10 @@ class PlanBuilder:
             raise ValueError(f"{node.func} requires a vector input")
         df = child.df
         agg = df.agg(
-            F.min_by("value", "ts").cast("double").alias("__first"),
-            F.max_by("value", "ts").cast("double").alias("__last"),
+            # (ts, value) struct tie-break: deterministic when the extreme ts
+            # is duplicated (plain min_by/max_by pick an arbitrary row).
+            F.min_by("value", F.struct("ts", "value")).cast("double").alias("__first"),
+            F.max_by("value", F.struct("ts", "value")).cast("double").alias("__last"),
             F.min("ts").alias("__t0"),
             F.max("ts").alias("__t1"),
         ).where(F.col("__t1") > F.col("__t0"))
@@ -299,6 +301,13 @@ class PlanBuilder:
         return Plan("scalar", out, vt)
 
     def _scalar_df(self, plan: Plan, alias: str) -> DataFrame:
+        if plan.kind == "topk":
+            # topk/bottomk yields k rows; silently cross-joining it would
+            # multiply the other operand by k. Reject rather than guess.
+            raise ValueError(
+                "topk/bottomk result is multi-row and cannot be used as a "
+                "scalar operand; aggregate it first (e.g. sum(topk(...)))"
+            )
         if plan.literal is not None:
             return self.conn.spark.range(1).select(F.lit(plan.literal).alias(alias))
         return plan.df.select(F.col("value").alias(alias))

@@ -46,6 +46,16 @@ def test_csv_failfast_on_malformed(db, tmp_path):
         import_csv(db, 'csvbad{k="1"}', str(bad))
 
 
+def test_topk_as_scalar_operand_rejected(golden_db):
+    # topk is multi-row; using it where a scalar is expected must error,
+    # not silently cross-join k rows (builder._scalar_df guard).
+    for q in ["ints + topk(2, floats)", "topk(2, ints) + 1", "sum(ints) * topk(2, floats)"]:
+        with pytest.raises(ValueError, match="multi-row"):
+            golden_db.query(q, 0, 100)
+    # aggregating the topk result first is the supported form
+    assert golden_db.query("sum(topk(2, ints))", 0, 100).rows() == [14]
+
+
 def test_vector_comparison_rejected(golden_db):
     with pytest.raises(ValueError, match="not supported"):
         golden_db.query("ints > floats", 0, 100)
