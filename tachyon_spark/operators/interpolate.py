@@ -14,11 +14,26 @@ timestamp union; `last(ignorenulls)` over an unbounded-preceding window and
 neighboring samples; a single column expression computes the interpolant.
 Everything stays in whole-stage codegen — no Python UDF.
 
-Scale note: an un-partitioned window is a single-task sort. `series_cols`
-partitions the windows by series key (the grouped variant, e.g. one pair of
-vectors per device), which distributes perfectly. The single global series
-case is inherently sequential in its neighbor dependency; for 100 TB use the
-grouped form or pre-bucket by coarse time range with boundary overlap.
+Scale design. The grouped variant (`series_cols`) partitions the windows by
+series key and distributes perfectly. The ungrouped case has a global
+neighbor dependency, so a naive un-partitioned window is a single-task sort;
+instead we partition by COARSE TIME BUCKET and carry each bucket's missing
+boundary neighbors in from the adjacent buckets:
+
+  1. bucket each union row by ts into `n_buckets` contiguous ranges;
+  2. aggregate per (bucket, side) the first/last non-null sample — a tiny
+     frame of <= n_buckets rows;
+  3. over that tiny frame, compute for every bucket the nearest sample in any
+     EARLIER bucket (running last) and any LATER bucket (running last over a
+     DESC order) per side — these are the carried-in neighbors;
+  4. broadcast-join the carried neighbors back and run the interpolation
+     windows partitioned by bucket, coalescing the in-bucket running
+     neighbor with the carried one.
+
+Every window over sample data is hash-partitioned by bucket; the only
+single-partition stage is the step-3 window over the <= n_buckets boundary
+rows (bounded, like any global aggregate). At 100 TB set n_buckets to a few
+x the cluster's parallelism.
 """
 
 from __future__ import annotations
@@ -35,7 +50,11 @@ _ARITH = {
 }
 
 
-def _interp_side(value_col: str, ts_col: str, w_prev, w_next, round_int: bool):
+def _interp_side(value_col, ts_col, w_prev, w_next, round_int,
+                 carry_prev=None, carry_next=None):
+    """Interpolated value for one side; `carry_prev`/`carry_next` are struct
+    columns (t, v) holding the nearest neighbor OUTSIDE the window partition
+    (bucketed path), or None (global / grouped path)."""
     v = F.col(value_col)
     ts = F.col(ts_col)
     prev_v = F.last(v, ignorenulls=True).over(w_prev)
@@ -46,6 +65,12 @@ def _interp_side(value_col: str, ts_col: str, w_prev, w_next, round_int: bool):
     # the DESC running frame is the O(n) streaming path. Same semantics.
     next_v = F.last(v, ignorenulls=True).over(w_next)
     next_ts = F.last(F.when(v.isNotNull(), ts), ignorenulls=True).over(w_next)
+    if carry_prev is not None:
+        prev_v = F.coalesce(prev_v, carry_prev["v"])
+        prev_ts = F.coalesce(prev_ts, carry_prev["t"])
+    if carry_next is not None:
+        next_v = F.coalesce(next_v, carry_next["v"])
+        next_ts = F.coalesce(next_ts, carry_next["t"])
     lin = prev_v + (next_v - prev_v) * (ts - prev_ts) / (next_ts - prev_ts)
     if round_int:
         lin = F.round(lin)
@@ -57,6 +82,15 @@ def _interp_side(value_col: str, ts_col: str, w_prev, w_next, round_int: bool):
     )
 
 
+def _edge_struct(side_col: str, ts_col: str):
+    """(t, v) struct for non-null samples, null otherwise; struct min/max is
+    lexicographic on t first, so min = first sample, max = last sample."""
+    v = F.col(side_col)
+    return F.when(
+        v.isNotNull(), F.struct(F.col(ts_col).alias("t"), v.alias("v"))
+    )
+
+
 def interpolated_binop(
     a: DataFrame,
     b: DataFrame,
@@ -65,11 +99,15 @@ def interpolated_binop(
     ts_col: str = "ts",
     value_col: str = "value",
     series_cols: list[str] | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """`a OP b` over the union of timestamps with linear interpolation.
 
     a, b: frames with (ts, value) [+ series_cols for the grouped variant].
     Returns (ts, value) [+ series_cols], one row per union timestamp.
+    Ungrouped inputs are processed in `n_buckets` time-range partitions
+    (default: 2x the cluster's default parallelism) with boundary-neighbor
+    carry-in, so no window runs over a single unbounded partition.
     """
     if op not in _ARITH:
         raise ValueError(f"unsupported vector-to-vector op: {op!r} (comparisons panic in the reference too)")
@@ -78,19 +116,75 @@ def interpolated_binop(
     right = b.select(*keys, F.col(value_col).alias("__vb"))
     joined = left.join(right, on=keys, how="full_outer")
 
-    part = series_cols or []
-    w_prev = Window.partitionBy(*part).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
-    w_next = (
-        Window.partitionBy(*part)
-        .orderBy(F.desc(ts_col))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if series_cols:
+        w_prev = (
+            Window.partitionBy(*series_cols)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_next = (
+            Window.partitionBy(*series_cols)
+            .orderBy(F.desc(ts_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        va = _interp_side("__va", ts_col, w_prev, w_next, integer_result)
+        vb = _interp_side("__vb", ts_col, w_prev, w_next, integer_result)
+        out = joined
+    else:
+        if n_buckets is None:
+            sc = joined.sparkSession.sparkContext
+            n_buckets = max(2 * sc.defaultParallelism, 8)
+        # 1. contiguous ts-range buckets; double math avoids long overflow on
+        # ns timestamps and only needs monotonicity in ts, which floor of a
+        # monotone map preserves.
+        rng = joined.agg(
+            F.min(ts_col).alias("__tmin"), F.max(ts_col).alias("__tmax")
+        )
+        width = (F.col("__tmax") - F.col("__tmin") + F.lit(1)).cast("double")
+        bkt = F.floor(
+            (F.col(ts_col) - F.col("__tmin")).cast("double") / width * n_buckets
+        ).cast("long")
+        bucketed = joined.crossJoin(F.broadcast(rng)).select(
+            ts_col, "__va", "__vb", bkt.alias("__bkt")
+        )
+        # 2. per-bucket boundary samples (<= n_buckets rows)
+        edges = bucketed.groupBy("__bkt").agg(
+            F.min(_edge_struct("__va", ts_col)).alias("__fa"),
+            F.max(_edge_struct("__va", ts_col)).alias("__la"),
+            F.min(_edge_struct("__vb", ts_col)).alias("__fb"),
+            F.max(_edge_struct("__vb", ts_col)).alias("__lb"),
+        )
+        # 3. nearest neighbor in earlier/later buckets (frame excludes the
+        # current bucket); single-partition but over the tiny edges frame only
+        wp = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+        wn = Window.orderBy(F.desc("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+        carried = edges.select(
+            "__bkt",
+            F.last("__la", ignorenulls=True).over(wp).alias("__ca_prev"),
+            F.last("__fa", ignorenulls=True).over(wn).alias("__ca_next"),
+            F.last("__lb", ignorenulls=True).over(wp).alias("__cb_prev"),
+            F.last("__fb", ignorenulls=True).over(wn).alias("__cb_next"),
+        )
+        # 4. interpolation windows partitioned by bucket
+        out = bucketed.join(F.broadcast(carried), "__bkt")
+        w_prev = (
+            Window.partitionBy("__bkt")
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_next = (
+            Window.partitionBy("__bkt")
+            .orderBy(F.desc(ts_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        va = _interp_side("__va", ts_col, w_prev, w_next, integer_result,
+                          F.col("__ca_prev"), F.col("__ca_next"))
+        vb = _interp_side("__vb", ts_col, w_prev, w_next, integer_result,
+                          F.col("__cb_prev"), F.col("__cb_next"))
 
-    va = _interp_side("__va", ts_col, w_prev, w_next, integer_result)
-    vb = _interp_side("__vb", ts_col, w_prev, w_next, integer_result)
     result = _ARITH[op](va, vb)
     # / and % are always f64 (lib.rs:306-362); others keep the promoted type.
     if integer_result and op not in ("/", "%"):
         result = result.cast("long")
     out_cols = (series_cols or []) + [ts_col]
-    return joined.select(*out_cols, result.alias(value_col)).orderBy(*out_cols)
+    return out.select(*out_cols, result.alias(value_col)).orderBy(*out_cols)

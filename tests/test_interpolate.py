@@ -24,6 +24,38 @@ def test_golden_3(golden_db):
     assert q.rows() == list(zip(ts_union, GOLDEN_3_V))
 
 
+def test_bucketed_matches_golden_every_n_buckets(golden_db):
+    """The ungrouped path is time-bucketed with boundary carry-in; the result
+    must be identical for ANY bucket count, including buckets that fall
+    entirely inside one side's sample gap (forcing multi-bucket carry)."""
+    from tachyon_spark.operators.interpolate import interpolated_binop
+
+    a = golden_db.query("ia3", 0, 100).df()
+    b = golden_db.query("ib3", 0, 100).df()
+    ts_union = sorted(set(A3_TS) | set(B3_TS))
+    want = list(zip(ts_union, GOLDEN_3_V))
+    for n in (1, 2, 3, 5, 16, 64):
+        out = interpolated_binop(a, b, "+", integer_result=True, n_buckets=n)
+        got = [(r.ts, r.value) for r in out.collect()]
+        assert got == want, f"n_buckets={n}"
+
+
+def test_bucketed_plan_is_partitioned(golden_db):
+    """Scale contract: the ungrouped interpolation's sample-data windows are
+    hash-partitioned by time bucket — never a single unbounded partition."""
+    from tachyon_spark.operators.interpolate import interpolated_binop
+
+    a = golden_db.query("ia", 0, 100).df()
+    b = golden_db.query("ib", 0, 100).df()
+    out = interpolated_binop(a, b, "+", integer_result=True, n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__bkt" in plan
+    # every window over ts-ordered sample rows carries the __bkt partition spec
+    for line in plan.split("\n"):
+        if "windowspecdefinition(ts#" in line:
+            raise AssertionError(f"unpartitioned sample window: {line.strip()[:120]}")
+
+
 def test_grouped_series_cols(spark):
     """The distributed variant: windows partition by series key, and each
     key reproduces the same golden interpolation independently."""
