@@ -513,23 +513,20 @@ def q_distinct_users(spark, sf_dir):
 
 
 def q_ewma_final(spark, sf_dir):
-    """Final EWMA (alpha=0.3) per event_type — the stateful-streaming op's
-    batch form (streaming/stateful.py); oracle = DuckDB list_reduce with the
-    identical sequential recurrence."""
+    """Final EWMA (alpha=0.3) per event_type via the SEGMENTED scan
+    (streaming/stateful.ewma_final): per-bucket scalar folds + a per-key fold
+    over <= n_buckets affine summaries — no whole-group collect_list, so one
+    giant key cannot pin a single task. Oracle = DuckDB list_reduce with the
+    sequential recurrence; affine recombination differs only in float
+    associativity (~1e-12), absorbed by round(6)."""
+    from tachyon_spark.streaming.stateful import ewma_final
+
     ev = _read(spark, sf_dir, "events")
-    pts = ev.groupBy("event_type").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.expr("ts DIV 1000").alias("ts"), "value"))
-        ).alias("pts")
+    ev_us = ev.select(
+        "event_type", F.expr("ts DIV 1000").alias("ts"), "value"
     )
-    ewma = F.aggregate(
-        F.transform("pts", lambda p: p.getField("value")),
-        F.lit(None).cast("double"),
-        lambda acc, x: F.when(acc.isNull(), x).otherwise(
-            F.lit(0.3) * x + F.lit(0.7) * acc
-        ),
-    )
-    return pts.select("event_type", F.round(ewma, 6).alias("ewma"))
+    out = ewma_final(ev_us, alpha=0.3, key_col="event_type")
+    return out.select("event_type", F.round("ewma", 6).alias("ewma"))
 
 
 # --------------------------------------------------------------------------

@@ -85,40 +85,164 @@ def streaming_ewma(
     )
 
 
-def ewma_batch(df: DataFrame, alpha: float = 0.3, key_col: str = "stream_id") -> DataFrame:
-    """Batch EWMA cross-check: same recurrence via aggregate over a collected
-    per-key ordered array. ewma_t = alpha*v_t + (1-alpha)*ewma_{t-1}.
+# ---------------------------------------------------------------- batch form
+#
+# EWMA is a linear recurrence, so a segment of the sequence composes to one
+# affine map: running e_in through rows (v_1..v_n) yields
+#     e_out = C + (1-alpha)^n * e_in,   C = zero-seeded fold of the segment.
+# That makes a SEGMENTED SCAN possible: split each key's sequence into coarse
+# ts-range buckets, fold each bucket independently (bounded work per task),
+# then compose the per-bucket affine maps in bucket order — a per-key fold
+# over <= n_buckets summaries, never over the raw rows. No unbounded
+# collect_list anywhere; state per row stays O(1).
 
-    Exact closed form per row i: sum_j w_ij v_j with geometric weights — here
-    computed with an array fold (exact same float op order as streaming)."""
-    rows = df.groupBy(key_col).agg(
-        F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("pts")
+
+def _bucketize(df: DataFrame, key_col: str, n_buckets: int):
+    """Assign each row a contiguous per-key ts-range bucket (monotone in ts)."""
+    rng = df.groupBy(key_col).agg(
+        F.min("ts").alias("__tmin"), F.max("ts").alias("__tmax")
     )
-    folded = rows.select(
+    width = (F.col("__tmax") - F.col("__tmin") + F.lit(1)).cast("double")
+    bkt = F.floor(
+        (F.col("ts") - F.col("__tmin")).cast("double") / width * n_buckets
+    ).cast("long")
+    return df.join(F.broadcast(rng), key_col).select(
+        key_col, "ts", "value", bkt.alias("__bkt")
+    )
+
+
+def _segment_summaries(seg: DataFrame, key_col: str, alpha: float):
+    """Per (key, bucket): C (zero-seeded fold), S (null-seeded fold, i.e. the
+    true EWMA if the sequence starts here) and the row count. Scalars only."""
+    q = 1.0 - alpha
+    zero = F.struct(
+        F.lit(0.0).alias("c"), F.lit(None).cast("double").alias("s"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    step = lambda acc, p: F.struct(
+        (F.lit(alpha) * p.getField("value") + F.lit(q) * acc.getField("c")).alias("c"),
+        F.when(acc.getField("s").isNull(), p.getField("value"))
+        .otherwise(F.lit(alpha) * p.getField("value") + F.lit(q) * acc.getField("s"))
+        .alias("s"),
+        (acc.getField("n") + 1).alias("n"),
+    )
+    return seg.select(
+        key_col, "__bkt", F.aggregate("pts", zero, step).alias("sm")
+    ).select(key_col, "__bkt", "sm.c", "sm.s", "sm.n")
+
+
+def _carry_in(summ: DataFrame, key_col: str, alpha: float):
+    """Per (key, bucket): the EWMA state entering the bucket (`e_in`, null for
+    the first non-empty bucket) and rows seen before it. A per-key fold over
+    the <= n_buckets summaries — tiny."""
+    q = 1.0 - alpha
+    per_key = summ.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(F.struct("__bkt", "c", "s", "n"))).alias("segs")
+    )
+    acc0 = F.expr(
+        "named_struct('entries', CAST(array() AS array<struct<bkt:bigint,e_in:double,n_before:bigint>>), "
+        "'e', CAST(NULL AS double), 'n', CAST(0 AS bigint))"
+    )
+    step = lambda acc, s: F.struct(
+        F.concat(
+            acc.getField("entries"),
+            F.array(F.struct(
+                s.getField("__bkt").alias("bkt"),
+                acc.getField("e").alias("e_in"),
+                acc.getField("n").alias("n_before"),
+            )),
+        ).alias("entries"),
+        F.when(acc.getField("e").isNull(), s.getField("s"))
+        .otherwise(
+            s.getField("c")
+            + F.pow(F.lit(q), s.getField("n").cast("double")) * acc.getField("e")
+        ).alias("e"),
+        (acc.getField("n") + s.getField("n")).alias("n"),
+    )
+    folded = per_key.select(
+        key_col, F.aggregate("segs", acc0, step).alias("st")
+    )
+    carried = folded.select(key_col, F.explode("st.entries").alias("en")).select(
+        key_col, F.col("en.bkt").alias("__bkt"), "en.e_in", "en.n_before"
+    )
+    final = folded.select(key_col, F.col("st.e").alias("ewma"))
+    return carried, final
+
+
+def ewma_batch(
+    df: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "stream_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Per-row batch EWMA, segmented-scan form (cross-check for streaming).
+
+    Within each (key, ts-range bucket) the fold is the exact sequential
+    recurrence; across buckets the carried state enters as
+    `L_i + (1-alpha)^i * e_in` (affine composition). Work per task is bounded
+    by the bucket size, so one huge key cannot pin a single task the way a
+    whole-group collect_list would."""
+    q = 1.0 - alpha
+    if n_buckets is None:
+        n_buckets = max(2 * df.sparkSession.sparkContext.defaultParallelism, 8)
+    seg = (
+        _bucketize(df, key_col, n_buckets)
+        .groupBy(key_col, "__bkt")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("pts"))
+    )
+    carried, _ = _carry_in(_segment_summaries(seg, key_col, alpha), key_col, alpha)
+
+    # per-row zero-seeded (L) and null-seeded (S) folds within the bucket
+    acc0 = F.expr(
+        "CAST(array() AS array<struct<ts:bigint,value:double,L:double,S:double>>)"
+    )
+    step = lambda acc, p: F.concat(
+        acc,
+        F.array(F.struct(
+            p.getField("ts").alias("ts"),
+            p.getField("value").alias("value"),
+            (F.lit(alpha) * p.getField("value")
+             + F.lit(q) * F.when(F.size(acc) == 0, F.lit(0.0))
+             .otherwise(F.element_at(acc, -1).getField("L"))
+             ).alias("L"),
+            F.when(F.size(acc) == 0, p.getField("value"))
+            .otherwise(F.lit(alpha) * p.getField("value")
+                       + F.lit(q) * F.element_at(acc, -1).getField("S"))
+            .alias("S"),
+        )),
+    )
+    rows = seg.select(key_col, "__bkt", F.aggregate("pts", acc0, step).alias("rows"))
+    out = rows.join(F.broadcast(carried), [key_col, "__bkt"]).select(
+        key_col, "e_in", "n_before", F.posexplode("rows").alias("i0", "r")
+    )
+    i = (F.col("i0") + 1).cast("double")
+    ewma = F.when(F.col("e_in").isNull(), F.col("r.S")).otherwise(
+        F.col("r.L") + F.pow(F.lit(q), i) * F.col("e_in")
+    )
+    return out.select(
         key_col,
-        F.aggregate(
-            "pts",
-            F.expr(
-                "CAST(array() AS array<struct<ts:bigint,value:double,ewma:double,n_seen:bigint>>)"
-            ),
-            lambda acc, p: F.concat(
-                acc,
-                F.array(
-                    F.struct(
-                        p.getField("ts").alias("ts"),
-                        p.getField("value").alias("value"),
-                        F.when(
-                            F.size(acc) == 0, p.getField("value")
-                        ).otherwise(
-                            F.lit(alpha) * p.getField("value")
-                            + F.lit(1 - alpha) * F.element_at(acc, -1).getField("ewma")
-                        ).alias("ewma"),
-                        (F.size(acc) + 1).cast("long").alias("n_seen"),
-                    )
-                ),
-            ),
-        ).alias("out"),
+        F.col("r.ts").alias("ts"),
+        F.col("r.value").alias("value"),
+        ewma.alias("ewma"),
+        (F.col("n_before") + F.col("i0") + 1).alias("n_seen"),
     )
-    return folded.select(key_col, F.explode("out").alias("o")).select(
-        key_col, "o.ts", "o.value", "o.ewma", "o.n_seen"
+
+
+def ewma_final(
+    df: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "stream_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Final EWMA per key — pure segmented scan, no per-row arrays at all:
+    per-bucket scalar folds, then one per-key fold over <= n_buckets affine
+    summaries. Returns (key, ewma)."""
+    if n_buckets is None:
+        n_buckets = max(2 * df.sparkSession.sparkContext.defaultParallelism, 8)
+    seg = (
+        _bucketize(df, key_col, n_buckets)
+        .groupBy(key_col, "__bkt")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("pts"))
     )
+    _, final = _carry_in(_segment_summaries(seg, key_col, alpha), key_col, alpha)
+    return final

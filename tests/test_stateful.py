@@ -29,6 +29,31 @@ def test_ewma_batch(spark):
     assert out[("b", 20)][0] == 0.3 * 20.0 + 0.7 * 10.0
 
 
+def test_ewma_segmented_any_bucket_count(spark):
+    """The segmented scan must reproduce the sequential recurrence for ANY
+    bucket count (splits mid-key force affine cross-bucket composition)."""
+    import random
+
+    from tachyon_spark.streaming.stateful import ewma_final
+
+    rnd = random.Random(7)
+    vals = {k: [round(rnd.uniform(-50, 150), 3) for _ in range(200)] for k in ("a", "b")}
+    rows = [(k, 1000 + 7 * i, v) for k, vs in vals.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "stream_id string, ts long, value double")
+    exp = {k: _expected_ewma(vs)[-1] for k, vs in vals.items()}
+    for n in (1, 2, 3, 17, 64):
+        got = {r.stream_id: r.ewma for r in ewma_final(df, 0.3, n_buckets=n).collect()}
+        for k in exp:
+            assert abs(got[k] - exp[k]) < 1e-9, (n, k)
+        per_row = ewma_batch(df, 0.3, n_buckets=n)
+        got_rows = {(r.stream_id, r.ts): (r.ewma, r.n_seen) for r in per_row.collect()}
+        for k, vs in vals.items():
+            seq = _expected_ewma(vs)
+            for i in (0, 1, 99, 199):
+                e, ns = got_rows[(k, 1000 + 7 * i)]
+                assert abs(e - seq[i]) < 1e-9 and ns == i + 1, (n, k, i)
+
+
 def test_streaming_ewma_matches_batch(spark, tmp_path):
     """Stream the same rows through applyInPandasWithState; state must carry
     across micro-batches (two drops → two batches with maxFilesPerTrigger=1)."""
