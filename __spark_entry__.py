@@ -577,33 +577,52 @@ def q_embedding_cosine_topk(spark, sf_dir):
 
 def q_embedding_ann_lsh(spark, sf_dir):
     """Approximate NN: random-hyperplane LSH bucket probe (similarity.py).
-    Approximate by construction — no SQL oracle; rows-only check."""
+    The hyperplanes are deterministic (seeded LCG), so the whole pipeline —
+    bucket assignment, probe, exact rescoring — is reproduced by the DuckDB
+    oracle with the same plane constants inlined."""
     from tachyon_spark.functions.similarity import lsh_cosine_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
     others = emb.where(F.col("vec_id") != 0)
-    out = lsh_cosine_topk(others, qvec, k=20, planes=4)
+    out = lsh_cosine_topk(others, qvec, k=20, planes=LSH_PLANES, tables=LSH_TABLES)
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+IVF_CENTROIDS = 8
+LSH_PLANES = 4  # bits per table: probe cost ~ n/2^planes per table
+LSH_TABLES = 8  # OR-ed tables: recall 1-(1-p^planes)^tables
+
+
 def q_embedding_ann_ivf(spark, sf_dir):
-    """Approximate NN, IVF path: sampled k-means coarse quantizer + nprobe
-    list probe (similarity.py). Approximate — rows-only check."""
-    from tachyon_spark.functions.similarity import ivf_cosine_topk, train_ivf_centroids
+    """Approximate NN, IVF path: coarse quantizer + nprobe list probe
+    (similarity.py). The driver query seeds the centroids DETERMINISTICALLY
+    (the 8 vectors with lowest md5(vec_id) — reproducible in SQL) so the
+    oracle can replay assignment + probe exactly; the k-means trainer
+    (train_ivf_centroids) remains the production path, recall-gated in
+    tests/test_dedup.py."""
+    from tachyon_spark.functions.similarity import ivf_cosine_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
     others = emb.where(F.col("vec_id") != 0)
-    cents = train_ivf_centroids(others, n_centroids=8, sample=1024)
+    seed_rows = (
+        others.select("vec_id", "embedding")
+        .withColumn("__k", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__k", "vec_id")
+        .limit(IVF_CENTROIDS)
+        .collect()
+    )  # bounded: IVF_CENTROIDS rows
+    cents = [[float(x) for x in r.embedding] for r in seed_rows]
     out = ivf_cosine_topk(others, qvec, cents, k=20, nprobe=2)
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: documents→binary payloads→mapInPandas feature
-    extraction (functions/multimodal.py). Digest-based fake decode — no SQL
-    oracle; rows-only check."""
+    extraction (functions/multimodal.py). The fake decode is sha256-digest
+    deterministic, so the DuckDB oracle replays it exactly (incl. the
+    float32 rounding of each feature element)."""
     from tachyon_spark.functions.multimodal import extract_features, media_from_documents
 
     docs = _read(spark, sf_dir, "documents")
@@ -880,6 +899,167 @@ WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= {JACCARD_THRESHOLD}
 """
 
 
+def _lsh_sql() -> str:
+    """Multi-table LSH ANN oracle: the seeded-LCG hyperplanes are pure
+    constants, so per-table bucket assignment, the OR-of-tables probe and
+    the exact rescoring all replay in SQL."""
+    from tachyon_spark.functions.similarity import _hyperplanes
+
+    plane_rows = "\n  UNION ALL\n".join(
+        f"  SELECT {t} AS t, {i} AS pi, CAST([{', '.join(repr(x) for x in p)}] AS DOUBLE[]) AS plane"
+        for t in range(LSH_TABLES)
+        for i, p in enumerate(_hyperplanes(dim=64, planes=LSH_PLANES, seed=7 + t))
+    )
+    return f"""
+WITH p AS (
+{plane_rows}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dots AS (
+  SELECT e.vec_id, p.t, p.pi,
+         list_sum(list_transform(range(1, 65), i -> e.v[i] * p.plane[i])) AS d
+  FROM e CROSS JOIN p
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN d >= 0 THEN 1 << pi ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+qb AS (SELECT t, bucket FROM buckets WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM buckets b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+  WHERE b.vec_id != 0
+),
+q AS (
+  SELECT i, x FROM (
+    SELECT unnest(embedding::DOUBLE[]) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id = 0
+  )
+),
+v AS (
+  SELECT em.vec_id, generate_subscripts(em.embedding, 1) AS i,
+         unnest(em.embedding::DOUBLE[]) AS x
+  FROM embeddings em JOIN cand c ON em.vec_id = c.vec_id
+),
+scored AS (
+  SELECT v.vec_id,
+         sum(v.x * q.x) / (sqrt(sum(v.x * v.x)) * sqrt(sum(q.x * q.x))) AS score
+  FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id
+)
+SELECT vec_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, vec_id LIMIT 20
+"""
+
+
+_IVF_SQL = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ci,
+         embedding
+  FROM embeddings WHERE vec_id != 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_CENTROIDS}
+),
+ce AS (
+  SELECT ci, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM cents
+),
+ve AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+),
+vc AS (
+  SELECT ve.vec_id, ce.ci,
+         sum(ve.x * ce.x) / (sqrt(sum(ve.x * ve.x)) * sqrt(sum(ce.x * ce.x))) AS score
+  FROM ve JOIN ce ON ve.i = ce.i GROUP BY ve.vec_id, ce.ci
+),
+assign AS (
+  SELECT vec_id, ci FROM (
+    SELECT vec_id, ci,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, ci) AS rn
+    FROM vc WHERE vec_id != 0
+  ) WHERE rn = 1
+),
+qc AS (
+  SELECT ci FROM (
+    SELECT ci, row_number() OVER (ORDER BY score DESC, ci) AS rn
+    FROM vc WHERE vec_id = 0
+  ) WHERE rn <= 2
+),
+q AS (
+  SELECT i, x FROM (
+    SELECT unnest(embedding::DOUBLE[]) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id = 0
+  )
+),
+v AS (
+  SELECT em.vec_id, generate_subscripts(em.embedding, 1) AS i,
+         unnest(em.embedding::DOUBLE[]) AS x
+  FROM embeddings em
+  JOIN assign a ON em.vec_id = a.vec_id
+  JOIN qc ON a.ci = qc.ci
+  WHERE em.vec_id != 0
+),
+scored AS (
+  SELECT v.vec_id,
+         sum(v.x * q.x) / (sqrt(sum(v.x * v.x)) * sqrt(sum(q.x * q.x))) AS score
+  FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id
+)
+SELECT vec_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, vec_id LIMIT 20
+"""
+
+
+# sha256-digest fake decode replayed exactly: n_bytes = utf8 length,
+# feature elements are float32(byte/255.0) of the first 16 digest bytes.
+_MEDIA_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS content_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       round(list_sum(list_transform(range(0, 16),
+             i -> CAST(CAST(CONCAT('0x', substr(sha256(text), 1 + 2*i, 2)) AS BIGINT)
+                       / 255.0 AS FLOAT)::DOUBLE)), 6) AS feature_sum
+FROM documents
+"""
+
+
+# 60-bit simhash, identical derivation to functions/dedup.simhash64: md5
+# token hashes -> per-bit +/-1 majority -> sign bits; 4x15-bit chunk
+# pigeonhole blocking; exact popcount(xor) check. 60 bits keep every shift
+# and the fingerprint below 2^63 on both engines.
+_SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT id, CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM tok WHERE tok != ''
+),
+bitsum AS (
+  SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(range(60)) AS b) bits GROUP BY id, b
+),
+sig AS (
+  SELECT id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bitsum GROUP BY id
+),
+chunks AS (
+  SELECT id, simhash, c, (simhash >> (c * 15)) & 32767 AS key
+  FROM sig, (SELECT unnest(range(4)) AS c) cs
+),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.key = b.key AND a.id < b.id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+"""
+
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 _COSINE_SQL = """
@@ -1100,13 +1280,13 @@ def oracle_sql() -> dict[str, str]:
                                      (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
             FROM events GROUP BY event_type
         """,
-        # embedding_ann_lsh, media_features: approximate / digest-based —
-        # rows-only checks.
+        "embedding_ann_lsh": _lsh_sql(),
+        "embedding_ann_ivf": _IVF_SQL,
+        "media_features": _MEDIA_SQL,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
-        # dedup_simhash: omitted — 64-bit signed bit arithmetic differs across
-        # engines; rows-only check applies.
+        "dedup_simhash": _SIMHASH_SQL,
         "embedding_cosine_topk": _COSINE_SQL,
         "text_stats": f"""
             SELECT doc_id, len({tok}) AS n_tokens, length(text) AS n_chars,

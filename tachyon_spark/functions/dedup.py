@@ -261,29 +261,33 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document from md5 token hashes: (id, simhash long).
+SIMHASH_BITS = 60  # 15 md5 hex chars; stays positive in any engine's BIGINT
 
-    For each of 64 bit positions, sum +1/-1 over tokens by that bit of the
-    token's md5-derived hash; the sign of the sum sets the output bit. Pure
-    column expressions (explode + groupBy + bit ops) — no UDF.
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document from md5 token hashes: (id, simhash long).
+
+    For each bit position, sum +1/-1 over tokens by that bit of the token's
+    md5-derived hash; the sign of the sum sets the output bit. Pure column
+    expressions (explode + groupBy + bit ops) — no UDF. 60 bits (not 64) so
+    the fingerprint and every shift stay below 2^63: the identical
+    derivation runs on engines without unsigned bigints (DuckDB oracle).
     """
     tok = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).where(F.col("tok") != "")
-    h = _md5_long(F.col("tok"))  # 60 usable bits; use lower 60, top 4 from 2nd slice
-    h2 = F.conv(F.substring(F.md5(F.col("tok")), 16, 15), 16, 10).cast("long")
+    h = _md5_long(F.col("tok"))  # 60 usable bits
     agg = tok.groupBy("id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h if b < 60 else h2, b if b < 60 else b - 60).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(SIMHASH_BITS)
         ]
     )
     bits = None
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(term, b)
         bits = term if bits is None else bits.bitwiseOR(term)
@@ -298,7 +302,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
-    Candidate generation by 4-band blocking on 16-bit chunks (a pair within
+    Candidate generation by 4-band blocking on 15-bit chunks (a pair within
     hamming 3 must agree on at least one of 4 chunks — pigeonhole), then the
     exact popcount(xor) check. Avoids the full cross join at scale.
     """
@@ -311,7 +315,7 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftright("simhash", c * 15).bitwiseAND(F.lit(0x7FFF)).alias("key"),
                     )
                     for c in range(4)
                 ]

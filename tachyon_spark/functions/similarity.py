@@ -148,27 +148,41 @@ def ivf_cosine_topk(
     return brute_force_cosine_topk(probed, query_vec, k, id_col, vec_col)
 
 
+def _query_bucket(query_vec: list[float], planes: int, seed: int) -> int:
+    """Driver-side bucket of the query vector (same hyperplanes, same fold
+    order as the column expression — IEEE ops are deterministic)."""
+    qb = 0
+    for i, plane in enumerate(_hyperplanes(len(query_vec), planes, seed)):
+        dot = sum(x * y for x, y in zip(query_vec, plane))
+        qb |= (1 if dot >= 0 else 0) << i
+    return qb
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
     planes: int = 8,
+    tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket.
+    """Approximate top-k: probe the union of the query's bucket across
+    `tables` independent hash tables (table t uses seed+t).
 
-    At scale, persist the table bucketed/partitioned by the bucket column so
-    the probe is a partition-pruned scan instead of a full pass.
-    """
+    Single-table random-hyperplane LSH has poor recall at high dimension
+    (a near neighbor must agree on ALL `planes` signs); OR-ing L tables
+    lifts recall to 1-(1-p^planes)^L at the cost of scanning ~L/2^planes
+    of the data. Tune: more planes => cheaper probes, more tables =>
+    higher recall. At scale each table's bucket id is its own
+    partition/cluster column, so a probe is L partition-pruned point reads,
+    not a full scan (the OR filter below is the local-mode equivalent)."""
     dim = len(query_vec)
-    bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, planes, seed))
-    # query bucket computed driver-side with the same hyperplanes
-    hp = _hyperplanes(dim, planes, seed)
-    qb = 0
-    for i, plane in enumerate(hp):
-        dot = sum(x * y for x, y in zip(query_vec, plane))
-        qb |= (1 if dot >= 0 else 0) << i
-    probe = bucketed.where(F.col("__bucket") == qb)
+    cond = None
+    for t in range(tables):
+        bucket = lsh_bucket(F.col(vec_col), dim, planes, seed + t)
+        hit = bucket == F.lit(_query_bucket(query_vec, planes, seed + t))
+        cond = hit if cond is None else cond | hit
+    probe = df.where(cond)
     return brute_force_cosine_topk(probe, query_vec, k, id_col, vec_col)

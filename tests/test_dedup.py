@@ -108,6 +108,31 @@ def test_ivf_cosine_topk(spark):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_ann_recall_on_real_embeddings(spark):
+    """Recall@20 gates for both ANN paths against the exact scan, on the
+    driver's real embeddings table (not synthetic gaussians)."""
+    from pyspark.sql import functions as F
+
+    from tachyon_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
+    others = emb.where(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in brute_force_cosine_topk(others, q, k=20).collect()}
+
+    cents = train_ivf_centroids(others, n_centroids=8, sample=1024)
+    ivf = {r.vec_id for r in ivf_cosine_topk(others, q, cents, k=20, nprobe=2).collect()}
+    assert len(exact & ivf) / 20 >= 0.3  # nprobe=2 of 8 k-means lists
+
+    lsh = {r.vec_id for r in lsh_cosine_topk(others, q, k=20, planes=4, tables=8).collect()}
+    assert len(exact & lsh) / 20 >= 0.45  # 8 OR-ed tables (single-table ~0.05)
+
+
 def test_cosine_topk(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
