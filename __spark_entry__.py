@@ -502,6 +502,36 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_rate_windows(spark, sf_dir):
+    """PromQL matrix-selector path `rate(m[1h])`: first/last aggregate per
+    TUMBLING window (plans/builder._range_windowed). One scan + one hash
+    shuffle on the window key with map-side partial agg; windows with <2
+    distinct timestamps drop (PromQL two-point rule)."""
+    ev = _read(spark, sf_dir, "events")
+    w_us = 60 * 60 * 1_000_000
+    ev_us = ev.select(F.expr("ts DIV 1000").alias("ts"), "value")
+    tie = F.struct(F.col("ts"), F.col("value"))
+    win = (F.col("ts") - F.col("ts") % F.lit(w_us)).alias("ts_us")
+    agg = (
+        ev_us.groupBy(win)
+        .agg(
+            F.min_by("value", tie).alias("__first"),
+            F.max_by("value", tie).alias("__last"),
+            F.min("ts").alias("__t0"),
+            F.max("ts").alias("__t1"),
+        )
+        .where(F.col("__t1") > F.col("__t0"))
+    )
+    diff = F.col("__last") - F.col("__first")
+    return agg.select(
+        "ts_us",
+        F.round(diff, 6).alias("increase"),
+        F.round(diff / (F.col("__t1") - F.col("__t0")) * 1_000_000, 9).alias(
+            "rate_per_sec"
+        ),
+    )
+
+
 def q_distinct_users(spark, sf_dir):
     """Distinct-count per event_type. Scale path: approx_count_distinct
     (HyperLogLog++, mergeable) — exact here for the oracle."""
@@ -730,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_daily": q_range_join_daily,
         "rolling_avg_1h": q_rolling_avg_1h,
         "rate_per_type": q_rate_per_type,
+        "rate_windows": q_rate_windows,
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
         "ewma_final": q_ewma_final,
@@ -1240,6 +1271,19 @@ def oracle_sql() -> dict[str, str]:
                          / (max(epoch_us(ts)) - min(epoch_us(ts))) * 1000000, 9)
                      AS rate_per_sec
             FROM events GROUP BY event_type
+            HAVING max(epoch_us(ts)) > min(epoch_us(ts))
+        """,
+        "rate_windows": """
+            -- tumbling 1h windows anchored at 0; two-point rule via HAVING
+            SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us,
+                   round(max(struct_pack(t := epoch_us(ts), v := value)).v
+                         - min(struct_pack(t := epoch_us(ts), v := value)).v, 6)
+                     AS increase,
+                   round((max(struct_pack(t := epoch_us(ts), v := value)).v
+                          - min(struct_pack(t := epoch_us(ts), v := value)).v)
+                         / (max(epoch_us(ts)) - min(epoch_us(ts))) * 1000000, 9)
+                     AS rate_per_sec
+            FROM events GROUP BY 1
             HAVING max(epoch_us(ts)) > min(epoch_us(ts))
         """,
         "rolling_avg_1h": """

@@ -93,6 +93,11 @@ class PlanBuilder:
             return Plan("scalar", None, VT_F64, literal=float(expr.value))
         if isinstance(expr, ast.VectorSelector):
             return self._selector(expr)
+        if isinstance(expr, ast.MatrixSelector):
+            raise ValueError(
+                "range vector (matrix selector) can only be used as the "
+                "argument of rate/increase/delta"
+            )
         if isinstance(expr, ast.BinaryOp):
             return self._binary(expr)
         if isinstance(expr, ast.Aggregate):
@@ -199,7 +204,15 @@ class PlanBuilder:
         not model counter resets on raw samples); rate = increase per ts
         unit. PromQL returns nothing for <2 samples — enforced by requiring
         max(ts) > min(ts). One scan, one 1-row exchange (min_by/max_by are
-        ordinary partial aggregates)."""
+        ordinary partial aggregates).
+
+        With a matrix-selector child (`rate(m[5m])`) the same first/last
+        aggregate evaluates per TUMBLING WINDOW instead: one row per window
+        with >= 2 samples, ts = window start. One scan + one hash shuffle on
+        the window key with map-side partial aggregation — the distributed
+        plan shape at any scale."""
+        if isinstance(node.child, ast.MatrixSelector):
+            return self._range_windowed(node.func, node.child)
         child = self.build(node.child)
         if child.kind != "vector":
             raise ValueError(f"{node.func} requires a vector input")
@@ -218,6 +231,37 @@ class PlanBuilder:
         else:  # increase | delta
             value = diff
         return Plan("scalar", agg.select(value.alias("value")), VT_F64)
+
+    def _range_windowed(self, func: str, msel: ast.MatrixSelector) -> Plan:
+        """Tumbling-window rate/increase/delta over a matrix selector.
+
+        Windows are anchored at the query start (windows [start + k*w,
+        start + (k+1)*w)); like the whole-range form, a window needs two
+        distinct timestamps to report. Returns a VECTOR (ts = window start,
+        value), freely composable downstream."""
+        child = self._selector(msel.selector)
+        width = msel.range_
+        anchor = self.start or 0
+        win = (
+            ((F.col("ts") - F.lit(anchor)) - (F.col("ts") - F.lit(anchor)) % F.lit(width))
+            + F.lit(anchor)
+        ).alias("ts")
+        agg = (
+            child.df.groupBy(win)
+            .agg(
+                F.min_by("value", F.struct("ts", "value")).cast("double").alias("__first"),
+                F.max_by("value", F.struct("ts", "value")).cast("double").alias("__last"),
+                F.min("ts").alias("__t0"),
+                F.max("ts").alias("__t1"),
+            )
+            .where(F.col("__t1") > F.col("__t0"))
+        )
+        diff = F.col("__last") - F.col("__first")
+        if func == "rate":
+            value = diff / (F.col("__t1") - F.col("__t0")).cast("double")
+        else:  # increase | delta
+            value = diff
+        return Plan("vector", agg.select("ts", value.alias("value")), VT_F64)
 
     # --------------------------------------------------------------- selector
     def _selector(self, sel: ast.VectorSelector) -> Plan:

@@ -29,6 +29,18 @@ class VectorSelector:
 
 
 @dataclass(frozen=True)
+class MatrixSelector:
+    """`m{...}[RANGE]` — a range vector (extension: the reference planner
+    REJECTS matrix selectors, planner.rs:208-216, so parity did not require
+    this). Only valid as the direct argument of rate/increase/delta, which
+    then evaluate per tumbling window of `range_` instead of once over the
+    whole [start, end]."""
+
+    selector: VectorSelector
+    range_: int  # window width in native ts units (ns for wall-clock data)
+
+
+@dataclass(frozen=True)
 class NumberLiteral:
     value: float  # always f64 (planner.rs:135-144)
 

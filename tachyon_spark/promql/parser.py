@@ -29,10 +29,23 @@ _TOKEN_RE = re.compile(
   | (?P<number>\d+(\.\d+)?([eE][+-]?\d+)?)
   | (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<op>=~|!~|==|!=|>=|<=|[><=+\-*/%(){},@])
+  | (?P<op>=~|!~|==|!=|>=|<=|[><=+\-*/%(){},@\[\]])
     """,
     re.VERBOSE,
 )
+
+# `m[5m]` durations: bare numbers are native ts units; suffixed units assume
+# nanosecond timestamps (the samples tables' wall-clock unit).
+DURATION_UNITS = {
+    "ns": 1,
+    "us": 1_000,
+    "ms": 1_000_000,
+    "s": 1_000_000_000,
+    "m": 60 * 1_000_000_000,
+    "h": 3_600 * 1_000_000_000,
+    "d": 86_400 * 1_000_000_000,
+    "w": 7 * 86_400 * 1_000_000_000,
+}
 
 KEYWORDS = (
     {"offset", "by", "start", "end"}
@@ -275,6 +288,22 @@ class Parser:
                 if self.at(","):
                     self.next()
             self.expect("}")
+        range_ = None
+        if self.at("["):
+            self.next()
+            num = self.next()
+            if num.kind != "number":
+                raise PromQLError(f"range duration must be a number, got {num.text!r}")
+            dur = float(num.text)
+            nxt = self.peek()
+            if nxt is not None and nxt.kind == "ident":
+                if nxt.text not in DURATION_UNITS:
+                    raise PromQLError(f"unknown duration unit {nxt.text!r}")
+                dur *= DURATION_UNITS[self.next().text]
+            self.expect("]")
+            if dur <= 0:
+                raise PromQLError("range duration must be positive")
+            range_ = int(dur)
         at_ts = None
         at_anchor = None
         offset = 0
@@ -298,7 +327,10 @@ class Parser:
                 offset = int(float(tok.text))
             else:
                 break
-        return ast.VectorSelector(name_tok.text, tuple(matchers), at_ts, at_anchor, offset)
+        sel = ast.VectorSelector(name_tok.text, tuple(matchers), at_ts, at_anchor, offset)
+        if range_ is not None:
+            return ast.MatrixSelector(sel, range_)
+        return sel
 
 
 def parse(src: str):

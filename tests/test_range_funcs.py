@@ -34,3 +34,56 @@ def test_range_func_single_sample_empty(fixture_b):
 def test_range_func_composes(fixture_b):
     # rate result is a scalar usable in arithmetic
     assert fixture_b.query("rate(ints) * 10", 0, 100).scalar() == pytest.approx(2.0)
+
+
+# ---------------------------------------------------------------------------
+# matrix selectors: rate/increase/delta per tumbling window (extension; the
+# reference REJECTS matrix selectors, planner.rs:208-216)
+# ---------------------------------------------------------------------------
+
+
+def test_windowed_increase(golden_db):
+    # web: ts [23,29,40,51] values [45,47,23,48]; windows of 20 from start 0:
+    # [20,40): (45,47) -> +2 ; [40,60): (23,48) -> +25
+    q = golden_db.query('increase(http_requests_total{service="web"}[20])', 0, 100)
+    assert q.rows() == [(20, 2.0), (40, 25.0)]
+
+
+def test_windowed_rate(golden_db):
+    q = golden_db.query('rate(http_requests_total{service="web"}[20])', 0, 100)
+    got = dict(q.rows())
+    assert got[20] == pytest.approx(2 / 6)  # span 29-23
+    assert got[40] == pytest.approx(25 / 11)  # span 51-40
+
+
+def test_windowed_anchor_at_query_start(golden_db):
+    # start=23 shifts the grid: [23,43): (45,47,23) -> 23-45 = -22; [43,63): one
+    # sample only (51) -> dropped
+    q = golden_db.query('delta(http_requests_total{service="web"}[20])', 23, 100)
+    assert q.rows() == [(23, -22.0)]
+
+
+def test_windowed_rate_composes(golden_db):
+    # windowed result is a vector: arithmetic and aggregates apply
+    q = golden_db.query('sum(increase(http_requests_total{service="web"}[20]))', 0, 100)
+    assert q.scalar() == 27.0
+
+
+def test_duration_units(golden_db):
+    # 1ns unit == native unit here; 20 with no unit == 20 native units
+    q1 = golden_db.query('increase(http_requests_total{service="web"}[20ns])', 0, 100)
+    assert q1.rows() == [(20, 2.0), (40, 25.0)]
+
+
+def test_matrix_selector_errors(golden_db):
+    from tachyon_spark.promql.parser import PromQLError
+
+    with pytest.raises(ValueError, match="matrix selector"):
+        golden_db.query('http_requests_total{service="web"}[20]', 0, 100)
+    with pytest.raises(ValueError, match="matrix selector"):
+        golden_db.query('sum(http_requests_total{service="web"}[20])', 0, 100)
+    for bad in ["m[", "m[]", "m[0]", "m[5q]", "m[5m"]:
+        with pytest.raises(PromQLError):
+            from tachyon_spark.promql import parse
+
+            parse(bad)
