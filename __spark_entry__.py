@@ -35,6 +35,10 @@ NUM_HASHES = 16
 BANDS = 4
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.4
+# stop-shingle cap for the inverted-index join: a shingle in > this many docs
+# is excluded from CANDIDATE GENERATION (k postings -> k^2 join rows);
+# intersections still count every shingle, so reported Jaccard stays exact.
+JACCARD_MAX_POSTINGS = 64
 STOPWORDS = (
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "this", "for", "on", "with", "as", "at", "by", "be", "are",
@@ -502,6 +506,55 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_continuous_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate (streaming/rollup.py), driven
+    end-to-end: events are dropped as 4 parquet files, the Structured
+    Streaming job catches up in 4 micro-batches (maxFilesPerTrigger=1),
+    appending per-batch MERGEABLE PARTIALS; the read side merges them.
+    The oracle is the plain batch GROUP BY — identical results proves the
+    partial/merge decomposition. Hourly buckets keyed by event_type."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.streaming.rollup import read_rollup, start_continuous_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="ty_rollup_")
+    src = os.path.join(work, "drops")
+    (
+        ev.select(
+            F.col("event_type").alias("stream_id"),
+            F.expr("ts DIV 1000").alias("ts"),
+            F.col("value"),
+            F.lit(None).cast("long").alias("value_int"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    conn = Connection(os.path.join(work, "db"), spark)
+    q = start_continuous_rollup(
+        conn,
+        src,
+        os.path.join(work, "rollup"),
+        bucket_ms=3_600_000_000,  # 1h in the µs ts unit
+        trigger_once=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    merged = read_rollup(spark, os.path.join(work, "rollup"))
+    return merged.select(
+        F.col("bucket_ts").alias("bucket_us"),
+        F.col("stream_id").alias("event_type"),
+        F.col("count").alias("n"),
+        F.round("sum", 2).alias("sum_v"),
+        F.round("avg", 6).alias("avg_v"),
+        F.col("min").alias("min_v"),
+        F.col("max").alias("max_v"),
+    )
+
+
 def q_rate_windows(spark, sf_dir):
     """PromQL matrix-selector path `rate(m[1h])`: first/last aggregate per
     TUMBLING window (plans/builder._range_windowed). One scan + one hash
@@ -573,7 +626,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     from tachyon_spark.functions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), JACCARD_THRESHOLD, JACCARD_N
+        _read(spark, sf_dir, "documents"),
+        JACCARD_THRESHOLD,
+        JACCARD_N,
+        max_postings=JACCARD_MAX_POSTINGS,
     )
 
 
@@ -761,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_avg_1h": q_rolling_avg_1h,
         "rate_per_type": q_rate_per_type,
         "rate_windows": q_rate_windows,
+        "continuous_rollup": q_continuous_rollup,
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
         "ewma_final": q_ewma_final,
@@ -870,18 +927,28 @@ _SHINGLES_SQL = f"""
 
 _JACCARD_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
+freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+kept AS (
+  SELECT s.id, s.shingle FROM sh s JOIN freq f ON s.shingle = f.shingle
+  WHERE f.df <= {JACCARD_MAX_POSTINGS}
+),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+),
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY a.id, b.id
 )
-SELECT doc_a, doc_b,
-       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.id = doc_a
-JOIN sizes sb ON sb.id = doc_b
-WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+SELECT c.doc_a, c.doc_b,
+       round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.id = c.doc_a
+JOIN sizes sb ON sb.id = c.doc_b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -1272,6 +1339,17 @@ def oracle_sql() -> dict[str, str]:
                      AS rate_per_sec
             FROM events GROUP BY event_type
             HAVING max(epoch_us(ts)) > min(epoch_us(ts))
+        """,
+        "continuous_rollup": """
+            -- batch form of the streaming partial/merge rollup
+            SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+                   event_type,
+                   count(value) AS n,
+                   round(sum(value), 2) AS sum_v,
+                   round(sum(value) / count(value), 6) AS avg_v,
+                   min(value) AS min_v,
+                   max(value) AS max_v
+            FROM events GROUP BY 1, 2
         """,
         "rate_windows": """
             -- tumbling 1h windows anchored at 0; two-point rule via HAVING

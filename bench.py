@@ -52,6 +52,55 @@ def bench_ingest(spark, sf_dir: str) -> float:
     return dt
 
 
+def bench_bucketed_layout(spark, sf_dir: str) -> dict[str, float]:
+    """SCALE.md's central claim, measured: the time-bucketed layout
+    (Connection(time_bucket=1 day)) lets a narrow time-range selector prune
+    whole partition directories, vs the flat stream-partitioned layout where
+    the same scan opens every file and relies on row-group skipping alone.
+    Reports ingest cost of each layout and the same 1-day-window scan time
+    on both (best of 2)."""
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.operators.select import select_range
+
+    day_us = 86_400_000_000
+    work = tempfile.mkdtemp(prefix="bench_bucketed_")
+    samples = entrymod._read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stream_id"),
+        F.expr("ts DIV 1000").alias("ts"),
+        F.col("value"),
+        F.lit(None).cast("long").alias("value_int"),
+    )
+    lo = samples.agg(F.min("ts")).head()[0]
+    start = (lo // day_us + 3) * day_us  # one mid-range day
+    end = start + day_us - 1
+
+    out: dict[str, float] = {}
+    conns = {}
+    for name, bucket in (("flat", None), ("bucketed", day_us)):
+        conn = Connection(os.path.join(work, name), spark, time_bucket=bucket)
+        t0 = time.time()
+        conn.bulk_load(samples)
+        out[f"ingest_{name}"] = round(time.time() - t0, 3)
+        conns[name] = conn
+
+    for name, conn in conns.items():
+        def scan(c=conn):
+            df = select_range(
+                c.samples_df(), None, start, end, time_bucket=c.time_bucket
+            )
+            df.agg(F.count("*"), F.sum("value")).collect()
+
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            scan()
+            best = min(best, time.time() - t0)
+        out[f"day_scan_{name}"] = round(best, 3)
+
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -114,6 +163,7 @@ def main():
         results[name] = timed(lambda: materialize(qs[name](spark, sf_dir)))
 
     results["ingest_parquet"] = round(bench_ingest(spark, sf_dir), 3)
+    results.update(bench_bucketed_layout(spark, sf_dir))
 
     total = round(sum(results.values()), 3)
     print(

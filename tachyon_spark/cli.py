@@ -11,6 +11,8 @@ Usage:
     python -m tachyon_spark.cli <db_dir> insert '<selector>' <ts> <value>
     python -m tachyon_spark.cli <db_dir> import-csv '<selector>' <file.csv>
     python -m tachyon_spark.cli <db_dir> query '<promql>' --start 0 --end 100 [--export out/ | --chart]
+    python -m tachyon_spark.cli <db_dir> check-stream-exists '<selector>'
+    python -m tachyon_spark.cli <db_dir> repl [--start N --end N --chart]
     python -m tachyon_spark.cli <db_dir> parse-headers
 """
 
@@ -68,6 +70,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--export", help="directory to write Timestamp,Value CSV")
     sp.add_argument("--chart", action="store_true")
 
+    sp = sub.add_parser("check-stream-exists")
+    sp.add_argument("selector")
+
+    sp = sub.add_parser("repl")
+    sp.add_argument("--start", type=int, default=0)
+    sp.add_argument("--end", type=int, default=DEFAULT_END)
+    sp.add_argument("--chart", action="store_true")
+
     sub.add_parser("parse-headers")
 
     args = p.parse_args(argv)
@@ -108,6 +118,34 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 for r in rows:
                     print(r)
+    elif args.cmd == "check-stream-exists":
+        # tachyon_cli/src/main.rs:66-102
+        if conn.check_stream_exists(args.selector):
+            print(f"stream {args.selector} exists")
+        else:
+            print(f"stream {args.selector} does not exist")
+            return 1
+    elif args.cmd == "repl":
+        # interactive loop, readline -> query -> print (main.rs:298-327);
+        # blank line / exit / quit leaves. Errors keep the loop alive.
+        while True:
+            try:
+                line = input("> ")
+            except EOFError:
+                break
+            line = line.strip()
+            if not line or line in ("exit", "quit"):
+                break
+            try:
+                q = conn.query(line, args.start, args.end)
+                rows = q.rows()
+                if args.chart and q.return_type == "vector":
+                    print(_ascii_chart(rows))
+                else:
+                    for r in rows:
+                        print(r)
+            except Exception as e:  # keep the shell alive on bad queries
+                print(f"error: {e}")
     elif args.cmd == "parse-headers":
         from tachyon_spark.sources import samples_file_stats
 

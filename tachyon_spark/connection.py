@@ -42,6 +42,12 @@ SAMPLES_SCHEMA = T.StructType(
     ]
 )
 
+# u64-exact layout (SURVEY §1.5): JVM longs stop at 2^63-1, so dbs opened
+# with u64_decimal=True store u64 samples in an extra DECIMAL(20,0) column —
+# the full u64 range, exact. LongType stays the default (cheaper codegen).
+VALUE_DEC_FIELD = T.StructField("value_dec", T.DecimalType(20, 0), True)
+I64_MAX = (1 << 63) - 1
+
 # Reference rotates files at 62,500 samples (storage/mod.rs:8); we cap parquet
 # files similarly so ingest produces splittable, prunable files.
 MAX_RECORDS_PER_FILE = 4_000_000
@@ -53,34 +59,44 @@ class Connection:
         db_dir: str,
         spark: SparkSession | None = None,
         time_bucket: int | None = None,
+        u64_decimal: bool = False,
     ):
         """time_bucket: optional bucket width in ts units (e.g. 86_400_000 for
         daily buckets of ms timestamps). When set, samples are additionally
         partitioned by ts_bucket = ts DIV time_bucket so time-range queries
         prune whole partitions — the 100 TB layout. Persisted in the db config
-        so reopening uses the same layout."""
+        so reopening uses the same layout.
+
+        u64_decimal: store u64 streams in a DECIMAL(20,0) column so the FULL
+        u64 range round-trips exactly (default LongType caps at 2^63-1).
+        Also persisted — the storage layout is a db property."""
         self.db_dir = db_dir
         os.makedirs(db_dir, exist_ok=True)
         self.spark = spark or get_spark()
         self.catalog = Catalog(self.spark, db_dir)
         self.samples_path = os.path.join(db_dir, "samples")
-        self.time_bucket = self._load_or_store_config(time_bucket)
+        self.time_bucket, self.u64_decimal = self._load_or_store_config(
+            time_bucket, u64_decimal
+        )
 
-    def _load_or_store_config(self, time_bucket: int | None) -> int | None:
+    def _load_or_store_config(self, time_bucket: int | None, u64_decimal: bool):
         import json
 
         cfg_path = os.path.join(self.db_dir, "config.json")
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
-                stored = json.load(f).get("time_bucket")
-            if time_bucket is not None and time_bucket != stored:
+                stored = json.load(f)
+            if time_bucket is not None and time_bucket != stored.get("time_bucket"):
                 raise ValueError(
-                    f"db was created with time_bucket={stored}; cannot reopen with {time_bucket}"
+                    f"db was created with time_bucket={stored.get('time_bucket')}; "
+                    f"cannot reopen with {time_bucket}"
                 )
-            return stored
+            if u64_decimal and not stored.get("u64_decimal"):
+                raise ValueError("db was created without u64_decimal; layouts differ")
+            return stored.get("time_bucket"), bool(stored.get("u64_decimal"))
         with open(cfg_path, "w") as f:
-            json.dump({"time_bucket": time_bucket}, f)
-        return time_bucket
+            json.dump({"time_bucket": time_bucket, "u64_decimal": u64_decimal}, f)
+        return time_bucket, u64_decimal
 
     # --- stream admin (lib.rs:429-473) -----------------------------------
     def create_stream(self, selector: str, value_type: str) -> str:
@@ -147,21 +163,33 @@ class Connection:
         """Bulk-append a (stream_id, ts, value, value_int) frame."""
         self._write_samples(df.select(*SAMPLES_SCHEMA.fieldNames()))
 
-    def samples_df(self) -> DataFrame:
-        schema = SAMPLES_SCHEMA
+    def _samples_schema(self) -> T.StructType:
+        fields = list(SAMPLES_SCHEMA.fields)
+        if self.u64_decimal:
+            fields.append(VALUE_DEC_FIELD)
         if self.time_bucket:
-            schema = T.StructType(
-                list(SAMPLES_SCHEMA.fields) + [T.StructField("ts_bucket", T.LongType(), True)]
-            )
+            fields.append(T.StructField("ts_bucket", T.LongType(), True))
+        return T.StructType(fields)
+
+    def samples_df(self) -> DataFrame:
+        schema = self._samples_schema()
         if not os.path.isdir(self.samples_path):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(self.samples_path)
 
+    def value_column(self, value_type: str) -> F.Column:
+        """The stored value column for a stream of the given type (per-db
+        layout aware); Parquet column pruning reads only the one chosen."""
+        if value_type == VT_F64:
+            return F.col("value")
+        if value_type == "u64" and self.u64_decimal:
+            return F.col("value_dec")
+        return F.col("value_int")
+
     def stream_samples(self, stream_id: str, value_type: str) -> DataFrame:
         """(ts, value) frame for one stream, value column typed per catalog."""
         df = self.samples_df().where(F.col("stream_id") == stream_id)
-        col = F.col("value") if value_type == VT_F64 else F.col("value_int")
-        return df.select(F.col("ts"), col.alias("value"))
+        return df.select(F.col("ts"), self.value_column(value_type).alias("value"))
 
     # --- query (lib.rs:495-510) --------------------------------------------
     def query(self, promql: str, start: int | None = None, end: int | None = None) -> "Query":
@@ -196,6 +224,13 @@ class Inserter:
                 )
             if self.value_type == "u64" and value < 0:
                 raise TypeError(f"stream is u64; got negative value {value!r}")
+            if int(value) > I64_MAX and not (
+                self.value_type == "u64" and self.conn.u64_decimal
+            ):
+                raise TypeError(
+                    f"value {value!r} exceeds 2^63-1; open the db with "
+                    "u64_decimal=True for full-range u64 storage"
+                )
         self._buf.append((ts, value))
 
     # typed aliases mirroring insert_{integer64,uinteger64,float64}
@@ -206,11 +241,29 @@ class Inserter:
     def flush(self) -> None:
         if not self._buf:
             return
+        dec_mode = self.conn.u64_decimal
+        base = T.StructType(
+            list(SAMPLES_SCHEMA.fields) + ([VALUE_DEC_FIELD] if dec_mode else [])
+        )
         if is_integer(self.value_type):
-            rows = [(self.stream_id, ts, None, int(v)) for ts, v in self._buf]
+            if dec_mode and self.value_type == "u64":
+                from decimal import Decimal
+
+                rows = [
+                    (self.stream_id, ts, None, None, Decimal(int(v)))
+                    for ts, v in self._buf
+                ]
+            else:
+                rows = [
+                    (self.stream_id, ts, None, int(v)) + ((None,) if dec_mode else ())
+                    for ts, v in self._buf
+                ]
         else:
-            rows = [(self.stream_id, ts, float(v), None) for ts, v in self._buf]
-        df = self.conn.spark.createDataFrame(rows, SAMPLES_SCHEMA)
+            rows = [
+                (self.stream_id, ts, float(v), None) + ((None,) if dec_mode else ())
+                for ts, v in self._buf
+            ]
+        df = self.conn.spark.createDataFrame(rows, base)
         self.conn._write_samples(df, single_stream=True)
         self._buf.clear()
 
@@ -238,10 +291,16 @@ class Query:
         return self.plan.ordered_df()
 
     def rows(self) -> list[tuple]:
-        """Collect as [(ts, value)] for vectors / [value] for scalars."""
+        """Collect as [(ts, value)] for vectors / [value] for scalars.
+        DECIMAL values (u64-exact layout) come back as exact Python ints."""
+        import decimal
+
+        def py(v):
+            return int(v) if isinstance(v, decimal.Decimal) else v
+
         if self.plan.return_type == "vector":
-            return [(r.ts, r.value) for r in self.df().collect()]
-        return [r.value for r in self.df().collect()]
+            return [(r.ts, py(r.value)) for r in self.df().collect()]
+        return [py(r.value) for r in self.df().collect()]
 
     def scalar(self):
         vals = self.rows()

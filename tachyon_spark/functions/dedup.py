@@ -49,11 +49,30 @@ def _materialize(df: DataFrame) -> DataFrame:
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition small-file inputs so narrow heavy work (explode, hashing)
     uses every core. At scale the scan already has thousands of splits and
-    this is a no-op; locally a 1-file table would otherwise pin one core."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, 16):
-        return df.repartition(min(target, 16))
+    this is a no-op; locally a 1-file table would otherwise pin one core.
+
+    Heuristic uses inputFiles() (plan metadata, no job) instead of
+    df.rdd.getNumPartitions(): touching .rdd forces plan analysis plus a
+    Python<->JVM conversion path per call. Non-file sources (in-memory
+    test frames) report no files and are left alone — they already
+    parallelize from their creation."""
+    target = min(df.sparkSession.sparkContext.defaultParallelism, 16)
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
+        return df.repartition(target)
     return df
+
+
+def _verify_side(candidates: DataFrame, max_broadcast_rows: int = 2_000_000) -> DataFrame:
+    """Candidate pairs for a verify join: broadcast when small, shuffle
+    otherwise. An unconditional broadcast would overflow the driver on a
+    highly duplicative corpus (candidate count is data-dependent)."""
+    cand = candidates.cache()
+    n = cand.count()  # also materializes the cache (no lazy-cache race)
+    return F.broadcast(cand) if n <= max_broadcast_rows else cand
 
 
 def tokens(text_col) -> F.Column:
@@ -143,7 +162,7 @@ def ngram_jaccard_pairs(
             .distinct()
         )
         inter = (
-            F.broadcast(candidates)
+            _verify_side(candidates)
             .join(a, "doc_a")
             .join(b, ["doc_b", "shingle"])
             .groupBy("doc_a", "doc_b")
@@ -240,13 +259,13 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Verify ONLY candidate pairs (never the all-pairs Jaccard): candidates
-    # are few, so they broadcast; intersections are counted by walking each
-    # candidate's shingle lists through two joins.
+    # are usually few, so they broadcast — but the count is data-dependent,
+    # so _verify_side falls back to a shuffle join past a size bound.
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a_sh = sh.select(F.col("id").alias("doc_a"), "shingle")
     b_sh = sh.select(F.col("id").alias("doc_b"), "shingle")
     inter = (
-        F.broadcast(candidates)
+        _verify_side(candidates)
         .join(a_sh, "doc_a")
         .join(b_sh, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")

@@ -289,10 +289,22 @@ class PlanBuilder:
             time_bucket=self.conn.time_bucket,
         )
         types = {r.value_type for r in rows}
+        dec_u64 = self.conn.u64_decimal and VT_U64 in types
         if types == {VT_F64}:
             value = F.col("value")
         elif VT_F64 in types:  # mixed int/float streams -> promoted f64
-            value = F.coalesce(F.col("value"), F.col("value_int").cast("double"))
+            int_cols = [F.col("value_int").cast("double")]
+            if dec_u64:
+                int_cols.insert(0, F.col("value_dec").cast("double"))
+            value = F.coalesce(F.col("value"), *int_cols)
+        elif dec_u64:
+            # u64-exact layout: full-range DECIMAL(20,0). Mixing with i64
+            # promotes to i64 (lattice) — the long cast errors (ANSI) above
+            # 2^63-1 rather than silently wrapping.
+            if types == {VT_U64}:
+                value = F.col("value_dec")
+            else:
+                value = F.coalesce(F.col("value_dec").cast("long"), F.col("value_int"))
         else:
             value = F.col("value_int")
         df = df.select("stream_id", "ts", value.alias("value"))
@@ -395,11 +407,20 @@ class PlanBuilder:
         else:  # avg
             vt = VT_F64
 
+        cdf = child.df
+        if func == "avg":
+            from pyspark.sql import types as T
+
+            # avg is always f64; Spark's avg over DECIMAL (u64-exact layout)
+            # would return DECIMAL — pre-cast only in that case so the long
+            # path keeps its exact integer partial sums.
+            if isinstance(cdf.schema["value"].dataType, T.DecimalType):
+                cdf = cdf.withColumn("value", F.col("value").cast("double"))
         if node.by:
-            df = self._attach_labels(child.df, node.by)
+            df = self._attach_labels(cdf, node.by)
             out = grouped_agg(df, func, list(node.by))
             return Plan("grouped", out, vt, group_cols=tuple(node.by))
-        return Plan("scalar", scalar_agg(child.df, func), vt)
+        return Plan("scalar", scalar_agg(cdf, func), vt)
 
     def _attach_labels(self, df: DataFrame, labels: tuple[str, ...]) -> DataFrame:
         cat = self.conn.catalog.df().select(

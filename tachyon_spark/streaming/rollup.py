@@ -44,14 +44,21 @@ def start_continuous_rollup(
     keys: list[str] | None = None,
     checkpoint_dir: str | None = None,
     trigger_once: bool = False,
+    max_files_per_trigger: int | None = None,
 ):
     """Tail `source_dir` for SAMPLES_SCHEMA drops and maintain an append-only
-    partial-aggregate rollup at rollup_path. Returns the StreamingQuery."""
+    partial-aggregate rollup at rollup_path. Returns the StreamingQuery.
+
+    max_files_per_trigger bounds each micro-batch (and, with trigger_once,
+    forces a multi-batch catch-up — useful to exercise partial merging)."""
     keys = keys if keys is not None else ["stream_id"]
     checkpoint_dir = checkpoint_dir or os.path.join(
         conn.db_dir, "_checkpoints", "rollup"
     )
-    src = conn.spark.readStream.schema(SAMPLES_SCHEMA).parquet(source_dir)
+    reader = conn.spark.readStream.schema(SAMPLES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
 
     def _append(batch_df, _batch_id):
         (

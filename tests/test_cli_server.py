@@ -24,6 +24,32 @@ def test_cli_end_to_end(tmp_path, spark, capsys):
     assert "cpu{'host': 'a'}" in out
 
 
+def test_cli_check_stream_exists(tmp_path, spark, capsys):
+    db = str(tmp_path / "existsdb")
+    cli_main([db, "create-stream", 'up{host="a"}', "f64"])
+    assert cli_main([db, "check-stream-exists", 'up{host="a"}']) == 0
+    assert cli_main([db, "check-stream-exists", 'down{host="a"}']) == 1
+    out = capsys.readouterr().out
+    assert "exists" in out and "does not exist" in out
+
+
+def test_cli_repl(tmp_path, spark, capsys, monkeypatch):
+    """readline -> query loop: good query prints rows, bad query prints an
+    error and keeps the loop alive, exit leaves (main.rs:298-327)."""
+    db = str(tmp_path / "repldb")
+    cli_main([db, "create-stream", 'mem{host="a"}', "f64"])
+    cli_main([db, "insert", 'mem{host="a"}', "10", "1.5"])
+    cli_main([db, "insert", 'mem{host="a"}', "20", "2.5"])
+    capsys.readouterr()
+    lines = iter(["mem", "sum(", "sum(mem)", "exit"])
+    monkeypatch.setattr("builtins.input", lambda _: next(lines))
+    assert cli_main([db, "repl", "--start", "0", "--end", "100"]) == 0
+    out = capsys.readouterr().out
+    assert "(10, 1.5)" in out and "(20, 2.5)" in out  # vector rows
+    assert "error:" in out  # parse error survived
+    assert "4.0" in out  # scalar after the error
+
+
 def test_ascii_chart():
     chart = _ascii_chart([(0, 1.0), (10, 5.0), (20, 1.0)], width=20, height=5)
     assert "*" in chart and "n=3" in chart

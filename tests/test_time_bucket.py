@@ -28,11 +28,25 @@ def test_bucketed_layout_roundtrip(spark, tmp_path):
 
 
 def test_bucket_partition_pruning(spark, tmp_path):
+    import re
+
     conn = Connection(str(tmp_path / "db"), spark, time_bucket=86_400_000)
     _fill(conn)
+    import contextlib
+    import io
+
     df = conn.query('tb{k="1"}', 86_400_000, 2 * 86_400_000 - 1).df()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ts_bucket" in plan  # bucket filter reached the scan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")  # toString() truncates long filter lists
+    plan = buf.getvalue()
+    # the bucket predicate must land in PartitionFilters (whole-directory
+    # pruning), not just the row-level Filter
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "ts_bucket" in m.group(1), plan
+    # both bucket bounds must prune (>= 1 AND <= 1 for the middle day)
+    assert re.search(r"ts_bucket#\d+L? >= 1", m.group(1)), m.group(1)
+    assert re.search(r"ts_bucket#\d+L? <= 1", m.group(1)), m.group(1)
 
 
 def test_bucketed_dirs_on_disk(spark, tmp_path):
