@@ -106,6 +106,8 @@ class PlanBuilder:
             return self._getk(expr)
         if isinstance(expr, ast.RangeFunc):
             return self._range_func(expr)
+        if isinstance(expr, ast.OverTimeFunc):
+            return self._over_time_func(expr)
         if isinstance(expr, ast.MathFunc):
             return self._math_func(expr)
         if isinstance(expr, ast.SortFunc):
@@ -232,6 +234,39 @@ class PlanBuilder:
             value = diff
         return Plan("scalar", agg.select(value.alias("value")), VT_F64)
 
+    def _over_time_func(self, node: ast.OverTimeFunc) -> Plan:
+        """`avg_over_time(m[5m])` family: per-tumbling-window aggregation
+        over a range vector (extension; parser guarantees the MatrixSelector
+        child). Same plan shape as _range_windowed: one scan + one hash
+        shuffle on the window key, map-side partials."""
+        msel = node.child
+        child = self._selector(msel.selector)
+        win = self._window_col(msel.range_)
+        fn = node.func[: -len("_over_time")]
+        v = F.col("value")
+        if fn == "avg":
+            agg, vt = F.avg(v.cast("double")), VT_F64
+        elif fn == "sum":
+            agg, vt = F.sum(v), child.value_type
+        elif fn == "min":
+            agg, vt = F.min(v), child.value_type
+        elif fn == "max":
+            agg, vt = F.max(v), child.value_type
+        elif fn == "count":
+            agg, vt = F.count(v), VT_U64
+        else:  # last: newest sample, (ts, value) tie-break
+            agg, vt = F.max_by("value", F.struct("ts", "value")), child.value_type
+        out = child.df.groupBy(win).agg(agg.alias("value"))
+        return Plan("vector", out, vt)
+
+    def _window_col(self, width: int):
+        """Tumbling-window start for the current query (anchor = start)."""
+        anchor = self.start or 0
+        return (
+            ((F.col("ts") - F.lit(anchor)) - (F.col("ts") - F.lit(anchor)) % F.lit(width))
+            + F.lit(anchor)
+        ).alias("ts")
+
     def _range_windowed(self, func: str, msel: ast.MatrixSelector) -> Plan:
         """Tumbling-window rate/increase/delta over a matrix selector.
 
@@ -240,12 +275,7 @@ class PlanBuilder:
         distinct timestamps to report. Returns a VECTOR (ts = window start,
         value), freely composable downstream."""
         child = self._selector(msel.selector)
-        width = msel.range_
-        anchor = self.start or 0
-        win = (
-            ((F.col("ts") - F.lit(anchor)) - (F.col("ts") - F.lit(anchor)) % F.lit(width))
-            + F.lit(anchor)
-        ).alias("ts")
+        win = self._window_col(msel.range_)
         agg = (
             child.df.groupBy(win)
             .agg(

@@ -78,6 +78,16 @@ class RangeFunc:
 
 
 @dataclass(frozen=True)
+class OverTimeFunc:
+    """`avg_over_time(m[5m])` etc. — per-tumbling-window aggregation over a
+    range vector (extension; requires a MatrixSelector child, like PromQL).
+    One output row per non-empty window, ts = window start."""
+
+    func: str  # {avg,sum,min,max,count,last}_over_time
+    child: object  # MatrixSelector
+
+
+@dataclass(frozen=True)
 class MathFunc:
     """Elementwise math over a vector (extension; the reference rejects all
     function calls, planner.rs:218-222). abs preserves the input value type;
@@ -111,6 +121,16 @@ SET_OPS = frozenset({"and", "or", "unless"})  # extension (ts-key matching)
 AGG_FUNCS = frozenset({"sum", "count", "avg", "min", "max"})
 GETK_FUNCS = frozenset({"topk", "bottomk"})
 RANGE_FUNCS = frozenset({"rate", "increase", "delta"})
+OVER_TIME_FUNCS = frozenset(
+    {
+        "avg_over_time",
+        "sum_over_time",
+        "min_over_time",
+        "max_over_time",
+        "count_over_time",
+        "last_over_time",
+    }
+)
 MATH_FUNCS = frozenset({"abs", "ceil", "floor", "sqrt", "exp", "ln"})
 SORT_FUNCS = frozenset({"sort", "sort_desc"})
 CLAMP_FUNCS = frozenset({"clamp", "clamp_min", "clamp_max"})

@@ -52,6 +52,7 @@ KEYWORDS = (
     | set(ast.AGG_FUNCS)
     | set(ast.GETK_FUNCS)
     | set(ast.RANGE_FUNCS)
+    | set(ast.OVER_TIME_FUNCS)
     | set(ast.MATH_FUNCS)
     | set(ast.SET_OPS)
     | set(ast.SORT_FUNCS)
@@ -189,6 +190,8 @@ class Parser:
                 return self.parse_getk()
             if tok.text in ast.RANGE_FUNCS:
                 return self.parse_range_func()
+            if tok.text in ast.OVER_TIME_FUNCS:
+                return self.parse_over_time_func()
             if tok.text in ast.MATH_FUNCS:
                 return self.parse_math_func()
             if tok.text in ast.SORT_FUNCS:
@@ -222,6 +225,17 @@ class Parser:
         child = self.parse_or()
         self.expect(")")
         return ast.RangeFunc(func, child)
+
+    def parse_over_time_func(self):
+        func = self.next().text
+        self.expect("(")
+        child = self.parse_or()
+        self.expect(")")
+        if not isinstance(child, ast.MatrixSelector):
+            raise PromQLError(
+                f"{func} requires a range vector argument like m[5m]"
+            )
+        return ast.OverTimeFunc(func, child)
 
     def parse_math_func(self):
         func = self.next().text

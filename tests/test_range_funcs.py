@@ -75,6 +75,31 @@ def test_duration_units(golden_db):
     assert q1.rows() == [(20, 2.0), (40, 25.0)]
 
 
+def test_over_time_funcs(golden_db):
+    # web: windows of 20 from 0: [20,40): 45,47 ; [40,60): 23,48
+    q = 'http_requests_total{service="web"}'
+    assert golden_db.query(f"sum_over_time({q}[20])", 0, 100).rows() == [(20, 92), (40, 71)]
+    assert golden_db.query(f"count_over_time({q}[20])", 0, 100).rows() == [(20, 2), (40, 2)]
+    assert golden_db.query(f"min_over_time({q}[20])", 0, 100).rows() == [(20, 45), (40, 23)]
+    assert golden_db.query(f"max_over_time({q}[20])", 0, 100).rows() == [(20, 47), (40, 48)]
+    assert golden_db.query(f"last_over_time({q}[20])", 0, 100).rows() == [(20, 47), (40, 48)]
+    assert golden_db.query(f"avg_over_time({q}[20])", 0, 100).rows() == [(20, 46.0), (40, 35.5)]
+    # single-sample windows DO report (no two-point rule for over_time aggs)
+    assert golden_db.query(f"count_over_time({q}[10])", 0, 100).rows() == [
+        (20, 2), (40, 1), (50, 1),
+    ]
+    # composes downstream
+    assert golden_db.query(f"sum(sum_over_time({q}[20]))", 0, 100).scalar() == 163
+
+
+def test_over_time_requires_range_vector(golden_db):
+    from tachyon_spark.promql import parse
+    from tachyon_spark.promql.parser import PromQLError
+
+    with pytest.raises(PromQLError, match="range vector"):
+        parse("avg_over_time(m)")
+
+
 def test_matrix_selector_errors(golden_db):
     from tachyon_spark.promql.parser import PromQLError
 
