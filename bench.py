@@ -124,6 +124,7 @@ def main():
         "tumbling_window_stats",
         "session_window_stats",
         "rolling_avg_1h",
+        "rate_windows",
         "range_join_daily",
         "value_quantiles",
         "distinct_users",

@@ -254,6 +254,10 @@ class PlanBuilder:
             agg, vt = F.max(v), child.value_type
         elif fn == "count":
             agg, vt = F.count(v), VT_U64
+        elif fn == "quantile":
+            # exact linear-interpolated percentile (PromQL semantics); at
+            # scale swap for approx_percentile (mergeable sketch)
+            agg, vt = F.percentile(v.cast("double"), F.lit(node.arg)), VT_F64
         else:  # last: newest sample, (ts, value) tie-break
             agg, vt = F.max_by("value", F.struct("ts", "value")), child.value_type
         out = child.df.groupBy(win).agg(agg.alias("value"))

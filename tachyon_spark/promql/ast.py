@@ -83,8 +83,9 @@ class OverTimeFunc:
     range vector (extension; requires a MatrixSelector child, like PromQL).
     One output row per non-empty window, ts = window start."""
 
-    func: str  # {avg,sum,min,max,count,last}_over_time
+    func: str  # {avg,sum,min,max,count,last,quantile}_over_time
     child: object  # MatrixSelector
+    arg: float | None = None  # quantile_over_time's phi (0..1)
 
 
 @dataclass(frozen=True)
@@ -129,6 +130,7 @@ OVER_TIME_FUNCS = frozenset(
         "max_over_time",
         "count_over_time",
         "last_over_time",
+        "quantile_over_time",
     }
 )
 MATH_FUNCS = frozenset({"abs", "ceil", "floor", "sqrt", "exp", "ln"})

@@ -229,13 +229,26 @@ class Parser:
     def parse_over_time_func(self):
         func = self.next().text
         self.expect("(")
+        arg = None
+        if func == "quantile_over_time":  # quantile_over_time(phi, m[5m])
+            neg = False
+            if self.at("-"):
+                self.next()
+                neg = True
+            tok = self.next()
+            if tok.kind != "number":
+                raise PromQLError(f"quantile_over_time phi must be a number, got {tok.text!r}")
+            arg = -float(tok.text) if neg else float(tok.text)
+            if not 0.0 <= arg <= 1.0:
+                raise PromQLError(f"quantile_over_time phi must be in [0, 1], got {arg}")
+            self.expect(",")
         child = self.parse_or()
         self.expect(")")
         if not isinstance(child, ast.MatrixSelector):
             raise PromQLError(
                 f"{func} requires a range vector argument like m[5m]"
             )
-        return ast.OverTimeFunc(func, child)
+        return ast.OverTimeFunc(func, child, arg)
 
     def parse_math_func(self):
         func = self.next().text

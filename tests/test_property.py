@@ -140,3 +140,27 @@ def test_interpolating_add_model(prop_db, pts_a, pts_b):
     sb = _mk_stream(prop_db, "u64", pts_b)
     got = prop_db.query(f"{sa} + {sb}", 0, 20_000).rows()
     assert got == _interp_model(pts_a, pts_b)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    points=points_strategy.map(lambda ps: [(t, abs(v) % 1000) for t, v in ps]),
+    width=st.integers(min_value=1, max_value=5000),
+)
+def test_windowed_over_time_model(prop_db, points, width):
+    """Tumbling-window sum/count/increase vs a direct Python model, for
+    arbitrary sample layouts and window widths (bucket-boundary fuzz)."""
+    sel = _mk_stream(prop_db, "u64", points)
+    wins: dict[int, list[tuple[int, int]]] = {}
+    for t, v in points:
+        wins.setdefault(t - t % width, []).append((t, v))
+    exp_sum = [(w, sum(v for _, v in ps)) for w, ps in sorted(wins.items())]
+    exp_cnt = [(w, len(ps)) for w, ps in sorted(wins.items())]
+    exp_inc = [
+        (w, float(ps[-1][1] - ps[0][1]))
+        for w, ps in sorted(wins.items())
+        if ps[-1][0] > ps[0][0]
+    ]
+    assert prop_db.query(f"sum_over_time({sel}[{width}])", 0, 20_000).rows() == exp_sum
+    assert prop_db.query(f"count_over_time({sel}[{width}])", 0, 20_000).rows() == exp_cnt
+    assert prop_db.query(f"increase({sel}[{width}])", 0, 20_000).rows() == exp_inc

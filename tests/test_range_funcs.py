@@ -92,6 +92,22 @@ def test_over_time_funcs(golden_db):
     assert golden_db.query(f"sum(sum_over_time({q}[20]))", 0, 100).scalar() == 163
 
 
+def test_quantile_over_time(golden_db):
+    q = 'http_requests_total{service="web"}'
+    # [20,40): (45,47) -> p50 = 46 ; [40,60): (23,48) -> p90 = 23 + 0.9*25
+    got = golden_db.query(f"quantile_over_time(0.5, {q}[20])", 0, 100).rows()
+    assert got == [(20, 46.0), (40, 35.5)]
+    got = golden_db.query(f"quantile_over_time(0.9, {q}[20])", 0, 100).rows()
+    assert got[0][1] == pytest.approx(46.8) and got[1][1] == pytest.approx(45.5)
+    from tachyon_spark.promql import parse
+    from tachyon_spark.promql.parser import PromQLError
+
+    for bad in ["quantile_over_time(m[5])", "quantile_over_time(1.5, m[5])",
+                "quantile_over_time(0.5, m)"]:
+        with pytest.raises(PromQLError):
+            parse(bad)
+
+
 def test_over_time_requires_range_vector(golden_db):
     from tachyon_spark.promql import parse
     from tachyon_spark.promql.parser import PromQLError
