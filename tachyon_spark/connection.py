@@ -60,6 +60,7 @@ class Connection:
         spark: SparkSession | None = None,
         time_bucket: int | None = None,
         u64_decimal: bool = False,
+        compat_scalar_swap: bool = False,
     ):
         """time_bucket: optional bucket width in ts units (e.g. 86_400_000 for
         daily buckets of ms timestamps). When set, samples are additionally
@@ -69,7 +70,12 @@ class Connection:
 
         u64_decimal: store u64 streams in a DECIMAL(20,0) column so the FULL
         u64 range round-trips exactly (default LongType caps at 2^63-1).
-        Also persisted — the storage layout is a db property."""
+        Also persisted — the storage layout is a db property.
+
+        compat_scalar_swap: replicate the reference's scalar-op-vector
+        operand swap (`2 - v` == `v - 2`, binary_op.rs:103-105 — a
+        documented reference bug) for golden-test migration. Session
+        behavior, not persisted."""
         self.db_dir = db_dir
         os.makedirs(db_dir, exist_ok=True)
         self.spark = spark or get_spark()
@@ -78,6 +84,7 @@ class Connection:
         self.time_bucket, self.u64_decimal = self._load_or_store_config(
             time_bucket, u64_decimal
         )
+        self.compat_scalar_swap = compat_scalar_swap
 
     def _load_or_store_config(self, time_bucket: int | None, u64_decimal: bool):
         import json

@@ -421,6 +421,12 @@ class PlanBuilder:
         v_col = F.col("value")
         if vt == VT_F64:
             v_col, s_col = v_col.cast("double"), s_col.cast("double")
+        if scalar_on_left and getattr(self.conn, "compat_scalar_swap", False):
+            # reference bug-compat: `2 - v` evaluates as `v - 2`
+            # (binary_op.rs:103-105 swaps operands). Off by default — we
+            # evaluate written order; the flag makes golden-test migration
+            # from the reference airtight.
+            scalar_on_left = False
         a, b = (s_col, v_col) if scalar_on_left else (v_col, s_col)
         result = _ARITH[op](a, b)
         if is_integer(vt):
@@ -457,6 +463,12 @@ class PlanBuilder:
         return Plan("scalar", scalar_agg(cdf, func), vt)
 
     def _attach_labels(self, df: DataFrame, labels: tuple[str, ...]) -> DataFrame:
+        if "stream_id" not in df.columns:
+            # windowed / derived vectors no longer carry series identity
+            raise ValueError(
+                "grouped aggregation (by ...) requires a label-carrying "
+                "vector — apply it to a selector, not a derived vector"
+            )
         cat = self.conn.catalog.df().select(
             "stream_id", *[F.col("labels").getItem(l).alias(l) for l in labels]
         )

@@ -73,6 +73,19 @@ def test_scalar_minus_vector_written_order(fixture_b):
     assert vals(q) == pytest.approx([8.0, 6.0, 4.0, 2.0])
 
 
+def test_compat_scalar_swap_flag(fixture_b):
+    # Connection(compat_scalar_swap=True) replicates the reference's swap:
+    # `10 - ints` evaluates as `ints - 10` — golden-migration mode.
+    from tachyon_spark.connection import Connection
+
+    compat = Connection(fixture_b.db_dir, fixture_b.spark, compat_scalar_swap=True)
+    q = compat.query("10 - ints", 0, 100)
+    assert vals(q) == pytest.approx([-8.0, -6.0, -4.0, -2.0])
+    # commutative ops and vector-on-left are unaffected
+    assert vals(compat.query("10 + ints", 0, 100)) == pytest.approx([12.0, 14.0, 16.0, 18.0])
+    assert vals(compat.query("ints - 10", 0, 100)) == pytest.approx([-8.0, -6.0, -4.0, -2.0])
+
+
 # --- comparisons = filters keeping computed values ---------------------------
 
 def test_mod_eq_filter_keeps_computed(fixture_b):

@@ -116,6 +116,16 @@ def test_over_time_requires_range_vector(golden_db):
         parse("avg_over_time(m)")
 
 
+def test_grouped_agg_on_windowed_vector_rejected(golden_db):
+    # windowed outputs carry no series identity; `by` grouping must error
+    # cleanly rather than fail deep in the label join
+    with pytest.raises(ValueError, match="label-carrying"):
+        golden_db.query(
+            'sum by (service) (increase(http_requests_total{service="web"}[20]))',
+            0, 100,
+        )
+
+
 def test_matrix_selector_errors(golden_db):
     from tachyon_spark.promql.parser import PromQLError
 
