@@ -557,16 +557,17 @@ def q_continuous_rollup(spark, sf_dir):
 
 def q_rate_windows(spark, sf_dir):
     """PromQL matrix-selector path `rate(m[1h])`: first/last aggregate per
-    TUMBLING window (plans/builder._range_windowed). One scan + one hash
-    shuffle on the window key with map-side partial agg; windows with <2
-    distinct timestamps drop (PromQL two-point rule)."""
+    (series, TUMBLING window) — per-series like PromQL
+    (plans/builder._range_windowed, stream key = event_type). One scan +
+    one hash shuffle on the (series, window) key with map-side partial agg;
+    windows with <2 distinct timestamps drop (PromQL two-point rule)."""
     ev = _read(spark, sf_dir, "events")
     w_us = 60 * 60 * 1_000_000
-    ev_us = ev.select(F.expr("ts DIV 1000").alias("ts"), "value")
+    ev_us = ev.select("event_type", F.expr("ts DIV 1000").alias("ts"), "value")
     tie = F.struct(F.col("ts"), F.col("value"))
     win = (F.col("ts") - F.col("ts") % F.lit(w_us)).alias("ts_us")
     agg = (
-        ev_us.groupBy(win)
+        ev_us.groupBy("event_type", win)
         .agg(
             F.min_by("value", tie).alias("__first"),
             F.max_by("value", tie).alias("__last"),
@@ -577,6 +578,7 @@ def q_rate_windows(spark, sf_dir):
     )
     diff = F.col("__last") - F.col("__first")
     return agg.select(
+        "event_type",
         "ts_us",
         F.round(diff, 6).alias("increase"),
         F.round(diff / (F.col("__t1") - F.col("__t0")) * 1_000_000, 9).alias(
@@ -1352,8 +1354,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "rate_windows": """
-            -- tumbling 1h windows anchored at 0; two-point rule via HAVING
-            SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us,
+            -- per-series tumbling 1h windows anchored at 0; two-point rule
+            SELECT event_type,
+                   epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us,
                    round(max(struct_pack(t := epoch_us(ts), v := value)).v
                          - min(struct_pack(t := epoch_us(ts), v := value)).v, 6)
                      AS increase,
@@ -1361,7 +1364,7 @@ def oracle_sql() -> dict[str, str]:
                           - min(struct_pack(t := epoch_us(ts), v := value)).v)
                          / (max(epoch_us(ts)) - min(epoch_us(ts))) * 1000000, 9)
                      AS rate_per_sec
-            FROM events GROUP BY 1
+            FROM events GROUP BY 1, 2
             HAVING max(epoch_us(ts)) > min(epoch_us(ts))
         """,
         "rolling_avg_1h": """

@@ -119,6 +119,20 @@ def ivf_assign(vec_col, centroids: list[list[float]]) -> F.Column:
     return best_id
 
 
+def _probe_lists(query_vec: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
+    """The nprobe centroid ids nearest the query (driver-side, tiny)."""
+    import math as _math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a)) or 1e-12
+        nb = _math.sqrt(sum(x * x for x in b)) or 1e-12
+        return dot / (na * nb)
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i]))
+    return order[: max(1, nprobe)]
+
+
 def ivf_cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -131,21 +145,49 @@ def ivf_cosine_topk(
     """IVF probe: score only vectors in the nprobe lists nearest the query.
 
     At scale the assignment column is a partition/cluster key so the probe is
-    a partition-pruned scan of nprobe/n_centroids of the data; here it is an
-    inline filter over the same expression."""
-    import math as _math
-
-    def cos(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
-        na = _math.sqrt(sum(x * x for x in a)) or 1e-12
-        nb = _math.sqrt(sum(x * x for x in b)) or 1e-12
-        return dot / (na * nb)
-
-    order = sorted(range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i]))
-    probe_ids = order[: max(1, nprobe)]
+    a partition-pruned scan of nprobe/n_centroids of the data (see
+    ivf_build_index / ivf_probe_index); here it is an inline filter over the
+    same expression."""
+    probe_ids = _probe_lists(query_vec, centroids, nprobe)
     assigned = df.withColumn("__list", ivf_assign(F.col(vec_col), centroids))
     probed = assigned.where(F.col("__list").isin(probe_ids))
     return brute_force_cosine_topk(probed, query_vec, k, id_col, vec_col)
+
+
+def ivf_build_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist df partitioned by IVF list id — the at-scale layout: a probe
+    becomes a partition-pruned read of nprobe/n_lists of the table instead
+    of a full scan + filter. Build once per centroid set; append new data
+    with the same assignment expression."""
+    assigned = df.withColumn("ivf_list", ivf_assign(F.col(vec_col), centroids))
+    (
+        assigned.repartition("ivf_list")
+        .write.mode("overwrite")
+        .partitionBy("ivf_list")
+        .parquet(path)
+    )
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: the ivf_list filter lands in
+    PartitionFilters, so only nprobe partition directories are read."""
+    probe_ids = _probe_lists(query_vec, centroids, nprobe)
+    df = spark.read.parquet(path).where(F.col("ivf_list").isin(probe_ids))
+    return brute_force_cosine_topk(df, query_vec, k, id_col, vec_col)
 
 
 def _query_bucket(query_vec: list[float], planes: int, seed: int) -> int:

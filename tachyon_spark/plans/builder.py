@@ -260,8 +260,21 @@ class PlanBuilder:
             agg, vt = F.percentile(v.cast("double"), F.lit(node.arg)), VT_F64
         else:  # last: newest sample, (ts, value) tie-break
             agg, vt = F.max_by("value", F.struct("ts", "value")), child.value_type
-        out = child.df.groupBy(win).agg(agg.alias("value"))
+        out = child.df.groupBy(*self._series_window_keys(child, win)).agg(
+            agg.alias("value")
+        )
         return Plan("vector", out, vt)
+
+    @staticmethod
+    def _series_window_keys(child: Plan, win) -> list:
+        """Windowed evaluation is PER SERIES (PromQL semantics): each stream
+        gets its own window rows, and the output keeps stream_id so
+        `sum by (label) (...)` composes downstream. Same single shuffle —
+        the key is (stream_id, window) instead of (window)."""
+        keys = [win]
+        if "stream_id" in child.df.columns:
+            keys.insert(0, F.col("stream_id"))
+        return keys
 
     def _window_col(self, width: int):
         """Tumbling-window start for the current query (anchor = start)."""
@@ -281,7 +294,7 @@ class PlanBuilder:
         child = self._selector(msel.selector)
         win = self._window_col(msel.range_)
         agg = (
-            child.df.groupBy(win)
+            child.df.groupBy(*self._series_window_keys(child, win))
             .agg(
                 F.min_by("value", F.struct("ts", "value")).cast("double").alias("__first"),
                 F.max_by("value", F.struct("ts", "value")).cast("double").alias("__last"),
@@ -295,7 +308,8 @@ class PlanBuilder:
             value = diff / (F.col("__t1") - F.col("__t0")).cast("double")
         else:  # increase | delta
             value = diff
-        return Plan("vector", agg.select("ts", value.alias("value")), VT_F64)
+        keep = [c for c in ("stream_id", "ts") if c in agg.columns]
+        return Plan("vector", agg.select(*keep, value.alias("value")), VT_F64)
 
     # --------------------------------------------------------------- selector
     def _selector(self, sel: ast.VectorSelector) -> Plan:

@@ -133,6 +133,43 @@ def test_ann_recall_on_real_embeddings(spark):
     assert len(exact & lsh) / 20 >= 0.45  # 8 OR-ed tables (single-table ~0.05)
 
 
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """The persisted IVF layout: probing reads ONLY the nprobe list
+    partitions (PartitionFilters on ivf_list) and returns exactly what the
+    inline-filter form returns."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tachyon_spark.functions.similarity import (
+        ivf_build_index,
+        ivf_cosine_topk,
+        ivf_probe_index,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
+    others = emb.where(F.col("vec_id") != 0)
+    cents = train_ivf_centroids(others, n_centroids=4, sample=1024)
+    idx = str(tmp_path / "ivf_index")
+    ivf_build_index(others, cents, idx)
+
+    probed = ivf_probe_index(spark, idx, q, cents, k=10, nprobe=2)
+    inline = ivf_cosine_topk(others, q, cents, k=10, nprobe=2)
+    assert [(r.vec_id, round(r.score, 9)) for r in probed.collect()] == [
+        (r.vec_id, round(r.score, 9)) for r in inline.collect()
+    ]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+    assert m is not None and "ivf_list" in m.group(1), buf.getvalue()
+
+
 def test_cosine_topk(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

@@ -116,14 +116,28 @@ def test_over_time_requires_range_vector(golden_db):
         parse("avg_over_time(m)")
 
 
-def test_grouped_agg_on_windowed_vector_rejected(golden_db):
-    # windowed outputs carry no series identity; `by` grouping must error
-    # cleanly rather than fail deep in the label join
+def test_windowed_is_per_series(golden_db):
+    # multi-stream selector: each series gets its own windows (PromQL
+    # semantics), so one [0,100) window yields one increase PER service
+    got = golden_db.query("increase(http_requests_total[100])", 0, 100).rows()
+    assert sorted(got) == [(0, 3.0), (0, 19.0), (0, 91.0)]
+
+
+def test_sum_by_over_windowed_rate(golden_db):
+    # the canonical PromQL composition: per-series windowed increase,
+    # re-aggregated by label via the broadcast catalog join
+    q = golden_db.query(
+        "sum by (service) (increase(http_requests_total[100]))", 0, 100
+    )
+    got = {r.service: r.value for r in q.df().collect()}
+    assert got == {"web": 3.0, "cool": 19.0, "mobile": 91.0}
+
+
+def test_grouped_agg_on_identityless_vector_rejected(golden_db):
+    # derived vectors without series identity (interpolating join output)
+    # must error cleanly rather than fail deep in the label join
     with pytest.raises(ValueError, match="label-carrying"):
-        golden_db.query(
-            'sum by (service) (increase(http_requests_total{service="web"}[20]))',
-            0, 100,
-        )
+        golden_db.query("sum by (t) (ia + ib)", 0, 100)
 
 
 def test_matrix_selector_errors(golden_db):
