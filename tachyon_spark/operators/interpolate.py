@@ -136,9 +136,14 @@ def interpolated_binop(
             n_buckets = max(2 * sc.defaultParallelism, 8)
         # 1. contiguous ts-range buckets; double math avoids long overflow on
         # ns timestamps and only needs monotonicity in ts, which floor of a
-        # monotone map preserves.
-        rng = joined.agg(
-            F.min(ts_col).alias("__tmin"), F.max(ts_col).alias("__tmax")
+        # monotone map preserves. The range comes from the two INPUTS (their
+        # union's min/max == min-of-mins/max-of-maxes), not from `joined` —
+        # aggregating the join output would execute the join twice, while the
+        # per-input 1-row aggs read parquet footer stats at best.
+        rng = (
+            a.select(F.col(ts_col).alias("__t"))
+            .unionByName(b.select(F.col(ts_col).alias("__t")))
+            .agg(F.min("__t").alias("__tmin"), F.max("__t").alias("__tmax"))
         )
         width = (F.col("__tmax") - F.col("__tmin") + F.lit(1)).cast("double")
         bkt = F.floor(
