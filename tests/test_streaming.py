@@ -113,3 +113,43 @@ def test_streaming_windowed_agg_with_watermark(db, tmp_path):
     complete = {r.window_start_us: r for r in out}
     if 0 in complete:
         assert complete[0].n == 2 and complete[0].sum_value == 4.0
+
+
+def test_watermark_drops_late_rows(db, tmp_path):
+    """Late-data contract: once the watermark has CLOSED a window (an
+    eviction happens at the end of the batch after the watermark advances
+    past window end), a late row for it is dropped, not resurrected —
+    the bounded-state guarantee watermarks exist for."""
+    import time
+
+    src = str(tmp_path / "latedrops")
+    # file 1 advances event time to 20 min; file 2 pushes the watermark
+    # batch that EVICTS window 0; file 3 is a late row for window 0
+    _drop_batch(db.spark, src, [("s1", 0, 1.0, None), ("s1", 1200 * US, 7.0, None)])
+    time.sleep(1.1)  # distinct mtimes => deterministic file order
+    _drop_batch(db.spark, src, [("s1", 2400 * US, 9.0, None)])
+    time.sleep(1.1)
+    _drop_batch(db.spark, src, [("s1", 30 * US, 100.0, None)])
+    stream = (
+        db.spark.readStream.schema(db.samples_df().schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("stream_id", "ts", "value")
+    )
+    agg = tumbling_window_agg(stream, "1 minute", watermark="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1
+    out = {r.window_start_us: r for r in db.spark.sql("SELECT * FROM late_test").collect()}
+    assert out[0].n == 1 and out[0].sum_value == 1.0  # late 100.0 not merged
