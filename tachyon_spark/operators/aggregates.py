@@ -39,6 +39,39 @@ def scalar_agg(df: DataFrame, func: str, value_col: str = "value", out: str = "v
     return result.where(F.col(out).isNotNull())
 
 
+def salted_stats(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str = "value",
+    salt: int = 32,
+) -> DataFrame:
+    """Two-phase skew-safe stats per key: count/sum/avg/min/max.
+
+    A single hot key funnels its entire group through one reducer in a
+    plain groupBy; salting splits each key across `salt` sub-groups
+    (phase 1: mergeable partials by (key, salt) — the hot key now spreads
+    over `salt` tasks) and merges the partials per key (phase 2: `salt`
+    rows per key, trivial). AQE's skew handling covers JOINS; this is the
+    equivalent for aggregation when a key's partial state itself is the
+    bottleneck. Only mergeable aggregates compose this way (avg is
+    re-derived as sum/count at the merge)."""
+    v = F.col(value_col)
+    salted = df.withColumn("__salt", (F.rand(seed=7) * salt).cast("int"))
+    partials = salted.groupBy(*keys, "__salt").agg(
+        F.count(v).alias("__n"),
+        F.sum(v).alias("__s"),
+        F.min(v).alias("__mn"),
+        F.max(v).alias("__mx"),
+    )
+    return partials.groupBy(*keys).agg(
+        F.sum("__n").alias("n"),
+        F.sum("__s").alias("sum_value"),
+        (F.sum("__s") / F.sum("__n")).alias("avg_value"),
+        F.min("__mn").alias("min_value"),
+        F.max("__mx").alias("max_value"),
+    )
+
+
 def grouped_agg(
     df: DataFrame,
     func: str,

@@ -40,12 +40,17 @@ EWMA_STATE_SCHEMA = T.StructType(
 )
 
 
-def _ewma_update(alpha: float):
+def _ewma_update(alpha: float, idle_timeout_ms: int | None = None):
     def fn(
         key: Tuple[str],
         pdf_iter: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_ms and state.hasTimedOut:
+            # stream went idle past the timeout: drop its state (bounded
+            # state store — dead streams never accumulate)
+            state.remove()
+            return
         if state.exists:
             ewma, n = state.get
         else:
@@ -67,21 +72,33 @@ def _ewma_update(alpha: float):
                 }
             )
         state.update((ewma, n))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
 
     return fn
 
 
 def streaming_ewma(
-    stream: DataFrame, alpha: float = 0.3, key_col: str = "stream_id"
+    stream: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "stream_id",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key running EWMA over a streaming (or grouped batch) DataFrame
-    with rows (stream_id, ts, value). Emits one row per input row."""
+    with rows (stream_id, ts, value). Emits one row per input row.
+
+    idle_timeout_ms: expire a stream's state after this much processing
+    time without new samples (its next sample restarts the EWMA fresh)."""
     return stream.groupBy(key_col).applyInPandasWithState(
-        _ewma_update(alpha),
+        _ewma_update(alpha, idle_timeout_ms),
         outputStructType=EWMA_OUTPUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -101,3 +101,40 @@ def test_grouped_aggregate_extension(golden_db):
     q = golden_db.query("sum by (service) (mg)", 0, 100)
     rows = {r.service: r.value for r in q.df().collect()}
     assert rows == {"web": 30, "mobile": 3}
+
+
+def test_salted_stats_matches_plain_groupby(spark):
+    """Skew-safe two-phase aggregation: same results as the direct groupBy
+    (salt only changes the shuffle shape), hot key included."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tachyon_spark.operators.aggregates import salted_stats
+
+    rnd = random.Random(3)
+    rows = [("hot", rnd.uniform(-10, 10)) for _ in range(5000)] + [
+        (f"k{i % 7}", rnd.uniform(-10, 10)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "key string, value double")
+    got = {
+        r.key: (r.n, round(r.sum_value, 6), round(r.avg_value, 9), r.min_value, r.max_value)
+        for r in salted_stats(df, ["key"], salt=16).collect()
+    }
+    exp = {
+        r.key: (r.n, round(r.s, 6), round(r.a, 9), r.mn, r.mx)
+        for r in df.groupBy("key")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("s"),
+            F.avg("value").alias("a"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == exp
+    # the plan really is two exchanges: (key, salt) then (key)
+    plan = salted_stats(df, ["key"], salt=16)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") >= 2
+    assert "__salt" in plan

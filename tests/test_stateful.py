@@ -29,6 +29,31 @@ def test_ewma_batch(spark):
     assert out[("b", 20)][0] == 0.3 * 20.0 + 0.7 * 10.0
 
 
+def test_streaming_ewma_with_idle_timeout(spark, tmp_path):
+    """ProcessingTimeTimeout wiring: with a long timeout nothing expires in
+    one availableNow run, so results match the no-timeout path (the expiry
+    branch drops state for streams gone idle in long-running queries)."""
+    src = str(tmp_path / "ewma_timeout")
+    rows = [("a", 10, 1.0, None), ("a", 20, 2.0, None)]
+    spark.createDataFrame(rows, SAMPLES_SCHEMA).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(SAMPLES_SCHEMA)
+        .parquet(src)
+        .select("stream_id", "ts", "value")
+    )
+    q = (
+        streaming_ewma(stream, alpha=0.3, idle_timeout_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("ewma_to")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.ts: r.ewma for r in spark.sql("SELECT * FROM ewma_to").collect()}
+    assert got == {10: 1.0, 20: 0.3 * 2.0 + 0.7 * 1.0}
+
+
 def test_ewma_segmented_any_bucket_count(spark):
     """The segmented scan must reproduce the sequential recurrence for ANY
     bucket count (splits mid-key force affine cross-bucket composition)."""
