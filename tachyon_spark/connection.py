@@ -198,6 +198,14 @@ class Connection:
         df = self.samples_df().where(F.col("stream_id") == stream_id)
         return df.select(F.col("ts"), self.value_column(value_type).alias("value"))
 
+    def register_views(self, prefix: str = "tachyon") -> None:
+        """Expose the engine's tables to Spark SQL as temp views:
+        {prefix}_samples (raw samples incl partition cols) and
+        {prefix}_streams (the catalog). PromQL is a front-end, not a cage —
+        anything the DataFrame surface can do, `spark.sql` can too."""
+        self.samples_df().createOrReplaceTempView(f"{prefix}_samples")
+        self.catalog.df().createOrReplaceTempView(f"{prefix}_streams")
+
     # --- query (lib.rs:495-510) --------------------------------------------
     def query(self, promql: str, start: int | None = None, end: int | None = None) -> "Query":
         from tachyon_spark.plans.builder import PlanBuilder
@@ -312,3 +320,8 @@ class Query:
     def scalar(self):
         vals = self.rows()
         return vals[0] if vals else None
+
+    def explain(self, mode: str = "formatted") -> None:
+        """Print the physical plan — the fastest way to confirm a query
+        prunes partitions and pushes filters (see SCALE.md)."""
+        self.df().explain(mode)

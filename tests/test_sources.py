@@ -81,3 +81,21 @@ def test_samples_file_stats(db):
     assert row["first_value"] == 1.0
     assert row["file_bytes"] > 0 and row["compression_ratio"] is not None
     assert os.path.exists(row["file"])
+
+
+def test_register_views_sql_surface(db):
+    """The SQL escape hatch: samples + catalog as temp views, joinable."""
+    db.create_stream('sqlv{k="1"}', "f64")
+    ins = db.prepare_insert('sqlv{k="1"}')
+    ins.insert(10, 1.5)
+    ins.insert(20, 2.5)
+    ins.flush()
+    db.register_views()
+    out = db.spark.sql(
+        """
+        SELECT st.name, count(*) AS n, sum(sa.value) AS s
+        FROM tachyon_samples sa JOIN tachyon_streams st USING (stream_id)
+        WHERE st.name = 'sqlv' GROUP BY st.name
+        """
+    ).collect()
+    assert [(r.name, r.n, r.s) for r in out] == [("sqlv", 2, 4.0)]
