@@ -647,6 +647,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+DECON_N = 5
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup.decontaminate_ngram):
+    corpus docs sharing any 5-gram with the pseudo-benchmark slice
+    (doc_id % 20 == 0). Broadcast semi-join of benchmark shingles into the
+    corpus shingle stream + one narrow hit-count shuffle."""
+    from tachyon_spark.functions.dedup import decontaminate_ngram
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return decontaminate_ngram(corpus, bench, n=DECON_N)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from tachyon_spark.functions.dedup import simhash_pairs
 
@@ -830,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "decontaminate": q_decontaminate,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1412,6 +1429,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _SIMHASH_SQL,
+        "decontaminate": f"""
+            WITH csh AS (
+              SELECT DISTINCT doc_id AS id,
+                     array_to_string(w[i:i+{DECON_N - 1}], ' ') AS shingle
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents WHERE doc_id % 20 != 0) tok,
+                   unnest(generate_series(1, greatest(len(w) - {DECON_N - 1}, 0))) AS t(i)
+            ),
+            bsh AS (
+              SELECT DISTINCT array_to_string(w[i:i+{DECON_N - 1}], ' ') AS shingle
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents WHERE doc_id % 20 = 0) tok,
+                   unnest(generate_series(1, greatest(len(w) - {DECON_N - 1}, 0))) AS t(i)
+            )
+            SELECT c.id AS doc_id, count(*) AS n_hits
+            FROM csh c JOIN bsh b ON c.shingle = b.shingle
+            GROUP BY c.id
+        """,
         "embedding_cosine_topk": _COSINE_SQL,
         "text_stats": f"""
             SELECT doc_id, len({tok}) AS n_tokens, length(text) AS n_chars,

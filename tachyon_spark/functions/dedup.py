@@ -100,6 +100,39 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     )
 
 
+def decontaminate_ngram(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing >= min_hits
+    distinct word n-grams with ANY benchmark document.
+
+    The canonical training-data hygiene step (drop pretraining docs that
+    contain eval-set text). Shape: the benchmark's distinct shingle set is
+    usually tiny relative to the corpus — broadcast it (size-guarded, like
+    the dedup verify joins) and semi-join the corpus shingles against it;
+    one narrow shuffle for the per-doc hit count, no corpus self-join.
+    Returns (id, n_hits) for contaminated docs; anti-join the corpus
+    against it to clean."""
+    bench_sh = (
+        shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    )
+    bench_sh = _verify_side(bench_sh, max_broadcast_rows)
+    corp_sh = shingles(corpus, id_col, text_col, n)
+    hits = (
+        corp_sh.join(bench_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )
+    return hits.select(F.col("id").alias(id_col), "n_hits")
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: keep the smallest id per identical text. Returns kept ids.
 
@@ -226,10 +259,10 @@ def minhash_lsh_pairs(
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
     # one shingling pass feeds BOTH the signatures and the verification join
+    # (sh is read by 4 consumers -> eager cache; sig flows into band_rows
+    # exactly once, so materializing it would only add a pass)
     sh = _materialize(shingles(df, id_col, text_col, n))
-    sig = _materialize(
-        minhash_signatures(df, num_hashes, n, id_col, text_col, shingle_df=sh)
-    )
+    sig = minhash_signatures(df, num_hashes, n, id_col, text_col, shingle_df=sh)
     band_rows = sig.select(
         "id",
         F.explode(

@@ -63,6 +63,28 @@ def test_ngram_jaccard_max_postings(docs):
     assert ngram_jaccard_pairs(docs, 0.5, max_postings=0).count() == 0
 
 
+def test_decontaminate_ngram(spark):
+    from tachyon_spark.functions.dedup import decontaminate_ngram
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox jumps over something"),
+            (2, "totally unrelated content about spark aggregation plans"),
+            (3, "quick brown fox jumps over the lazy dog exact suffix hit"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_hits for r in decontaminate_ngram(corpus, bench, n=5).collect()}
+    # doc 1 shares 2 distinct 5-grams, doc 3 shares 4, doc 2 none
+    assert out == {1: 2, 3: 4}
+    strict = {r.doc_id for r in decontaminate_ngram(corpus, bench, n=5, min_hits=3).collect()}
+    assert strict == {3}
+
+
 def test_minhash_signatures_shape(docs):
     sigs = {r.id: r.sig for r in minhash_signatures(docs, 16).collect()}
     assert len(sigs) == 4 and all(len(s) == 16 for s in sigs.values())
