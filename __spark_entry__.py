@@ -722,6 +722,19 @@ def q_embedding_ann_ivf(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Semantic near-dup pairs (functions/similarity.embedding_near_dup_pairs):
+    multi-table LSH blocking on (table, bucket) + exact cosine verify —
+    never all-pairs. Oracle replays the plane constants."""
+    from tachyon_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(
+        emb, threshold=NEAR_DUP_THRESHOLD, planes=LSH_PLANES, tables=LSH_TABLES
+    )
+    return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: documents→binary payloads→mapInPandas feature
     extraction (functions/multimodal.py). The fake decode is sha256-digest
@@ -841,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_final": q_ewma_final,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1016,17 +1030,22 @@ WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= {JACCARD_THRESHOLD}
 """
 
 
-def _lsh_sql() -> str:
-    """Multi-table LSH ANN oracle: the seeded-LCG hyperplanes are pure
-    constants, so per-table bucket assignment, the OR-of-tables probe and
-    the exact rescoring all replay in SQL."""
+def _plane_rows_sql() -> str:
+    """(t, pi, plane) rows for the seeded-LCG hyperplanes as SQL constants."""
     from tachyon_spark.functions.similarity import _hyperplanes
 
-    plane_rows = "\n  UNION ALL\n".join(
+    return "\n  UNION ALL\n".join(
         f"  SELECT {t} AS t, {i} AS pi, CAST([{', '.join(repr(x) for x in p)}] AS DOUBLE[]) AS plane"
         for t in range(LSH_TABLES)
         for i, p in enumerate(_hyperplanes(dim=64, planes=LSH_PLANES, seed=7 + t))
     )
+
+
+def _lsh_sql() -> str:
+    """Multi-table LSH ANN oracle: the seeded-LCG hyperplanes are pure
+    constants, so per-table bucket assignment, the OR-of-tables probe and
+    the exact rescoring all replay in SQL."""
+    plane_rows = _plane_rows_sql()
     return f"""
 WITH p AS (
 {plane_rows}
@@ -1067,6 +1086,48 @@ scored AS (
 )
 SELECT vec_id, round(score, 6) AS score
 FROM scored ORDER BY score DESC, vec_id LIMIT 20
+"""
+
+
+NEAR_DUP_THRESHOLD = 0.4  # synthetic embeddings have no true near-dups;
+# 0.4 yields ~40 "related" pairs, exercising blocking + verify end-to-end
+
+
+def _near_dup_sql() -> str:
+    """Embedding near-dup oracle: replay per-table buckets, the (t, bucket)
+    candidate join, and the exact cosine verify."""
+    plane_rows = _plane_rows_sql()
+    cos = (
+        "list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))"
+        " / (sqrt(list_sum(list_transform(ea.v, q -> q * q)))"
+        " * sqrt(list_sum(list_transform(eb.v, q -> q * q))))"
+    )
+    return f"""
+WITH p AS (
+{plane_rows}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dots AS (
+  SELECT e.vec_id, p.t, p.pi,
+         list_sum(list_transform(range(1, 65), i -> e.v[i] * p.plane[i])) AS d
+  FROM e CROSS JOIN p
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN d >= 0 THEN 1 << pi ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b, {cos} AS score
+  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(score, 6) AS score
+FROM scored WHERE score >= {NEAR_DUP_THRESHOLD}
 """
 
 
@@ -1424,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_ann_lsh": _lsh_sql(),
         "embedding_ann_ivf": _IVF_SQL,
+        "embedding_near_dup": _near_dup_sql(),
         "media_features": _MEDIA_SQL,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
         "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -154,6 +154,73 @@ def ivf_cosine_topk(
     return brute_force_cosine_topk(probed, query_vec, k, id_col, vec_col)
 
 
+def _lsh_buckets_udf(all_planes, planes: int):
+    """array<long> pandas_udf: one bucket id per table for each vector —
+    one batch matmul, same arithmetic as the probe kernel."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(all_planes)
+    weights = 1 << np.arange(planes)
+    n_tables = P.shape[0] // planes
+
+    def buckets(v):
+        X = np.vstack(v.to_numpy())
+        bits = (X @ P.T >= 0).astype(np.int64)
+        out = [
+            (bits[:, t * planes : (t + 1) * planes] * weights).sum(axis=1)
+            for t in range(n_tables)
+        ]
+        return pd.Series(list(np.stack(out, axis=1)))
+
+    buckets.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return F.pandas_udf(buckets, "array<long>")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Semantic near-duplicate pairs: cosine(a, b) >= threshold.
+
+    Never all-pairs: candidates are pairs sharing a bucket in ANY of the
+    multi-table LSH tables (equi-join on (table, bucket) — bounded keys),
+    then ONLY candidates get the exact JVM-side cosine verify. Recall
+    follows the LSH OR-construction (1-(1-p^planes)^tables); precision is
+    exact (verify kills false positives). Returns (id_a, id_b, score)."""
+    dim = len(df.select(vec_col).head()[0])
+    all_planes = [
+        row for t in range(tables) for row in _hyperplanes(dim, planes, seed + t)
+    ]
+    udf = _lsh_buckets_udf(all_planes, planes)
+    bucketed = df.select(
+        F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("__bs")
+    ).select("id", F.posexplode("__bs").alias("t", "bucket"))
+    a = bucketed.select(F.col("id").alias("id_a"), "t", "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+    paired = (
+        cand.join(vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a")
+        .join(vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
+    )
+    score = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        paired.select("id_a", "id_b", score.alias("score"))
+        .where(F.col("score") >= threshold)
+    )
+
+
 def ivf_build_index(
     df: DataFrame,
     centroids: list[list[float]],

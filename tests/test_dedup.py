@@ -130,6 +130,27 @@ def test_ivf_cosine_topk(spark):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_embedding_near_dup_pairs(spark):
+    """True near-dups (tiny perturbations) must be found with their exact
+    cosine; unrelated vectors must not pair at a high threshold."""
+    import random
+
+    from tachyon_spark.functions.similarity import embedding_near_dup_pairs
+
+    rnd = random.Random(5)
+    base = [rnd.gauss(0, 1) for _ in range(64)]
+    near = [x + rnd.gauss(0, 0.01) for x in base]
+    rows = [(0, base), (1, near)] + [
+        (i, [rnd.gauss(0, 1) for _ in range(64)]) for i in range(2, 100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r.id_a, r.id_b): r.score
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert set(pairs) == {(0, 1)} and pairs[(0, 1)] > 0.99
+
+
 def test_ann_recall_on_real_embeddings(spark):
     """Recall@20 gates for both ANN paths against the exact scan, on the
     driver's real embeddings table (not synthetic gaussians)."""
