@@ -755,6 +755,32 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_clean_corpus_stats(spark, sf_dir):
+    """The composed training-data pipeline in ONE plan: quality-filter ->
+    exact-dedup (keep lowest doc_id per text) -> per-source token totals.
+    Each stage is narrow or one shuffle; Catalyst fuses the filter into the
+    scan and the dedup groupBy supplies the only wide exchange before the
+    final per-source aggregate."""
+    from tachyon_spark.functions.textstats import _tokens, quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = quality_score(docs).where(F.col("quality") >= 0.5)
+    good = docs.join(scored.select("doc_id"), "doc_id")
+    kept = good.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    clean = good.join(kept.select("doc_id"), "doc_id")
+    return (
+        clean.select("source", F.size(_tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+        )
+    )
+
+
 def q_text_stats(spark, sf_dir):
     from tachyon_spark.functions.textstats import text_stats
 
@@ -863,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "text_stats": q_text_stats,
+        "clean_corpus_stats": q_clean_corpus_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts_by_source": q_token_counts_by_source,
@@ -1510,6 +1537,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.id
         """,
         "embedding_cosine_topk": _COSINE_SQL,
+        "clean_corpus_stats": f"""
+            WITH scored AS (
+              SELECT doc_id FROM documents
+              WHERE round(
+                0.4 * least(1.0, len({ltok}) / 100.0)
+              + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       * 1.0 / greatest(length(text), 1))
+              + 0.3 * least(1.0, 10.0 * ({stop} * 1.0 / greatest(len({ltok}), 1))), 6) >= 0.5
+            ),
+            good AS (SELECT d.* FROM documents d JOIN scored USING (doc_id)),
+            kept AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text)),
+            clean AS (SELECT g.* FROM good g JOIN kept USING (doc_id))
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len({tok})) AS BIGINT) AS total_tokens,
+                   round(avg(len({tok})), 6) AS avg_tokens
+            FROM clean GROUP BY source
+        """,
         "text_stats": f"""
             SELECT doc_id, len({tok}) AS n_tokens, length(text) AS n_chars,
                    round(list_sum(list_transform({tok}, t -> length(t))) * 1.0
