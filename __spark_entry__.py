@@ -781,6 +781,34 @@ def q_clean_corpus_stats(spark, sf_dir):
     )
 
 
+def q_media_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (functions/multimodal.sample_frames):
+    row explosion inside mapInPandas — one output row per sampled frame.
+    The fake frame digest (sha256(payload + str(idx))) replays in SQL."""
+    from tachyon_spark.functions.multimodal import media_from_documents, sample_frames
+
+    docs = _read(spark, sf_dir, "documents")
+    media = media_from_documents(docs, modality="video")
+    frames = sample_frames(media, every_ms=1000)
+    return frames.select(
+        "content_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.lower(F.hex("frame")).alias("frame_sha"),
+    )
+
+
+def q_media_resize(spark, sf_dir):
+    """Image resize plumbing (functions/multimodal.resize_images): batched
+    payload rewrite; fake kernel digest replays in SQL."""
+    from tachyon_spark.functions.multimodal import media_from_documents, resize_images
+
+    docs = _read(spark, sf_dir, "documents")
+    media = media_from_documents(docs, modality="image")
+    out = resize_images(media, 64, 64)
+    return out.select("content_id", F.lower(F.hex("payload")).alias("resized_sha"))
+
+
 def q_text_stats(spark, sf_dir):
     from tachyon_spark.functions.textstats import text_stats
 
@@ -882,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "media_resize": q_media_resize,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1514,6 +1544,23 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann_ivf": _IVF_SQL,
         "embedding_near_dup": _near_dup_sql(),
         "media_features": _MEDIA_SQL,
+        "media_frames": """
+            -- duration_ms = length(text)*10; frames every 1000ms, min 1
+            WITH v AS (
+              SELECT CAST(doc_id AS VARCHAR) AS content_id, text,
+                     CAST(length(text) AS BIGINT) * 10 AS dur
+              FROM documents
+            )
+            SELECT content_id, CAST(i AS INTEGER) AS frame_idx,
+                   i * 1000 AS frame_ts_ms,
+                   sha256(text || CAST(i AS VARCHAR)) AS frame_sha
+            FROM v, unnest(range(greatest(dur // 1000, 1))) AS t(i)
+        """,
+        "media_resize": """
+            SELECT CAST(doc_id AS VARCHAR) AS content_id,
+                   sha256(text || '64x64') AS resized_sha
+            FROM documents
+        """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),

@@ -158,8 +158,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     rows["content_id"].append(cid)
                     rows["frame_idx"].append(i)
                     rows["frame_ts_ms"].append(i * every_ms)
+                    # ASCII index suffix (not raw bytes): keeps the fake
+                    # digest replayable by engines whose sha256 takes text
                     rows["frame"].append(
-                        hashlib.sha256((payload or b"") + i.to_bytes(4, "big")).digest()
+                        hashlib.sha256((payload or b"") + str(i).encode()).digest()
                     )
             yield pd.DataFrame(rows)
 
