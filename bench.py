@@ -131,12 +131,16 @@ def main():
         "ewma_final",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "decontaminate",
         "embedding_cosine_topk",
         "embedding_ann_lsh",
+        "embedding_near_dup",
         "text_stats",
         "quality_score",
         "lang_id",
         "token_count_bpe",
+        "clean_corpus_stats",
+        "media_frames",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
