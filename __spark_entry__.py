@@ -587,6 +587,30 @@ def q_rate_windows(spark, sf_dir):
     )
 
 
+def q_counter_resets(spark, sf_dir):
+    """PromQL resets(m[1h]) mirror (plans/builder._range_count_func):
+    per-(series, window) count of value decreases between consecutive
+    samples. Lag window and aggregation share one (series, window)
+    partitioning — a single shuffle."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w_us = 60 * 60 * 1_000_000
+    e = ev.select(
+        "event_type",
+        F.expr("ts DIV 1000").alias("t"),
+        "value",
+        (F.expr("ts DIV 1000") - F.expr("ts DIV 1000") % F.lit(w_us)).alias("ts_us"),
+    )
+    w = Window.partitionBy("event_type", "ts_us").orderBy("t", "value")
+    flag = (F.col("value") < F.lag("value").over(w)).cast("long")
+    return (
+        e.select("event_type", "ts_us", F.coalesce(flag, F.lit(0)).alias("f"))
+        .groupBy("event_type", "ts_us")
+        .agg(F.sum("f").alias("n_resets"))
+    )
+
+
 def q_distinct_users(spark, sf_dir):
     """Distinct-count per event_type. Scale path: approx_count_distinct
     (HyperLogLog++, mergeable) — exact here for the oracle."""
@@ -902,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_avg_1h": q_rolling_avg_1h,
         "rate_per_type": q_rate_per_type,
         "rate_windows": q_rate_windows,
+        "counter_resets": q_counter_resets,
         "continuous_rollup": q_continuous_rollup,
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
@@ -1487,6 +1512,22 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS min_v,
                    max(value) AS max_v
             FROM events GROUP BY 1, 2
+        """,
+        "counter_resets": """
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) AS t, value,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us
+              FROM events
+            ),
+            l AS (
+              SELECT event_type, ts_us,
+                     CASE WHEN value < lag(value) OVER
+                          (PARTITION BY event_type, ts_us ORDER BY t, value)
+                          THEN 1 ELSE 0 END AS f
+              FROM e
+            )
+            SELECT event_type, ts_us, CAST(sum(f) AS BIGINT) AS n_resets
+            FROM l GROUP BY 1, 2
         """,
         "rate_windows": """
             -- per-series tumbling 1h windows anchored at 0; two-point rule

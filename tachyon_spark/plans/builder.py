@@ -108,6 +108,8 @@ class PlanBuilder:
             return self._range_func(expr)
         if isinstance(expr, ast.OverTimeFunc):
             return self._over_time_func(expr)
+        if isinstance(expr, ast.RangeCountFunc):
+            return self._range_count_func(expr)
         if isinstance(expr, ast.MathFunc):
             return self._math_func(expr)
         if isinstance(expr, ast.SortFunc):
@@ -264,6 +266,39 @@ class PlanBuilder:
             agg.alias("value")
         )
         return Plan("vector", out, vt)
+
+    def _range_count_func(self, node: ast.RangeCountFunc) -> Plan:
+        """resets/changes per (series, tumbling window): a lag over
+        (series, window) ordered by (ts, value), then a count of decreases
+        (resets) or inequalities (changes) between consecutive samples.
+        One shuffle on the (series, window) key; the lag window and the
+        aggregation share that partitioning, so no second exchange."""
+        from pyspark.sql import Window as W
+
+        msel = node.child
+        child = self._selector(msel.selector)
+        win = self._window_col(msel.range_)
+        df = child.df.select(
+            *( ["stream_id"] if "stream_id" in child.df.columns else [] ),
+            F.col("ts").alias("__ts"),
+            "value",
+            win.alias("__win"),
+        )
+        part = (["stream_id"] if "stream_id" in df.columns else []) + ["__win"]
+        w = W.partitionBy(*part).orderBy("__ts", "value")
+        prev = F.lag("value").over(w)
+        if node.func == "resets":
+            flag = (F.col("value") < prev).cast("long")
+        else:  # changes
+            flag = (F.col("value") != prev).cast("long")
+        flagged = df.select(*part, F.coalesce(flag, F.lit(0)).alias("__f"))
+        out = flagged.groupBy(*part).agg(F.sum("__f").alias("value"))
+        keep = [c for c in ("stream_id",) if c in out.columns]
+        return Plan(
+            "vector",
+            out.select(*keep, F.col("__win").alias("ts"), "value"),
+            VT_U64,
+        )
 
     @staticmethod
     def _series_window_keys(child: Plan, win) -> list:

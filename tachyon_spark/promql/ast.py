@@ -78,6 +78,17 @@ class RangeFunc:
 
 
 @dataclass(frozen=True)
+class RangeCountFunc:
+    """`resets(m[5m])` / `changes(m[5m])` — per-series per-window counts of
+    counter resets (value decreases) / value changes between consecutive
+    samples (PromQL semantics; extension here — the reference rejects all
+    function calls)."""
+
+    func: str  # resets | changes
+    child: object  # MatrixSelector
+
+
+@dataclass(frozen=True)
 class OverTimeFunc:
     """`avg_over_time(m[5m])` etc. — per-tumbling-window aggregation over a
     range vector (extension; requires a MatrixSelector child, like PromQL).
@@ -122,6 +133,7 @@ SET_OPS = frozenset({"and", "or", "unless"})  # extension (ts-key matching)
 AGG_FUNCS = frozenset({"sum", "count", "avg", "min", "max"})
 GETK_FUNCS = frozenset({"topk", "bottomk"})
 RANGE_FUNCS = frozenset({"rate", "increase", "delta"})
+RANGE_COUNT_FUNCS = frozenset({"resets", "changes"})  # require m[RANGE]
 OVER_TIME_FUNCS = frozenset(
     {
         "avg_over_time",

@@ -53,6 +53,7 @@ KEYWORDS = (
     | set(ast.GETK_FUNCS)
     | set(ast.RANGE_FUNCS)
     | set(ast.OVER_TIME_FUNCS)
+    | set(ast.RANGE_COUNT_FUNCS)
     | set(ast.MATH_FUNCS)
     | set(ast.SET_OPS)
     | set(ast.SORT_FUNCS)
@@ -192,6 +193,8 @@ class Parser:
                 return self.parse_range_func()
             if tok.text in ast.OVER_TIME_FUNCS:
                 return self.parse_over_time_func()
+            if tok.text in ast.RANGE_COUNT_FUNCS:
+                return self.parse_range_count_func()
             if tok.text in ast.MATH_FUNCS:
                 return self.parse_math_func()
             if tok.text in ast.SORT_FUNCS:
@@ -249,6 +252,15 @@ class Parser:
                 f"{func} requires a range vector argument like m[5m]"
             )
         return ast.OverTimeFunc(func, child, arg)
+
+    def parse_range_count_func(self):
+        func = self.next().text
+        self.expect("(")
+        child = self.parse_or()
+        self.expect(")")
+        if not isinstance(child, ast.MatrixSelector):
+            raise PromQLError(f"{func} requires a range vector argument like m[5m]")
+        return ast.RangeCountFunc(func, child)
 
     def parse_math_func(self):
         func = self.next().text

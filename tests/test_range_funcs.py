@@ -108,6 +108,26 @@ def test_quantile_over_time(golden_db):
             parse(bad)
 
 
+def test_resets_and_changes(golden_db):
+    q = 'http_requests_total{service="web"}'
+    # values by ts: 45,47,23,48 — one window [0,100): one decrease (47->23),
+    # three consecutive changes
+    assert golden_db.query(f"resets({q}[100])", 0, 100).rows() == [(0, 1)]
+    assert golden_db.query(f"changes({q}[100])", 0, 100).rows() == [(0, 3)]
+    # windows of 20: [20,40): 45->47 no reset, 1 change; [40,60): 23->48 same
+    assert golden_db.query(f"resets({q}[20])", 0, 100).rows() == [(20, 0), (40, 0)]
+    assert golden_db.query(f"changes({q}[20])", 0, 100).rows() == [(20, 1), (40, 1)]
+    # per-series on the multi-stream selector: mobile has 18->0 (1 reset)
+    got = golden_db.query("resets(http_requests_total[100])", 0, 100).rows()
+    # web 47->23, cool 40->20, mobile 18->0: one reset each
+    assert sorted(v for _, v in got) == [1, 1, 1]
+    from tachyon_spark.promql import parse
+    from tachyon_spark.promql.parser import PromQLError
+
+    with pytest.raises(PromQLError, match="range vector"):
+        parse("resets(m)")
+
+
 def test_over_time_requires_range_vector(golden_db):
     from tachyon_spark.promql import parse
     from tachyon_spark.promql.parser import PromQLError
