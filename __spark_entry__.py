@@ -611,6 +611,29 @@ def q_counter_resets(spark, sf_dir):
     )
 
 
+def q_deriv_windows(spark, sf_dir):
+    """PromQL deriv(m[1h]) mirror: least-squares slope (regr_slope, a plain
+    mergeable aggregate) per (series, window); x is window-relative seconds
+    on both engines so the regression arithmetic stays cancellation-free."""
+    ev = _read(spark, sf_dir, "events")
+    w_us = 60 * 60 * 1_000_000
+    e = ev.select(
+        "event_type",
+        F.expr("ts DIV 1000").alias("t"),
+        "value",
+        (F.expr("ts DIV 1000") - F.expr("ts DIV 1000") % F.lit(w_us)).alias("ts_us"),
+    )
+    x = (F.col("t") - F.col("ts_us")).cast("double") / 1e6
+    out = (
+        e.groupBy("event_type", "ts_us")
+        .agg(F.regr_slope(F.col("value").cast("double"), x).alias("__s"))
+        .where(F.col("__s").isNotNull())
+    )
+    return out.select(
+        "event_type", "ts_us", F.round("__s", 9).alias("slope_per_sec")
+    )
+
+
 def q_distinct_users(spark, sf_dir):
     """Distinct-count per event_type. Scale path: approx_count_distinct
     (HyperLogLog++, mergeable) — exact here for the oracle."""
@@ -927,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_per_type": q_rate_per_type,
         "rate_windows": q_rate_windows,
         "counter_resets": q_counter_resets,
+        "deriv_windows": q_deriv_windows,
         "continuous_rollup": q_continuous_rollup,
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
@@ -1512,6 +1536,17 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS min_v,
                    max(value) AS max_v
             FROM events GROUP BY 1, 2
+        """,
+        "deriv_windows": """
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) AS t, value,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us
+              FROM events
+            )
+            SELECT event_type, ts_us,
+                   round(regr_slope(value, (t - ts_us) / 1e6), 9) AS slope_per_sec
+            FROM e GROUP BY 1, 2
+            HAVING regr_slope(value, (t - ts_us) / 1e6) IS NOT NULL
         """,
         "counter_resets": """
             WITH e AS (

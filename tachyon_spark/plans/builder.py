@@ -110,6 +110,8 @@ class PlanBuilder:
             return self._over_time_func(expr)
         if isinstance(expr, ast.RangeCountFunc):
             return self._range_count_func(expr)
+        if isinstance(expr, ast.DerivFunc):
+            return self._deriv_func(expr)
         if isinstance(expr, ast.MathFunc):
             return self._math_func(expr)
         if isinstance(expr, ast.SortFunc):
@@ -266,6 +268,26 @@ class PlanBuilder:
             agg.alias("value")
         )
         return Plan("vector", out, vt)
+
+    def _deriv_func(self, node: ast.DerivFunc) -> Plan:
+        """deriv(m[RANGE]): least-squares slope of value over ts per
+        (series, window) — regr_slope is a plain mergeable aggregate, so
+        this is the same single-shuffle shape as every windowed function.
+        Slope is per native ts unit (multiply by 1e9 for per-second on ns
+        data); windows without 2 distinct ts yield null and are dropped."""
+        msel = node.child
+        child = self._selector(msel.selector)
+        win = self._window_col(msel.range_)
+        out = (
+            child.df.groupBy(*self._series_window_keys(child, win))
+            .agg(
+                F.regr_slope(
+                    F.col("value").cast("double"), F.col("ts").cast("double")
+                ).alias("value")
+            )
+            .where(F.col("value").isNotNull())
+        )
+        return Plan("vector", out, VT_F64)
 
     def _range_count_func(self, node: ast.RangeCountFunc) -> Plan:
         """resets/changes per (series, tumbling window): a lag over

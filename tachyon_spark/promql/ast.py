@@ -89,6 +89,15 @@ class RangeCountFunc:
 
 
 @dataclass(frozen=True)
+class DerivFunc:
+    """`deriv(m[5m])`: per-series per-window least-squares slope of value
+    over ts (PromQL simple linear regression; extension here). Windows
+    with < 2 distinct points yield nothing."""
+
+    child: object  # MatrixSelector
+
+
+@dataclass(frozen=True)
 class OverTimeFunc:
     """`avg_over_time(m[5m])` etc. — per-tumbling-window aggregation over a
     range vector (extension; requires a MatrixSelector child, like PromQL).
@@ -134,6 +143,7 @@ AGG_FUNCS = frozenset({"sum", "count", "avg", "min", "max"})
 GETK_FUNCS = frozenset({"topk", "bottomk"})
 RANGE_FUNCS = frozenset({"rate", "increase", "delta"})
 RANGE_COUNT_FUNCS = frozenset({"resets", "changes"})  # require m[RANGE]
+DERIV_FUNCS = frozenset({"deriv"})  # least-squares slope; requires m[RANGE]
 OVER_TIME_FUNCS = frozenset(
     {
         "avg_over_time",

@@ -54,6 +54,7 @@ KEYWORDS = (
     | set(ast.RANGE_FUNCS)
     | set(ast.OVER_TIME_FUNCS)
     | set(ast.RANGE_COUNT_FUNCS)
+    | set(ast.DERIV_FUNCS)
     | set(ast.MATH_FUNCS)
     | set(ast.SET_OPS)
     | set(ast.SORT_FUNCS)
@@ -195,6 +196,8 @@ class Parser:
                 return self.parse_over_time_func()
             if tok.text in ast.RANGE_COUNT_FUNCS:
                 return self.parse_range_count_func()
+            if tok.text in ast.DERIV_FUNCS:
+                return self.parse_deriv_func()
             if tok.text in ast.MATH_FUNCS:
                 return self.parse_math_func()
             if tok.text in ast.SORT_FUNCS:
@@ -261,6 +264,15 @@ class Parser:
         if not isinstance(child, ast.MatrixSelector):
             raise PromQLError(f"{func} requires a range vector argument like m[5m]")
         return ast.RangeCountFunc(func, child)
+
+    def parse_deriv_func(self):
+        self.next()
+        self.expect("(")
+        child = self.parse_or()
+        self.expect(")")
+        if not isinstance(child, ast.MatrixSelector):
+            raise PromQLError("deriv requires a range vector argument like m[5m]")
+        return ast.DerivFunc(child)
 
     def parse_math_func(self):
         func = self.next().text

@@ -128,6 +128,23 @@ def test_resets_and_changes(golden_db):
         parse("resets(m)")
 
 
+def test_deriv(golden_db):
+    q = 'http_requests_total{service="web"}'
+    # least-squares slope over ts [23,29,40,51] values [45,47,23,48]
+    got = golden_db.query(f"deriv({q}[100])", 0, 100).rows()
+    assert len(got) == 1 and got[0][0] == 0
+    assert got[0][1] == pytest.approx(-0.13351498637602185)
+    # single-sample windows drop (no slope from one point)
+    got = golden_db.query(f"deriv({q}[10])", 0, 100).rows()
+    assert [t for t, _ in got] == [20]  # only [20,30) has 2 samples
+    assert got[0][1] == pytest.approx((47 - 45) / (29 - 23))
+    from tachyon_spark.promql import parse
+    from tachyon_spark.promql.parser import PromQLError
+
+    with pytest.raises(PromQLError, match="range vector"):
+        parse("deriv(m)")
+
+
 def test_over_time_requires_range_vector(golden_db):
     from tachyon_spark.promql import parse
     from tachyon_spark.promql.parser import PromQLError
