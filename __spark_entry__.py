@@ -634,6 +634,35 @@ def q_deriv_windows(spark, sf_dir):
     )
 
 
+def q_irate_windows(spark, sf_dir):
+    """PromQL irate(m[1h]) mirror: instant rate from the LAST consecutive
+    sample pair per (series, window) — lag + max_by sharing one
+    (series, window) shuffle (plans/builder._range_count_func)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w_us = 60 * 60 * 1_000_000
+    e = ev.select(
+        "event_type",
+        F.expr("ts DIV 1000").alias("t"),
+        "value",
+        (F.expr("ts DIV 1000") - F.expr("ts DIV 1000") % F.lit(w_us)).alias("ts_us"),
+    )
+    w = Window.partitionBy("event_type", "ts_us").orderBy("t", "value")
+    d = F.col("value") - F.lag("value").over(w)
+    dt = (F.col("t") - F.lag("t").over(w)).cast("double")
+    pairs = e.select(
+        "event_type", "ts_us", "t", "value",
+        (d / dt * 1_000_000).alias("r"), dt.alias("dt"),
+    ).where(F.col("r").isNotNull() & (F.col("dt") > 0))
+    out = pairs.groupBy("event_type", "ts_us").agg(
+        F.max_by("r", F.struct("t", "value")).alias("__r")
+    )
+    return out.select(
+        "event_type", "ts_us", F.round("__r", 9).alias("irate_per_sec")
+    )
+
+
 def q_distinct_users(spark, sf_dir):
     """Distinct-count per event_type. Scale path: approx_count_distinct
     (HyperLogLog++, mergeable) — exact here for the oracle."""
@@ -951,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_windows": q_rate_windows,
         "counter_resets": q_counter_resets,
         "deriv_windows": q_deriv_windows,
+        "irate_windows": q_irate_windows,
         "continuous_rollup": q_continuous_rollup,
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
@@ -1536,6 +1566,25 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS min_v,
                    max(value) AS max_v
             FROM events GROUP BY 1, 2
+        """,
+        "irate_windows": """
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) AS t, value,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us
+              FROM events
+            ),
+            l AS (
+              SELECT event_type, ts_us, t, value,
+                     value - lag(value) OVER w AS d,
+                     t - lag(t) OVER w AS dt
+              FROM e WINDOW w AS (PARTITION BY event_type, ts_us ORDER BY t, value)
+            )
+            SELECT event_type, ts_us,
+                   round(max(struct_pack(t := t, v := value,
+                                         r := d / dt * 1000000)).r, 9)
+                     AS irate_per_sec
+            FROM l WHERE d IS NOT NULL AND dt > 0
+            GROUP BY 1, 2
         """,
         "deriv_windows": """
             WITH e AS (

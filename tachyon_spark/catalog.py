@@ -21,7 +21,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-from tachyon_spark.promql.ast import Matcher
 from tachyon_spark.types import VALID_TYPES
 
 CATALOG_SCHEMA = T.StructType(

@@ -309,13 +309,29 @@ class PlanBuilder:
         part = (["stream_id"] if "stream_id" in df.columns else []) + ["__win"]
         w = W.partitionBy(*part).orderBy("__ts", "value")
         prev = F.lag("value").over(w)
+        keep = [c for c in ("stream_id",) if c in df.columns]
+        if node.func in ("irate", "idelta"):
+            # instant rate/delta: only the LAST consecutive pair per window
+            diff = (F.col("value") - prev).cast("double")
+            tdiff = (F.col("__ts") - F.lag("__ts").over(w)).cast("double")
+            val = diff / tdiff if node.func == "irate" else diff
+            pairs = df.select(
+                *part, "__ts", "value", val.alias("__v"), tdiff.alias("__dt")
+            ).where(F.col("__v").isNotNull() & (F.col("__dt") > 0))
+            out = pairs.groupBy(*part).agg(
+                F.max_by("__v", F.struct("__ts", "value")).alias("value")
+            )
+            return Plan(
+                "vector",
+                out.select(*keep, F.col("__win").alias("ts"), "value"),
+                VT_F64,
+            )
         if node.func == "resets":
             flag = (F.col("value") < prev).cast("long")
         else:  # changes
             flag = (F.col("value") != prev).cast("long")
         flagged = df.select(*part, F.coalesce(flag, F.lit(0)).alias("__f"))
         out = flagged.groupBy(*part).agg(F.sum("__f").alias("value"))
-        keep = [c for c in ("stream_id",) if c in out.columns]
         return Plan(
             "vector",
             out.select(*keep, F.col("__win").alias("ts"), "value"),

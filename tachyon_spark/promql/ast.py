@@ -79,12 +79,13 @@ class RangeFunc:
 
 @dataclass(frozen=True)
 class RangeCountFunc:
-    """`resets(m[5m])` / `changes(m[5m])` — per-series per-window counts of
-    counter resets (value decreases) / value changes between consecutive
-    samples (PromQL semantics; extension here — the reference rejects all
-    function calls)."""
+    """Consecutive-sample functions over a range vector (extension; the
+    reference rejects all function calls): `resets`/`changes` count value
+    decreases / value changes between consecutive samples per (series,
+    window); `irate`/`idelta` use only the LAST pair of samples in each
+    window (instant rate / instant delta, PromQL semantics)."""
 
-    func: str  # resets | changes
+    func: str  # resets | changes | irate | idelta
     child: object  # MatrixSelector
 
 
@@ -142,7 +143,7 @@ SET_OPS = frozenset({"and", "or", "unless"})  # extension (ts-key matching)
 AGG_FUNCS = frozenset({"sum", "count", "avg", "min", "max"})
 GETK_FUNCS = frozenset({"topk", "bottomk"})
 RANGE_FUNCS = frozenset({"rate", "increase", "delta"})
-RANGE_COUNT_FUNCS = frozenset({"resets", "changes"})  # require m[RANGE]
+RANGE_COUNT_FUNCS = frozenset({"resets", "changes", "irate", "idelta"})  # require m[RANGE]
 DERIV_FUNCS = frozenset({"deriv"})  # least-squares slope; requires m[RANGE]
 OVER_TIME_FUNCS = frozenset(
     {

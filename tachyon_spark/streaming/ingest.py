@@ -17,7 +17,7 @@ import os
 
 from pyspark.sql import DataFrame
 
-from tachyon_spark.connection import MAX_RECORDS_PER_FILE, SAMPLES_SCHEMA
+from tachyon_spark.connection import SAMPLES_SCHEMA
 
 
 def start_stream_ingest(

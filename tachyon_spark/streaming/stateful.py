@@ -13,7 +13,7 @@ form) so results can be cross-checked without a streaming harness.
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Tuple
+from typing import Iterator, Tuple
 
 import pandas as pd
 

@@ -164,3 +164,29 @@ def test_windowed_over_time_model(prop_db, points, width):
     assert prop_db.query(f"sum_over_time({sel}[{width}])", 0, 20_000).rows() == exp_sum
     assert prop_db.query(f"count_over_time({sel}[{width}])", 0, 20_000).rows() == exp_cnt
     assert prop_db.query(f"increase({sel}[{width}])", 0, 20_000).rows() == exp_inc
+
+
+@pytest.fixture(scope="module")
+def dec_db(spark, tmp_path_factory):
+    return Connection(
+        str(tmp_path_factory.mktemp("decdb")), spark, u64_decimal=True
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=2**64 - 1),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    )
+)
+def test_u64_decimal_roundtrip_fuzz(dec_db, vals):
+    """Full-range u64 exactness under the DECIMAL(20,0) layout: arbitrary
+    values (incl > 2^63) round-trip bit-exactly and sum exactly."""
+    sel = _mk_stream(dec_db, "u64", list(enumerate(vals)))
+    got = dec_db.query(sel, 0, 20_000).rows()
+    assert got == list(enumerate(vals))
+    assert dec_db.query(f"sum({sel})", 0, 20_000).scalar() == sum(vals)
+    assert dec_db.query(f"max({sel})", 0, 20_000).scalar() == max(vals)

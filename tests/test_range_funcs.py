@@ -128,6 +128,19 @@ def test_resets_and_changes(golden_db):
         parse("resets(m)")
 
 
+def test_irate_idelta(golden_db):
+    q = 'http_requests_total{service="web"}'
+    # last pair in [0,100): (40,23)->(51,48)
+    assert golden_db.query(f"idelta({q}[100])", 0, 100).rows() == [(0, 25.0)]
+    got = golden_db.query(f"irate({q}[100])", 0, 100).rows()
+    assert got[0][1] == pytest.approx(25 / 11)
+    # per window of 20: [20,40) last pair (23,45)->(29,47); [40,60) (40,23)->(51,48)
+    got = dict(golden_db.query(f"irate({q}[20])", 0, 100).rows())
+    assert got[20] == pytest.approx(2 / 6) and got[40] == pytest.approx(25 / 11)
+    # single-sample windows drop
+    assert golden_db.query(f"idelta({q}[10])", 0, 100).rows() == [(20, 2.0)]
+
+
 def test_deriv(golden_db):
     q = 'http_requests_total{service="web"}'
     # least-squares slope over ts [23,29,40,51] values [45,47,23,48]
