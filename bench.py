@@ -125,6 +125,9 @@ def main():
         "session_window_stats",
         "rolling_avg_1h",
         "rate_windows",
+        "counter_resets",
+        "deriv_windows",
+        "irate_windows",
         "range_join_daily",
         "value_quantiles",
         "distinct_users",

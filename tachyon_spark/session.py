@@ -20,6 +20,9 @@ def get_spark(app_name: str = "tachyon_spark", master: str | None = None) -> Spa
         .config("spark.sql.shuffle.partitions", str(min(int(cpus) if cpus.isdigit() else 32, 64)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # runtime skew-join splitting: oversized post-shuffle partitions are
+        # subdivided; pairs with salted_stats (agg-side skew) at 100 TB
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
