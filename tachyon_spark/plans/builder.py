@@ -245,7 +245,7 @@ class PlanBuilder:
         shuffle on the window key, map-side partials."""
         msel = node.child
         child = self._selector(msel.selector)
-        win = self._window_col(msel.range_)
+        win = self._window_col(msel)
         fn = node.func[: -len("_over_time")]
         v = F.col("value")
         if fn == "avg":
@@ -277,7 +277,7 @@ class PlanBuilder:
         data); windows without 2 distinct ts yield null and are dropped."""
         msel = node.child
         child = self._selector(msel.selector)
-        win = self._window_col(msel.range_)
+        win = self._window_col(msel)
         out = (
             child.df.groupBy(*self._series_window_keys(child, win))
             .agg(
@@ -299,7 +299,7 @@ class PlanBuilder:
 
         msel = node.child
         child = self._selector(msel.selector)
-        win = self._window_col(msel.range_)
+        win = self._window_col(msel)
         df = child.df.select(
             *( ["stream_id"] if "stream_id" in child.df.columns else [] ),
             F.col("ts").alias("__ts"),
@@ -349,9 +349,27 @@ class PlanBuilder:
             keys.insert(0, F.col("stream_id"))
         return keys
 
-    def _window_col(self, width: int):
-        """Tumbling-window start for the current query (anchor = start)."""
-        anchor = self.start or 0
+    def _effective_start(self, sel: ast.VectorSelector) -> int | None:
+        """The selector's effective scan start after @/offset modifiers —
+        identical logic to _selector (planner.rs:162-180)."""
+        start = self.start
+        if sel.at_anchor == "start":
+            start = 0
+        elif sel.at_anchor == "end":
+            start = U64_MAX
+        elif sel.at_ts is not None:
+            start = sel.at_ts
+        if (sel.at_anchor or sel.at_ts is not None) and sel.offset:
+            start = (start or 0) + sel.offset
+        return start
+
+    def _window_col(self, msel: ast.MatrixSelector):
+        """Tumbling-window start column. Windows anchor at the SELECTOR's
+        effective start (after @/offset), i.e. the first scanned timestamp's
+        grid origin — so no scanned row sits left of the anchor and the
+        modular bucketing never sees a negative offset."""
+        width = msel.range_
+        anchor = self._effective_start(msel.selector) or 0
         return (
             ((F.col("ts") - F.lit(anchor)) - (F.col("ts") - F.lit(anchor)) % F.lit(width))
             + F.lit(anchor)
@@ -365,7 +383,7 @@ class PlanBuilder:
         distinct timestamps to report. Returns a VECTOR (ts = window start,
         value), freely composable downstream."""
         child = self._selector(msel.selector)
-        win = self._window_col(msel.range_)
+        win = self._window_col(msel)
         agg = (
             child.df.groupBy(*self._series_window_keys(child, win))
             .agg(
@@ -390,15 +408,7 @@ class PlanBuilder:
         if not rows:
             raise ValueError(f"no streams matched selector {sel.name!r}")
 
-        start, end = self.start, self.end
-        if sel.at_anchor == "start":
-            start = 0
-        elif sel.at_anchor == "end":
-            start = U64_MAX
-        elif sel.at_ts is not None:
-            start = sel.at_ts
-        if (sel.at_anchor or sel.at_ts is not None) and sel.offset:
-            start = (start or 0) + sel.offset  # planner.rs:171-177 (Pos adds)
+        start, end = self._effective_start(sel), self.end
 
         vt = rows[0].value_type
         for r in rows[1:]:

@@ -63,6 +63,16 @@ def test_windowed_anchor_at_query_start(golden_db):
     assert q.rows() == [(23, -22.0)]
 
 
+def test_windowed_anchor_follows_at_modifier(golden_db):
+    # `@ 0` pins the selector start to 0, so the window grid anchors at 0
+    # even though the query's own start is 23 (no scanned row can sit left
+    # of the anchor -> bucketing never sees a negative offset)
+    q = golden_db.query(
+        'increase(http_requests_total{service="web"}[20] @ 0)', 23, 100
+    )
+    assert q.rows() == [(20, 2.0), (40, 25.0)]
+
+
 def test_windowed_rate_composes(golden_db):
     # windowed result is a vector: arithmetic and aggregates apply
     q = golden_db.query('sum(increase(http_requests_total{service="web"}[20]))', 0, 100)
