@@ -96,7 +96,8 @@ class PlanBuilder:
         if isinstance(expr, ast.MatrixSelector):
             raise ValueError(
                 "range vector (matrix selector) can only be used as the "
-                "argument of rate/increase/delta"
+                "argument of a range function (rate/increase/delta, "
+                "*_over_time, resets/changes/irate/idelta, deriv)"
             )
         if isinstance(expr, ast.BinaryOp):
             return self._binary(expr)

@@ -32,9 +32,10 @@ class VectorSelector:
 class MatrixSelector:
     """`m{...}[RANGE]` — a range vector (extension: the reference planner
     REJECTS matrix selectors, planner.rs:208-216, so parity did not require
-    this). Only valid as the direct argument of rate/increase/delta, which
-    then evaluate per tumbling window of `range_` instead of once over the
-    whole [start, end]."""
+    this). Only valid as the direct argument of a range function
+    (rate/increase/delta, the *_over_time family, resets/changes,
+    irate/idelta, deriv), which then evaluate per tumbling window of
+    `range_` instead of once over the whole [start, end]."""
 
     selector: VectorSelector
     range_: int  # window width in native ts units (ns for wall-clock data)
