@@ -257,6 +257,17 @@ def ivf_probe_index(
     return brute_force_cosine_topk(df, query_vec, k, id_col, vec_col)
 
 
+def auto_planes(n_rows: int, target_bucket: int = 64) -> int:
+    """Plane count so the EXPECTED bucket holds ~target_bucket vectors:
+    planes = ceil(log2(n / target_bucket)), floored at 4. A fixed plane
+    count stops filtering as the corpus grows (bucket size is n/2^planes);
+    size it from the table's row count when building an index — pass the
+    known count rather than recounting a 100 TB table."""
+    if n_rows <= target_bucket:
+        return 4
+    return max(4, math.ceil(math.log2(n_rows / target_bucket)))
+
+
 def _query_bucket(query_vec: list[float], planes: int, seed: int) -> int:
     """Driver-side bucket of the query vector (numpy dot — matches the
     batch probe kernel's arithmetic)."""

@@ -227,3 +227,12 @@ def test_cosine_topk(spark):
     # LSH probe returns a subset of brute force, led by the exact match
     lsh = lsh_cosine_topk(df, [1.0, 0.0, 0.0], k=2, planes=2).collect()
     assert lsh and lsh[0].vec_id == 1
+
+
+def test_auto_planes_sizing():
+    from tachyon_spark.functions.similarity import auto_planes
+
+    assert auto_planes(10) == 4
+    assert auto_planes(2_000) == 5  # ~64 vectors per expected bucket
+    assert auto_planes(1_000_000) == 14
+    assert auto_planes(10**9) == 24
