@@ -164,6 +164,18 @@ def test_windowed_over_time_model(prop_db, points, width):
     assert prop_db.query(f"sum_over_time({sel}[{width}])", 0, 20_000).rows() == exp_sum
     assert prop_db.query(f"count_over_time({sel}[{width}])", 0, 20_000).rows() == exp_cnt
     assert prop_db.query(f"increase({sel}[{width}])", 0, 20_000).rows() == exp_inc
+    # idelta = last-pair difference; resets = count of decreases
+    exp_idelta = [
+        (w, float(ps[-1][1] - ps[-2][1]))
+        for w, ps in sorted(wins.items())
+        if len(ps) >= 2
+    ]
+    exp_resets = [
+        (w, sum(1 for a, b in zip(ps, ps[1:]) if b[1] < a[1]))
+        for w, ps in sorted(wins.items())
+    ]
+    assert prop_db.query(f"idelta({sel}[{width}])", 0, 20_000).rows() == exp_idelta
+    assert prop_db.query(f"resets({sel}[{width}])", 0, 20_000).rows() == exp_resets
 
 
 @pytest.fixture(scope="module")
@@ -190,3 +202,30 @@ def test_u64_decimal_roundtrip_fuzz(dec_db, vals):
     assert got == list(enumerate(vals))
     assert dec_db.query(f"sum({sel})", 0, 20_000).scalar() == sum(vals)
     assert dec_db.query(f"max({sel})", 0, 20_000).scalar() == max(vals)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lpts=points_strategy,
+    rpts=points_strategy,
+    tol=st.one_of(st.none(), st.integers(min_value=1, max_value=5000)),
+)
+def test_asof_join_model(spark, lpts, rpts, tol):
+    """Backward as-of join vs a direct Python model, with and without
+    tolerance, over arbitrary (unique-ts) point sets."""
+    from tachyon_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", t, float(v)) for t, v in lpts], "key string, ts long, value double"
+    )
+    right = spark.createDataFrame(
+        [("k", t, float(v)) for t, v in rpts], "key string, ts long, value double"
+    )
+    out = asof_join(left, right, on="ts", by=["key"], out_col="rv", tolerance=tol)
+    got = {r.ts: r.rv for r in out.collect()}
+
+    def model(t):
+        cands = [(rt, rv) for rt, rv in rpts if rt <= t and (tol is None or t - rt <= tol)]
+        return float(max(cands)[1]) if cands else None
+
+    assert got == {t: model(t) for t, _ in lpts}
