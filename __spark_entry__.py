@@ -52,7 +52,21 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
         pass
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        from pyspark.sql import types as T
+
+        # The testdata's ts column has shipped as TIMESTAMP(NANOS) (older
+        # Spark reads it as long ns via nanosAsLong) and as TIMESTAMP(MICROS)
+        # (reads as TIMESTAMP_NTZ). Normalize to LONG NANOSECONDS so every
+        # downstream `ts DIV 1000` == the oracle's epoch_us(); the session tz
+        # is pinned to UTC first so the NTZ->timestamp cast is deterministic.
+        if not isinstance(df.schema["ts"].dataType, T.LongType):
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+    return df
 
 
 def _events_series(spark, sf_dir, event_type: str) -> DataFrame:

@@ -1,24 +1,38 @@
 """Stream catalog: the Spark-side replacement for the reference's SQLite
 inverted index (tachyon_core/src/query/indexer.rs:63-270).
 
-The catalog is *driver-side metadata* — one row per stream, tiny relative to
-samples — exactly as the reference keeps it in SQLite next to the data files.
-We keep it in a JSON file in the database directory; matcher resolution
-(the posting-list intersection of indexer.rs:493-516) is pure driver work, and
-the resolved stream_ids then drive Parquet partition pruning on the samples
-table. ``df()`` materializes it as a DataFrame when a distributed join is
-needed (e.g. grouped aggregation attaching label columns).
+High-cardinality design (the 100 TB posture). The catalog is a PARQUET table
+of one row per stream, not a single re-read/re-written JSON blob:
+
+  db_dir/catalog/part-<seq>-<uuid>.parquet
+
+* Writes are log-structured: each ``create_streams`` call appends ONE
+  fragment file (written driver-side with pyarrow — no Spark job for a
+  metadata op), so bulk-registering 100k streams is one file write.
+  Fragments auto-compact past a threshold; deletes compact immediately so
+  the on-disk table never carries tombstones.
+* Driver-side resolution is cached and name-indexed: the table is loaded
+  once per on-disk state (keyed by fragment names+sizes+mtimes) into a
+  ``name -> [StreamInfo]`` dict, so a matcher only loops over ITS metric's
+  streams, not the whole catalog.
+* ``resolve_df`` expresses the same matcher semantics as Spark filters over
+  the catalog parquet — the fully distributed path used by the query builder
+  past its IN-list threshold, where the selector becomes a broadcast
+  semi-join (no giant ``isin`` literal in the plan) and the driver never
+  materializes the id list into the plan.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import re
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import SparkSession
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tachyon_spark.types import VALID_TYPES
@@ -31,6 +45,18 @@ CATALOG_SCHEMA = T.StructType(
         T.StructField("value_type", T.StringType(), False),
     ]
 )
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("stream_id", pa.string(), nullable=False),
+        pa.field("name", pa.string(), nullable=False),
+        pa.field("labels", pa.map_(pa.string(), pa.string()), nullable=False),
+        pa.field("value_type", pa.string(), nullable=False),
+    ]
+)
+
+# Past this many fragment files, loads compact the log back to one file.
+COMPACT_FRAGMENTS = 64
 
 
 @dataclass(frozen=True)
@@ -61,46 +87,174 @@ def _matches(info: StreamInfo, matchers) -> bool:
     return True
 
 
+def matcher_predicate(matchers) -> Column:
+    """The SAME matcher semantics as ``_matches``, as a Spark Column over the
+    catalog schema — used by the distributed resolution path. A missing label
+    satisfies ``!=`` and ``!~`` (Prometheus semantics); ``=~``/``!~`` are
+    unanchored searches, matching Python's ``re.search`` / Java's ``find``
+    via ``rlike``."""
+    pred = F.lit(True)
+    for m in matchers:
+        lab = F.col("labels").getItem(m.label)
+        if m.op == "=":
+            cond = lab == m.value
+        elif m.op == "!=":
+            cond = lab.isNull() | (lab != m.value)
+        elif m.op == "=~":
+            cond = lab.rlike(m.value)
+        elif m.op == "!~":
+            cond = lab.isNull() | ~lab.rlike(m.value)
+        else:
+            raise ValueError(f"bad matcher op {m.op!r}")
+        pred = pred & cond
+    return pred
+
+
 class Catalog:
     def __init__(self, spark: SparkSession, db_dir: str):
         self.spark = spark
-        self.path = os.path.join(db_dir, "catalog.json")
+        self.dir = os.path.join(db_dir, "catalog")
+        self._legacy_json = os.path.join(db_dir, "catalog.json")
+        # cache: (state key) -> (list[StreamInfo], name index)
+        self._cache_key: tuple | None = None
+        self._cache: list[StreamInfo] = []
+        self._by_name: dict[str, list[StreamInfo]] = {}
+        self._migrate_legacy()
+
+    # ------------------------------------------------------------------ io
+    def _migrate_legacy(self) -> None:
+        """One-time upgrade of a round-1/2 JSON catalog to the parquet log."""
+        if not os.path.exists(self._legacy_json) or os.path.isdir(self.dir):
+            return
+        import json
+
+        with open(self._legacy_json) as f:
+            rows = [StreamInfo(**row) for row in json.load(f)]
+        self._write_fragment(rows)
+        os.replace(self._legacy_json, self._legacy_json + ".migrated")
+
+    def _fragments(self) -> list[str]:
+        if not os.path.isdir(self.dir):
+            return []
+        return sorted(
+            f for f in os.listdir(self.dir) if f.endswith(".parquet")
+        )
+
+    def _state_key(self) -> tuple:
+        out = []
+        for f in self._fragments():
+            st = os.stat(os.path.join(self.dir, f))
+            out.append((f, st.st_size, st.st_mtime_ns))
+        return tuple(out)
+
+    def _write_fragment(self, rows: list[StreamInfo]) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        seq = len(self._fragments())
+        name = f"part-{seq:06d}-{uuid.uuid4().hex[:8]}.parquet"
+        tbl = pa.Table.from_pylist(
+            [
+                {
+                    "stream_id": s.stream_id,
+                    "name": s.name,
+                    "labels": list(s.labels.items()),
+                    "value_type": s.value_type,
+                }
+                for s in rows
+            ],
+            schema=_ARROW_SCHEMA,
+        )
+        tmp = os.path.join(self.dir, name + ".tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(self.dir, name))
+
+    def _rewrite(self, rows: list[StreamInfo]) -> None:
+        """Compact the log to a single fragment holding exactly ``rows``."""
+        old = self._fragments()
+        self._write_fragment(rows)
+        for f in old:
+            os.remove(os.path.join(self.dir, f))
 
     def _load(self) -> list[StreamInfo]:
-        if not os.path.exists(self.path):
-            return []
-        with open(self.path) as f:
-            return [StreamInfo(**row) for row in json.load(f)]
+        key = self._state_key()
+        if key == self._cache_key:
+            return self._cache
+        rows: list[StreamInfo] = []
+        for f in self._fragments():
+            tbl = pq.read_table(os.path.join(self.dir, f))
+            for rec in tbl.to_pylist():
+                rows.append(
+                    StreamInfo(
+                        rec["stream_id"],
+                        rec["name"],
+                        dict(rec["labels"] or []),
+                        rec["value_type"],
+                    )
+                )
+        if len(key) > COMPACT_FRAGMENTS:
+            self._rewrite(rows)
+            key = self._state_key()
+        self._cache_key = key
+        self._cache = rows
+        self._by_name = {}
+        for s in rows:
+            self._by_name.setdefault(s.name, []).append(s)
+        return rows
 
-    def _save(self, streams: list[StreamInfo]) -> None:
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump([vars(s) for s in streams], f, indent=1)
-        os.replace(tmp, self.path)
-
-    def df(self):
-        rows = [(s.stream_id, s.name, s.labels, s.value_type) for s in self._load()]
-        return self.spark.createDataFrame(rows, CATALOG_SCHEMA)
+    # ----------------------------------------------------------------- api
+    def df(self) -> DataFrame:
+        """The catalog as a DataFrame read straight from parquet — the
+        distributed side of resolution and label attachment."""
+        frags = self._fragments()
+        if not frags:
+            return self.spark.createDataFrame([], CATALOG_SCHEMA)
+        return self.spark.read.schema(CATALOG_SCHEMA).parquet(self.dir)
 
     def all_streams(self) -> list[StreamInfo]:
         return self._load()
 
     def create_stream(self, name: str, labels: dict[str, str], value_type: str) -> str:
-        if value_type not in VALID_TYPES:
-            raise ValueError(f"value_type must be one of {sorted(VALID_TYPES)}")
-        streams = self._load()
-        for s in streams:
-            if s.name == name and s.labels == labels:
+        return self.create_streams([(name, labels, value_type)])[0]
+
+    def create_streams(
+        self, specs: list[tuple[str, dict[str, str], str]]
+    ) -> list[str]:
+        """Bulk stream registration: one parquet fragment for the whole
+        batch. 100k streams land in a single sub-second driver-side write."""
+        self._load()
+        seen = {(s.name, tuple(sorted(s.labels.items()))) for s in self._cache}
+        new_rows: list[StreamInfo] = []
+        ids: list[str] = []
+        for name, labels, value_type in specs:
+            if value_type not in VALID_TYPES:
+                raise ValueError(f"value_type must be one of {sorted(VALID_TYPES)}")
+            dkey = (name, tuple(sorted(labels.items())))
+            if dkey in seen:
                 raise ValueError(f"stream already exists: {name}{labels}")
-        stream_id = str(uuid.uuid4())
-        streams.append(StreamInfo(stream_id, name, dict(labels), value_type))
-        self._save(streams)
-        return stream_id
+            seen.add(dkey)
+            sid = str(uuid.uuid4())
+            ids.append(sid)
+            new_rows.append(StreamInfo(sid, name, dict(labels), value_type))
+        self._write_fragment(new_rows)
+        return ids
 
     def delete_stream(self, stream_id: str) -> None:
-        self._save([s for s in self._load() if s.stream_id != stream_id])
+        rows = [s for s in self._load() if s.stream_id != stream_id]
+        self._rewrite(rows)
 
     def resolve(self, name: str, matchers=()) -> list[StreamInfo]:
-        """Streams matching metric name + all matchers, ordered by stream_id."""
-        hits = [s for s in self._load() if s.name == name and _matches(s, matchers)]
+        """Streams matching metric name + all matchers, ordered by stream_id.
+
+        Driver path: the name index narrows the loop to one metric's streams
+        (the inverted-index role of indexer.rs:493-516). For plans that must
+        not carry the id list at all, see ``resolve_df``."""
+        self._load()
+        hits = [s for s in self._by_name.get(name, ()) if _matches(s, matchers)]
         return sorted(hits, key=lambda s: s.stream_id)
+
+    def resolve_df(self, name: str, matchers=()) -> DataFrame:
+        """Distributed resolution: catalog parquet scan -> name + matcher
+        filter. The builder semi-joins samples against this frame when the
+        match cardinality is too high for an IN-list literal."""
+        return self.df().where(
+            (F.col("name") == name) & matcher_predicate(matchers)
+        )

@@ -5,9 +5,17 @@ prepare_insert / prepare_query, tachyon_core/src/lib.rs:429-577) on top of
 Spark:
 
     db_dir/
-      catalog/            one row per stream (see catalog.py)
-      samples/            parquet, partitioned by stream_id
-        stream_id=<uuid>/ ts-sorted row groups
+      catalog/              one row per stream, parquet log (see catalog.py)
+      samples/              parquet
+        stream_bucket=<k>/  k = crc32(stream_id) % stream_buckets (default 64)
+          [ts_bucket=<n>/]  (ts-sorted, stream-clustered row groups)
+
+The hash-bucketed layout is the high-cardinality design: directory count is
+bounded by stream_buckets x time buckets no matter how many streams exist
+(one-dir-per-stream melts the filesystem and the metadata listing at
+Prometheus-like 10^5-10^7 series). Within a bucket, files are sorted by
+(stream_id, ts) so Parquet row-group min/max stats prune per-stream reads.
+Legacy per-stream dirs (rounds 1-2) remain supported via stream_buckets=0.
 
 Samples schema: (ts long, value double, value_int long, stream_id string
 partition col). Integer streams (i64/u64) write value_int, float streams write
@@ -52,6 +60,27 @@ I64_MAX = (1 << 63) - 1
 # files similarly so ingest produces splittable, prunable files.
 MAX_RECORDS_PER_FILE = 4_000_000
 
+# New dbs hash stream_id into this many partition dirs (0 = legacy
+# one-dir-per-stream). A few x cluster parallelism is right at scale.
+DEFAULT_STREAM_BUCKETS = 64
+
+# Selectors matching more ids than this compile to a broadcast semi-join
+# against the catalog-resolved id frame instead of an isin() literal — an
+# unbounded IN-list is a driver/codegen bottleneck at high cardinality.
+ISIN_THRESHOLD = 1_000
+
+
+def stream_bucket_py(stream_id: str, n: int) -> int:
+    """crc32(utf8) % n — MUST agree with stream_bucket_col (Spark's crc32
+    over the utf8 bytes returns the same unsigned value as zlib.crc32)."""
+    import zlib
+
+    return zlib.crc32(stream_id.encode("utf-8")) % n
+
+
+def stream_bucket_col(n: int) -> F.Column:
+    return F.crc32(F.col("stream_id").cast("binary")) % F.lit(n)
+
 
 class Connection:
     def __init__(
@@ -61,6 +90,7 @@ class Connection:
         time_bucket: int | None = None,
         u64_decimal: bool = False,
         compat_scalar_swap: bool = False,
+        stream_buckets: int | None = None,
     ):
         """time_bucket: optional bucket width in ts units (e.g. 86_400_000 for
         daily buckets of ms timestamps). When set, samples are additionally
@@ -75,18 +105,26 @@ class Connection:
         compat_scalar_swap: replicate the reference's scalar-op-vector
         operand swap (`2 - v` == `v - 2`, binary_op.rs:103-105 — a
         documented reference bug) for golden-test migration. Session
-        behavior, not persisted."""
+        behavior, not persisted.
+
+        stream_buckets: samples partition-dir count — stream_id hashes into
+        stream_bucket = crc32(stream_id) % N dirs. None = default (64 for
+        new dbs); 0 = legacy one-dir-per-stream. Persisted (a layout
+        property); dbs from earlier rounds (no config key) read as 0."""
         self.db_dir = db_dir
         os.makedirs(db_dir, exist_ok=True)
         self.spark = spark or get_spark()
         self.catalog = Catalog(self.spark, db_dir)
         self.samples_path = os.path.join(db_dir, "samples")
-        self.time_bucket, self.u64_decimal = self._load_or_store_config(
-            time_bucket, u64_decimal
+        self.time_bucket, self.u64_decimal, self.stream_buckets = (
+            self._load_or_store_config(time_bucket, u64_decimal, stream_buckets)
         )
         self.compat_scalar_swap = compat_scalar_swap
+        self.isin_threshold = ISIN_THRESHOLD
 
-    def _load_or_store_config(self, time_bucket: int | None, u64_decimal: bool):
+    def _load_or_store_config(
+        self, time_bucket: int | None, u64_decimal: bool, stream_buckets: int | None
+    ):
         import json
 
         cfg_path = os.path.join(self.db_dir, "config.json")
@@ -100,16 +138,43 @@ class Connection:
                 )
             if u64_decimal and not stored.get("u64_decimal"):
                 raise ValueError("db was created without u64_decimal; layouts differ")
-            return stored.get("time_bucket"), bool(stored.get("u64_decimal"))
+            stored_sb = int(stored.get("stream_buckets") or 0)
+            if stream_buckets is not None and stream_buckets != stored_sb:
+                raise ValueError(
+                    f"db was created with stream_buckets={stored_sb}; "
+                    f"cannot reopen with {stream_buckets}"
+                )
+            return stored.get("time_bucket"), bool(stored.get("u64_decimal")), stored_sb
+        if stream_buckets is None:
+            stream_buckets = DEFAULT_STREAM_BUCKETS
         with open(cfg_path, "w") as f:
-            json.dump({"time_bucket": time_bucket, "u64_decimal": u64_decimal}, f)
-        return time_bucket, u64_decimal
+            json.dump(
+                {
+                    "time_bucket": time_bucket,
+                    "u64_decimal": u64_decimal,
+                    "stream_buckets": stream_buckets,
+                },
+                f,
+            )
+        return time_bucket, u64_decimal, stream_buckets
 
     # --- stream admin (lib.rs:429-473) -----------------------------------
     def create_stream(self, selector: str, value_type: str) -> str:
         sel = self._parse_selector(selector)
         labels = {m.label: m.value for m in sel.matchers}
         return self.catalog.create_stream(sel.name, labels, value_type)
+
+    def create_streams(self, specs) -> list[str]:
+        """Bulk registration: [(selector, value_type), ...] -> ids. One
+        catalog fragment write for the whole batch — the way to register
+        10^5+ series (per-call create_stream would be 10^5 file writes)."""
+        parsed = []
+        for selector, value_type in specs:
+            sel = self._parse_selector(selector)
+            parsed.append(
+                (sel.name, {m.label: m.value for m in sel.matchers}, value_type)
+            )
+        return self.catalog.create_streams(parsed)
 
     def check_stream_exists(self, selector: str) -> bool:
         sel = self._parse_selector(selector)
@@ -129,8 +194,40 @@ class Connection:
         rows = self.catalog.resolve(sel.name, sel.matchers)
         for r in rows:
             self.catalog.delete_stream(r.stream_id)
-            part_dir = os.path.join(self.samples_path, f"stream_id={r.stream_id}")
-            shutil.rmtree(part_dir, ignore_errors=True)
+        if not rows:
+            return 0
+        if not self.stream_buckets:
+            for r in rows:
+                part_dir = os.path.join(self.samples_path, f"stream_id={r.stream_id}")
+                shutil.rmtree(part_dir, ignore_errors=True)
+            return len(rows)
+        # Bucketed layout: rewrite each affected bucket dir without the
+        # deleted streams (swap-in-place, same staging discipline as
+        # maintenance.compact_stream). Bounded work: only the buckets the
+        # deleted streams hash into are touched.
+        ids = {r.stream_id for r in rows}
+        buckets = sorted({stream_bucket_py(i, self.stream_buckets) for i in ids})
+        for b in buckets:
+            src = os.path.join(self.samples_path, f"stream_bucket={b}")
+            if not os.path.isdir(src):
+                continue
+            kept = self.spark.read.parquet(src).where(~F.col("stream_id").isin(list(ids)))
+            stage = os.path.join(self.db_dir, "_delete_tmp", str(b))
+            shutil.rmtree(stage, ignore_errors=True)
+            part = ["ts_bucket"] if self.time_bucket else []
+            w = kept.sortWithinPartitions("stream_id", "ts").write.mode("overwrite")
+            if part:
+                w = w.partitionBy(*part)
+            w.parquet(stage)
+            marker = os.path.join(stage, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)
+            old = src + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(src, old)
+            os.replace(stage, src)
+            shutil.rmtree(old)
+        shutil.rmtree(os.path.join(self.db_dir, "_delete_tmp"), ignore_errors=True)
         return len(rows)
 
     def _parse_selector(self, selector: str) -> VectorSelector:
@@ -151,15 +248,22 @@ class Connection:
         return Inserter(self, rows[0].stream_id, rows[0].value_type)
 
     def _write_samples(self, df: DataFrame, single_stream: bool = False) -> None:
-        # One stream's buffer fits one task; bulk loads shuffle by stream so
-        # each partition directory is written by one task (big files, sorted).
-        part_cols = ["stream_id"]
+        # One stream's buffer fits one task; bulk loads shuffle by partition
+        # dir so each directory is written by one task (big files, sorted).
+        if self.stream_buckets:
+            df = df.withColumn("stream_bucket", stream_bucket_col(self.stream_buckets))
+            part_cols = ["stream_bucket"]
+        else:
+            part_cols = ["stream_id"]
         if self.time_bucket:
             df = df.withColumn("ts_bucket", F.expr(f"ts DIV {self.time_bucket}"))
             part_cols.append("ts_bucket")
         df = df.coalesce(1) if single_stream else df.repartition(*part_cols)
+        # Bucketed dirs hold many streams: cluster row groups by stream so
+        # Parquet min/max stats on stream_id prune single-stream reads.
+        sort_cols = ["stream_id", "ts"] if self.stream_buckets else ["ts"]
         (
-            df.sortWithinPartitions("ts")
+            df.sortWithinPartitions(*sort_cols)
             .write.mode("append")
             .option("maxRecordsPerFile", MAX_RECORDS_PER_FILE)
             .partitionBy(*part_cols)
@@ -174,6 +278,8 @@ class Connection:
         fields = list(SAMPLES_SCHEMA.fields)
         if self.u64_decimal:
             fields.append(VALUE_DEC_FIELD)
+        if self.stream_buckets:
+            fields.append(T.StructField("stream_bucket", T.LongType(), True))
         if self.time_bucket:
             fields.append(T.StructField("ts_bucket", T.LongType(), True))
         return T.StructType(fields)

@@ -5,11 +5,16 @@ retention, SURVEY §1.4); both are required for a real append-heavy
 deployment: many small Inserter flushes produce many small parquet files
 (degrading scan parallelism bookkeeping), and time-series data ages out.
 
-Compaction rewrites one stream partition's files into few large, ts-sorted
+Compaction rewrites one samples partition's files into few large, sorted
 files (write-to-temp, then swap). Retention drops whole `ts_bucket`
 partition directories below a cutoff — metadata-only, no rewrite — and is
 therefore only offered on time-bucketed layouts; on unbucketed layouts
 deleting mid-file rows would require rewriting every file of every stream.
+
+Both work on either samples layout: legacy `stream_id=<uuid>` dirs or the
+high-cardinality `stream_bucket=<k>` hash dirs (connection.py), where the
+unit of compaction is the bucket (all of its streams, re-clustered by
+(stream_id, ts) so row-group stats keep pruning per-stream reads).
 """
 
 from __future__ import annotations
@@ -17,36 +22,62 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: F401  (kept for callers)
+
+_PART_PREFIXES = ("stream_id=", "stream_bucket=")
 
 
-def compact_stream(conn, stream_id: str, target_files: int = 1) -> int:
-    """Rewrite one stream's samples into `target_files` ts-sorted files
-    (per ts_bucket subdirectory when bucketed). Returns files before."""
-    part_dir = os.path.join(conn.samples_path, f"stream_id={stream_id}")
+def _partition_dir_for_stream(conn, stream_id: str) -> str:
+    if conn.stream_buckets:
+        from tachyon_spark.connection import stream_bucket_py
+
+        b = stream_bucket_py(stream_id, conn.stream_buckets)
+        return os.path.join(conn.samples_path, f"stream_bucket={b}")
+    return os.path.join(conn.samples_path, f"stream_id={stream_id}")
+
+
+def _top_level_partitions(conn) -> list[str]:
+    if not os.path.isdir(conn.samples_path):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(conn.samples_path)
+        if d.startswith(_PART_PREFIXES)
+        and os.path.isdir(os.path.join(conn.samples_path, d))
+    )
+
+
+def compact_partition(conn, part_dir: str, target_files: int = 1) -> int:
+    """Rewrite one top-level samples partition into `target_files` sorted
+    files (per ts_bucket subdirectory when time-bucketed). Returns the
+    number of parquet files before the rewrite."""
     if not os.path.isdir(part_dir):
         return 0
-    n_before = sum(len([f for f in fs if f.endswith(".parquet")]) for _, _, fs in os.walk(part_dir))
+    n_before = sum(
+        len([f for f in fs if f.endswith(".parquet")]) for _, _, fs in os.walk(part_dir)
+    )
 
     sub_dirs = (
         [d for d in os.listdir(part_dir) if d.startswith("ts_bucket=")]
         if conn.time_bucket
         else [None]
     )
+    sort_cols = ["stream_id", "ts"] if conn.stream_buckets else ["ts"]
     # Stage the rewrite OUTSIDE the samples tree: a temp dir inside it would
     # be picked up by concurrent partition discovery as a bogus partition
-    # (and a crash mid-swap could leave the stream's data invisible).
+    # (and a crash mid-swap could leave the partition's data invisible).
     stage_root = os.path.join(conn.db_dir, "_compact_tmp")
+    base = os.path.basename(part_dir)
     for i, sub in enumerate(sub_dirs):
         src = part_dir if sub is None else os.path.join(part_dir, sub)
         df = conn.spark.read.parquet(src)
-        tmp = os.path.join(stage_root, f"{stream_id}.{i}")
-        old = os.path.join(stage_root, f"{stream_id}.{i}.old")
+        tmp = os.path.join(stage_root, f"{base}.{i}")
+        old = os.path.join(stage_root, f"{base}.{i}.old")
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         (
             df.repartition(target_files)
-            .sortWithinPartitions("ts")
+            .sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .parquet(tmp)
         )
@@ -54,10 +85,12 @@ def compact_stream(conn, stream_id: str, target_files: int = 1) -> int:
         marker = os.path.join(tmp, "_SUCCESS")
         if os.path.exists(marker):
             os.remove(marker)
-        # Swap: old-aside -> new-in -> delete-old. Readers racing the swap see
-        # either the old files or the new files, never a missing partition or
-        # a non-partition dir inside the tree; a crash leaves `old` on disk
-        # for manual recovery rather than losing the data.
+        # Swap: old-aside -> new-in -> delete-old. Near-atomic: a reader
+        # racing the swap sees either the old or the new files, except in
+        # the brief window between the two renames where the partition dir
+        # is absent — a concurrent listing in that window should retry (or
+        # compact with readers quiesced). A crash leaves `old` on disk for
+        # manual recovery rather than losing the data.
         os.replace(src, old)
         os.replace(tmp, src)
         shutil.rmtree(old)
@@ -65,11 +98,17 @@ def compact_stream(conn, stream_id: str, target_files: int = 1) -> int:
     return n_before
 
 
+def compact_stream(conn, stream_id: str, target_files: int = 1) -> int:
+    """Compact the partition holding `stream_id` (the whole hash bucket on
+    bucketed layouts). Returns files before."""
+    return compact_partition(conn, _partition_dir_for_stream(conn, stream_id), target_files)
+
+
 def compact_all(conn, target_files: int = 1) -> dict[str, int]:
-    """Compact every stream; returns {stream_id: files_before}."""
+    """Compact every samples partition; returns {partition_dir: files_before}."""
     return {
-        s.stream_id: compact_stream(conn, s.stream_id, target_files)
-        for s in conn.get_all_streams()
+        d: compact_partition(conn, os.path.join(conn.samples_path, d), target_files)
+        for d in _top_level_partitions(conn)
     }
 
 
@@ -83,12 +122,8 @@ def expire_before(conn, cutoff_ts: int) -> int:
         raise ValueError("retention requires a time-bucketed layout (Connection(time_bucket=N))")
     cutoff_bucket = cutoff_ts // conn.time_bucket  # buckets < this are fully below
     dropped = 0
-    if not os.path.isdir(conn.samples_path):
-        return 0
-    for stream_dir in os.listdir(conn.samples_path):
-        full = os.path.join(conn.samples_path, stream_dir)
-        if not (stream_dir.startswith("stream_id=") and os.path.isdir(full)):
-            continue
+    for part in _top_level_partitions(conn):
+        full = os.path.join(conn.samples_path, part)
         for sub in os.listdir(full):
             if not sub.startswith("ts_bucket="):
                 continue

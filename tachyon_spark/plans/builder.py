@@ -63,6 +63,10 @@ class Plan:
     value_type: str
     literal: float | None = None  # plan-time-known scalar (number literals)
     group_cols: tuple[str, ...] = ()
+    # matched StreamInfo rows for selector-derived vectors; vector matching
+    # (on/ignoring) needs per-series label sets and gets them driver-side
+    # from here instead of a distributed catalog join
+    streams: tuple = ()
 
     @property
     def return_type(self) -> str:
@@ -144,7 +148,10 @@ class PlanBuilder:
         else:
             result = F.least(F.greatest(v, F.lit(node.args[0])), F.lit(node.args[1]))
         keep = [c for c in ("stream_id", "ts") if c in child.df.columns]
-        return Plan("vector", child.df.select(*keep, result.alias("value")), VT_F64)
+        return Plan(
+            "vector", child.df.select(*keep, result.alias("value")), VT_F64,
+            streams=child.streams,
+        )
 
     _MATH = {
         "abs": F.abs,
@@ -176,7 +183,10 @@ class PlanBuilder:
         col = F.col("value") if node.func == "abs" else F.col("value").cast("double")
         result = self._MATH[node.func](col)
         keep = [c for c in ("stream_id", "ts") if c in child.df.columns]
-        return Plan("vector", child.df.select(*keep, result.alias("value")), vt)
+        return Plan(
+            "vector", child.df.select(*keep, result.alias("value")), vt,
+            streams=child.streams,
+        )
 
     def _set_op(self, op: str, lhs: Plan, rhs: Plan) -> Plan:
         """and/or/unless on the ts key (extension; reference has no set ops,
@@ -416,10 +426,32 @@ class PlanBuilder:
             vt = promote(vt, r.value_type)
 
         ids = [r.stream_id for r in rows]
-        df = select_range(
-            self.conn.samples_df(), ids, start, end,
-            time_bucket=self.conn.time_bucket,
-        )
+        n_sb = getattr(self.conn, "stream_buckets", 0) or 0
+        buckets = None
+        if n_sb:
+            from tachyon_spark.connection import stream_bucket_py
+
+            bset = {stream_bucket_py(i, n_sb) for i in ids}
+            if len(bset) < n_sb:  # all-bucket filter prunes nothing — skip
+                buckets = sorted(bset)
+        if len(ids) > getattr(self.conn, "isin_threshold", 1_000):
+            # High cardinality: no IN-list literal in the plan. The id frame
+            # comes from the catalog parquet filtered IN-PLAN (resolve_df),
+            # so executors — not the driver — carry the ids; the broadcast
+            # semi-join replaces the reference's posting-list intersection.
+            df = select_range(
+                self.conn.samples_df(), None, start, end,
+                time_bucket=self.conn.time_bucket,
+                stream_ids_df=self.conn.catalog.resolve_df(sel.name, sel.matchers),
+                id_count=len(ids),
+                stream_buckets=buckets,
+            )
+        else:
+            df = select_range(
+                self.conn.samples_df(), ids, start, end,
+                time_bucket=self.conn.time_bucket,
+                stream_buckets=buckets,
+            )
         types = {r.value_type for r in rows}
         dec_u64 = self.conn.u64_decimal and VT_U64 in types
         if types == {VT_F64}:
@@ -440,13 +472,15 @@ class PlanBuilder:
         else:
             value = F.col("value_int")
         df = df.select("stream_id", "ts", value.alias("value"))
-        return Plan("vector", df, vt)
+        return Plan("vector", df, vt, streams=tuple(rows))
 
     # ----------------------------------------------------------------- binary
     def _binary(self, node: ast.BinaryOp) -> Plan:
         op = node.op
         lhs = self.build(node.lhs)
         rhs = self.build(node.rhs)
+        if node.matching is not None:
+            return self._matched_binop(op, lhs, rhs, node.matching)
         if op in ast.SET_OPS:
             return self._set_op(op, lhs, rhs)
         is_cmp = op in _CMP
@@ -472,6 +506,184 @@ class PlanBuilder:
             )
             return Plan("vector", out, vt)
         raise ValueError(f"unsupported operand kinds: {lhs.kind} {op} {rhs.kind}")
+
+    # ------------------------------------------------------- vector matching
+    @staticmethod
+    def _match_key(info, matching: ast.VectorMatching) -> tuple:
+        """A series' match-group key. on(): the named labels (missing label
+        = "", Prometheus semantics); ignoring(): all labels except the named
+        ones, canonically ordered."""
+        if matching.on:
+            return tuple(info.labels.get(l, "") for l in matching.labels)
+        drop = set(matching.labels)
+        return tuple(
+            f"{k}={v}" for k, v in sorted(info.labels.items()) if k not in drop
+        )
+
+    def _keyed_side(self, plan: Plan, keys: dict, key_cols: list[str]) -> DataFrame:
+        """Attach the driver-computed match-key columns to a sample frame via
+        a broadcast join on stream_id (one row per SERIES, so the mapping
+        frame is catalog-sized, never sample-sized; series absent from
+        `keys` — no match partner — drop out via the inner join). The keys
+        are computed once driver-side and used verbatim on both the Spark
+        and the bookkeeping side, so they cannot diverge."""
+        rows = [(sid,) + key for sid, key in keys.items()]
+        map_df = self.conn.spark.createDataFrame(
+            rows, ["stream_id"] + key_cols
+        )
+        return plan.df.join(F.broadcast(map_df), "stream_id")
+
+    def _matched_binop(
+        self, op: str, lhs: Plan, rhs: Plan, matching: ast.VectorMatching
+    ) -> Plan:
+        """`a OP on(l1,..)/ignoring(l1,..) [group_left/right] b` — the
+        grouped interpolating join (extension: the reference has no vector
+        matching at all; binary ops concatenate streams ignoring labels,
+        vector_select.rs:78-105). Per match group, the same union-of-ts +
+        linear interpolation semantics as the ungrouped binop
+        (operators/interpolate.py), partitioned by the match key — each
+        group's windows are independent, so this distributes perfectly."""
+        if lhs.kind != "vector" or rhs.kind != "vector":
+            raise ValueError("on()/ignoring() requires vector operands")
+        if op in _CMP:
+            raise ValueError(
+                "vector-to-vector comparison is not supported (reference panics)"
+            )
+        if not lhs.streams or not rhs.streams:
+            raise ValueError(
+                "vector matching requires label-carrying selector vectors "
+                "(derived vectors lost their series identity)"
+            )
+        if matching.on:
+            key_cols = list(matching.labels)
+            if not key_cols:
+                raise ValueError("on() requires at least one label")
+        else:
+            key_cols = ["__match_key"]
+        if set(matching.include) & set(key_cols):
+            raise ValueError("group_left/right include labels overlap match labels")
+
+        lkeys = {s.stream_id: self._key(s, matching) for s in lhs.streams}
+        rkeys = {s.stream_id: self._key(s, matching) for s in rhs.streams}
+
+        if op in ast.SET_OPS:
+            return self._matched_set_op(op, lhs, rhs, lkeys, rkeys, key_cols, matching)
+
+        common = set(lkeys.values()) & set(rkeys.values())
+        lkeys = {sid: k for sid, k in lkeys.items() if k in common}
+        rkeys = {sid: k for sid, k in rkeys.items() if k in common}
+        if not common:
+            raise ValueError("no matching label groups between operands")
+
+        # cardinality contract (PromQL): the "one" side must be unique per
+        # group; one-to-one requires both. Checked driver-side — free.
+        def _assert_unique(keys: dict, side: str) -> None:
+            from collections import Counter
+
+            dup = [k for k, c in Counter(keys.values()).items() if c > 1]
+            if dup:
+                hint = (
+                    " (use group_left/group_right for many-to-one)"
+                    if matching.group is None
+                    else ""
+                )
+                raise ValueError(
+                    f"vector matching: multiple {side} series in match group "
+                    f"{dup[0]!r}{hint}"
+                )
+
+        if matching.group in (None, "right"):
+            _assert_unique(lkeys, "left")
+        if matching.group in (None, "left"):
+            _assert_unique(rkeys, "right")
+
+        keyed_l = self._keyed_side(lhs, lkeys, key_cols)
+        keyed_r = self._keyed_side(rhs, rkeys, key_cols)
+
+        if matching.group is None:
+            series = key_cols
+            a_frame = keyed_l.drop("stream_id")
+            b_frame = keyed_r.drop("stream_id")
+        elif matching.group == "left":
+            # many side = left; replicate the unique right series onto each
+            # left series of its group (broadcast of a per-series frame)
+            series = ["stream_id"] + key_cols
+            lmap = self.conn.spark.createDataFrame(
+                [(sid,) + k for sid, k in lkeys.items()], ["stream_id"] + key_cols
+            )
+            a_frame = keyed_l
+            b_frame = keyed_r.drop("stream_id").join(F.broadcast(lmap), key_cols)
+        else:  # group == 'right': many side = right
+            series = ["stream_id"] + key_cols
+            rmap = self.conn.spark.createDataFrame(
+                [(sid,) + k for sid, k in rkeys.items()], ["stream_id"] + key_cols
+            )
+            a_frame = keyed_l.drop("stream_id").join(F.broadcast(rmap), key_cols)
+            b_frame = keyed_r
+        vt = result_type(op, lhs.value_type, rhs.value_type)
+        out = interpolated_binop(
+            a_frame.select(*series, "ts", "value"),
+            b_frame.select(*series, "ts", "value"),
+            op,
+            integer_result=is_integer(promote(lhs.value_type, rhs.value_type)),
+            series_cols=series,
+        )
+        if matching.include:
+            out = self._attach_include(out, matching, key_cols, lkeys, rkeys, lhs, rhs)
+        return Plan("grouped", out, vt, group_cols=tuple(series) + ("ts",))
+
+    def _key(self, info, matching) -> tuple:
+        k = self._match_key(info, matching)
+        if not matching.on:
+            return (",".join(k),)  # canonical single-string ignoring() key
+        return k
+
+    def _attach_include(
+        self, out: DataFrame, matching, key_cols, lkeys, rkeys, lhs, rhs
+    ) -> DataFrame:
+        """group_left(l1,..)/group_right(l1,..): copy labels from the "one"
+        side onto the result — the one side is unique per group, so the
+        mapping (group key -> include values) is well-defined and tiny."""
+        one_streams = rhs.streams if matching.group == "left" else lhs.streams
+        one_keys = rkeys if matching.group == "left" else lkeys
+        rows = []
+        for s in one_streams:
+            if s.stream_id in one_keys:
+                rows.append(
+                    one_keys[s.stream_id]
+                    + tuple(s.labels.get(l, "") for l in matching.include)
+                )
+        inc_df = self.conn.spark.createDataFrame(
+            rows, key_cols + list(matching.include)
+        ).dropDuplicates(key_cols)
+        return out.join(F.broadcast(inc_df), key_cols, "left")
+
+    def _matched_set_op(
+        self, op, lhs, rhs, lkeys, rkeys, key_cols, matching
+    ) -> Plan:
+        """and/or/unless with on()/ignoring(): set membership per (match
+        group, ts) instead of bare ts. No interpolation (PromQL set ops
+        don't interpolate); `or` keeps unmatched groups (no common-group
+        restriction — that is its point)."""
+        if matching.group is not None:
+            raise ValueError("group_left/group_right do not apply to set operators")
+        keyed_l = self._keyed_side(lhs, lkeys, key_cols).drop("stream_id")
+        keyed_r = self._keyed_side(rhs, rkeys, key_cols).drop("stream_id")
+        on = key_cols + ["ts"]
+        if op == "and":
+            out = keyed_l.join(keyed_r.select(*on).distinct(), on, "left_semi")
+            return Plan("grouped", out, lhs.value_type, group_cols=tuple(on))
+        if op == "unless":
+            out = keyed_l.join(keyed_r.select(*on).distinct(), on, "left_anti")
+            return Plan("grouped", out, lhs.value_type, group_cols=tuple(on))
+        vt = promote(lhs.value_type, rhs.value_type)
+        r_extra = keyed_r.join(keyed_l.select(*on).distinct(), on, "left_anti")
+        out = keyed_l.select(
+            *on, F.col("value").cast("double").alias("value")
+        ).unionByName(r_extra.select(*on, F.col("value").cast("double").alias("value")))
+        if is_integer(vt):
+            out = out.select(*on, F.col("value").cast("long").alias("value"))
+        return Plan("grouped", out, vt, group_cols=tuple(on))
 
     def _scalar_scalar(self, op: str, lhs: Plan, rhs: Plan) -> Plan:
         vt = result_type(op, lhs.value_type, rhs.value_type)
@@ -513,7 +725,7 @@ class PlanBuilder:
             cond = _CMP[op](F.col("value").cast("double"), s_col.cast("double"))
             out = df.where(cond)
             keep = [c for c in ("stream_id", "ts") if c in out.columns] + ["value"]
-            return Plan("vector", out.select(*keep), vec.value_type)
+            return Plan("vector", out.select(*keep), vec.value_type, streams=vec.streams)
 
         vt = result_type(op, vec.value_type, scalar.value_type)
         v_col = F.col("value")
@@ -530,7 +742,10 @@ class PlanBuilder:
         if is_integer(vt):
             result = result.cast("long")
         keep = [c for c in ("stream_id", "ts") if c in df.columns]
-        return Plan("vector", df.select(*keep, result.alias("value")), vt)
+        return Plan(
+            "vector", df.select(*keep, result.alias("value")), vt,
+            streams=vec.streams,
+        )
 
     # -------------------------------------------------------------- aggregate
     def _aggregate(self, node: ast.Aggregate) -> Plan:

@@ -47,10 +47,30 @@ class NumberLiteral:
 
 
 @dataclass(frozen=True)
+class VectorMatching:
+    """`on()/ignoring()` + `group_left/group_right` modifiers on a binary op
+    (extension: the reference ignores labels in binary ops entirely —
+    streams are concatenated at scan, vector_select.rs:78-105 — so `a / b`
+    there never aligns series; here matching routes into the grouped
+    interpolating join).
+
+    on=True: match on exactly `labels`; on=False: match on all labels
+    EXCEPT `labels` (ignoring). group: None = one-to-one, 'left'/'right' =
+    many-to-one with the many side named; `include` = extra labels copied
+    from the "one" side onto the result (group_left(include...))."""
+
+    on: bool
+    labels: tuple[str, ...] = ()
+    group: str | None = None  # None | 'left' | 'right'
+    include: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
 class BinaryOp:
     op: str  # + - * / % == != > < >= <=
     lhs: object
     rhs: object
+    matching: VectorMatching | None = None  # on()/ignoring() vector matching
 
 
 @dataclass(frozen=True)

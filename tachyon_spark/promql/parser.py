@@ -48,7 +48,7 @@ DURATION_UNITS = {
 }
 
 KEYWORDS = (
-    {"offset", "by", "start", "end"}
+    {"offset", "by", "start", "end", "on", "ignoring", "group_left", "group_right"}
     | set(ast.AGG_FUNCS)
     | set(ast.GETK_FUNCS)
     | set(ast.RANGE_FUNCS)
@@ -124,44 +124,79 @@ class Parser:
             raise PromQLError(f"trailing input at {tok.pos}: {tok.text!r}")
         return expr
 
+    def _parse_matching(self) -> ast.VectorMatching | None:
+        """Optional `on(...)/ignoring(...)` [+ group_left/group_right] right
+        after a binary operator token."""
+        tok = self.peek()
+        if tok is None or tok.text not in ("on", "ignoring"):
+            return None
+        on = self.next().text == "on"
+        labels = tuple(self._parse_label_list())
+        group = None
+        include: tuple[str, ...] = ()
+        tok = self.peek()
+        if tok is not None and tok.text in ("group_left", "group_right"):
+            group = "left" if self.next().text == "group_left" else "right"
+            if self.at("("):
+                include = tuple(self._parse_label_list())
+        return ast.VectorMatching(on, labels, group, include)
+
+    def _parse_label_list(self) -> list[str]:
+        self.expect("(")
+        labels = []
+        while not self.at(")"):
+            tok = self.next()
+            if tok.kind != "ident":
+                raise PromQLError(f"expected label name, got {tok.text!r}")
+            labels.append(tok.text)
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        return labels
+
     def parse_or(self):
         lhs = self.parse_and()
         while self.peek() and self.peek().text == "or":
             self.next()
+            matching = self._parse_matching()
             rhs = self.parse_and()
-            lhs = ast.BinaryOp("or", lhs, rhs)
+            lhs = ast.BinaryOp("or", lhs, rhs, matching)
         return lhs
 
     def parse_and(self):
         lhs = self.parse_cmp()
         while self.peek() and self.peek().text in ("and", "unless"):
             op = self.next().text
+            matching = self._parse_matching()
             rhs = self.parse_cmp()
-            lhs = ast.BinaryOp(op, lhs, rhs)
+            lhs = ast.BinaryOp(op, lhs, rhs, matching)
         return lhs
 
     def parse_cmp(self):
         lhs = self.parse_add()
         while self.peek() and self.peek().text in ast.CMP_OPS:
             op = self.next().text
+            matching = self._parse_matching()
             rhs = self.parse_add()
-            lhs = ast.BinaryOp(op, lhs, rhs)
+            lhs = ast.BinaryOp(op, lhs, rhs, matching)
         return lhs
 
     def parse_add(self):
         lhs = self.parse_mul()
         while self.peek() and self.peek().text in ("+", "-"):
             op = self.next().text
+            matching = self._parse_matching()
             rhs = self.parse_mul()
-            lhs = ast.BinaryOp(op, lhs, rhs)
+            lhs = ast.BinaryOp(op, lhs, rhs, matching)
         return lhs
 
     def parse_mul(self):
         lhs = self.parse_unary()
         while self.peek() and self.peek().text in ("*", "/", "%"):
             op = self.next().text
+            matching = self._parse_matching()
             rhs = self.parse_unary()
-            lhs = ast.BinaryOp(op, lhs, rhs)
+            lhs = ast.BinaryOp(op, lhs, rhs, matching)
         return lhs
 
     def parse_unary(self):

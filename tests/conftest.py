@@ -59,6 +59,17 @@ def golden_db(spark):
     # grouped-agg extension streams
     make_stream(conn, 'mg{service="web"}', "u64", [(1, 10), (2, 20)])
     make_stream(conn, 'mg{service="mobile"}', "u64", [(1, 1), (2, 2)])
+    # vector-matching extension streams (on/ignoring/group_left)
+    make_stream(conn, 'vm_req{service="web"}', "f64",
+                [(10, 10.0), (20, 20.0), (30, 30.0)])
+    make_stream(conn, 'vm_req{service="mobile"}', "f64",
+                [(10, 4.0), (20, 8.0), (30, 12.0)])
+    make_stream(conn, 'vm_lim{service="web"}', "f64", [(10, 100.0), (30, 200.0)])
+    make_stream(conn, 'vm_lim{service="mobile"}', "f64", [(20, 40.0)])
+    make_stream(conn, 'vm_multi{service="web",host="a"}', "f64",
+                [(10, 1.0), (20, 2.0)])
+    make_stream(conn, 'vm_multi{service="web",host="b"}', "f64", [(10, 3.0)])
+    make_stream(conn, 'vm_lim2{service="web",tier="gold"}', "f64", [(10, 100.0)])
     return conn
 
 

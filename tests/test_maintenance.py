@@ -17,7 +17,7 @@ def _many_small_flushes(conn, sel, n_flushes=4):
 
 
 def test_compact_merges_files_and_preserves_rows(spark, tmp_path):
-    conn = Connection(str(tmp_path / "db"), spark)
+    conn = Connection(str(tmp_path / "db"), spark, stream_buckets=0)
     _many_small_flushes(conn, 'c{k="1"}')
     sid = conn.get_all_streams()[0].stream_id
     before = conn.query('c{k="1"}', 0, 1000).rows()
@@ -30,7 +30,7 @@ def test_compact_merges_files_and_preserves_rows(spark, tmp_path):
 
 
 def test_compact_bucketed_layout(spark, tmp_path):
-    conn = Connection(str(tmp_path / "db"), spark, time_bucket=DAY)
+    conn = Connection(str(tmp_path / "db"), spark, time_bucket=DAY, stream_buckets=0)
     conn.create_stream('c{k="2"}', "f64")
     ins = conn.prepare_insert('c{k="2"}')
     for i in range(3):
@@ -63,3 +63,36 @@ def test_expire_requires_bucketed_layout(spark, tmp_path):
     conn = Connection(str(tmp_path / "db2"), spark)
     with pytest.raises(ValueError):
         expire_before(conn, 100)
+
+
+def test_compact_hash_bucket_layout(spark, tmp_path):
+    # default layout: streams hash into stream_bucket dirs; compaction unit
+    # is the bucket, re-clustered by (stream_id, ts)
+    conn = Connection(str(tmp_path / "db"), spark)
+    _many_small_flushes(conn, 'h{k="1"}')
+    sid = conn.get_all_streams()[0].stream_id
+    before = conn.query('h{k="1"}', 0, 1000).rows()
+    n_before = compact_stream(conn, sid)
+    assert n_before == 4
+    import zlib
+
+    b = zlib.crc32(sid.encode()) % conn.stream_buckets
+    part_dir = tmp_path / "db" / "samples" / f"stream_bucket={b}"
+    files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert conn.query('h{k="1"}', 0, 1000).rows() == before
+
+
+def test_expire_hash_bucket_layout(spark, tmp_path):
+    conn = Connection(str(tmp_path / "db"), spark, time_bucket=DAY)
+    conn.create_stream('e{k="2"}', "f64")
+    ins = conn.prepare_insert('e{k="2"}')
+    for day in range(3):
+        ins.insert(day * DAY + 5, float(day))
+    ins.flush()
+    dropped = expire_before(conn, DAY + 500)
+    assert dropped == 1
+    assert conn.query('e{k="2"}', 0, 10 * DAY).rows() == [
+        (DAY + 5, 1.0),
+        (2 * DAY + 5, 2.0),
+    ]

@@ -49,11 +49,29 @@ def test_bucket_partition_pruning(spark, tmp_path):
     assert re.search(r"ts_bucket#\d+L? <= 1", m.group(1)), m.group(1)
 
 
-def test_bucketed_dirs_on_disk(spark, tmp_path):
-    conn = Connection(str(tmp_path / "db"), spark, time_bucket=86_400_000)
+def test_bucketed_dirs_on_disk_legacy_layout(spark, tmp_path):
+    # stream_buckets=0 pins the rounds-1/2 one-dir-per-stream layout
+    conn = Connection(
+        str(tmp_path / "db"), spark, time_bucket=86_400_000, stream_buckets=0
+    )
     _fill(conn)
     sid = conn.get_all_streams()[0].stream_id
     base = tmp_path / "db" / "samples" / f"stream_id={sid}"
+    assert sorted(p.name for p in base.iterdir() if p.is_dir()) == [
+        "ts_bucket=0",
+        "ts_bucket=1",
+        "ts_bucket=2",
+    ]
+
+
+def test_hash_bucketed_dirs_on_disk(spark, tmp_path):
+    import zlib
+
+    conn = Connection(str(tmp_path / "db"), spark, time_bucket=86_400_000)
+    _fill(conn)
+    sid = conn.get_all_streams()[0].stream_id
+    b = zlib.crc32(sid.encode()) % conn.stream_buckets
+    base = tmp_path / "db" / "samples" / f"stream_bucket={b}"
     assert sorted(p.name for p in base.iterdir() if p.is_dir()) == [
         "ts_bucket=0",
         "ts_bucket=1",
