@@ -708,6 +708,141 @@ def q_ewma_final(spark, sf_dir):
 # beyond-reference: LLM-data-pipeline operators
 # --------------------------------------------------------------------------
 
+def q_vector_matching(spark, sf_dir):
+    """PromQL vector matching end-to-end through the engine surface
+    (extension; the reference concatenates streams ignoring labels,
+    vector_select.rs:78-105): per-user click/view series are registered as
+    label-keyed streams (user="<id>"), then `vm_click * on(user) vm_view`
+    runs the grouped interpolating join partitioned by match key. The
+    oracle replays per-user union-of-ts + linear interpolation in SQL."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+
+    ev = _read(spark, sf_dir, "events")
+    series = (
+        ev.where(
+            F.col("event_type").isin("click", "view")
+            & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+        )
+        .groupBy("event_type", "user_id", F.expr("ts DIV 1000").alias("ts"))
+        .agg(F.avg("value").alias("value"))
+    )
+    pairs = sorted(
+        (r.event_type, r.user_id)
+        for r in series.select("event_type", "user_id").distinct().collect()
+    )
+    work = tempfile.mkdtemp(prefix="ty_vm_")
+    conn = Connection(os.path.join(work, "db"), spark)
+    ids = conn.create_streams(
+        [(f'vm_{et}{{user="{uid}"}}', "f64") for et, uid in pairs]
+    )
+    mapping = spark.createDataFrame(
+        [(et, uid, sid) for (et, uid), sid in zip(pairs, ids)],
+        "event_type string, user_id long, stream_id string",
+    )
+    conn.bulk_load(
+        series.join(F.broadcast(mapping), ["event_type", "user_id"]).select(
+            "stream_id", "ts", "value", F.lit(None).cast("long").alias("value_int")
+        )
+    )
+    out = conn.query("vm_click * on(user) vm_view", T0_US, T1_US).df()
+    return out.select(
+        F.col("user").cast("long").alias("user_id"),
+        F.col("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_promql_subquery(spark, sf_dir):
+    """PromQL subquery end-to-end through the engine surface:
+    `max_over_time(rate(m[30m])[2h:30m])` (extension; the reference rejects
+    subqueries, query/planner.rs:125-133). The click series becomes stream
+    m; the inner rate evaluates per 30m tumbling window anchored at the
+    query start, the outer max re-aggregates the grid per 2h window. Two
+    map-side-partial shuffles, no per-step re-execution."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+
+    w30 = 30 * 60 * 1_000_000  # µs
+    w2h = 4 * w30
+    ev = _read(spark, sf_dir, "events")
+    series = (
+        ev.where(
+            (F.col("event_type") == "click")
+            & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+        )
+        .groupBy(F.expr("ts DIV 1000").alias("ts"))
+        .agg(F.avg("value").alias("value"))
+    )
+    work = tempfile.mkdtemp(prefix="ty_subq_")
+    conn = Connection(os.path.join(work, "db"), spark)
+    conn.create_stream("m", "f64")
+    sid = conn.get_all_streams()[0].stream_id
+    conn.bulk_load(
+        series.select(
+            F.lit(sid).alias("stream_id"), "ts", "value",
+            F.lit(None).cast("long").alias("value_int"),
+        )
+    )
+    out = conn.query(
+        f"max_over_time(rate(m[{w30}])[{w2h}:{w30}])", T0_US, T1_US
+    ).df()
+    return out.select(
+        F.col("ts").alias("ts_us"),
+        F.round(F.col("value") * 1_000_000, 9).alias("max_rate_per_sec"),
+    )
+
+
+def q_promql_histogram(spark, sf_dir):
+    """histogram_quantile(0.5, hqm) end-to-end (extension; absent from the
+    reference): per-6h cumulative bucket counts of click values (le in
+    {1,5,20,+Inf}) are registered as le-labeled streams, then the
+    Prometheus bucket interpolation runs as array HOFs per timestamp
+    (functions/histogram.py). Oracle replays the same CASE ladder in SQL."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+
+    w6h = 6 * 3600 * 1_000_000  # µs
+    ev = _read(spark, sf_dir, "events")
+    win = (F.lit(T0_US) + ((F.col("ts") - F.lit(T0_US)) / F.lit(w6h)).cast("long") * F.lit(w6h))
+    base = ev.where(
+        (F.col("event_type") == "click")
+        & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+    ).select(F.expr("ts DIV 1000").alias("ts"), "value")
+    counts = base.groupBy(win.alias("ts")).agg(
+        F.sum((F.col("value") <= 1.0).cast("long")).alias("c1"),
+        F.sum((F.col("value") <= 5.0).cast("long")).alias("c5"),
+        F.sum((F.col("value") <= 20.0).cast("long")).alias("c20"),
+        F.count("*").alias("cinf"),
+    )
+    melted = counts.selectExpr(
+        "ts",
+        "stack(4, '1', c1, '5', c5, '20', c20, '+Inf', cinf) AS (le, cnt)",
+    )
+    work = tempfile.mkdtemp(prefix="ty_hq_")
+    conn = Connection(os.path.join(work, "db"), spark)
+    les = ["1", "5", "20", "+Inf"]
+    ids = conn.create_streams([(f'hqm{{le="{le}"}}', "i64") for le in les])
+    mapping = spark.createDataFrame(list(zip(les, ids)), "le string, stream_id string")
+    conn.bulk_load(
+        melted.join(F.broadcast(mapping), "le").select(
+            "stream_id", "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.col("cnt").alias("value_int"),
+        )
+    )
+    out = conn.query("histogram_quantile(0.5, hqm)", T0_US, T1_US).df()
+    return out.select(
+        F.col("ts").alias("ts_us"), F.round("value", 6).alias("p50")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from tachyon_spark.functions.dedup import exact_dedup
 
@@ -1018,6 +1153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_by_source": q_token_counts_by_source,
         "token_count_bpe": q_token_count_bpe,
         "doc_fingerprint": q_doc_fingerprint,
+        "vector_matching": q_vector_matching,
+        "promql_subquery": q_promql_subquery,
+        "promql_histogram": q_promql_histogram,
     }
 
 
@@ -1101,6 +1239,96 @@ SELECT u AS user_id, t AS ts_us, round(
         ELSE pvb + (nvb - pvb) * (t - ptb) / (ntb - ptb) END), 6) AS value
 FROM w
 """
+
+_VECTOR_MATCHING_SQL = """
+WITH a AS (
+  SELECT user_id, epoch_us(ts) AS t, avg(value) AS value FROM events
+  WHERE event_type = 'click' AND epoch_us(ts) BETWEEN {t0} AND {t1}
+  GROUP BY user_id, epoch_us(ts)
+),
+b AS (
+  SELECT user_id, epoch_us(ts) AS t, avg(value) AS value FROM events
+  WHERE event_type = 'view' AND epoch_us(ts) BETWEEN {t0} AND {t1}
+  GROUP BY user_id, epoch_us(ts)
+),
+both_users AS (
+  SELECT DISTINCT user_id FROM a INTERSECT SELECT DISTINCT user_id FROM b
+),
+j AS (
+  SELECT coalesce(a.user_id, b.user_id) AS u, coalesce(a.t, b.t) AS t,
+         a.value AS va, b.value AS vb
+  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.t = b.t
+  WHERE coalesce(a.user_id, b.user_id) IN (SELECT user_id FROM both_users)
+),
+w AS (
+  SELECT u, t, va, vb,
+    last_value(va IGNORE NULLS) OVER wp AS pva,
+    last_value(CASE WHEN va IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pta,
+    first_value(va IGNORE NULLS) OVER wn AS nva,
+    first_value(CASE WHEN va IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nta,
+    last_value(vb IGNORE NULLS) OVER wp AS pvb,
+    last_value(CASE WHEN vb IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS ptb,
+    first_value(vb IGNORE NULLS) OVER wn AS nvb,
+    first_value(CASE WHEN vb IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS ntb
+  FROM j
+  WINDOW
+    wp AS (PARTITION BY u ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY u ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT u AS user_id, t AS ts_us, round(
+  (CASE WHEN va IS NOT NULL THEN va
+        WHEN pta IS NULL THEN nva
+        WHEN nta IS NULL THEN pva
+        ELSE pva + (nva - pva) * (t - pta) / (nta - pta) END)
+* (CASE WHEN vb IS NOT NULL THEN vb
+        WHEN ptb IS NULL THEN nvb
+        WHEN ntb IS NULL THEN pvb
+        ELSE pvb + (nvb - pvb) * (t - ptb) / (ntb - ptb) END), 6) AS value
+FROM w
+"""
+
+
+_PROMQL_SUBQUERY_SQL = """
+WITH s AS (
+  SELECT epoch_us(ts) AS t, avg(value) AS value FROM events
+  WHERE event_type = 'click' AND epoch_us(ts) BETWEEN {t0} AND {t1}
+  GROUP BY 1
+),
+r AS (  -- inner rate(m[30m]) on the 30m grid anchored at t0
+  SELECT {t0} + ((t - {t0}) // {w30}) * {w30} AS wt,
+         (max(struct_pack(t := t, v := value)).v
+          - min(struct_pack(t := t, v := value)).v)
+         / (max(t) - min(t)) AS rate
+  FROM s GROUP BY 1
+  HAVING max(t) > min(t)
+)
+SELECT {t0} + ((wt - {t0}) // {w2h}) * {w2h} AS ts_us,
+       round(max(rate) * 1000000, 9) AS max_rate_per_sec
+FROM r GROUP BY 1
+"""
+
+_PROMQL_HISTOGRAM_SQL = """
+WITH c AS (
+  SELECT {t0} + ((epoch_us(ts) - {t0}) // {w6h}) * {w6h} AS ts_us,
+         count(*) FILTER (value <= 1)  AS c1,
+         count(*) FILTER (value <= 5)  AS c5,
+         count(*) FILTER (value <= 20) AS c20,
+         count(*) AS cinf
+  FROM events
+  WHERE event_type = 'click' AND epoch_us(ts) BETWEEN {t0} AND {t1}
+  GROUP BY 1
+)
+SELECT ts_us, round(
+  CASE
+    WHEN 0.5 * cinf <= c1 THEN
+      CASE WHEN c1 = 0 THEN 0.0 ELSE 1.0 * (0.5 * cinf) / c1 END
+    WHEN 0.5 * cinf <= c5 THEN 1 + 4.0 * (0.5 * cinf - c1) / (c5 - c1)
+    WHEN 0.5 * cinf <= c20 THEN 5 + 15.0 * (0.5 * cinf - c5) / (c20 - c5)
+    ELSE 20.0
+  END, 6) AS p50
+FROM c WHERE cinf > 0
+"""
+
 
 _SHINGLES_SQL = f"""
   SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+{JACCARD_N - 1}], ' ') AS shingle
@@ -1451,6 +1679,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "interp_add": _INTERP_SQL,
         "interp_add_grouped": _INTERP_GROUPED_SQL,
+        "vector_matching": _VECTOR_MATCHING_SQL.format(t0=T0_US, t1=T1_US),
+        "promql_subquery": _PROMQL_SUBQUERY_SQL.format(
+            t0=T0_US, t1=T1_US, w30=30 * 60 * 1_000_000, w2h=2 * 3600 * 1_000_000
+        ),
+        "promql_histogram": _PROMQL_HISTOGRAM_SQL.format(
+            t0=T0_US, t1=T1_US, w6h=6 * 3600 * 1_000_000
+        ),
         "scalar_arithmetic": (
             "SELECT round((sum(value) / count(value)) * 2.0 + 1.0, 6) AS value "
             "FROM events WHERE event_type = 'error'"

@@ -119,6 +119,13 @@ class PlanBuilder:
             return self._deriv_func(expr)
         if isinstance(expr, ast.MathFunc):
             return self._math_func(expr)
+        if isinstance(expr, ast.HistogramQuantile):
+            return self._histogram_quantile(expr)
+        if isinstance(expr, ast.Subquery):
+            raise ValueError(
+                "a subquery expr[RANGE:STEP] can only be the argument of an "
+                "*_over_time function"
+            )
         if isinstance(expr, ast.SortFunc):
             return self._sort_func(expr)
         if isinstance(expr, ast.ClampFunc):
@@ -249,36 +256,136 @@ class PlanBuilder:
             value = diff
         return Plan("scalar", agg.select(value.alias("value")), VT_F64)
 
+    @staticmethod
+    def _over_time_agg(fn: str, child_vt: str, arg):
+        """The *_over_time aggregate column + result type (shared by the
+        matrix-selector and subquery paths)."""
+        v = F.col("value")
+        if fn == "avg":
+            return F.avg(v.cast("double")), VT_F64
+        if fn == "sum":
+            return F.sum(v), child_vt
+        if fn == "min":
+            return F.min(v), child_vt
+        if fn == "max":
+            return F.max(v), child_vt
+        if fn == "count":
+            return F.count(v), VT_U64
+        if fn == "quantile":
+            # exact linear-interpolated percentile (PromQL semantics); at
+            # scale swap for approx_percentile (mergeable sketch)
+            return F.percentile(v.cast("double"), F.lit(arg)), VT_F64
+        # last: newest sample, (ts, value) tie-break
+        return F.max_by("value", F.struct("ts", "value")), child_vt
+
     def _over_time_func(self, node: ast.OverTimeFunc) -> Plan:
         """`avg_over_time(m[5m])` family: per-tumbling-window aggregation
-        over a range vector (extension; parser guarantees the MatrixSelector
-        child). Same plan shape as _range_windowed: one scan + one hash
-        shuffle on the window key, map-side partials."""
+        over a range vector (extension; parser guarantees a MatrixSelector
+        or Subquery child). Same plan shape as _range_windowed: one scan +
+        one hash shuffle on the window key, map-side partials."""
+        fn = node.func[: -len("_over_time")]
+        if isinstance(node.child, ast.Subquery):
+            return self._over_time_subquery(fn, node.child, node.arg)
         msel = node.child
         child = self._selector(msel.selector)
         win = self._window_col(msel)
-        fn = node.func[: -len("_over_time")]
-        v = F.col("value")
-        if fn == "avg":
-            agg, vt = F.avg(v.cast("double")), VT_F64
-        elif fn == "sum":
-            agg, vt = F.sum(v), child.value_type
-        elif fn == "min":
-            agg, vt = F.min(v), child.value_type
-        elif fn == "max":
-            agg, vt = F.max(v), child.value_type
-        elif fn == "count":
-            agg, vt = F.count(v), VT_U64
-        elif fn == "quantile":
-            # exact linear-interpolated percentile (PromQL semantics); at
-            # scale swap for approx_percentile (mergeable sketch)
-            agg, vt = F.percentile(v.cast("double"), F.lit(node.arg)), VT_F64
-        else:  # last: newest sample, (ts, value) tie-break
-            agg, vt = F.max_by("value", F.struct("ts", "value")), child.value_type
+        agg, vt = self._over_time_agg(fn, child.value_type, node.arg)
         out = child.df.groupBy(*self._series_window_keys(child, win)).agg(
             agg.alias("value")
         )
         return Plan("vector", out, vt)
+
+    def _subquery_inner(self, sub: ast.Subquery) -> tuple[Plan, int]:
+        """Evaluate the subquery's inner expression on its STEP grid;
+        returns (plan with ts = step-window start, grid anchor).
+
+        Inner selector: the newest sample per (series, step window) — each
+        grid point reports the latest value, PromQL's instant evaluation
+        minus the fixed 5m lookback (a step with no samples yields nothing;
+        divergence documented). Inner windowed function: built as-is; its
+        window width must equal STEP so its output rows ARE the step grid."""
+        inner = sub.child
+        if isinstance(inner, ast.VectorSelector):
+            child = self._selector(inner)
+            anchor = self._effective_start(inner) or 0
+            step = F.lit(sub.step)
+            a = F.lit(anchor)
+            win = ((F.col("ts") - a) - (F.col("ts") - a) % step + a).alias("ts")
+            out = child.df.groupBy(*self._series_window_keys(child, win)).agg(
+                F.max_by("value", F.struct("ts", "value")).alias("value")
+            )
+            return Plan("vector", out, child.value_type), anchor
+        if isinstance(
+            inner, (ast.RangeFunc, ast.OverTimeFunc, ast.RangeCountFunc, ast.DerivFunc)
+        ):
+            msel = inner.child
+            if not isinstance(msel, ast.MatrixSelector):
+                raise ValueError(
+                    "subquery inner function must evaluate a range vector m[RANGE]"
+                )
+            if msel.range_ != sub.step:
+                raise ValueError(
+                    f"subquery step ({sub.step}) must equal the inner "
+                    f"function's window width ({msel.range_}): the inner "
+                    "function's tumbling grid IS the step grid"
+                )
+            return self.build(inner), self._effective_start(msel.selector) or 0
+        raise ValueError(
+            f"unsupported subquery inner expression: {type(inner).__name__}"
+        )
+
+    def _over_time_subquery(self, fn: str, sub: ast.Subquery, arg) -> Plan:
+        """`max_over_time(rate(m[5m])[30m:5m])`: the inner expression's step
+        grid re-aggregated per RANGE-wide outer tumbling window. Two hash
+        shuffles total (inner grid + outer window), both map-side-partial —
+        no per-step re-evaluation of the inner query (PromQL engines
+        re-execute the inner expr per step; the grid IS one grouped scan
+        here)."""
+        inner_plan, anchor = self._subquery_inner(sub)
+        width = F.lit(sub.range_)
+        a = F.lit(anchor)
+        win = ((F.col("ts") - a) - (F.col("ts") - a) % width + a).alias("ts")
+        agg, vt = self._over_time_agg(fn, inner_plan.value_type, arg)
+        keys = [win]
+        if "stream_id" in inner_plan.df.columns:
+            keys.insert(0, F.col("stream_id"))
+        out = inner_plan.df.groupBy(*keys).agg(agg.alias("value"))
+        return Plan("vector", out, vt)
+
+    def _histogram_quantile(self, node: ast.HistogramQuantile) -> Plan:
+        """histogram_quantile(phi, buckets): the selector's streams must
+        carry an `le` label (cumulative bucket upper bounds; '+Inf'
+        allowed). Buckets group per timestamp and per remaining-label set;
+        the per-group quantile is functions/histogram.bucket_quantile —
+        array HOFs over the (bounded) bucket list, no UDF."""
+        from tachyon_spark.functions.histogram import INF, bucket_quantile
+
+        sel = node.child
+        child = self._selector(sel)
+        rows = child.streams
+        les = {}
+        series_keys = set()
+        for s in rows:
+            if "le" not in s.labels:
+                raise ValueError(
+                    f"histogram_quantile: stream {s.name}{s.labels} has no 'le' label"
+                )
+            le = INF if s.labels["le"] == "+Inf" else float(s.labels["le"])
+            rest = tuple(sorted((k, v) for k, v in s.labels.items() if k != "le"))
+            les[s.stream_id] = (le, ",".join(f"{k}={v}" for k, v in rest))
+            series_keys.add(rest)
+        le_map = self.conn.spark.createDataFrame(
+            [(sid, le, grp) for sid, (le, grp) in les.items()],
+            "stream_id string, __le double, __series string",
+        )
+        df = child.df.join(F.broadcast(le_map), "stream_id")
+        multi = len(series_keys) > 1
+        group_cols = (["__series"] if multi else []) + ["ts"]
+        out = bucket_quantile(df, node.phi, group_cols, le_col="__le")
+        if multi:
+            out = out.withColumnRenamed("__series", "series")
+            return Plan("grouped", out, VT_F64, group_cols=("series", "ts"))
+        return Plan("vector", out, VT_F64)
 
     def _deriv_func(self, node: ast.DerivFunc) -> Plan:
         """deriv(m[RANGE]): least-squares slope of value over ts per

@@ -42,6 +42,21 @@ class MatrixSelector:
 
 
 @dataclass(frozen=True)
+class Subquery:
+    """`expr[RANGE:STEP]` — a subquery range vector (extension; the
+    reference rejects subqueries, query/planner.rs:125-133). The inner
+    expression is evaluated on a STEP-wide tumbling grid, and the enclosing
+    *_over_time function aggregates the grid rows per RANGE-wide window.
+    Inner forms: a plain selector (last sample per step; divergence from
+    PromQL's 5m lookback documented) or a windowed range function whose
+    window width must equal STEP."""
+
+    child: object  # VectorSelector | RangeFunc | OverTimeFunc | ...
+    range_: int
+    step: int
+
+
+@dataclass(frozen=True)
 class NumberLiteral:
     value: float  # always f64 (planner.rs:135-144)
 
@@ -141,6 +156,19 @@ class MathFunc:
 
 
 @dataclass(frozen=True)
+class HistogramQuantile:
+    """histogram_quantile(phi, buckets) over cumulative le-labeled bucket
+    series (extension; absent from the reference). Per timestamp (and per
+    non-le label group), the Prometheus bucket interpolation: find the first
+    bucket whose cumulative count reaches phi*total and linearly interpolate
+    within its [prev_le, le] bounds; the +Inf bucket returns the highest
+    finite le; the first bucket interpolates from 0."""
+
+    phi: float
+    child: object  # VectorSelector of bucket series
+
+
+@dataclass(frozen=True)
 class SortFunc:
     """sort()/sort_desc(): vector reordered by value (extension)."""
 
@@ -178,5 +206,6 @@ OVER_TIME_FUNCS = frozenset(
     }
 )
 MATH_FUNCS = frozenset({"abs", "ceil", "floor", "sqrt", "exp", "ln"})
+HISTOGRAM_FUNCS = frozenset({"histogram_quantile"})
 SORT_FUNCS = frozenset({"sort", "sort_desc"})
 CLAMP_FUNCS = frozenset({"clamp", "clamp_min", "clamp_max"})

@@ -27,9 +27,9 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<number>\d+(\.\d+)?([eE][+-]?\d+)?)
-  | (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
+  | (?P<ident>[a-zA-Z_][a-zA-Z0-9_]*)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<op>=~|!~|==|!=|>=|<=|[><=+\-*/%(){},@\[\]])
+  | (?P<op>=~|!~|==|!=|>=|<=|[><=+\-*/%(){},@\[\]:])
     """,
     re.VERBOSE,
 )
@@ -59,6 +59,7 @@ KEYWORDS = (
     | set(ast.SET_OPS)
     | set(ast.SORT_FUNCS)
     | set(ast.CLAMP_FUNCS)
+    | set(ast.HISTOGRAM_FUNCS)
 )
 
 
@@ -216,31 +217,84 @@ class Parser:
             self.next()
             inner = self.parse_or()
             self.expect(")")
-            return inner
+            return self._maybe_subquery(inner)
         if tok.kind == "number":
             self.next()
             return ast.NumberLiteral(float(tok.text))
         if tok.kind == "ident":
             if tok.text in ast.AGG_FUNCS:
-                return self.parse_aggregate()
+                return self._maybe_subquery(self.parse_aggregate())
             if tok.text in ast.GETK_FUNCS:
                 return self.parse_getk()
             if tok.text in ast.RANGE_FUNCS:
-                return self.parse_range_func()
+                return self._maybe_subquery(self.parse_range_func())
             if tok.text in ast.OVER_TIME_FUNCS:
-                return self.parse_over_time_func()
+                return self._maybe_subquery(self.parse_over_time_func())
             if tok.text in ast.RANGE_COUNT_FUNCS:
-                return self.parse_range_count_func()
+                return self._maybe_subquery(self.parse_range_count_func())
             if tok.text in ast.DERIV_FUNCS:
-                return self.parse_deriv_func()
+                return self._maybe_subquery(self.parse_deriv_func())
             if tok.text in ast.MATH_FUNCS:
                 return self.parse_math_func()
             if tok.text in ast.SORT_FUNCS:
                 return self.parse_sort_func()
             if tok.text in ast.CLAMP_FUNCS:
                 return self.parse_clamp_func()
+            if tok.text in ast.HISTOGRAM_FUNCS:
+                return self.parse_histogram_quantile()
             return self.parse_selector()
         raise PromQLError(f"unexpected token {tok.text!r} at {tok.pos} in {self.src!r}")
+
+    def _duration(self) -> int:
+        """<number>[unit] — bare numbers are native ts units; suffixed units
+        assume nanosecond timestamps."""
+        num = self.next()
+        if num.kind != "number":
+            raise PromQLError(f"duration must be a number, got {num.text!r}")
+        dur = float(num.text)
+        nxt = self.peek()
+        if nxt is not None and nxt.kind == "ident":
+            if nxt.text not in DURATION_UNITS:
+                raise PromQLError(f"unknown duration unit {nxt.text!r}")
+            dur *= DURATION_UNITS[self.next().text]
+        if dur <= 0:
+            raise PromQLError("duration must be positive")
+        return int(dur)
+
+    def _maybe_subquery(self, expr):
+        """Postfix `[RANGE:STEP]` on a non-selector expression."""
+        if not self.at("["):
+            return expr
+        self.next()
+        range_ = self._duration()
+        self.expect(":")
+        step = self._duration()
+        self.expect("]")
+        return ast.Subquery(expr, range_, step)
+
+    def parse_histogram_quantile(self):
+        """histogram_quantile(phi, selector) over le-labeled bucket series."""
+        self.next()
+        self.expect("(")
+        neg = False
+        if self.at("-"):
+            self.next()
+            neg = True
+        tok = self.next()
+        if tok.kind != "number":
+            raise PromQLError(f"histogram_quantile phi must be a number, got {tok.text!r}")
+        phi = -float(tok.text) if neg else float(tok.text)
+        if not 0.0 <= phi <= 1.0:
+            raise PromQLError(f"histogram_quantile phi must be in [0, 1], got {phi}")
+        self.expect(",")
+        child = self.parse_or()
+        self.expect(")")
+        if not isinstance(child, ast.VectorSelector):
+            raise PromQLError(
+                "histogram_quantile requires a vector selector of le-labeled "
+                "bucket series"
+            )
+        return ast.HistogramQuantile(phi, child)
 
     def parse_aggregate(self):
         func = self.next().text
@@ -285,9 +339,10 @@ class Parser:
             self.expect(",")
         child = self.parse_or()
         self.expect(")")
-        if not isinstance(child, ast.MatrixSelector):
+        if not isinstance(child, (ast.MatrixSelector, ast.Subquery)):
             raise PromQLError(
-                f"{func} requires a range vector argument like m[5m]"
+                f"{func} requires a range vector argument like m[5m] "
+                f"or a subquery like rate(m[5m])[30m:5m]"
             )
         return ast.OverTimeFunc(func, child, arg)
 
@@ -375,21 +430,14 @@ class Parser:
                     self.next()
             self.expect("}")
         range_ = None
+        step = None
         if self.at("["):
             self.next()
-            num = self.next()
-            if num.kind != "number":
-                raise PromQLError(f"range duration must be a number, got {num.text!r}")
-            dur = float(num.text)
-            nxt = self.peek()
-            if nxt is not None and nxt.kind == "ident":
-                if nxt.text not in DURATION_UNITS:
-                    raise PromQLError(f"unknown duration unit {nxt.text!r}")
-                dur *= DURATION_UNITS[self.next().text]
+            range_ = self._duration()
+            if self.at(":"):  # subquery on a bare selector: m[30m:5m]
+                self.next()
+                step = self._duration()
             self.expect("]")
-            if dur <= 0:
-                raise PromQLError("range duration must be positive")
-            range_ = int(dur)
         at_ts = None
         at_anchor = None
         offset = 0
@@ -414,6 +462,8 @@ class Parser:
             else:
                 break
         sel = ast.VectorSelector(name_tok.text, tuple(matchers), at_ts, at_anchor, offset)
+        if step is not None:
+            return ast.Subquery(sel, range_, step)
         if range_ is not None:
             return ast.MatrixSelector(sel, range_)
         return sel

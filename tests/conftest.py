@@ -70,6 +70,10 @@ def golden_db(spark):
                 [(10, 1.0), (20, 2.0)])
     make_stream(conn, 'vm_multi{service="web",host="b"}', "f64", [(10, 3.0)])
     make_stream(conn, 'vm_lim2{service="web",tier="gold"}', "f64", [(10, 100.0)])
+    # histogram_quantile extension streams: cumulative le-bucket counts
+    make_stream(conn, 'hq{le="0.5"}', "u64", [(10, 1), (20, 2)])
+    make_stream(conn, 'hq{le="1"}', "u64", [(10, 2), (20, 5)])
+    make_stream(conn, 'hq{le="+Inf"}', "u64", [(10, 4), (20, 5)])
     return conn
 
 

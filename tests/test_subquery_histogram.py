@@ -1,0 +1,82 @@
+"""Subqueries expr[RANGE:STEP] and histogram_quantile (VERDICT r2 items
+4-5; both rejected/absent in the reference — subqueries at
+query/planner.rs:125-133, function calls at planner.rs:218-222)."""
+
+import pytest
+
+from tachyon_spark.promql import ast, parse
+
+
+# ---------------------------------------------------------------- parsing
+def test_parse_selector_subquery():
+    e = parse("m[30:10]")
+    assert isinstance(e, ast.Subquery)
+    assert isinstance(e.child, ast.VectorSelector)
+    assert (e.range_, e.step) == (30, 10)
+
+
+def test_parse_function_subquery_with_units():
+    e = parse("max_over_time(rate(m[5m])[30m:5m])")
+    assert isinstance(e, ast.OverTimeFunc) and e.func == "max_over_time"
+    sub = e.child
+    assert isinstance(sub, ast.Subquery)
+    assert isinstance(sub.child, ast.RangeFunc) and sub.child.func == "rate"
+    m = 60 * 1_000_000_000
+    assert (sub.range_, sub.step) == (30 * m, 5 * m)
+
+
+def test_parse_histogram_quantile():
+    e = parse("histogram_quantile(0.9, hq)")
+    assert isinstance(e, ast.HistogramQuantile)
+    assert e.phi == 0.9 and e.child.name == "hq"
+
+
+def test_bare_subquery_rejected_outside_over_time(golden_db):
+    with pytest.raises(ValueError, match="over_time"):
+        golden_db.query("ints[20:10]", 0, 40)
+
+
+def test_subquery_step_must_match_inner_window(golden_db):
+    with pytest.raises(ValueError, match="step"):
+        golden_db.query("max_over_time(rate(ints[10])[40:20])", 0, 40)
+
+
+# -------------------------------------------------------------- semantics
+def test_selector_subquery_last_per_step_then_outer_max(golden_db):
+    # ints: ts [10,20,30,40] values [2,4,6,8]; step grid 10 keeps each
+    # sample; outer 20-windows: [0,20)->2, [20,40)->max(4,6), [40,..)->8
+    q = golden_db.query("max_over_time(ints[20:10])", 0, 40)
+    assert q.rows() == [(0, 2), (20, 6), (40, 8)]
+
+
+def test_selector_subquery_sum(golden_db):
+    q = golden_db.query("sum_over_time(ints[20:10])", 0, 40)
+    assert q.rows() == [(0, 2), (20, 10), (40, 8)]
+
+
+def test_function_subquery_rate_then_max(golden_db):
+    # rate(ints[20]) on the 20-grid: only window 20 has 2 samples ->
+    # (6-4)/10 = 0.2; outer 40-window max -> one row at 0
+    q = golden_db.query("max_over_time(rate(ints[20])[40:20])", 0, 40)
+    assert q.rows() == [(0, 0.2)]
+
+
+def test_histogram_quantile_golden(golden_db):
+    # hq buckets: ts10 counts [1,2,4] les [.5,1,+Inf]; ts20 [2,5,5]
+    q = golden_db.query("histogram_quantile(0.5, hq)", 0, 100)
+    rows = q.rows()
+    assert rows[0] == (10, 1.0)  # rank 2 hits bucket le=1 exactly
+    assert rows[1][0] == 20 and abs(rows[1][1] - (0.5 + 0.5 * 0.5 / 3)) < 1e-9
+
+
+def test_histogram_quantile_inf_bucket_returns_highest_finite(golden_db):
+    q = golden_db.query("histogram_quantile(0.9, hq)", 0, 100)
+    rows = q.rows()
+    # ts10: rank 3.6 lands in +Inf bucket -> highest finite le (1.0)
+    assert rows[0] == (10, 1.0)
+    assert rows[1][0] == 20 and abs(rows[1][1] - (0.5 + 0.5 * 2.5 / 3)) < 1e-9
+
+
+def test_histogram_quantile_requires_le(golden_db):
+    with pytest.raises(ValueError, match="le"):
+        golden_db.query("histogram_quantile(0.5, ints)", 0, 100)
