@@ -38,12 +38,14 @@ def _md5_halves(col):
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """cache() + eager count(): frames reused by both sides of a self-join
+    """Eager localCheckpoint: frames reused by both sides of a self-join
     would otherwise be recomputed concurrently by independent shuffle-map
-    stages racing an unpopulated lazy cache."""
-    df = df.cache()
-    df.count()
-    return df
+    stages racing an unpopulated lazy cache. localCheckpoint (not cache):
+    the blocks are owned by the RDD and are dropped by the ContextCleaner
+    when the frame goes out of scope, so repeated dedup calls in a
+    long-lived session cannot accumulate pinned cache entries the way
+    CacheManager-held .cache() frames do."""
+    return df.localCheckpoint(eager=True)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -70,8 +72,8 @@ def _verify_side(candidates: DataFrame, max_broadcast_rows: int = 2_000_000) -> 
     """Candidate pairs for a verify join: broadcast when small, shuffle
     otherwise. An unconditional broadcast would overflow the driver on a
     highly duplicative corpus (candidate count is data-dependent)."""
-    cand = candidates.cache()
-    n = cand.count()  # also materializes the cache (no lazy-cache race)
+    cand = candidates.localCheckpoint(eager=True)  # see _materialize
+    n = cand.count()
     return F.broadcast(cand) if n <= max_broadcast_rows else cand
 
 
@@ -346,6 +348,26 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return agg.select("id", bits.alias("simhash"))
 
 
+def simhash_chunks(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) bit-chunks partitioning the 60-bit fingerprint into
+    max_hamming + 1 pieces — the pigeonhole guarantee: a pair within
+    `max_hamming` differing bits MUST agree on at least one chunk, whatever
+    the distance. Widths differ by at most 1 (e.g. max_hamming=6 ->
+    [9,9,9,9,8,8,8]). The DuckDB oracle derives its blocking from this same
+    function, so candidate generation replays exactly."""
+    n = max_hamming + 1
+    if n > SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
+    base, rem = divmod(SIMHASH_BITS, n)
+    out = []
+    off = 0
+    for i in range(n):
+        w = base + (1 if i < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -354,11 +376,13 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
-    Candidate generation by 4-band blocking on 15-bit chunks (a pair within
-    hamming 3 must agree on at least one of 4 chunks — pigeonhole), then the
-    exact popcount(xor) check. Avoids the full cross join at scale.
+    Candidate generation by (max_hamming + 1)-band blocking on bit chunks
+    (simhash_chunks — pigeonhole gives FULL recall at any max_hamming),
+    then the exact popcount(xor) check. Avoids the full cross join at
+    scale.
     """
     sig = _materialize(simhash64(df, id_col, text_col))
+    spec = simhash_chunks(max_hamming)
     chunks = sig.select(
         "id",
         "simhash",
@@ -367,9 +391,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 15).bitwiseAND(F.lit(0x7FFF)).alias("key"),
+                        F.shiftright("simhash", off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("key"),
                     )
-                    for c in range(4)
+                    for c, (off, w) in enumerate(spec)
                 ]
             )
         ).alias("cc"),

@@ -5,11 +5,11 @@ opaque `binary` columns plus a typed metadata struct, processed with
 Arrow-batched `mapInPandas` so the heavy bytes stay in columnar batches and
 never round-trip through row-at-a-time Python.
 
-The actual codecs (Pillow/librosa/ffmpeg) are NOT in this container, so the
-decode kernels are deterministic fakes gated behind `_HAVE_CODECS` — the
-Spark-side contract (schemas, batch iteration, partitioning, output shapes)
-is real and tested; swapping in a real decoder changes only the inner
-`_fake_*` functions.
+Decode kernels: PNG and WAV payloads get REAL pure-Python decodes
+(functions/codecs.py — zlib inflate + PNG row filters, RIFF/PCM parse);
+payloads that sniff as neither fall back to deterministic digest fakes so
+the pipeline shape stays testable on arbitrary bytes. Video decode remains
+a declared stub (`_HAVE_VIDEO_CODECS`) — no sane pure-Python H.264.
 
 At 100 TB: payload columns dominate I/O, so (a) metadata-only predicates
 must prune before payload read — keep metadata in separate columns, never
@@ -29,12 +29,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # real codecs are absent in this container; keep the import gate honest
-    import PIL.Image  # noqa: F401
+from tachyon_spark.functions import codecs
 
-    _HAVE_CODECS = True
-except Exception:
-    _HAVE_CODECS = False
+# PNG/WAV decode is real (pure-Python, stdlib-only); video is not.
+_HAVE_CODECS = True
+_HAVE_VIDEO_CODECS = False
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -80,15 +79,21 @@ _FEATURE_DIM = 16
 
 
 def _fake_decode_feature(payload: bytes) -> list[float]:
-    """Deterministic stand-in for decode+embed: digest bytes → unit floats.
-
-    Replace with a real decoder when codecs are available
-    (`raise NotImplementedError` would be the strict alternative).
-    """
+    """Deterministic stand-in for decode+embed on payloads that are neither
+    PNG nor WAV: digest bytes → unit floats."""
     if payload is None:
         return [0.0] * _FEATURE_DIM
     d = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in d[:_FEATURE_DIM]]
+
+
+def _decode_feature(payload: bytes) -> list[float]:
+    """Real decode for PNG/WAV payloads; digest fake otherwise."""
+    if codecs.is_png(payload):
+        return codecs.image_feature(*codecs.png_decode(payload))
+    if codecs.is_wav(payload):
+        return codecs.audio_feature(*codecs.wav_decode(payload))
+    return _fake_decode_feature(payload)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -107,7 +112,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "sha256": payloads.map(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
-                    "feature": payloads.map(_fake_decode_feature),
+                    "feature": payloads.map(_decode_feature),
                 }
             )
 
@@ -117,19 +122,21 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: filters to images, batches through mapInPandas.
-    The fake kernel re-hashes payload+dims (a real one decodes and resizes)."""
+    """Image resize: PNG payloads get a REAL decode → nearest-neighbor
+    resample → PNG re-encode (pure Python, codecs.py); non-PNG payloads
+    keep the deterministic digest fake so arbitrary-byte test corpora
+    still flow through the same plumbing."""
+
+    def one(b, w=width, h=height):
+        if codecs.is_png(b):
+            w0, h0, ch, pix = codecs.png_decode(b)
+            return codecs.png_encode(w, h, codecs.resize_nearest(pix, w0, h0, ch, w, h), ch)
+        return hashlib.sha256((b or b"") + f"{w}x{h}".encode()).digest()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_CODECS:  # pragma: no cover - codecs absent here
-                raise NotImplementedError("wire PIL resize here")
             out = pdf.copy()
-            out["payload"] = pdf["payload"].map(
-                lambda b: hashlib.sha256(
-                    (b or b"") + f"{width}x{height}".encode()
-                ).digest()
-            )
+            out["payload"] = pdf["payload"].map(one)
             yield out
 
     imgs = media.where(F.col("modality") == "image").select("content_id", "payload")

@@ -29,6 +29,7 @@ from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tachyon_spark.operators.aggregates import grouped_agg, scalar_agg
 from tachyon_spark.operators.interpolate import interpolated_binop
@@ -121,6 +122,8 @@ class PlanBuilder:
             return self._math_func(expr)
         if isinstance(expr, ast.HistogramQuantile):
             return self._histogram_quantile(expr)
+        if isinstance(expr, ast.LabelFunc):
+            return self._label_func(expr)
         if isinstance(expr, ast.Subquery):
             raise ValueError(
                 "a subquery expr[RANGE:STEP] can only be the argument of an "
@@ -351,6 +354,48 @@ class PlanBuilder:
             keys.insert(0, F.col("stream_id"))
         out = inner_plan.df.groupBy(*keys).agg(agg.alias("value"))
         return Plan("vector", out, vt)
+
+    def _label_func(self, node: ast.LabelFunc) -> Plan:
+        """label_replace/label_join: rewrite each matched series' label set
+        DRIVER-SIDE on Plan.streams (extension; absent from the reference).
+        Zero cost in the distributed plan — grouping (`sum by`) and vector
+        matching (`on()/group_left`) read labels from the plan's stream
+        info, so they see the rewritten labels transparently."""
+        import re as _re
+
+        child = self.build(node.child)
+        if child.kind != "vector" or not child.streams:
+            raise ValueError(
+                f"{node.func} requires a label-carrying selector vector"
+            )
+        new_streams = []
+        if node.func == "label_replace":
+            dst, repl, src, regex = node.args
+            pat = _re.compile(regex)
+            for s in child.streams:
+                val = s.labels.get(src, "")
+                m = pat.fullmatch(val)  # Prometheus anchors the regex
+                labels = dict(s.labels)
+                if m:
+                    # $1 → \1 group references
+                    out = _re.sub(r"\$(\d+)", r"\\\1", repl)
+                    new_val = m.expand(out)
+                    if new_val:
+                        labels[dst] = new_val
+                    else:
+                        labels.pop(dst, None)  # empty result drops the label
+                new_streams.append(replace(s, labels=labels))
+        else:  # label_join
+            dst, sep, *srcs = node.args
+            for s in child.streams:
+                labels = dict(s.labels)
+                joined = sep.join(s.labels.get(l, "") for l in srcs)
+                if joined:
+                    labels[dst] = joined
+                else:
+                    labels.pop(dst, None)
+                new_streams.append(replace(s, labels=labels))
+        return replace(child, streams=tuple(new_streams))
 
     def _histogram_quantile(self, node: ast.HistogramQuantile) -> Plan:
         """histogram_quantile(phi, buckets): the selector's streams must
@@ -877,21 +922,36 @@ class PlanBuilder:
             if isinstance(cdf.schema["value"].dataType, T.DecimalType):
                 cdf = cdf.withColumn("value", F.col("value").cast("double"))
         if node.by:
-            df = self._attach_labels(cdf, node.by)
+            df = self._attach_labels(cdf, node.by, child.streams)
             out = grouped_agg(df, func, list(node.by))
             return Plan("grouped", out, vt, group_cols=tuple(node.by))
         return Plan("scalar", scalar_agg(cdf, func), vt)
 
-    def _attach_labels(self, df: DataFrame, labels: tuple[str, ...]) -> DataFrame:
+    def _attach_labels(
+        self, df: DataFrame, labels: tuple[str, ...], streams: tuple = ()
+    ) -> DataFrame:
         if "stream_id" not in df.columns:
             # windowed / derived vectors no longer carry series identity
             raise ValueError(
                 "grouped aggregation (by ...) requires a label-carrying "
                 "vector — apply it to a selector, not a derived vector"
             )
-        cat = self.conn.catalog.df().select(
-            "stream_id", *[F.col("labels").getItem(l).alias(l) for l in labels]
-        )
+        if streams:
+            # plan-level label sets (they may have been rewritten by
+            # label_replace/label_join — the catalog doesn't know)
+            rows = [
+                (s.stream_id,) + tuple(s.labels.get(l) for l in labels)
+                for s in streams
+            ]
+            schema = T.StructType(
+                [T.StructField("stream_id", T.StringType(), False)]
+                + [T.StructField(l, T.StringType(), True) for l in labels]
+            )
+            cat = self.conn.spark.createDataFrame(rows, schema)
+        else:
+            cat = self.conn.catalog.df().select(
+                "stream_id", *[F.col("labels").getItem(l).alias(l) for l in labels]
+            )
         return df.join(F.broadcast(cat), "stream_id", "left")
 
     # ------------------------------------------------------------------ getk

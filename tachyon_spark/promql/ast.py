@@ -156,6 +156,20 @@ class MathFunc:
 
 
 @dataclass(frozen=True)
+class LabelFunc:
+    """label_replace(v, dst, replacement, src, regex) / label_join(v, dst,
+    sep, src...) — per-series label-set rewrites (extension; absent from
+    the reference). Labels live driver-side on the plan's matched-stream
+    info (Plan.streams), so these are pure metadata transformations: the
+    distributed plan is untouched and downstream grouping/matching sees the
+    rewritten labels."""
+
+    func: str  # label_replace | label_join
+    child: object
+    args: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class HistogramQuantile:
     """histogram_quantile(phi, buckets) over cumulative le-labeled bucket
     series (extension; absent from the reference). Per timestamp (and per
@@ -207,5 +221,6 @@ OVER_TIME_FUNCS = frozenset(
 )
 MATH_FUNCS = frozenset({"abs", "ceil", "floor", "sqrt", "exp", "ln"})
 HISTOGRAM_FUNCS = frozenset({"histogram_quantile"})
+LABEL_FUNCS = frozenset({"label_replace", "label_join"})
 SORT_FUNCS = frozenset({"sort", "sort_desc"})
 CLAMP_FUNCS = frozenset({"clamp", "clamp_min", "clamp_max"})

@@ -60,6 +60,7 @@ KEYWORDS = (
     | set(ast.SORT_FUNCS)
     | set(ast.CLAMP_FUNCS)
     | set(ast.HISTOGRAM_FUNCS)
+    | set(ast.LABEL_FUNCS)
 )
 
 
@@ -242,6 +243,8 @@ class Parser:
                 return self.parse_clamp_func()
             if tok.text in ast.HISTOGRAM_FUNCS:
                 return self.parse_histogram_quantile()
+            if tok.text in ast.LABEL_FUNCS:
+                return self.parse_label_func()
             return self.parse_selector()
         raise PromQLError(f"unexpected token {tok.text!r} at {tok.pos} in {self.src!r}")
 
@@ -271,6 +274,26 @@ class Parser:
         step = self._duration()
         self.expect("]")
         return ast.Subquery(expr, range_, step)
+
+    def parse_label_func(self):
+        """label_replace(v, "dst", "repl", "src", "regex") /
+        label_join(v, "dst", "sep", "src1", ...)."""
+        func = self.next().text
+        self.expect("(")
+        child = self.parse_or()
+        args = []
+        while self.at(","):
+            self.next()
+            tok = self.next()
+            if tok.kind != "string":
+                raise PromQLError(f"{func} arguments must be strings, got {tok.text!r}")
+            args.append(_unquote(tok.text))
+        self.expect(")")
+        if func == "label_replace" and len(args) != 4:
+            raise PromQLError("label_replace takes (v, dst, replacement, src, regex)")
+        if func == "label_join" and len(args) < 2:
+            raise PromQLError("label_join takes (v, dst, separator, src...)")
+        return ast.LabelFunc(func, child, tuple(args))
 
     def parse_histogram_quantile(self):
         """histogram_quantile(phi, selector) over le-labeled bucket series."""

@@ -55,8 +55,14 @@ def _ewma_update(alpha: float, idle_timeout_ms: int | None = None):
             ewma, n = state.get
         else:
             ewma, n = None, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
+        # One group's micro-batch rows can arrive as several Arrow chunks in
+        # arbitrary order; concatenate and sort ONCE by (ts, value) — the
+        # engine-wide deterministic tie-break — so the fold order matches the
+        # batch forms (sort_array of (ts, value) structs) and any replay.
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
             out_ewma = []
             for v in pdf["value"]:
                 ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma

@@ -137,3 +137,43 @@ def test_or_on_keeps_unmatched_groups(golden_db):
 def test_matching_requires_selector_vectors(golden_db):
     with pytest.raises(ValueError, match="vector operands"):
         golden_db.query("vm_req / on(service) 2", 0, 100)
+
+
+# ------------------------------------------------- label_replace/label_join
+def test_parse_label_funcs():
+    e = parse('label_replace(m, "dst", "$1", "src", "(.*)")')
+    assert isinstance(e, ast.LabelFunc) and e.func == "label_replace"
+    assert e.args == ("dst", "$1", "src", "(.*)")
+    j = parse('label_join(m, "k", "-", "a", "b")')
+    assert j.func == "label_join" and j.args == ("k", "-", "a", "b")
+
+
+def test_label_replace_grouped_agg(golden_db):
+    # service=web matches (w.*) -> env=web; mobile does not -> no env label
+    q = golden_db.query(
+        'sum by (env) (label_replace(vm_req, "env", "$1", "service", "(w.*)"))',
+        0, 100,
+    )
+    rows = {r.env: r.value for r in q.df().collect()}
+    assert rows == {"web": 60.0, None: 24.0}
+
+
+def test_label_join_grouped_agg(golden_db):
+    q = golden_db.query(
+        'sum by (k) (label_join(vm_req, "k", "-", "service", "service"))', 0, 100
+    )
+    rows = {r.k: r.value for r in q.df().collect()}
+    assert rows == {"web-web": 60.0, "mobile-mobile": 24.0}
+
+
+def test_label_replace_feeds_vector_matching(golden_db):
+    # copy service into a fresh label on both sides; matching on it must
+    # reproduce the on(service) result
+    q = golden_db.query(
+        'label_replace(vm_req, "svc", "$1", "service", "(.+)") '
+        '/ on(svc) label_replace(vm_lim, "svc", "$1", "service", "(.+)")',
+        0, 100,
+    )
+    rows = [tuple(r) for r in q.df().collect()]
+    base = [tuple(r) for r in golden_db.query("vm_req / on(service) vm_lim", 0, 100).df().collect()]
+    assert [(g, t, v) for g, t, v in rows] == base
