@@ -771,6 +771,15 @@ def q_streaming_ewma(spark, sf_dir):
 # beyond-reference: LLM-data-pipeline operators
 # --------------------------------------------------------------------------
 
+def q_repetition_score(spark, sf_dir):
+    """Within-document n-gram repetition (training-data quality signal):
+    1 - distinct_3grams/total_3grams per doc, pure array HOFs (no explode,
+    no shuffle; functions/textstats.repetition_score)."""
+    from tachyon_spark.functions.textstats import repetition_score
+
+    return repetition_score(_read(spark, sf_dir, "documents"), n=3)
+
+
 def q_vector_matching(spark, sf_dir):
     """PromQL vector matching end-to-end through the engine surface
     (extension; the reference concatenates streams ignoring labels,
@@ -1264,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_histogram": q_promql_histogram,
         "media_real_decode": q_media_real_decode,
         "streaming_ewma": q_streaming_ewma,
+        "repetition_score": q_repetition_score,
     }
 
 
@@ -2057,6 +2067,24 @@ def oracle_sql() -> dict[str, str]:
                                      (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma,
                    count(*) AS n_seen
             FROM events GROUP BY event_type
+        """,
+        "repetition_score": """
+            WITH tok AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM tok, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS m, count(DISTINCT g) AS d
+              FROM sh GROUP BY doc_id
+            )
+            SELECT tok.doc_id,
+                   round(CASE WHEN agg.m IS NULL THEN 0.0
+                              ELSE 1.0 - 1.0 * agg.d / agg.m END, 6) AS repetition
+            FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
         """,
         "embedding_ann_lsh": _lsh_sql(),
         "embedding_ann_ivf": _IVF_SQL,

@@ -116,3 +116,30 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """Deterministic 64-bit-ish fingerprint (md5 prefix of normalized text)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.select(F.col(id_col), F.substring(F.md5(norm), 1, 16).alias("fingerprint"))
+
+
+def repetition_score(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition: 1 - distinct_ngrams / total_ngrams over
+    word n-grams (a standard training-data quality signal — boilerplate and
+    degenerate generations score high). Pure array HOFs per row: the n-gram
+    list is built with transform over a sequence (no explode, no shuffle),
+    so this codegens and scales linearly like the rest of the module.
+    Documents with fewer than n tokens score 0."""
+    toks = _tokens(F.col(text_col))
+    m = F.size(toks) - F.lit(n - 1)  # number of n-grams
+    # F.get is 0-based and null-safe out of bounds (no ANSI index error on
+    # the clamped short-document branch, whose result is unused anyway)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    score = F.when(
+        m <= 0, F.lit(0.0)
+    ).otherwise(
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / m.cast("double")
+    )
+    return df.select(F.col(id_col), F.round(score, 6).alias("repetition"))

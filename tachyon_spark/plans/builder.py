@@ -925,6 +925,33 @@ class PlanBuilder:
             df = self._attach_labels(cdf, node.by, child.streams)
             out = grouped_agg(df, func, list(node.by))
             return Plan("grouped", out, vt, group_cols=tuple(node.by))
+        if node.without:
+            # group by every label EXCEPT the listed ones: per-series
+            # canonical remaining-label key computed driver-side from the
+            # plan's stream info, attached as one broadcast map column
+            if "stream_id" not in cdf.columns or not child.streams:
+                raise ValueError(
+                    "grouped aggregation (without ...) requires a "
+                    "label-carrying selector vector"
+                )
+            drop = set(node.without)
+            rows = [
+                (
+                    s.stream_id,
+                    ",".join(
+                        f"{k}={v}"
+                        for k, v in sorted(s.labels.items())
+                        if k not in drop
+                    ),
+                )
+                for s in child.streams
+            ]
+            key_df = self.conn.spark.createDataFrame(
+                rows, "stream_id string, series string"
+            )
+            df = cdf.join(F.broadcast(key_df), "stream_id", "left")
+            out = grouped_agg(df, func, ["series"])
+            return Plan("grouped", out, vt, group_cols=("series",))
         return Plan("scalar", scalar_agg(cdf, func), vt)
 
     def _attach_labels(

@@ -93,6 +93,9 @@ class Aggregate:
     func: str  # sum count avg min max
     child: object
     by: tuple[str, ...] = ()  # grouping labels (extension; reference ignores `by`)
+    # `without (l1,..)`: group by every label EXCEPT these (extension).
+    # Output carries one canonical `series` string column ("k=v,k=v").
+    without: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

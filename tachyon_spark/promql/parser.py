@@ -48,7 +48,7 @@ DURATION_UNITS = {
 }
 
 KEYWORDS = (
-    {"offset", "by", "start", "end", "on", "ignoring", "group_left", "group_right"}
+    {"offset", "by", "without", "start", "end", "on", "ignoring", "group_left", "group_right"}
     | set(ast.AGG_FUNCS)
     | set(ast.GETK_FUNCS)
     | set(ast.RANGE_FUNCS)
@@ -322,20 +322,17 @@ class Parser:
     def parse_aggregate(self):
         func = self.next().text
         by: tuple[str, ...] = ()
+        without: tuple[str, ...] = ()
         if self.at("by"):
             self.next()
-            self.expect("(")
-            labels = []
-            while not self.at(")"):
-                labels.append(self.next().text)
-                if self.at(","):
-                    self.next()
-            self.expect(")")
-            by = tuple(labels)
+            by = tuple(self._parse_label_list())
+        elif self.at("without"):
+            self.next()
+            without = tuple(self._parse_label_list())
         self.expect("(")
         child = self.parse_or()
         self.expect(")")
-        return ast.Aggregate(func, child, by)
+        return ast.Aggregate(func, child, by, without)
 
     def parse_range_func(self):
         func = self.next().text

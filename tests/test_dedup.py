@@ -236,3 +236,18 @@ def test_auto_planes_sizing():
     assert auto_planes(2_000) == 5  # ~64 vectors per expected bucket
     assert auto_planes(1_000_000) == 14
     assert auto_planes(10**9) == 24
+
+
+def test_repetition_score_golden(spark):
+    from tachyon_spark.functions.textstats import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b"),  # 6 grams, 3 distinct -> 0.5
+            (2, "x y"),  # shorter than n -> 0.0
+            (3, "p q r s"),  # 2 grams distinct -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.repetition for r in repetition_score(df, n=3).collect()}
+    assert rows == {1: 0.5, 2: 0.0, 3: 0.0}

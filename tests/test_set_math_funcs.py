@@ -80,3 +80,14 @@ def test_precedence_and_binds_tighter_than_or(fixture_b):
     # a or b and c == a or (b and c); with disjoint neg/ints: ints and ints = ints
     q = fixture_b.query("neg or ints and ints", 0, 100)
     assert len(q.rows()) == 8
+
+
+def test_sum_without(golden_db):
+    # vm_multi: {service=web,host=a} [1,2], {service=web,host=b} [3];
+    # dropping host leaves one group (service=web)
+    q = golden_db.query("sum without (host) (vm_multi)", 0, 100)
+    rows = [tuple(r) for r in q.df().collect()]
+    assert rows == [("service=web", 6.0)]
+    # dropping every label collapses to one empty-key group
+    q2 = golden_db.query("sum without (service) (vm_req)", 0, 100)
+    assert [tuple(r) for r in q2.df().collect()] == [("", 84.0)]
