@@ -133,6 +133,12 @@ def q_agg_max(spark, sf_dir):
     return _agg(spark, sf_dir, F.max, "max_value")
 
 
+def q_agg_stddev(spark, sf_dir):
+    """PromQL stddev/stdvar extension (population moments; mergeable
+    partial aggregates, same single-scan shape as sum/avg)."""
+    return _agg(spark, sf_dir, F.stddev_pop, "stddev_value", 6)
+
+
 def q_agg_stats(spark, sf_dir):
     """avg→sum/count decomposition + multi-agg single scan (planner.rs:52-60)."""
     ev = _read(spark, sf_dir, "events")
@@ -1274,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_decode": q_media_real_decode,
         "streaming_ewma": q_streaming_ewma,
         "repetition_score": q_repetition_score,
+        "agg_stddev": q_agg_stddev,
     }
 
 
@@ -1783,6 +1790,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_avg": f"SELECT round(avg(value), 6) AS avg_value FROM events WHERE {_CLICK_RANGE}",
         "agg_min": f"SELECT min(value) AS min_value FROM events WHERE {_CLICK_RANGE}",
         "agg_max": f"SELECT max(value) AS max_value FROM events WHERE {_CLICK_RANGE}",
+        "agg_stddev": f"SELECT round(stddev_pop(value), 6) AS stddev_value FROM events WHERE {_CLICK_RANGE}",
         "agg_stats": (
             "SELECT round(sum(value), 2) AS sum_value, count(value) AS count_value, "
             "round(avg(value), 6) AS avg_value, min(value) AS min_value, "

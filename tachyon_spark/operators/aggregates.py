@@ -23,6 +23,10 @@ _AGGS = {
     "max": F.max,
     "avg": F.avg,
     "count": F.count,
+    # PromQL parity extensions: population moments (PromQL stddev/stdvar
+    # are population, not sample); empty input -> no row, like sum
+    "stddev": F.stddev_pop,
+    "stdvar": F.var_pop,
 }
 
 AGG_FUNCS = frozenset(_AGGS)

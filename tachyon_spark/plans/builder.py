@@ -124,6 +124,8 @@ class PlanBuilder:
             return self._histogram_quantile(expr)
         if isinstance(expr, ast.LabelFunc):
             return self._label_func(expr)
+        if isinstance(expr, ast.AbsentFunc):
+            return self._absent(expr)
         if isinstance(expr, ast.Subquery):
             raise ValueError(
                 "a subquery expr[RANGE:STEP] can only be the argument of an "
@@ -354,6 +356,25 @@ class PlanBuilder:
             keys.insert(0, F.col("stream_id"))
         out = inner_plan.df.groupBy(*keys).agg(agg.alias("value"))
         return Plan("vector", out, vt)
+
+    def _absent(self, node: ast.AbsentFunc) -> Plan:
+        """absent(v): 1 when v has no samples in range (unknown metric OR
+        empty range), else empty — the dead-stream alerting primitive."""
+        try:
+            child = self.build(node.child)
+        except ValueError as e:
+            if "no streams matched" in str(e):
+                one = self.conn.spark.range(1).select(F.lit(1.0).alias("value"))
+                return Plan("scalar", one, VT_F64)
+            raise
+        if child.kind != "vector":
+            raise ValueError("absent() requires a vector input")
+        out = (
+            child.df.agg(F.count("*").alias("__n"))
+            .where(F.col("__n") == 0)
+            .select(F.lit(1.0).alias("value"))
+        )
+        return Plan("scalar", out, VT_F64)
 
     def _label_func(self, node: ast.LabelFunc) -> Plan:
         """label_replace/label_join: rewrite each matched series' label set
@@ -639,13 +660,32 @@ class PlanBuilder:
 
         if lhs.kind in ("scalar", "topk") and rhs.kind in ("scalar", "topk"):
             if is_cmp:
-                raise ValueError("scalar comparison is not supported (reference panics)")
+                if not node.bool_mode:
+                    raise ValueError(
+                        "scalar comparison requires the bool modifier "
+                        "(filter semantics are undefined; reference panics)"
+                    )
+                if lhs.literal is not None and rhs.literal is not None:
+                    val = float(_CMP[op](lhs.literal, rhs.literal))
+                    return Plan("scalar", None, VT_F64, literal=val)
+                a = self._scalar_df(lhs, "__a")
+                b = self._scalar_df(rhs, "__b")
+                out = a.crossJoin(F.broadcast(b)).select(
+                    _CMP[op](
+                        F.col("__a").cast("double"), F.col("__b").cast("double")
+                    ).cast("double").alias("value")
+                )
+                return Plan("scalar", out, VT_F64)
             return self._scalar_scalar(op, lhs, rhs)
         if lhs.kind == "vector" and rhs.kind in ("scalar", "topk"):
-            return self._vector_scalar(op, lhs, rhs, scalar_on_left=False)
+            return self._vector_scalar(
+                op, lhs, rhs, scalar_on_left=False, bool_mode=node.bool_mode
+            )
         if lhs.kind in ("scalar", "topk") and rhs.kind == "vector":
             # Correct written-order semantics (reference swaps: binary_op.rs:103-105)
-            return self._vector_scalar(op, rhs, lhs, scalar_on_left=True)
+            return self._vector_scalar(
+                op, rhs, lhs, scalar_on_left=True, bool_mode=node.bool_mode
+            )
         if lhs.kind == "vector" and rhs.kind == "vector":
             if is_cmp:
                 raise ValueError("vector-to-vector comparison is not supported (reference panics)")
@@ -864,7 +904,10 @@ class PlanBuilder:
             return self.conn.spark.range(1).select(F.lit(plan.literal).alias(alias))
         return plan.df.select(F.col("value").alias(alias))
 
-    def _vector_scalar(self, op: str, vec: Plan, scalar: Plan, scalar_on_left: bool) -> Plan:
+    def _vector_scalar(
+        self, op: str, vec: Plan, scalar: Plan, scalar_on_left: bool,
+        bool_mode: bool = False,
+    ) -> Plan:
         df = vec.df
         if scalar.literal is not None:
             s_col = F.lit(scalar.literal)
@@ -873,11 +916,24 @@ class PlanBuilder:
             s_col = F.col("__s")
 
         if op in _CMP:
+            # written-order comparison (the reference swaps scalar-on-left
+            # like arithmetic, binary_op.rs:103-105; compat flag replays it)
+            v_cmp, s_cmp = F.col("value").cast("double"), s_col.cast("double")
+            if scalar_on_left and getattr(self.conn, "compat_scalar_swap", False):
+                scalar_on_left = False
+            a, b = (s_cmp, v_cmp) if scalar_on_left else (v_cmp, s_cmp)
+            cond = _CMP[op](a, b)
+            keep = [c for c in ("stream_id", "ts") if c in df.columns]
+            if bool_mode:
+                # bool modifier: 0/1 result values, no filtering (extension)
+                out = df.select(*keep, cond.cast("double").alias("value"))
+                return Plan("vector", out, VT_F64, streams=vec.streams)
             # filter semantics: keep sample rows where the comparison holds
-            cond = _CMP[op](F.col("value").cast("double"), s_col.cast("double"))
             out = df.where(cond)
-            keep = [c for c in ("stream_id", "ts") if c in out.columns] + ["value"]
-            return Plan("vector", out.select(*keep), vec.value_type, streams=vec.streams)
+            return Plan(
+                "vector", out.select(*keep, "value"), vec.value_type,
+                streams=vec.streams,
+            )
 
         vt = result_type(op, vec.value_type, scalar.value_type)
         v_col = F.col("value")

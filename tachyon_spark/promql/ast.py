@@ -86,6 +86,10 @@ class BinaryOp:
     lhs: object
     rhs: object
     matching: VectorMatching | None = None  # on()/ignoring() vector matching
+    # `v > bool 5`: comparison returns 0/1 values instead of filtering
+    # (extension; PromQL bool modifier — the reference has no bool, its
+    # comparisons always filter)
+    bool_mode: bool = False
 
 
 @dataclass(frozen=True)
@@ -186,6 +190,15 @@ class HistogramQuantile:
 
 
 @dataclass(frozen=True)
+class AbsentFunc:
+    """absent(v): one row with value 1 when the vector has NO samples in
+    range, empty otherwise (extension; PromQL absent() adapted to the
+    range-query model). The alerting primitive for dead streams."""
+
+    child: object
+
+
+@dataclass(frozen=True)
 class SortFunc:
     """sort()/sort_desc(): vector reordered by value (extension)."""
 
@@ -206,7 +219,7 @@ class ClampFunc:
 ARITH_OPS = frozenset({"+", "-", "*", "/", "%"})
 CMP_OPS = frozenset({"==", "!=", ">", "<", ">=", "<="})
 SET_OPS = frozenset({"and", "or", "unless"})  # extension (ts-key matching)
-AGG_FUNCS = frozenset({"sum", "count", "avg", "min", "max"})
+AGG_FUNCS = frozenset({"sum", "count", "avg", "min", "max", "stddev", "stdvar"})
 GETK_FUNCS = frozenset({"topk", "bottomk"})
 RANGE_FUNCS = frozenset({"rate", "increase", "delta"})
 RANGE_COUNT_FUNCS = frozenset({"resets", "changes", "irate", "idelta"})  # require m[RANGE]
@@ -223,6 +236,7 @@ OVER_TIME_FUNCS = frozenset(
     }
 )
 MATH_FUNCS = frozenset({"abs", "ceil", "floor", "sqrt", "exp", "ln"})
+ABSENT_FUNCS = frozenset({"absent"})
 HISTOGRAM_FUNCS = frozenset({"histogram_quantile"})
 LABEL_FUNCS = frozenset({"label_replace", "label_join"})
 SORT_FUNCS = frozenset({"sort", "sort_desc"})

@@ -48,7 +48,8 @@ DURATION_UNITS = {
 }
 
 KEYWORDS = (
-    {"offset", "by", "without", "start", "end", "on", "ignoring", "group_left", "group_right"}
+    {"offset", "by", "without", "bool", "start", "end", "on", "ignoring", "group_left", "group_right"}
+    | set(ast.ABSENT_FUNCS)
     | set(ast.AGG_FUNCS)
     | set(ast.GETK_FUNCS)
     | set(ast.RANGE_FUNCS)
@@ -178,9 +179,13 @@ class Parser:
         lhs = self.parse_add()
         while self.peek() and self.peek().text in ast.CMP_OPS:
             op = self.next().text
+            bool_mode = False
+            if self.at("bool"):
+                self.next()
+                bool_mode = True
             matching = self._parse_matching()
             rhs = self.parse_add()
-            lhs = ast.BinaryOp(op, lhs, rhs, matching)
+            lhs = ast.BinaryOp(op, lhs, rhs, matching, bool_mode)
         return lhs
 
     def parse_add(self):
@@ -245,6 +250,12 @@ class Parser:
                 return self.parse_histogram_quantile()
             if tok.text in ast.LABEL_FUNCS:
                 return self.parse_label_func()
+            if tok.text in ast.ABSENT_FUNCS:
+                self.next()
+                self.expect("(")
+                child = self.parse_or()
+                self.expect(")")
+                return ast.AbsentFunc(child)
             return self.parse_selector()
         raise PromQLError(f"unexpected token {tok.text!r} at {tok.pos} in {self.src!r}")
 

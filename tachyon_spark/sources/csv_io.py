@@ -76,3 +76,47 @@ def export_csv(df: DataFrame, path: str) -> None:
         .option("header", True)
         .csv(path)
     )
+
+
+def import_jsonl(conn, selector: str, path: str) -> int:
+    """Append JSON-lines rows ({"ts": ..., "value": ...}) into the stream
+    named by selector — the format beyond the reference's CSV surface that
+    a log-shipper actually emits. Same contract as import_csv: explicit
+    schema, FAILFAST on unparseable rows, one resolved stream, the standard
+    partitioned write path."""
+    sel = conn._parse_selector(selector)
+    rows = conn.catalog.resolve(sel.name, sel.matchers)
+    if len(rows) != 1:
+        raise ValueError(f"selector must resolve to exactly 1 stream, got {len(rows)}")
+    stream_id, value_type = rows[0].stream_id, rows[0].value_type
+
+    vtype = T.LongType() if is_integer(value_type) else T.DoubleType()
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("value", vtype, False),
+        ]
+    )
+    df = conn.spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    n = df.count()
+    if is_integer(value_type):
+        out = df.select(
+            F.lit(stream_id).alias("stream_id"),
+            "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.col("value").alias("value_int"),
+        )
+    else:
+        out = df.select(
+            F.lit(stream_id).alias("stream_id"),
+            "ts",
+            "value",
+            F.lit(None).cast("long").alias("value_int"),
+        )
+    conn._write_samples(out, single_stream=True)
+    return n
+
+
+def export_jsonl(df: DataFrame, path: str) -> None:
+    """Write a (ts, value) query result as JSON lines."""
+    df.select("ts", "value").write.mode("overwrite").json(path)

@@ -138,3 +138,23 @@ def test_salted_stats_matches_plain_groupby(spark):
     plan = salted_stats(df, ["key"], salt=16)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") >= 2
     assert "__salt" in plan
+
+
+def test_stddev_stdvar(golden_db):
+    # ints [2,4,6,8]: population variance = 5, stddev = sqrt(5)
+    assert golden_db.query("stdvar(ints)", 0, 100).scalar() == 5.0
+    import math
+
+    assert abs(golden_db.query("stddev(ints)", 0, 100).scalar() - math.sqrt(5)) < 1e-12
+    # grouped form composes like the other aggregates
+    q = golden_db.query("stddev by (service) (mg)", 0, 100)
+    rows = {r.service: r.value for r in q.df().collect()}
+    assert rows["web"] == 5.0 and rows["mobile"] == 0.5
+
+
+def test_absent(golden_db):
+    assert golden_db.query("absent(ints)", 0, 100).rows() == []
+    # unknown metric -> 1
+    assert golden_db.query("absent(nope_metric)", 0, 100).scalar() == 1.0
+    # known metric, empty range -> 1
+    assert golden_db.query("absent(ints)", 1000, 2000).scalar() == 1.0

@@ -118,3 +118,23 @@ def test_floats_le(fixture_b):
 def test_scalar_expression(fixture_b):
     q = fixture_b.query("(2 + 3 - 4.5) * (5 / 2.3) % 1", 0, 100)
     assert q.scalar() == pytest.approx(0.5 * (5 / 2.3) % 1)  # ≈ 0.0870 (lib.rs:1022-1030)
+
+
+def test_bool_comparison_modifier(golden_db):
+    # v > bool 5: 0/1 per sample, no filtering (extension)
+    q = golden_db.query("ints > bool 5", 0, 100)
+    assert q.rows() == [(10, 0.0), (20, 0.0), (30, 1.0), (40, 1.0)]
+    assert q.value_type == "f64"
+    # scalar comparison allowed only with bool
+    assert golden_db.query("2 > bool 1", 0, 100).scalar() == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bool"):
+        golden_db.query("2 > 1", 0, 100)
+
+
+def test_scalar_on_left_comparison_written_order(golden_db):
+    # 5 > v keeps samples where 5 > value (written order; the reference
+    # would swap to v > 5 — replayable via compat_scalar_swap)
+    q = golden_db.query("5 > ints", 0, 100)
+    assert q.rows() == [(10, 2), (20, 4)]

@@ -62,5 +62,6 @@ def test_vector_comparison_rejected(golden_db):
 
 
 def test_scalar_comparison_rejected(golden_db):
-    with pytest.raises(ValueError, match="not supported"):
+    # filter semantics are undefined on scalars; only `> bool` is allowed
+    with pytest.raises(ValueError, match="bool modifier"):
         golden_db.query("sum(ints) > sum(floats)", 0, 100)

@@ -99,3 +99,37 @@ def test_register_views_sql_surface(db):
         """
     ).collect()
     assert [(r.name, r.n, r.s) for r in out] == [("sqlv", 2, 4.0)]
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    import json
+
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.sources.csv_io import export_jsonl, import_jsonl
+
+    conn = Connection(str(tmp_path / "db"), spark)
+    conn.create_stream('jl{k="1"}', "f64")
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(json.dumps({"ts": t, "value": v}) for t, v in
+                             [(10, 1.5), (20, 2.5), (30, 3.5)]))
+    assert import_jsonl(conn, 'jl{k="1"}', str(src)) == 3
+    q = conn.query('jl{k="1"}', 0, 100)
+    assert q.rows() == [(10, 1.5), (20, 2.5), (30, 3.5)]
+    out = tmp_path / "out"
+    export_jsonl(q.df(), str(out))
+    back = spark.read.json(str(out))
+    assert sorted((r.ts, r.value) for r in back.collect()) == q.rows()
+
+
+def test_jsonl_integer_stream_typed(spark, tmp_path):
+    import json
+
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.sources.csv_io import import_jsonl
+
+    conn = Connection(str(tmp_path / "db"), spark)
+    conn.create_stream('jli{k="1"}', "i64")
+    src = tmp_path / "in.jsonl"
+    src.write_text(json.dumps({"ts": 5, "value": 42}))
+    assert import_jsonl(conn, 'jli{k="1"}', str(src)) == 1
+    assert conn.query('jli{k="1"}', 0, 10).rows() == [(5, 42)]
