@@ -21,6 +21,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _us(y: int, m: int, d: int) -> int:
@@ -52,20 +53,40 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
         pass
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        from pyspark.sql import types as T
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    # The testdata's ts column has shipped as TIMESTAMP(NANOS) (rounds 1-2)
+    # and TIMESTAMP(MICROS) (round 3). Normalize to LONG NANOSECONDS so every
+    # downstream `ts DIV 1000` == the oracle's epoch_us(). Reading the
+    # timestamp column with an explicit LongType field yields the RAW stored
+    # integer (no logical-type conversion, no timezone dependency); the
+    # parquet footer says which unit that integer is in.
+    import os as _os
 
-        # The testdata's ts column has shipped as TIMESTAMP(NANOS) (older
-        # Spark reads it as long ns via nanosAsLong) and as TIMESTAMP(MICROS)
-        # (reads as TIMESTAMP_NTZ). Normalize to LONG NANOSECONDS so every
-        # downstream `ts DIV 1000` == the oracle's epoch_us(); the session tz
-        # is pinned to UTC first so the NTZ->timestamp cast is deterministic.
-        if not isinstance(df.schema["ts"].dataType, T.LongType):
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn(
-                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
-            )
+    import pyarrow.parquet as _pq
+
+    foot_path = path
+    if _os.path.isdir(path):  # a directory table (e.g. bench 10x replica)
+        foot_path = next(
+            _os.path.join(path, f)
+            for f in sorted(_os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    foot = {f.name: str(f.type) for f in _pq.read_schema(foot_path)}
+    native = spark.read.parquet(path).schema
+    long_fields = T.StructType(
+        [
+            T.StructField("ts", T.LongType(), f.nullable)
+            if f.name == "ts"
+            else f
+            for f in native.fields
+        ]
+    )
+    df = spark.read.schema(long_fields).parquet(path)
+    if foot.get("ts", "").startswith("timestamp[us"):
+        df = df.withColumn("ts", F.col("ts") * F.lit(1000))
+    # timestamp[ns] / int64: the raw integer is already nanoseconds
     return df
 
 

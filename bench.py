@@ -201,6 +201,10 @@ def main():
         "token_count_bpe",
         "clean_corpus_stats",
         "media_frames",
+        "repetition_score",
+        "agg_stddev",
+        "media_real_decode",
+        "dedup_simhash",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
