@@ -195,6 +195,20 @@ def q_bottomk_values(spark, sf_dir):
     )
 
 
+def q_topk_per_group(spark, sf_dir):
+    """Per-group top-k (`topk by (label)` extension; the reference's GetK
+    heap is global only, get_k.rs:29-139): top-3 values per event_type via
+    a rank window that shares the group-key shuffle — no global sort at
+    any scale (operators/topk.grouped_top_k)."""
+    from tachyon_spark.operators.topk import grouped_top_k
+
+    ev = _read(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", F.expr("ts DIV 1000").alias("ts"), "value"
+    )
+    return grouped_top_k(rows, 3, ["event_type"])
+
+
 def q_vector_scalar_arith(spark, sf_dir):
     """VectorToScalarNode arithmetic (vector_to_scalar.rs:35-61)."""
     ev = _read(spark, sf_dir, "events")
@@ -1302,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ewma": q_streaming_ewma,
         "repetition_score": q_repetition_score,
         "agg_stddev": q_agg_stddev,
+        "topk_per_group": q_topk_per_group,
     }
 
 
@@ -2096,6 +2111,16 @@ def oracle_sql() -> dict[str, str]:
                                      (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma,
                    count(*) AS n_seen
             FROM events GROUP BY event_type
+        """,
+        "topk_per_group": """
+            SELECT event_type, value FROM (
+              SELECT event_type, value,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC, epoch_us(ts) DESC
+                     ) AS rn
+              FROM events
+            ) WHERE rn <= 3
         """,
         "repetition_score": """
             WITH tok AS (

@@ -222,10 +222,15 @@ class Connection:
             marker = os.path.join(stage, "_SUCCESS")
             if os.path.exists(marker):
                 os.remove(marker)
+            has_rows = any(
+                f.endswith(".parquet") for _, _, fs in os.walk(stage) for f in fs
+            )
             old = src + ".old"
             shutil.rmtree(old, ignore_errors=True)
             os.replace(src, old)
-            os.replace(stage, src)
+            if has_rows:
+                os.replace(stage, src)
+            # else: every stream in the bucket was deleted — drop the dir
             shutil.rmtree(old)
         shutil.rmtree(os.path.join(self.db_dir, "_delete_tmp"), ignore_errors=True)
         return len(rows)

@@ -33,3 +33,33 @@ def top_k(df: DataFrame, k: int, value_col: str = "value", ts_col: str | None = 
 
 def bottom_k(df: DataFrame, k: int, value_col: str = "value", ts_col: str | None = "ts") -> DataFrame:
     return _k_rows(df, k, False, value_col, ts_col)
+
+
+def grouped_top_k(
+    df: DataFrame,
+    k: int,
+    by: list[str],
+    desc: bool = True,
+    value_col: str = "value",
+    ts_col: str | None = "ts",
+) -> DataFrame:
+    """Per-group top/bottom-k (`topk by (label) (k, v)` — extension; the
+    reference's GetK is global only). One hash shuffle on the group key; the
+    rank window shares that partitioning, so no global sort and no second
+    exchange. Output keeps the group columns; same tie rule (newest ts
+    wins) and k<=0 -> empty as the global form."""
+    from pyspark.sql import Window as W
+
+    if k <= 0:
+        return df.select(*by, value_col).limit(0)
+    value = F.col(value_col)
+    order = [value.desc() if desc else value.asc()]
+    if ts_col is not None:
+        order.append(F.col(ts_col).desc())
+    w = W.partitionBy(*by).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(*by, value_col, "__rn")
+        .drop("__rn")
+    )

@@ -1050,5 +1050,13 @@ class PlanBuilder:
         child = self.build(node.child)
         if child.kind != "vector":
             raise ValueError("topk/bottomk requires a vector input")
+        if node.by:
+            # per-group k: rank window shares the group-key shuffle — no
+            # global sort (extension; the reference's GetK is global only)
+            from tachyon_spark.operators.topk import grouped_top_k
+
+            df = self._attach_labels(child.df, node.by, child.streams)
+            out = grouped_top_k(df, k, list(node.by), desc=node.func == "topk")
+            return Plan("grouped", out, child.value_type, group_cols=tuple(node.by))
         fn = top_k if node.func == "topk" else bottom_k
         return Plan("topk", fn(child.df, k), child.value_type)

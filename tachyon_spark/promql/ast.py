@@ -107,6 +107,7 @@ class GetK:
     func: str  # topk | bottomk
     k: object  # scalar expression
     child: object
+    by: tuple[str, ...] = ()  # `topk by (label) (k, v)`: per-group k (extension)
 
 
 @dataclass(frozen=True)

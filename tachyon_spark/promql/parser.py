@@ -432,12 +432,16 @@ class Parser:
 
     def parse_getk(self):
         func = self.next().text
+        by: tuple[str, ...] = ()
+        if self.at("by"):
+            self.next()
+            by = tuple(self._parse_label_list())
         self.expect("(")
         k = self.parse_or()
         self.expect(",")
         child = self.parse_or()
         self.expect(")")
-        return ast.GetK(func, k, child)
+        return ast.GetK(func, k, child, by)
 
     def parse_selector(self):
         name_tok = self.next()

@@ -158,3 +158,16 @@ def test_absent(golden_db):
     assert golden_db.query("absent(nope_metric)", 0, 100).scalar() == 1.0
     # known metric, empty range -> 1
     assert golden_db.query("absent(ints)", 1000, 2000).scalar() == 1.0
+
+
+def test_topk_by_group(golden_db):
+    # top-1 per service over mg: web [10,20] -> 20; mobile [1,2] -> 2
+    q = golden_db.query("topk by (service) (1, mg)", 0, 100)
+    rows = sorted(tuple(r) for r in q.df().collect())
+    assert rows == [("mobile", 2), ("web", 20)]
+    # bottomk per group
+    q2 = golden_db.query("bottomk by (service) (1, mg)", 0, 100)
+    assert sorted(tuple(r) for r in q2.df().collect()) == [("mobile", 1), ("web", 10)]
+    # k larger than the group returns the whole group
+    q3 = golden_db.query("topk by (service) (5, mg)", 0, 100)
+    assert len(q3.df().collect()) == 4

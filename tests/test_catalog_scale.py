@@ -142,3 +142,26 @@ def test_resolve_df_matches_driver_resolution(spark, tmp_path):
             for r in conn.catalog.resolve_df("m", matchers).select("stream_id").collect()
         }
         assert driver == dist, matchers
+
+
+def test_bucketed_delete_with_time_buckets(spark, tmp_path):
+    # hash-bucketed AND time-bucketed layout: delete rewrites only the
+    # affected stream_bucket dirs, preserving ts_bucket partitioning
+    conn = Connection(str(tmp_path / "db"), spark, time_bucket=1000)
+    for i in range(3):
+        conn.create_stream(f'dtb{{k="{i}"}}', "f64")
+        ins = conn.prepare_insert(f'dtb{{k="{i}"}}')
+        ins.insert(100 + i, float(i))      # ts_bucket 0
+        ins.insert(1500 + i, 10.0 + i)     # ts_bucket 1
+        ins.flush()
+    assert conn.delete_stream('dtb{k="1"}') == 1
+    rows = sorted(conn.query("dtb", 0, 10_000).rows())
+    assert rows == [(100, 0.0), (102, 2.0), (1500, 10.0), (1502, 12.0)]
+    # ts_bucket partition dirs survived the rewrite
+    import os
+
+    top = [d for d in os.listdir(conn.samples_path) if d.startswith("stream_bucket=")]
+    assert top and all(
+        any(s.startswith("ts_bucket=") for s in os.listdir(os.path.join(conn.samples_path, d)))
+        for d in top
+    )
