@@ -747,6 +747,46 @@ def q_ewma_final(spark, sf_dir):
     return out.select("event_type", F.round("ewma", 6).alias("ewma"))
 
 
+def q_media_wav_decode(spark, sf_dir):
+    """REAL WAV decode, oracle-graded (companion to media_real_decode's PNG
+    leg): each document's first 64 bytes become 16-bit PCM samples
+    ((byte-64)*256) wrapped in a RIFF/WAVE container; extract_features
+    genuinely parses the container and PCM (functions/codecs.wav_decode)
+    and reports mean/RMS/peak. The oracle recomputes them from the text
+    bytes — agreement requires the actual decode."""
+    from tachyon_spark.functions import codecs
+    from tachyon_spark.functions.multimodal import extract_features
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def enc(batches):
+        import pandas as pd
+
+        def to_wav(t):
+            samples = [(b - 64) * 256 for b in t[:64].ljust(64).encode("ascii")]
+            return codecs.wav_encode(16000, samples)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "content_id": pdf["doc_id"].astype(str),
+                    "modality": "audio",
+                    "payload": pdf["text"].map(to_wav),
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        enc, "content_id string, modality string, payload binary"
+    )
+    feats = extract_features(media)
+    return feats.select(
+        F.col("content_id").cast("long").alias("doc_id"),
+        F.round(F.element_at("feature", 3).cast("double"), 6).alias("mean_amp"),
+        F.round(F.element_at("feature", 4).cast("double"), 6).alias("rms"),
+        F.round(F.element_at("feature", 5).cast("double"), 6).alias("peak"),
+    )
+
+
 def q_streaming_ewma(spark, sf_dir):
     """Custom STATEFUL STREAMING operator driven end-to-end
     (streaming/stateful.streaming_ewma, applyInPandasWithState): events
@@ -1317,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": q_repetition_score,
         "agg_stddev": q_agg_stddev,
         "topk_per_group": q_topk_per_group,
+        "media_wav_decode": q_media_wav_decode,
     }
 
 
@@ -2111,6 +2152,24 @@ def oracle_sql() -> dict[str, str]:
                                      (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma,
                    count(*) AS n_seen
             FROM events GROUP BY event_type
+        """,
+        "media_wav_decode": """
+            -- recompute PCM stats straight from the text bytes; the engine
+            -- side must round-trip them through a real RIFF/PCM decode.
+            -- ::REAL::DOUBLE replays float32 feature storage
+            WITH s AS (
+              SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, (unicode(substr(s, i, 1)) - 64) * 256 AS v
+              FROM s, unnest(generate_series(1, 64)) AS t(i)
+            )
+            SELECT doc_id,
+              round((avg(v) / 32768.0)::REAL::DOUBLE, 6) AS mean_amp,
+              round((sqrt(avg(v * v)) / 32768.0)::REAL::DOUBLE, 6) AS rms,
+              round((max(abs(v)) / 32768.0)::REAL::DOUBLE, 6) AS peak
+            FROM b GROUP BY doc_id
         """,
         "topk_per_group": """
             SELECT event_type, value FROM (

@@ -29,15 +29,28 @@ _AGGS = {
     "stdvar": F.var_pop,
 }
 
-AGG_FUNCS = frozenset(_AGGS)
+AGG_FUNCS = frozenset(_AGGS) | {"quantile"}
 
 
-def scalar_agg(df: DataFrame, func: str, value_col: str = "value", out: str = "value") -> DataFrame:
-    """One-row (or zero-row, per the empty contract) aggregate over df."""
+def _agg_col(func: str, value_col: str, param: float | None):
+    if func == "quantile":
+        # exact linear-interpolated percentile (PromQL semantics); at scale
+        # swap for approx_percentile (mergeable t-digest-style sketch)
+        return F.percentile(F.col(value_col).cast("double"), F.lit(param))
     if func not in _AGGS:
         raise ValueError(f"unsupported aggregate: {func}")
-    agg_col = _AGGS[func](F.col(value_col)).alias(out)
-    result = df.agg(agg_col)
+    return _AGGS[func](F.col(value_col))
+
+
+def scalar_agg(
+    df: DataFrame,
+    func: str,
+    value_col: str = "value",
+    out: str = "value",
+    param: float | None = None,
+) -> DataFrame:
+    """One-row (or zero-row, per the empty contract) aggregate over df."""
+    result = df.agg(_agg_col(func, value_col, param).alias(out))
     if func == "count":
         return result  # count of empty = 0, one row
     return result.where(F.col(out).isNotNull())
@@ -82,12 +95,11 @@ def grouped_agg(
     by: list[str],
     value_col: str = "value",
     out: str = "value",
+    param: float | None = None,
 ) -> DataFrame:
     """`sum by (label) (v)`-style grouped aggregate (beyond-reference).
 
     groupBy shuffles on the grouping keys with partial aggregation map-side;
     empty groups simply don't exist, so no empty-contract handling is needed.
     """
-    if func not in _AGGS:
-        raise ValueError(f"unsupported aggregate: {func}")
-    return df.groupBy(*by).agg(_AGGS[func](F.col(value_col)).alias(out))
+    return df.groupBy(*by).agg(_agg_col(func, value_col, param).alias(out))

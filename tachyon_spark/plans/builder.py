@@ -979,7 +979,7 @@ class PlanBuilder:
                 cdf = cdf.withColumn("value", F.col("value").cast("double"))
         if node.by:
             df = self._attach_labels(cdf, node.by, child.streams)
-            out = grouped_agg(df, func, list(node.by))
+            out = grouped_agg(df, func, list(node.by), param=node.param)
             return Plan("grouped", out, vt, group_cols=tuple(node.by))
         if node.without:
             # group by every label EXCEPT the listed ones: per-series
@@ -1006,9 +1006,9 @@ class PlanBuilder:
                 rows, "stream_id string, series string"
             )
             df = cdf.join(F.broadcast(key_df), "stream_id", "left")
-            out = grouped_agg(df, func, ["series"])
+            out = grouped_agg(df, func, ["series"], param=node.param)
             return Plan("grouped", out, vt, group_cols=("series",))
-        return Plan("scalar", scalar_agg(cdf, func), vt)
+        return Plan("scalar", scalar_agg(cdf, func, param=node.param), vt)
 
     def _attach_labels(
         self, df: DataFrame, labels: tuple[str, ...], streams: tuple = ()

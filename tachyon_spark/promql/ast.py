@@ -94,12 +94,15 @@ class BinaryOp:
 
 @dataclass(frozen=True)
 class Aggregate:
-    func: str  # sum count avg min max
+    func: str  # sum count avg min max stddev stdvar quantile
     child: object
     by: tuple[str, ...] = ()  # grouping labels (extension; reference ignores `by`)
     # `without (l1,..)`: group by every label EXCEPT these (extension).
     # Output carries one canonical `series` string column ("k=v,k=v").
     without: tuple[str, ...] = ()
+    # quantile(phi, v)'s phi (extension; exact interpolated percentile —
+    # swap for approx_percentile's mergeable sketch at extreme scale)
+    param: float | None = None
 
 
 @dataclass(frozen=True)
@@ -220,7 +223,9 @@ class ClampFunc:
 ARITH_OPS = frozenset({"+", "-", "*", "/", "%"})
 CMP_OPS = frozenset({"==", "!=", ">", "<", ">=", "<="})
 SET_OPS = frozenset({"and", "or", "unless"})  # extension (ts-key matching)
-AGG_FUNCS = frozenset({"sum", "count", "avg", "min", "max", "stddev", "stdvar"})
+AGG_FUNCS = frozenset(
+    {"sum", "count", "avg", "min", "max", "stddev", "stdvar", "quantile"}
+)
 GETK_FUNCS = frozenset({"topk", "bottomk"})
 RANGE_FUNCS = frozenset({"rate", "increase", "delta"})
 RANGE_COUNT_FUNCS = frozenset({"resets", "changes", "irate", "idelta"})  # require m[RANGE]

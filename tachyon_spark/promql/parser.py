@@ -341,9 +341,22 @@ class Parser:
             self.next()
             without = tuple(self._parse_label_list())
         self.expect("(")
+        param = None
+        if func == "quantile":  # quantile(phi, v)
+            neg = False
+            if self.at("-"):
+                self.next()
+                neg = True
+            tok = self.next()
+            if tok.kind != "number":
+                raise PromQLError(f"quantile phi must be a number, got {tok.text!r}")
+            param = -float(tok.text) if neg else float(tok.text)
+            if not 0.0 <= param <= 1.0:
+                raise PromQLError(f"quantile phi must be in [0, 1], got {param}")
+            self.expect(",")
         child = self.parse_or()
         self.expect(")")
-        return ast.Aggregate(func, child, by, without)
+        return ast.Aggregate(func, child, by, without, param)
 
     def parse_range_func(self):
         func = self.next().text

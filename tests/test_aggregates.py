@@ -171,3 +171,13 @@ def test_topk_by_group(golden_db):
     # k larger than the group returns the whole group
     q3 = golden_db.query("topk by (service) (5, mg)", 0, 100)
     assert len(q3.df().collect()) == 4
+
+
+def test_quantile_aggregation(golden_db):
+    # ints [2,4,6,8]: exact interpolated median = 5, p25 = 3.5
+    assert golden_db.query("quantile(0.5, ints)", 0, 100).scalar() == 5.0
+    assert golden_db.query("quantile(0.25, ints)", 0, 100).scalar() == 3.5
+    # grouped form: mg web [10,20] -> 15; mobile [1,2] -> 1.5
+    q = golden_db.query("quantile by (service) (0.5, mg)", 0, 100)
+    rows = {r.service: r.value for r in q.df().collect()}
+    assert rows == {"web": 15.0, "mobile": 1.5}
