@@ -126,6 +126,17 @@ class PlanBuilder:
             return self._label_func(expr)
         if isinstance(expr, ast.AbsentFunc):
             return self._absent(expr)
+        if isinstance(expr, ast.CountValues):
+            child = self.build(expr.child)
+            if child.kind != "vector":
+                raise ValueError("count_values requires a vector input")
+            out = (
+                child.df.groupBy(
+                    F.col("value").cast("string").alias(expr.label)
+                )
+                .agg(F.count("*").alias("value"))
+            )
+            return Plan("grouped", out, VT_U64, group_cols=(expr.label,))
         if isinstance(expr, ast.Subquery):
             raise ValueError(
                 "a subquery expr[RANGE:STEP] can only be the argument of an "

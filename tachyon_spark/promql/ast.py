@@ -243,6 +243,18 @@ OVER_TIME_FUNCS = frozenset(
 )
 MATH_FUNCS = frozenset({"abs", "ceil", "floor", "sqrt", "exp", "ln"})
 ABSENT_FUNCS = frozenset({"absent"})
+COUNT_VALUES_FUNCS = frozenset({"count_values"})
+
+
+@dataclass(frozen=True)
+class CountValues:
+    """count_values("label", v): one output row per distinct sample value
+    with its occurrence count, value rendered into the named label column
+    (extension; PromQL parity). A plain groupBy on the value — one shuffle,
+    map-side partials."""
+
+    label: str
+    child: object
 HISTOGRAM_FUNCS = frozenset({"histogram_quantile"})
 LABEL_FUNCS = frozenset({"label_replace", "label_join"})
 SORT_FUNCS = frozenset({"sort", "sort_desc"})

@@ -50,6 +50,7 @@ DURATION_UNITS = {
 KEYWORDS = (
     {"offset", "by", "without", "bool", "start", "end", "on", "ignoring", "group_left", "group_right"}
     | set(ast.ABSENT_FUNCS)
+    | set(ast.COUNT_VALUES_FUNCS)
     | set(ast.AGG_FUNCS)
     | set(ast.GETK_FUNCS)
     | set(ast.RANGE_FUNCS)
@@ -250,6 +251,8 @@ class Parser:
                 return self.parse_histogram_quantile()
             if tok.text in ast.LABEL_FUNCS:
                 return self.parse_label_func()
+            if tok.text in ast.COUNT_VALUES_FUNCS:
+                return self.parse_count_values()
             if tok.text in ast.ABSENT_FUNCS:
                 self.next()
                 self.expect("(")
@@ -285,6 +288,19 @@ class Parser:
         step = self._duration()
         self.expect("]")
         return ast.Subquery(expr, range_, step)
+
+    def parse_count_values(self):
+        """count_values("label", v)."""
+        self.next()
+        self.expect("(")
+        tok = self.next()
+        if tok.kind != "string":
+            raise PromQLError(f"count_values label must be a string, got {tok.text!r}")
+        label = _unquote(tok.text)
+        self.expect(",")
+        child = self.parse_or()
+        self.expect(")")
+        return ast.CountValues(label, child)
 
     def parse_label_func(self):
         """label_replace(v, "dst", "repl", "src", "regex") /

@@ -181,3 +181,13 @@ def test_quantile_aggregation(golden_db):
     q = golden_db.query("quantile by (service) (0.5, mg)", 0, 100)
     rows = {r.service: r.value for r in q.df().collect()}
     assert rows == {"web": 15.0, "mobile": 1.5}
+
+
+def test_count_values(golden_db):
+    # ib: five samples all 10 -> one row ("10", 5)
+    q = golden_db.query('count_values("val", ib)', 0, 100)
+    assert [tuple(r) for r in q.df().collect()] == [("10", 5)]
+    q2 = golden_db.query('count_values("v", ints)', 0, 100)
+    assert sorted(tuple(r) for r in q2.df().collect()) == [
+        ("2", 1), ("4", 1), ("6", 1), ("8", 1),
+    ]
