@@ -708,7 +708,80 @@ class PlanBuilder:
                 integer_result=is_integer(promote(lhs.value_type, rhs.value_type)),
             )
             return Plan("vector", out, vt)
+        if lhs.kind == "grouped" and rhs.kind == "grouped":
+            return self._grouped_grouped(op, lhs, rhs, node.bool_mode)
+        if lhs.kind == "grouped" and rhs.kind in ("scalar",):
+            return self._grouped_scalar(op, lhs, rhs, False, node.bool_mode)
+        if lhs.kind == "scalar" and rhs.kind == "grouped":
+            return self._grouped_scalar(op, rhs, lhs, True, node.bool_mode)
         raise ValueError(f"unsupported operand kinds: {lhs.kind} {op} {rhs.kind}")
+
+    def _grouped_grouped(self, op: str, lhs: Plan, rhs: Plan, bool_mode: bool) -> Plan:
+        """`sum by (s) (a) OP sum by (s) (b)` — the ratio-of-sums shape
+        (extension): an equi-join on the shared group columns, one column
+        expression. Both sides already shuffled on the group key, so the
+        join reuses that partitioning. Comparisons filter (bool -> 0/1)."""
+        keys = [c for c in lhs.group_cols if c != "ts"]
+        if keys != [c for c in rhs.group_cols if c != "ts"]:
+            raise ValueError(
+                f"grouped operands must share grouping labels "
+                f"({lhs.group_cols} vs {rhs.group_cols})"
+            )
+        has_ts = "ts" in lhs.group_cols and "ts" in rhs.group_cols
+        on = keys + (["ts"] if has_ts else [])
+        l_df = lhs.df.select(*on, F.col("value").alias("__va"))
+        r_df = rhs.df.select(*on, F.col("value").alias("__vb"))
+        joined = l_df.join(r_df, on)
+        a, b = F.col("__va"), F.col("__vb")
+        if op in _CMP:
+            cond = _CMP[op](a.cast("double"), b.cast("double"))
+            if bool_mode:
+                out = joined.select(*on, cond.cast("double").alias("value"))
+                return Plan("grouped", out, VT_F64, group_cols=tuple(on))
+            out = joined.where(cond).select(*on, a.alias("value"))
+            return Plan("grouped", out, lhs.value_type, group_cols=tuple(on))
+        vt = result_type(op, lhs.value_type, rhs.value_type)
+        if op in ("/", "%") or vt == VT_F64:
+            a, b = a.cast("double"), b.cast("double")
+        result = _ARITH[op](a, b)
+        if is_integer(vt):
+            result = result.cast("long")
+        out = joined.select(*on, result.alias("value"))
+        return Plan("grouped", out, vt, group_cols=tuple(on))
+
+    def _grouped_scalar(
+        self, op: str, grp: Plan, scalar: Plan, scalar_on_left: bool, bool_mode: bool
+    ) -> Plan:
+        """`sum by (s) (v) OP scalar` — narrow column expression over the
+        grouped frame (extension); comparisons filter groups (bool -> 0/1)."""
+        df = grp.df
+        if scalar.literal is not None:
+            s_col = F.lit(scalar.literal)
+        else:
+            df = df.crossJoin(F.broadcast(self._scalar_df(scalar, "__s")))
+            s_col = F.col("__s")
+        keep = list(grp.group_cols)
+        v, s = F.col("value").cast("double"), s_col.cast("double")
+        if scalar_on_left and getattr(self.conn, "compat_scalar_swap", False):
+            scalar_on_left = False
+        a, b = (s, v) if scalar_on_left else (v, s)
+        if op in _CMP:
+            cond = _CMP[op](a, b)
+            if bool_mode:
+                out = df.select(*keep, cond.cast("double").alias("value"))
+                return Plan("grouped", out, VT_F64, group_cols=grp.group_cols)
+            out = df.where(cond).select(*keep, "value")
+            return Plan("grouped", out, grp.value_type, group_cols=grp.group_cols)
+        vt = result_type(op, grp.value_type, scalar.value_type)
+        av, bv = (F.col("value"), s_col)
+        if vt == VT_F64 or op in ("/", "%"):
+            av, bv = av.cast("double"), bv.cast("double")
+        a2, b2 = (bv, av) if scalar_on_left else (av, bv)
+        result = _ARITH[op](a2, b2)
+        if is_integer(vt):
+            result = result.cast("long")
+        out = df.select(*keep, result.alias("value"))
+        return Plan("grouped", out, vt, group_cols=grp.group_cols)
 
     # ------------------------------------------------------- vector matching
     @staticmethod

@@ -91,3 +91,32 @@ def test_sum_without(golden_db):
     # dropping every label collapses to one empty-key group
     q2 = golden_db.query("sum without (service) (vm_req)", 0, 100)
     assert [tuple(r) for r in q2.df().collect()] == [("", 84.0)]
+
+
+def test_grouped_ratio_of_sums(golden_db):
+    # sum by service: vm_req web 60 / vm_lim web 300 = 0.2; mobile 24/40 = 0.6
+    q = golden_db.query(
+        "sum by (service) (vm_req) / sum by (service) (vm_lim)", 0, 100
+    )
+    rows = sorted(tuple(r) for r in q.df().collect())
+    assert rows == [("mobile", 0.6), ("web", 0.2)]
+
+
+def test_grouped_scalar_arith_and_filter(golden_db):
+    q = golden_db.query("sum by (service) (vm_req) * 2", 0, 100)
+    rows = sorted(tuple(r) for r in q.df().collect())
+    assert rows == [("mobile", 48.0), ("web", 120.0)]
+    # comparison filters groups; bool returns 0/1
+    q2 = golden_db.query("sum by (service) (vm_req) > 30", 0, 100)
+    assert [tuple(r) for r in q2.df().collect()] == [("web", 60.0)]
+    q3 = golden_db.query("sum by (service) (vm_req) > bool 30", 0, 100)
+    assert sorted(tuple(r) for r in q3.df().collect()) == [("mobile", 0.0), ("web", 1.0)]
+
+
+def test_grouped_mismatched_keys_rejected(golden_db):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="share grouping labels"):
+        golden_db.query(
+            "sum by (service) (vm_req) / sum by (host) (vm_multi)", 0, 100
+        )
