@@ -251,3 +251,23 @@ def test_repetition_score_golden(spark):
     )
     rows = {r.doc_id: r.repetition for r in repetition_score(df, n=3).collect()}
     assert rows == {1: 0.5, 2: 0.0, 3: 0.0}
+
+
+def test_lsh_plane_sign_margins_are_safe():
+    """Canary for the documented hash-flake risk (COVERAGE.md determinism
+    notes): LSH bucket parity between numpy (engine) and DuckDB list_sum
+    (oracle) relies on no embedding lying numerically ON a hyperplane. The
+    minimum |dot| across the shipped corpus is ~3.7e-5 — ten orders above
+    double noise. If the driver regenerates embeddings and this fails, the
+    LSH oracles may hash-flake: regenerate plane seeds, don't chase ghosts."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tachyon_spark.functions.similarity import _hyperplanes
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    emb = np.array(t.column("embedding").to_pylist(), dtype=float)
+    for planes, seed in [(8, 7), (4, 7)]:
+        P = np.array(_hyperplanes(emb.shape[1], planes, seed))
+        margin = np.abs(emb @ P.T).min()
+        assert margin > 1e-8, f"plane-dot margin {margin:.2e} too tight"
