@@ -13,8 +13,14 @@ Public surface:
 
 The PromQL subset matches the reference's planner surface (selectors with
 matchers, @/offset, number literals, + - * / %, comparisons-as-filters,
-sum/count/avg/min/max/topk/bottomk, parens) plus Spark-natural extensions
-(grouped `by (label)` aggregation, regex matchers, rate/increase/delta).
+sum/count/avg/min/max/topk/bottomk, parens) plus Spark-natural extensions:
+regex matchers; `by`/`without` grouping with stddev/stdvar/quantile/
+count_values; per-group topk; matrix selectors m[5m] with the
+rate/increase/delta/*_over_time/resets/changes/irate/idelta/deriv
+families; subqueries expr[RANGE:STEP]; vector matching on()/ignoring()
+with group_left/group_right; histogram_quantile; label_replace/label_join;
+set operators; the bool comparison modifier; absent(); math/sort/clamp
+functions.
 """
 
 from tachyon_spark.connection import Connection, Query

@@ -23,7 +23,15 @@ from tachyon_spark.functions.textstats import (
     doc_fingerprint,
     language_id,
     quality_score,
+    repetition_score,
     text_stats,
+)
+from tachyon_spark.functions.histogram import bucket_quantile
+from tachyon_spark.functions.codecs import (
+    png_decode,
+    png_encode,
+    wav_decode,
+    wav_encode,
 )
 
 __all__ = [
@@ -45,5 +53,11 @@ __all__ = [
     "sample_frames",
     "language_id",
     "quality_score",
+    "repetition_score",
     "text_stats",
+    "bucket_quantile",
+    "png_decode",
+    "png_encode",
+    "wav_decode",
+    "wav_encode",
 ]
