@@ -63,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("selector")
     sp.add_argument("csv_path")
 
+    sp = sub.add_parser("import-jsonl")
+    sp.add_argument("selector")
+    sp.add_argument("jsonl_path")
+
     sp = sub.add_parser("query")
     sp.add_argument("promql")
     sp.add_argument("--start", type=int, default=0)
@@ -103,6 +107,11 @@ def main(argv: list[str] | None = None) -> int:
         from tachyon_spark.sources import import_csv
 
         n = import_csv(conn, args.selector, args.csv_path)
+        print(f"imported {n} samples")
+    elif args.cmd == "import-jsonl":
+        from tachyon_spark.sources import import_jsonl
+
+        n = import_jsonl(conn, args.selector, args.jsonl_path)
         print(f"imported {n} samples")
     elif args.cmd == "query":
         q = conn.query(args.promql, args.start, args.end)
