@@ -309,7 +309,7 @@ class PlanBuilder:
         out = child.df.groupBy(*self._series_window_keys(child, win)).agg(
             agg.alias("value")
         )
-        return Plan("vector", out, vt)
+        return Plan("vector", out, vt, streams=child.streams)
 
     def _subquery_inner(self, sub: ast.Subquery) -> tuple[Plan, int]:
         """Evaluate the subquery's inner expression on its STEP grid;
@@ -482,7 +482,7 @@ class PlanBuilder:
             )
             .where(F.col("value").isNotNull())
         )
-        return Plan("vector", out, VT_F64)
+        return Plan("vector", out, VT_F64, streams=child.streams)
 
     def _range_count_func(self, node: ast.RangeCountFunc) -> Plan:
         """resets/changes per (series, tumbling window): a lag over
@@ -520,6 +520,7 @@ class PlanBuilder:
                 "vector",
                 out.select(*keep, F.col("__win").alias("ts"), "value"),
                 VT_F64,
+                streams=child.streams,
             )
         if node.func == "resets":
             flag = (F.col("value") < prev).cast("long")
@@ -531,6 +532,7 @@ class PlanBuilder:
             "vector",
             out.select(*keep, F.col("__win").alias("ts"), "value"),
             VT_U64,
+            streams=child.streams,
         )
 
     @staticmethod
@@ -595,7 +597,10 @@ class PlanBuilder:
         else:  # increase | delta
             value = diff
         keep = [c for c in ("stream_id", "ts") if c in agg.columns]
-        return Plan("vector", agg.select(*keep, value.alias("value")), VT_F64)
+        return Plan(
+            "vector", agg.select(*keep, value.alias("value")), VT_F64,
+            streams=child.streams,
+        )
 
     # --------------------------------------------------------------- selector
     def _selector(self, sel: ast.VectorSelector) -> Plan:

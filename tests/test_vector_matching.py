@@ -177,3 +177,21 @@ def test_label_replace_feeds_vector_matching(golden_db):
     rows = [tuple(r) for r in q.df().collect()]
     base = [tuple(r) for r in golden_db.query("vm_req / on(service) vm_lim", 0, 100).df().collect()]
     assert [(g, t, v) for g, t, v in rows] == base
+
+
+def test_matching_over_windowed_vectors(golden_db):
+    # series identity now survives the windowed family, so PromQL's classic
+    # `rate(a) / on(l) rate(b)` shape composes; max_over_time windows at
+    # width 20 anchored at query start 0
+    rows = _rows(
+        golden_db,
+        "max_over_time(vm_req[20]) / on(service) max_over_time(vm_lim[20])",
+    )
+    # windows [0,20) and [20,40): req web max 10 then 30; mobile 4 then 12;
+    # lim web 100 then 200; mobile only 40@[20,40), carried back for ts 0
+    assert sorted(rows) == [
+        ("mobile", 0, 0.1),   # 4 / 40 (lim carried back)
+        ("mobile", 20, 0.3),  # 12 / 40
+        ("web", 0, 0.1),      # 10 / 100
+        ("web", 20, 0.15),    # 30 / 200
+    ]
