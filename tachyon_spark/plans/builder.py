@@ -126,6 +126,19 @@ class PlanBuilder:
             return self._label_func(expr)
         if isinstance(expr, ast.AbsentFunc):
             return self._absent(expr)
+        if isinstance(expr, ast.RoundFunc):
+            child = self.build(expr.child)
+            if child.kind != "vector":
+                raise ValueError("round() requires a vector input")
+            t = float(expr.to_nearest)
+            # PromQL: floor(v/t + 0.5) * t (ties round up toward +inf)
+            v = F.col("value").cast("double")
+            result = F.floor(v / F.lit(t) + F.lit(0.5)) * F.lit(t)
+            keep = [c for c in ("stream_id", "ts") if c in child.df.columns]
+            return Plan(
+                "vector", child.df.select(*keep, result.alias("value")), VT_F64,
+                streams=child.streams,
+            )
         if isinstance(expr, ast.CountValues):
             child = self.build(expr.child)
             if child.kind != "vector":
@@ -183,6 +196,7 @@ class PlanBuilder:
         "sqrt": F.sqrt,
         "exp": F.exp,
         "ln": F.log,
+        "sgn": F.signum,
     }
 
     def _math_func(self, node: ast.MathFunc) -> Plan:
@@ -194,7 +208,8 @@ class PlanBuilder:
                 import math as m
 
                 fn = {"abs": abs, "ceil": m.ceil, "floor": m.floor,
-                      "sqrt": m.sqrt, "exp": m.exp, "ln": m.log}[node.func]
+                      "sqrt": m.sqrt, "exp": m.exp, "ln": m.log,
+                      "sgn": lambda x: (x > 0) - (x < 0)}[node.func]
                 return Plan("scalar", None, VT_F64, literal=float(fn(child.literal)))
             out = child.df.select(
                 self._MATH[node.func](F.col("value").cast("double")).alias("value")

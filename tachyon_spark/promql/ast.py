@@ -241,7 +241,19 @@ OVER_TIME_FUNCS = frozenset(
         "quantile_over_time",
     }
 )
-MATH_FUNCS = frozenset({"abs", "ceil", "floor", "sqrt", "exp", "ln"})
+MATH_FUNCS = frozenset({"abs", "ceil", "floor", "sqrt", "exp", "ln", "sgn"})
+
+
+@dataclass(frozen=True)
+class RoundFunc:
+    """round(v[, to_nearest]): nearest multiple of to_nearest (default 1),
+    ties away from zero upward per PromQL (floor(v/t + 0.5) * t)."""
+
+    child: object
+    to_nearest: float = 1.0
+
+
+ROUND_FUNCS = frozenset({"round"})
 ABSENT_FUNCS = frozenset({"absent"})
 COUNT_VALUES_FUNCS = frozenset({"count_values"})
 

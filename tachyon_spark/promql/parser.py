@@ -51,6 +51,7 @@ KEYWORDS = (
     {"offset", "by", "without", "bool", "start", "end", "on", "ignoring", "group_left", "group_right"}
     | set(ast.ABSENT_FUNCS)
     | set(ast.COUNT_VALUES_FUNCS)
+    | set(ast.ROUND_FUNCS)
     | set(ast.AGG_FUNCS)
     | set(ast.GETK_FUNCS)
     | set(ast.RANGE_FUNCS)
@@ -253,6 +254,8 @@ class Parser:
                 return self.parse_label_func()
             if tok.text in ast.COUNT_VALUES_FUNCS:
                 return self.parse_count_values()
+            if tok.text in ast.ROUND_FUNCS:
+                return self.parse_round()
             if tok.text in ast.ABSENT_FUNCS:
                 self.next()
                 self.expect("(")
@@ -288,6 +291,23 @@ class Parser:
         step = self._duration()
         self.expect("]")
         return ast.Subquery(expr, range_, step)
+
+    def parse_round(self):
+        """round(v[, to_nearest])."""
+        self.next()
+        self.expect("(")
+        child = self.parse_or()
+        to_nearest = 1.0
+        if self.at(","):
+            self.next()
+            tok = self.next()
+            if tok.kind != "number":
+                raise PromQLError(f"round to_nearest must be a number, got {tok.text!r}")
+            to_nearest = float(tok.text)
+            if to_nearest <= 0:
+                raise PromQLError("round to_nearest must be positive")
+        self.expect(")")
+        return ast.RoundFunc(child, to_nearest)
 
     def parse_count_values(self):
         """count_values("label", v)."""

@@ -120,3 +120,16 @@ def test_grouped_mismatched_keys_rejected(golden_db):
         golden_db.query(
             "sum by (service) (vm_req) / sum by (host) (vm_multi)", 0, 100
         )
+
+
+def test_sgn_and_round(golden_db):
+    # neg: [-5, -7, -1, -1000] -> sgn all -1
+    q = golden_db.query("sgn(neg)", 0, 100)
+    assert [v for _, v in q.rows()] == [-1.0, -1.0, -1.0, -1.0]
+    assert golden_db.query("sgn(2)", 0, 100).scalar() == 1.0
+    # floats [4.1, 3.2, 2.3, 1.4] -> round to nearest int (ties up)
+    q2 = golden_db.query("round(floats)", 0, 100)
+    assert [v for _, v in q2.rows()] == [4.0, 3.0, 2.0, 1.0]
+    # to_nearest = 0.5
+    q3 = golden_db.query("round(floats, 0.5)", 0, 100)
+    assert [v for _, v in q3.rows()] == [4.0, 3.0, 2.5, 1.5]
