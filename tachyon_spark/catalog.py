@@ -67,6 +67,26 @@ class StreamInfo:
     value_type: str = "f64"
 
 
+def check_matcher_regexes(matchers) -> None:
+    """Regex matchers run on BOTH engines: Python ``re.search`` driver-side
+    (``resolve``) and Java regex via ``rlike`` in the distributed semi-join
+    path (``resolve_df``). The supported subset is their intersection —
+    literals, character classes, alternation, anchors, greedy/lazy
+    quantifiers, plain/non-capturing groups, inline ``(?i)`` flags, and
+    lookaround. Python-only constructs would silently match different
+    streams in the two paths, so they are rejected up front."""
+    for m in matchers:
+        if m.op not in ("=~", "!~"):
+            continue
+        for bad, why in (("(?P", "named groups"), ("(?(", "conditional groups")):
+            if bad in m.value:
+                raise ValueError(
+                    f"regex matcher {m.value!r} uses Python-only {why}; "
+                    "use constructs portable to Java regex (the distributed "
+                    "resolution path) — see Catalog docstring"
+                )
+
+
 def _matches(info: StreamInfo, matchers) -> bool:
     for m in matchers:
         val = info.labels.get(m.label)
@@ -238,7 +258,13 @@ class Catalog:
         return ids
 
     def delete_stream(self, stream_id: str) -> None:
-        rows = [s for s in self._load() if s.stream_id != stream_id]
+        self.delete_streams([stream_id])
+
+    def delete_streams(self, stream_ids) -> None:
+        """Batch delete: ONE compaction rewrite for the whole id set (a
+        per-id loop would rewrite the full catalog O(n) times)."""
+        drop = set(stream_ids)
+        rows = [s for s in self._load() if s.stream_id not in drop]
         self._rewrite(rows)
 
     def resolve(self, name: str, matchers=()) -> list[StreamInfo]:
@@ -247,6 +273,7 @@ class Catalog:
         Driver path: the name index narrows the loop to one metric's streams
         (the inverted-index role of indexer.rs:493-516). For plans that must
         not carry the id list at all, see ``resolve_df``."""
+        check_matcher_regexes(matchers)
         self._load()
         hits = [s for s in self._by_name.get(name, ()) if _matches(s, matchers)]
         return sorted(hits, key=lambda s: s.stream_id)
@@ -255,6 +282,7 @@ class Catalog:
         """Distributed resolution: catalog parquet scan -> name + matcher
         filter. The builder semi-joins samples against this frame when the
         match cardinality is too high for an IN-list literal."""
+        check_matcher_regexes(matchers)
         return self.df().where(
             (F.col("name") == name) & matcher_predicate(matchers)
         )

@@ -121,6 +121,7 @@ class Connection:
         )
         self.compat_scalar_swap = compat_scalar_swap
         self.isin_threshold = ISIN_THRESHOLD
+        self._recover_partial_delete()
 
     def _load_or_store_config(
         self, time_bucket: int | None, u64_decimal: bool, stream_buckets: int | None
@@ -190,12 +191,13 @@ class Connection:
         Returns the number of streams deleted."""
         import shutil
 
+        self._recover_partial_delete()
         sel = self._parse_selector(selector)
         rows = self.catalog.resolve(sel.name, sel.matchers)
-        for r in rows:
-            self.catalog.delete_stream(r.stream_id)
         if not rows:
             return 0
+        # one batched catalog rewrite (not one compaction per stream)
+        self.catalog.delete_streams([r.stream_id for r in rows])
         if not self.stream_buckets:
             for r in rows:
                 part_dir = os.path.join(self.samples_path, f"stream_id={r.stream_id}")
@@ -234,6 +236,22 @@ class Connection:
             shutil.rmtree(old)
         shutil.rmtree(os.path.join(self.db_dir, "_delete_tmp"), ignore_errors=True)
         return len(rows)
+
+    def _recover_partial_delete(self) -> None:
+        """Crash recovery for delete_stream's bucket swap: the rewrite
+        renames `stream_bucket=K` -> `stream_bucket=K.old` before swapping
+        the staged dir in, so a crash between the two renames leaves the
+        bucket missing with its data intact under `.old`. Restore any such
+        orphan (src missing, .old present) before reads or new deletes."""
+        if not os.path.isdir(self.samples_path):
+            return
+        for name in os.listdir(self.samples_path):
+            if not name.endswith(".old"):
+                continue
+            src = os.path.join(self.samples_path, name[: -len(".old")])
+            old = os.path.join(self.samples_path, name)
+            if not os.path.exists(src):
+                os.replace(old, src)
 
     def _parse_selector(self, selector: str) -> VectorSelector:
         expr = parse(selector)

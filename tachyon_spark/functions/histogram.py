@@ -55,7 +55,10 @@ def bucket_quantile(
     b_cnt = F.element_at(counts, idx)
     prev_cnt = F.when(idx == 1, F.lit(0.0)).otherwise(F.element_at(counts, idx - 1))
     prev_le = F.when(idx == 1, F.lit(0.0)).otherwise(F.element_at(les, idx - 1))
-    highest_finite = F.element_at(les, F.greatest(F.size(les) - 1, F.lit(1)))
+    hf = F.element_at(les, F.greatest(F.size(les) - 1, F.lit(1)))
+    # a histogram whose only bucket is +Inf has no finite upper bound to
+    # clamp to — Prometheus yields NaN there; we yield null (filtered below)
+    highest_finite = F.when((F.size(les) >= 2) & (hf != F.lit(INF)), hf)
     quantile = (
         F.when(total <= 0, F.lit(None).cast("double"))
         .when(b_le == F.lit(INF), highest_finite)

@@ -34,6 +34,21 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
+# Outside a `[` ... `]` range context, ':' is part of identifiers so
+# recording-rule metric names (`job:rate:sum`) lex as one token; inside
+# brackets the plain rule applies so `m[30m:5m]` still lexes the subquery
+# ':' as an operator.
+_TOKEN_RE_COLON_IDENT = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<number>\d+(\.\d+)?([eE][+-]?\d+)?)
+  | (?P<ident>[a-zA-Z_][a-zA-Z0-9_:]*)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<op>=~|!~|==|!=|>=|<=|[><=+\-*/%(){},@\[\]:])
+    """,
+    re.VERBOSE,
+)
+
 # `m[5m]` durations: bare numbers are native ts units; suffixed units assume
 # nanosecond timestamps (the samples tables' wall-clock unit).
 DURATION_UNITS = {
@@ -77,15 +92,22 @@ class Token:
 def tokenize(src: str) -> list[Token]:
     tokens: list[Token] = []
     pos = 0
+    depth = 0  # open-'[' nesting: inside, ':' is the subquery separator
     while pos < len(src):
-        m = _TOKEN_RE.match(src, pos)
+        m = (_TOKEN_RE if depth else _TOKEN_RE_COLON_IDENT).match(src, pos)
         if not m:
             raise PromQLError(f"unexpected character {src[pos]!r} at {pos} in {src!r}")
         pos = m.end()
         kind = m.lastgroup
         if kind == "ws":
             continue
-        tokens.append(Token(kind, m.group(), m.start()))
+        text = m.group()
+        if kind == "op":
+            if text == "[":
+                depth += 1
+            elif text == "]":
+                depth = max(0, depth - 1)
+        tokens.append(Token(kind, text, m.start()))
     return tokens
 
 
@@ -317,6 +339,13 @@ class Parser:
         if tok.kind != "string":
             raise PromQLError(f"count_values label must be a string, got {tok.text!r}")
         label = _unquote(tok.text)
+        if label in ("value", "ts", "stream_id"):
+            # the output frame already has a 'value' (count) column; a
+            # colliding label would yield two same-named columns
+            raise PromQLError(
+                f"count_values label {label!r} collides with a reserved "
+                "output column (value/ts/stream_id)"
+            )
         self.expect(",")
         child = self.parse_or()
         self.expect(")")

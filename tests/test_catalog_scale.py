@@ -12,9 +12,11 @@ import io
 import os
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from tachyon_spark.connection import SAMPLES_SCHEMA, Connection
+from tachyon_spark.promql import parse
 
 
 def _bulk_streams(conn, metric: str, n: int):
@@ -165,3 +167,35 @@ def test_bucketed_delete_with_time_buckets(spark, tmp_path):
         any(s.startswith("ts_bucket=") for s in os.listdir(os.path.join(conn.samples_path, d)))
         for d in top
     )
+
+
+def test_python_only_regex_rejected(spark, tmp_path):
+    # resolve (Python re) and resolve_df (Java rlike) must agree; matchers
+    # using Python-only syntax are rejected rather than silently diverging
+    conn = Connection(str(tmp_path / "db"), spark)
+    conn.create_stream('rxm{job="api-1"}', "f64")
+    with pytest.raises(ValueError, match="Python-only"):
+        conn.query('rxm{job=~"(?P<x>api)-1"}', 0, 100)
+    # portable regexes still fine on both paths
+    assert conn.catalog.resolve("rxm", parse('rxm{job=~"api-\\\\d"}').matchers)
+    assert conn.catalog.resolve_df("rxm", parse('rxm{job=~"api-\\\\d"}').matchers).count() == 1
+
+
+def test_delete_crash_recovery(spark, tmp_path):
+    # simulate a crash between the two delete renames: bucket dir moved to
+    # .old, staged dir never swapped in — reopen must restore the bucket
+    import shutil
+
+    conn = Connection(str(tmp_path / "db"), spark)
+    for i in range(3):
+        conn.create_stream(f'cr{{k="{i}"}}', "f64")
+        ins = conn.prepare_insert(f'cr{{k="{i}"}}')
+        ins.insert(10 + i, float(i))
+        ins.flush()
+    buckets = [d for d in os.listdir(conn.samples_path) if d.startswith("stream_bucket=")]
+    victim = os.path.join(conn.samples_path, buckets[0])
+    os.replace(victim, victim + ".old")  # the crash window state
+    conn2 = Connection(str(tmp_path / "db"), spark)
+    vals = sorted(v for _, v in conn2.query("cr", 0, 100).rows())
+    assert vals == [0.0, 1.0, 2.0]
+    assert not any(d.endswith(".old") for d in os.listdir(conn2.samples_path))

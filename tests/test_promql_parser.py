@@ -55,3 +55,25 @@ def test_errors():
         parse("sum(")
     with pytest.raises(PromQLError):
         parse("m 5")
+
+
+def test_colon_metric_names():
+    """Recording-rule-style names (job:rate:sum) lex as one identifier
+    outside a range context; subquery ':' inside [..] still works."""
+    from tachyon_spark.promql import ast
+
+    expr = parse("job:http_requests:rate5m")
+    assert isinstance(expr, ast.VectorSelector)
+    assert expr.name == "job:http_requests:rate5m"
+    sel = parse('job:err:ratio{service="web"}')
+    assert sel.name == "job:err:ratio"
+    # subquery separator unaffected
+    sub = parse("job:rate:sum[30:5]")
+    assert isinstance(sub, ast.Subquery)
+    assert (sub.range_, sub.step) == (30, 5)
+
+
+def test_count_values_reserved_label_rejected():
+    for label in ("value", "ts", "stream_id"):
+        with pytest.raises(PromQLError, match="reserved"):
+            parse(f'count_values("{label}", m)')

@@ -80,3 +80,13 @@ def test_histogram_quantile_inf_bucket_returns_highest_finite(golden_db):
 def test_histogram_quantile_requires_le(golden_db):
     with pytest.raises(ValueError, match="le"):
         golden_db.query("histogram_quantile(0.5, ints)", 0, 100)
+
+
+def test_histogram_quantile_only_inf_bucket_yields_no_rows(db):
+    # a histogram whose ONLY bucket is +Inf has no finite bound; Prometheus
+    # returns NaN — we drop the row (null filtered) instead of clamping
+    from tests.conftest import make_stream
+
+    make_stream(db, 'hinf{le="+Inf"}', "u64", [(10, 4), (20, 7)])
+    q = db.query("histogram_quantile(0.9, hinf)", 0, 100)
+    assert q.rows() == []
