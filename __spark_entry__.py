@@ -644,6 +644,50 @@ def q_rate_windows(spark, sf_dir):
     )
 
 
+def q_rate_counter_aware(spark, sf_dir):
+    """Counter-reset-aware PromQL rate/increase (plans/builder.
+    _counter_windowed; Prometheus extrapolation-free semantics): per
+    (series, tumbling 1h window), the adjusted delta between consecutive
+    samples is `v - prev` when the counter grew and `v` when it reset
+    (restart from 0), summed. The events fixture's random walk has many
+    decreases, so every window exercises the reset path. The lag window
+    and the aggregation share one (event_type, window) partitioning — a
+    single shuffle, same plan shape as the engine's rate()."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w_us = 60 * 60 * 1_000_000
+    e = ev.select(
+        "event_type",
+        F.expr("ts DIV 1000").alias("t"),
+        "value",
+        (F.expr("ts DIV 1000") - F.expr("ts DIV 1000") % F.lit(w_us)).alias("ts_us"),
+    )
+    w = Window.partitionBy("event_type", "ts_us").orderBy("t", "value")
+    prev = F.lag("value").over(w)
+    adj = F.when(prev.isNull(), F.lit(None).cast("double")).when(
+        F.col("value") >= prev, F.col("value") - prev
+    ).otherwise(F.col("value"))
+    agg = (
+        e.select("event_type", "ts_us", "t", adj.alias("d"))
+        .groupBy("event_type", "ts_us")
+        .agg(
+            F.sum("d").alias("inc"),
+            F.min("t").alias("t0"),
+            F.max("t").alias("t1"),
+        )
+        .where(F.col("t1") > F.col("t0"))
+    )
+    return agg.select(
+        "event_type",
+        "ts_us",
+        F.round("inc", 6).alias("increase"),
+        F.round(F.col("inc") / (F.col("t1") - F.col("t0")) * 1_000_000, 9).alias(
+            "rate_per_sec"
+        ),
+    )
+
+
 def q_counter_resets(spark, sf_dir):
     """PromQL resets(m[1h]) mirror (plans/builder._range_count_func):
     per-(series, window) count of value decreases between consecutive
@@ -1323,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_avg_1h": q_rolling_avg_1h,
         "rate_per_type": q_rate_per_type,
         "rate_windows": q_rate_windows,
+        "rate_counter_aware": q_rate_counter_aware,
         "counter_resets": q_counter_resets,
         "deriv_windows": q_deriv_windows,
         "irate_windows": q_irate_windows,
@@ -2105,6 +2150,34 @@ def oracle_sql() -> dict[str, str]:
                      AS rate_per_sec
             FROM events GROUP BY 1, 2
             HAVING max(epoch_us(ts)) > min(epoch_us(ts))
+        """,
+        "rate_counter_aware": """
+            -- counter-reset-aware rate: lag replay of the engine's
+            -- adjusted-delta sum (v - prev on growth, v on reset)
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) AS t, value,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us
+              FROM events
+            ),
+            l AS (
+              SELECT event_type, ts_us, t, value,
+                     lag(value) OVER (
+                       PARTITION BY event_type, ts_us ORDER BY t, value
+                     ) AS prev
+              FROM e
+            ),
+            a AS (
+              SELECT event_type, ts_us,
+                     sum(CASE WHEN prev IS NULL THEN NULL
+                              WHEN value >= prev THEN value - prev
+                              ELSE value END) AS inc,
+                     min(t) AS t0, max(t) AS t1
+              FROM l GROUP BY 1, 2
+            )
+            SELECT event_type, ts_us,
+                   round(inc, 6) AS increase,
+                   round(inc / (t1 - t0) * 1000000, 9) AS rate_per_sec
+            FROM a WHERE t1 > t0
         """,
         "rolling_avg_1h": """
             SELECT DISTINCT event_type, epoch_us(ts) AS ts_us,

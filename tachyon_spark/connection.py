@@ -91,6 +91,7 @@ class Connection:
         u64_decimal: bool = False,
         compat_scalar_swap: bool = False,
         stream_buckets: int | None = None,
+        compat_rate_last_first: bool = False,
     ):
         """time_bucket: optional bucket width in ts units (e.g. 86_400_000 for
         daily buckets of ms timestamps). When set, samples are additionally
@@ -107,6 +108,10 @@ class Connection:
         documented reference bug) for golden-test migration. Session
         behavior, not persisted.
 
+        compat_rate_last_first: evaluate rate()/increase()/irate() as plain
+        last-first (the pre-round-4 behavior, NOT counter-reset-aware) for
+        result migration. Session behavior, not persisted.
+
         stream_buckets: samples partition-dir count — stream_id hashes into
         stream_bucket = crc32(stream_id) % N dirs. None = default (64 for
         new dbs); 0 = legacy one-dir-per-stream. Persisted (a layout
@@ -120,6 +125,7 @@ class Connection:
             self._load_or_store_config(time_bucket, u64_decimal, stream_buckets)
         )
         self.compat_scalar_swap = compat_scalar_swap
+        self.compat_rate_last_first = compat_rate_last_first
         self.isin_threshold = ISIN_THRESHOLD
         self._recover_partial_delete()
 

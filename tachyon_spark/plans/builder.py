@@ -255,23 +255,51 @@ class PlanBuilder:
     def _range_func(self, node: ast.RangeFunc) -> Plan:
         """rate/increase/delta over [start, end] (extension; ast.RangeFunc).
 
-        increase = last(value) - first(value) by ts; delta identical (we do
-        not model counter resets on raw samples); rate = increase per ts
-        unit. PromQL returns nothing for <2 samples — enforced by requiring
-        max(ts) > min(ts). One scan, one 1-row exchange (min_by/max_by are
-        ordinary partial aggregates).
+        rate/increase are COUNTER-RESET-AWARE (Prometheus semantics): the
+        per-pair adjusted delta is `v - prev` when the counter grew, else
+        `v` (the counter restarted from 0 and climbed to v), summed per
+        series — so a mid-range reset no longer yields a wrong (even
+        negative) rate. delta stays last(value) - first(value): PromQL's
+        delta is for gauges and deliberately not reset-corrected. rate =
+        increase per ts unit over the observed span; PromQL returns nothing
+        for <2 samples — enforced by requiring max(ts) > min(ts).
+        `Connection(compat_rate_last_first=True)` replays the pre-round-4
+        last-first behavior for migration.
 
-        With a matrix-selector child (`rate(m[5m])`) the same first/last
-        aggregate evaluates per TUMBLING WINDOW instead: one row per window
-        with >= 2 samples, ts = window start. One scan + one hash shuffle on
-        the window key with map-side partial aggregation — the distributed
-        plan shape at any scale."""
+        With a matrix-selector child (`rate(m[5m])`) the same evaluation
+        runs per (series, TUMBLING window): one scan + one hash shuffle on
+        that key (the lag window and the aggregation share the
+        partitioning) — the distributed plan shape at any scale."""
+        compat = getattr(self.conn, "compat_rate_last_first", False)
         if isinstance(node.child, ast.MatrixSelector):
             return self._range_windowed(node.func, node.child)
         child = self.build(node.child)
         if child.kind != "vector":
             raise ValueError(f"{node.func} requires a vector input")
         df = child.df
+        if node.func in ("rate", "increase") and not compat:
+            from pyspark.sql import Window as W
+
+            # per-series lag (multi-stream selectors reset independently);
+            # derived vectors without stream_id order globally — fine for a
+            # whole-range scalar (bounded, already filtered)
+            part = ["stream_id"] if "stream_id" in df.columns else []
+            w = W.partitionBy(*part).orderBy("ts", "value")
+            v = F.col("value").cast("double")
+            prev = F.lag(v).over(w)
+            adj = F.when(prev.isNull(), F.lit(None)).when(
+                v >= prev, v - prev
+            ).otherwise(v)
+            rows = df.select(F.col("ts"), adj.alias("__d"))
+            agg = rows.agg(
+                F.sum("__d").alias("__inc"),
+                F.min("ts").alias("__t0"),
+                F.max("ts").alias("__t1"),
+            ).where(F.col("__t1") > F.col("__t0"))
+            value = F.col("__inc")
+            if node.func == "rate":
+                value = value / (F.col("__t1") - F.col("__t0")).cast("double")
+            return Plan("scalar", agg.select(value.alias("value")), VT_F64)
         agg = df.agg(
             # (ts, value) struct tie-break: deterministic when the extreme ts
             # is duplicated (plain min_by/max_by pick an arbitrary row).
@@ -521,10 +549,20 @@ class PlanBuilder:
         prev = F.lag("value").over(w)
         keep = [c for c in ("stream_id",) if c in df.columns]
         if node.func in ("irate", "idelta"):
-            # instant rate/delta: only the LAST consecutive pair per window
+            # instant rate/delta: only the LAST consecutive pair per window.
+            # irate is reset-aware like rate (a negative last delta means
+            # the counter restarted: use v); idelta stays the raw gauge diff
             diff = (F.col("value") - prev).cast("double")
             tdiff = (F.col("__ts") - F.lag("__ts").over(w)).cast("double")
-            val = diff / tdiff if node.func == "irate" else diff
+            if node.func == "irate":
+                num = diff
+                if not getattr(self.conn, "compat_rate_last_first", False):
+                    num = F.when(diff >= 0, diff).otherwise(
+                        F.col("value").cast("double")
+                    )
+                val = num / tdiff
+            else:
+                val = diff
             pairs = df.select(
                 *part, "__ts", "value", val.alias("__v"), tdiff.alias("__dt")
             ).where(F.col("__v").isNotNull() & (F.col("__dt") > 0))
@@ -592,10 +630,15 @@ class PlanBuilder:
 
         Windows are anchored at the query start (windows [start + k*w,
         start + (k+1)*w)); like the whole-range form, a window needs two
-        distinct timestamps to report. Returns a VECTOR (ts = window start,
-        value), freely composable downstream."""
+        distinct timestamps to report. rate/increase sum reset-adjusted
+        deltas per (series, window) — see _range_func; delta stays
+        last-first. Returns a VECTOR (ts = window start, value), freely
+        composable downstream."""
         child = self._selector(msel.selector)
         win = self._window_col(msel)
+        compat = getattr(self.conn, "compat_rate_last_first", False)
+        if func in ("rate", "increase") and not compat:
+            return self._counter_windowed(func, child, win)
         agg = (
             child.df.groupBy(*self._series_window_keys(child, win))
             .agg(
@@ -614,6 +657,46 @@ class PlanBuilder:
         keep = [c for c in ("stream_id", "ts") if c in agg.columns]
         return Plan(
             "vector", agg.select(*keep, value.alias("value")), VT_F64,
+            streams=child.streams,
+        )
+
+    def _counter_windowed(self, func: str, child: Plan, win) -> Plan:
+        """Counter-reset-aware rate/increase per (series, tumbling window):
+        lag over that key ordered by (ts, value), adjusted delta
+        `v - prev` (growth) or `v` (reset: counter restarted from 0), then
+        a sum. The lag window and the aggregation share one (series,
+        window) partitioning — a single shuffle, mergeable partials."""
+        from pyspark.sql import Window as W
+
+        df = child.df.select(
+            *(["stream_id"] if "stream_id" in child.df.columns else []),
+            F.col("ts").alias("__ts"),
+            "value",
+            win.alias("__win"),
+        )
+        part = (["stream_id"] if "stream_id" in df.columns else []) + ["__win"]
+        w = W.partitionBy(*part).orderBy("__ts", "value")
+        v = F.col("value").cast("double")
+        prev = F.lag(v).over(w)
+        adj = F.when(prev.isNull(), F.lit(None)).when(v >= prev, v - prev).otherwise(v)
+        agg = (
+            df.select(*part, "__ts", adj.alias("__d"))
+            .groupBy(*part)
+            .agg(
+                F.sum("__d").alias("__inc"),
+                F.min("__ts").alias("__t0"),
+                F.max("__ts").alias("__t1"),
+            )
+            .where(F.col("__t1") > F.col("__t0"))
+        )
+        value = F.col("__inc")
+        if func == "rate":
+            value = value / (F.col("__t1") - F.col("__t0")).cast("double")
+        keep = [c for c in ("stream_id",) if c in df.columns]
+        return Plan(
+            "vector",
+            agg.select(*keep, F.col("__win").alias("ts"), value.alias("value")),
+            VT_F64,
             streams=child.streams,
         )
 

@@ -156,8 +156,14 @@ def test_windowed_over_time_model(prop_db, points, width):
         wins.setdefault(t - t % width, []).append((t, v))
     exp_sum = [(w, sum(v for _, v in ps)) for w, ps in sorted(wins.items())]
     exp_cnt = [(w, len(ps)) for w, ps in sorted(wins.items())]
+    # counter-reset-aware increase: adjusted delta is v-prev when the
+    # counter grew, else v (restart from 0), summed per window
     exp_inc = [
-        (w, float(ps[-1][1] - ps[0][1]))
+        (
+            w,
+            float(sum(b[1] - a[1] if b[1] >= a[1] else b[1]
+                      for a, b in zip(ps, ps[1:]))),
+        )
         for w, ps in sorted(wins.items())
         if ps[-1][0] > ps[0][0]
     ]

@@ -178,9 +178,11 @@ def test_over_time_requires_range_vector(golden_db):
 
 def test_windowed_is_per_series(golden_db):
     # multi-stream selector: each series gets its own windows (PromQL
-    # semantics), so one [0,100) window yields one increase PER service
+    # semantics), so one [0,100) window yields one increase PER service.
+    # Reset-aware: web 45,47,23,48 -> 2+23+25=50; cool 1,5,40,20 ->
+    # 4+35+20=59; mobile 9,18,0,100 -> 9+0+100=109
     got = golden_db.query("increase(http_requests_total[100])", 0, 100).rows()
-    assert sorted(got) == [(0, 3.0), (0, 19.0), (0, 91.0)]
+    assert sorted(got) == [(0, 50.0), (0, 59.0), (0, 109.0)]
 
 
 def test_sum_by_over_windowed_rate(golden_db):
@@ -190,7 +192,40 @@ def test_sum_by_over_windowed_rate(golden_db):
         "sum by (service) (increase(http_requests_total[100]))", 0, 100
     )
     got = {r.service: r.value for r in q.df().collect()}
-    assert got == {"web": 3.0, "cool": 19.0, "mobile": 91.0}
+    assert got == {"web": 50.0, "cool": 59.0, "mobile": 109.0}
+
+
+def test_counter_reset_aware_increase_and_rate(golden_db):
+    # mobile: ts [23,29,40,51] values [9,18,0,100] — reset mid-window at
+    # ts40. Prometheus semantics: increase = 9 + 0 + 100 = 109 (not
+    # last-first = 91); rate = 109 / (51-23)
+    q = 'http_requests_total{service="mobile"}'
+    assert golden_db.query(f"increase({q}[100])", 0, 100).rows() == [(0, 109.0)]
+    got = golden_db.query(f"rate({q}[100])", 0, 100).rows()
+    assert got[0][1] == pytest.approx(109 / 28)
+    # scalar whole-range form agrees
+    assert golden_db.query(f"increase({q})", 0, 100).scalar() == 109.0
+    assert golden_db.query(f"rate({q})", 0, 100).scalar() == pytest.approx(109 / 28)
+    # irate: last pair 0 -> 100 grew, unaffected; but a reset last pair
+    # uses v (cool [..., 40, 20]: last pair 40->20 resets -> 20/span)
+    qc = 'http_requests_total{service="cool"}'
+    got = golden_db.query(f"irate({qc}[100])", 0, 100).rows()
+    assert got[0][1] == pytest.approx(20 / (67 - 30))
+    # delta is a GAUGE function: stays last-first, NOT reset-corrected
+    assert golden_db.query(f"delta({q}[100])", 0, 100).rows() == [(0, 91.0)]
+
+
+def test_compat_rate_last_first_flag(golden_db, spark):
+    # the pre-round-4 last-first behavior stays replayable for migration
+    from tachyon_spark.connection import Connection
+
+    compat = Connection(golden_db.db_dir, spark, compat_rate_last_first=True)
+    q = 'http_requests_total{service="mobile"}'
+    assert compat.query(f"increase({q}[100])", 0, 100).rows() == [(0, 91.0)]
+    assert compat.query(f"increase({q})", 0, 100).scalar() == 91.0
+    qc = 'http_requests_total{service="cool"}'
+    got = compat.query(f"irate({qc}[100])", 0, 100).rows()
+    assert got[0][1] == pytest.approx((20 - 40) / (67 - 30))
 
 
 def test_grouped_agg_on_identityless_vector_rejected(golden_db):
