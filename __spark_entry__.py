@@ -644,6 +644,109 @@ def q_rate_windows(spark, sf_dir):
     )
 
 
+def q_query_range_lookback(spark, sf_dir):
+    """Prometheus query_range selector semantics (plans/range_eval.
+    RangeEvaluator._selector_instant): a 30m step grid over the 10-day
+    window, each step resolving to the latest event per series within a
+    10m lookback; steps past the lookback are ABSENT (staleness). The
+    grid is DATA (explode over the series frame), unioned with samples,
+    one as-of window pass per series — a single shuffle on the series
+    key, never a per-step loop."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    step = 30 * 60 * 1_000_000
+    lookback = 10 * 60 * 1_000_000
+    e = ev.select(
+        "event_type", F.expr("ts DIV 1000").alias("t"), "value",
+        F.lit(0).alias("tag"),
+    )
+    grid = (
+        e.select("event_type").distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(T0_US), F.lit(T1_US), F.lit(step))
+            ).alias("t"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("tag"),
+        )
+    )
+    u = e.unionByName(grid)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "tag", "value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.last("value", ignorenulls=True).over(w)
+    st = F.last(F.when(F.col("tag") == 0, F.col("t")), ignorenulls=True).over(w)
+    return (
+        u.select("event_type", "t", "tag", v.alias("v"), st.alias("st"))
+        .where(
+            (F.col("tag") == 1)
+            & F.col("st").isNotNull()
+            & (F.col("t") - F.col("st") <= F.lit(lookback))
+        )
+        .select("event_type", F.col("t").alias("ts_us"), F.round("v", 6).alias("value"))
+    )
+
+
+def q_query_range_increase(spark, sf_dir):
+    """Prometheus query_range over a range function (plans/range_eval.
+    RangeEvaluator._windowed): counter-reset-aware increase(m[1h]) on a
+    30m step grid — SLIDING left-open windows (t-1h, t]. Each sample
+    explodes to the <= R/step steps whose window contains it (integral
+    ceil-div with a positive shift — floats would lose precision), then
+    the same lag + adjusted-delta sum as the tumbling path, keyed by
+    (series, step). One shuffle on that key."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    step = 30 * 60 * 1_000_000
+    rng = 60 * 60 * 1_000_000
+    n_steps = (T1_US - T0_US) // step + 1
+    shift = rng // step + 2
+    e = ev.select("event_type", F.expr("ts DIV 1000").alias("t"), "value")
+    a = F.col("t") - F.lit(T0_US) + F.lit(shift * step)
+    k_lo = F.greatest(
+        F.floor((a + F.lit(step - 1)) / F.lit(step)).cast("long") - F.lit(shift),
+        F.lit(0),
+    )
+    k_hi = F.least(
+        F.floor((a + F.lit(rng) + F.lit(step - 1)) / F.lit(step)).cast("long")
+        - F.lit(shift + 1),
+        F.lit(n_steps - 1),
+    )
+    exploded = (
+        e.select("event_type", "t", "value", k_lo.alias("klo"), k_hi.alias("khi"))
+        .where(F.col("klo") <= F.col("khi"))
+        .select(
+            "event_type", "t", "value",
+            F.explode(F.sequence(F.col("klo"), F.col("khi"))).alias("k"),
+        )
+        .select(
+            "event_type", "t", "value",
+            (F.lit(T0_US) + F.col("k") * F.lit(step)).alias("g"),
+        )
+    )
+    w = Window.partitionBy("event_type", "g").orderBy("t", "value")
+    prev = F.lag("value").over(w)
+    adj = F.when(prev.isNull(), F.lit(None).cast("double")).when(
+        F.col("value") >= prev, F.col("value") - prev
+    ).otherwise(F.col("value"))
+    return (
+        exploded.select("event_type", "g", "t", adj.alias("d"))
+        .groupBy("event_type", "g")
+        .agg(F.sum("d").alias("inc"), F.min("t").alias("t0"), F.max("t").alias("t1"))
+        .where(F.col("t1") > F.col("t0"))
+        .select(
+            "event_type",
+            F.col("g").alias("ts_us"),
+            F.round("inc", 6).alias("increase"),
+        )
+    )
+
+
 def q_rate_counter_aware(spark, sf_dir):
     """Counter-reset-aware PromQL rate/increase (plans/builder.
     _counter_windowed; Prometheus extrapolation-free semantics): per
@@ -1368,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_per_type": q_rate_per_type,
         "rate_windows": q_rate_windows,
         "rate_counter_aware": q_rate_counter_aware,
+        "query_range_lookback": q_query_range_lookback,
+        "query_range_increase": q_query_range_increase,
         "counter_resets": q_counter_resets,
         "deriv_windows": q_deriv_windows,
         "irate_windows": q_irate_windows,
@@ -2150,6 +2255,69 @@ def oracle_sql() -> dict[str, str]:
                      AS rate_per_sec
             FROM events GROUP BY 1, 2
             HAVING max(epoch_us(ts)) > min(epoch_us(ts))
+        """,
+        "query_range_lookback": f"""
+            -- step grid x last-sample lookback join: union samples with
+            -- the grid, carry the latest sample per series forward, drop
+            -- stale steps (same replay the engine runs distributed)
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) AS t, value, 0 AS tag
+              FROM events
+            ),
+            grid AS (
+              SELECT event_type,
+                     unnest(generate_series({T0_US}, {T1_US}, 1800000000)) AS t,
+                     CAST(NULL AS DOUBLE) AS value, 1 AS tag
+              FROM (SELECT DISTINCT event_type FROM events)
+            ),
+            u AS (SELECT * FROM e UNION ALL SELECT * FROM grid),
+            w AS (
+              SELECT event_type, t, tag,
+                last_value(value IGNORE NULLS) OVER wp AS v,
+                last_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS)
+                  OVER wp AS st
+              FROM u
+              WINDOW wp AS (
+                PARTITION BY event_type ORDER BY t, tag, value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              )
+            )
+            SELECT event_type, t AS ts_us, round(v, 6) AS value
+            FROM w
+            WHERE tag = 1 AND st IS NOT NULL AND t - st <= 600000000
+        """,
+        "query_range_increase": f"""
+            -- sliding left-open windows (t-1h, t] on a 30m grid; lag
+            -- replay of the reset-aware adjusted-delta sum per window
+            WITH grid AS (
+              SELECT event_type,
+                     unnest(generate_series({T0_US}, {T1_US}, 1800000000)) AS g
+              FROM (SELECT DISTINCT event_type FROM events)
+            ),
+            e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events),
+            j AS (
+              SELECT grid.event_type, g, t, value
+              FROM grid JOIN e
+                ON e.event_type = grid.event_type
+               AND e.t > g - 3600000000 AND e.t <= g
+            ),
+            l AS (
+              SELECT event_type, g, t, value,
+                     lag(value) OVER (
+                       PARTITION BY event_type, g ORDER BY t, value
+                     ) AS prev
+              FROM j
+            ),
+            a AS (
+              SELECT event_type, g,
+                     sum(CASE WHEN prev IS NULL THEN NULL
+                              WHEN value >= prev THEN value - prev
+                              ELSE value END) AS inc,
+                     min(t) AS t0, max(t) AS t1
+              FROM l GROUP BY 1, 2
+            )
+            SELECT event_type, g AS ts_us, round(inc, 6) AS increase
+            FROM a WHERE t1 > t0
         """,
         "rate_counter_aware": """
             -- counter-reset-aware rate: lag replay of the engine's

@@ -74,6 +74,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--export", help="directory to write Timestamp,Value CSV")
     sp.add_argument("--chart", action="store_true")
 
+    sp = sub.add_parser("query-range")
+    sp.add_argument("promql")
+    sp.add_argument("--start", type=int, required=True)
+    sp.add_argument("--end", type=int, required=True)
+    sp.add_argument("--step", type=int, required=True)
+    sp.add_argument("--lookback", type=int, default=None)
+    sp.add_argument("--chart", action="store_true")
+
     sp = sub.add_parser("check-stream-exists")
     sp.add_argument("selector")
 
@@ -127,6 +135,16 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 for r in rows:
                     print(r)
+    elif args.cmd == "query-range":
+        q = conn.query_range(
+            args.promql, args.start, args.end, args.step, args.lookback
+        )
+        rows = q.rows()
+        if args.chart and q.return_type == "vector":
+            print(_ascii_chart(rows))
+        else:
+            for r in rows:
+                print(r)
     elif args.cmd == "check-stream-exists":
         # tachyon_cli/src/main.rs:66-102
         if conn.check_stream_exists(args.selector):

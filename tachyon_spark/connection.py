@@ -354,6 +354,29 @@ class Connection:
     # prepare_query is the reference's name for the same thing
     prepare_query = query
 
+    def query_range(
+        self,
+        promql: str,
+        start: int,
+        end: int,
+        step: int,
+        lookback: int | None = None,
+    ) -> "Query":
+        """Prometheus-style step-aligned evaluation: the expression at each
+        step t in {start, start+step, ...} <= end, selectors resolving to
+        the latest sample in [t - lookback, t] (absent past the lookback —
+        the staleness rule). This is what dashboard consumers (Grafana-
+        style query_range) call; `query` keeps the reference's raw-sample
+        semantics. lookback defaults to 5 minutes in ms units (300_000);
+        pass the equivalent for your timestamp unit (e.g. 300_000_000_000
+        for ns). See plans/range_eval.py for the distributed plan shapes."""
+        from tachyon_spark.plans.range_eval import DEFAULT_LOOKBACK, RangeEvaluator
+
+        expr = parse(promql)
+        lb = DEFAULT_LOOKBACK if lookback is None else lookback
+        plan = RangeEvaluator(self, start, end, step, lb).build(expr)
+        return Query(plan)
+
 
 class Inserter:
     """Buffered appends for one stream; flush() writes one parquet batch."""

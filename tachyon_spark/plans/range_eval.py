@@ -1,0 +1,536 @@
+"""Prometheus-style step-aligned range evaluation (query_range).
+
+The reference engine evaluates raw samples over [start, end] (SURVEY §2
+intro; tachyon_core/src/query/planner.rs evaluates sample streams, not
+instant grids), and so does this repo's `Connection.query`. But every
+dashboard-style consumer issues `query_range(expr, start, end, step)`
+(the reference's web backend, tachyon_web_backend/src/main.rs:27-76,
+forwards start/end only because its engine lacks steps): the expression
+is evaluated AT each step timestamp t ∈ {start, start+step, …} ≤ end,
+where a selector's instant value at t is the most recent sample in
+[t - lookback, t] (Prometheus's 5-minute lookback window) and a series
+with no sample in that window is ABSENT at that step (staleness).
+
+Spark mapping — the step grid is DATA, never a per-step driver loop:
+
+  selector        per-series step grid (explode(sequence(start, end,
+                  step)) over the resolved id frame) unioned with the
+                  samples; one window pass per series carries the latest
+                  sample forward (the as-of pattern, operators/asof.py)
+                  and the lookback tolerance drops stale steps. ONE
+                  shuffle, on stream_id.
+  rate(m[R]) etc  a sample at ts affects the steps in [ts, ts + R) —
+                  explode each sample to those step indices (fan-out
+                  ≈ R/step, the standard sliding-window trick), then the
+                  same per-(series, step) aggregation the tumbling path
+                  uses: reset-aware rate/increase, *_over_time
+                  aggregates, lag-based resets/changes/irate/idelta,
+                  regr_slope deriv. ONE shuffle, on (stream_id, step).
+                  The range selector is left-open (t - R, t], matching
+                  Prometheus.
+  sum by (l) (…)  broadcast label join + groupBy (labels…, step) — the
+                  per-instant aggregation PromQL users expect (the
+                  raw-sample engine's `sum` collapses time instead).
+  v ∘ scalar      narrow column expression; comparisons filter (bool
+                  modifier → 0/1 values).
+  a ∘ on(l) b     exact equi-join per (match key, step): instant vectors
+                  on the same grid never interpolate (PromQL semantics;
+                  the raw-sample engine's interpolating join is the
+                  analogue for unaligned samples).
+
+Unsupported in range mode (clear errors, not silent wrong answers):
+@ modifiers, subqueries, absent/sort/count_values/label_*/histogram_
+quantile, vector-vector ops without on()/ignoring(). `offset` IS
+supported, PromQL-style (the raw-sample engine ignores offset without @
+for reference parity; here it shifts the sample clock).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tachyon_spark.operators.topk import grouped_top_k
+from tachyon_spark.plans.builder import _ARITH, _CMP, Plan, PlanBuilder
+from tachyon_spark.promql import ast
+from tachyon_spark.types import VT_F64, VT_U64
+
+# Prometheus caps range queries at 11,000 points; same order here — the
+# grid is distributed, but an absurd step is almost always a unit bug.
+MAX_STEPS = 50_000
+# fan-out guard: each sample lands in <= range/step windows
+MAX_WINDOWS_PER_SAMPLE = 10_000
+
+DEFAULT_LOOKBACK = 300_000  # 5m in ms, the Timestamp convention (SURVEY §1.2)
+
+
+class RangeEvaluator:
+    """Evaluates an AST on the step grid. Reuses PlanBuilder's selector
+    machinery (partition-pruned scan, broadcast semi-join past the IN-list
+    threshold, label attachment) and mirrors its per-window aggregation
+    semantics with the window key = step timestamp."""
+
+    def __init__(self, conn, start: int, end: int, step: int, lookback: int):
+        if step <= 0:
+            raise ValueError("query_range step must be positive")
+        if end < start:
+            raise ValueError("query_range end must be >= start")
+        self.n_steps = (end - start) // step + 1
+        if self.n_steps > MAX_STEPS:
+            raise ValueError(
+                f"query_range grid has {self.n_steps} steps (max {MAX_STEPS}); "
+                "widen the step or narrow the range"
+            )
+        self.conn = conn
+        self.start = start
+        self.end = end
+        self.step = step
+        self.lookback = lookback
+        # helper builder for selector resolution / label attachment; its
+        # scan window is set per selector below
+        self._b = PlanBuilder(conn, start, end)
+
+    # ------------------------------------------------------------- public
+    def build(self, expr) -> Plan:
+        plan = self._eval(expr)
+        if plan.kind == "scalar" and plan.literal is not None:
+            # top-level literal: a constant series on the grid
+            grid = self.conn.spark.range(self.n_steps).select(
+                (F.lit(self.start) + F.col("id") * F.lit(self.step)).alias("ts"),
+                F.lit(plan.literal).alias("value"),
+            )
+            return Plan("vector", grid, VT_F64)
+        return plan
+
+    # --------------------------------------------------------------- eval
+    def _eval(self, expr) -> Plan:
+        if isinstance(expr, ast.NumberLiteral):
+            return Plan("scalar", None, VT_F64, literal=float(expr.value))
+        if isinstance(expr, ast.VectorSelector):
+            return self._selector_instant(expr)
+        if isinstance(expr, ast.RangeFunc):
+            return self._windowed(expr.func, expr.child, None)
+        if isinstance(expr, ast.OverTimeFunc):
+            fn = expr.func[: -len("_over_time")]
+            return self._windowed(fn, expr.child, expr.arg, family="over_time")
+        if isinstance(expr, ast.RangeCountFunc):
+            return self._windowed(expr.func, expr.child, None, family="count")
+        if isinstance(expr, ast.DerivFunc):
+            return self._windowed("deriv", expr.child, None, family="deriv")
+        if isinstance(expr, ast.Aggregate):
+            return self._aggregate(expr)
+        if isinstance(expr, ast.BinaryOp):
+            return self._binary(expr)
+        if isinstance(expr, ast.MathFunc):
+            return self._columnwise(expr.func, expr.child, self._math_col)
+        if isinstance(expr, ast.ClampFunc):
+            return self._columnwise(expr, expr.child, self._clamp_col)
+        if isinstance(expr, ast.RoundFunc):
+            return self._columnwise(expr, expr.child, self._round_col)
+        if isinstance(expr, ast.GetK):
+            return self._getk(expr)
+        raise ValueError(
+            f"{type(expr).__name__} is not supported in query_range "
+            "(supported: selectors, range/over_time/resets/changes/irate/"
+            "idelta/deriv over m[R], aggregates with by/without, arithmetic "
+            "and comparisons with scalars, on()/ignoring() vector matching, "
+            "abs/ceil/floor/sqrt/exp/ln/sgn, clamp*, round, topk/bottomk)"
+        )
+
+    # ----------------------------------------------------------- selector
+    def _scan(self, sel: ast.VectorSelector, back: int) -> Plan:
+        """Raw-sample scan for [start - back, end], with PromQL offset
+        semantics: shift the scanned window by -offset, then shift sample
+        ts forward so downstream logic sees the step clock."""
+        if sel.at_ts is not None or sel.at_anchor:
+            raise ValueError("@ modifiers are not supported in query_range")
+        off = sel.offset or 0
+        bare = ast.VectorSelector(sel.name, sel.matchers)
+        b = PlanBuilder(self.conn, self.start - back - off, self.end - off)
+        child = b._selector(bare)
+        if off:
+            df = child.df.select(
+                "stream_id", (F.col("ts") + F.lit(off)).alias("ts"), "value"
+            )
+            child = Plan("vector", df, child.value_type, streams=child.streams)
+        return child
+
+    def _ids_df(self, sel: ast.VectorSelector, streams) -> DataFrame:
+        """One row per matched series. Small selectors: a driver-side id
+        list; past the IN-list threshold: the distributed catalog frame
+        (the grid explode then happens executor-side for 10^5+ series)."""
+        if len(streams) <= getattr(self.conn, "isin_threshold", 1_000):
+            return self.conn.spark.createDataFrame(
+                [(s.stream_id,) for s in streams], "stream_id string"
+            )
+        return self.conn.catalog.resolve_df(sel.name, sel.matchers).select(
+            "stream_id"
+        )
+
+    def _selector_instant(self, sel: ast.VectorSelector) -> Plan:
+        child = self._scan(sel, self.lookback)
+        df = child.df
+        vtype = df.schema["value"].dataType
+        grid = self._ids_df(sel, child.streams).select(
+            "stream_id",
+            F.explode(
+                F.sequence(F.lit(self.start), F.lit(self.end), F.lit(self.step))
+            ).alias("ts"),
+            F.lit(None).cast(vtype).alias("value"),
+            F.lit(1).alias("__tag"),
+        )
+        s = df.select("stream_id", "ts", "value", F.lit(0).alias("__tag"))
+        u = s.unionByName(grid)
+        # samples sort before grid rows at equal ts (sample AT the step
+        # counts); same-ts duplicate samples tie-break by value (max wins)
+        # — deterministic, mirrored in the DuckDB oracle
+        w = (
+            Window.partitionBy("stream_id")
+            .orderBy("ts", "__tag", "value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        val = F.last("value", ignorenulls=True).over(w)
+        sts = F.last(
+            F.when(F.col("__tag") == 0, F.col("ts")), ignorenulls=True
+        ).over(w)
+        out = (
+            u.select("stream_id", "ts", "__tag", val.alias("__v"), sts.alias("__sts"))
+            .where(F.col("__tag") == 1)
+            .where(
+                F.col("__sts").isNotNull()
+                & (F.col("ts") - F.col("__sts") <= F.lit(self.lookback))
+            )
+            .select("stream_id", "ts", F.col("__v").alias("value"))
+        )
+        return Plan("vector", out, child.value_type, streams=child.streams)
+
+    # ----------------------------------------------------- sliding windows
+    def _exploded(self, msel: ast.MatrixSelector) -> tuple[Plan, DataFrame]:
+        """Samples exploded to every step whose left-open window (t - R, t]
+        contains them: step index k ∈ [ceil((ts - start)/step),
+        ceil((ts + R - start)/step) - 1] clamped to the grid. Integral
+        ceil-div via a positive shift (floats would lose ns precision)."""
+        r = msel.range_
+        if r // self.step + 1 > MAX_WINDOWS_PER_SAMPLE:
+            raise ValueError(
+                f"range {r} spans {r // self.step} steps per sample "
+                f"(max {MAX_WINDOWS_PER_SAMPLE}); widen the step"
+            )
+        child = self._scan(msel.selector, r)
+        shift = r // self.step + 2  # makes every numerator positive
+        a = F.col("ts") - F.lit(self.start) + F.lit(shift * self.step)
+        k_lo = (a + F.lit(self.step - 1)) / F.lit(self.step)  # ceil…
+        k_lo = F.floor(k_lo).cast("long") - F.lit(shift)  # …div, shifted back
+        b = a + F.lit(r)
+        k_hi = F.floor((b + F.lit(self.step - 1)) / F.lit(self.step)).cast(
+            "long"
+        ) - F.lit(shift) - F.lit(1)
+        k_lo = F.greatest(k_lo, F.lit(0))
+        k_hi = F.least(k_hi, F.lit(self.n_steps - 1))
+        df = (
+            child.df.select(
+                "stream_id", "ts", "value", k_lo.alias("__klo"), k_hi.alias("__khi")
+            )
+            .where(F.col("__klo") <= F.col("__khi"))
+            .select(
+                "stream_id",
+                "ts",
+                "value",
+                F.explode(F.sequence(F.col("__klo"), F.col("__khi"))).alias("__k"),
+            )
+            .select(
+                "stream_id",
+                "ts",
+                "value",
+                (F.lit(self.start) + F.col("__k") * F.lit(self.step)).alias("__step"),
+            )
+        )
+        return child, df
+
+    def _windowed(self, func: str, msel, arg, family: str = "range") -> Plan:
+        if not isinstance(msel, ast.MatrixSelector):
+            raise ValueError(
+                f"{func} requires a range vector m[RANGE] in query_range"
+            )
+        child, df = self._exploded(msel)
+        part = ["stream_id", "__step"]
+        if family == "over_time":
+            agg, vt = PlanBuilder._over_time_agg(func, child.value_type, arg)
+            out = df.groupBy(*part).agg(agg.alias("value"))
+            return self._finish_windowed(out, vt, child)
+        if family == "deriv":
+            out = (
+                df.groupBy(*part)
+                .agg(
+                    F.regr_slope(
+                        F.col("value").cast("double"), F.col("ts").cast("double")
+                    ).alias("value")
+                )
+                .where(F.col("value").isNotNull())
+            )
+            return self._finish_windowed(out, VT_F64, child)
+        w = Window.partitionBy(*part).orderBy("ts", "value")
+        v = F.col("value").cast("double")
+        prev = F.lag(v).over(w)
+        if family == "count":
+            if func in ("irate", "idelta"):
+                diff = v - prev
+                tdiff = (F.col("ts") - F.lag("ts").over(w)).cast("double")
+                if func == "irate":
+                    num = F.when(diff >= 0, diff).otherwise(v)  # reset-aware
+                    val = num / tdiff
+                else:
+                    val = diff
+                pairs = df.select(
+                    *part, "ts", "value", val.alias("__v"), tdiff.alias("__dt")
+                ).where(F.col("__v").isNotNull() & (F.col("__dt") > 0))
+                out = pairs.groupBy(*part).agg(
+                    F.max_by("__v", F.struct("ts", "value")).alias("value")
+                )
+                return self._finish_windowed(out, VT_F64, child)
+            flag = (
+                (v < prev) if func == "resets" else (v != prev)
+            ).cast("long")
+            out = (
+                df.select(*part, F.coalesce(flag, F.lit(0)).alias("__f"))
+                .groupBy(*part)
+                .agg(F.sum("__f").alias("value"))
+            )
+            return self._finish_windowed(out, VT_U64, child)
+        # range family: rate | increase | delta
+        compat = getattr(self.conn, "compat_rate_last_first", False)
+        if func in ("rate", "increase") and not compat:
+            adj = F.when(prev.isNull(), F.lit(None)).when(
+                v >= prev, v - prev
+            ).otherwise(v)
+            agg = (
+                df.select(*part, "ts", adj.alias("__d"))
+                .groupBy(*part)
+                .agg(
+                    F.sum("__d").alias("__inc"),
+                    F.min("ts").alias("__t0"),
+                    F.max("ts").alias("__t1"),
+                )
+                .where(F.col("__t1") > F.col("__t0"))
+            )
+            value = F.col("__inc")
+        else:
+            agg = (
+                df.groupBy(*part)
+                .agg(
+                    F.min_by("value", F.struct("ts", "value"))
+                    .cast("double")
+                    .alias("__first"),
+                    F.max_by("value", F.struct("ts", "value"))
+                    .cast("double")
+                    .alias("__last"),
+                    F.min("ts").alias("__t0"),
+                    F.max("ts").alias("__t1"),
+                )
+                .where(F.col("__t1") > F.col("__t0"))
+            )
+            value = F.col("__last") - F.col("__first")
+        if func == "rate":
+            value = value / (F.col("__t1") - F.col("__t0")).cast("double")
+        out = agg.select(*part, value.alias("value"))
+        return self._finish_windowed(out, VT_F64, child)
+
+    @staticmethod
+    def _finish_windowed(out: DataFrame, vt: str, child: Plan) -> Plan:
+        out = out.select(
+            "stream_id", F.col("__step").alias("ts"), "value"
+        )
+        return Plan("vector", out, vt, streams=child.streams)
+
+    # ------------------------------------------------------------ aggregate
+    def _aggregate(self, node: ast.Aggregate) -> Plan:
+        child = self._eval(node.child)
+        if child.kind != "vector":
+            raise ValueError("aggregate requires a vector input")
+        func = node.func
+        if func in ("sum", "min", "max"):
+            vt = child.value_type
+        elif func == "count":
+            vt = VT_U64
+        else:
+            vt = VT_F64
+        from tachyon_spark.operators.aggregates import grouped_agg
+
+        cdf = child.df
+        if node.by:
+            df = self._b._attach_labels(cdf, node.by, child.streams)
+            out = grouped_agg(df, func, list(node.by) + ["ts"], param=node.param)
+            return Plan("grouped", out, vt, group_cols=tuple(node.by) + ("ts",))
+        if node.without:
+            if "stream_id" not in cdf.columns or not child.streams:
+                raise ValueError(
+                    "grouped aggregation (without ...) requires a "
+                    "label-carrying selector vector"
+                )
+            drop = set(node.without)
+            rows = [
+                (
+                    s.stream_id,
+                    ",".join(
+                        f"{k}={v}"
+                        for k, v in sorted(s.labels.items())
+                        if k not in drop
+                    ),
+                )
+                for s in child.streams
+            ]
+            key_df = self.conn.spark.createDataFrame(
+                rows, "stream_id string, series string"
+            )
+            df = cdf.join(F.broadcast(key_df), "stream_id", "left")
+            out = grouped_agg(df, func, ["series", "ts"], param=node.param)
+            return Plan("grouped", out, vt, group_cols=("series", "ts"))
+        # ungrouped: PER STEP (the per-instant semantics dashboards expect,
+        # unlike the raw-sample engine's whole-range collapse)
+        out = grouped_agg(cdf, func, ["ts"], param=node.param)
+        return Plan("vector", out, vt)
+
+    # --------------------------------------------------------------- binary
+    def _binary(self, node: ast.BinaryOp) -> Plan:
+        lhs = self._eval(node.lhs)
+        rhs = self._eval(node.rhs)
+        if node.matching is not None:
+            return self._matched(node, lhs, rhs)
+        is_cmp = node.op in _CMP
+        for vec, scal, s_left in ((lhs, rhs, False), (rhs, lhs, True)):
+            if vec.kind in ("vector", "grouped") and scal.kind == "scalar":
+                if scal.literal is None:
+                    raise ValueError(
+                        "query_range scalar operands must be literals"
+                    )
+                return self._vec_lit(node.op, vec, scal.literal, s_left, node.bool_mode)
+        if lhs.kind == "scalar" and rhs.kind == "scalar":
+            import math
+
+            a, b = lhs.literal, rhs.literal
+            if is_cmp:
+                val = float(_CMP[node.op](a, b))
+            elif node.op == "%":
+                val = math.fmod(a, b)
+            else:
+                val = _ARITH[node.op](a, b)
+            return Plan("scalar", None, VT_F64, literal=float(val))
+        raise ValueError(
+            "query_range vector-to-vector operations require explicit "
+            "on()/ignoring() matching"
+        )
+
+    def _vec_lit(
+        self, op: str, vec: Plan, lit: float, scalar_on_left: bool, bool_mode: bool
+    ) -> Plan:
+        df = vec.df
+        keep = [c for c in df.columns if c != "value"]
+        v = F.col("value").cast("double")
+        s = F.lit(float(lit))
+        a, b = (s, v) if scalar_on_left else (v, s)
+        if op in _CMP:
+            cond = _CMP[op](a, b)
+            if bool_mode:
+                out = df.select(*keep, cond.cast("double").alias("value"))
+            else:
+                out = df.where(cond).select(*keep, "value")
+                return Plan(vec.kind, out, vec.value_type,
+                            group_cols=vec.group_cols, streams=vec.streams)
+            return Plan(vec.kind, out, VT_F64,
+                        group_cols=vec.group_cols, streams=vec.streams)
+        out = df.select(*keep, _ARITH[op](a, b).alias("value"))
+        return Plan(vec.kind, out, VT_F64,
+                    group_cols=vec.group_cols, streams=vec.streams)
+
+    def _matched(self, node: ast.BinaryOp, lhs: Plan, rhs: Plan) -> Plan:
+        """a OP on(l)/ignoring(l) b on the step grid: exact equi-join per
+        (match key, step) — no interpolation between instants (PromQL).
+        One-to-one only; both sides shuffled on the same key."""
+        matching = node.matching
+        if matching.group is not None:
+            raise ValueError(
+                "group_left/group_right are not supported in query_range"
+            )
+        if node.op in ast.SET_OPS or node.op in _CMP:
+            raise ValueError(
+                f"{node.op!r} with matching is not supported in query_range"
+            )
+        if lhs.kind != "vector" or rhs.kind != "vector":
+            raise ValueError("on()/ignoring() requires vector operands")
+        if not lhs.streams or not rhs.streams:
+            raise ValueError(
+                "vector matching requires label-carrying selector vectors"
+            )
+        if matching.on:
+            key_cols = list(matching.labels)
+        else:
+            key_cols = ["__match_key"]
+        lkeys = {s.stream_id: self._b._key(s, matching) for s in lhs.streams}
+        rkeys = {s.stream_id: self._b._key(s, matching) for s in rhs.streams}
+        common = set(lkeys.values()) & set(rkeys.values())
+        if not common:
+            raise ValueError("no matching label groups between operands")
+        from collections import Counter
+
+        for side, keys in (("left", lkeys), ("right", rkeys)):
+            dup = [k for k, c in Counter(keys.values()).items() if c > 1]
+            if dup:
+                raise ValueError(
+                    f"vector matching: multiple {side} series in match "
+                    f"group {dup[0]!r}"
+                )
+        keyed_l = self._b._keyed_side(lhs, lkeys, key_cols).drop("stream_id")
+        keyed_r = self._b._keyed_side(rhs, rkeys, key_cols).drop("stream_id")
+        on = key_cols + ["ts"]
+        joined = keyed_l.select(
+            *on, F.col("value").cast("double").alias("__va")
+        ).join(
+            keyed_r.select(*on, F.col("value").cast("double").alias("__vb")), on
+        )
+        out = joined.select(
+            *on, _ARITH[node.op](F.col("__va"), F.col("__vb")).alias("value")
+        )
+        return Plan("grouped", out, VT_F64, group_cols=tuple(on))
+
+    # ---------------------------------------------------------- columnwise
+    @staticmethod
+    def _math_col(func, v):
+        return PlanBuilder._MATH[func](v)
+
+    @staticmethod
+    def _clamp_col(node, v):
+        if node.func == "clamp_min":
+            return F.greatest(v, F.lit(node.args[0]))
+        if node.func == "clamp_max":
+            return F.least(v, F.lit(node.args[0]))
+        return F.least(F.greatest(v, F.lit(node.args[0])), F.lit(node.args[1]))
+
+    @staticmethod
+    def _round_col(node, v):
+        t = float(node.to_nearest)
+        return F.floor(v / F.lit(t) + F.lit(0.5)) * F.lit(t)
+
+    def _columnwise(self, key, child_expr, fn) -> Plan:
+        child = self._eval(child_expr)
+        if child.kind not in ("vector", "grouped"):
+            raise ValueError("function requires a vector input")
+        keep = [c for c in child.df.columns if c != "value"]
+        result = fn(key, F.col("value").cast("double"))
+        out = child.df.select(*keep, result.alias("value"))
+        return Plan(child.kind, out, VT_F64,
+                    group_cols=child.group_cols, streams=child.streams)
+
+    # ---------------------------------------------------------------- getk
+    def _getk(self, node: ast.GetK) -> Plan:
+        k_plan = self._eval(node.k)
+        if k_plan.kind != "scalar" or k_plan.literal is None:
+            raise ValueError("query_range topk/bottomk k must be a literal")
+        k = int(k_plan.literal)
+        child = self._eval(node.child)
+        if child.kind != "vector":
+            raise ValueError("topk/bottomk requires a vector input")
+        if node.by:
+            raise ValueError("topk by (...) is not supported in query_range")
+        # per-INSTANT top-k (PromQL): rank window per step, one shuffle
+        out = grouped_top_k(child.df, k, ["ts"], desc=node.func == "topk")
+        return Plan("grouped", out, child.value_type, group_cols=("ts",))

@@ -4,7 +4,10 @@ Reference (tachyon_web_backend/src/main.rs:10-88): axum server exposing
 `POST /query {path, query, start, end}` → `{value_type, timestamps[],
 values[]}` and `GET /health`. Same contract here on the stdlib http.server —
 no extra dependencies — one Connection per database path, cached so repeated
-queries reuse the SparkSession.
+queries reuse the SparkSession. Beyond the reference: `POST /query_range`
+adds Prometheus-style step-aligned evaluation (`{path, query, start, end,
+step[, lookback]}`, plans/range_eval.py) — the endpoint Grafana-style
+dashboards poll; the reference cannot serve it (its engine has no steps).
 
 This is a thin shell for parity/testing, not the scale path: at scale the
 engine is used as a library (Connection API) or through Spark SQL directly.
@@ -48,14 +51,25 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": "not found"})
 
     def do_POST(self):
-        if self.path != "/query":
+        if self.path not in ("/query", "/query_range"):
             self._json(404, {"error": "not found"})
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
             conn = _get_connection(req["path"])
-            q = conn.query(req["query"], req.get("start"), req.get("end"))
+            if self.path == "/query_range":
+                # the reference's request shape (main.rs:27-76) + step:
+                # {path, query, start, end, step[, lookback]}
+                q = conn.query_range(
+                    req["query"],
+                    req["start"],
+                    req["end"],
+                    req["step"],
+                    req.get("lookback"),
+                )
+            else:
+                q = conn.query(req["query"], req.get("start"), req.get("end"))
             if q.return_type == "vector":
                 rows = q.df().collect()
                 payload = {

@@ -95,5 +95,38 @@ def test_http_server(tmp_path, spark):
         )
         with urllib.request.urlopen(req) as r:
             assert json.load(r)["values"] == [4.0]
+        # step-aligned range endpoint (beyond the reference's backend)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query_range",
+            data=json.dumps(
+                {
+                    "path": db,
+                    "query": 'web{k="1"}',
+                    "start": 0,
+                    "end": 40,
+                    "step": 10,
+                    "lookback": 10,
+                }
+            ).encode(),
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.load(r)
+        assert body["timestamps"] == [10, 20, 30]
+        assert body["values"] == [1.5, 2.5, 2.5]  # 40 is stale (20+10<40)
     finally:
         srv.shutdown()
+
+
+def test_cli_query_range(tmp_path, spark, capsys):
+    db = str(tmp_path / "qrdb")
+    cli_main([db, "create-stream", 'qr{host="a"}', "f64"])
+    cli_main([db, "insert", 'qr{host="a"}', "10", "1.5"])
+    cli_main([db, "insert", 'qr{host="a"}', "25", "2.5"])
+    capsys.readouterr()
+    assert cli_main(
+        [db, "query-range", "qr", "--start", "0", "--end", "40",
+         "--step", "10", "--lookback", "10"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "(10, 1.5)" in out and "(20, 1.5)" in out and "(30, 2.5)" in out
+    assert "(40," not in out  # stale

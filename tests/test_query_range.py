@@ -1,0 +1,157 @@
+"""Step-aligned range evaluation (Connection.query_range; plans/range_eval).
+
+Prometheus query_range semantics on the golden fixtures: per-step lookback
+resolution with staleness, left-open sliding windows (t - R, t] for range
+functions, per-instant aggregation, and the error surface for the
+deliberately unsupported forms.
+
+web stream: ts [23, 29, 40, 51], values [45, 47, 23, 48].
+"""
+
+import pytest
+
+WEB = 'http_requests_total{service="web"}'
+
+
+def test_selector_lookback_and_staleness(golden_db):
+    # steps 0..100 by 10, lookback 10: a step sees the latest sample at
+    # most 10 old; 70+ is stale (last sample 51)
+    q = golden_db.query_range(WEB, 0, 100, 10, lookback=10)
+    assert q.rows() == [(30, 47), (40, 23), (50, 23), (60, 48)]
+
+
+def test_selector_wide_lookback_carries(golden_db):
+    q = golden_db.query_range(WEB, 0, 100, 10, lookback=100)
+    got = dict(q.rows())
+    assert got[30] == 47 and got[100] == 48  # carried to the end
+    assert 20 not in got  # still nothing before the first sample
+
+
+def test_sample_exactly_at_step_and_boundary(golden_db):
+    # lookback edge is INCLUSIVE: t - sts == lookback still resolves
+    q = golden_db.query_range(WEB, 50, 50, 7, lookback=10)
+    assert q.rows() == [(50, 23)]  # 50 - 40 == 10 == lookback
+
+
+def test_offset_shifts_sample_clock(golden_db):
+    q = golden_db.query_range(f"{WEB} offset 10", 0, 100, 10, lookback=10)
+    assert q.rows() == [(40, 47), (50, 23), (60, 23), (70, 48)]
+
+
+def test_sliding_rate_left_open_windows(golden_db):
+    # rate(web[20]) at t covers (t-20, t]: t=30 -> {23,29}: inc 2 span 6;
+    # t=40 -> {23,29,40}: 2 + reset-to-23 = 25, span 17; t=50 -> {40} and
+    # t=60 -> {51} single-sample windows drop (two-point rule)
+    q = golden_db.query_range(f"rate({WEB}[20])", 0, 100, 10, lookback=10)
+    got = dict(q.rows())
+    assert set(got) == {30, 40}
+    assert got[30] == pytest.approx(2 / 6)
+    assert got[40] == pytest.approx(25 / 17)
+
+
+def test_sliding_increase_counter_reset(golden_db):
+    q = golden_db.query_range(f"increase({WEB}[20])", 0, 100, 10, lookback=10)
+    assert q.rows() == [(30, 2.0), (40, 25.0)]
+
+
+def test_sliding_over_time(golden_db):
+    q = golden_db.query_range(f"avg_over_time({WEB}[20])", 0, 100, 20, lookback=10)
+    assert q.rows() == [(40, pytest.approx(115 / 3)), (60, 48.0)]
+    # count has no two-point rule: single-sample windows report
+    q = golden_db.query_range(f"count_over_time({WEB}[20])", 0, 100, 20)
+    assert q.rows() == [(40, 3), (60, 1)]
+
+
+def test_sliding_resets_irate(golden_db):
+    # windows: t=30 -> (0,30] = {23,29}: 0 resets; t=60 -> (30,60] =
+    # {40,51} (23 -> 48 grows): 0; t=90 -> (60,90] empty: dropped
+    q = golden_db.query_range(f"resets({WEB}[30])", 0, 100, 30)
+    got = dict(q.rows())
+    assert got[30] == 0 and got[60] == 0 and set(got) == {30, 60}
+    # full-width: t=60, R=60 -> (0,60] = all 4 samples, one reset (47->23)
+    q = golden_db.query_range(f"resets({WEB}[60])", 60, 60, 10)
+    assert q.rows() == [(60, 1)]
+    q = golden_db.query_range(f"irate({WEB}[60])", 60, 60, 10)
+    assert q.rows()[0][1] == pytest.approx(25 / 11)
+
+
+def test_per_step_aggregate_sum_count(golden_db):
+    # sum(http_requests_total) per step over the 3 services; staleness
+    # drops series independently (count shrinks as streams go stale)
+    q = golden_db.query_range("sum(http_requests_total)", 0, 100, 10, lookback=10)
+    got = dict(q.rows())
+    # t=30: web 47 (29), cool 40 (30), mobile 18 (29) = 105
+    assert got[30] == 105
+    # t=70: all stale except cool (67: 20) -> 20
+    assert got[70] == 20
+    q = golden_db.query_range("count(http_requests_total)", 0, 100, 10, lookback=10)
+    got = dict(q.rows())
+    assert got[30] == 3 and got[70] == 1
+
+
+def test_aggregate_by_label_per_step(golden_db):
+    q = golden_db.query_range(
+        "sum by (service) (http_requests_total)", 0, 60, 30, lookback=10
+    )
+    rows = {(r.service, r.ts): r.value for r in q.df().collect()}
+    assert rows[("web", 30)] == 47 and rows[("web", 60)] == 48
+    assert rows[("cool", 30)] == 40
+    assert ("cool", 60) not in rows  # last cool sample 67; at 60 last is 30, stale
+
+
+def test_vector_scalar_and_math(golden_db):
+    q = golden_db.query_range(f"{WEB} * 2 + 1", 0, 60, 30, lookback=10)
+    assert q.rows() == [(30, 95.0), (60, 97.0)]
+    q = golden_db.query_range(f"abs({WEB} - 40)", 0, 60, 30, lookback=10)
+    assert q.rows() == [(30, 7.0), (60, 8.0)]
+    q = golden_db.query_range(f"{WEB} > bool 40", 0, 60, 30, lookback=10)
+    assert q.rows() == [(30, 1.0), (60, 1.0)]
+
+
+def test_topk_per_instant(golden_db):
+    q = golden_db.query_range("topk(1, http_requests_total)", 0, 30, 30, lookback=10)
+    rows = [tuple(r) for r in q.df().collect()]
+    # t=30: web 47, cool 40, mobile 18 -> top1 = 47
+    assert (30, 47) in rows and len([r for r in rows if r[0] == 30]) == 1
+
+
+def test_vector_matching_exact_step_join(golden_db):
+    # vm_req / on(service) vm_lim at steps; both sides resolve per step
+    # with lookback, join is exact per (service, step) — no interpolation
+    q = golden_db.query_range(
+        "vm_req / on(service) vm_lim", 0, 30, 10, lookback=10
+    )
+    rows = {(r.service, r.ts): r.value for r in q.df().collect()}
+    assert rows[("web", 10)] == pytest.approx(10 / 100)
+    assert rows[("web", 20)] == pytest.approx(20 / 100)  # lim carried from 10
+    assert rows[("web", 30)] == pytest.approx(30 / 200)
+    assert rows[("mobile", 20)] == pytest.approx(8 / 40)
+    assert ("mobile", 10) not in rows  # mobile lim first sample at 20
+
+
+def test_literal_grid(golden_db):
+    q = golden_db.query_range("42", 0, 20, 10)
+    assert q.rows() == [(0, 42.0), (10, 42.0), (20, 42.0)]
+
+
+def test_errors(golden_db):
+    with pytest.raises(ValueError, match="step must be positive"):
+        golden_db.query_range(WEB, 0, 100, 0)
+    with pytest.raises(ValueError, match="steps"):
+        golden_db.query_range(WEB, 0, 10**9, 1)
+    with pytest.raises(ValueError, match="@ modifiers"):
+        golden_db.query_range(f"{WEB} @ 50", 0, 100, 10)
+    with pytest.raises(ValueError, match="on\\(\\)/ignoring\\(\\)"):
+        golden_db.query_range("ia + ib", 0, 100, 10)
+    with pytest.raises(ValueError, match="not supported in query_range"):
+        golden_db.query_range(f"absent({WEB})", 0, 100, 10)
+    with pytest.raises(ValueError, match="range vector"):
+        golden_db.query_range(f"rate({WEB})", 0, 100, 10)
+
+
+def test_plan_has_no_per_step_loop(golden_db):
+    # the grid is data: one job regardless of step count; spot-check the
+    # plan contains a single exchange for the selector path (stream_id)
+    q = golden_db.query_range(WEB, 0, 100, 1, lookback=10)
+    plan = q.df()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
