@@ -1215,6 +1215,24 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster representatives over the verified MinHash+LSH pair graph
+    (functions/dedup.dedup_clusters): iterative min-label propagation —
+    the O(n) output shape for an O(n^2)-pair duplicate family. One
+    shuffle join + groupBy per round, frames checkpointed per round,
+    converges in diameter rounds (2-3 on LSH's clique-ish components)."""
+    from tachyon_spark.functions.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"),
+        NUM_HASHES,
+        BANDS,
+        JACCARD_THRESHOLD,
+        JACCARD_N,
+    )
+    return dedup_clusters(pairs)
+
+
 DECON_N = 5
 
 
@@ -1490,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "text_stats": q_text_stats,
@@ -2464,6 +2483,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_clusters": f"""
+            -- connected components over the LSH pair graph: min reachable
+            -- id per node via a recursive transitive closure (the engine's
+            -- min-label propagation converges to the same fixpoint)
+            WITH RECURSIVE pairs AS (
+              {_minhash_sql()}
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+            )
+            SELECT s AS doc_id, least(s, min(d)) AS cluster_rep
+            FROM reach GROUP BY s
+        """,
         "dedup_simhash": _SIMHASH_SQL,
         "decontaminate": f"""
             WITH csh AS (

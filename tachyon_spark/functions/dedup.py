@@ -315,6 +315,69 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a verified near-dup pair graph: one row per
+    member document with its cluster representative (the minimum id
+    reachable through the pair graph). Returns (doc_id, cluster_rep).
+
+    The pair list is the WRONG product shape at high duplication — an
+    n-duplicate family is O(n^2) pairs but only O(n) (member, rep) rows;
+    downstream "keep one per cluster" consumes reps, not pairs. Compose:
+    dedup_clusters(minhash_lsh_pairs(df)) / dedup_clusters(simhash_pairs(df)).
+
+    Algorithm: iterative min-label propagation — label(x) starts as x;
+    each round takes min(label(x), min of neighbors' labels); stop when a
+    round changes nothing (bounded by max_iter; rounds needed = graph
+    diameter, 2-3 for the clique-ish components LSH emits). Each round is
+    ONE shuffle join + groupBy on the node key; frames are
+    localCheckpoint()ed per round so lineage (and the re-execution an
+    unpersisted loop would compound) stays flat. The per-round convergence
+    count is an action on the checkpointed frame — bounded driver work,
+    not a collect of the data.
+
+    At 100 TB scale the same loop holds: labels are (id, label) — narrow;
+    the join key is the doc id (uniform, no hot keys since the pair graph
+    is already bucket-capped upstream); GraphFrames' connectedComponents
+    is this exact pattern with large-star/small-star optimizations.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    edges = _materialize(edges.distinct())
+    labels = _materialize(
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = _materialize(
+            labels.join(nbr_min, "id", "left").select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("__chg"),
+            )
+        )
+        changed = new.where(F.col("__chg")).limit(1).count()
+        labels = new.select("id", "lbl")
+        if not changed:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_rep")
+    )
+
+
 SIMHASH_BITS = 60  # 15 md5 hex chars; stays positive in any engine's BIGINT
 
 

@@ -271,3 +271,35 @@ def test_lsh_plane_sign_margins_are_safe():
         P = np.array(_hyperplanes(emb.shape[1], planes, seed))
         margin = np.abs(emb @ P.T).min()
         assert margin > 1e-8, f"plane-dot margin {margin:.2e} too tight"
+
+
+def test_dedup_clusters_min_label(spark):
+    from tachyon_spark.functions.dedup import dedup_clusters
+
+    # two components: a chain {a,b,c,d} (diameter 3 — exercises multiple
+    # propagation rounds) and a pair {x,y}
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {r.doc_id: r.cluster_rep for r in dedup_clusters(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_dedup_clusters_output_is_linear_in_members(spark):
+    from tachyon_spark.functions.dedup import dedup_clusters, minhash_lsh_pairs
+
+    # an all-identical family: pairs are O(n^2); clusters are O(n)
+    n = 30
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", "the same exact text repeated here") for i in range(n)],
+        "doc_id string, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, 16, 4, 0.4, 3)
+    assert pairs.count() == n * (n - 1) // 2  # the quadratic shape
+    clusters = dedup_clusters(pairs).collect()
+    assert len(clusters) == n  # the linear shape
+    assert {r.cluster_rep for r in clusters} == {"d00"}
+    # "keep one per cluster" composes: n - (clusters) + reps = 1 kept
+    kept = {r.cluster_rep for r in clusters}
+    assert len(kept) == 1
