@@ -77,6 +77,43 @@ def _verify_side(candidates: DataFrame, max_broadcast_rows: int = 2_000_000) -> 
     return F.broadcast(cand) if n <= max_broadcast_rows else cand
 
 
+def _cap_hot_buckets(
+    rows: DataFrame, keys: list[str], max_bucket: int, what: str
+) -> tuple[DataFrame, DataFrame]:
+    """Drop candidate-generation buckets with more than max_bucket members:
+    a bucket of k members contributes k^2 join rows, and at corpus scale
+    the hottest buckets are boilerplate-driven (every boilerplate page
+    collides) — quadratic shuffle for no discrimination. NOT silent: the
+    dropped buckets are counted (the frame is already materialized, so the
+    count is a cheap action) and logged, and callers attach them to the
+    result's `dedup_stats`. Verification stays exact — only pairs whose
+    every collision is in a capped bucket can be missed; run exact_dedup
+    first so identical-text families never rely on LSH buckets at all.
+
+    Returns (capped_rows, dropped_buckets) with dropped_buckets =
+    (keys..., n_members)."""
+    import logging
+
+    sizes = rows.groupBy(*keys).agg(F.count("*").alias("n_members"))
+    hot = _materialize(sizes.where(F.col("n_members") > max_bucket))
+    n_hot = hot.count()
+    if n_hot:
+        logging.getLogger("tachyon_spark.dedup").warning(
+            "%s: dropped %d candidate bucket(s) over max_bucket=%d "
+            "(see result.dedup_stats['dropped_buckets'])",
+            what, n_hot, max_bucket,
+        )
+    capped = rows.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+    return capped, hot
+
+
+def _attach_stats(out: DataFrame, max_bucket, dropped: DataFrame | None) -> DataFrame:
+    """Surface the cap decision on the result frame (plain Python attr —
+    DataFrames are lazy, so this is the only zero-cost channel)."""
+    out.dedup_stats = {"max_bucket": max_bucket, "dropped_buckets": dropped}
+    return out
+
+
 def tokens(text_col) -> F.Column:
     return F.split(text_col, " ")
 
@@ -249,6 +286,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding candidate pairs, verified by exact Jaccard.
 
@@ -256,6 +294,10 @@ def minhash_lsh_pairs(
     Candidates collide on any band (rows/band = num_hashes/bands); each
     candidate pair is then verified with the true shingle Jaccard so the
     output contains no LSH false positives. Returns (doc_a, doc_b, jaccard).
+
+    max_bucket: optional cap on band-bucket membership (_cap_hot_buckets) —
+    a k-member bucket is k^2 join rows; dropped buckets are logged and
+    attached to the result's dedup_stats. Default None = exact banding.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -285,6 +327,11 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    dropped = None
+    if max_bucket is not None:
+        band_rows, dropped = _cap_hot_buckets(
+            band_rows, ["band", "bucket"], max_bucket, "minhash_lsh_pairs"
+        )
     left = band_rows.select(F.col("id").alias("doc_a"), "band", "bucket")
     right = band_rows.select(F.col("id").alias("doc_b"), "band", "bucket")
     candidates = (
@@ -306,13 +353,14 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
         .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return _attach_stats(out, max_bucket, dropped)
 
 
 def dedup_clusters(
@@ -436,13 +484,16 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
     Candidate generation by (max_hamming + 1)-band blocking on bit chunks
     (simhash_chunks — pigeonhole gives FULL recall at any max_hamming),
     then the exact popcount(xor) check. Avoids the full cross join at
-    scale.
+    scale. max_bucket caps chunk-bucket membership (_cap_hot_buckets;
+    dropped buckets logged + attached as dedup_stats — capping trades the
+    pigeonhole guarantee for bounded shuffle on boilerplate-heavy data).
     """
     sig = _materialize(simhash64(df, id_col, text_col))
     spec = simhash_chunks(max_hamming)
@@ -463,6 +514,11 @@ def simhash_pairs(
             )
         ).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.key")
+    dropped = None
+    if max_bucket is not None:
+        chunks, dropped = _cap_hot_buckets(
+            chunks, ["chunk", "key"], max_bucket, "simhash_pairs"
+        )
     a = chunks.select(F.col("id").alias("doc_a"), F.col("simhash").alias("sa"), "chunk", "key")
     b = chunks.select(F.col("id").alias("doc_b"), F.col("simhash").alias("sb"), "chunk", "key")
     cand = (
@@ -472,8 +528,9 @@ def simhash_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
+    out = (
         cand.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    return _attach_stats(out, max_bucket, dropped)

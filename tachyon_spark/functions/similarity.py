@@ -185,6 +185,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs: cosine(a, b) >= threshold.
 
@@ -192,7 +193,11 @@ def embedding_near_dup_pairs(
     multi-table LSH tables (equi-join on (table, bucket) — bounded keys),
     then ONLY candidates get the exact JVM-side cosine verify. Recall
     follows the LSH OR-construction (1-(1-p^planes)^tables); precision is
-    exact (verify kills false positives). Returns (id_a, id_b, score)."""
+    exact (verify kills false positives). Returns (id_a, id_b, score).
+
+    max_bucket caps (table, bucket) membership during candidate
+    generation (functions/dedup._cap_hot_buckets: k members = k^2 join
+    rows); dropped buckets are logged and attached as dedup_stats."""
     dim = len(df.select(vec_col).head()[0])
     all_planes = [
         row for t in range(tables) for row in _hyperplanes(dim, planes, seed + t)
@@ -201,6 +206,13 @@ def embedding_near_dup_pairs(
     bucketed = df.select(
         F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("__bs")
     ).select("id", F.posexplode("__bs").alias("t", "bucket"))
+    dropped = None
+    if max_bucket is not None:
+        from tachyon_spark.functions.dedup import _cap_hot_buckets
+
+        bucketed, dropped = _cap_hot_buckets(
+            bucketed, ["t", "bucket"], max_bucket, "embedding_near_dup_pairs"
+        )
     a = bucketed.select(F.col("id").alias("id_a"), "t", "bucket")
     b = bucketed.select(F.col("id").alias("id_b"), "t", "bucket")
     cand = (
@@ -215,10 +227,13 @@ def embedding_near_dup_pairs(
         .join(vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
     )
     score = cosine(F.col("__va"), F.col("__vb"))
-    return (
+    from tachyon_spark.functions.dedup import _attach_stats
+
+    out = (
         paired.select("id_a", "id_b", score.alias("score"))
         .where(F.col("score") >= threshold)
     )
+    return _attach_stats(out, max_bucket, dropped)
 
 
 def ivf_build_index(

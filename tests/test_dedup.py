@@ -303,3 +303,56 @@ def test_dedup_clusters_output_is_linear_in_members(spark):
     # "keep one per cluster" composes: n - (clusters) + reps = 1 kept
     kept = {r.cluster_rep for r in clusters}
     assert len(kept) == 1
+
+
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """Degenerate all-identical corpus: with max_bucket set, the quadratic
+    family's buckets drop from candidate generation (bounded shuffle), the
+    cap is surfaced in dedup_stats, and an unrelated small near-dup pair
+    is still found through its own cool buckets."""
+    from tachyon_spark.functions.dedup import minhash_lsh_pairs, simhash_pairs
+
+    fam = [(f"h{i:02d}", "spam spam spam spam wonderful spam and eggs") for i in range(20)]
+    pair = [
+        ("p1", "a perfectly unique sentence about distributed query engines"),
+        ("p2", "a perfectly unique sentence about distributed query planes"),
+    ]
+    docs = spark.createDataFrame(fam + pair, "doc_id string, text string")
+
+    out = minhash_lsh_pairs(docs, 16, 4, 0.4, 3, max_bucket=5)
+    rows = out.collect()
+    ids = {d for r in rows for d in (r.doc_a, r.doc_b)}
+    assert ("p1", "p2") in {(r.doc_a, r.doc_b) for r in rows}  # survivor
+    assert not any(d.startswith("h") for d in ids)  # family capped away
+    assert out.dedup_stats["max_bucket"] == 5
+    assert out.dedup_stats["dropped_buckets"].count() > 0
+    drop = out.dedup_stats["dropped_buckets"].collect()
+    assert all(r.n_members == 20 for r in drop)
+
+    # uncapped: the same corpus yields the full quadratic family
+    full = minhash_lsh_pairs(docs, 16, 4, 0.4, 3)
+    assert full.count() == 20 * 19 // 2 + 1
+    assert full.dedup_stats["dropped_buckets"] is None
+
+    # simhash: capped output = uncapped output minus the hot family's
+    # pairs (the p1/p2 hamming distance is data-dependent, so compare
+    # against the uncapped run rather than pinning it)
+    sfull = {(r.doc_a, r.doc_b) for r in simhash_pairs(docs, max_hamming=8).collect()}
+    sp = simhash_pairs(docs, max_hamming=8, max_bucket=5)
+    scapped = {(r.doc_a, r.doc_b) for r in sp.collect()}
+    assert scapped == {p for p in sfull if not p[0].startswith("h")}
+    assert sp.dedup_stats["dropped_buckets"].count() > 0
+
+
+def test_hot_bucket_cap_embedding_near_dup(spark):
+    from tachyon_spark.functions.similarity import embedding_near_dup_pairs
+
+    # 12 identical vectors (hot bucket) + 2 near-identical outliers
+    hot = [(f"v{i:02d}", [1.0, 0.0, 0.0, 0.0]) for i in range(12)]
+    cool = [("w1", [0.0, 1.0, 0.1, 0.0]), ("w2", [0.0, 1.0, 0.11, 0.0])]
+    df = spark.createDataFrame(hot + cool, "vec_id string, embedding array<double>")
+    out = embedding_near_dup_pairs(df, threshold=0.9, planes=4, tables=2, max_bucket=6)
+    rows = out.collect()
+    assert ("w1", "w2") in {(r.id_a, r.id_b) for r in rows}
+    assert not any(r.id_a.startswith("v") for r in rows)
+    assert out.dedup_stats["dropped_buckets"].count() > 0
