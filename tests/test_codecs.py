@@ -137,3 +137,45 @@ def test_resize_images_real_png(spark):
     w1, h1, ch, got = codecs.png_decode(bytes(out.payload))
     assert (w1, h1, ch) == (3, 2, 3)
     assert got == codecs.resize_nearest(pix, 6, 4, 3, 3, 2)
+
+
+def test_apng_roundtrip():
+    from tachyon_spark.functions import codecs
+
+    frames = [bytes(range(f, f + 16)) for f in range(3)]
+    data = codecs.apng_encode(4, 4, frames, 1, delay_ms=50)
+    assert codecs.is_apng(data)
+    assert codecs.is_png(data)  # APNG is a valid PNG stream
+    w, h, ch, out = codecs.apng_decode(data)
+    assert (w, h, ch) == (4, 4, 1)
+    assert [d for d, _ in out] == [50, 50, 50]
+    assert [p for _, p in out] == frames
+    # a plain PNG is not an APNG, and apng_decode rejects it
+    still = codecs.png_encode(4, 4, frames[0], 1)
+    assert not codecs.is_apng(still)
+    import pytest
+
+    with pytest.raises(ValueError, match="acTL"):
+        codecs.apng_decode(still)
+    # png_decode on an APNG yields frame 0 (IDAT carries it)
+    assert codecs.png_decode(data)[3] == frames[0]
+
+
+def test_apng_rgb_and_unsupported_regions():
+    import struct
+
+    import pytest
+
+    from tachyon_spark.functions import codecs
+
+    rgb = [bytes(range(48)), bytes(range(48, 96))]
+    data = codecs.apng_encode(4, 4, rgb, 3, delay_ms=100)
+    w, h, ch, out = codecs.apng_decode(data)
+    assert (w, h, ch) == (4, 4, 3) and [p for _, p in out] == rgb
+    # corrupt an fcTL to a sub-frame region -> rejected, not mis-decoded
+    idx = data.index(b"fcTL")
+    body = bytearray(data[idx + 4 : idx + 30])
+    struct.pack_into(">I", body, 4, 2)  # frame width 2 != image width 4
+    bad = data[: idx + 4] + bytes(body) + data[idx + 30 :]
+    with pytest.raises(ValueError, match="sub-frame"):
+        codecs.apng_decode(bad)

@@ -64,3 +64,32 @@ def test_media_from_documents(spark):
     row = m.head()
     assert bytes(row.payload) == b"hello world"
     assert row.meta.duration_ms == 110
+
+
+def test_sample_frames_real_apng(spark):
+    from pyspark.sql import functions as F
+
+    from tachyon_spark.functions import codecs
+    from tachyon_spark.functions.multimodal import sample_frames
+
+    f0, f1, f2 = (bytes([v] * 16) for v in (10, 120, 240))
+    apng = codecs.apng_encode(4, 4, [f0, f1, f2], 1, delay_ms=100)
+    media = spark.createDataFrame(
+        [("v1", "video", bytearray(apng), ("image/apng", 4, 4, 300, None)),
+         ("v2", "video", bytearray(b"not a video"), (None, None, None, 2000, None))],
+        "content_id string, modality string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:bigint,sample_rate:int>",
+    )
+    rows = {(r.content_id, r.frame_idx): r for r in sample_frames(media, 100).collect()}
+    # APNG: real frames at the sampled instants, re-encoded as PNG
+    for i, fx in enumerate((f0, f1, f2)):
+        r = rows[("v1", i)]
+        assert r.frame_ts_ms == i * 100
+        assert codecs.png_decode(bytes(r.frame))[3] == fx
+    # sampling finer than the frame rate repeats the active frame
+    fine = [r for r in sample_frames(media, 50).collect() if r.content_id == "v1"]
+    assert len(fine) == 6
+    assert codecs.png_decode(bytes(sorted(fine, key=lambda r: r.frame_idx)[1].frame))[3] == f0
+    # non-APNG payloads keep the digest-fake path (duration-driven count)
+    fakes = [r for r in sample_frames(media, 100).collect() if r.content_id == "v2"]
+    assert len(fakes) == 20 and len(bytes(fakes[0].frame)) == 32
