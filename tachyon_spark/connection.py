@@ -92,6 +92,7 @@ class Connection:
         compat_scalar_swap: bool = False,
         stream_buckets: int | None = None,
         compat_rate_last_first: bool = False,
+        approx_aggregates: bool = False,
     ):
         """time_bucket: optional bucket width in ts units (e.g. 86_400_000 for
         daily buckets of ms timestamps). When set, samples are additionally
@@ -112,6 +113,12 @@ class Connection:
         last-first (the pre-round-4 behavior, NOT counter-reset-aware) for
         result migration. Session behavior, not persisted.
 
+        approx_aggregates: quantile()/quantile_over_time() compile to
+        approx_percentile (mergeable Greenwald-Khanna sketch, rank error
+        <= 1e-4) instead of the exact interpolated percentile — the 100 TB
+        path for heavy quantiles; exact stays the oracle-gated default.
+        Session behavior, not persisted.
+
         stream_buckets: samples partition-dir count — stream_id hashes into
         stream_bucket = crc32(stream_id) % N dirs. None = default (64 for
         new dbs); 0 = legacy one-dir-per-stream. Persisted (a layout
@@ -126,6 +133,7 @@ class Connection:
         )
         self.compat_scalar_swap = compat_scalar_swap
         self.compat_rate_last_first = compat_rate_last_first
+        self.approx_aggregates = approx_aggregates
         self.isin_threshold = ISIN_THRESHOLD
         self._recover_partial_delete()
 

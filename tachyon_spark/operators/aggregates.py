@@ -32,10 +32,23 @@ _AGGS = {
 AGG_FUNCS = frozenset(_AGGS) | {"quantile"}
 
 
-def _agg_col(func: str, value_col: str, param: float | None):
+# approx_percentile accuracy: relative rank error <= 1/accuracy (Spark's
+# Greenwald-Khanna-style sketch), i.e. 1e-4 rank error at the default —
+# mergeable partials, bounded memory, the 100 TB path.
+APPROX_PERCENTILE_ACCURACY = 10_000
+
+
+def _agg_col(func: str, value_col: str, param: float | None, approx: bool = False):
     if func == "quantile":
-        # exact linear-interpolated percentile (PromQL semantics); at scale
-        # swap for approx_percentile (mergeable t-digest-style sketch)
+        if approx:
+            # mergeable sketch: rank error bounded by 1/accuracy
+            return F.approx_percentile(
+                F.col(value_col).cast("double"),
+                F.lit(param),
+                F.lit(APPROX_PERCENTILE_ACCURACY),
+            )
+        # exact linear-interpolated percentile (PromQL semantics) — the
+        # oracle-gated default
         return F.percentile(F.col(value_col).cast("double"), F.lit(param))
     if func not in _AGGS:
         raise ValueError(f"unsupported aggregate: {func}")
@@ -48,9 +61,10 @@ def scalar_agg(
     value_col: str = "value",
     out: str = "value",
     param: float | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """One-row (or zero-row, per the empty contract) aggregate over df."""
-    result = df.agg(_agg_col(func, value_col, param).alias(out))
+    result = df.agg(_agg_col(func, value_col, param, approx).alias(out))
     if func == "count":
         return result  # count of empty = 0, one row
     return result.where(F.col(out).isNotNull())
@@ -96,10 +110,32 @@ def grouped_agg(
     value_col: str = "value",
     out: str = "value",
     param: float | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """`sum by (label) (v)`-style grouped aggregate (beyond-reference).
 
     groupBy shuffles on the grouping keys with partial aggregation map-side;
     empty groups simply don't exist, so no empty-contract handling is needed.
     """
-    return df.groupBy(*by).agg(_agg_col(func, value_col, param).alias(out))
+    return df.groupBy(*by).agg(_agg_col(func, value_col, param, approx).alias(out))
+
+
+def distinct_count(
+    df: DataFrame,
+    by: list[str],
+    value_col: str = "value",
+    out: str = "value",
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Distinct count per group. approx=True uses approx_count_distinct
+    (HyperLogLog++): mergeable fixed-size sketch partials instead of the
+    exact path's per-group distinct expansion; relative standard deviation
+    <= rsd (default 5%, Spark's default). The exact path stays the
+    oracle-gated default."""
+    col = (
+        F.approx_count_distinct(F.col(value_col), rsd)
+        if approx
+        else F.countDistinct(F.col(value_col))
+    )
+    return df.groupBy(*by).agg(col.alias(out))

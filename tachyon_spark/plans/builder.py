@@ -316,9 +316,9 @@ class PlanBuilder:
         return Plan("scalar", agg.select(value.alias("value")), VT_F64)
 
     @staticmethod
-    def _over_time_agg(fn: str, child_vt: str, arg):
+    def _over_time_agg(fn: str, child_vt: str, arg, approx: bool = False):
         """The *_over_time aggregate column + result type (shared by the
-        matrix-selector and subquery paths)."""
+        matrix-selector, subquery, and query_range paths)."""
         v = F.col("value")
         if fn == "avg":
             return F.avg(v.cast("double")), VT_F64
@@ -331,8 +331,23 @@ class PlanBuilder:
         if fn == "count":
             return F.count(v), VT_U64
         if fn == "quantile":
-            # exact linear-interpolated percentile (PromQL semantics); at
-            # scale swap for approx_percentile (mergeable sketch)
+            if approx:
+                # mergeable sketch (Connection(approx_aggregates=True)):
+                # rank error <= 1/accuracy — the 100 TB path
+                from tachyon_spark.operators.aggregates import (
+                    APPROX_PERCENTILE_ACCURACY,
+                )
+
+                return (
+                    F.approx_percentile(
+                        v.cast("double"),
+                        F.lit(arg),
+                        F.lit(APPROX_PERCENTILE_ACCURACY),
+                    ),
+                    VT_F64,
+                )
+            # exact linear-interpolated percentile (PromQL semantics) — the
+            # oracle-gated default
             return F.percentile(v.cast("double"), F.lit(arg)), VT_F64
         # last: newest sample, (ts, value) tie-break
         return F.max_by("value", F.struct("ts", "value")), child_vt
@@ -348,7 +363,10 @@ class PlanBuilder:
         msel = node.child
         child = self._selector(msel.selector)
         win = self._window_col(msel)
-        agg, vt = self._over_time_agg(fn, child.value_type, node.arg)
+        agg, vt = self._over_time_agg(
+            fn, child.value_type, node.arg,
+            approx=getattr(self.conn, "approx_aggregates", False),
+        )
         out = child.df.groupBy(*self._series_window_keys(child, win)).agg(
             agg.alias("value")
         )
@@ -404,7 +422,10 @@ class PlanBuilder:
         width = F.lit(sub.range_)
         a = F.lit(anchor)
         win = ((F.col("ts") - a) - (F.col("ts") - a) % width + a).alias("ts")
-        agg, vt = self._over_time_agg(fn, inner_plan.value_type, arg)
+        agg, vt = self._over_time_agg(
+            fn, inner_plan.value_type, arg,
+            approx=getattr(self.conn, "approx_aggregates", False),
+        )
         keys = [win]
         if "stream_id" in inner_plan.df.columns:
             keys.insert(0, F.col("stream_id"))
@@ -1164,9 +1185,10 @@ class PlanBuilder:
             # path keeps its exact integer partial sums.
             if isinstance(cdf.schema["value"].dataType, T.DecimalType):
                 cdf = cdf.withColumn("value", F.col("value").cast("double"))
+        approx = getattr(self.conn, "approx_aggregates", False)
         if node.by:
             df = self._attach_labels(cdf, node.by, child.streams)
-            out = grouped_agg(df, func, list(node.by), param=node.param)
+            out = grouped_agg(df, func, list(node.by), param=node.param, approx=approx)
             return Plan("grouped", out, vt, group_cols=tuple(node.by))
         if node.without:
             # group by every label EXCEPT the listed ones: per-series
@@ -1193,9 +1215,11 @@ class PlanBuilder:
                 rows, "stream_id string, series string"
             )
             df = cdf.join(F.broadcast(key_df), "stream_id", "left")
-            out = grouped_agg(df, func, ["series"], param=node.param)
+            out = grouped_agg(df, func, ["series"], param=node.param, approx=approx)
             return Plan("grouped", out, vt, group_cols=("series",))
-        return Plan("scalar", scalar_agg(cdf, func, param=node.param), vt)
+        return Plan(
+            "scalar", scalar_agg(cdf, func, param=node.param, approx=approx), vt
+        )
 
     def _attach_labels(
         self, df: DataFrame, labels: tuple[str, ...], streams: tuple = ()

@@ -255,7 +255,10 @@ class RangeEvaluator:
         child, df = self._exploded(msel)
         part = ["stream_id", "__step"]
         if family == "over_time":
-            agg, vt = PlanBuilder._over_time_agg(func, child.value_type, arg)
+            agg, vt = PlanBuilder._over_time_agg(
+                func, child.value_type, arg,
+                approx=getattr(self.conn, "approx_aggregates", False),
+            )
             out = df.groupBy(*part).agg(agg.alias("value"))
             return self._finish_windowed(out, vt, child)
         if family == "deriv":
@@ -356,10 +359,13 @@ class RangeEvaluator:
             vt = VT_F64
         from tachyon_spark.operators.aggregates import grouped_agg
 
+        approx = getattr(self.conn, "approx_aggregates", False)
         cdf = child.df
         if node.by:
             df = self._b._attach_labels(cdf, node.by, child.streams)
-            out = grouped_agg(df, func, list(node.by) + ["ts"], param=node.param)
+            out = grouped_agg(
+                df, func, list(node.by) + ["ts"], param=node.param, approx=approx
+            )
             return Plan("grouped", out, vt, group_cols=tuple(node.by) + ("ts",))
         if node.without:
             if "stream_id" not in cdf.columns or not child.streams:
@@ -383,11 +389,13 @@ class RangeEvaluator:
                 rows, "stream_id string, series string"
             )
             df = cdf.join(F.broadcast(key_df), "stream_id", "left")
-            out = grouped_agg(df, func, ["series", "ts"], param=node.param)
+            out = grouped_agg(
+                df, func, ["series", "ts"], param=node.param, approx=approx
+            )
             return Plan("grouped", out, vt, group_cols=("series", "ts"))
         # ungrouped: PER STEP (the per-instant semantics dashboards expect,
         # unlike the raw-sample engine's whole-range collapse)
-        out = grouped_agg(cdf, func, ["ts"], param=node.param)
+        out = grouped_agg(cdf, func, ["ts"], param=node.param, approx=approx)
         return Plan("vector", out, vt)
 
     # --------------------------------------------------------------- binary

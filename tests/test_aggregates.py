@@ -191,3 +191,47 @@ def test_count_values(golden_db):
     assert sorted(tuple(r) for r in q2.df().collect()) == [
         ("2", 1), ("4", 1), ("6", 1), ("8", 1),
     ]
+
+
+def test_approx_aggregates_flag(golden_db, spark):
+    """Connection(approx_aggregates=True): quantile compiles to the
+    approx_percentile sketch (mergeable partials, rank error <= 1e-4);
+    exact stays the default. Values agree on small data."""
+    from tachyon_spark.connection import Connection
+
+    approx = Connection(golden_db.db_dir, spark, approx_aggregates=True)
+    q = "quantile(0.5, ints)"
+    exact_plan = golden_db.query(q, 0, 100).df()._jdf.queryExecution().executedPlan().toString()
+    approx_plan = approx.query(q, 0, 100).df()._jdf.queryExecution().executedPlan().toString()
+    assert "approx_percentile" not in exact_plan and "percentile" in exact_plan
+    assert "approx_percentile" in approx_plan
+    # documented divergence: the sketch returns an ACTUAL element (no
+    # linear interpolation) — ints [2,4,6,8] p50 -> 4, exact -> 5
+    assert golden_db.query(q, 0, 100).scalar() == 5.0
+    assert approx.query(q, 0, 100).scalar() in (4.0, 6.0)
+    # quantile_over_time takes the same path
+    qo = "quantile_over_time(0.5, ints[20])"
+    plan = approx.query(qo, 0, 100).df()._jdf.queryExecution().executedPlan().toString()
+    assert "approx_percentile" in plan
+    # per window: elements of {2,4} and {6,8} respectively
+    got = dict(approx.query(qo, 0, 100).rows())
+    assert got[20] in (2, 4) and got[40] in (6, 8)
+
+
+def test_distinct_count_approx(spark):
+    from pyspark.sql import functions as F
+
+    from tachyon_spark.operators.aggregates import distinct_count
+
+    df = spark.createDataFrame(
+        [(g, f"u{i % 37}") for g in ("a", "b") for i in range(200)],
+        "g string, value string",
+    )
+    exact = distinct_count(df, ["g"])
+    appr = distinct_count(df, ["g"], approx=True, rsd=0.01)
+    assert "approx_count_distinct" in appr._jdf.queryExecution().executedPlan().toString()
+    ev = {r.g: r.value for r in exact.collect()}
+    av = {r.g: r.value for r in appr.collect()}
+    assert ev == {"a": 37, "b": 37}
+    for g in ev:
+        assert abs(av[g] - ev[g]) <= 2  # rsd-bounded
