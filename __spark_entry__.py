@@ -1741,12 +1741,20 @@ WITH s AS (
   WHERE event_type = 'click' AND epoch_us(ts) BETWEEN {t0} AND {t1}
   GROUP BY 1
 ),
-r AS (  -- inner rate(m[30m]) on the 30m grid anchored at t0
-  SELECT {t0} + ((t - {t0}) // {w30}) * {w30} AS wt,
-         (max(struct_pack(t := t, v := value)).v
-          - min(struct_pack(t := t, v := value)).v)
-         / (max(t) - min(t)) AS rate
-  FROM s GROUP BY 1
+l AS (  -- inner rate(m[30m]) on the 30m grid anchored at t0:
+        -- reset-aware lag replay (v - prev on growth, v on reset)
+  SELECT {t0} + ((t - {t0}) // {w30}) * {w30} AS wt, t, value,
+         lag(value) OVER (
+           PARTITION BY (t - {t0}) // {w30} ORDER BY t, value
+         ) AS prev
+  FROM s
+),
+r AS (
+  SELECT wt,
+         sum(CASE WHEN prev IS NULL THEN NULL
+                  WHEN value >= prev THEN value - prev
+                  ELSE value END) / (max(t) - min(t)) AS rate
+  FROM l GROUP BY 1
   HAVING max(t) > min(t)
 )
 SELECT {t0} + ((wt - {t0}) // {w2h}) * {w2h} AS ts_us,
