@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tachyon_spark.functions.util import spread as _spread
+
 
 def _us(y: int, m: int, d: int) -> int:
     return int(datetime(y, m, d, tzinfo=timezone.utc).timestamp()) * 1_000_000
@@ -46,7 +48,26 @@ STOPWORDS = (
 )
 
 
+# Memoized table frames: the footer read + schema-inference pass below cost
+# ~0.15 s of DRIVER time per call under pyspark 4.1.2 — a per-query floor
+# that dwarfed trivial queries (selector_scan: 0.15 s build vs 0.11 s exec).
+# A DataFrame is an immutable logical plan, so one per (session, dir, table)
+# is safe to share; this is the same move a real engine makes with its
+# catalog/schema cache. Keyed by session id so a restarted session (tests)
+# never sees stale plans.
+_READ_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir.rstrip("/"), name)
+    cached = _READ_CACHE.get(key)
+    if cached is not None:
+        return cached
+    _READ_CACHE[key] = df = _read_uncached(spark, sf_dir, name)
+    return df
+
+
+def _read_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
@@ -894,6 +915,84 @@ def q_ewma_final(spark, sf_dir):
     return out.select("event_type", F.round("ewma", 6).alias("ewma"))
 
 
+def q_query_range_histogram(spark, sf_dir):
+    """query_range histogram_quantile end-to-end through the engine surface
+    (plans/range_eval._histogram_quantile): the canonical dashboard query
+    `histogram_quantile(0.5, sum by (le) (increase(m_bucket[12h])))` on a
+    6h step grid. Cumulative bucket counters (clicks with value <= le,
+    le in {1,5,20,+Inf}, sampled at every 6h boundary) are registered as
+    le-labeled streams; the engine explodes samples onto the sliding
+    12h windows, computes reset-aware increase per (bucket series, step),
+    sums by le per step, and runs the Prometheus bucket interpolation as
+    array HOFs. The oracle never replays any of that: it recomputes each
+    step's per-bucket window counts straight from raw events and applies
+    the interpolation CASE ladder — only the full grid pipeline agrees."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from tachyon_spark.connection import Connection
+
+    w6h = 6 * 3600 * 1_000_000  # µs
+    w12h = 2 * w6h
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(
+        (F.col("event_type") == "click")
+        & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+    ).select(F.expr("ts DIV 1000").alias("ts_us"), "value")
+    win = F.lit(T0_US) + ((F.col("ts_us") - F.lit(T0_US)) / F.lit(w6h)).cast(
+        "long"
+    ) * F.lit(w6h)
+    per_win = clicks.groupBy(win.alias("win")).agg(
+        F.sum((F.col("value") <= 1.0).cast("long")).alias("c1"),
+        F.sum((F.col("value") <= 5.0).cast("long")).alias("c5"),
+        F.sum((F.col("value") <= 20.0).cast("long")).alias("c20"),
+        F.count("*").alias("cinf"),
+    )
+    n_wins = (T1_US - T0_US) // w6h  # 40 six-hour windows
+    grid = spark.range(n_wins).select(
+        (F.lit(T0_US) + F.col("id") * F.lit(w6h)).alias("win")
+    )
+    # dense cumulative counters: zero-filled missing windows keep a sample
+    # at EVERY 6h boundary, so each sliding 12h window has its two points
+    dense = grid.join(per_win, "win", "left").fillna(0)
+    # bounded frame: 40 rows total — a global running sum here is fixture
+    # scaffolding, not a distributed-plan shape
+    cum_w = Window.orderBy("win").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dense.select(
+        (F.col("win") + F.lit(w6h)).alias("ts"),
+        *[F.sum(c).over(cum_w).alias(c) for c in ("c1", "c5", "c20", "cinf")],
+    )
+    zero = spark.range(1).select(
+        F.lit(T0_US).alias("ts"),
+        *[F.lit(0).cast("long").alias(c) for c in ("c1", "c5", "c20", "cinf")],
+    )
+    melted = cum.unionByName(zero).selectExpr(
+        "ts",
+        "stack(4, '1', c1, '5', c5, '20', c20, '+Inf', cinf) AS (le, cnt)",
+    )
+    work = tempfile.mkdtemp(prefix="ty_qrh_")
+    conn = Connection(os.path.join(work, "db"), spark)
+    les = ["1", "5", "20", "+Inf"]
+    ids = conn.create_streams([(f'hqr{{le="{le}"}}', "i64") for le in les])
+    mapping = spark.createDataFrame(list(zip(les, ids)), "le string, stream_id string")
+    conn.bulk_load(
+        melted.join(F.broadcast(mapping), "le").select(
+            "stream_id", "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.col("cnt").alias("value_int"),
+        )
+    )
+    out = conn.query_range(
+        f"histogram_quantile(0.5, sum by (le) (increase(hqr[{w12h}])))",
+        T0_US + w12h, T1_US, w6h, lookback=w6h,
+    ).df()
+    return out.select(
+        F.col("ts").alias("ts_us"), F.round("value", 6).alias("p50")
+    )
+
+
 def q_media_wav_decode(spark, sf_dir):
     """REAL WAV decode, oracle-graded (companion to media_real_decode's PNG
     leg): each document's first 64 bytes become 16-bit PCM samples
@@ -922,7 +1021,7 @@ def q_media_wav_decode(spark, sf_dir):
                 }
             )
 
-    media = docs.select("doc_id", "text").mapInPandas(
+    media = _spread(docs.select("doc_id", "text")).mapInPandas(
         enc, "content_id string, modality string, payload binary"
     )
     feats = extract_features(media)
@@ -1172,7 +1271,7 @@ def q_media_real_decode(spark, sf_dir):
                 }
             )
 
-    media = docs.select("doc_id", "text").mapInPandas(
+    media = _spread(docs.select("doc_id", "text")).mapInPandas(
         enc, "content_id string, modality string, payload binary"
     )
     feats = extract_features(media)
@@ -1219,7 +1318,7 @@ def q_media_video_decode(spark, sf_dir):
                 }
             )
 
-    media = docs.select("doc_id", "text").mapInPandas(
+    media = _spread(docs.select("doc_id", "text")).mapInPandas(
         enc, "content_id string, modality string, payload binary"
     ).select(
         "content_id",
@@ -1507,7 +1606,6 @@ def q_token_count_bpe(spark, sf_dir):
     """BPE-ish tokenizer (regexp_extract_all; RE2-compatible, no lookarounds).
     Regex matching is the per-row cost here, so spread single-file inputs
     across cores first (no-op at scale where the scan has many splits)."""
-    from tachyon_spark.functions.dedup import _spread
     from tachyon_spark.functions.textstats import bpe_tokens
 
     docs = _spread(_read(spark, sf_dir, "documents"))
@@ -1566,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_counter_aware": q_rate_counter_aware,
         "query_range_lookback": q_query_range_lookback,
         "query_range_increase": q_query_range_increase,
+        "query_range_histogram": q_query_range_histogram,
         "counter_resets": q_counter_resets,
         "deriv_windows": q_deriv_windows,
         "irate_windows": q_irate_windows,
@@ -2441,6 +2540,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, g AS ts_us, round(inc, 6) AS increase
             FROM a WHERE t1 > t0
+        """,
+        "query_range_histogram": f"""
+            -- grid histogram_quantile oracle: per-step bucket counts are
+            -- recomputed STRAIGHT FROM EVENTS (count of clicks in the
+            -- step's trailing 6h window per le), then the Prometheus
+            -- interpolation CASE ladder — no replay of the engine's
+            -- explode/increase/sum-by-le pipeline, so only a correct full
+            -- grid evaluation agrees
+            WITH steps AS (
+              SELECT unnest(generate_series(
+                {T0_US + 12 * 3600 * 1_000_000}, {T1_US}, 21600000000
+              )) AS ts_us
+            ),
+            c AS (
+              SELECT s.ts_us,
+                     count(*) FILTER (e.value <= 1)  AS c1,
+                     count(*) FILTER (e.value <= 5)  AS c5,
+                     count(*) FILTER (e.value <= 20) AS c20,
+                     count(e.value) AS cinf  -- not count(*): the LEFT JOIN
+                                             -- emits a NULL row for empty
+                                             -- windows (engine drops them)
+              FROM steps s LEFT JOIN events e
+                ON e.event_type = 'click'
+               AND epoch_us(e.ts) BETWEEN {T0_US} AND {T1_US}
+               AND epoch_us(e.ts) >= s.ts_us - 21600000000
+               AND epoch_us(e.ts) < s.ts_us
+              GROUP BY 1
+            )
+            SELECT ts_us, round(
+              CASE
+                WHEN 0.5 * cinf <= c1 THEN
+                  CASE WHEN c1 = 0 THEN 0.0 ELSE 1.0 * (0.5 * cinf) / c1 END
+                WHEN 0.5 * cinf <= c5 THEN 1 + 4.0 * (0.5 * cinf - c1) / (c5 - c1)
+                WHEN 0.5 * cinf <= c20 THEN 5 + 15.0 * (0.5 * cinf - c5) / (c20 - c5)
+                ELSE 20.0
+              END, 6) AS p50
+            FROM c WHERE cinf > 0
         """,
         "rate_counter_aware": """
             -- counter-reset-aware rate: lag replay of the engine's

@@ -27,6 +27,7 @@ from tachyon_spark.functions.textstats import (
     text_stats,
 )
 from tachyon_spark.functions.histogram import bucket_quantile
+from tachyon_spark.functions.util import spread
 from tachyon_spark.functions.codecs import (
     png_decode,
     png_encode,
@@ -56,6 +57,7 @@ __all__ = [
     "repetition_score",
     "text_stats",
     "bucket_quantile",
+    "spread",
     "png_decode",
     "png_encode",
     "wav_decode",

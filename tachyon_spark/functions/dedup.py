@@ -48,24 +48,8 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition small-file inputs so narrow heavy work (explode, hashing)
-    uses every core. At scale the scan already has thousands of splits and
-    this is a no-op; locally a 1-file table would otherwise pin one core.
-
-    Heuristic uses inputFiles() (plan metadata, no job) instead of
-    df.rdd.getNumPartitions(): touching .rdd forces plan analysis plus a
-    Python<->JVM conversion path per call. Non-file sources (in-memory
-    test frames) report no files and are left alone — they already
-    parallelize from their creation."""
-    target = min(df.sparkSession.sparkContext.defaultParallelism, 16)
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        return df
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
+# shared with the other function modules; see functions/util.py
+from tachyon_spark.functions.util import spread as _spread  # noqa: E402
 
 
 def _verify_side(candidates: DataFrame, max_broadcast_rows: int = 2_000_000) -> DataFrame:

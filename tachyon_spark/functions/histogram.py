@@ -31,6 +31,31 @@ def parse_le(col):
     )
 
 
+def le_series_frame(spark, streams):
+    """Broadcastable (stream_id, __le, __series) frame for le-labeled bucket
+    streams: __le is the parsed upper bound (+Inf -> infinity) and __series
+    the canonical remaining-label key. Returns (frame, multi) where multi
+    says whether more than one non-le label set exists (i.e. the quantile
+    must group per series, not just per timestamp). Shared by the raw-sample
+    and query_range histogram_quantile paths."""
+    les = {}
+    series_keys = set()
+    for s in streams:
+        if "le" not in s.labels:
+            raise ValueError(
+                f"histogram_quantile: stream {s.name}{s.labels} has no 'le' label"
+            )
+        le = INF if s.labels["le"] == "+Inf" else float(s.labels["le"])
+        rest = tuple(sorted((k, v) for k, v in s.labels.items() if k != "le"))
+        les[s.stream_id] = (le, ",".join(f"{k}={v}" for k, v in rest))
+        series_keys.add(rest)
+    frame = spark.createDataFrame(
+        [(sid, le, grp) for sid, (le, grp) in les.items()],
+        "stream_id string, __le double, __series string",
+    )
+    return frame, len(series_keys) > 1
+
+
 def bucket_quantile(
     df: DataFrame,
     phi: float,

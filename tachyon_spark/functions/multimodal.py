@@ -119,7 +119,11 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("content_id", "modality", "payload").mapInPandas(
+    from tachyon_spark.functions.util import spread
+
+    # the pure-Python decode kernel is the per-row cost; spread small-file
+    # inputs so the Arrow batches hit every core (no-op at scale)
+    return spread(media.select("content_id", "modality", "payload")).mapInPandas(
         kernel, FEATURES_SCHEMA
     )
 
@@ -149,7 +153,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return imgs.mapInPandas(kernel, schema)
+    from tachyon_spark.functions.util import spread
+
+    return spread(imgs).mapInPandas(kernel, schema)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -205,10 +211,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
+    from tachyon_spark.functions.util import spread
+
     vids = media.where(F.col("modality") == "video").select(
         "content_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
     )
-    return vids.mapInPandas(kernel, FRAMES_SCHEMA)
+    return spread(vids).mapInPandas(kernel, FRAMES_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame, modality: str = "image") -> DataFrame:

@@ -202,6 +202,11 @@ def embedding_near_dup_pairs(
     all_planes = [
         row for t in range(tables) for row in _hyperplanes(dim, planes, seed + t)
     ]
+    from tachyon_spark.functions.util import spread
+
+    # bucket matmul + the exact-cosine verify join both start from this
+    # frame; spread small-file inputs across cores (no-op at scale)
+    df = spread(df)
     udf = _lsh_buckets_udf(all_planes, planes)
     bucketed = df.select(
         F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("__bs")

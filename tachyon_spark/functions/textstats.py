@@ -127,6 +127,11 @@ def repetition_score(
     list is built with transform over a sequence (no explode, no shuffle),
     so this codegens and scales linearly like the rest of the module.
     Documents with fewer than n tokens score 0."""
+    from tachyon_spark.functions.util import spread
+
+    # the n-gram HOFs are the dominant per-row cost of the whole module —
+    # make sure a small-file corpus doesn't serialize them on one core
+    df = spread(df)
     toks = _tokens(F.col(text_col))
     m = F.size(toks) - F.lit(n - 1)  # number of n-grams
     # F.get is 0-based and null-safe out of bounds (no ANSI index error on

@@ -498,29 +498,27 @@ class PlanBuilder:
         carry an `le` label (cumulative bucket upper bounds; '+Inf'
         allowed). Buckets group per timestamp and per remaining-label set;
         the per-group quantile is functions/histogram.bucket_quantile —
-        array HOFs over the (bounded) bucket list, no UDF."""
-        from tachyon_spark.functions.histogram import INF, bucket_quantile
+        array HOFs over the (bounded) bucket list, no UDF.
 
-        sel = node.child
-        child = self._selector(sel)
-        rows = child.streams
-        les = {}
-        series_keys = set()
-        for s in rows:
-            if "le" not in s.labels:
-                raise ValueError(
-                    f"histogram_quantile: stream {s.name}{s.labels} has no 'le' label"
-                )
-            le = INF if s.labels["le"] == "+Inf" else float(s.labels["le"])
-            rest = tuple(sorted((k, v) for k, v in s.labels.items() if k != "le"))
-            les[s.stream_id] = (le, ",".join(f"{k}={v}" for k, v in rest))
-            series_keys.add(rest)
-        le_map = self.conn.spark.createDataFrame(
-            [(sid, le, grp) for sid, (le, grp) in les.items()],
-            "stream_id string, __le double, __series string",
-        )
+        The child may be a bare selector or any expression that evaluates
+        to a streams-carrying vector (e.g. `increase(m_bucket[1h])` —
+        series identity propagates through windowed range functions), so
+        the classic `histogram_quantile(phi, increase(m_bucket[1h]))`
+        works in raw-sample mode too. Aggregate children (`sum by (le)`)
+        belong to query_range, where instants exist per step; the raw
+        engine's aggregates collapse time."""
+        from tachyon_spark.functions.histogram import bucket_quantile, le_series_frame
+
+        child = self.build(node.child)
+        if child.kind != "vector" or not child.streams:
+            raise ValueError(
+                "histogram_quantile (raw-sample mode) requires le-labeled "
+                "bucket series: a selector or a windowed function over one "
+                "(aggregate inputs are a query_range shape — raw aggregates "
+                "collapse time)"
+            )
+        le_map, multi = le_series_frame(self.conn.spark, child.streams)
         df = child.df.join(F.broadcast(le_map), "stream_id")
-        multi = len(series_keys) > 1
         group_cols = (["__series"] if multi else []) + ["ts"]
         out = bucket_quantile(df, node.phi, group_cols, le_col="__le")
         if multi:

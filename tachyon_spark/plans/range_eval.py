@@ -38,11 +38,16 @@ Spark mapping — the step grid is DATA, never a per-step driver loop:
                   the raw-sample engine's interpolating join is the
                   analogue for unaligned samples).
 
+  histogram_     per step instant: grouped `sum by (le)` inputs share the
+  quantile       aggregate's key shuffle; le-labeled selector/rate vectors
+                 get a broadcast le map — interpolation is array-HOF
+                 codegen either way (functions/histogram.py).
+
 Unsupported in range mode (clear errors, not silent wrong answers):
-@ modifiers, subqueries, absent/sort/count_values/label_*/histogram_
-quantile, vector-vector ops without on()/ignoring(). `offset` IS
-supported, PromQL-style (the raw-sample engine ignores offset without @
-for reference parity; here it shifts the sample clock).
+@ modifiers, subqueries, absent/sort/count_values/label_*, vector-vector
+ops without on()/ignoring(). `offset` IS supported, PromQL-style (the
+raw-sample engine ignores offset without @ for reference parity; here it
+shifts the sample clock).
 """
 
 from __future__ import annotations
@@ -129,12 +134,15 @@ class RangeEvaluator:
             return self._columnwise(expr, expr.child, self._round_col)
         if isinstance(expr, ast.GetK):
             return self._getk(expr)
+        if isinstance(expr, ast.HistogramQuantile):
+            return self._histogram_quantile(expr)
         raise ValueError(
             f"{type(expr).__name__} is not supported in query_range "
             "(supported: selectors, range/over_time/resets/changes/irate/"
             "idelta/deriv over m[R], aggregates with by/without, arithmetic "
             "and comparisons with scalars, on()/ignoring() vector matching, "
-            "abs/ceil/floor/sqrt/exp/ln/sgn, clamp*, round, topk/bottomk)"
+            "abs/ceil/floor/sqrt/exp/ln/sgn, clamp*, round, topk/bottomk, "
+            "histogram_quantile)"
         )
 
     # ----------------------------------------------------------- selector
@@ -527,6 +535,59 @@ class RangeEvaluator:
         out = child.df.select(*keep, result.alias("value"))
         return Plan(child.kind, out, VT_F64,
                     group_cols=child.group_cols, streams=child.streams)
+
+    # ----------------------------------------------------------- histogram
+    def _histogram_quantile(self, node: ast.HistogramQuantile) -> Plan:
+        """histogram_quantile(phi, buckets) per step instant — the canonical
+        dashboard shape `histogram_quantile(phi, sum by (le) (rate(
+        m_bucket[5m])))`. Two child forms (wider than the raw path, which
+        only accepts a bare selector):
+
+        - grouped with 'le' among its group columns (a `sum by (le[, ...])`
+          aggregate): parse le and run the bucket interpolation per
+          (remaining group cols, step) — the groupBy shares the aggregate's
+          existing key shuffle shape.
+        - vector carrying le-labeled streams (a selector instant or a
+          windowed rate/increase over bucket series): broadcast the
+          (stream_id -> le, series) map, then interpolate per
+          (series?, step).
+
+        Either way the per-group bucket list is bounded (tens of les), the
+        interpolation is pure array-HOF codegen (functions/histogram.py),
+        and the only exchange is the group-key hash — scale-safe."""
+        from tachyon_spark.functions.histogram import (
+            bucket_quantile,
+            le_series_frame,
+            parse_le,
+        )
+
+        child = self._eval(node.child)
+        if child.kind == "grouped" and "le" in (child.group_cols or ()):
+            rest = [c for c in child.group_cols if c != "le"]
+            if "ts" not in rest:
+                raise ValueError(
+                    "histogram_quantile: grouped input must keep the step "
+                    "timestamp (aggregate with by (le, ...))"
+                )
+            df = child.df.withColumn("__le", parse_le("le"))
+            out = bucket_quantile(df, node.phi, rest, le_col="__le")
+            if rest == ["ts"]:
+                return Plan("vector", out, VT_F64)
+            return Plan("grouped", out, VT_F64, group_cols=tuple(rest))
+        if child.kind == "vector" and child.streams:
+            le_map, multi = le_series_frame(self.conn.spark, child.streams)
+            df = child.df.join(F.broadcast(le_map), "stream_id")
+            group_cols = (["__series"] if multi else []) + ["ts"]
+            out = bucket_quantile(df, node.phi, group_cols, le_col="__le")
+            if multi:
+                out = out.withColumnRenamed("__series", "series")
+                return Plan("grouped", out, VT_F64, group_cols=("series", "ts"))
+            return Plan("vector", out, VT_F64)
+        raise ValueError(
+            "histogram_quantile in query_range needs le-labeled bucket "
+            "series (a selector / windowed function over them, or an "
+            "aggregate grouped by (le))"
+        )
 
     # ---------------------------------------------------------------- getk
     def _getk(self, node: ast.GetK) -> Plan:

@@ -388,10 +388,14 @@ class Parser:
         self.expect(",")
         child = self.parse_or()
         self.expect(")")
-        if not isinstance(child, ast.VectorSelector):
+        if not isinstance(
+            child,
+            (ast.VectorSelector, ast.Aggregate, ast.RangeFunc, ast.OverTimeFunc),
+        ):
             raise PromQLError(
-                "histogram_quantile requires a vector selector of le-labeled "
-                "bucket series"
+                "histogram_quantile requires le-labeled bucket series (a "
+                "selector, a windowed rate/increase/*_over_time over them, "
+                "or an aggregate grouped by (le))"
             )
         return ast.HistogramQuantile(phi, child)
 

@@ -155,3 +155,39 @@ def test_plan_has_no_per_step_loop(golden_db):
     q = golden_db.query_range(WEB, 0, 100, 1, lookback=10)
     plan = q.df()._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_histogram_quantile_selector_grid(golden_db):
+    # hq buckets: ts10 counts [1,2,4] les [.5,1,+Inf]; ts20 [2,5,5].
+    # step 30 still sees the ts-20 instants (lookback 10, inclusive edge)
+    q = golden_db.query_range("histogram_quantile(0.5, hq)", 0, 30, 10, lookback=10)
+    got = dict(q.rows())
+    assert set(got) == {10, 20, 30}
+    assert got[10] == 1.0  # rank 2 hits bucket le=1 exactly
+    assert abs(got[20] - (0.5 + 0.5 * 0.5 / 3)) < 1e-9
+    assert got[30] == got[20]
+
+
+def test_histogram_quantile_grouped_grid(golden_db):
+    # the canonical dashboard shape: aggregate by (le), then interpolate
+    # per step (one series per le here, so values match the selector form)
+    q = golden_db.query_range(
+        "histogram_quantile(0.5, sum by (le) (hq))", 0, 30, 10, lookback=10
+    )
+    got = dict(q.rows())
+    assert set(got) == {10, 20, 30}
+    assert got[10] == 1.0
+    assert abs(got[20] - (0.5 + 0.5 * 0.5 / 3)) < 1e-9
+
+
+def test_histogram_quantile_windowed_child_grid(golden_db):
+    # increase(hq[20]) at step 20 covers (0, 20]: per-bucket increases
+    # [1, 3, 1]; steps 10/30/40 have single-sample windows (dropped).
+    # bucket interpolation over the increase counts: total 1, rank 0.5
+    # lands in the first bucket -> 0.5 * 0.5 / 1
+    q = golden_db.query_range(
+        "histogram_quantile(0.5, increase(hq[20]))", 0, 40, 10, lookback=10
+    )
+    got = dict(q.rows())
+    assert set(got) == {20}
+    assert abs(got[20] - 0.25) < 1e-9

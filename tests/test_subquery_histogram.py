@@ -90,3 +90,20 @@ def test_histogram_quantile_only_inf_bucket_yields_no_rows(db):
     make_stream(db, 'hinf{le="+Inf"}', "u64", [(10, 4), (20, 7)])
     q = db.query("histogram_quantile(0.9, hinf)", 0, 100)
     assert q.rows() == []
+
+
+def test_histogram_quantile_windowed_child_raw(golden_db):
+    # raw mode now accepts any streams-carrying vector child:
+    # max_over_time(hq[100]) collapses each bucket series to its window max
+    # (counts [2, 5, 5] at window ts 0), then the same bucket interpolation
+    q = golden_db.query("histogram_quantile(0.9, max_over_time(hq[100]))", 0, 100)
+    rows = q.rows()
+    assert len(rows) == 1
+    assert rows[0][0] == 0
+    # rank 4.5 in counts [2,5,5]: le=1 bucket, 0.5 + 0.5*(4.5-2)/(5-2)
+    assert abs(rows[0][1] - (0.5 + 0.5 * 2.5 / 3)) < 1e-9
+
+
+def test_histogram_quantile_aggregate_child_raw_rejected(golden_db):
+    with pytest.raises(ValueError, match="query_range"):
+        golden_db.query("histogram_quantile(0.5, sum by (le) (hq))", 0, 100)
