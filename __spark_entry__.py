@@ -915,6 +915,52 @@ def q_ewma_final(spark, sf_dir):
     return out.select("event_type", F.round("ewma", 6).alias("ewma"))
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (functions/sampling.
+    hash_split): cumulative fraction thresholds on a [0,1) md5 hash of the
+    key — reproducible under repartitioning and append-stable (a new doc
+    never moves an old one between splits). Narrow projection, no shuffle;
+    fractions chosen binary-exact (.75/.125/.125) so the threshold
+    comparison replays bit-for-bit in the oracle."""
+    from tachyon_spark.functions.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    out = hash_split(docs, {"train": 0.75, "val": 0.125, "test": 0.125})
+    return out.select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling (functions/sampling.
+    stratified_sample): downsample src0 to 50%, src1 to 25%, keep src2
+    whole, keep the rest at 12.5% — row survives iff hash(doc_id) <
+    fraction[source]. Narrow filter over the scan (composes with
+    pushdown, zero shuffles); subset-monotone in the fraction. Fractions
+    binary-exact so the threshold replays bit-for-bit in the oracle."""
+    from tachyon_spark.functions.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, {"src0": 0.5, "src1": 0.25, "src2": 1.0},
+        strata_col="source", default=0.125,
+    )
+    return out.select("doc_id", "source")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (functions/sampling.
+    pack_sequences): shard by hash, order deterministically within shard,
+    cut the concatenation into 512-token training sequences; one row per
+    doc with its (shard, seq_id, start_tok). ONE shuffle on the shard
+    key; per-shard running sums are embarrassingly parallel across
+    shards (size n_shards so a shard fits a task — the groupBy
+    contract)."""
+    from tachyon_spark.functions.sampling import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    return pack_sequences(toks, budget=512, n_shards=8)
+
+
 def q_query_range_histogram(spark, sf_dir):
     """query_range histogram_quantile end-to-end through the engine surface
     (plans/range_eval._histogram_quantile): the canonical dashboard query
@@ -1021,7 +1067,7 @@ def q_media_wav_decode(spark, sf_dir):
                 }
             )
 
-    media = _spread(docs.select("doc_id", "text")).mapInPandas(
+    media = docs.select("doc_id", "text").mapInPandas(
         enc, "content_id string, modality string, payload binary"
     )
     feats = extract_features(media)
@@ -1271,7 +1317,7 @@ def q_media_real_decode(spark, sf_dir):
                 }
             )
 
-    media = _spread(docs.select("doc_id", "text")).mapInPandas(
+    media = docs.select("doc_id", "text").mapInPandas(
         enc, "content_id string, modality string, payload binary"
     )
     feats = extract_features(media)
@@ -1318,7 +1364,7 @@ def q_media_video_decode(spark, sf_dir):
                 }
             )
 
-    media = _spread(docs.select("doc_id", "text")).mapInPandas(
+    media = docs.select("doc_id", "text").mapInPandas(
         enc, "content_id string, modality string, payload binary"
     ).select(
         "content_id",
@@ -1665,6 +1711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_range_lookback": q_query_range_lookback,
         "query_range_increase": q_query_range_increase,
         "query_range_histogram": q_query_range_histogram,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "counter_resets": q_counter_resets,
         "deriv_windows": q_deriv_windows,
         "irate_windows": q_irate_windows,
@@ -2540,6 +2589,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, g AS ts_us, round(inc, 6) AS increase
             FROM a WHERE t1 > t0
+        """,
+        "hash_split": """
+            -- bit-for-bit replay of hash_unit: 60 bits of md5(key||salt)
+            -- over 2^60, then the cumulative binary-exact thresholds
+            WITH u AS (
+              SELECT doc_id,
+                     CAST(CONCAT('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15
+                     )) AS BIGINT) / 1152921504606846976.0 AS u
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN u < 0.75 THEN 'train'
+                        WHEN u < 0.875 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
+        """,
+        "stratified_sample": """
+            WITH u AS (
+              SELECT doc_id, source,
+                     CAST(CONCAT('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 15
+                     )) AS BIGINT) / 1152921504606846976.0 AS u
+              FROM documents
+            )
+            SELECT doc_id, source FROM u
+            WHERE u < CASE source WHEN 'src0' THEN 0.5
+                                  WHEN 'src1' THEN 0.25
+                                  WHEN 'src2' THEN 1.0
+                                  ELSE 0.125 END
+        """,
+        "pack_sequences": """
+            -- concat-and-chunk replay: same shard hash, same in-shard
+            -- order (h, id), same running-sum offset arithmetic
+            WITH t AS (
+              SELECT doc_id AS id,
+                     len(string_split(text, ' ')) AS n_tok,
+                     CAST(CONCAT('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 15
+                     )) AS BIGINT) AS h
+              FROM documents
+            ),
+            c AS (
+              SELECT id, CAST(h % 8 AS INT) AS shard, n_tok,
+                     coalesce(sum(n_tok) OVER (
+                       PARTITION BY h % 8 ORDER BY h, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cp
+              FROM t
+            )
+            SELECT id, shard, cp // 512 AS seq_id, cp % 512 AS start_tok,
+                   n_tok
+            FROM c
         """,
         "query_range_histogram": f"""
             -- grid histogram_quantile oracle: per-step bucket counts are

@@ -145,6 +145,8 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         "embedding_cosine_topk",
         "embedding_ann_lsh",
         "text_stats",
+        "repetition_score",
+        "pack_sequences",
     ]
     entrymod._read(spark, rep, "events").count()  # warm listing
     out["full_scan_agg"] = timed(
@@ -205,6 +207,15 @@ def main():
         "agg_stddev",
         "media_real_decode",
         "dedup_simhash",
+        # round 4
+        "rate_counter_aware",
+        "query_range_increase",
+        "query_range_histogram",
+        "dedup_clusters",
+        "media_video_decode",
+        "hash_split",
+        "stratified_sample",
+        "pack_sequences",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

@@ -27,6 +27,11 @@ from tachyon_spark.functions.textstats import (
     text_stats,
 )
 from tachyon_spark.functions.histogram import bucket_quantile
+from tachyon_spark.functions.sampling import (
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
 from tachyon_spark.functions.util import spread
 from tachyon_spark.functions.codecs import (
     png_decode,
@@ -57,6 +62,9 @@ __all__ = [
     "repetition_score",
     "text_stats",
     "bucket_quantile",
+    "hash_split",
+    "stratified_sample",
+    "pack_sequences",
     "spread",
     "png_decode",
     "png_encode",

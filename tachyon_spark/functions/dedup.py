@@ -48,8 +48,16 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-# shared with the other function modules; see functions/util.py
-from tachyon_spark.functions.util import spread as _spread  # noqa: E402
+from tachyon_spark.functions.util import spread as _spread_base  # noqa: E402
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """functions/util.spread at cap 16: the dedup pipelines' shingle
+    explode multiplies rows ~100x right after the scan, so 16 input
+    partitions already saturate 32 cores downstream — 32 pre-explode
+    partitions just doubled scheduling + shuffle-file overhead (measured
+    +0.3-0.7 s per dedup query at sf0.1)."""
+    return _spread_base(df, cap=16)
 
 
 def _verify_side(candidates: DataFrame, max_broadcast_rows: int = 2_000_000) -> DataFrame:

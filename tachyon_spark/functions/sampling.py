@@ -1,0 +1,162 @@
+"""Deterministic sampling, splitting, and sequence packing for
+training-data pipelines.
+
+A 100 TB corpus pipeline needs *reproducible* data selection: re-running
+the job (or adding executors) must pick the same rows, which rules out
+`df.sample`'s per-partition RNG (partition layout changes the draw).
+Everything here keys off md5(key || salt) — engine-portable (the DuckDB
+oracles replay it bit-for-bit), stable under repartitioning, and
+decorrelated between salts:
+
+  hash_split         train/val/test assignment by cumulative fraction
+                     thresholds on a [0, 1) hash of the key.
+  stratified_sample  per-stratum keep-fractions (e.g. downsample crawl,
+                     keep all of wiki) — one narrow filter, no shuffle.
+  pack_sequences     concat-and-chunk packing: shard the corpus, order
+                     docs deterministically within each shard, and map
+                     every doc to the training sequence (`seq_id`) its
+                     first token lands in under a fixed token budget.
+
+All three are pure JVM column expressions (no UDFs). hash_split and
+stratified_sample are narrow (filter/projection over the scan — they
+compose with predicate pushdown and cost zero shuffles). pack_sequences
+shuffles once on the shard key; each shard's running sum is a sequential
+window, so choose n_shards so a shard's docs fit one task (at 100 TB:
+tens of thousands of shards, each a few GB — the same contract as any
+groupBy key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60 bits of md5 (15 hex chars) → integer; / 2^60 → uniform [0, 1).
+# 60 bits keeps the conv() result comfortably inside a signed long and
+# replays exactly in DuckDB: CAST(CONCAT('0x', substr(md5(x),1,15)) AS BIGINT).
+_HASH_SPACE = float(1 << 60)
+
+
+def hash_unit(col, salt: str = "") -> F.Column:
+    """Deterministic uniform [0, 1) from a key column (+ optional salt —
+    different salts give independent draws, e.g. split vs sample)."""
+    key = F.concat(col.cast("string"), F.lit(salt))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("double")
+        / F.lit(_HASH_SPACE)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split by cumulative fraction
+    thresholds: splits {"train": .98, "val": .01, "test": .01} maps
+    hash < .98 → train, < .99 → val, else test. Fractions must sum to ~1
+    (validated). Adding rows later never moves an existing row between
+    splits — the assignment is a pure function of the key. Returns the
+    input plus a `split` column; narrow, no shuffle."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    u = hash_unit(F.col(key_col), salt)
+    cum = 0.0
+    expr = None
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically:
+    row survives iff hash(key) < fractions[stratum]. Strata absent from
+    `fractions` use `default` (0 drops them). The per-stratum keep-rate
+    concentrates tightly around the fraction (hash is uniform), and the
+    selection is reproducible and subset-monotone: lowering a fraction
+    keeps a subset of the previous sample. Narrow filter, no shuffle."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default fraction must be in [0, 1], got {default}")
+    u = hash_unit(F.col(key_col), salt)
+    frac = None
+    for name, f in fractions.items():
+        branch = F.when(F.col(strata_col) == F.lit(name), F.lit(float(f)))
+        frac = branch if frac is None else frac.when(
+            F.col(strata_col) == F.lit(name), F.lit(float(f))
+        )
+    frac = F.lit(float(default)) if frac is None else frac.otherwise(
+        F.lit(float(default))
+    )
+    return df.where(u < frac)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_shards: int,
+    token_col: str = "n_tok",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM pretraining
+    layout): documents are sharded by hash, ordered deterministically
+    within each shard (hash, then id — a reshuffle-stable permutation),
+    conceptually concatenated, and cut into `budget`-token training
+    sequences. Returns one row per document:
+
+      (id, shard, seq_id, start_tok, n_tok)
+
+    where seq_id = floor(cumulative_tokens_before_doc / budget) within
+    the shard and start_tok is the doc's offset inside that sequence. A
+    document longer than the remaining room simply spans into the next
+    sequence(s) — exactly what chunked pretraining does.
+
+    Distribution: ONE shuffle on the shard key; the running sum is a
+    window per shard, sequential within its task. Size n_shards so one
+    shard's documents fit a task (the usual groupBy contract) — the
+    packing inside different shards is embarrassingly parallel."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    shard = (h % F.lit(n_shards)).cast("int")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(token_col).cast("long").alias("n_tok"),
+        shard.alias("shard"),
+        h.alias("__h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return base.select(
+        "id",
+        "shard",
+        F.floor(cum_prev / F.lit(budget)).cast("long").alias("seq_id"),
+        (cum_prev % F.lit(budget)).alias("start_tok"),
+        "n_tok",
+    )

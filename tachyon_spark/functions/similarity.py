@@ -202,11 +202,6 @@ def embedding_near_dup_pairs(
     all_planes = [
         row for t in range(tables) for row in _hyperplanes(dim, planes, seed + t)
     ]
-    from tachyon_spark.functions.util import spread
-
-    # bucket matmul + the exact-cosine verify join both start from this
-    # frame; spread small-file inputs across cores (no-op at scale)
-    df = spread(df)
     udf = _lsh_buckets_udf(all_planes, planes)
     bucketed = df.select(
         F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("__bs")
@@ -226,6 +221,13 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # candidate pairs are byte-light but the verify below is CPU-heavy (one
+    # array dot product per pair): AQE's byte-based coalesce would funnel
+    # them into a handful of tasks. An explicit user repartition is exempt
+    # from coalescing, so the verify keeps full fan-out; when the vector
+    # side is small enough to auto-broadcast (stats-based), no further
+    # exchange follows and the dot products run at this parallelism.
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
     paired = (
         cand.join(vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a")

@@ -1,0 +1,105 @@
+"""Deterministic sampling / splitting / packing (functions/sampling.py).
+
+These are reproducibility-critical pipeline primitives: the properties
+pinned here (stability under repartitioning, subset monotonicity, split
+exhaustiveness, packing offset algebra) are what a 100 TB re-run relies
+on, not just point values.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tachyon_spark.functions.sampling import (
+    hash_split,
+    hash_unit,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, ["crawl", "wiki", "books"][i % 3], "word " * (5 + i % 40))
+        for i in range(600)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_hash_unit_uniform_and_salted(docs):
+    stats = docs.select(
+        F.avg(hash_unit(F.col("doc_id"))).alias("m"),
+        F.corr(
+            hash_unit(F.col("doc_id"), "a"), hash_unit(F.col("doc_id"), "b")
+        ).alias("c"),
+    ).head()
+    assert abs(stats.m - 0.5) < 0.05  # uniform mean
+    assert abs(stats.c) < 0.1  # salts decorrelate
+
+
+def test_hash_split_exhaustive_disjoint_stable(docs):
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 600  # every row exactly one split
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert abs(counts["train"] / 600 - 0.8) < 0.08
+    # repartitioning must not move a single row between splits
+    again = hash_split(docs.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in again.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_hash_split_validates_fractions(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_stratified_sample_rates_and_monotone(docs):
+    half = stratified_sample(docs, {"crawl": 0.5, "wiki": 1.0}, default=0.0)
+    by_src = {r["source"]: r["n"] for r in half.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["wiki"] == 200  # keep-all stratum intact
+    assert "books" not in by_src  # default 0 drops the stratum
+    assert abs(by_src["crawl"] / 200 - 0.5) < 0.15
+    # subset-monotone: shrinking the fraction keeps a subset
+    quarter = stratified_sample(docs, {"crawl": 0.25, "wiki": 1.0}, default=0.0)
+    big = {r["doc_id"] for r in half.select("doc_id").collect()}
+    small = {r["doc_id"] for r in quarter.select("doc_id").collect()}
+    assert small <= big
+
+
+def test_stratified_sample_validates(docs):
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        stratified_sample(docs, {"crawl": 1.5})
+
+
+def test_pack_sequences_offsets_are_consistent(docs):
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    packed = pack_sequences(toks, budget=128, n_shards=8, id_col="doc_id")
+    rows = packed.orderBy("shard", "seq_id", "start_tok").collect()
+    assert len(rows) == 600
+    # replay the concat-and-chunk arithmetic per shard
+    cum = {}
+    for r in rows:
+        c = cum.get(r["shard"], 0)
+        assert r["seq_id"] == c // 128, r
+        assert r["start_tok"] == c % 128, r
+        cum[r["shard"]] = c + r["n_tok"]
+    # every shard used; seq_ids start at 0
+    assert {r["shard"] for r in rows} == set(range(8))
+    assert min(r["seq_id"] for r in rows) == 0
+
+
+def test_pack_sequences_stable_under_repartition(docs):
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    a = {tuple(r) for r in pack_sequences(toks, 128, 8).collect()}
+    b = {tuple(r) for r in pack_sequences(toks.repartition(13), 128, 8).collect()}
+    assert a == b
+
+
+def test_pack_sequences_validates(docs):
+    toks = docs.select("doc_id", F.lit(10).alias("n_tok"))
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(toks, 0, 4)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_sequences(toks, 128, 0)
