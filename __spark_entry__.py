@@ -1200,6 +1200,59 @@ def q_vector_matching(spark, sf_dir):
     )
 
 
+def q_query_range_matching(spark, sf_dir):
+    """Grid vector matching end-to-end through the engine surface
+    (plans/range_eval._matched): per-user click/view streams, then
+    `vm_click / on(user) vm_view` evaluated on a 12h step grid with a 6h
+    lookback — each side resolves its per-step instant independently
+    (staleness drops a user's side past the lookback), then an exact
+    equi-join per (user, step). No interpolation between instants
+    (PromQL); both sides share one (key, step) shuffle. The oracle
+    replays grid x last-sample-lookback per side and divides."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+
+    ev = _read(spark, sf_dir, "events")
+    series = (
+        ev.where(
+            F.col("event_type").isin("click", "view")
+            & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+        )
+        .groupBy("event_type", "user_id", F.expr("ts DIV 1000").alias("ts"))
+        .agg(F.avg("value").alias("value"))
+    )
+    pairs = sorted(
+        (r.event_type, r.user_id)
+        for r in series.select("event_type", "user_id").distinct().collect()
+    )
+    work = tempfile.mkdtemp(prefix="ty_qrm_")
+    conn = Connection(os.path.join(work, "db"), spark)
+    ids = conn.create_streams(
+        [(f'vm_{et}{{user="{uid}"}}', "f64") for et, uid in pairs]
+    )
+    mapping = spark.createDataFrame(
+        [(et, uid, sid) for (et, uid), sid in zip(pairs, ids)],
+        "event_type string, user_id long, stream_id string",
+    )
+    conn.bulk_load(
+        series.join(F.broadcast(mapping), ["event_type", "user_id"]).select(
+            "stream_id", "ts", "value", F.lit(None).cast("long").alias("value_int")
+        )
+    )
+    w12h = 12 * 3600 * 1_000_000
+    w6h = 6 * 3600 * 1_000_000
+    out = conn.query_range(
+        "vm_click / on(user) vm_view", T0_US, T1_US, w12h, lookback=w6h
+    ).df()
+    return out.select(
+        F.col("user").cast("long").alias("user_id"),
+        F.col("ts").alias("ts_us"),
+        F.round("value", 6).alias("ratio"),
+    )
+
+
 def q_promql_subquery(spark, sf_dir):
     """PromQL subquery end-to-end through the engine surface:
     `max_over_time(rate(m[30m])[2h:30m])` (extension; the reference rejects
@@ -1711,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_range_lookback": q_query_range_lookback,
         "query_range_increase": q_query_range_increase,
         "query_range_histogram": q_query_range_histogram,
+        "query_range_matching": q_query_range_matching,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2642,6 +2696,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, shard, cp // 512 AS seq_id, cp % 512 AS start_tok,
                    n_tok
             FROM c
+        """,
+        "query_range_matching": f"""
+            -- per side: grid x latest-sample-within-lookback; then exact
+            -- per (user, step) division (no interpolation on the grid)
+            WITH s AS (
+              SELECT event_type, user_id, epoch_us(ts) AS t, avg(value) AS value
+              FROM events
+              WHERE event_type IN ('click', 'view')
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT event_type, user_id,
+                     unnest(generate_series({T0_US}, {T1_US}, 43200000000)) AS g
+              FROM (SELECT DISTINCT event_type, user_id FROM s)
+            ),
+            r AS (
+              SELECT grid.event_type, grid.user_id, grid.g,
+                     max_by(s.value, s.t) AS v
+              FROM grid JOIN s
+                ON s.event_type = grid.event_type
+               AND s.user_id = grid.user_id
+               AND s.t <= grid.g AND s.t >= grid.g - 21600000000
+              GROUP BY 1, 2, 3
+            )
+            SELECT c.user_id, c.g AS ts_us, round(c.v / v.v, 6) AS ratio
+            FROM (SELECT * FROM r WHERE event_type = 'click') c
+            JOIN (SELECT * FROM r WHERE event_type = 'view') v
+              ON v.user_id = c.user_id AND v.g = c.g
         """,
         "query_range_histogram": f"""
             -- grid histogram_quantile oracle: per-step bucket counts are

@@ -43,9 +43,15 @@ Spark mapping — the step grid is DATA, never a per-step driver loop:
                  get a broadcast le map — interpolation is array-HOF
                  codegen either way (functions/histogram.py).
 
+  a ∘ on(l) b     exact equi-join per (match key, step); group_left/
+                  group_right many-to-one keeps the many side's series
+                  identity, include labels broadcast from the one side;
+                  and/or/unless match membership per (group, step).
+  absent(v)       grid anti-join against the instant vector's steps.
+
 Unsupported in range mode (clear errors, not silent wrong answers):
-@ modifiers, subqueries, absent/sort/count_values/label_*, vector-vector
-ops without on()/ignoring(). `offset` IS supported, PromQL-style (the
+@ modifiers, subqueries, sort/count_values/label_*, vector-vector ops
+without on()/ignoring(). `offset` IS supported, PromQL-style (the
 raw-sample engine ignores offset without @ for reference parity; here it
 shifts the sample clock).
 """
@@ -136,13 +142,16 @@ class RangeEvaluator:
             return self._getk(expr)
         if isinstance(expr, ast.HistogramQuantile):
             return self._histogram_quantile(expr)
+        if isinstance(expr, ast.AbsentFunc):
+            return self._absent(expr)
         raise ValueError(
             f"{type(expr).__name__} is not supported in query_range "
             "(supported: selectors, range/over_time/resets/changes/irate/"
             "idelta/deriv over m[R], aggregates with by/without, arithmetic "
-            "and comparisons with scalars, on()/ignoring() vector matching, "
+            "and comparisons with scalars, on()/ignoring() vector matching "
+            "incl. group_left/group_right and set ops, "
             "abs/ceil/floor/sqrt/exp/ln/sgn, clamp*, round, topk/bottomk, "
-            "histogram_quantile)"
+            "histogram_quantile, absent)"
         )
 
     # ----------------------------------------------------------- selector
@@ -459,17 +468,17 @@ class RangeEvaluator:
                     group_cols=vec.group_cols, streams=vec.streams)
 
     def _matched(self, node: ast.BinaryOp, lhs: Plan, rhs: Plan) -> Plan:
-        """a OP on(l)/ignoring(l) b on the step grid: exact equi-join per
-        (match key, step) — no interpolation between instants (PromQL).
-        One-to-one only; both sides shuffled on the same key."""
+        """a OP on(l)/ignoring(l) [group_left/right] b on the step grid:
+        exact equi-join per (match key, step) — instants on the same grid
+        never interpolate (PromQL). Many-to-one keeps the many side's
+        series identity (stream_id) in the result key; group_left(l1,..)
+        copies include labels from the unique one side via a broadcast
+        map. Set ops match membership per (group, step). Both sides
+        shuffle once on the same (key, step)."""
         matching = node.matching
-        if matching.group is not None:
+        if node.op in _CMP:
             raise ValueError(
-                "group_left/group_right are not supported in query_range"
-            )
-        if node.op in ast.SET_OPS or node.op in _CMP:
-            raise ValueError(
-                f"{node.op!r} with matching is not supported in query_range"
+                "vector-to-vector comparison is not supported (reference panics)"
             )
         if lhs.kind != "vector" or rhs.kind != "vector":
             raise ValueError("on()/ignoring() requires vector operands")
@@ -479,34 +488,93 @@ class RangeEvaluator:
             )
         if matching.on:
             key_cols = list(matching.labels)
+            if not key_cols:
+                raise ValueError("on() requires at least one label")
         else:
             key_cols = ["__match_key"]
+        if set(matching.include) & set(key_cols):
+            raise ValueError(
+                "group_left/right include labels overlap match labels"
+            )
         lkeys = {s.stream_id: self._b._key(s, matching) for s in lhs.streams}
         rkeys = {s.stream_id: self._b._key(s, matching) for s in rhs.streams}
+        on = key_cols + ["ts"]
+
+        if node.op in ast.SET_OPS:
+            if matching.group is not None:
+                raise ValueError(
+                    "group_left/group_right do not apply to set operators"
+                )
+            keyed_l = self._b._keyed_side(lhs, lkeys, key_cols).drop("stream_id")
+            keyed_r = self._b._keyed_side(rhs, rkeys, key_cols).drop("stream_id")
+            if node.op == "and":
+                out = keyed_l.join(keyed_r.select(*on).distinct(), on, "left_semi")
+                return Plan("grouped", out, lhs.value_type, group_cols=tuple(on))
+            if node.op == "unless":
+                out = keyed_l.join(keyed_r.select(*on).distinct(), on, "left_anti")
+                return Plan("grouped", out, lhs.value_type, group_cols=tuple(on))
+            # or: keep all lhs; add rhs rows whose (group, step) is absent
+            r_extra = keyed_r.join(keyed_l.select(*on).distinct(), on, "left_anti")
+            out = keyed_l.select(
+                *on, F.col("value").cast("double").alias("value")
+            ).unionByName(
+                r_extra.select(*on, F.col("value").cast("double").alias("value"))
+            )
+            return Plan("grouped", out, VT_F64, group_cols=tuple(on))
+
         common = set(lkeys.values()) & set(rkeys.values())
+        lkeys = {sid: k for sid, k in lkeys.items() if k in common}
+        rkeys = {sid: k for sid, k in rkeys.items() if k in common}
         if not common:
             raise ValueError("no matching label groups between operands")
         from collections import Counter
 
-        for side, keys in (("left", lkeys), ("right", rkeys)):
+        def _assert_unique(keys: dict, side: str) -> None:
             dup = [k for k, c in Counter(keys.values()).items() if c > 1]
             if dup:
+                hint = (
+                    " (use group_left/group_right for many-to-one)"
+                    if matching.group is None
+                    else ""
+                )
                 raise ValueError(
                     f"vector matching: multiple {side} series in match "
-                    f"group {dup[0]!r}"
+                    f"group {dup[0]!r}{hint}"
                 )
-        keyed_l = self._b._keyed_side(lhs, lkeys, key_cols).drop("stream_id")
-        keyed_r = self._b._keyed_side(rhs, rkeys, key_cols).drop("stream_id")
-        on = key_cols + ["ts"]
-        joined = keyed_l.select(
-            *on, F.col("value").cast("double").alias("__va")
+
+        if matching.group in (None, "right"):
+            _assert_unique(lkeys, "left")
+        if matching.group in (None, "left"):
+            _assert_unique(rkeys, "right")
+
+        keyed_l = self._b._keyed_side(lhs, lkeys, key_cols)
+        keyed_r = self._b._keyed_side(rhs, rkeys, key_cols)
+        if matching.group is None:
+            series = key_cols
+            a_frame, b_frame = keyed_l.drop("stream_id"), keyed_r.drop("stream_id")
+        elif matching.group == "left":
+            series = ["stream_id"] + key_cols  # many side keeps identity
+            a_frame, b_frame = keyed_l, keyed_r.drop("stream_id")
+        else:  # group_right
+            series = ["stream_id"] + key_cols
+            a_frame, b_frame = keyed_l.drop("stream_id"), keyed_r
+        sel = series + ["ts"]
+        a_cols = (["stream_id"] if matching.group == "left" else []) + on
+        b_cols = (["stream_id"] if matching.group == "right" else []) + on
+        joined = a_frame.select(
+            *a_cols, F.col("value").cast("double").alias("__va")
         ).join(
-            keyed_r.select(*on, F.col("value").cast("double").alias("__vb")), on
+            b_frame.select(*b_cols, F.col("value").cast("double").alias("__vb")),
+            on,
         )
         out = joined.select(
-            *on, _ARITH[node.op](F.col("__va"), F.col("__vb")).alias("value")
+            *sel, _ARITH[node.op](F.col("__va"), F.col("__vb")).alias("value")
         )
-        return Plan("grouped", out, VT_F64, group_cols=tuple(on))
+        if matching.include:
+            out = self._b._attach_include(
+                out, matching, key_cols, lkeys, rkeys, lhs, rhs
+            )
+        return Plan("grouped", out, VT_F64, group_cols=tuple(sel))
 
     # ---------------------------------------------------------- columnwise
     @staticmethod
@@ -588,6 +656,28 @@ class RangeEvaluator:
             "series (a selector / windowed function over them, or an "
             "aggregate grouped by (le))"
         )
+
+    # -------------------------------------------------------------- absent
+    def _absent(self, node: ast.AbsentFunc) -> Plan:
+        """absent(v) per step: 1 at steps where NO series has a value
+        (unknown metric → 1 on the whole grid) — the dead-stream alerting
+        primitive, per instant. Grid anti-join against the instant
+        vector's step set; the grid is data, one small exchange."""
+        grid = self.conn.spark.range(self.n_steps).select(
+            (F.lit(self.start) + F.col("id") * F.lit(self.step)).alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+        try:
+            child = self._eval(node.child)
+        except ValueError as e:
+            if "no streams matched" in str(e):
+                return Plan("vector", grid, VT_F64)
+            raise
+        if child.kind not in ("vector", "grouped") or "ts" not in child.df.columns:
+            raise ValueError("absent() requires a vector input")
+        present = child.df.select("ts").distinct()
+        out = grid.join(present, "ts", "left_anti")
+        return Plan("vector", out, VT_F64)
 
     # ---------------------------------------------------------------- getk
     def _getk(self, node: ast.GetK) -> Plan:

@@ -144,7 +144,7 @@ def test_errors(golden_db):
     with pytest.raises(ValueError, match="on\\(\\)/ignoring\\(\\)"):
         golden_db.query_range("ia + ib", 0, 100, 10)
     with pytest.raises(ValueError, match="not supported in query_range"):
-        golden_db.query_range(f"absent({WEB})", 0, 100, 10)
+        golden_db.query_range(f"sort({WEB})", 0, 100, 10)
     with pytest.raises(ValueError, match="range vector"):
         golden_db.query_range(f"rate({WEB})", 0, 100, 10)
 
@@ -191,3 +191,56 @@ def test_histogram_quantile_windowed_child_grid(golden_db):
     got = dict(q.rows())
     assert set(got) == {20}
     assert abs(got[20] - 0.25) < 1e-9
+
+
+def test_group_left_on_grid(golden_db):
+    # many side vm_multi (hosts a, b; both service=web) x one side vm_lim;
+    # instants resolve per step with lookback 10 before joining
+    q = golden_db.query_range(
+        "vm_multi * on(service) group_left vm_lim", 0, 30, 10, lookback=10
+    )
+    df = q.df()
+    assert "stream_id" in df.columns  # many side keeps series identity
+    by_ts = {}
+    for r in df.collect():
+        by_ts.setdefault(r["ts"], []).append(r["value"])
+    # ts10: a=1*100, b=3*100; ts20: a=2*100, b=3*100; ts30: a=2*200 (vm_lim
+    # carried to 20, b stale at 30)
+    assert sorted(by_ts[10]) == [100.0, 300.0]
+    assert sorted(by_ts[20]) == [200.0, 300.0]
+    assert by_ts[30] == [400.0]
+
+
+def test_group_left_include_labels_grid(golden_db):
+    q = golden_db.query_range(
+        "vm_multi * on(service) group_left(tier) vm_lim2", 0, 20, 10, lookback=10
+    )
+    rows = q.df().collect()
+    assert rows and all(r["tier"] == "gold" for r in rows)
+
+
+def test_many_to_one_requires_group_modifier_grid(golden_db):
+    with pytest.raises(ValueError, match="group_left/group_right"):
+        golden_db.query_range("vm_multi * on(service) vm_lim", 0, 20, 10)
+
+
+def test_set_op_and_on_grid(golden_db):
+    # vm_req and on(service) vm_lim per (service, step): web limits exist
+    # at steps 10-30; mobile limit (sample at 20) exists at steps 20, 30
+    q = golden_db.query_range(
+        "vm_req and on(service) vm_lim", 0, 30, 10, lookback=10
+    )
+    got = sorted((r["service"], r["ts"], r["value"]) for r in q.df().collect())
+    assert got == [
+        ("mobile", 20, 8.0), ("mobile", 30, 12.0),
+        ("web", 10, 10.0), ("web", 20, 20.0), ("web", 30, 30.0),
+    ]
+
+
+def test_absent_on_grid(golden_db):
+    q = golden_db.query_range(f"absent({WEB})", 0, 100, 10, lookback=10)
+    assert sorted(t for t, _ in q.rows()) == [0, 10, 20, 70, 80, 90, 100]
+    assert all(v == 1.0 for _, v in q.rows())
+    # unknown metric: absent across the whole grid
+    q = golden_db.query_range('absent(nope{service="x"})', 0, 30, 10)
+    assert sorted(t for t, _ in q.rows()) == [0, 10, 20, 30]
