@@ -961,6 +961,37 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(toks, budget=512, n_shards=8)
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII detection + redaction (functions/pii.py): deterministic PII is
+    injected into each document from its doc_id (an email, an IP, an SSN
+    on every third doc), then scrub_pii counts per category on the
+    progressively-redacted text and replaces matches with typed
+    placeholders — all JVM regexp expressions, one narrow projection,
+    zero shuffles. The oracle runs the IDENTICAL pattern strings
+    (imported from the same module constant — they cannot drift) through
+    DuckDB's RE2 and compares counts plus md5 of the fully redacted
+    text, so both engines must agree on every match boundary."""
+    from tachyon_spark.functions.pii import scrub_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = scrub_pii(salted)
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_ssn", "n_phone",
+        F.md5("clean").alias("clean_md5"),
+    )
+
+
 def q_query_range_histogram(spark, sf_dir):
     """query_range histogram_quantile end-to-end through the engine surface
     (plans/range_eval._histogram_quantile): the canonical dashboard query
@@ -1765,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_range_increase": q_query_range_increase,
         "query_range_histogram": q_query_range_histogram,
         "query_range_matching": q_query_range_matching,
+        "scrub_pii": q_scrub_pii,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -1935,6 +1967,35 @@ SELECT u AS user_id, t AS ts_us, round(
         ELSE pvb + (nvb - pvb) * (t - ptb) / (ntb - ptb) END), 6) AS value
 FROM w
 """
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB replay of q_scrub_pii built from the SAME PII_PATTERNS
+    constant the engine uses — pattern strings cannot drift between the
+    two sides. Staged CTEs mirror the staged count-then-redact order."""
+    from tachyon_spark.functions.pii import PII_PATTERNS
+
+    inject = (
+        "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7' || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789'"
+        " ELSE '' END AS t FROM documents"
+    )
+    ctes = [f"s0 AS ({inject})"]
+    cols: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, 1):
+        carried = ", ".join(["doc_id"] + cols)
+        ctes.append(
+            f"s{i} AS (SELECT {carried},"
+            f" len(regexp_extract_all(t, '{pat}')) AS n_{name},"
+            f" regexp_replace(t, '{pat}', '{repl}', 'g') AS t FROM s{i - 1})"
+        )
+        cols.append(f"n_{name}")
+    final = ", ".join(["doc_id"] + cols)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT {final}, md5(t) AS clean_md5 FROM s{len(PII_PATTERNS)}"
+    )
 
 
 _PROMQL_SUBQUERY_SQL = """
@@ -2697,6 +2758,7 @@ def oracle_sql() -> dict[str, str]:
                    n_tok
             FROM c
         """,
+        "scrub_pii": _pii_oracle_sql(),
         "query_range_matching": f"""
             -- per side: grid x latest-sample-within-lookback; then exact
             -- per (user, step) division (no interpolation on the grid)

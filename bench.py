@@ -216,6 +216,8 @@ def main():
         "hash_split",
         "stratified_sample",
         "pack_sequences",
+        "scrub_pii",
+        "query_range_matching",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

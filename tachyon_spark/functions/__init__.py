@@ -27,6 +27,7 @@ from tachyon_spark.functions.textstats import (
     text_stats,
 )
 from tachyon_spark.functions.histogram import bucket_quantile
+from tachyon_spark.functions.pii import pii_density, scrub_pii
 from tachyon_spark.functions.sampling import (
     hash_split,
     pack_sequences,
@@ -65,6 +66,8 @@ __all__ = [
     "hash_split",
     "stratified_sample",
     "pack_sequences",
+    "scrub_pii",
+    "pii_density",
     "spread",
     "png_decode",
     "png_encode",
