@@ -48,12 +48,14 @@ Spark mapping — the step grid is DATA, never a per-step driver loop:
                   identity, include labels broadcast from the one side;
                   and/or/unless match membership per (group, step).
   absent(v)       grid anti-join against the instant vector's steps.
+  m @ T           pinned instant (one single-step evaluation at T, fanned
+                  across the steps with one explode — no per-step rescan).
 
 Unsupported in range mode (clear errors, not silent wrong answers):
-@ modifiers, subqueries, sort/count_values/label_*, vector-vector ops
-without on()/ignoring(). `offset` IS supported, PromQL-style (the
-raw-sample engine ignores offset without @ for reference parity; here it
-shifts the sample clock).
+@ on range selectors, subqueries, sort/count_values/label_*,
+vector-vector ops without on()/ignoring(). `offset` IS supported,
+PromQL-style (the raw-sample engine ignores offset without @ for
+reference parity; here it shifts the sample clock).
 """
 
 from __future__ import annotations
@@ -160,7 +162,10 @@ class RangeEvaluator:
         semantics: shift the scanned window by -offset, then shift sample
         ts forward so downstream logic sees the step clock."""
         if sel.at_ts is not None or sel.at_anchor:
-            raise ValueError("@ modifiers are not supported in query_range")
+            raise ValueError(
+                "@ modifiers on range selectors are not supported in "
+                "query_range (instant selectors support @)"
+            )
         off = sel.offset or 0
         bare = ast.VectorSelector(sel.name, sel.matchers)
         b = PlanBuilder(self.conn, self.start - back - off, self.end - off)
@@ -185,6 +190,8 @@ class RangeEvaluator:
         )
 
     def _selector_instant(self, sel: ast.VectorSelector) -> Plan:
+        if sel.at_ts is not None or sel.at_anchor:
+            return self._selector_at(sel)
         child = self._scan(sel, self.lookback)
         df = child.df
         vtype = df.schema["value"].dataType
@@ -218,6 +225,31 @@ class RangeEvaluator:
                 & (F.col("ts") - F.col("__sts") <= F.lit(self.lookback))
             )
             .select("stream_id", "ts", F.col("__v").alias("value"))
+        )
+        return Plan("vector", out, child.value_type, streams=child.streams)
+
+    def _selector_at(self, sel: ast.VectorSelector) -> Plan:
+        """`m @ T` (or `@ start()`/`@ end()`) on the grid: the evaluation
+        instant is PINNED at T — every step reports the same value
+        (Prometheus @ semantics; the grid only sets output timestamps).
+        One single-step instant evaluation at T, then the per-series row
+        fans across the steps with one explode — no per-step rescan.
+        `offset` composes (shifts the pinned clock, handled in _scan)."""
+        if sel.at_anchor == "start":
+            t = self.start
+        elif sel.at_anchor == "end":
+            t = self.end
+        else:
+            t = int(sel.at_ts)
+        bare = ast.VectorSelector(sel.name, sel.matchers, offset=sel.offset)
+        sub = RangeEvaluator(self.conn, t, t, self.step, self.lookback)
+        child = sub._selector_instant(bare)
+        out = child.df.select(
+            "stream_id",
+            F.explode(
+                F.sequence(F.lit(self.start), F.lit(self.end), F.lit(self.step))
+            ).alias("ts"),
+            "value",
         )
         return Plan("vector", out, child.value_type, streams=child.streams)
 

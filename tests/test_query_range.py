@@ -139,8 +139,8 @@ def test_errors(golden_db):
         golden_db.query_range(WEB, 0, 100, 0)
     with pytest.raises(ValueError, match="steps"):
         golden_db.query_range(WEB, 0, 10**9, 1)
-    with pytest.raises(ValueError, match="@ modifiers"):
-        golden_db.query_range(f"{WEB} @ 50", 0, 100, 10)
+    with pytest.raises(ValueError, match="@ modifiers on range"):
+        golden_db.query_range(f"rate({WEB}[20] @ 50)", 0, 100, 10)
     with pytest.raises(ValueError, match="on\\(\\)/ignoring\\(\\)"):
         golden_db.query_range("ia + ib", 0, 100, 10)
     with pytest.raises(ValueError, match="not supported in query_range"):
@@ -244,3 +244,18 @@ def test_absent_on_grid(golden_db):
     # unknown metric: absent across the whole grid
     q = golden_db.query_range('absent(nope{service="x"})', 0, 30, 10)
     assert sorted(t for t, _ in q.rows()) == [0, 10, 20, 30]
+
+
+def test_at_modifier_pins_instant_on_grid(golden_db):
+    # @29 pins evaluation at ts 29 (value 47): every step reports it
+    q = golden_db.query_range(f"{WEB} @ 29", 0, 30, 10, lookback=10)
+    assert q.rows() == [(0, 47), (10, 47), (20, 47), (30, 47)]
+    # @ end() anchors at the grid end (60: last sample 51 -> 48)
+    q = golden_db.query_range(f"{WEB} @ end()", 40, 60, 10, lookback=10)
+    assert q.rows() == [(40, 48), (50, 48), (60, 48)]
+    # pinned instant outside the lookback: empty everywhere
+    q = golden_db.query_range(f"{WEB} @ 100", 0, 20, 10, lookback=10)
+    assert q.rows() == []
+    # arithmetic composes over the pinned vector
+    q = golden_db.query_range(f"{WEB} @ 29 * 2", 0, 10, 10, lookback=10)
+    assert q.rows() == [(0, 94.0), (10, 94.0)]

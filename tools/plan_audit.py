@@ -44,14 +44,24 @@ def audit(name: str, df) -> list[str]:
         df.explain("formatted")
     plan = buf.getvalue()
     lines = []
-    n_exch = len(re.findall(r"\bExchange hashpartitioning", plan))
-    n_single = len(re.findall(r"\bExchange SinglePartition", plan))
+    # explain("formatted") splits the operator name and its arguments onto
+    # separate lines — "(4) Exchange" + "Arguments: hashpartitioning(...)"
+    # — so match the Arguments lines (the pre-round-4 name+args regexes
+    # matched nothing in formatted mode and under-reported every count).
+    n_exch = len(
+        re.findall(r"Arguments: hashpartitioning|\bExchange hashpartitioning", plan)
+    )
+    n_range = len(re.findall(r"Arguments: rangepartitioning", plan))
+    n_single = len(
+        re.findall(r"Arguments: SinglePartition|\bExchange SinglePartition", plan)
+    )
     n_bcast = len(re.findall(r"BroadcastExchange", plan))
     n_pyudf = len(re.findall(r"BatchEvalPython", plan))
     n_arrow = len(re.findall(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan))
     cart = "CartesianProduct" in plan
     lines.append(
-        f"shuffles={n_exch} single_partition_exchanges={n_single} "
+        f"shuffles={n_exch} range_shuffles={n_range} "
+        f"single_partition_exchanges={n_single} "
         f"broadcasts={n_bcast} "
         f"python_row_udfs={n_pyudf} arrow_kernels={n_arrow}"
         + (" CARTESIAN!" if cart else "")
