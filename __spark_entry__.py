@@ -1253,6 +1253,15 @@ def q_query_range_matching(spark, sf_dir):
         )
         .groupBy("event_type", "user_id", F.expr("ts DIV 1000").alias("ts"))
         .agg(F.avg("value").alias("value"))
+        # divisor side strictly positive: the engine's x/0 is IEEE ±Inf
+        # (tachyon_spark/arith.py) but DuckDB's is NULL, so a hash-gated
+        # fixture must not produce zero divisors
+        .withColumn(
+            "value",
+            F.when(
+                F.col("event_type") == "view", F.lit(1000.0) + F.abs("value")
+            ).otherwise(F.col("value")),
+        )
     )
     pairs = sorted(
         (r.event_type, r.user_id)
@@ -2763,7 +2772,10 @@ def oracle_sql() -> dict[str, str]:
             -- per side: grid x latest-sample-within-lookback; then exact
             -- per (user, step) division (no interpolation on the grid)
             WITH s AS (
-              SELECT event_type, user_id, epoch_us(ts) AS t, avg(value) AS value
+              SELECT event_type, user_id, epoch_us(ts) AS t,
+                     CASE WHEN event_type = 'view'
+                          THEN 1000.0 + abs(avg(value))  -- strictly positive
+                          ELSE avg(value) END AS value
               FROM events
               WHERE event_type IN ('click', 'view')
                 AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}

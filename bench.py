@@ -147,6 +147,7 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         "text_stats",
         "repetition_score",
         "pack_sequences",
+        "dedup_clusters",
     ]
     entrymod._read(spark, rep, "events").count()  # warm listing
     out["full_scan_agg"] = timed(

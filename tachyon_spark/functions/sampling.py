@@ -112,7 +112,7 @@ def stratified_sample(
 def pack_sequences(
     df: DataFrame,
     budget: int,
-    n_shards: int,
+    n_shards: int | None = None,
     token_col: str = "n_tok",
     id_col: str = "doc_id",
     salt: str = "pack",
@@ -136,6 +136,11 @@ def pack_sequences(
     packing inside different shards is embarrassingly parallel."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if n_shards is None:
+        # default: 2x cores — NOTE this couples output to cluster size;
+        # pass an explicit n_shards when the packing must be reproducible
+        # across differently-sized clusters
+        n_shards = 2 * df.sparkSession.sparkContext.defaultParallelism
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     key = F.concat(F.col(id_col).cast("string"), F.lit(salt))

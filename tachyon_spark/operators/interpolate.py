@@ -41,12 +41,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tachyon_spark.arith import ieee_div, ieee_mod
+
 _ARITH = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
-    "/": lambda a, b: a / b,
-    "%": lambda a, b: a % b,
+    # / and % evaluate on f64 (integer_result is never set for them) with
+    # IEEE zero-divisor semantics under ANSI mode — tachyon_spark/arith.py
+    "/": ieee_div,
+    "%": ieee_mod,
 }
 
 

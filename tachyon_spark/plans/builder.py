@@ -40,12 +40,16 @@ from tachyon_spark.types import VT_F64, VT_I64, VT_U64, is_integer, promote, res
 
 U64_MAX = (1 << 63) - 1  # reference uses u64::MAX; we cap at i64 max (JVM long)
 
+from tachyon_spark.arith import ieee_div, ieee_mod, py_arith  # noqa: E402
+
 _ARITH = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
-    "/": lambda a, b: a / b,
-    "%": lambda a, b: a % b,
+    # / and % are always f64 (promotion lattice) and keep IEEE zero-divisor
+    # semantics (±Inf/NaN) under Spark ANSI mode — see tachyon_spark/arith.py
+    "/": ieee_div,
+    "%": ieee_mod,
 }
 _CMP = {
     "==": lambda a, b: a == b,
@@ -1086,8 +1090,9 @@ class PlanBuilder:
     def _scalar_scalar(self, op: str, lhs: Plan, rhs: Plan) -> Plan:
         vt = result_type(op, lhs.value_type, rhs.value_type)
         if lhs.literal is not None and rhs.literal is not None:
-            a, b = lhs.literal, rhs.literal
-            val = math.fmod(a, b) if op == "%" else _ARITH[op](a, b)
+            # Python fast path: same IEEE zero-divisor semantics as the
+            # column path (plain Python 1/0 raises instead)
+            val = py_arith(op, lhs.literal, rhs.literal)
             return Plan("scalar", None, VT_F64, literal=float(val))
         a_df = self._scalar_df(lhs, "__a")
         b_df = self._scalar_df(rhs, "__b")

@@ -462,15 +462,13 @@ class RangeEvaluator:
                     )
                 return self._vec_lit(node.op, vec, scal.literal, s_left, node.bool_mode)
         if lhs.kind == "scalar" and rhs.kind == "scalar":
-            import math
+            from tachyon_spark.arith import py_arith
 
             a, b = lhs.literal, rhs.literal
             if is_cmp:
                 val = float(_CMP[node.op](a, b))
-            elif node.op == "%":
-                val = math.fmod(a, b)
             else:
-                val = _ARITH[node.op](a, b)
+                val = py_arith(node.op, a, b)
             return Plan("scalar", None, VT_F64, literal=float(val))
         raise ValueError(
             "query_range vector-to-vector operations require explicit "

@@ -138,3 +138,18 @@ def test_scalar_on_left_comparison_written_order(golden_db):
     # would swap to v > 5 — replayable via compat_scalar_swap)
     q = golden_db.query("5 > ints", 0, 100)
     assert q.rows() == [(10, 2), (20, 4)]
+
+
+def test_division_by_zero_is_ieee(golden_db):
+    # Spark 4 ANSI mode would raise DIVIDE_BY_ZERO; the engine keeps the
+    # reference's Rust-f64 / PromQL IEEE semantics (tachyon_spark/arith.py)
+    import math
+
+    assert golden_db.query("1 / 0", 0, 100).scalar() == float("inf")
+    assert golden_db.query("-1 / 0", 0, 100).scalar() == float("-inf")
+    assert math.isnan(golden_db.query("0 / 0", 0, 100).scalar())
+    assert math.isnan(golden_db.query("5 % 0", 0, 100).scalar())
+    # vector path: ia has value 0 at ts 10/30 -> ib / ia hits x/0 mid-join
+    rows = dict(golden_db.query("ib / ia", 0, 50).rows())
+    assert any(math.isinf(v) or math.isnan(v) for v in rows.values())
+    assert all(v is not None for v in rows.values())
