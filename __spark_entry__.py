@@ -961,6 +961,48 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(toks, budget=512, n_shards=8)
 
 
+def q_recording_rule(spark, sf_dir):
+    """Prometheus-style recording rule end-to-end (Connection.record): the
+    click series becomes stream m; `increase(m[2h])` is evaluated on a 1h
+    step grid and PERSISTED as a new stream, which is then queried back
+    like any ingested metric — the pre-computation move behind every
+    dashboard's expensive expression. The oracle never sees the recorded
+    stream: it recomputes the sliding reset-aware increase grid straight
+    from events, so only evaluate→persist→re-query round-tripping
+    losslessly agrees."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+
+    w1h = 3600 * 1_000_000
+    w2h = 2 * w1h
+    ev = _read(spark, sf_dir, "events")
+    series = (
+        ev.where(
+            (F.col("event_type") == "click")
+            & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+        )
+        .groupBy(F.expr("ts DIV 1000").alias("ts"))
+        .agg(F.avg("value").alias("value"))
+    )
+    work = tempfile.mkdtemp(prefix="ty_rr_")
+    conn = Connection(os.path.join(work, "db"), spark)
+    conn.create_stream("m", "f64")
+    sid = conn.get_all_streams()[0].stream_id
+    conn.bulk_load(
+        series.select(
+            F.lit(sid).alias("stream_id"), "ts", "value",
+            F.lit(None).cast("long").alias("value_int"),
+        )
+    )
+    conn.record("click_increase_2h", f"increase(m[{w2h}])", T0_US, T1_US, step=w1h)
+    out = conn.query("click_increase_2h", T0_US, T1_US).df()
+    return out.select(
+        F.col("ts").alias("ts_us"), F.round("value", 6).alias("increase_2h")
+    )
+
+
 def q_scrub_pii(spark, sf_dir):
     """PII detection + redaction (functions/pii.py): deterministic PII is
     injected into each document from its doc_id (an email, an IP, an SSN
@@ -1806,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_range_histogram": q_query_range_histogram,
         "query_range_matching": q_query_range_matching,
         "scrub_pii": q_scrub_pii,
+        "recording_rule": q_recording_rule,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2768,6 +2811,38 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "scrub_pii": _pii_oracle_sql(),
+        "recording_rule": f"""
+            -- recomputes the recorded expression straight from events:
+            -- 1h grid, sliding (t-2h, t] windows, reset-aware lag replay
+            WITH s AS (
+              SELECT epoch_us(ts) AS t, avg(value) AS v FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            ),
+            grid AS (
+              SELECT unnest(generate_series({T0_US}, {T1_US}, 3600000000)) AS g
+            ),
+            j AS (
+              SELECT g, t, v FROM grid JOIN s
+                ON s.t > g - 7200000000 AND s.t <= g
+            ),
+            l AS (
+              SELECT g, t, v,
+                     lag(v) OVER (PARTITION BY g ORDER BY t, v) AS prev
+              FROM j
+            ),
+            a AS (
+              SELECT g,
+                     sum(CASE WHEN prev IS NULL THEN NULL
+                              WHEN v >= prev THEN v - prev
+                              ELSE v END) AS inc,
+                     min(t) AS t0, max(t) AS t1
+              FROM l GROUP BY g
+            )
+            SELECT g AS ts_us, round(inc, 6) AS increase_2h
+            FROM a WHERE t1 > t0
+        """,
         "query_range_matching": f"""
             -- per side: grid x latest-sample-within-lookback; then exact
             -- per (user, step) division (no interpolation on the grid)

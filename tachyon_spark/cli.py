@@ -82,6 +82,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--lookback", type=int, default=None)
     sp.add_argument("--chart", action="store_true")
 
+    sp = sub.add_parser("record")
+    sp.add_argument("name")
+    sp.add_argument("promql")
+    sp.add_argument("--start", type=int, required=True)
+    sp.add_argument("--end", type=int, required=True)
+    sp.add_argument("--step", type=int, default=None)
+    sp.add_argument("--lookback", type=int, default=None)
+
     sp = sub.add_parser("check-stream-exists")
     sp.add_argument("selector")
 
@@ -145,6 +153,12 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for r in rows:
                 print(r)
+    elif args.cmd == "record":
+        ids = conn.record(
+            args.name, args.promql, args.start, args.end,
+            step=args.step, lookback=args.lookback,
+        )
+        print(f"recorded {len(ids)} stream(s)")
     elif args.cmd == "check-stream-exists":
         # tachyon_cli/src/main.rs:66-102
         if conn.check_stream_exists(args.selector):

@@ -385,6 +385,79 @@ class Connection:
         plan = RangeEvaluator(self, start, end, step, lb).build(expr)
         return Query(plan)
 
+    def record(
+        self,
+        name: str,
+        promql: str,
+        start: int,
+        end: int,
+        step: int | None = None,
+        lookback: int | None = None,
+    ) -> list[str]:
+        """Prometheus-style RECORDING RULE: evaluate `promql` and persist
+        the result as new f64 stream(s) named `name`, queryable like any
+        ingested metric (the pre-computation move behind every dashboard's
+        expensive expression; Prometheus evaluates rules on its scrape
+        grid — pass `step` for the same step-aligned semantics, omit it
+        for this engine's raw-sample evaluation).
+
+        Output shaping: a plain (ts, value) vector records one stream
+        `name`; a grouped result (e.g. `sum by (service) (...)` on a step
+        grid) records one stream per group with the group columns as
+        labels — `name{service="web"}`. The distinct label combinations
+        are collected driver-side (bounded by series count, same contract
+        as the catalog) and the samples route through one broadcast join;
+        the evaluation itself stays the distributed plan it was. Returns
+        the created stream ids."""
+        q = (
+            self.query_range(promql, start, end, step, lookback)
+            if step is not None
+            else self.query(promql, start, end)
+        )
+        df = q.df()
+        cols = df.columns
+        if "ts" not in cols or "value" not in cols:
+            raise ValueError(
+                "record() needs a time-carrying vector result (raw grouped "
+                "aggregates collapse time — evaluate with step= for "
+                "per-instant recording)"
+            )
+        label_cols = [c for c in cols if c not in ("ts", "value")]
+        if not label_cols:
+            sid = self.create_stream(name, VT_F64)
+            self.bulk_load(
+                df.select(
+                    F.lit(sid).alias("stream_id"),
+                    "ts",
+                    F.col("value").cast("double").alias("value"),
+                    F.lit(None).cast("long").alias("value_int"),
+                )
+            )
+            return [sid]
+        keys = [tuple(r) for r in df.select(*label_cols).distinct().collect()]
+        if not keys:
+            return []
+        specs = []
+        for key in keys:
+            labels = ",".join(
+                f'{c}="{v}"' for c, v in zip(label_cols, key)
+            )
+            specs.append((f"{name}{{{labels}}}", VT_F64))
+        ids = self.create_streams(specs)
+        mapping = self.spark.createDataFrame(
+            [key + (sid,) for key, sid in zip(keys, ids)],
+            label_cols + ["stream_id"],
+        )
+        self.bulk_load(
+            df.join(F.broadcast(mapping), label_cols).select(
+                "stream_id",
+                "ts",
+                F.col("value").cast("double").alias("value"),
+                F.lit(None).cast("long").alias("value_int"),
+            )
+        )
+        return ids
+
 
 class Inserter:
     """Buffered appends for one stream; flush() writes one parquet batch."""

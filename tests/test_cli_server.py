@@ -130,3 +130,18 @@ def test_cli_query_range(tmp_path, spark, capsys):
     out = capsys.readouterr().out
     assert "(10, 1.5)" in out and "(20, 1.5)" in out and "(30, 2.5)" in out
     assert "(40," not in out  # stale
+
+
+def test_cli_record(tmp_path, spark, capsys):
+    db = str(tmp_path / "recdb")
+    cli_main([db, "create-stream", "m", "f64"])
+    cli_main([db, "insert", "m", "10", "5.0"])
+    cli_main([db, "insert", "m", "20", "9.0"])
+    assert cli_main([
+        db, "record", "m_inc", "increase(m[20])",
+        "--start", "0", "--end", "40", "--step", "10",
+    ]) == 0
+    assert cli_main([db, "query", "m_inc", "--start", "0", "--end", "100"]) == 0
+    out = capsys.readouterr().out
+    assert "recorded 1 stream(s)" in out
+    assert "(20, 4.0)" in out
