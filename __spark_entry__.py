@@ -961,6 +961,22 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(toks, budget=512, n_shards=8)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding token-window chunking (functions/sampling.chunk_documents):
+    chunk k covers tokens [k*56, k*56+64) (max 64 tokens, overlap 8) —
+    the cut-LONG-docs complement to pack_sequences' concat-short-docs.
+    One explode over the per-doc chunk count, array slice/rejoin, no
+    shuffle. The oracle replays the slice arithmetic with DuckDB list
+    slicing and compares md5 of every chunk's text."""
+    from tachyon_spark.functions.sampling import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    out = chunk_documents(docs, max_tokens=64, overlap=8)
+    return out.select(
+        "id", "chunk_idx", "n_chunk_tok", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
 def q_recording_rule(spark, sf_dir):
     """Prometheus-style recording rule end-to-end (Connection.record): the
     click series becomes stream m; `increase(m[2h])` is evaluated on a 1h
@@ -1849,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_range_matching": q_query_range_matching,
         "scrub_pii": q_scrub_pii,
         "recording_rule": q_recording_rule,
+        "chunk_documents": q_chunk_documents,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2811,6 +2828,27 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "scrub_pii": _pii_oracle_sql(),
+        "chunk_documents": """
+            -- slice-arithmetic replay: stride 56 (64 - 8 overlap),
+            -- 1-based inclusive list slicing matches F.slice(start+1, 64)
+            WITH t AS (
+              SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents
+            ),
+            c AS (
+              SELECT id, w,
+                     unnest(generate_series(0, greatest(
+                       CAST(ceil((len(w) - 64) / 56.0) AS BIGINT), 0
+                     ))) AS chunk_idx
+              FROM t
+            )
+            SELECT id, chunk_idx,
+                   len(w[chunk_idx * 56 + 1 : chunk_idx * 56 + 64])
+                     AS n_chunk_tok,
+                   md5(array_to_string(
+                     w[chunk_idx * 56 + 1 : chunk_idx * 56 + 64], ' '
+                   )) AS chunk_md5
+            FROM c
+        """,
         "recording_rule": f"""
             -- recomputes the recorded expression straight from events:
             -- 1h grid, sliding (t-2h, t] windows, reset-aware lag replay

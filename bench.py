@@ -219,6 +219,8 @@ def main():
         "pack_sequences",
         "scrub_pii",
         "query_range_matching",
+        "chunk_documents",
+        "recording_rule",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

@@ -29,6 +29,7 @@ from tachyon_spark.functions.textstats import (
 from tachyon_spark.functions.histogram import bucket_quantile
 from tachyon_spark.functions.pii import pii_density, scrub_pii
 from tachyon_spark.functions.sampling import (
+    chunk_documents,
     hash_split,
     pack_sequences,
     stratified_sample,
@@ -66,6 +67,7 @@ __all__ = [
     "hash_split",
     "stratified_sample",
     "pack_sequences",
+    "chunk_documents",
     "scrub_pii",
     "pii_density",
     "spread",

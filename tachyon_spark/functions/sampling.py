@@ -165,3 +165,52 @@ def pack_sequences(
         (cum_prev % F.lit(budget)).alias("start_tok"),
         "n_tok",
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into (optionally overlapping) token-window
+    chunks — the other standard sequence-shaping step (pack_sequences
+    concatenates SHORT docs; this cuts LONG ones so no chunk exceeds the
+    model's context). Chunk k covers tokens [k*stride, k*stride +
+    max_tokens) with stride = max_tokens - overlap; the last chunk may be
+    shorter; a document shorter than max_tokens yields exactly one chunk.
+
+    Returns (id, chunk_idx, n_chunk_tok, chunk_text). Pure narrow
+    expressions: whitespace split + one explode over the per-doc chunk
+    index sequence + array slice/rejoin — no shuffle, no UDF; the
+    explode's fan-out is ceil(n_tok/stride), proportional to input size
+    (the same rows a scan of pre-chunked data would carry)."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # number of chunks: 1 + floor((n - max_tokens + stride - 1) / stride)
+    # for n > max_tokens, else 1 — via greatest() to avoid a negative seq
+    extra = F.greatest(
+        F.ceil((n - F.lit(max_tokens)).cast("double") / F.lit(stride)).cast(
+            "long"
+        ),
+        F.lit(0),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), extra)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * F.lit(stride)
+    piece = F.slice(F.col("__toks"), start + 1, max_tokens)  # 1-based
+    return base.select(
+        "id",
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_tok"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -42,6 +42,42 @@ U64_MAX = (1 << 63) - 1  # reference uses u64::MAX; we cap at i64 max (JVM long)
 
 from tachyon_spark.arith import ieee_div, ieee_mod, py_arith  # noqa: E402
 
+
+def rewrite_label_streams(node, streams) -> tuple:
+    """The label_replace/label_join driver-side stream rewrite, shared by
+    the raw-sample and query_range evaluators (labels live in plan-level
+    stream info, so the rewrite costs nothing in the distributed plan)."""
+    import re as _re
+
+    new_streams = []
+    if node.func == "label_replace":
+        dst, repl, src, regex = node.args
+        pat = _re.compile(regex)
+        for s in streams:
+            val = s.labels.get(src, "")
+            m = pat.fullmatch(val)  # Prometheus anchors the regex
+            labels = dict(s.labels)
+            if m:
+                # $1 → \1 group references
+                out = _re.sub(r"\$(\d+)", r"\\\1", repl)
+                new_val = m.expand(out)
+                if new_val:
+                    labels[dst] = new_val
+                else:
+                    labels.pop(dst, None)  # empty result drops the label
+            new_streams.append(replace(s, labels=labels))
+    else:  # label_join
+        dst, sep, *srcs = node.args
+        for s in streams:
+            labels = dict(s.labels)
+            joined = sep.join(s.labels.get(l, "") for l in srcs)
+            if joined:
+                labels[dst] = joined
+            else:
+                labels.pop(dst, None)
+            new_streams.append(replace(s, labels=labels))
+    return tuple(new_streams)
+
 _ARITH = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
@@ -461,41 +497,12 @@ class PlanBuilder:
         Zero cost in the distributed plan — grouping (`sum by`) and vector
         matching (`on()/group_left`) read labels from the plan's stream
         info, so they see the rewritten labels transparently."""
-        import re as _re
-
         child = self.build(node.child)
         if child.kind != "vector" or not child.streams:
             raise ValueError(
                 f"{node.func} requires a label-carrying selector vector"
             )
-        new_streams = []
-        if node.func == "label_replace":
-            dst, repl, src, regex = node.args
-            pat = _re.compile(regex)
-            for s in child.streams:
-                val = s.labels.get(src, "")
-                m = pat.fullmatch(val)  # Prometheus anchors the regex
-                labels = dict(s.labels)
-                if m:
-                    # $1 → \1 group references
-                    out = _re.sub(r"\$(\d+)", r"\\\1", repl)
-                    new_val = m.expand(out)
-                    if new_val:
-                        labels[dst] = new_val
-                    else:
-                        labels.pop(dst, None)  # empty result drops the label
-                new_streams.append(replace(s, labels=labels))
-        else:  # label_join
-            dst, sep, *srcs = node.args
-            for s in child.streams:
-                labels = dict(s.labels)
-                joined = sep.join(s.labels.get(l, "") for l in srcs)
-                if joined:
-                    labels[dst] = joined
-                else:
-                    labels.pop(dst, None)
-                new_streams.append(replace(s, labels=labels))
-        return replace(child, streams=tuple(new_streams))
+        return replace(child, streams=rewrite_label_streams(node, child.streams))
 
     def _histogram_quantile(self, node: ast.HistogramQuantile) -> Plan:
         """histogram_quantile(phi, buckets): the selector's streams must

@@ -51,11 +51,15 @@ Spark mapping — the step grid is DATA, never a per-step driver loop:
   m @ T           pinned instant (one single-step evaluation at T, fanned
                   across the steps with one explode — no per-step rescan).
 
+  label_replace/  driver-side stream rewrite (plan metadata, zero
+  label_join      distributed cost); count_values groups (value, step).
+
 Unsupported in range mode (clear errors, not silent wrong answers):
-@ on range selectors, subqueries, sort/count_values/label_*,
-vector-vector ops without on()/ignoring(). `offset` IS supported,
-PromQL-style (the raw-sample engine ignores offset without @ for
-reference parity; here it shifts the sample clock).
+@ on range selectors, subqueries, sort (per-step ordering has no
+meaning on a grid), vector-vector ops without on()/ignoring().
+`offset` IS supported, PromQL-style (the raw-sample engine ignores
+offset without @ for reference parity; here it shifts the sample
+clock).
 """
 
 from __future__ import annotations
@@ -146,6 +150,10 @@ class RangeEvaluator:
             return self._histogram_quantile(expr)
         if isinstance(expr, ast.AbsentFunc):
             return self._absent(expr)
+        if isinstance(expr, ast.LabelFunc):
+            return self._label_func(expr)
+        if isinstance(expr, ast.CountValues):
+            return self._count_values(expr)
         raise ValueError(
             f"{type(expr).__name__} is not supported in query_range "
             "(supported: selectors, range/over_time/resets/changes/irate/"
@@ -686,6 +694,38 @@ class RangeEvaluator:
             "series (a selector / windowed function over them, or an "
             "aggregate grouped by (le))"
         )
+
+    # ------------------------------------------------------------ labels
+    def _label_func(self, node: ast.LabelFunc) -> Plan:
+        """label_replace/label_join on the grid: the same driver-side
+        stream rewrite as raw mode (labels are plan-level metadata; zero
+        distributed-plan cost) — downstream by()/matching on the grid see
+        the rewritten labels transparently."""
+        from dataclasses import replace
+
+        from tachyon_spark.plans.builder import rewrite_label_streams
+
+        child = self._eval(node.child)
+        if child.kind != "vector" or not child.streams:
+            raise ValueError(
+                f"{node.func} requires a label-carrying selector vector"
+            )
+        return replace(child, streams=rewrite_label_streams(node, child.streams))
+
+    def _count_values(self, node: ast.CountValues) -> Plan:
+        """count_values("label", v) per step: how many series report each
+        distinct value at each instant — groupBy (value, step), one
+        shuffle on that key."""
+        child = self._eval(node.child)
+        if child.kind not in ("vector", "grouped"):
+            raise ValueError("count_values requires a vector input")
+        out = (
+            child.df.groupBy(
+                F.col("value").cast("string").alias(node.label), "ts"
+            )
+            .agg(F.count("*").alias("value"))
+        )
+        return Plan("grouped", out, VT_U64, group_cols=(node.label, "ts"))
 
     # -------------------------------------------------------------- absent
     def _absent(self, node: ast.AbsentFunc) -> Plan:

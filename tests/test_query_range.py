@@ -259,3 +259,23 @@ def test_at_modifier_pins_instant_on_grid(golden_db):
     # arithmetic composes over the pinned vector
     q = golden_db.query_range(f"{WEB} @ 29 * 2", 0, 10, 10, lookback=10)
     assert q.rows() == [(0, 94.0), (10, 94.0)]
+
+
+def test_label_replace_on_grid(golden_db):
+    # rewrite service -> svc copy, then group by the new label per step
+    q = golden_db.query_range(
+        'sum by (svc) (label_replace(http_requests_total, "svc", "$1", '
+        '"service", "(w.*)"))',
+        30, 30, 30, lookback=10,
+    )
+    rows = {(r.svc, r.ts): r.value for r in q.df().collect()}
+    # only web matches (w.*): svc="web" gets web's 47; cool/mobile keep
+    # svc absent -> null group carries their sum
+    assert rows[("web", 30)] == 47.0
+
+
+def test_count_values_on_grid(golden_db):
+    # ints values at instants: step 40 sees ts-40 samples; ints=8 u64=4...
+    q = golden_db.query_range('count_values("v", ints)', 40, 40, 10, lookback=10)
+    rows = {(r.v, r.ts): r.value for r in q.df().collect()}
+    assert rows[("8", 40)] == 1

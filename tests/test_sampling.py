@@ -103,3 +103,39 @@ def test_pack_sequences_validates(docs):
         pack_sequences(toks, 0, 4)
     with pytest.raises(ValueError, match="n_shards"):
         pack_sequences(toks, 128, 0)
+
+
+def test_chunk_documents_windows(spark):
+    from tachyon_spark.functions.sampling import chunk_documents
+
+    rows = [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=4, overlap=1)
+    got = {(r["id"], r["chunk_idx"]): (r["n_chunk_tok"], r["chunk_text"]) for r in out.collect()}
+    # doc 1: stride 3, chunks at 0,3,6 cover t0..t9 (chunk 2 = t6..t9)
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert got[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert (1, 3) not in got
+    # short doc: exactly one (shorter) chunk
+    assert got[(2, 0)] == (3, "a b c")
+    # every token position is covered by some chunk
+    covered = set()
+    for (i, k), (_, txt) in got.items():
+        if i == 1:
+            covered.update(txt.split(" "))
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_no_overlap_and_validation(spark):
+    import pytest as _pytest
+
+    from tachyon_spark.functions.sampling import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    out = {r["chunk_idx"]: r["chunk_text"] for r in chunk_documents(df, 2).collect()}
+    assert out == {0: "a b", 1: "c d", 2: "e"}
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, 4, overlap=4)
+    with _pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, 0)
