@@ -961,6 +961,50 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(toks, budget=512, n_shards=8)
 
 
+def q_query_range_subquery(spark, sf_dir):
+    """Subquery on the step grid end-to-end (plans/range_eval.
+    _over_time_subquery): `max_over_time(rate(m[1h])[6h:1h])` on a 3h
+    outer grid — the inner rate evaluates ONCE on its own 1h grid
+    (sliding left-open windows, reset-aware), each inner instant explodes
+    to the outer 6h windows containing it, and the max aggregates per
+    outer step. The oracle replays inner-grid rate + outer window max
+    straight from events."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+
+    w1h = 3600 * 1_000_000
+    w3h, w6h = 3 * w1h, 6 * w1h
+    ev = _read(spark, sf_dir, "events")
+    series = (
+        ev.where(
+            (F.col("event_type") == "click")
+            & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+        )
+        .groupBy(F.expr("ts DIV 1000").alias("ts"))
+        .agg(F.avg("value").alias("value"))
+    )
+    work = tempfile.mkdtemp(prefix="ty_qrs_")
+    conn = Connection(os.path.join(work, "db"), spark)
+    conn.create_stream("m", "f64")
+    sid = conn.get_all_streams()[0].stream_id
+    conn.bulk_load(
+        series.select(
+            F.lit(sid).alias("stream_id"), "ts", "value",
+            F.lit(None).cast("long").alias("value_int"),
+        )
+    )
+    out = conn.query_range(
+        f"max_over_time(rate(m[{w1h}])[{w6h}:{w1h}])",
+        T0_US + w6h, T1_US, w3h, lookback=w1h,
+    ).df()
+    return out.select(
+        F.col("ts").alias("ts_us"),
+        F.round(F.col("value") * 1_000_000, 9).alias("max_rate_per_sec"),
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding token-window chunking (functions/sampling.chunk_documents):
     chunk k covers tokens [k*56, k*56+64) (max 64 tokens, overlap 8) —
@@ -1866,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "recording_rule": q_recording_rule,
         "chunk_documents": q_chunk_documents,
+        "query_range_subquery": q_query_range_subquery,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -2828,6 +2873,45 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "scrub_pii": _pii_oracle_sql(),
+        "query_range_subquery": f"""
+            -- inner rate on the 1h grid (sliding (g-1h, g], reset-aware
+            -- lag replay), then outer max over (step-6h, step]
+            WITH s AS (
+              SELECT epoch_us(ts) AS t, avg(value) AS v FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            ),
+            ig AS (
+              SELECT unnest(generate_series({T0_US}, {T1_US}, 3600000000)) AS g
+            ),
+            j AS (
+              SELECT g, t, v FROM ig JOIN s
+                ON s.t > g - 3600000000 AND s.t <= g
+            ),
+            l AS (
+              SELECT g, t, v,
+                     lag(v) OVER (PARTITION BY g ORDER BY t, v) AS prev
+              FROM j
+            ),
+            r AS (
+              SELECT g,
+                     sum(CASE WHEN prev IS NULL THEN NULL
+                              WHEN v >= prev THEN v - prev
+                              ELSE v END) / (max(t) - min(t)) AS rate
+              FROM l GROUP BY g HAVING max(t) > min(t)
+            ),
+            og AS (
+              SELECT unnest(generate_series(
+                {T0_US + 6 * 3600 * 1_000_000}, {T1_US}, 10800000000
+              )) AS step
+            )
+            SELECT og.step AS ts_us,
+                   round(max(r.rate) * 1000000, 9) AS max_rate_per_sec
+            FROM og JOIN r
+              ON r.g > og.step - 21600000000 AND r.g <= og.step
+            GROUP BY 1
+        """,
         "chunk_documents": """
             -- slice-arithmetic replay: stride 56 (64 - 8 overlap),
             -- 1-based inclusive list slicing matches F.slice(start+1, 64)

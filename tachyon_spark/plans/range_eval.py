@@ -53,13 +53,16 @@ Spark mapping — the step grid is DATA, never a per-step driver loop:
 
   label_replace/  driver-side stream rewrite (plan metadata, zero
   label_join      distributed cost); count_values groups (value, step).
+  fn(expr[R:S])   subqueries: inner expr evaluated ONCE on its S-grid
+                  (nested evaluator, full lookback semantics), instants
+                  exploded to the outer windows — never a per-step
+                  re-execution of the inner query.
 
 Unsupported in range mode (clear errors, not silent wrong answers):
-@ on range selectors, subqueries, sort (per-step ordering has no
-meaning on a grid), vector-vector ops without on()/ignoring().
-`offset` IS supported, PromQL-style (the raw-sample engine ignores
-offset without @ for reference parity; here it shifts the sample
-clock).
+@ on range selectors, sort (per-step ordering has no meaning on a
+grid), vector-vector ops without on()/ignoring(). `offset` IS
+supported, PromQL-style (the raw-sample engine ignores offset without
+@ for reference parity; here it shifts the sample clock).
 """
 
 from __future__ import annotations
@@ -128,6 +131,8 @@ class RangeEvaluator:
         if isinstance(expr, ast.RangeFunc):
             return self._windowed(expr.func, expr.child, None)
         if isinstance(expr, ast.OverTimeFunc):
+            if isinstance(expr.child, ast.Subquery):
+                return self._over_time_subquery(expr)
             fn = expr.func[: -len("_over_time")]
             return self._windowed(fn, expr.child, expr.arg, family="over_time")
         if isinstance(expr, ast.RangeCountFunc):
@@ -262,18 +267,17 @@ class RangeEvaluator:
         return Plan("vector", out, child.value_type, streams=child.streams)
 
     # ----------------------------------------------------- sliding windows
-    def _exploded(self, msel: ast.MatrixSelector) -> tuple[Plan, DataFrame]:
-        """Samples exploded to every step whose left-open window (t - R, t]
-        contains them: step index k ∈ [ceil((ts - start)/step),
+    def _explode_to_steps(self, df: DataFrame, r: int) -> DataFrame:
+        """Rows exploded to every step whose left-open window (t - R, t]
+        contains their ts: step index k ∈ [ceil((ts - start)/step),
         ceil((ts + R - start)/step) - 1] clamped to the grid. Integral
-        ceil-div via a positive shift (floats would lose ns precision)."""
-        r = msel.range_
+        ceil-div via a positive shift (floats would lose ns precision).
+        Works over raw samples AND derived instant frames (subqueries)."""
         if r // self.step + 1 > MAX_WINDOWS_PER_SAMPLE:
             raise ValueError(
                 f"range {r} spans {r // self.step} steps per sample "
                 f"(max {MAX_WINDOWS_PER_SAMPLE}); widen the step"
             )
-        child = self._scan(msel.selector, r)
         shift = r // self.step + 2  # makes every numerator positive
         a = F.col("ts") - F.lit(self.start) + F.lit(shift * self.step)
         k_lo = (a + F.lit(self.step - 1)) / F.lit(self.step)  # ceil…
@@ -284,25 +288,70 @@ class RangeEvaluator:
         ) - F.lit(shift) - F.lit(1)
         k_lo = F.greatest(k_lo, F.lit(0))
         k_hi = F.least(k_hi, F.lit(self.n_steps - 1))
-        df = (
-            child.df.select(
-                "stream_id", "ts", "value", k_lo.alias("__klo"), k_hi.alias("__khi")
-            )
+        cols = df.columns
+        return (
+            df.select(*cols, k_lo.alias("__klo"), k_hi.alias("__khi"))
             .where(F.col("__klo") <= F.col("__khi"))
             .select(
-                "stream_id",
-                "ts",
-                "value",
+                *cols,
                 F.explode(F.sequence(F.col("__klo"), F.col("__khi"))).alias("__k"),
             )
             .select(
-                "stream_id",
-                "ts",
-                "value",
+                *cols,
                 (F.lit(self.start) + F.col("__k") * F.lit(self.step)).alias("__step"),
             )
         )
+
+    def _exploded(self, msel: ast.MatrixSelector) -> tuple[Plan, DataFrame]:
+        r = msel.range_
+        child = self._scan(msel.selector, r)
+        df = self._explode_to_steps(
+            child.df.select("stream_id", "ts", "value"), r
+        )
         return child, df
+
+    def _over_time_subquery(self, node: ast.OverTimeFunc) -> Plan:
+        """`fn_over_time(expr[R:S])` on the outer grid: the inner
+        expression is evaluated ONCE on its own S-step grid (a nested
+        RangeEvaluator extended back by R so the first outer window is
+        fully populated — full lookback/staleness semantics apply to the
+        inner instants, unlike the raw engine's documented last-sample
+        divergence), then each inner instant explodes to the outer steps
+        whose left-open window (t - R, t] contains it and aggregates per
+        (series?, step). No per-step re-execution of the inner query —
+        PromQL engines re-run the inner expr per step; here the grid is
+        one dataframe. Two keyed shuffles total (inner grid + outer
+        window)."""
+        sub = node.child
+        fn = node.func[: -len("_over_time")]
+        r, s = sub.range_, sub.step
+        if s <= 0:
+            raise ValueError("subquery step must be positive")
+        back = (r // s) * s  # inner grid stays aligned with `start`
+        inner_eval = RangeEvaluator(
+            self.conn, self.start - back, self.end, s, self.lookback
+        )
+        inner = inner_eval._eval(sub.child)
+        if inner.kind != "vector":
+            raise ValueError(
+                "query_range subquery inner expression must evaluate to a "
+                "plain vector (selectors, windowed functions, arithmetic)"
+            )
+        df = inner.df
+        has_sid = "stream_id" in df.columns
+        keep = (["stream_id"] if has_sid else []) + ["ts", "value"]
+        exploded = self._explode_to_steps(df.select(*keep), r)
+        part = (["stream_id"] if has_sid else []) + ["__step"]
+        agg, vt = PlanBuilder._over_time_agg(
+            fn, inner.value_type, node.arg,
+            approx=getattr(self.conn, "approx_aggregates", False),
+        )
+        out = exploded.groupBy(*part).agg(agg.alias("value")).select(
+            *(["stream_id"] if has_sid else []),
+            F.col("__step").alias("ts"),
+            "value",
+        )
+        return Plan("vector", out, vt, streams=inner.streams)
 
     def _windowed(self, func: str, msel, arg, family: str = "range") -> Plan:
         if not isinstance(msel, ast.MatrixSelector):

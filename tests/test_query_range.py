@@ -279,3 +279,25 @@ def test_count_values_on_grid(golden_db):
     q = golden_db.query_range('count_values("v", ints)', 40, 40, 10, lookback=10)
     rows = {(r.v, r.ts): r.value for r in q.df().collect()}
     assert rows[("8", 40)] == 1
+
+
+def test_subquery_on_grid(golden_db):
+    # max_over_time(web[30:10]): inner instants on the 10-grid (lookback
+    # applies to them), outer max over (t-30, t]
+    q = golden_db.query_range(f"max_over_time({WEB}[30:10])", 30, 60, 30, lookback=10)
+    assert q.rows() == [(30, 47), (60, 48)]
+    # count_over_time counts inner INSTANTS (not raw samples): (30,60]
+    # holds grid instants 40, 50, 60
+    q = golden_db.query_range(f"count_over_time({WEB}[30:10])", 60, 60, 30, lookback=10)
+    assert q.rows() == [(60, 3)]
+
+
+def test_subquery_nested_rate_on_grid(golden_db):
+    # inner rate(web[10]) on the 10-grid has one defined instant (t=30:
+    # two samples in (20, 30], increase 2 over span 6); outer avg sees it
+    q = golden_db.query_range(
+        f"avg_over_time(rate({WEB}[10])[40:10])", 40, 40, 10, lookback=10
+    )
+    rows = q.rows()
+    assert len(rows) == 1 and rows[0][0] == 40
+    assert rows[0][1] == pytest.approx(2 / 6)
