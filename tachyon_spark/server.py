@@ -7,7 +7,9 @@ no extra dependencies — one Connection per database path, cached so repeated
 queries reuse the SparkSession. Beyond the reference: `POST /query_range`
 adds Prometheus-style step-aligned evaluation (`{path, query, start, end,
 step[, lookback]}`, plans/range_eval.py) — the endpoint Grafana-style
-dashboards poll; the reference cannot serve it (its engine has no steps).
+dashboards poll; the reference cannot serve it (its engine has no steps) —
+and `POST /record {path, name, query, start, end[, step, lookback]}`
+persists a recording rule (Connection.record) and returns the stream ids.
 
 This is a thin shell for parity/testing, not the scale path: at scale the
 engine is used as a library (Connection API) or through Spark SQL directly.
@@ -51,13 +53,26 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": "not found"})
 
     def do_POST(self):
-        if self.path not in ("/query", "/query_range"):
+        if self.path not in ("/query", "/query_range", "/record"):
             self._json(404, {"error": "not found"})
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
             conn = _get_connection(req["path"])
+            if self.path == "/record":
+                # recording rule: {path, name, query, start, end[, step,
+                # lookback]} -> {streams: [ids]}
+                ids = conn.record(
+                    req["name"],
+                    req["query"],
+                    req["start"],
+                    req["end"],
+                    step=req.get("step"),
+                    lookback=req.get("lookback"),
+                )
+                self._json(200, {"streams": ids})
+                return
             if self.path == "/query_range":
                 # the reference's request shape (main.rs:27-76) + step:
                 # {path, query, start, end, step[, lookback]}

@@ -145,3 +145,44 @@ def test_cli_record(tmp_path, spark, capsys):
     out = capsys.readouterr().out
     assert "recorded 1 stream(s)" in out
     assert "(20, 4.0)" in out
+
+
+def test_http_record(tmp_path, spark):
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "recwebdb")
+    conn = Connection(db, spark)
+    conn.create_stream("hm", "f64")
+    ins = conn.prepare_insert("hm")
+    ins.insert(10, 5.0)
+    ins.insert(20, 9.0)
+    ins.flush()
+
+    import tachyon_spark.server as srv_mod
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/record",
+            data=json.dumps(
+                {"path": db, "name": "hm_inc", "query": "increase(hm[20])",
+                 "start": 0, "end": 40, "step": 10}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert len(json.load(r)["streams"]) == 1
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query",
+            data=json.dumps(
+                {"path": db, "query": "hm_inc", "start": 0, "end": 100}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.load(r)
+        assert body["timestamps"] == [20] and body["values"] == [4.0]
+    finally:
+        srv.shutdown()

@@ -235,3 +235,46 @@ def test_asof_join_model(spark, lpts, rpts, tol):
         return float(max(cands)[1]) if cands else None
 
     assert got == {t: model(t) for t, _ in lpts}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    points=points_strategy,
+    step=st.integers(min_value=100, max_value=5_000),
+    lookback=st.integers(min_value=0, max_value=5_000),
+)
+def test_query_range_lookback_model(prop_db, points, step, lookback):
+    """Grid selector semantics vs a direct Python model: at each step t,
+    the latest sample with t - lookback <= ts <= t; absent otherwise."""
+    sel = _mk_stream(prop_db, "i64", points)
+    end = 10_000
+    got = dict(prop_db.query_range(sel, 0, end, step, lookback=lookback).rows())
+    expect = {}
+    for t in range(0, end + 1, step):
+        cand = [(ts, v) for ts, v in points if t - lookback <= ts <= t]
+        if cand:
+            expect[t] = max(cand)[1]
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    points=points_strategy,
+    step=st.integers(min_value=200, max_value=3_000),
+    rng=st.integers(min_value=200, max_value=6_000),
+)
+def test_query_range_increase_model(prop_db, points, step, rng):
+    """Sliding reset-aware increase vs a direct Python model over the
+    left-open window (t - R, t]."""
+    sel = _mk_stream(prop_db, "i64", points)
+    end = 10_000
+    got = dict(prop_db.query_range(f"increase({sel}[{rng}])", 0, end, step).rows())
+    expect = {}
+    for t in range(0, end + 1, step):
+        w = [(ts, v) for ts, v in points if t - rng < ts <= t]
+        if len(w) >= 2 and w[0][0] != w[-1][0]:
+            inc = 0.0
+            for (_, prev), (_, v) in zip(w, w[1:]):
+                inc += (v - prev) if v >= prev else v
+            expect[t] = inc
+    assert {k: pytest.approx(v) for k, v in expect.items()} == got
