@@ -1648,6 +1648,41 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """The keep-list a dedup pipeline ships (functions/dedup.
+    dedup_keep_best): minhash pairs → connected-component clusters → per
+    cluster keep the member with the best quality score (ties → lowest
+    id); docs outside any cluster keep themselves. All keyed joins/aggs
+    on doc/cluster ids. The oracle recomputes clusters with a recursive
+    transitive closure, quality with the score ladder, and the argmax
+    with a window — three independent replays composed."""
+    from tachyon_spark.functions.dedup import (
+        dedup_clusters,
+        dedup_keep_best,
+        minhash_lsh_pairs,
+    )
+    from tachyon_spark.functions.textstats import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, NUM_HASHES, BANDS, JACCARD_THRESHOLD, JACCARD_N
+    )
+    clusters = dedup_clusters(pairs)
+    return dedup_keep_best(docs, clusters, quality_score(docs))
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram LM scoring (functions/textstats.
+    unigram_logprob): per-doc average negative log-likelihood under the
+    corpus's own token distribution (add-one smoothing) — the classic
+    LM-quality filter. Three keyed shuffles (token counts, token join
+    back, per-doc avg); the model frame is vocabulary-sized."""
+    from tachyon_spark.functions.textstats import unigram_logprob
+
+    out = unigram_logprob(_read(spark, sf_dir, "documents"))
+    return out.select(F.col("id").alias("doc_id"), "n_tok", "avg_nll")
+
+
 DECON_N = 5
 
 
@@ -1932,6 +1967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "text_stats": q_text_stats,
@@ -3200,6 +3237,64 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY s
         """,
         "dedup_simhash": _SIMHASH_SQL,
+        "dedup_keep_best": f"""
+            -- clusters (recursive closure) x quality ladder x window argmax
+            WITH RECURSIVE pairs AS (
+              {_minhash_sql()}
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+            ),
+            clus AS (
+              SELECT s AS doc_id, least(s, min(d)) AS cluster_rep
+              FROM reach GROUP BY s
+            ),
+            q AS (
+              SELECT doc_id, round(
+                0.4 * least(1.0, len({ltok}) / 100.0)
+              + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       * 1.0 / greatest(length(text), 1))
+              + 0.3 * least(1.0, 10.0 * ({stop} * 1.0 / greatest(len({ltok}), 1))), 6
+              ) AS quality
+              FROM documents
+            ),
+            ranked AS (
+              SELECT c.doc_id, c.cluster_rep,
+                     row_number() OVER (
+                       PARTITION BY c.cluster_rep
+                       ORDER BY q.quality DESC, c.doc_id ASC
+                     ) AS rn
+              FROM clus c JOIN q USING (doc_id)
+            )
+            SELECT doc_id, cluster_rep FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT d.doc_id, CAST(NULL AS BIGINT) AS cluster_rep
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM clus)
+        """,
+        "unigram_logprob": """
+            WITH t2 AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            tt AS (SELECT doc_id, tok FROM t2 WHERE tok != ''),
+            c AS (SELECT tok, count(*) AS c FROM tt GROUP BY tok),
+            tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM c
+            )
+            SELECT doc_id, count(*) AS n_tok,
+                   round(avg(-ln((c.c + 1) * 1.0 / (tot.n + tot.v))), 6)
+                     AS avg_nll
+            FROM tt JOIN c USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
         "decontaminate": f"""
             WITH csh AS (
               SELECT DISTINCT doc_id AS id,

@@ -1,4 +1,6 @@
 from tachyon_spark.functions.dedup import (
+    dedup_clusters,
+    dedup_keep_best,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_pairs,
@@ -25,6 +27,7 @@ from tachyon_spark.functions.textstats import (
     quality_score,
     repetition_score,
     text_stats,
+    unigram_logprob,
 )
 from tachyon_spark.functions.histogram import bucket_quantile
 from tachyon_spark.functions.pii import pii_density, scrub_pii
@@ -44,6 +47,8 @@ from tachyon_spark.functions.codecs import (
 
 __all__ = [
     "exact_dedup",
+    "dedup_clusters",
+    "dedup_keep_best",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
@@ -63,6 +68,7 @@ __all__ = [
     "quality_score",
     "repetition_score",
     "text_stats",
+    "unigram_logprob",
     "bucket_quantile",
     "hash_split",
     "stratified_sample",

@@ -526,3 +526,40 @@ def simhash_pairs(
         .select("doc_a", "doc_b", "hamming")
     )
     return _attach_stats(out, max_bucket, dropped)
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """The keep-list a dedup pipeline actually ships: for every near-dup
+    cluster keep the member with the BEST score (ties → lowest id); every
+    document outside any cluster keeps itself. Compose:
+
+        pairs    = minhash_lsh_pairs(df, ...)
+        clusters = dedup_clusters(pairs)
+        keep     = dedup_keep_best(df, clusters, quality_score(df))
+
+    Returns (doc_id, cluster_rep) — cluster_rep is null for singletons.
+    Shape: one join of the (member, rep) frame with the score frame on
+    the doc id, a per-cluster max_by (same key shuffle), and an anti-join
+    for singletons — all keyed on doc/cluster ids, no wide state."""
+    member = clusters.select(F.col("doc_id").alias("id"), "cluster_rep")
+    scored = member.join(
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
+        "id",
+    )
+    # max score, ties -> lowest id (struct orders by score then -id)
+    best = scored.groupBy("cluster_rep").agg(
+        F.max_by("id", F.struct(F.col("__s"), (-F.col("id")).alias("__negid")))
+        .alias("doc_id")
+    )
+    singles = df.select(F.col(id_col).alias("doc_id")).join(
+        member.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    return best.select("doc_id", "cluster_rep").unionByName(
+        singles.select("doc_id", F.lit(None).cast(member.schema["cluster_rep"].dataType).alias("cluster_rep"))
+    )

@@ -148,3 +148,37 @@ def repetition_score(
         1.0 - F.size(F.array_distinct(grams)).cast("double") / m.cast("double")
     )
     return df.select(F.col(id_col), F.round(score, 6).alias("repetition"))
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained unigram LM negative log-likelihood per document —
+    the classic LM-quality filter (CCNet/Gopher-shape): gibberish and
+    badly-OCR'd documents average high NLL (improbable tokens), natural
+    prose and boilerplate average low. Returns (id, n_tok, avg_nll) with
+    add-one smoothing over (N + V).
+
+    Shape: explode → token-count groupBy (shuffle 1, map-side partials),
+    token join back (shuffle 2 — hot tokens like 'the' are skew-split by
+    AQE), per-doc average (shuffle 3). The model frame (distinct tokens)
+    is vocabulary-sized, not corpus-sized; everything stays JVM-side."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("__c"))
+    totals = counts.agg(F.sum("__c").alias("__N"), F.count("*").alias("__V"))
+    nll = -F.log(
+        (F.col("__c") + 1).cast("double")
+        / (F.col("__N") + F.col("__V")).cast("double")
+    )
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select("id", nll.alias("__nll"))
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_tok"),
+        F.round(F.avg("__nll"), 6).alias("avg_nll"),
+    )

@@ -356,3 +356,23 @@ def test_hot_bucket_cap_embedding_near_dup(spark):
     assert ("w1", "w2") in {(r.id_a, r.id_b) for r in rows}
     assert not any(r.id_a.startswith("v") for r in rows)
     assert out.dedup_stats["dropped_buckets"].count() > 0
+
+
+def test_dedup_keep_best_composition(spark):
+    from tachyon_spark.functions.dedup import dedup_clusters, dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # two clusters {1,2,3} and {5,6}; 4 and 7 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    clusters = dedup_clusters(pairs)
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.5), (6, 0.4), (7, 0.8)],
+        "doc_id long, quality double",
+    )
+    keep = {r["doc_id"]: r["cluster_rep"] for r in dedup_keep_best(docs, clusters, scores).collect()}
+    # cluster rep 1: best quality 0.9 tie between 2 and 3 -> lowest id 2
+    assert keep == {2: 1, 5: 5, 4: None, 7: None}
