@@ -148,6 +148,10 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         "repetition_score",
         "pack_sequences",
         "dedup_clusters",
+        # grid sliding-window explode + narrow regex scrub under 10x data
+        "query_range_increase",
+        "scrub_pii",
+        "unigram_logprob",
     ]
     entrymod._read(spark, rep, "events").count()  # warm listing
     out["full_scan_agg"] = timed(
@@ -221,6 +225,7 @@ def main():
         "query_range_matching",
         "chunk_documents",
         "recording_rule",
+        "unigram_logprob",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

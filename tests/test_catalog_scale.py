@@ -199,3 +199,26 @@ def test_delete_crash_recovery(spark, tmp_path):
     vals = sorted(v for _, v in conn2.query("cr", 0, 100).rows())
     assert vals == [0.0, 1.0, 2.0]
     assert not any(d.endswith(".old") for d in os.listdir(conn2.samples_path))
+
+
+def test_wide_selector_query_range_grid_is_distributed(spark, tmp_path):
+    """query_range over a selector past the IN-list threshold: the
+    per-series step grid must come from the DISTRIBUTED catalog frame
+    (executor-side explode), the samples side from a LeftSemi join — no
+    unbounded IN-list, no driver-side grid materialization."""
+    conn = Connection(str(tmp_path / "db"), spark)
+    n = 1_500  # past ISIN_THRESHOLD
+    ids = _bulk_streams(conn, "gridwide", n)
+    rows = [(sid, 100, float(i), None) for i, sid in enumerate(ids)]
+    conn.bulk_load(spark.createDataFrame(rows, SAMPLES_SCHEMA))
+
+    q = conn.query_range("gridwide", 100, 120, 10, lookback=10)
+    df = q.df()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftSemi" in plan, plan
+    assert "stream_id IN" not in plan and ".isin(" not in plan
+    # sample at 100 resolves at steps 100 and 110 (lookback 10), stale at 120
+    assert df.count() == 2 * n
