@@ -1683,6 +1683,22 @@ def q_unigram_logprob(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), "n_tok", "avg_nll")
 
 
+
+DUP_SPAN_K = 8
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """Exact duplicated-substring statistics (functions/dedup.
+    dup_span_stats): Lee et al. arXiv:2107.06499's ExactSubstr pass as a
+    k-gram interval union — per-doc count of tokens covered by an 8-gram
+    that recurs in >= 2 distinct documents. One gram-hash shuffle
+    (distinct-doc count), a linear LEFT SEMI mark join, and one doc-keyed
+    gaps-and-islands pass; no suffix array, no pair blowup."""
+    from tachyon_spark.functions.dedup import dup_span_stats
+
+    return dup_span_stats(_read(spark, sf_dir, "documents"), k=DUP_SPAN_K)
+
+
 DECON_N = 5
 
 
@@ -1988,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stddev": q_agg_stddev,
         "topk_per_group": q_topk_per_group,
         "media_wav_decode": q_media_wav_decode,
+        "dup_span_stats": q_dup_span_stats,
     }
 
 
@@ -3278,6 +3295,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(NULL AS BIGINT) AS cluster_rep
             FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM clus)
+        """,
+        "dup_span_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), pos AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(t[i:i+{DUP_SPAN_K}-1], ' ') AS gram
+              FROM toks, UNNEST(range(1, len(t) - {DUP_SPAN_K} + 2)) AS u(i)
+              WHERE len(t) >= {DUP_SPAN_K}
+            ), dup AS (
+              SELECT gram FROM pos
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), marked AS (
+              SELECT p.doc_id, p.pos FROM pos p
+              WHERE p.gram IN (SELECT gram FROM dup)
+            ), isl AS (
+              SELECT doc_id, pos,
+                CASE WHEN max(pos + {DUP_SPAN_K} - 1) OVER w IS NULL
+                       OR pos > max(pos + {DUP_SPAN_K} - 1) OVER w
+                     THEN 1 ELSE 0 END AS new_isl
+              FROM marked
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), isl2 AS (
+              SELECT doc_id, pos,
+                     sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS isl
+              FROM isl
+            ), per_isl AS (
+              SELECT doc_id, isl,
+                     max(pos) + {DUP_SPAN_K} - 1 - min(pos) + 1 AS span
+              FROM isl2 GROUP BY doc_id, isl
+            ), per_doc AS (
+              SELECT doc_id, sum(span) AS dup_tokens
+              FROM per_isl GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   len(string_split(d.text, ' ')) AS n_tokens,
+                   CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   coalesce(p.dup_tokens, 0) / len(string_split(d.text, ' '))
+                     AS dup_ratio
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         "unigram_logprob": """
             WITH t2 AS (

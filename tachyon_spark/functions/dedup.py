@@ -563,3 +563,93 @@ def dedup_keep_best(
     return best.select("doc_id", "cluster_rep").unionByName(
         singles.select("doc_id", F.lit(None).cast(member.schema["cluster_rep"].dataType).alias("cluster_rep"))
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring statistics: the ExactSubstr pass of Lee
+    et al., "Deduplicating Training Data Makes Language Models Better"
+    (arXiv:2107.06499), re-expressed shuffle-first instead of via a
+    monolithic suffix array (which needs the whole corpus in one address
+    space — a non-starter at 100 TB).
+
+    A token position p in a document is *duplicated* when the k-token gram
+    starting at p also appears in >= min_docs distinct documents. Any
+    maximal duplicated substring of length >= k is exactly a run of
+    duplicated k-gram start positions, so the union of the [p, p+k-1]
+    intervals over duplicated starts equals the corpus's cross-document
+    repeated text — no suffix array required. Returns one row per doc:
+    (doc_id, n_tokens, dup_tokens, dup_ratio).
+
+    Scale shape (all bounded-width keys, no quadratic step):
+      1. per-row gram enumeration — narrow codegen (element_at loop, no
+         sub-array allocs), positions carried through posexplode;
+      2. duplicated-gram set — groupBy on a 60-bit md5 gram hash with a
+         partial-agg distinct-doc count (one shuffle; grams are uniform
+         keys, boilerplate hot grams cost count rows, never pairs);
+      3. marking — LEFT SEMI join of position rows against the dup-gram
+         set on the hash (linear: each position row survives or not;
+         unlike pair-generating LSH joins there is no k^2 bucket blowup,
+         so no hot-bucket cap is needed);
+      4. interval union — classic gaps-and-islands per doc: one window
+         over (doc, pos) + one groupBy(doc) shuffle.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(grams).alias("pos0", "gram"),
+    )
+    pos = base.select(
+        "id", (F.col("pos0") + 1).alias("pos"), _md5_long("gram").alias("gh")
+    )
+    dup_grams = (
+        pos.where(F.col("gh").isNotNull())
+        .groupBy("gh")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    marked = pos.join(dup_grams, "gh", "left_semi")
+    # gaps-and-islands: a new island starts where pos exceeds the running
+    # max end (pos + k - 1) of all earlier starts in the doc.
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = marked.select(
+        "id",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("new_isl"),
+    ).select(
+        "id", "pos", F.sum("new_isl").over(w).alias("isl")
+    )
+    per_island = isl.groupBy("id", "isl").agg(
+        (F.max("pos") + (k - 1) - F.min("pos") + 1).alias("span")
+    )
+    dup_per_doc = per_island.groupBy("id").agg(F.sum("span").alias("dup_tokens"))
+    docs = df.select(F.col(id_col).alias("id"), F.size(tokens(F.col(text_col))).alias("n_tokens"))
+    return (
+        docs.join(dup_per_doc, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            (F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens")).alias("dup_ratio"),
+        )
+    )

@@ -376,3 +376,46 @@ def test_dedup_keep_best_composition(spark):
     keep = {r["doc_id"]: r["cluster_rep"] for r in dedup_keep_best(docs, clusters, scores).collect()}
     # cluster rep 1: best quality 0.9 tie between 2 and 3 -> lowest id 2
     assert keep == {2: 1, 5: 5, 4: None, 7: None}
+
+
+def test_dup_span_stats(spark):
+    from tachyon_spark.functions.dedup import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 1 and 2 share the 10-token prefix; tails differ
+            (1, "a b c d e f g h i j unique1 tail1 x1 y1 z1"),
+            (2, "a b c d e f g h i j unique2 tail2 x2 y2 z2"),
+            # no cross-doc 4-gram anywhere
+            (3, "entirely different words that never recur elsewhere"),
+            # shorter than k -> zero grams, zero dup
+            (4, "too short"),
+            # within-doc repetition only: not duplicated (min_docs=2 DISTINCT docs)
+            (5, "p q r s p q r s p q r s p q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_span_stats(docs, k=4).collect()}
+    assert len(out) == 5
+    # docs 1/2: duplicated 4-gram starts at pos 1..7 (within the shared
+    # 10-token prefix) -> interval union covers tokens 1..10
+    assert out[1].dup_tokens == 10 and out[2].dup_tokens == 10
+    assert out[1].n_tokens == 15
+    assert abs(out[1].dup_ratio - 10 / 15) < 1e-12
+    assert out[3].dup_tokens == 0 and out[3].dup_ratio == 0.0
+    assert out[4].dup_tokens == 0 and out[4].n_tokens == 2
+    assert out[5].dup_tokens == 0  # self-repeats don't count across docs
+
+
+def test_dup_span_stats_identical_corpus(spark):
+    """Degenerate all-identical corpus: every token duplicated, and the
+    cost stays linear (positions x 1 semi-join, no pair product)."""
+    from tachyon_spark.functions.dedup import dup_span_stats
+
+    text = " ".join(f"t{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(30)], "doc_id long, text string"
+    )
+    rows = dup_span_stats(docs, k=8).collect()
+    assert len(rows) == 30
+    assert all(r.dup_tokens == 20 and r.dup_ratio == 1.0 for r in rows)
