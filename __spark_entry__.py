@@ -1699,6 +1699,32 @@ def q_dup_span_stats(spark, sf_dir):
     return dup_span_stats(_read(spark, sf_dir, "documents"), k=DUP_SPAN_K)
 
 
+
+SEMDEDUP_THRESHOLD = 0.35  # synthetic embeddings: no true semantic dups,
+# 0.35 sits above the within-cluster p99 so the drop set is small but real
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (functions/similarity.semdedup, arXiv:2303.09540):
+    cluster embeddings with the seeded coarse quantizer (same md5-ordered
+    deterministic centroids as embedding_ann_ivf so the oracle replays
+    assignment exactly), then within each cluster drop every vector with a
+    lower-id neighbor at cosine >= threshold. Pairing joins on the cluster
+    key only — never corpus-wide all-pairs."""
+    from tachyon_spark.functions.similarity import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.select("vec_id", "embedding")
+        .withColumn("__k", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__k", "vec_id")
+        .limit(IVF_CENTROIDS)
+        .collect()
+    )  # bounded: IVF_CENTROIDS rows
+    cents = [[float(x) for x in r.embedding] for r in seed_rows]
+    return semdedup(emb, cents, threshold=SEMDEDUP_THRESHOLD)
+
+
 DECON_N = 5
 
 
@@ -2005,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "media_wav_decode": q_media_wav_decode,
         "dup_span_stats": q_dup_span_stats,
+        "semdedup": q_semdedup,
     }
 
 
@@ -3337,6 +3364,64 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.dup_tokens, 0) / len(string_split(d.text, ' '))
                      AS dup_ratio
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "semdedup": f"""
+            WITH cents AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ci,
+                     embedding
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT {IVF_CENTROIDS}
+            ),
+            ce AS (
+              SELECT ci, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding::DOUBLE[]) AS x
+              FROM cents
+            ),
+            ve AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding::DOUBLE[]) AS x
+              FROM embeddings
+            ),
+            vc AS (
+              SELECT ve.vec_id, ce.ci,
+                     sum(ve.x * ce.x) /
+                       (sqrt(sum(ve.x * ve.x)) * sqrt(sum(ce.x * ce.x))) AS score
+              FROM ve JOIN ce ON ve.i = ce.i GROUP BY ve.vec_id, ce.ci
+            ),
+            assign AS (
+              SELECT vec_id, ci FROM (
+                SELECT vec_id, ci,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, ci) AS rn
+                FROM vc
+              ) WHERE rn = 1
+            ),
+            pairs AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM assign a JOIN assign b
+                ON a.ci = b.ci AND a.vec_id < b.vec_id
+            ),
+            ps AS (
+              SELECT p.ia, p.ib,
+                     round(sum(va.x * vb.x) /
+                       (sqrt(sum(va.x * va.x)) * sqrt(sum(vb.x * vb.x))), 6)
+                       AS score
+              FROM pairs p
+              JOIN ve va ON va.vec_id = p.ia
+              JOIN ve vb ON vb.vec_id = p.ib AND vb.i = va.i
+              GROUP BY p.ia, p.ib
+            ),
+            drops AS (
+              SELECT DISTINCT ib AS vec_id FROM ps
+              WHERE score >= {SEMDEDUP_THRESHOLD}
+            )
+            SELECT e.vec_id, a.ci AS cluster,
+                   (d.vec_id IS NULL) AS kept
+            FROM embeddings e
+            JOIN assign a USING (vec_id)
+            LEFT JOIN drops d USING (vec_id)
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -356,3 +356,70 @@ def lsh_cosine_topk(
     mask = _lsh_probe_mask(all_planes, q_buckets, planes)
     probe = df.where(mask(F.col(vec_col)))
     return brute_force_cosine_topk(probe, query_vec, k, id_col, vec_col)
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    clustering embeddings with a coarse quantizer and dropping, within each
+    cluster, every vector that has a LOWER-id neighbor with cosine >=
+    threshold (the paper's keep-one-per-semantic-group rule with a
+    deterministic min-id keeper). Returns (vec_id, cluster, kept).
+
+    Scale shape: assignment is a JVM-side argmax over broadcast centroid
+    literals (ivf_assign — at 100 TB the cluster id is a partition column,
+    see ivf_build_index); the pairwise step is a SELF-JOIN ON THE CLUSTER
+    KEY only — never corpus-wide all-pairs. Cluster populations are ~n/k
+    with a trained quantizer; `max_cluster` caps degenerate hot clusters
+    (k members = k^2 join rows) via the shared _cap_hot_buckets guard —
+    capped clusters keep all members (conservative: no false drops), and
+    the drop is logged + attached as dedup_stats, never silent.
+
+    Scores are rounded to 6 decimals BEFORE the threshold compare so the
+    keep decision is independent of floating-point summation order (Spark
+    partial aggregation vs any replaying engine's scan order)."""
+    from tachyon_spark.functions.dedup import (
+        _attach_stats,
+        _cap_hot_buckets,
+        _materialize,
+    )
+
+    assigned = _materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).withColumn("cluster", ivf_assign(F.col("v"), centroids))
+    )
+    pairable = assigned
+    dropped = None
+    if max_cluster is not None:
+        pairable, dropped = _cap_hot_buckets(
+            assigned.select("id", "cluster"), ["cluster"], max_cluster, "semdedup"
+        )
+        pairable = pairable.join(assigned.select("id", "v"), "id")
+    a = pairable.select(F.col("id").alias("id_a"), "cluster", F.col("v").alias("va"))
+    b = pairable.select(F.col("id").alias("id_b"), "cluster", F.col("v").alias("vb"))
+    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
+    # byte-light pairs / CPU-heavy dot products: keep fan-out (see
+    # embedding_near_dup_pairs for the AQE-coalesce rationale)
+    pairs = pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    drops = (
+        pairs.where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    out = (
+        assigned.join(drops.withColumn("__drop", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )
+    return _attach_stats(out, max_cluster, dropped)

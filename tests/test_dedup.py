@@ -419,3 +419,45 @@ def test_dup_span_stats_identical_corpus(spark):
     rows = dup_span_stats(docs, k=8).collect()
     assert len(rows) == 30
     assert all(r.dup_tokens == 20 and r.dup_ratio == 1.0 for r in rows)
+
+
+def test_semdedup(spark):
+    from tachyon_spark.functions.similarity import semdedup
+
+    # two tight semantic groups + one outlier; centroids = group axes
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1 -> dropped (higher id)
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),   # near-dup of 3 -> dropped
+        (5, [0.0, 0.0, 1.0]),      # alone in its cluster -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    out = {r.vec_id: r for r in semdedup(emb, cents, threshold=0.95).collect()}
+    assert len(out) == 5
+    assert out[1].kept and not out[2].kept
+    assert out[3].kept and not out[4].kept
+    assert out[5].kept
+    assert out[1].cluster == out[2].cluster == 0
+    assert out[5].cluster == 2
+
+
+def test_semdedup_hot_cluster_cap(spark):
+    """A capped cluster keeps all members (conservative) and the drop is
+    surfaced in dedup_stats, never silent."""
+    from tachyon_spark.functions.similarity import semdedup
+
+    rows = [(i, [1.0, 0.0]) for i in range(10)] + [(100, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = semdedup(emb, cents, threshold=0.9, max_cluster=5)
+    got = {r.vec_id: r for r in out.collect()}
+    assert all(r.kept for r in got.values())  # hot cluster exempted
+    stats = out.dedup_stats
+    assert stats["max_bucket"] == 5
+    dropped = stats["dropped_buckets"].collect()
+    assert len(dropped) == 1 and dropped[0].n_members == 10
+    # uncapped: 9 of the 10 identical vectors are dropped
+    out2 = semdedup(emb, cents, threshold=0.9)
+    assert sum(1 for r in out2.collect() if not r.kept) == 9
