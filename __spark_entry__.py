@@ -1725,6 +1725,35 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, cents, threshold=SEMDEDUP_THRESHOLD)
 
 
+
+DOMAIN_CAP_N = 10
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain cap (functions/sampling.cap_per_group): keep at most N
+    docs per source, the N with smallest md5(doc_id||salt) — the
+    deterministic hot-domain cap every crawl pipeline applies. Skew-safe
+    two-phase window select (bounded per-group rows in the final window);
+    output set equals the single-window semantics the oracle replays."""
+    from tachyon_spark.functions.sampling import cap_per_group
+
+    docs = _read(spark, sf_dir, "documents")
+    out = cap_per_group(docs, DOMAIN_CAP_N, group_col="source")
+    return out.select("doc_id", "source")
+
+
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic global training order (functions/sampling.
+    shuffle_order): position of every doc under the md5-hash permutation.
+    Hash-top-byte pre-bucketing + per-bucket row_number + bucket offsets
+    (256-row broadcast) — two keyed shuffles, never a single-partition
+    global window."""
+    from tachyon_spark.functions.sampling import shuffle_order
+
+    docs = _read(spark, sf_dir, "documents")
+    return shuffle_order(docs).select(F.col("id").alias("doc_id"), "pos")
+
+
 DECON_N = 5
 
 
@@ -2032,6 +2061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_decode": q_media_wav_decode,
         "dup_span_stats": q_dup_span_stats,
         "semdedup": q_semdedup,
+        "domain_cap": q_domain_cap,
+        "global_shuffle": q_global_shuffle,
     }
 
 
@@ -3422,6 +3453,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             JOIN assign a USING (vec_id)
             LEFT JOIN drops d USING (vec_id)
+        """,
+        "domain_cap": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source
+                ORDER BY CAST(CONCAT('0x', substr(
+                           md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 15
+                         )) AS BIGINT), doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= {DOMAIN_CAP_N}
+        """,
+        "global_shuffle": """
+            SELECT doc_id, row_number() OVER (
+              ORDER BY CAST(CONCAT('0x', substr(
+                         md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 15
+                       )) AS BIGINT), doc_id) AS pos
+            FROM documents
         """,
         "unigram_logprob": """
             WITH t2 AS (

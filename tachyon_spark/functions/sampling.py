@@ -214,3 +214,90 @@ def chunk_documents(
         F.size(piece).alias("n_chunk_tok"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most `n` rows per group (the per-domain cap every crawl
+    pipeline applies so one hot domain can't dominate the corpus),
+    chosen DETERMINISTICALLY: the n rows with the smallest md5(key||salt)
+    — reproducible across reruns and cluster sizes, and subset-monotone
+    (raising n keeps the previous selection).
+
+    Skew-safe two-phase select (a plain per-group window puts a 1B-row
+    domain in ONE task): phase 1 caps each (group, hash-fanout-bucket)
+    slice to n — any row outside its slice's top-n can't be in the global
+    top-n — so phase 2's final per-group window sees at most fanout*n
+    rows per group, bounded regardless of domain size. Both phases are
+    keyed window shuffles; output set is identical to the single-window
+    semantics (which is what the SQL oracle replays)."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    fanout = 32
+    key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    base = df.withColumn("__h", h)
+    slice_w = Window.partitionBy(
+        F.col(group_col), (F.col("__h") % fanout)
+    ).orderBy("__h", key_col)
+    pre = base.withColumn("__rs", F.row_number().over(slice_w)).where(
+        F.col("__rs") <= n
+    )
+    final_w = Window.partitionBy(group_col).orderBy("__h", key_col)
+    return (
+        pre.withColumn("__rn", F.row_number().over(final_w))
+        .where(F.col("__rn") <= n)
+        .drop("__h", "__rs", "__rn")
+    )
+
+
+def shuffle_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+    buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global shuffle order for training: position of every
+    row under the permutation sorted by (md5(key||salt), key). Returns
+    (id, pos), pos 1-based and contiguous. Reproducible across reruns,
+    partition layouts, and cluster sizes — `df.orderBy(rand())` is none
+    of those.
+
+    A bare row_number() OVER (ORDER BY hash) collapses Spark to a SINGLE
+    partition; instead the hash's top byte pre-buckets rows (order by
+    (bucket, hash, key) == order by (hash, key) since the bucket IS the
+    hash prefix), positions are assigned per bucket in parallel, and each
+    bucket's offset is the running count of earlier buckets — a
+    `buckets`-row frame folded on the driver side of a broadcast join.
+    Two keyed shuffles, no global sort, no single-task stage."""
+    if buckets != 256:
+        raise ValueError("buckets is fixed at 256 (the hash's top byte)")
+    key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    # top 8 of the 60 hash bits: ordering by (bucket, h) == ordering by h,
+    # so the bucketed row numbers splice into the plain hash permutation
+    bucket = F.shiftright(h, 52).cast("int")
+    base = df.select(
+        F.col(key_col).alias("id"), h.alias("__h"), bucket.alias("__b")
+    )
+    w = Window.partitionBy("__b").orderBy("__h", "id")
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    counts = ranked.groupBy("__b").agg(F.count("*").alias("__c"))
+    offs = counts.select(
+        "__b",
+        F.coalesce(
+            F.sum("__c").over(
+                Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )  # `buckets` rows: the single-partition window here is bounded, not data-sized
+    return (
+        ranked.join(F.broadcast(offs), "__b")
+        .select("id", (F.col("__off") + F.col("__rn")).alias("pos"))
+    )

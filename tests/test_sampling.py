@@ -139,3 +139,58 @@ def test_chunk_documents_no_overlap_and_validation(spark):
         chunk_documents(df, 4, overlap=4)
     with _pytest.raises(ValueError, match="max_tokens"):
         chunk_documents(df, 0)
+
+
+def test_cap_per_group_deterministic_and_monotone(docs):
+    from tachyon_spark.functions.sampling import cap_per_group
+
+    out = cap_per_group(docs, 50)
+    got = out.groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in got} == {
+        "crawl": 50, "wiki": 50, "books": 50
+    }
+    # deterministic across reruns and repartitioning
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in cap_per_group(docs.repartition(13), 50).collect()}
+    assert ids1 == ids2
+    # subset-monotone: raising the cap keeps the previous selection
+    ids_small = {r.doc_id for r in cap_per_group(docs, 20).collect()}
+    assert ids_small < ids1
+    # groups under the cap are untouched
+    assert cap_per_group(docs, 10_000).count() == 600
+    with pytest.raises(ValueError):
+        cap_per_group(docs, 0)
+
+
+def test_cap_per_group_matches_single_window(docs):
+    """The skew-safe two-phase select must equal the plain per-group
+    window semantics (what the SQL oracle replays)."""
+    from pyspark.sql import Window
+    from tachyon_spark.functions.sampling import cap_per_group
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("cap"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(h.asc(), "doc_id")
+    ref = {
+        r.doc_id
+        for r in docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 35).collect()
+    }
+    got = {r.doc_id for r in cap_per_group(docs, 35).collect()}
+    assert got == ref
+
+
+def test_shuffle_order_is_a_permutation(docs):
+    from tachyon_spark.functions.sampling import shuffle_order
+
+    out = shuffle_order(docs).collect()
+    assert sorted(r.pos for r in out) == list(range(1, 601))
+    # stable under repartitioning
+    again = {r.id: r.pos for r in shuffle_order(docs.repartition(17)).collect()}
+    assert {r.id: r.pos for r in out} == again
+    # different salts give different permutations
+    other = {r.id: r.pos for r in shuffle_order(docs, salt="epoch2").collect()}
+    assert other != {r.id: r.pos for r in out}
+    assert sorted(other.values()) == list(range(1, 601))
