@@ -1702,6 +1702,12 @@ def q_dup_span_stats(spark, sf_dir):
 
 SEMDEDUP_THRESHOLD = 0.35  # synthetic embeddings: no true semantic dups,
 # 0.35 sits above the within-cluster p99 so the drop set is small but real
+SEMDEDUP_CENTROIDS = 32  # SemDeDup's cluster count scales WITH the corpus
+# (k ~ n / target_cluster_size; the paper uses 50k on LAION) so cluster
+# populations — and the within-cluster pair count — stay bounded. 32 keeps
+# ~15 vectors/cluster at the correctness SF; a fixed k would make the
+# pairwise step quadratic in data growth, which is a config error, not an
+# operator property.
 
 
 def q_semdedup(spark, sf_dir):
@@ -1718,9 +1724,9 @@ def q_semdedup(spark, sf_dir):
         emb.select("vec_id", "embedding")
         .withColumn("__k", F.md5(F.col("vec_id").cast("string")))
         .orderBy("__k", "vec_id")
-        .limit(IVF_CENTROIDS)
+        .limit(SEMDEDUP_CENTROIDS)
         .collect()
-    )  # bounded: IVF_CENTROIDS rows
+    )  # bounded: SEMDEDUP_CENTROIDS rows
     cents = [[float(x) for x in r.embedding] for r in seed_rows]
     return semdedup(emb, cents, threshold=SEMDEDUP_THRESHOLD)
 
@@ -3403,7 +3409,7 @@ def oracle_sql() -> dict[str, str]:
                      embedding
               FROM embeddings
               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-              LIMIT {IVF_CENTROIDS}
+              LIMIT {SEMDEDUP_CENTROIDS}
             ),
             ce AS (
               SELECT ci, generate_subscripts(embedding, 1) AS i,
@@ -3434,14 +3440,20 @@ def oracle_sql() -> dict[str, str]:
               FROM assign a JOIN assign b
                 ON a.ci = b.ci AND a.vec_id < b.vec_id
             ),
+            norms AS (
+              SELECT vec_id, greatest(sqrt(sum(x * x)), 1e-12) AS n
+              FROM ve GROUP BY vec_id
+            ),
             ps AS (
+              -- normalized-then-dot, replaying the engine's normalize-once
+              -- factoring (element / norm, then plain dot product)
               SELECT p.ia, p.ib,
-                     round(sum(va.x * vb.x) /
-                       (sqrt(sum(va.x * va.x)) * sqrt(sum(vb.x * vb.x))), 6)
-                       AS score
+                     round(sum((va.x / na.n) * (vb.x / nb.n)), 6) AS score
               FROM pairs p
               JOIN ve va ON va.vec_id = p.ia
               JOIN ve vb ON vb.vec_id = p.ib AND vb.i = va.i
+              JOIN norms na ON na.vec_id = p.ia
+              JOIN norms nb ON nb.vec_id = p.ib
               GROUP BY p.ia, p.ib
             ),
             drops AS (

@@ -152,6 +152,11 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         "query_range_increase",
         "scrub_pii",
         "unigram_logprob",
+        # k-gram duplicated-span mark join (semdedup is excluded here on
+        # purpose: its cluster COUNT must scale with the corpus — the
+        # bench query pins k for oracle replay, so 10x data would measure
+        # a misconfigured quadratic, not the operator)
+        "dup_span_stats",
     ]
     entrymod._read(spark, rep, "events").count()  # warm listing
     out["full_scan_agg"] = timed(
@@ -226,6 +231,10 @@ def main():
         "chunk_documents",
         "recording_rule",
         "unigram_logprob",
+        "dup_span_stats",
+        "semdedup",
+        "domain_cap",
+        "global_shuffle",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

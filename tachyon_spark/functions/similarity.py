@@ -108,15 +108,18 @@ def train_ivf_centroids(
 
 def ivf_assign(vec_col, centroids: list[list[float]]) -> F.Column:
     """Nearest-centroid id (by cosine) as a column expression — JVM-side
-    argmax over the broadcast centroid literals, no Python in the scan."""
+    argmax over the broadcast centroid literals, no Python in the scan.
+
+    Built as one scores ARRAY + array_position(max): expression size is
+    LINEAR in the centroid count. (The obvious when(better, ...) fold
+    embeds the running best-score tree twice per step — exponential plan
+    size, which OOMs the driver past ~16 centroids.) Ties break to the
+    lowest centroid index (array_position returns the first match),
+    matching the fold's strict-> semantics and the SQL oracles'
+    ORDER BY score DESC, ci."""
     v = vec_col.cast("array<double>")
-    best_id, best_score = F.lit(0), F.lit(float("-inf"))
-    for i, c in enumerate(centroids):
-        score = cosine(v, F.lit(c).cast("array<double>"))
-        better = score > best_score
-        best_id = F.when(better, F.lit(i)).otherwise(best_id)
-        best_score = F.when(better, score).otherwise(best_score)
-    return best_id
+    scores = F.array(*[cosine(v, F.lit(c).cast("array<double>")) for c in centroids])
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
 def _probe_lists(query_vec: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
@@ -390,27 +393,40 @@ def semdedup(
         _materialize,
     )
 
+    # normalize ONCE per vector: the pairwise step then needs only a dot
+    # product — cosine() per pair would recompute both norms (3 array
+    # aggregates instead of 1) for every one of the O(cluster^2) pairs
     assigned = _materialize(
         df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
-        ).withColumn("cluster", ivf_assign(F.col("v"), centroids))
+        )
+        .withColumn("cluster", ivf_assign(F.col("v"), centroids))
+        .withColumn(
+            "nv",
+            F.transform("v", lambda x: x / F.greatest(_norm(F.col("v")), F.lit(1e-12))),
+        )
+        .drop("v")
     )
-    pairable = assigned
+    ids = assigned.select("id", "cluster")
     dropped = None
     if max_cluster is not None:
-        pairable, dropped = _cap_hot_buckets(
-            assigned.select("id", "cluster"), ["cluster"], max_cluster, "semdedup"
-        )
-        pairable = pairable.join(assigned.select("id", "v"), "id")
-    a = pairable.select(F.col("id").alias("id_a"), "cluster", F.col("v").alias("va"))
-    b = pairable.select(F.col("id").alias("id_b"), "cluster", F.col("v").alias("vb"))
-    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
+        ids, dropped = _cap_hot_buckets(ids, ["cluster"], max_cluster, "semdedup")
+    # pair NARROW id rows on the cluster key; vectors attach afterwards by
+    # id (broadcast when small, shuffle otherwise) so the cluster join
+    # never carries arrays
+    a = ids.select(F.col("id").alias("id_a"), "cluster")
+    b = ids.select(F.col("id").alias("id_b"), "cluster")
+    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     # byte-light pairs / CPU-heavy dot products: keep fan-out (see
     # embedding_near_dup_pairs for the AQE-coalesce rationale)
     pairs = pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    nv = assigned.select("id", "nv")
+    paired = pairs.join(
+        nv.select(F.col("id").alias("id_a"), F.col("nv").alias("na")), "id_a"
+    ).join(nv.select(F.col("id").alias("id_b"), F.col("nv").alias("nb")), "id_b")
     drops = (
-        pairs.where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        paired.where(F.round(_dot(F.col("na"), F.col("nb")), 6) >= threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()
     )
