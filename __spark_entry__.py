@@ -1760,6 +1760,58 @@ def q_global_shuffle(spark, sf_dir):
     return shuffle_order(docs).select(F.col("id").alias("doc_id"), "pos")
 
 
+
+def q_predict_linear(spark, sf_dir):
+    """PromQL predict_linear(m[1h], 600s) mirror (plans/builder.
+    _predict_linear): least-squares extrapolation per (series, window) to
+    10 minutes past the window end — regr_slope + regr_intercept, both
+    plain mergeable aggregates, one (series, window) shuffle. x is
+    window-relative seconds on both engines so the regression arithmetic
+    stays cancellation-free; the prediction point is window width + 600 s
+    in that frame."""
+    ev = _read(spark, sf_dir, "events")
+    w_us = 60 * 60 * 1_000_000
+    e = ev.select(
+        "event_type",
+        F.expr("ts DIV 1000").alias("t"),
+        "value",
+        (F.expr("ts DIV 1000") - F.expr("ts DIV 1000") % F.lit(w_us)).alias("ts_us"),
+    )
+    x = (F.col("t") - F.col("ts_us")).cast("double") / 1e6
+    pred_x = F.lit(3600.0 + 600.0)  # window end + 10 min, window-relative s
+    out = (
+        e.groupBy("event_type", "ts_us")
+        .agg(
+            F.regr_slope(F.col("value").cast("double"), x).alias("__m"),
+            F.regr_intercept(F.col("value").cast("double"), x).alias("__b"),
+        )
+        .where(F.col("__m").isNotNull())
+    )
+    return out.select(
+        "event_type",
+        "ts_us",
+        F.round(F.col("__b") + F.col("__m") * pred_x, 9).alias("predicted"),
+    )
+
+
+def q_stddev_windows(spark, sf_dir):
+    """PromQL stddev_over_time(m[1h]) mirror (plans/builder._over_time_agg
+    'stddev'): population stddev per (series, window) — mergeable
+    aggregate, one shuffle, map-side partials."""
+    ev = _read(spark, sf_dir, "events")
+    w_us = 60 * 60 * 1_000_000
+    e = ev.select(
+        "event_type",
+        "value",
+        (F.expr("ts DIV 1000") - F.expr("ts DIV 1000") % F.lit(w_us)).alias("ts_us"),
+    )
+    out = e.groupBy("event_type", "ts_us").agg(
+        F.round(F.stddev_pop(F.col("value").cast("double")), 9).alias("stddev"),
+        F.round(F.var_pop(F.col("value").cast("double")), 9).alias("stdvar"),
+    )
+    return out
+
+
 DECON_N = 5
 
 
@@ -2069,6 +2121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "domain_cap": q_domain_cap,
         "global_shuffle": q_global_shuffle,
+        "predict_linear": q_predict_linear,
+        "stddev_windows": q_stddev_windows,
     }
 
 
@@ -3482,6 +3536,30 @@ def oracle_sql() -> dict[str, str]:
                          md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 15
                        )) AS BIGINT), doc_id) AS pos
             FROM documents
+        """,
+        "predict_linear": """
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) AS t, value,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us
+              FROM events
+            )
+            SELECT event_type, ts_us,
+                   round(regr_intercept(value, (t - ts_us) / 1e6)
+                         + regr_slope(value, (t - ts_us) / 1e6) * 4200.0, 9)
+                     AS predicted
+            FROM e GROUP BY 1, 2
+            HAVING regr_slope(value, (t - ts_us) / 1e6) IS NOT NULL
+        """,
+        "stddev_windows": """
+            WITH e AS (
+              SELECT event_type, value,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us
+              FROM events
+            )
+            SELECT event_type, ts_us,
+                   round(stddev_pop(value), 9) AS stddev,
+                   round(var_pop(value), 9) AS stdvar
+            FROM e GROUP BY 1, 2
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -158,6 +158,8 @@ class PlanBuilder:
             return self._range_count_func(expr)
         if isinstance(expr, ast.DerivFunc):
             return self._deriv_func(expr)
+        if isinstance(expr, ast.PredictLinearFunc):
+            return self._predict_linear(expr)
         if isinstance(expr, ast.MathFunc):
             return self._math_func(expr)
         if isinstance(expr, ast.HistogramQuantile):
@@ -237,6 +239,19 @@ class PlanBuilder:
         "exp": F.exp,
         "ln": F.log,
         "sgn": F.signum,
+        "log2": F.log2,
+        "log10": F.log10,
+        "sin": F.sin,
+        "cos": F.cos,
+        "tan": F.tan,
+        "asin": F.asin,
+        "acos": F.acos,
+        "atan": F.atan,
+        "sinh": F.sinh,
+        "cosh": F.cosh,
+        "tanh": F.tanh,
+        "deg": F.degrees,
+        "rad": F.radians,
     }
 
     def _math_func(self, node: ast.MathFunc) -> Plan:
@@ -249,7 +264,12 @@ class PlanBuilder:
 
                 fn = {"abs": abs, "ceil": m.ceil, "floor": m.floor,
                       "sqrt": m.sqrt, "exp": m.exp, "ln": m.log,
-                      "sgn": lambda x: (x > 0) - (x < 0)}[node.func]
+                      "sgn": lambda x: (x > 0) - (x < 0),
+                      "log2": m.log2, "log10": m.log10, "sin": m.sin,
+                      "cos": m.cos, "tan": m.tan, "asin": m.asin,
+                      "acos": m.acos, "atan": m.atan, "sinh": m.sinh,
+                      "cosh": m.cosh, "tanh": m.tanh,
+                      "deg": m.degrees, "rad": m.radians}[node.func]
                 return Plan("scalar", None, VT_F64, literal=float(fn(child.literal)))
             out = child.df.select(
                 self._MATH[node.func](F.col("value").cast("double")).alias("value")
@@ -389,6 +409,12 @@ class PlanBuilder:
             # exact linear-interpolated percentile (PromQL semantics) — the
             # oracle-gated default
             return F.percentile(v.cast("double"), F.lit(arg)), VT_F64
+        if fn == "stddev":  # population, per Prometheus
+            return F.stddev_pop(v.cast("double")), VT_F64
+        if fn == "stdvar":
+            return F.var_pop(v.cast("double")), VT_F64
+        if fn == "present":
+            return F.max(F.lit(1.0)), VT_F64
         # last: newest sample, (ts, value) tie-break
         return F.max_by("value", F.struct("ts", "value")), child_vt
 
@@ -554,6 +580,35 @@ class PlanBuilder:
                 ).alias("value")
             )
             .where(F.col("value").isNotNull())
+        )
+        return Plan("vector", out, VT_F64, streams=child.streams)
+
+    def _predict_linear(self, node: ast.PredictLinearFunc) -> Plan:
+        """predict_linear(m[RANGE], t): per (series, window) least-squares
+        extrapolation to `t` past the window end — regr_intercept +
+        regr_slope * (win_start + range + t). Both regr_* are mergeable
+        aggregates: same single-shuffle shape as deriv (prometheus/promql
+        functions.go funcPredictLinear, over raw tumbling windows)."""
+        msel = node.child
+        child = self._selector(msel.selector)
+        win = self._window_col(msel)
+        ts_d = F.col("ts").cast("double")
+        v_d = F.col("value").cast("double")
+        keys = self._series_window_keys(child, win)
+        pred_t = F.col("__win") + F.lit(float(msel.range_) + node.horizon)
+        out = (
+            child.df.groupBy(*keys)
+            .agg(
+                F.regr_slope(v_d, ts_d).alias("__m"),
+                F.regr_intercept(v_d, ts_d).alias("__b"),
+            )
+            .withColumnRenamed("ts", "__win")
+            .where(F.col("__m").isNotNull())
+            .select(
+                *[c for c in ("stream_id",) if c in child.df.columns],
+                F.col("__win").alias("ts"),
+                (F.col("__b") + F.col("__m") * pred_t).alias("value"),
+            )
         )
         return Plan("vector", out, VT_F64, streams=child.streams)
 

@@ -230,6 +230,7 @@ GETK_FUNCS = frozenset({"topk", "bottomk"})
 RANGE_FUNCS = frozenset({"rate", "increase", "delta"})
 RANGE_COUNT_FUNCS = frozenset({"resets", "changes", "irate", "idelta"})  # require m[RANGE]
 DERIV_FUNCS = frozenset({"deriv"})  # least-squares slope; requires m[RANGE]
+PREDICT_FUNCS = frozenset({"predict_linear"})  # predict_linear(m[RANGE], t)
 OVER_TIME_FUNCS = frozenset(
     {
         "avg_over_time",
@@ -239,9 +240,30 @@ OVER_TIME_FUNCS = frozenset(
         "count_over_time",
         "last_over_time",
         "quantile_over_time",
+        "stddev_over_time",
+        "stdvar_over_time",
+        "present_over_time",
     }
 )
-MATH_FUNCS = frozenset({"abs", "ceil", "floor", "sqrt", "exp", "ln", "sgn"})
+MATH_FUNCS = frozenset(
+    {
+        "abs", "ceil", "floor", "sqrt", "exp", "ln", "sgn",
+        "log2", "log10", "sin", "cos", "tan", "asin", "acos", "atan",
+        "sinh", "cosh", "tanh", "deg", "rad",
+    }
+)
+
+
+@dataclass(frozen=True)
+class PredictLinearFunc:
+    """predict_linear(m[RANGE], t): least-squares extrapolation of each
+    (series, window)'s samples to horizon t past the window end —
+    value = intercept + slope * (window_start + range + t), per-native-ts
+    units (Prometheus's simple linear regression, prometheus/promql
+    functions.go funcPredictLinear, applied to raw tumbling windows)."""
+
+    child: object  # MatrixSelector
+    horizon: float
 
 
 @dataclass(frozen=True)

@@ -73,6 +73,7 @@ KEYWORDS = (
     | set(ast.OVER_TIME_FUNCS)
     | set(ast.RANGE_COUNT_FUNCS)
     | set(ast.DERIV_FUNCS)
+    | set(ast.PREDICT_FUNCS)
     | set(ast.MATH_FUNCS)
     | set(ast.SET_OPS)
     | set(ast.SORT_FUNCS)
@@ -262,6 +263,8 @@ class Parser:
                 return self._maybe_subquery(self.parse_over_time_func())
             if tok.text in ast.RANGE_COUNT_FUNCS:
                 return self._maybe_subquery(self.parse_range_count_func())
+            if tok.text in ast.PREDICT_FUNCS:
+                return self.parse_predict_linear()
             if tok.text in ast.DERIV_FUNCS:
                 return self._maybe_subquery(self.parse_deriv_func())
             if tok.text in ast.MATH_FUNCS:
@@ -476,6 +479,28 @@ class Parser:
         if not isinstance(child, ast.MatrixSelector):
             raise PromQLError("deriv requires a range vector argument like m[5m]")
         return ast.DerivFunc(child)
+
+    def parse_predict_linear(self):
+        self.next()
+        self.expect("(")
+        child = self.parse_or()
+        self.expect(",")
+        neg = False
+        if self.at("-"):
+            self.next()
+            neg = True
+        tok = self.next()
+        if tok.kind != "number":
+            raise PromQLError(
+                f"predict_linear horizon must be a number, got {tok.text!r}"
+            )
+        horizon = -float(tok.text) if neg else float(tok.text)
+        self.expect(")")
+        if not isinstance(child, ast.MatrixSelector):
+            raise PromQLError(
+                "predict_linear requires a range vector argument like m[5m]"
+            )
+        return ast.PredictLinearFunc(child, horizon)
 
     def parse_math_func(self):
         func = self.next().text

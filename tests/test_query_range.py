@@ -301,3 +301,20 @@ def test_subquery_nested_rate_on_grid(golden_db):
     rows = q.rows()
     assert len(rows) == 1 and rows[0][0] == 40
     assert rows[0][1] == pytest.approx(2 / 6)
+
+
+def test_sliding_stddev_present_over_time(golden_db):
+    # sliding windows (t-20, t]: t=40 -> {23,29,40} = {45,47,23};
+    # t=60 -> {51} = {48}
+    q = golden_db.query_range(f"stddev_over_time({WEB}[20])", 0, 100, 20)
+    got = dict(q.rows())
+    import statistics
+
+    assert got[40] == pytest.approx(statistics.pstdev([45, 47, 23]))
+    assert got[60] == 0.0
+    q = golden_db.query_range(f"stdvar_over_time({WEB}[20])", 0, 100, 20)
+    assert dict(q.rows())[40] == pytest.approx(
+        statistics.pvariance([45, 47, 23])
+    )
+    q = golden_db.query_range(f"present_over_time({WEB}[20])", 0, 100, 20)
+    assert q.rows() == [(40, 1.0), (60, 1.0)]

@@ -247,3 +247,44 @@ def test_matrix_selector_errors(golden_db):
             from tachyon_spark.promql import parse
 
             parse(bad)
+
+
+def test_predict_linear(golden_db):
+    q = 'http_requests_total{service="web"}'
+    # whole-range window [0,100): least squares over ts [23,29,40,51],
+    # v [45,47,23,48]; prediction at win_start + range + t = 0 + 100 + 10
+    got = golden_db.query(f"predict_linear({q}[100], 10)", 0, 100).rows()
+    assert len(got) == 1 and got[0][0] == 0
+    assert got[0][1] == pytest.approx(30.836512261580367)
+    # window of 20: [20,40) has (23,45),(29,47) -> exact line through both,
+    # predicted at 20 + 20 + 5 = 45
+    got = dict(golden_db.query(f"predict_linear({q}[20], 5)", 0, 100).rows())
+    assert got[20] == pytest.approx(52.333333333333336)
+    # negative horizon = interpolate before window end
+    got = dict(golden_db.query(f"predict_linear({q}[20], -11)", 0, 100).rows())
+    assert got[20] == pytest.approx(45 + (47 - 45) / (29 - 23) * (29 - 23))
+    # single-sample windows drop (no slope)
+    got = golden_db.query(f"predict_linear({q}[10], 5)", 0, 100).rows()
+    assert [t for t, _ in got] == [20]
+    from tachyon_spark.promql import parse
+    from tachyon_spark.promql.parser import PromQLError
+
+    for bad in ["predict_linear(m, 5)", "predict_linear(m[5])",
+                "predict_linear(m[5], x)"]:
+        with pytest.raises(PromQLError):
+            parse(bad)
+
+
+def test_stddev_stdvar_present_over_time(golden_db):
+    q = 'http_requests_total{service="web"}'
+    # [20,40): (45,47) pop stddev 1.0; [40,60): (23,48) pop stddev 12.5
+    got = dict(golden_db.query(f"stddev_over_time({q}[20])", 0, 100).rows())
+    assert got[20] == pytest.approx(1.0) and got[40] == pytest.approx(12.5)
+    got = dict(golden_db.query(f"stdvar_over_time({q}[20])", 0, 100).rows())
+    assert got[20] == pytest.approx(1.0) and got[40] == pytest.approx(156.25)
+    assert golden_db.query(f"present_over_time({q}[20])", 0, 100).rows() == [
+        (20, 1.0), (40, 1.0),
+    ]
+    # single-sample window: stddev_pop of one value is 0, present is 1
+    got = dict(golden_db.query(f"stddev_over_time({q}[10])", 0, 100).rows())
+    assert got[40] == 0.0

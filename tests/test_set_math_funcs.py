@@ -133,3 +133,24 @@ def test_sgn_and_round(golden_db):
     # to_nearest = 0.5
     q3 = golden_db.query("round(floats, 0.5)", 0, 100)
     assert [v for _, v in q3.rows()] == [4.0, 3.0, 2.5, 1.5]
+
+
+def test_extended_math_funcs(golden_db):
+    import math
+
+    # vector path: trig/log over the float stream [4.1, 3.2, 2.3, 1.4]
+    vals = [4.1, 3.2, 2.3, 1.4]
+    for fn, ref in [("log2", math.log2), ("log10", math.log10),
+                    ("sin", math.sin), ("cos", math.cos), ("tan", math.tan),
+                    ("atan", math.atan), ("sinh", math.sinh),
+                    ("cosh", math.cosh), ("tanh", math.tanh),
+                    ("deg", math.degrees), ("rad", math.radians)]:
+        got = golden_db.query(f'{fn}(floats{{t="f"}})', 0, 100).rows()
+        assert [v for _, v in got] == pytest.approx([ref(x) for x in vals]), fn
+    # domain-restricted: asin/acos on a scaled-down vector
+    got = golden_db.query('asin(floats{t="f"} / 10)', 0, 100).rows()
+    assert [v for _, v in got] == pytest.approx([math.asin(x / 10) for x in vals])
+    # scalar-literal constant folding path
+    assert golden_db.query("sin(0)", 0, 100).scalar() == pytest.approx(0.0)
+    assert golden_db.query("log2(8)", 0, 100).scalar() == pytest.approx(3.0)
+    assert golden_db.query("deg(3.141592653589793)", 0, 100).scalar() == pytest.approx(180.0)
