@@ -1812,6 +1812,32 @@ def q_stddev_windows(spark, sf_dir):
     return out
 
 
+
+def q_holt_winters(spark, sf_dir):
+    """PromQL holt_winters(m[1h], 0.3, 0.1) mirror (plans/builder.
+    _holt_winters): double exponential smoothing per (series, window) — a
+    sorted collect_list + one sequential fold per window (the recurrence
+    is sequential by definition; windows are range-width bounded, the same
+    in-memory contract as Prometheus's evaluator). One (series, window)
+    shuffle; the oracle replays the identical fold with list_reduce."""
+    from tachyon_spark.plans.builder import PlanBuilder
+
+    ev = _read(spark, sf_dir, "events")
+    w_us = 60 * 60 * 1_000_000
+    e = ev.select(
+        "event_type",
+        F.expr("ts DIV 1000").alias("ts"),
+        "value",
+        (F.expr("ts DIV 1000") - F.expr("ts DIV 1000") % F.lit(w_us)).alias("ts_us"),
+    )
+    out = (
+        e.groupBy("event_type", "ts_us")
+        .agg(PlanBuilder._holt_winters_value(0.3, 0.1).alias("__hw"))
+        .where(F.col("__hw").isNotNull())
+    )
+    return out.select("event_type", "ts_us", F.round("__hw", 6).alias("hw"))
+
+
 DECON_N = 5
 
 
@@ -2123,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": q_global_shuffle,
         "predict_linear": q_predict_linear,
         "stddev_windows": q_stddev_windows,
+        "holt_winters": q_holt_winters,
     }
 
 
@@ -3560,6 +3587,51 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_pop(value), 9) AS stddev,
                    round(var_pop(value), 9) AS stdvar
             FROM e GROUP BY 1, 2
+        """,
+        "holt_winters": """
+            -- identical sequential fold, as a RECURSIVE CTE over scalar
+            -- state columns. (duckdb 1.0's list_reduce with a struct
+            -- accumulator returns wrong, thread-count-dependent results
+            -- inside larger queries — scalar recursion avoids list
+            -- lambdas entirely.) Step i >= 2 consumes sample i with state
+            -- (prev, cur, b); i = 2 folds the b init = v1 - v0 in.
+            WITH RECURSIVE e AS (
+              SELECT event_type, epoch_us(ts) AS t, value,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us
+              FROM events
+            ),
+            p AS (
+              SELECT event_type, ts_us, value::DOUBLE AS v,
+                     row_number() OVER (PARTITION BY event_type, ts_us
+                                        ORDER BY t, value) AS i,
+                     count(*) OVER (PARTITION BY event_type, ts_us) AS n
+              FROM e
+            ),
+            rec AS (
+              SELECT event_type, ts_us, n, 1 AS i,
+                     0.0::DOUBLE AS prev, v AS cur, 0.0::DOUBLE AS b
+              FROM p WHERE i = 1
+              UNION ALL
+              SELECT r.event_type, r.ts_us, r.n, r.i + 1,
+                     r.cur,
+                     CASE WHEN r.i = 1 THEN
+                       0.3::DOUBLE * p.v + (1.0::DOUBLE - 0.3::DOUBLE)
+                         * (r.cur + (p.v - r.cur))
+                     ELSE
+                       0.3::DOUBLE * p.v + (1.0::DOUBLE - 0.3::DOUBLE)
+                         * (r.cur + (0.1::DOUBLE * (r.cur - r.prev)
+                            + (1.0::DOUBLE - 0.1::DOUBLE) * r.b))
+                     END,
+                     CASE WHEN r.i = 1 THEN p.v - r.cur
+                     ELSE 0.1::DOUBLE * (r.cur - r.prev)
+                          + (1.0::DOUBLE - 0.1::DOUBLE) * r.b
+                     END
+              FROM rec r
+              JOIN p ON p.event_type = r.event_type
+                    AND p.ts_us = r.ts_us AND p.i = r.i + 1
+            )
+            SELECT event_type, ts_us, round(cur, 6) AS hw
+            FROM rec WHERE i = n AND n >= 2
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -160,6 +160,8 @@ class PlanBuilder:
             return self._deriv_func(expr)
         if isinstance(expr, ast.PredictLinearFunc):
             return self._predict_linear(expr)
+        if isinstance(expr, ast.HoltWintersFunc):
+            return self._holt_winters(expr)
         if isinstance(expr, ast.MathFunc):
             return self._math_func(expr)
         if isinstance(expr, ast.HistogramQuantile):
@@ -609,6 +611,68 @@ class PlanBuilder:
                 F.col("__win").alias("ts"),
                 (F.col("__b") + F.col("__m") * pred_t).alias("value"),
             )
+        )
+        return Plan("vector", out, VT_F64, streams=child.streams)
+
+    @staticmethod
+    def _holt_winters_value(sf: float, tf: float):
+        """The holt_winters aggregate column: sorted collect_list fold —
+        the recurrence is sequential BY DEFINITION, so the window's samples
+        fold in one task (a window is range-width bounded, the same
+        in-memory contract as Prometheus's own evaluation); windows
+        distribute per (series, window) as usual. State carries
+        (prev_s, cur_s, b, i); i==1 folds the b init = v1 - v0 into the
+        general step (b' = v - cur there). Null (< 2 samples) drops."""
+        pairs = F.sort_array(
+            F.collect_list(F.struct(F.col("ts"), F.col("value").cast("double").alias("v")))
+        )
+        vals = F.transform(pairs, lambda p: p["v"])
+
+        def step(acc, x):
+            b1 = x - acc["cur"]  # i == 1: b init = v1 - v0
+            bk = F.lit(tf) * (acc["cur"] - acc["prev"]) + F.lit(1.0 - tf) * acc["b"]
+            return (
+                F.when(
+                    acc["i"] == 0,
+                    F.struct(
+                        F.lit(0.0).alias("prev"), x.alias("cur"),
+                        F.lit(0.0).alias("b"), F.lit(1).alias("i"),
+                    ),
+                )
+                .when(
+                    acc["i"] == 1,
+                    F.struct(
+                        acc["cur"].alias("prev"),
+                        (F.lit(sf) * x + F.lit(1.0 - sf) * (acc["cur"] + b1)).alias("cur"),
+                        b1.alias("b"), F.lit(2).alias("i"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        acc["cur"].alias("prev"),
+                        (F.lit(sf) * x + F.lit(1.0 - sf) * (acc["cur"] + bk)).alias("cur"),
+                        bk.alias("b"), (acc["i"] + 1).alias("i"),
+                    )
+                )
+            )
+
+        zero = F.struct(
+            F.lit(0.0).alias("prev"), F.lit(0.0).alias("cur"),
+            F.lit(0.0).alias("b"), F.lit(0).alias("i"),
+        )
+        return F.aggregate(
+            vals, zero, step,
+            lambda acc: F.when(acc["i"] >= 2, acc["cur"]),
+        )
+
+    def _holt_winters(self, node: ast.HoltWintersFunc) -> Plan:
+        msel = node.child
+        child = self._selector(msel.selector)
+        win = self._window_col(msel)
+        out = (
+            child.df.groupBy(*self._series_window_keys(child, win))
+            .agg(self._holt_winters_value(node.sf, node.tf).alias("value"))
+            .where(F.col("value").isNotNull())
         )
         return Plan("vector", out, VT_F64, streams=child.streams)
 

@@ -139,6 +139,10 @@ class RangeEvaluator:
             return self._windowed(expr.func, expr.child, None, family="count")
         if isinstance(expr, ast.DerivFunc):
             return self._windowed("deriv", expr.child, None, family="deriv")
+        if isinstance(expr, ast.HoltWintersFunc):
+            return self._windowed(
+                "holt_winters", expr.child, (expr.sf, expr.tf), family="holt"
+            )
         if isinstance(expr, ast.Aggregate):
             return self._aggregate(expr)
         if isinstance(expr, ast.BinaryOp):
@@ -367,6 +371,14 @@ class RangeEvaluator:
             )
             out = df.groupBy(*part).agg(agg.alias("value"))
             return self._finish_windowed(out, vt, child)
+        if family == "holt":
+            sf, tf = arg
+            out = (
+                df.groupBy(*part)
+                .agg(PlanBuilder._holt_winters_value(sf, tf).alias("value"))
+                .where(F.col("value").isNotNull())
+            )
+            return self._finish_windowed(out, VT_F64, child)
         if family == "deriv":
             out = (
                 df.groupBy(*part)

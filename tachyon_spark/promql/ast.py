@@ -231,6 +231,9 @@ RANGE_FUNCS = frozenset({"rate", "increase", "delta"})
 RANGE_COUNT_FUNCS = frozenset({"resets", "changes", "irate", "idelta"})  # require m[RANGE]
 DERIV_FUNCS = frozenset({"deriv"})  # least-squares slope; requires m[RANGE]
 PREDICT_FUNCS = frozenset({"predict_linear"})  # predict_linear(m[RANGE], t)
+# holt_winters was renamed double_exponential_smoothing in Prometheus 3;
+# both names are accepted (prometheus/promql functions.go funcHoltWinters)
+HOLT_FUNCS = frozenset({"holt_winters", "double_exponential_smoothing"})
 OVER_TIME_FUNCS = frozenset(
     {
         "avg_over_time",
@@ -264,6 +267,22 @@ class PredictLinearFunc:
 
     child: object  # MatrixSelector
     horizon: float
+
+
+@dataclass(frozen=True)
+class HoltWintersFunc:
+    """holt_winters(m[RANGE], sf, tf): Holt's linear (double exponential)
+    smoothing per (series, window) — the final smoothed value after a
+    sequential fold over the window's samples in (ts, value) order, with
+    smoothing factor sf and trend factor tf (prometheus/promql
+    functions.go funcHoltWinters: s1 init = v0, b init = v1-v0, then
+    b_i = tf*(s_{i-1} - s_{i-2}) + (1-tf)*b_{i-1};
+    s_i = sf*v_i + (1-sf)*(s_{i-1} + b_i)). Windows with < 2 samples drop.
+    Requires 0 < sf < 1 and 0 < tf <= 1."""
+
+    child: object  # MatrixSelector
+    sf: float
+    tf: float
 
 
 @dataclass(frozen=True)

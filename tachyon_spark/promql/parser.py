@@ -74,6 +74,7 @@ KEYWORDS = (
     | set(ast.RANGE_COUNT_FUNCS)
     | set(ast.DERIV_FUNCS)
     | set(ast.PREDICT_FUNCS)
+    | set(ast.HOLT_FUNCS)
     | set(ast.MATH_FUNCS)
     | set(ast.SET_OPS)
     | set(ast.SORT_FUNCS)
@@ -265,6 +266,8 @@ class Parser:
                 return self._maybe_subquery(self.parse_range_count_func())
             if tok.text in ast.PREDICT_FUNCS:
                 return self.parse_predict_linear()
+            if tok.text in ast.HOLT_FUNCS:
+                return self.parse_holt_winters()
             if tok.text in ast.DERIV_FUNCS:
                 return self._maybe_subquery(self.parse_deriv_func())
             if tok.text in ast.MATH_FUNCS:
@@ -501,6 +504,31 @@ class Parser:
                 "predict_linear requires a range vector argument like m[5m]"
             )
         return ast.PredictLinearFunc(child, horizon)
+
+    def parse_holt_winters(self):
+        name = self.next().text
+        self.expect("(")
+        child = self.parse_or()
+        args = []
+        for what in ("smoothing factor sf", "trend factor tf"):
+            self.expect(",")
+            tok = self.next()
+            if tok.kind != "number":
+                raise PromQLError(
+                    f"{name} {what} must be a number, got {tok.text!r}"
+                )
+            args.append(float(tok.text))
+        self.expect(")")
+        if not isinstance(child, ast.MatrixSelector):
+            raise PromQLError(
+                f"{name} requires a range vector argument like m[5m]"
+            )
+        sf, tf = args
+        if not 0.0 < sf < 1.0:
+            raise PromQLError(f"{name} sf must be in (0, 1), got {sf}")
+        if not 0.0 < tf <= 1.0:
+            raise PromQLError(f"{name} tf must be in (0, 1], got {tf}")
+        return ast.HoltWintersFunc(child, sf, tf)
 
     def parse_math_func(self):
         func = self.next().text

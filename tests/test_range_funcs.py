@@ -288,3 +288,39 @@ def test_stddev_stdvar_present_over_time(golden_db):
     # single-sample window: stddev_pop of one value is 0, present is 1
     got = dict(golden_db.query(f"stddev_over_time({q}[10])", 0, 100).rows())
     assert got[40] == 0.0
+
+
+def test_holt_winters(golden_db):
+    q = 'http_requests_total{service="web"}'
+    # replay of prometheus funcHoltWinters over ts-ordered [45,47,23,48]
+    def ref(vals, sf, tf):
+        s1 = float(vals[0]); s0 = 0.0; b = float(vals[1] - vals[0])
+        for i in range(1, len(vals)):
+            bb = b if i == 1 else tf * (s1 - s0) + (1 - tf) * b
+            s0, s1, b = s1, sf * vals[i] + (1 - sf) * (s1 + bb), bb
+        return s1
+
+    got = golden_db.query(f"holt_winters({q}[100], 0.3, 0.1)", 0, 100).rows()
+    assert len(got) == 1 and got[0][1] == pytest.approx(ref([45, 47, 23, 48], 0.3, 0.1))
+    # prometheus-3 name is an alias
+    got2 = golden_db.query(
+        f"double_exponential_smoothing({q}[100], 0.3, 0.1)", 0, 100
+    ).rows()
+    assert got2 == got
+    # per-window: [20,40) folds [45,47]; single-sample windows drop
+    got = dict(golden_db.query(f"holt_winters({q}[20], 0.5, 0.5)", 0, 100).rows())
+    assert got[20] == pytest.approx(ref([45, 47], 0.5, 0.5))
+    assert golden_db.query(f"holt_winters({q}[10], 0.5, 0.5)", 0, 100).rows() == [
+        (20, pytest.approx(ref([45, 47], 0.5, 0.5)))
+    ]
+    # grid form
+    got = golden_db.query_range(f"holt_winters({q}[60], 0.3, 0.1)", 60, 60, 10).rows()
+    assert got[0][1] == pytest.approx(ref([45, 47, 23, 48], 0.3, 0.1))
+    from tachyon_spark.promql import parse
+    from tachyon_spark.promql.parser import PromQLError
+
+    for bad in ["holt_winters(m[5])", "holt_winters(m[5], 0.3)",
+                "holt_winters(m, 0.3, 0.1)", "holt_winters(m[5], 1.5, 0.1)",
+                "holt_winters(m[5], 0.3, 0)"]:
+        with pytest.raises(PromQLError):
+            parse(bad)
