@@ -1869,6 +1869,22 @@ def q_holt_winters(spark, sf_dir):
 
 
 
+
+def q_strip_dup_spans(spark, sf_dir):
+    """The removal composition of dup_span_stats (functions/dedup.
+    strip_dup_spans): cut every cross-document duplicated 8-gram span out
+    of every document and ship the cleaned text (md5-compared). Same
+    three keyed shuffles as dup_span_stats plus one doc-keyed island
+    join; the per-token coverage check is an array `exists` against the
+    per-doc interval list, in codegen."""
+    from tachyon_spark.functions.dedup import strip_dup_spans
+
+    out = strip_dup_spans(_read(spark, sf_dir, "documents"), k=DUP_SPAN_K)
+    return out.select(
+        "doc_id", "n_tokens", "n_kept", F.md5("clean_text").alias("clean_md5")
+    )
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2196,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predict_linear": q_predict_linear,
         "stddev_windows": q_stddev_windows,
         "holt_winters": q_holt_winters,
+        "strip_dup_spans": q_strip_dup_spans,
     }
 
 
@@ -3678,6 +3695,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, ts_us, round(cur, 6) AS hw
             FROM rec WHERE i = n AND n >= 2
+        """,
+        "strip_dup_spans": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), pos AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(t[i:i+{DUP_SPAN_K}-1], ' ') AS gram
+              FROM toks, UNNEST(range(1, len(t) - {DUP_SPAN_K} + 2)) AS u(i)
+              WHERE len(t) >= {DUP_SPAN_K}
+            ), dup AS (
+              SELECT gram FROM pos
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), marked AS (
+              SELECT p.doc_id, p.pos FROM pos p
+              WHERE p.gram IN (SELECT gram FROM dup)
+            ), isl AS (
+              SELECT doc_id, pos,
+                CASE WHEN max(pos + {DUP_SPAN_K} - 1) OVER w IS NULL
+                       OR pos > max(pos + {DUP_SPAN_K} - 1) OVER w
+                     THEN 1 ELSE 0 END AS new_isl
+              FROM marked
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), isl2 AS (
+              SELECT doc_id, pos,
+                     sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS isl
+              FROM isl
+            ), per_isl AS (
+              SELECT doc_id, isl, min(pos) AS s,
+                     max(pos) + {DUP_SPAN_K} - 1 AS e
+              FROM isl2 GROUP BY doc_id, isl
+            ), tok AS (
+              SELECT doc_id, generate_subscripts(t, 1) AS pos,
+                     unnest(t) AS tok
+              FROM toks
+            ), kept AS (
+              SELECT k.doc_id, k.pos, k.tok FROM tok k
+              WHERE NOT EXISTS (SELECT 1 FROM per_isl p
+                                WHERE p.doc_id = k.doc_id
+                                  AND k.pos BETWEEN p.s AND p.e)
+            ), agg AS (
+              -- list_sort AFTER aggregation (duckdb 1.0 ignores the
+              -- aggregate-level ORDER BY under parallel aggregation)
+              SELECT doc_id,
+                     array_to_string(list_transform(
+                       list_sort(list({{'p': pos, 't': tok}})),
+                       x -> x.t), ' ') AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   len(string_split(d.text, ' ')) AS n_tokens,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   md5(coalesce(a.clean_text, '')) AS clean_md5
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "unigram_logprob": """
             WITH t2 AS (

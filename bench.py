@@ -232,9 +232,13 @@ def main():
         "recording_rule",
         "unigram_logprob",
         "dup_span_stats",
+        "strip_dup_spans",
         "semdedup",
         "domain_cap",
         "global_shuffle",
+        "holt_winters",
+        "predict_linear",
+        "query_range_matching",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

@@ -599,6 +599,30 @@ def dup_span_stats(
       4. interval union — classic gaps-and-islands per doc: one window
          over (doc, pos) + one groupBy(doc) shuffle.
     """
+    per_island = _dup_islands(df, id_col, text_col, k, min_docs)
+    dup_per_doc = per_island.groupBy("id").agg(
+        (F.sum(F.col("end") - F.col("start") + 1)).alias("dup_tokens")
+    )
+    docs = df.select(F.col(id_col).alias("id"), F.size(tokens(F.col(text_col))).alias("n_tokens"))
+    return (
+        docs.join(dup_per_doc, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            (F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens")).alias("dup_ratio"),
+        )
+    )
+
+
+def _dup_islands(
+    df: DataFrame, id_col: str, text_col: str, k: int, min_docs: int
+) -> DataFrame:
+    """Shared core of dup_span_stats / strip_dup_spans: the per-doc
+    maximal duplicated-token intervals. Returns (id, isl, start, end) —
+    token positions 1-based inclusive. See dup_span_stats for the scale
+    shape (gram-hash count shuffle, linear semi mark join, doc-keyed
+    gaps-and-islands)."""
     from pyspark.sql import Window
 
     toks = tokens(F.col(text_col))
@@ -639,17 +663,52 @@ def dup_span_stats(
     ).select(
         "id", "pos", F.sum("new_isl").over(w).alias("isl")
     )
-    per_island = isl.groupBy("id", "isl").agg(
-        (F.max("pos") + (k - 1) - F.min("pos") + 1).alias("span")
+    return isl.groupBy("id", "isl").agg(
+        F.min("pos").alias("start"), (F.max("pos") + (k - 1)).alias("end")
     )
-    dup_per_doc = per_island.groupBy("id").agg(F.sum("span").alias("dup_tokens"))
-    docs = df.select(F.col(id_col).alias("id"), F.size(tokens(F.col(text_col))).alias("n_tokens"))
-    return (
-        docs.join(dup_per_doc, "id", "left")
-        .select(
-            F.col("id").alias("doc_id"),
-            "n_tokens",
-            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
-            (F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens")).alias("dup_ratio"),
-        )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal composition of dup_span_stats: cut every cross-document
+    duplicated span (>= k tokens, recurring in >= min_docs docs) out of
+    every document and return the cleaned text — the "strip boilerplate"
+    product of an ExactSubstr pass. NOTE this removes ALL occurrences
+    (duplicated text is treated as boilerplate); for Lee et al.'s
+    keep-one-copy policy compose with the cluster/keep-best machinery
+    instead. Returns (doc_id, n_tokens, n_kept, clean_text).
+
+    Shape: _dup_islands' three keyed shuffles, plus ONE more doc-keyed
+    join (islands aggregated to a per-doc array — bounded: islands are
+    disjoint intervals, <= n_tokens/k of them) and a narrow filter/rejoin
+    projection; the per-token coverage check is an array `exists` against
+    that per-doc interval array in codegen."""
+    islands = _dup_islands(df, id_col, text_col, k, min_docs)
+    per_doc = islands.groupBy("id").agg(
+        F.collect_list(F.struct("start", "end")).alias("__isl")
+    )
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("__toks")
+    ).join(per_doc, "id", "left")
+    isl = F.coalesce(
+        F.col("__isl"),
+        F.array().cast("array<struct<start:long,end:long>>"),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.exists(
+            isl, lambda s: (i + 1 >= s["start"]) & (i + 1 <= s["end"])
+        ),
+    )
+    return base.select(
+        F.col("id").alias("doc_id"),
+        F.size("__toks").alias("n_tokens"),
+        F.size(kept).alias("n_kept"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )

@@ -461,3 +461,23 @@ def test_semdedup_hot_cluster_cap(spark):
     # uncapped: 9 of the 10 identical vectors are dropped
     out2 = semdedup(emb, cents, threshold=0.9)
     assert sum(1 for r in out2.collect() if not r.kept) == 9
+
+
+def test_strip_dup_spans(spark):
+    from tachyon_spark.functions.dedup import strip_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e unique1 x1 y1"),
+            (2, "a b c d e unique2 x2 y2"),
+            (3, "nothing shared here at all today"),
+            (4, "a b c d e"),  # ENTIRE doc is the duplicated span
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_dup_spans(docs, k=5).collect()}
+    assert out[1].clean_text == "unique1 x1 y1" and out[1].n_kept == 3
+    assert out[2].clean_text == "unique2 x2 y2"
+    assert out[3].clean_text == docs.where("doc_id = 3").head().text
+    assert out[4].clean_text == "" and out[4].n_kept == 0
+    assert out[4].n_tokens == 5
