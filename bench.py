@@ -238,7 +238,6 @@ def main():
         "global_shuffle",
         "holt_winters",
         "predict_linear",
-        "query_range_matching",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
