@@ -1885,6 +1885,47 @@ def q_strip_dup_spans(spark, sf_dir):
     )
 
 
+
+def q_media_spectral(spark, sf_dir):
+    """REAL audio DSP, oracle-graded (functions/multimodal.audio_spectral):
+    text bytes -> 16-bit PCM WAV -> genuine RIFF/PCM decode -> naive-DFT
+    power spectrum (bins 1..32 over a 64-sample window) -> spectral
+    centroid / log power / dominant bin. The oracle recomputes the DFT
+    term-by-term from the raw text bytes in SQL — only a real decode AND
+    the exact transform agree."""
+    from tachyon_spark.functions import codecs
+    from tachyon_spark.functions.multimodal import audio_spectral
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def enc(batches):
+        import pandas as pd
+
+        def to_wav(t):
+            samples = [(b - 64) * 256 for b in t[:64].ljust(64).encode("ascii")]
+            return codecs.wav_encode(16000, samples)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "content_id": pdf["doc_id"].astype(str),
+                    "payload": pdf["text"].map(to_wav),
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        enc, "content_id string, payload binary"
+    )
+    out = audio_spectral(media)
+    return out.select(
+        F.col("content_id").cast("long").alias("doc_id"),
+        "sample_rate",
+        F.round("spectral_centroid", 6).alias("spectral_centroid"),
+        F.round("log_power", 6).alias("log_power"),
+        "dominant_bin",
+    )
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2213,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stddev_windows": q_stddev_windows,
         "holt_winters": q_holt_winters,
         "strip_dup_spans": q_strip_dup_spans,
+        "media_spectral": q_media_spectral,
     }
 
 
@@ -3751,6 +3793,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
                    md5(coalesce(a.clean_text, '')) AS clean_md5
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "media_spectral": """
+            -- term-by-term DFT replay straight from the text bytes: the
+            -- engine must really decode the WAV it encoded AND apply the
+            -- same naive transform. Angles are 2*pi()*(k*t)/64 with k*t
+            -- exact and a power-of-two divide -> bitwise-identical angles.
+            WITH s AS (
+              SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, i - 1 AS t,
+                     (unicode(substr(s, i, 1)) - 64) * 256 AS v
+              FROM s, unnest(generate_series(1, 64)) AS u(i)
+            ),
+            spec AS (
+              SELECT doc_id, k,
+                     pow(sum(v * cos(2 * pi() * (k * t) / 64)), 2)
+                   + pow(sum(v * sin(2 * pi() * (k * t) / 64)), 2) AS p
+              FROM b, unnest(generate_series(1, 32)) AS w(k)
+              GROUP BY doc_id, k
+            ),
+            agg AS (
+              SELECT doc_id, sum(p) AS tot, sum(k * p) AS kp,
+                     (SELECT k FROM spec s2
+                      WHERE s2.doc_id = spec.doc_id
+                      ORDER BY p DESC, k LIMIT 1) AS dom
+              FROM spec GROUP BY doc_id
+            )
+            SELECT doc_id, 16000 AS sample_rate,
+                   round(CASE WHEN tot < 1e-6 THEN 0.0 ELSE kp / tot END, 6)
+                     AS spectral_centroid,
+                   round(log10(tot + 1.0), 6) AS log_power,
+                   CASE WHEN tot < 1e-6 THEN 0 ELSE dom END AS dominant_bin
+            FROM agg
         """,
         "unigram_logprob": """
             WITH t2 AS (

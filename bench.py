@@ -238,6 +238,7 @@ def main():
         "global_shuffle",
         "holt_winters",
         "predict_linear",
+        "media_spectral",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

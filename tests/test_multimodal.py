@@ -93,3 +93,28 @@ def test_sample_frames_real_apng(spark):
     # non-APNG payloads keep the digest-fake path (duration-driven count)
     fakes = [r for r in sample_frames(media, 100).collect() if r.content_id == "v2"]
     assert len(fakes) == 20 and len(bytes(fakes[0].frame)) == 32
+
+
+def test_audio_spectral_pure_tone(spark):
+    """A pure k-cycle sine over the 64-sample window concentrates power in
+    bin k: dominant_bin == k and the centroid sits at k."""
+    import math
+
+    from tachyon_spark.functions import codecs
+    from tachyon_spark.functions.multimodal import audio_spectral
+
+    def tone(k, amp=8000):
+        return [int(amp * math.sin(2 * math.pi * k * t / 64)) for t in range(64)]
+
+    rows = [
+        ("5", codecs.wav_encode(16000, tone(5))),
+        ("12", codecs.wav_encode(8000, tone(12))),
+        ("0", codecs.wav_encode(16000, [100] * 64)),  # constant: silent bins
+    ]
+    media = spark.createDataFrame(rows, "content_id string, payload binary")
+    out = {r.content_id: r for r in audio_spectral(media).collect()}
+    assert out["5"].dominant_bin == 5
+    assert abs(out["5"].spectral_centroid - 5) < 0.1
+    assert out["12"].dominant_bin == 12
+    assert out["12"].sample_rate == 8000  # decode really read the header
+    assert out["0"].dominant_bin == 0 and out["0"].spectral_centroid == 0.0
