@@ -1926,6 +1926,32 @@ def q_media_spectral(spark, sf_dir):
     )
 
 
+
+def q_mad_windows(spark, sf_dir):
+    """PromQL mad_over_time(m[1h]) mirror (plans/builder._over_time_agg
+    'mad'): median absolute deviation per (series, window) — the robust
+    dispersion filter. Engine side is a sorted collect_list + nested
+    interpolated array-medians in one aggregate expression; the mirror
+    here uses two grouped percentiles (same math, join on the window key)
+    so the oracle replays with DuckDB median()."""
+    ev = _read(spark, sf_dir, "events")
+    w_us = 60 * 60 * 1_000_000
+    e = ev.select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        (F.expr("ts DIV 1000") - F.expr("ts DIV 1000") % F.lit(w_us)).alias("ts_us"),
+    )
+    med = e.groupBy("event_type", "ts_us").agg(
+        F.percentile("v", F.lit(0.5)).alias("__med")
+    )
+    dev = e.join(med, ["event_type", "ts_us"]).select(
+        "event_type", "ts_us", F.abs(F.col("v") - F.col("__med")).alias("__d")
+    )
+    return dev.groupBy("event_type", "ts_us").agg(
+        F.round(F.percentile("__d", F.lit(0.5)), 6).alias("mad")
+    )
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2255,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "strip_dup_spans": q_strip_dup_spans,
         "media_spectral": q_media_spectral,
+        "mad_windows": q_mad_windows,
     }
 
 
@@ -3828,6 +3855,21 @@ def oracle_sql() -> dict[str, str]:
                    round(log10(tot + 1.0), 6) AS log_power,
                    CASE WHEN tot < 1e-6 THEN 0 ELSE dom END AS dominant_bin
             FROM agg
+        """,
+        "mad_windows": """
+            WITH e AS (
+              SELECT event_type, value::DOUBLE AS v,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us
+              FROM events
+            ),
+            med AS (
+              SELECT event_type, ts_us, median(v) AS med
+              FROM e GROUP BY 1, 2
+            )
+            SELECT e.event_type, e.ts_us,
+                   round(median(abs(e.v - m.med)), 6) AS mad
+            FROM e JOIN med m USING (event_type, ts_us)
+            GROUP BY 1, 2
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -27,6 +27,8 @@ _AGGS = {
     # are population, not sample); empty input -> no row, like sum
     "stddev": F.stddev_pop,
     "stdvar": F.var_pop,
+    # PromQL group(): 1 for every (non-empty) group
+    "group": lambda c: F.max(F.lit(1.0)),
 }
 
 AGG_FUNCS = frozenset(_AGGS) | {"quantile"}

@@ -411,6 +411,25 @@ class PlanBuilder:
             # exact linear-interpolated percentile (PromQL semantics) — the
             # oracle-gated default
             return F.percentile(v.cast("double"), F.lit(arg)), VT_F64
+        if fn == "mad":
+            # median absolute deviation: med(|x - med(x)|) — two nested
+            # medians over the window's sorted sample list (a window is
+            # range-width bounded, same in-memory contract as quantile).
+            # Interpolated median (avg of middle two for even n), matching
+            # percentile(0.5)'s linear interpolation.
+            def _arr_median(a):
+                n = F.size(a)
+                mid = (n / 2).cast("int")
+                return F.when(
+                    n % 2 == 1, F.element_at(a, mid + 1)
+                ).otherwise(
+                    (F.element_at(a, mid) + F.element_at(a, mid + 1)) / 2.0
+                )
+
+            arr = F.sort_array(F.collect_list(v.cast("double")))
+            med = _arr_median(arr)
+            devs = F.sort_array(F.transform(arr, lambda x: F.abs(x - med)))
+            return _arr_median(devs), VT_F64
         if fn == "stddev":  # population, per Prometheus
             return F.stddev_pop(v.cast("double")), VT_F64
         if fn == "stdvar":

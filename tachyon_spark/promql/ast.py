@@ -224,7 +224,7 @@ ARITH_OPS = frozenset({"+", "-", "*", "/", "%"})
 CMP_OPS = frozenset({"==", "!=", ">", "<", ">=", "<="})
 SET_OPS = frozenset({"and", "or", "unless"})  # extension (ts-key matching)
 AGG_FUNCS = frozenset(
-    {"sum", "count", "avg", "min", "max", "stddev", "stdvar", "quantile"}
+    {"sum", "count", "avg", "min", "max", "stddev", "stdvar", "quantile", "group"}
 )
 GETK_FUNCS = frozenset({"topk", "bottomk"})
 RANGE_FUNCS = frozenset({"rate", "increase", "delta"})
@@ -246,6 +246,7 @@ OVER_TIME_FUNCS = frozenset(
         "stddev_over_time",
         "stdvar_over_time",
         "present_over_time",
+        "mad_over_time",
     }
 )
 MATH_FUNCS = frozenset(

@@ -324,3 +324,26 @@ def test_holt_winters(golden_db):
                 "holt_winters(m[5], 0.3, 0)"]:
         with pytest.raises(PromQLError):
             parse(bad)
+
+
+def test_mad_over_time_and_group(golden_db):
+    q = 'http_requests_total{service="web"}'
+    # whole-range window: [45,47,23,48] -> median 46, |x-46| = [1,1,23,2]
+    # sorted [1,1,2,23] -> interpolated median (1+2)/2 = 1.5
+    got = golden_db.query(f"mad_over_time({q}[100])", 0, 100).rows()
+    assert got == [(0, 1.5)]
+    # per-20 windows: [45,47] -> med 46, devs [1,1] -> 1.0;
+    # [23,48] -> med 35.5, devs [12.5,12.5] -> 12.5
+    got = dict(golden_db.query(f"mad_over_time({q}[20])", 0, 100).rows())
+    assert got[20] == 1.0 and got[40] == 12.5
+    # grid form
+    got = golden_db.query_range(f"mad_over_time({q}[60])", 60, 60, 10).rows()
+    assert got == [(60, 1.5)]
+    # group(): 1 per group / per match set
+    assert golden_db.query("group(http_requests_total)", 0, 100).scalar() == 1.0
+    got = golden_db.query(
+        "group by (service) (http_requests_total)", 0, 100
+    ).df().collect()
+    assert {r.service: r.value for r in got} == {
+        "web": 1.0, "cool": 1.0, "mobile": 1.0
+    }
