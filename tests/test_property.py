@@ -278,3 +278,103 @@ def test_query_range_increase_model(prop_db, points, step, rng):
                 inc += (v - prev) if v >= prev else v
             expect[t] = inc
     assert {k: pytest.approx(v) for k, v in expect.items()} == got
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    points=points_strategy,
+    width=st.integers(min_value=100, max_value=5_000),
+    sf=st.floats(min_value=0.05, max_value=0.95, allow_nan=False),
+    tf=st.floats(min_value=0.05, max_value=1.0, allow_nan=False,
+                 exclude_max=False),
+)
+def test_holt_winters_model(prop_db, points, width, sf, tf):
+    """Per-window double exponential smoothing vs a direct replay of the
+    prometheus funcHoltWinters recurrence."""
+    sel = _mk_stream(prop_db, "i64", points)
+    got = dict(prop_db.query(f"holt_winters({sel}[{width}], {sf}, {tf})", 0, 10_001).rows())
+
+    def hw(vals):
+        s1 = float(vals[0]); s0 = 0.0; b = float(vals[1] - vals[0])
+        for i in range(1, len(vals)):
+            bb = b if i == 1 else tf * (s1 - s0) + (1 - tf) * b
+            s0, s1, b = s1, sf * vals[i] + (1 - sf) * (s1 + bb), bb
+        return s1
+
+    expect = {}
+    by_win = {}
+    for ts, v in points:
+        by_win.setdefault(ts - ts % width, []).append((ts, v))
+    for w, pts in by_win.items():
+        vals = [v for _, v in sorted(pts)]
+        if len(vals) >= 2:
+            expect[w] = hw(vals)
+    assert {k: pytest.approx(v) for k, v in expect.items()} == got
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(points=points_strategy, width=st.integers(min_value=100, max_value=5_000))
+def test_mad_predict_model(prop_db, points, width):
+    """mad_over_time and predict_linear vs direct Python models."""
+    import statistics
+
+    sel = _mk_stream(prop_db, "i64", points)
+    got = dict(prop_db.query(f"mad_over_time({sel}[{width}])", 0, 10_001).rows())
+    by_win = {}
+    for ts, v in points:
+        by_win.setdefault(ts - ts % width, []).append((ts, float(v)))
+    expect = {}
+    for w, pts in by_win.items():
+        vals = sorted(v for _, v in pts)
+        med = statistics.median(vals)
+        expect[w] = statistics.median(sorted(abs(x - med) for x in vals))
+    assert {k: pytest.approx(v) for k, v in expect.items()} == got
+
+    got = dict(prop_db.query(f"predict_linear({sel}[{width}], 50)", 0, 10_001).rows())
+    expect = {}
+    for w, pts in by_win.items():
+        if len(pts) >= 2 and len({t for t, _ in pts}) >= 2:
+            xs = [t for t, _ in pts]; ys = [v for _, v in pts]
+            n = len(xs); mx = sum(xs) / n; my = sum(ys) / n
+            sxx = sum((x - mx) ** 2 for x in xs)
+            m = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
+            b = my - m * mx
+            expect[w] = b + m * (w + width + 50)
+    assert {k: pytest.approx(v, abs=1e-6) for k, v in expect.items()} == got
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.lists(
+                st.sampled_from("abcdefg"), min_size=1, max_size=12
+            ).map(" ".join),
+        ),
+        min_size=1, max_size=10, unique_by=lambda d: d[0],
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_dup_span_stats_model(spark, docs, k):
+    """dup_span_stats vs a direct Python k-gram interval-union model —
+    tiny alphabet so cross-document gram collisions actually happen."""
+    from tachyon_spark.functions.dedup import dup_span_stats
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.dup_tokens) for r in dup_span_stats(df, k=k).collect()}
+
+    toks = {i: t.split(" ") for i, t in docs}
+    grams = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            grams.setdefault(" ".join(ts[p : p + k]), set()).add(i)
+    dup = {g for g, ids in grams.items() if len(ids) >= 2}
+    expect = {}
+    for i, ts in toks.items():
+        covered = set()
+        for p in range(len(ts) - k + 1):
+            if " ".join(ts[p : p + k]) in dup:
+                covered.update(range(p, p + k))
+        expect[i] = (len(ts), len(covered))
+    assert got == expect
