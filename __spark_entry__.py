@@ -1952,6 +1952,45 @@ def q_mad_windows(spark, sf_dir):
     )
 
 
+
+def q_asof_forward_nearest(spark, sf_dir):
+    """Forward + nearest as-of directions (operators/asof.asof_join
+    direction=): each click gets the NEXT view value at-or-after its ts
+    and the temporally NEAREST view value (ties -> backward), per user —
+    pandas merge_asof's full direction surface, still one hash shuffle on
+    the key (the forward window is an extra in-partition sort, not an
+    exchange). The oracle replays both with correlated min/argmin
+    subqueries. Views are pre-deduped per (user, ts) so direction
+    tie-break order is moot."""
+    from tachyon_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    ev_us = ev.select(F.expr("ts DIV 1000").alias("ts"), "user_id", "event_type", "value")
+    clicks = ev_us.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    views = (
+        ev_us.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.avg("value").alias("value"))
+    )
+    fwd = asof_join(
+        clicks, views, on="ts", by=["user_id"], out_col="next_view",
+        direction="forward",
+    )
+    near = asof_join(
+        clicks, views, on="ts", by=["user_id"], out_col="near_view",
+        direction="nearest",
+    )
+    return (
+        fwd.join(near, ["user_id", "ts", "value"])
+        .select(
+            "user_id",
+            F.col("ts").alias("ts_us"),
+            F.round("next_view", 6).alias("next_view"),
+            F.round("near_view", 6).alias("near_view"),
+        )
+    )
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2282,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_spans": q_strip_dup_spans,
         "media_spectral": q_media_spectral,
         "mad_windows": q_mad_windows,
+        "asof_forward_nearest": q_asof_forward_nearest,
     }
 
 
@@ -3870,6 +3910,38 @@ def oracle_sql() -> dict[str, str]:
                    round(median(abs(e.v - m.med)), 6) AS mad
             FROM e JOIN med m USING (event_type, ts_us)
             GROUP BY 1, 2
+        """,
+        "asof_forward_nearest": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS t, event_type, value FROM events
+            ),
+            clicks AS (SELECT user_id, t, value FROM ev WHERE event_type = 'click'),
+            views AS (SELECT user_id, t, avg(value) AS vv FROM ev
+                      WHERE event_type = 'view' GROUP BY user_id, t),
+            j AS (
+              SELECT c.user_id, c.t,
+                     (SELECT v.vv FROM views v
+                      WHERE v.user_id = c.user_id AND v.t >= c.t
+                      ORDER BY v.t LIMIT 1) AS fwd,
+                     (SELECT v.t FROM views v
+                      WHERE v.user_id = c.user_id AND v.t >= c.t
+                      ORDER BY v.t LIMIT 1) AS fts,
+                     (SELECT v.vv FROM views v
+                      WHERE v.user_id = c.user_id AND v.t <= c.t
+                      ORDER BY v.t DESC LIMIT 1) AS back,
+                     (SELECT v.t FROM views v
+                      WHERE v.user_id = c.user_id AND v.t <= c.t
+                      ORDER BY v.t DESC LIMIT 1) AS bts
+              FROM clicks c
+            )
+            SELECT user_id, t AS ts_us,
+                   round(fwd, 6) AS next_view,
+                   round(CASE
+                     WHEN fwd IS NULL THEN back
+                     WHEN back IS NULL THEN fwd
+                     WHEN (t - bts) <= (fts - t) THEN back
+                     ELSE fwd END, 6) AS near_view
+            FROM j
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -29,12 +29,26 @@ def asof_join(
     right_value: str = "value",
     out_col: str | None = None,
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the `right_value` of the latest right row
-    with right.on <= left.on (per `by` keys). Backward-direction as-of join.
+    """For each left row, attach the `right_value` of the matching right
+    row (per `by` keys):
 
-    tolerance: max allowed (left.on - right.on); older matches become null.
-    """
+      direction="backward" (default): latest right with right.on <= left.on
+        (ties at the match ts -> largest value);
+      direction="forward": earliest right with right.on >= left.on
+        (ties -> smallest value);
+      direction="nearest": the temporally closer of the two (equal
+        distance -> backward, pandas merge_asof semantics).
+
+    tolerance: max allowed |left.on - right.on|; farther matches -> null.
+
+    Every direction stays one hash shuffle on the `by` key: forward is
+    the same union frame read through a FOLLOWING window (an extra
+    in-partition sort, no extra exchange), nearest evaluates both windows
+    over the one shuffled partition set and picks per row."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     by = by or []
     out_col = out_col or f"{right_value}_asof"
     lcols = left.columns
@@ -60,20 +74,42 @@ def asof_join(
     unioned = l_tag.select(*lcols, "__tag", "__rv").unionByName(r_full)
 
     # right rows sort before left rows at equal ts (tag 0 < 1) => `<=` match
-    w = (
+    wb = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__tag").asc())
+        .orderBy(F.col(on).asc(), F.col("__tag").asc(), F.col("__rv").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = F.last(F.col("__rv"), ignorenulls=True).over(w)
-    carried_ts = F.last(
-        F.when(F.col("__tag") == 0, F.col(on)), ignorenulls=True
-    ).over(w)
+    # forward: left rows sort before right rows at equal ts (`>=` match)
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__tag").desc(), F.col("__rv").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_r = F.col("__tag") == 0
+    back = F.last(F.col("__rv"), ignorenulls=True).over(wb)
+    back_ts = F.last(F.when(is_r, F.col(on)), ignorenulls=True).over(wb)
+    fwd = F.first(F.col("__rv"), ignorenulls=True).over(wf)
+    fwd_ts = F.first(F.when(is_r, F.col(on)), ignorenulls=True).over(wf)
 
-    out = unioned.withColumn(out_col, carried).withColumn("__rts", carried_ts)
-    if tolerance is not None:
-        out = out.withColumn(
-            out_col,
-            F.when(F.col(on) - F.col("__rts") <= F.lit(tolerance), F.col(out_col)),
+    def within(val, dist):
+        if tolerance is None:
+            return val
+        return F.when(dist <= F.lit(tolerance), val)
+
+    if direction == "backward":
+        out = unioned.withColumn(
+            out_col, within(back, F.col(on) - back_ts)
         )
+    elif direction == "forward":
+        out = unioned.withColumn(
+            out_col, within(fwd, fwd_ts - F.col(on))
+        )
+    else:  # nearest
+        b_ok = within(back, F.col(on) - back_ts)
+        f_ok = within(fwd, fwd_ts - F.col(on))
+        pick_b = (
+            f_ok.isNull()
+            | (b_ok.isNotNull() & ((F.col(on) - back_ts) <= (fwd_ts - F.col(on))))
+        )
+        out = unioned.withColumn(out_col, F.when(pick_b, b_ok).otherwise(f_ok))
     return out.where(F.col("__tag") == 1).select(*lcols, out_col)
