@@ -1991,6 +1991,62 @@ def q_asof_forward_nearest(spark, sf_dir):
     )
 
 
+
+def q_streaming_dedup(spark, sf_dir):
+    """STATEFUL STREAMING exact dedup end-to-end (streaming/stateful.
+    streaming_dedup, applyInPandasWithState): documents split into 4
+    doc_id-ordered parquet drops (mtimes forced so the file source
+    replays them in order), each micro-batch flags arrivals whose text a
+    PRIOR batch already saw — O(1) state per distinct text keyed by
+    md5(text), no document bodies in the state store. Because arrival
+    order is ascending doc_id, the oracle can replay "first occurrence
+    wins" as min(doc_id) per text — agreement requires the dedup state to
+    survive across micro-batches."""
+    import os
+    import tempfile
+    import time
+
+    from tachyon_spark.streaming.stateful import streaming_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).head()
+    span = max(hi - lo + 1, 4)
+    work = tempfile.mkdtemp(prefix="ty_sdedup_")
+    src = os.path.join(work, "drops")
+    os.makedirs(src)
+    base = time.time() - 1000
+    for k in range(4):
+        d_lo = lo + k * span // 4
+        d_hi = lo + (k + 1) * span // 4
+        part = docs.where(
+            (F.col("doc_id") >= d_lo) & (F.col("doc_id") < d_hi)
+        ).coalesce(1)
+        drop_dir = os.path.join(work, f"stage{k}")
+        part.write.mode("overwrite").parquet(drop_dir)
+        files = [f for f in os.listdir(drop_dir) if f.endswith(".parquet")]
+        dst = os.path.join(src, f"drop-{k}.parquet")
+        os.rename(os.path.join(drop_dir, files[0]), dst)
+        os.utime(dst, (base + k * 10, base + k * 10))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = os.path.join(work, "out")
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming dedup catch-up timed out")
+    return spark.read.parquet(out_dir).select("doc_id", "is_dup", "dup_of")
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2322,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_spectral": q_media_spectral,
         "mad_windows": q_mad_windows,
         "asof_forward_nearest": q_asof_forward_nearest,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -3942,6 +3999,18 @@ def oracle_sql() -> dict[str, str]:
                      WHEN (t - bts) <= (fts - t) THEN back
                      ELSE fwd END, 6) AS near_view
             FROM j
+        """,
+        "streaming_dedup": """
+            -- arrival order is ascending doc_id by construction, so the
+            -- streaming "seen before" flag replays as min(doc_id) per text
+            SELECT doc_id,
+                   doc_id != min(doc_id) OVER (PARTITION BY md5(text))
+                     AS is_dup,
+                   CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                        THEN NULL
+                        ELSE min(doc_id) OVER (PARTITION BY md5(text)) END
+                     AS dup_of
+            FROM documents
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -269,3 +269,96 @@ def ewma_final(
     )
     _, final = _carry_in(_segment_summaries(seg, key_col, alpha), key_col, alpha)
     return final
+
+
+# ---------------------------------------------------------------- streaming dedup
+
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("is_dup", T.BooleanType(), False),
+        T.StructField("dup_of", T.LongType(), True),
+        T.StructField("n_prior", T.LongType(), False),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_id", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def _dedup_update(idle_timeout_ms: int | None = None):
+    def fn(
+        key: Tuple[str],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_ms and state.hasTimedOut:
+            state.remove()
+            return
+        first, n = state.get if state.exists else (None, 0)
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            # deterministic intra-batch arrival: ascending doc_id
+            pdf = pdf.sort_values("doc_id", kind="mergesort")
+            is_dup, dup_of, n_prior = [], [], []
+            for d in pdf["doc_id"]:
+                n_prior.append(n)
+                if first is None:
+                    first = int(d)
+                    is_dup.append(False)
+                    dup_of.append(None)
+                else:
+                    is_dup.append(True)
+                    dup_of.append(first)
+                n += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "is_dup": is_dup,
+                    "dup_of": pd.array(dup_of, dtype="Int64"),
+                    "n_prior": n_prior,
+                }
+            )
+        state.update((first, n))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+
+    return fn
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming EXACT dedup: mark every document whose text was already
+    seen earlier in the stream (first occurrence wins; intra-batch ties
+    resolve by ascending id). The online form of functions/dedup.
+    exact_dedup — the shape every live ingestion pipeline needs so
+    duplicates are flagged at ARRIVAL time, not in a nightly batch.
+
+    State is O(1) per distinct text (first_id, count), keyed by md5(text)
+    so the state store never holds document bodies; idle_timeout_ms
+    expires keys not seen again (bounded store under content churn).
+    Emits one row per input row: (doc_id, is_dup, dup_of, n_prior)."""
+    keyed = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("__h"),
+    )
+    return keyed.groupBy("__h").applyInPandasWithState(
+        _dedup_update(idle_timeout_ms),
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -113,3 +113,52 @@ def test_streaming_ewma_matches_batch(spark, tmp_path):
     for i, ts in enumerate([10, 20, 30, 40]):
         assert abs(got[ts][0] - exp[i]) < 1e-9, (ts, got[ts], exp[i])
         assert got[ts][1] == i + 1
+
+
+def test_streaming_dedup_state_across_batches(spark, tmp_path):
+    """Duplicates split ACROSS drops must still be flagged — state has to
+    survive micro-batch boundaries — and the first occurrence never is."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tachyon_spark.streaming.stateful import streaming_dedup
+
+    drops = [
+        [(1, "alpha"), (2, "beta")],
+        [(3, "alpha"), (4, "gamma")],      # 3 dups 1 across batches
+        [(5, "beta"), (6, "alpha"), (7, "delta")],
+    ]
+    src = tmp_path / "drops"
+    src.mkdir()
+    base = time.time() - 100
+    for k, rows in enumerate(drops):
+        df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+        stage = tmp_path / f"stage{k}"
+        df.write.mode("overwrite").parquet(str(stage))
+        f = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = src / f"drop-{k}.parquet"
+        os.rename(stage / f, dst)
+        os.utime(dst, (base + k * 10, base + k * 10))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {r.doc_id: (r.is_dup, r.dup_of) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {
+        1: (False, None), 2: (False, None),
+        3: (True, 1), 4: (False, None),
+        5: (True, 2), 6: (True, 1), 7: (False, None),
+    }
