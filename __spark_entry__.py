@@ -2047,6 +2047,31 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.read.parquet(out_dir).select("doc_id", "is_dup", "dup_of")
 
 
+
+ANN_Q_K = 20
+ANN_Q_SHORTLIST = 4
+
+
+def q_embedding_ann_quantized(spark, sf_dir):
+    """Two-stage ANN over int8-quantized embeddings (functions/similarity.
+    quantize_embeddings + quantized_cosine_topk): stage 1 ranks by the
+    integer dot product of symmetric per-vector int8 codes (the 4x-smaller
+    storage representation — at 100 TB the stage-1 scan reads ONLY
+    (scale, qvec)), stage 2 exact-rescores the 4k shortlist on the full
+    vectors. The oracle replays the quantizer bit-for-bit (floor(x/s+0.5)
+    half-up, greatest(max|x|/127, 1e-12) scale) so shortlist membership —
+    not just final scores — must agree."""
+    from tachyon_spark.functions.similarity import quantized_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
+    others = emb.where(F.col("vec_id") != 0)
+    out = quantized_cosine_topk(
+        others, qvec, k=ANN_Q_K, shortlist=ANN_Q_SHORTLIST
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2379,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_windows": q_mad_windows,
         "asof_forward_nearest": q_asof_forward_nearest,
         "streaming_dedup": q_streaming_dedup,
+        "embedding_ann_quantized": q_embedding_ann_quantized,
     }
 
 
@@ -4011,6 +4037,62 @@ def oracle_sql() -> dict[str, str]:
                         ELSE min(doc_id) OVER (PARTITION BY md5(text)) END
                      AS dup_of
             FROM documents
+        """,
+        "embedding_ann_quantized": f"""
+            WITH v AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding::DOUBLE[]) AS x
+              FROM embeddings WHERE vec_id != 0
+            ),
+            sc AS (
+              SELECT vec_id, greatest(max(abs(x)) / 127.0, 1e-12) AS scale
+              FROM v GROUP BY vec_id
+            ),
+            qv0 AS (
+              SELECT generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding::DOUBLE[]) AS x
+              FROM embeddings WHERE vec_id = 0
+            ),
+            qsc AS (
+              SELECT greatest(max(abs(x)) / 127.0, 1e-12) AS qscale FROM qv0
+            ),
+            qq AS (
+              SELECT i, CAST(greatest(least(floor(x / qscale + 0.5), 127),
+                                      -127) AS BIGINT) AS q
+              FROM qv0 CROSS JOIN qsc
+            ),
+            vq AS (
+              SELECT v.vec_id, v.i,
+                     CAST(greatest(least(floor(v.x / sc.scale + 0.5), 127),
+                                   -127) AS BIGINT) AS q
+              FROM v JOIN sc USING (vec_id)
+            ),
+            approx AS (
+              SELECT vq.vec_id,
+                     (sc.scale * (SELECT qscale FROM qsc))
+                       * sum(vq.q * qq.q) AS qs
+              FROM vq JOIN qq ON vq.i = qq.i JOIN sc ON sc.vec_id = vq.vec_id
+              GROUP BY vq.vec_id, sc.scale
+            ),
+            short AS (
+              SELECT vec_id FROM (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY qs DESC, vec_id) AS rn
+                FROM approx
+              ) WHERE rn <= {ANN_Q_SHORTLIST * ANN_Q_K}
+            ),
+            rescored AS (
+              SELECT v.vec_id,
+                     sum(v.x * q.x) /
+                       (sqrt(sum(v.x * v.x)) * sqrt(sum(q.x * q.x))) AS score
+              FROM v JOIN short USING (vec_id) JOIN qv0 q ON v.i = q.i
+              GROUP BY v.vec_id
+            )
+            SELECT vec_id, round(score, 6) AS score FROM (
+              SELECT vec_id, score,
+                     row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+              FROM rescored
+            ) WHERE rn <= {ANN_Q_K}
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -239,6 +239,9 @@ def main():
         "holt_winters",
         "predict_linear",
         "media_spectral",
+        "mad_windows",
+        "asof_forward_nearest",
+        "embedding_ann_quantized",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

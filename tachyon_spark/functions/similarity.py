@@ -439,3 +439,88 @@ def semdedup(
         )
     )
     return _attach_stats(out, max_cluster, dropped)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) clamped to [-127, 127]. Returns
+    (id, scale, qvec array<int>). At 100 TB this is the storage/IO lever:
+    the quantized table is ~4x smaller than float32 (~8x vs the double
+    the exact path computes in), and the int dot product below never
+    touches the full-precision column.
+
+    floor(x + 0.5) instead of round(): engine-neutral half-up for
+    negative values too, so the oracle replays the quantizer bit-for-bit
+    (round() ties differ between banker's and away-from-zero engines)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn(
+        "scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("__v"), F.abs)) / F.lit(127.0),
+            F.lit(1e-12),
+        ),
+    )
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.greatest(
+            F.least(F.floor(x / F.col("scale") + F.lit(0.5)), F.lit(127)),
+            F.lit(-127),
+        ).cast("int"),
+    )
+    return base.select("id", "scale", q.alias("qvec"))
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN via int8 quantization: (1) rank by the QUANTIZED
+    dot product scale_a * scale_q * <qa, qq> — integer arithmetic over
+    the 4x-smaller representation, exact and engine-replayable — keep a
+    `shortlist`*k candidate set (TakeOrderedAndProject: per-partition
+    heaps, no global sort); (2) exact cosine rescore of the shortlist
+    against the full-precision vectors. Returns (id, score) with EXACT
+    final scores — quantization affects recall only, bounded by the
+    shortlist factor. Scale shape: stage 1 scans only (scale, qvec);
+    stage 2 joins `shortlist*k` ids back to the full vectors."""
+    qd = quantize_embeddings(df, id_col, vec_col)
+    # driver-side quantization of the query (same formula)
+    mx = max(max(abs(x) for x in query_vec) / 127.0, 1e-12)
+    import math
+
+    qq = [max(min(math.floor(x / mx + 0.5), 127), -127) for x in query_vec]
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.lit(qq).cast("array<int>"),
+            lambda a, b: (a * b).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = qd.select(
+        "id", (F.col("scale") * F.lit(mx) * idot).alias("__qs")
+    )
+    short = approx.orderBy(F.col("__qs").desc(), F.col("id")).limit(shortlist * k)
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    rescored = short.join(vecs, "id").select(
+        "id",
+        cosine(F.col("__v"), F.lit([float(x) for x in query_vec]).cast("array<double>")).alias("score"),
+    )
+    return (
+        rescored.orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score")
+    )

@@ -481,3 +481,26 @@ def test_strip_dup_spans(spark):
     assert out[3].clean_text == docs.where("doc_id = 3").head().text
     assert out[4].clean_text == "" and out[4].n_kept == 0
     assert out[4].n_tokens == 5
+
+
+def test_quantized_ann_recall_and_quantizer(spark):
+    from pyspark.sql import functions as F
+    from tachyon_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
+    others = emb.where("vec_id != 0")
+    exact = [r.vec_id for r in brute_force_cosine_topk(others, qvec, k=10).collect()]
+    quant = [r.vec_id for r in quantized_cosine_topk(others, qvec, k=10).collect()]
+    # int8 with exact rescore: high recall on real embeddings
+    assert len(set(exact) & set(quant)) >= 9
+    # quantizer invariants: codes in [-127,127], max|x| maps to ±127
+    qd = quantize_embeddings(emb).limit(50).collect()
+    for r in qd:
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        assert max(abs(q) for q in r.qvec) == 127  # the max-magnitude element
+        assert r.scale > 0
