@@ -2072,6 +2072,30 @@ def q_embedding_ann_quantized(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+
+def q_weighted_sample(spark, sf_dir):
+    """Importance sampling (functions/sampling.weighted_sample): keep each
+    doc with probability min(n_chars/2000, 1) — the quality-weighted
+    selection step (DSIR/DoReMi-style reweighting reduced to a keep
+    rate), deterministic via the md5 hash the oracle replays. Narrow
+    filter, zero shuffles."""
+    from tachyon_spark.functions.sampling import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = weighted_sample(docs, F.col("n_chars") / F.lit(2000.0))
+    return out.select("doc_id", "source")
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc tf-idf keywords (functions/textstats.tfidf_top_terms): top
+    3 terms by tf * ln(N/df), ties (score desc, term asc). One (doc,
+    term) count shuffle + a term-keyed document-frequency join + a
+    per-doc top-k window — all bounded keys."""
+    from tachyon_spark.functions.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"), top=3)
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2405,6 +2429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_nearest": q_asof_forward_nearest,
         "streaming_dedup": q_streaming_dedup,
         "embedding_ann_quantized": q_embedding_ann_quantized,
+        "weighted_sample": q_weighted_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -4093,6 +4119,38 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY score DESC, vec_id) AS rn
               FROM rescored
             ) WHERE rn <= {ANN_Q_K}
+        """,
+        "weighted_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(CONCAT('0x', substr(
+                    md5(CAST(doc_id AS VARCHAR) || 'wsample'), 1, 15
+                  )) AS BIGINT) / 1152921504606846976.0
+                  < greatest(least(n_chars / 2000.0, 1.0), 0.0)
+        """,
+        "tfidf_top_terms": """
+            WITH p2 AS (
+              SELECT doc_id, t.term FROM documents,
+                     unnest(string_split(text, ' ')) AS t(term)
+              WHERE t.term != ''
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM p2 GROUP BY 1, 2
+            ),
+            dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM p2 GROUP BY term
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf * ln(n / df) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, rn AS rank, term, round(score, 6) AS score
+            FROM (
+              SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rn
+              FROM scored
+            ) WHERE rn <= 3
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -301,3 +301,21 @@ def shuffle_order(
         ranked.join(F.broadcast(offs), "__b")
         .select("id", (F.col("__off") + F.col("__rn")).alias("pos"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Importance sampling: keep each row with probability `weight_col`
+    (a column expression in [0, 1] — e.g. a quality score turned into a
+    keep rate, the DSIR/DoReMi-style reweighting step), deterministically:
+    row survives iff hash(key||salt) < weight. Reproducible, stable under
+    repartitioning, monotone in the weight (raising a row's weight can
+    only keep it). Weights outside [0, 1] are clamped. Narrow filter, no
+    shuffle — composes with predicate pushdown."""
+    u = hash_unit(F.col(key_col), salt)
+    w = F.greatest(F.least(weight_col.cast("double"), F.lit(1.0)), F.lit(0.0))
+    return df.where(u < w)

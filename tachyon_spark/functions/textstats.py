@@ -182,3 +182,42 @@ def unigram_logprob(
         F.count("*").alias("n_tok"),
         F.round(F.avg("__nll"), 6).alias("avg_nll"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top `top` terms per document by tf-idf (tf = in-doc count, idf =
+    ln(N / df) over distinct-doc term frequency) — the classic keyword /
+    topic fingerprint. Ties break (score desc, term asc) so the selection
+    is deterministic and SQL-replayable.
+
+    Shape: one (doc, term) count shuffle, one term-keyed df-count shuffle
+    joined back (broadcast when the vocabulary is small, shuffle join
+    otherwise), one per-doc top-k window. Scale-safe: every key is a term
+    or a doc id; no all-pairs step."""
+    from pyspark.sql import Window
+
+    toks = _tokens(F.col(text_col))
+    pairs = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = pairs.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.count("*").alias("__n"))
+    dfreq = pairs.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs)).select(
+        "id",
+        "term",
+        (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top)
+        .select(F.col("id").alias(id_col), F.col("__rn").alias("rank"), "term",
+                F.round("score", 6).alias("score"))
+    )

@@ -194,3 +194,19 @@ def test_shuffle_order_is_a_permutation(docs):
     other = {r.id: r.pos for r in shuffle_order(docs, salt="epoch2").collect()}
     assert other != {r.id: r.pos for r in out}
     assert sorted(other.values()) == list(range(1, 601))
+
+
+def test_weighted_sample(docs):
+    from tachyon_spark.functions.sampling import weighted_sample
+
+    # weight 1 keeps everything; weight 0 drops everything
+    assert weighted_sample(docs, F.lit(1.0)).count() == 600
+    assert weighted_sample(docs, F.lit(0.0)).count() == 0
+    # out-of-range weights clamp rather than error
+    assert weighted_sample(docs, F.lit(7.5)).count() == 600
+    assert weighted_sample(docs, F.lit(-3.0)).count() == 0
+    # keep rate tracks the weight, selection is monotone in the weight
+    half = {r.doc_id for r in weighted_sample(docs, F.lit(0.5)).collect()}
+    assert 0.4 < len(half) / 600 < 0.6
+    q3 = {r.doc_id for r in weighted_sample(docs, F.lit(0.75)).collect()}
+    assert half < q3
