@@ -2096,6 +2096,47 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_read(spark, sf_dir, "documents"), top=3)
 
 
+
+PIPE_QUALITY_MIN = 0.5
+
+
+def q_pipeline_end_to_end(spark, sf_dir):
+    """The whole training-data pipeline as ONE composed DAG — the product
+    a user actually ships: pseudo-benchmark slice (doc_id % 20 == 0) held
+    out, then over the corpus: exact dedup (min-id keeper) -> benchmark
+    decontamination (shared 5-grams) -> quality floor (>= 0.5) ->
+    deterministic train/val/test split, emitting (doc_id, split, n_tok,
+    quality). Every stage is the already-oracle-gated library op
+    (functions/dedup.exact_dedup, decontaminate_ngram,
+    textstats.quality_score, sampling.hash_split) — this entry grades
+    that they COMPOSE in one plan: Catalyst fuses the narrow stages, the
+    three keyed shuffles (md5 group, shingle join, token count) stay
+    independent, and no stage materializes to the driver."""
+    from tachyon_spark.functions.dedup import decontaminate_ngram, exact_dedup
+    from tachyon_spark.functions.sampling import hash_split
+    from tachyon_spark.functions.textstats import _tokens, quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    kept = exact_dedup(corpus)  # (doc_id) min-id per text
+    contaminated = decontaminate_ngram(corpus, bench, n=DECON_N).select("doc_id")
+    q = quality_score(corpus)
+    surviving = (
+        corpus.join(kept, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(q, "doc_id")
+        .where(F.col("quality") >= PIPE_QUALITY_MIN)
+    )
+    out = hash_split(surviving, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select(
+        "doc_id",
+        "split",
+        F.size(_tokens(F.col("text"))).alias("n_tok"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2431,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_quantized": q_embedding_ann_quantized,
         "weighted_sample": q_weighted_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
     }
 
 
@@ -4151,6 +4193,62 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY score DESC, term) AS rn
               FROM scored
             ) WHERE rn <= 3
+        """,
+        "pipeline_end_to_end": f"""
+            WITH corpus AS (
+              SELECT * FROM documents WHERE doc_id % 20 != 0
+            ),
+            kept AS (
+              SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+            ),
+            csh AS (
+              SELECT DISTINCT doc_id AS id,
+                     array_to_string(w[i:i+{DECON_N - 1}], ' ') AS shingle
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) tok,
+                   unnest(generate_series(1, greatest(len(w) - {DECON_N - 1}, 0))) AS t(i)
+            ),
+            bsh AS (
+              SELECT DISTINCT array_to_string(w[i:i+{DECON_N - 1}], ' ') AS shingle
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents WHERE doc_id % 20 = 0) tok,
+                   unnest(generate_series(1, greatest(len(w) - {DECON_N - 1}, 0))) AS t(i)
+            ),
+            contaminated AS (
+              SELECT DISTINCT c.id AS doc_id FROM csh c
+              JOIN bsh b ON c.shingle = b.shingle
+            ),
+            q AS (
+              SELECT doc_id,
+                0.4 * least(1.0, len({ltok}) / 100.0)
+              + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       * 1.0 / greatest(length(text), 1))
+              + 0.3 * least(1.0, 10.0 * ({stop} * 1.0 / greatest(len({ltok}), 1)))
+                AS quality
+              FROM corpus
+            ),
+            surv AS (
+              SELECT c.doc_id, c.text, q.quality
+              FROM corpus c
+              JOIN kept k ON k.doc_id = c.doc_id
+              LEFT JOIN contaminated x ON x.doc_id = c.doc_id
+              JOIN q ON q.doc_id = c.doc_id
+              WHERE x.doc_id IS NULL AND q.quality >= {PIPE_QUALITY_MIN}
+            ),
+            u AS (
+              SELECT doc_id, text, quality,
+                     CAST(CONCAT('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15
+                     )) AS BIGINT) / 1152921504606846976.0 AS u
+              FROM surv
+            )
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   len(list_filter(string_split(text, ' '), t -> t != ''))
+                     AS n_tok,
+                   round(quality, 6) AS quality
+            FROM u
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -242,6 +242,8 @@ def main():
         "mad_windows",
         "asof_forward_nearest",
         "embedding_ann_quantized",
+        "tfidf_top_terms",
+        "pipeline_end_to_end",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
