@@ -2137,6 +2137,48 @@ def q_pipeline_end_to_end(spark, sf_dir):
     )
 
 
+
+def q_m4_downsample(spark, sf_dir):
+    """M4 visualization downsampling (operators/downsample.m4_downsample;
+    Jugel et al. VLDB 2014): per (event_type, 1h pixel bucket) the
+    first/last/min/max samples — the error-free line-chart reduction, as
+    four mergeable min_by/max_by aggregates (one keyed shuffle; unlike
+    LTTB there is no sequential dependency). Roles are re-derived in the
+    oracle via window argmins over the same tie-break structs."""
+    from tachyon_spark.operators.downsample import m4_downsample
+
+    ev = _read(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", F.expr("ts DIV 1000").alias("ts"), "value"
+    )
+    w_us = 60 * 60 * 1_000_000
+    out = m4_downsample(e, w_us, key_col="event_type")
+    return out.select(
+        F.col("key").alias("event_type"), "bucket", "ts",
+        F.round("value", 6).alias("value"),
+        F.concat_ws(",", "roles").alias("roles"),
+    )
+
+
+def q_anomaly_flags(spark, sf_dir):
+    """Windowed anomaly detection (operators/downsample.anomaly_flags):
+    |x - window mean| > 3 * stddev_pop per (event_type, 6h window) —
+    aggregate-then-join-back, two keyed shuffles, no state. Output keeps
+    every sample with its threshold inputs so the flag is auditable."""
+    from tachyon_spark.operators.downsample import anomaly_flags
+
+    ev = _read(spark, sf_dir, "events")
+    e = ev.select("event_type", F.expr("ts DIV 1000").alias("ts"), "value")
+    out = anomaly_flags(e, 6 * 3600 * 1_000_000, nsigma=3.0, key_col="event_type")
+    return out.select(
+        F.col("key").alias("event_type"), "ts",
+        F.round("value", 6).alias("value"),
+        F.round("center", 6).alias("center"),
+        F.round("spread", 6).alias("spread"),
+        "is_anomaly",
+    )
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2473,6 +2515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pipeline_end_to_end": q_pipeline_end_to_end,
+        "m4_downsample": q_m4_downsample,
+        "anomaly_flags": q_anomaly_flags,
     }
 
 
@@ -4249,6 +4293,50 @@ def oracle_sql() -> dict[str, str]:
                      AS n_tok,
                    round(quality, 6) AS quality
             FROM u
+        """,
+        "m4_downsample": """
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) AS t, value,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket
+              FROM events
+            ),
+            ranked AS (
+              SELECT event_type, bucket, t, value,
+                CASE WHEN row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY t, value) = 1 THEN 'first' END AS r_first,
+                CASE WHEN row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY t DESC, value DESC) = 1 THEN 'last' END AS r_last,
+                CASE WHEN row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY value, t) = 1 THEN 'min' END AS r_min,
+                CASE WHEN row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY value DESC, t DESC) = 1 THEN 'max' END AS r_max
+              FROM e
+            )
+            SELECT event_type, bucket, t AS ts, round(value, 6) AS value,
+                   array_to_string(list_sort(list_filter(
+                     [r_first, r_last, r_min, r_max], x -> x IS NOT NULL)), ',')
+                     AS roles
+            FROM ranked
+            WHERE r_first IS NOT NULL OR r_last IS NOT NULL
+               OR r_min IS NOT NULL OR r_max IS NOT NULL
+        """,
+        "anomaly_flags": """
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) AS t, value,
+                     epoch_us(ts) - epoch_us(ts) % 21600000000 AS w
+              FROM events
+            ),
+            st AS (
+              SELECT event_type, w, avg(value) AS center,
+                     stddev_pop(value) AS spread
+              FROM e GROUP BY 1, 2
+            )
+            SELECT e.event_type, e.t AS ts,
+                   round(e.value, 6) AS value,
+                   round(st.center, 6) AS center,
+                   round(st.spread, 6) AS spread,
+                   abs(e.value - st.center) > 3.0 * st.spread AS is_anomaly
+            FROM e JOIN st USING (event_type, w)
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -1,0 +1,123 @@
+"""Display-oriented downsampling and windowed anomaly detection.
+
+M4 downsampling (Jugel et al., "M4: A Visualization-Oriented Time Series
+Data Aggregation", VLDB 2014): for line-chart rendering at w pixels, the
+only samples that can affect the drawn pixels are each pixel-column
+bucket's first/last/min/max — so emitting those four per (series, bucket)
+is error-free for the rendered image while shrinking the scan result to
+O(4w) rows per series. Unlike LTTB (whose pick depends sequentially on the
+previous pick), M4 is four plain mergeable aggregates: map-side partials,
+one (series, bucket) shuffle, embarrassingly parallel — the right
+downsampler for a 100 TB store feeding dashboards.
+
+Anomaly flags: classic robust z-score per (series, window) — a sample is
+anomalous when |x - mean| > nsigma * stddev_pop of its window (or, robust
+form, |x - median| > nsigma * 1.4826 * MAD). Aggregate-then-join-back: two
+keyed shuffles, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def m4_downsample(
+    df: DataFrame,
+    bucket_width: int,
+    key_col: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    anchor: int = 0,
+) -> DataFrame:
+    """M4: per (series, bucket of `bucket_width` ts units) emit the
+    first, last, min and max samples (as (ts, value) points, deduplicated
+    — one sample can hold several roles). Returns
+    (key, bucket, ts, value, roles) with roles an array like
+    ['first','min'] sorted for determinism."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    b = (
+        (F.col(ts_col) - F.lit(anchor))
+        - (F.col(ts_col) - F.lit(anchor)) % F.lit(bucket_width)
+        + F.lit(anchor)
+    )
+    pt = F.struct(F.col(ts_col).alias("ts"), F.col(value_col).alias("value"))
+    agg = df.groupBy(F.col(key_col).alias("key"), b.alias("bucket")).agg(
+        F.min_by(pt, F.struct(ts_col, value_col)).alias("p_first"),
+        F.max_by(pt, F.struct(ts_col, value_col)).alias("p_last"),
+        # value ties: earliest ts wins for min, latest for max (struct order)
+        F.min_by(pt, F.struct(value_col, ts_col)).alias("p_min"),
+        F.max_by(pt, F.struct(value_col, ts_col)).alias("p_max"),
+    )
+    roles = F.array(
+        F.struct(F.lit("first").alias("role"), F.col("p_first").alias("p")),
+        F.struct(F.lit("last").alias("role"), F.col("p_last").alias("p")),
+        F.struct(F.lit("min").alias("role"), F.col("p_min").alias("p")),
+        F.struct(F.lit("max").alias("role"), F.col("p_max").alias("p")),
+    )
+    exploded = agg.select(
+        "key", "bucket", F.explode(roles).alias("rp")
+    ).select(
+        "key", "bucket",
+        F.col("rp.p.ts").alias("ts"),
+        F.col("rp.p.value").alias("value"),
+        F.col("rp.role").alias("role"),
+    )
+    return exploded.groupBy("key", "bucket", "ts", "value").agg(
+        F.sort_array(F.collect_list("role")).alias("roles")
+    )
+
+
+def anomaly_flags(
+    df: DataFrame,
+    window_width: int,
+    nsigma: float = 3.0,
+    robust: bool = False,
+    key_col: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    anchor: int = 0,
+) -> DataFrame:
+    """Flag samples deviating > nsigma dispersions from their (series,
+    tumbling window) center. Default: |x - mean| > nsigma * stddev_pop.
+    robust=True uses median/MAD (x sigma-consistency 1.4826) — immune to
+    the anomaly inflating its own threshold. Returns every sample with
+    (key, ts, value, center, spread, is_anomaly)."""
+    if window_width <= 0:
+        raise ValueError("window_width must be positive")
+    b = (
+        (F.col(ts_col) - F.lit(anchor))
+        - (F.col(ts_col) - F.lit(anchor)) % F.lit(window_width)
+        + F.lit(anchor)
+    )
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("ts"),
+        v.alias("value"), b.alias("__w"),
+    )
+    if robust:
+        med = base.groupBy("key", "__w").agg(
+            F.percentile("value", F.lit(0.5)).alias("center")
+        )
+        dev = base.join(med, ["key", "__w"]).select(
+            "key", "__w",
+            F.abs(F.col("value") - F.col("center")).alias("__d"),
+        )
+        mad = dev.groupBy("key", "__w").agg(
+            (F.percentile("__d", F.lit(0.5)) * F.lit(1.4826)).alias("spread")
+        )
+        stats = med.join(mad, ["key", "__w"])
+    else:
+        stats = base.groupBy("key", "__w").agg(
+            F.avg("value").alias("center"),
+            F.stddev_pop("value").alias("spread"),
+        )
+    return (
+        base.join(stats, ["key", "__w"])
+        .select(
+            "key", "ts", "value", "center", "spread",
+            (F.abs(F.col("value") - F.col("center"))
+             > F.lit(nsigma) * F.col("spread")).alias("is_anomaly"),
+        )
+    )
