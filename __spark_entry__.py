@@ -2179,6 +2179,18 @@ def q_anomaly_flags(spark, sf_dir):
     )
 
 
+
+def q_bigram_logprob(spark, sf_dir):
+    """Corpus-trained bigram LM scoring (functions/textstats.
+    bigram_logprob): per-doc average -ln P(w_i | w_{i-1}) with add-one
+    smoothing over (context count + V) — catches common-words-wrong-order
+    junk that unigram stats miss. Keyed count/join shuffles only."""
+    from tachyon_spark.functions.textstats import bigram_logprob
+
+    out = bigram_logprob(_read(spark, sf_dir, "documents"))
+    return out.select(F.col("id").alias("doc_id"), "n_pairs", "avg_nll")
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2517,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "m4_downsample": q_m4_downsample,
         "anomaly_flags": q_anomaly_flags,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -4337,6 +4350,35 @@ def oracle_sql() -> dict[str, str]:
                    round(st.spread, 6) AS spread,
                    abs(e.value - st.center) > 3.0 * st.spread AS is_anomaly
             FROM e JOIN st USING (event_type, w)
+        """,
+        "bigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS t
+              FROM documents
+            ),
+            pairs AS (
+              SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+              FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2
+            ),
+            uni AS (
+              SELECT u.tok, count(*) AS cu FROM toks,
+                     unnest(t) AS u(tok)
+              GROUP BY u.tok
+            ),
+            v AS (SELECT count(*) AS v FROM uni),
+            bi AS (
+              SELECT prev, cur, count(*) AS cb FROM pairs GROUP BY 1, 2
+            )
+            SELECT p.doc_id, count(*) AS n_pairs,
+                   round(avg(-ln((bi.cb + 1) * 1.0 / (uni.cu + v.v))), 6)
+                     AS avg_nll
+            FROM pairs p
+            JOIN bi ON bi.prev = p.prev AND bi.cur = p.cur
+            JOIN uni ON uni.tok = p.prev
+            CROSS JOIN v
+            GROUP BY p.doc_id
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -221,3 +221,55 @@ def tfidf_top_terms(
         .select(F.col("id").alias(id_col), F.col("__rn").alias("rank"), "term",
                 F.round("score", 6).alias("score"))
     )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained BIGRAM LM negative log-likelihood per document: the
+    next-order companion to unigram_logprob — word-salad documents whose
+    unigram stats look fine (common words, wrong order) average high
+    bigram NLL. P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)
+    (add-one over the context count + vocabulary); per-doc average over
+    the n-1 transitions. Returns (id, n_pairs, avg_nll); single-token
+    docs have no transitions and drop.
+
+    Shape: pair enumeration is a narrow per-row transform; bigram and
+    unigram counts are two keyed groupBys; the join back is keyed on the
+    pair/context (hot contexts skew-split by AQE); per-doc avg is one id
+    shuffle. Model frames are vocabulary/bigram-type-sized."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    pairs_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("prev"),
+                F.element_at(toks, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = df.select(
+        F.col(id_col).alias("id"), F.explode(pairs_arr).alias("p")
+    ).select("id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    uni = (
+        df.select(F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("__cu"))
+    )
+    totals = uni.agg(F.count("*").alias("__V"))
+    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("__cb"))
+    nll = -F.log(
+        (F.col("__cb") + 1).cast("double")
+        / (F.col("__cu") + F.col("__V")).cast("double")
+    )
+    scored = (
+        pairs.join(bi, ["prev", "cur"])
+        .join(uni.withColumnRenamed("tok", "prev"), "prev")
+        .crossJoin(F.broadcast(totals))
+        .select("id", nll.alias("__nll"))
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("__nll"), 6).alias("avg_nll"),
+    )
