@@ -162,6 +162,8 @@ class PlanBuilder:
             return self._predict_linear(expr)
         if isinstance(expr, ast.HoltWintersFunc):
             return self._holt_winters(expr)
+        if isinstance(expr, ast.ClockFunc):
+            return self._clock_func(expr)
         if isinstance(expr, ast.MathFunc):
             return self._math_func(expr)
         if isinstance(expr, ast.HistogramQuantile):
@@ -694,6 +696,58 @@ class PlanBuilder:
             .where(F.col("value").isNotNull())
         )
         return Plan("vector", out, VT_F64, streams=child.streams)
+
+    def _clock_func(self, node: ast.ClockFunc) -> Plan:
+        """Evaluation-clock functions on the raw-sample path (ts stays in
+        NATIVE unitless units, ast.CLOCK_FUNCS note):
+
+          time()       -> scalar: the query start (the raw path's
+                          evaluation instant; the step grid form is in
+                          plans/range_eval).
+          timestamp(v) -> each sample's value becomes its own ts.
+          vector(s)    -> one sample at the query start with value s.
+          scalar(v)    -> the value if v has exactly ONE sample in range,
+                          else NaN (Prometheus's one-series rule applied
+                          to the raw result set).
+        """
+        if node.func == "time":
+            return Plan("scalar", None, VT_F64, literal=float(self.start or 0))
+        child = self.build(node.child)
+        if node.func == "timestamp":
+            if child.kind not in ("vector", "grouped"):
+                raise ValueError("timestamp() requires a vector input")
+            keep = [c for c in child.df.columns if c != "value"]
+            out = child.df.select(*keep, F.col("ts").cast("double").alias("value"))
+            return Plan(child.kind, out, VT_F64,
+                        group_cols=child.group_cols, streams=child.streams)
+        if node.func == "vector":
+            if child.kind != "scalar":
+                raise ValueError("vector() requires a scalar input")
+            ts0 = int(self.start or 0)
+            if child.literal is not None:
+                df = self.conn.spark.range(1).select(
+                    F.lit(ts0).cast("long").alias("ts"),
+                    F.lit(float(child.literal)).alias("value"),
+                )
+            else:
+                df = child.df.select(
+                    F.lit(ts0).cast("long").alias("ts"),
+                    F.col("value").cast("double").alias("value"),
+                )
+            return Plan("vector", df, VT_F64)
+        # scalar(v)
+        if child.kind != "vector":
+            raise ValueError("scalar() requires a vector input")
+        agg = child.df.agg(
+            F.count("*").alias("__n"),
+            F.first("value").alias("__v"),
+        )
+        out = agg.select(
+            F.when(F.col("__n") == 1, F.col("__v").cast("double"))
+            .otherwise(F.lit(float("nan")))
+            .alias("value")
+        )
+        return Plan("scalar", out, VT_F64)
 
     def _range_count_func(self, node: ast.RangeCountFunc) -> Plan:
         """resets/changes per (series, tumbling window): a lag over

@@ -139,6 +139,8 @@ class RangeEvaluator:
             return self._windowed(expr.func, expr.child, None, family="count")
         if isinstance(expr, ast.DerivFunc):
             return self._windowed("deriv", expr.child, None, family="deriv")
+        if isinstance(expr, ast.ClockFunc):
+            return self._clock_func(expr)
         if isinstance(expr, ast.HoltWintersFunc):
             return self._windowed(
                 "holt_winters", expr.child, (expr.sf, expr.tf), family="holt"
@@ -543,6 +545,61 @@ class RangeEvaluator:
             "query_range vector-to-vector operations require explicit "
             "on()/ignoring() matching"
         )
+
+    def _grid_df(self):
+        """The bare step grid (ts only) — bounded by MAX_STEPS."""
+        return self.conn.spark.range(self.n_steps).select(
+            (F.lit(self.start) + F.col("id") * F.lit(self.step)).alias("ts")
+        )
+
+    def _clock_func(self, expr) -> Plan:
+        """Evaluation-clock functions on the step grid (native ts units):
+        time() = the step value itself; vector(s) = s at every step;
+        timestamp(v) = each step instant's value replaced by the step ts;
+        scalar(v) = per step, the value when exactly one series reports,
+        else NaN."""
+        if expr.func == "time":
+            out = self._grid_df().select(
+                "ts", F.col("ts").cast("double").alias("value")
+            )
+            return Plan("vector", out, VT_F64)
+        child = self._eval(expr.child) if expr.func != "vector" else None
+        if expr.func == "timestamp":
+            if child.kind != "vector":
+                raise ValueError("timestamp() requires a vector input")
+            keep = [c for c in child.df.columns if c != "value"]
+            out = child.df.select(*keep, F.col("ts").cast("double").alias("value"))
+            return Plan("vector", out, VT_F64, streams=child.streams)
+        if expr.func == "vector":
+            sub = self._eval(expr.child)
+            if sub.kind != "scalar" or sub.literal is None:
+                raise ValueError(
+                    "query_range vector() requires a literal scalar"
+                )
+            out = self._grid_df().select(
+                "ts", F.lit(float(sub.literal)).alias("value")
+            )
+            return Plan("vector", out, VT_F64)
+        # scalar(v)
+        if child.kind != "vector":
+            raise ValueError("scalar() requires a vector input")
+        agg = child.df.groupBy("ts").agg(
+            F.count("*").alias("__n"), F.first("value").alias("__v")
+        )
+        present = agg.select(
+            "ts",
+            F.when(F.col("__n") == 1, F.col("__v").cast("double"))
+            .otherwise(F.lit(float("nan")))
+            .alias("value"),
+        )
+        # steps where NO series reports must still yield NaN (scalar is
+        # total on the grid)
+        out = (
+            self._grid_df()
+            .join(present, "ts", "left")
+            .select("ts", F.coalesce("value", F.lit(float("nan"))).alias("value"))
+        )
+        return Plan("vector", out, VT_F64)
 
     def _vec_lit(
         self, op: str, vec: Plan, lit: float, scalar_on_left: bool, bool_mode: bool

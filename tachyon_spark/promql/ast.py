@@ -234,6 +234,11 @@ PREDICT_FUNCS = frozenset({"predict_linear"})  # predict_linear(m[RANGE], t)
 # holt_winters was renamed double_exponential_smoothing in Prometheus 3;
 # both names are accepted (prometheus/promql functions.go funcHoltWinters)
 HOLT_FUNCS = frozenset({"holt_winters", "double_exponential_smoothing"})
+# timestamp(v)/scalar(v)/vector(s)/time() — evaluation-clock functions.
+# Timestamps in this engine are UNITLESS native units (SURVEY §1.2), so
+# these return/consume native ts values, not seconds (documented
+# divergence from Prometheus's seconds).
+CLOCK_FUNCS = frozenset({"timestamp", "scalar", "vector", "time"})
 OVER_TIME_FUNCS = frozenset(
     {
         "avg_over_time",
@@ -268,6 +273,16 @@ class PredictLinearFunc:
 
     child: object  # MatrixSelector
     horizon: float
+
+
+@dataclass(frozen=True)
+class ClockFunc:
+    """timestamp(v) (sample value := its own ts), scalar(v) (1-row vector
+    -> scalar, NaN otherwise), vector(s) (scalar -> vector at the
+    evaluation clock), time() (the evaluation clock itself)."""
+
+    func: str
+    child: object | None = None
 
 
 @dataclass(frozen=True)

@@ -75,6 +75,7 @@ KEYWORDS = (
     | set(ast.DERIV_FUNCS)
     | set(ast.PREDICT_FUNCS)
     | set(ast.HOLT_FUNCS)
+    | set(ast.CLOCK_FUNCS)
     | set(ast.MATH_FUNCS)
     | set(ast.SET_OPS)
     | set(ast.SORT_FUNCS)
@@ -268,6 +269,8 @@ class Parser:
                 return self.parse_predict_linear()
             if tok.text in ast.HOLT_FUNCS:
                 return self.parse_holt_winters()
+            if tok.text in ast.CLOCK_FUNCS:
+                return self.parse_clock_func()
             if tok.text in ast.DERIV_FUNCS:
                 return self._maybe_subquery(self.parse_deriv_func())
             if tok.text in ast.MATH_FUNCS:
@@ -529,6 +532,16 @@ class Parser:
         if not 0.0 < tf <= 1.0:
             raise PromQLError(f"{name} tf must be in (0, 1], got {tf}")
         return ast.HoltWintersFunc(child, sf, tf)
+
+    def parse_clock_func(self):
+        func = self.next().text
+        self.expect("(")
+        if func == "time":
+            self.expect(")")
+            return ast.ClockFunc("time", None)
+        child = self.parse_or()
+        self.expect(")")
+        return ast.ClockFunc(func, child)
 
     def parse_math_func(self):
         func = self.next().text

@@ -154,3 +154,30 @@ def test_extended_math_funcs(golden_db):
     assert golden_db.query("sin(0)", 0, 100).scalar() == pytest.approx(0.0)
     assert golden_db.query("log2(8)", 0, 100).scalar() == pytest.approx(3.0)
     assert golden_db.query("deg(3.141592653589793)", 0, 100).scalar() == pytest.approx(180.0)
+
+
+def test_clock_funcs(golden_db):
+    import math
+
+    q = 'http_requests_total{service="web"}'
+    # time(): the evaluation clock = query start (native units, raw path)
+    assert golden_db.query("time()", 10, 100).scalar() == 10.0
+    assert golden_db.query("time() * 2", 7, 100).scalar() == 14.0
+    # timestamp(v): each sample's value becomes its own ts
+    got = golden_db.query(f"timestamp({q})", 0, 100).rows()
+    assert got == [(23, 23.0), (29, 29.0), (40, 40.0), (51, 51.0)]
+    # vector(s): one sample at the query start
+    assert golden_db.query("vector(5)", 7, 100).rows() == [(7, 5.0)]
+    # scalar(v): NaN unless exactly one sample
+    assert math.isnan(golden_db.query(f"scalar({q})", 0, 100).scalar())
+    one = golden_db.query(f"scalar({q})", 20, 25).scalar()
+    assert one == 45.0
+    # grid forms
+    assert golden_db.query_range("time()", 0, 40, 20).rows() == [
+        (0, 0.0), (20, 20.0), (40, 40.0)
+    ]
+    assert golden_db.query_range("vector(2.5)", 0, 40, 20).rows() == [
+        (0, 2.5), (20, 2.5), (40, 2.5)
+    ]
+    got = dict(golden_db.query_range(f"scalar({q})", 0, 60, 30, lookback=10).rows())
+    assert math.isnan(got[0]) and got[30] == 47.0
