@@ -2191,6 +2191,27 @@ def q_bigram_logprob(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), "n_pairs", "avg_nll")
 
 
+
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination (functions/similarity.
+    semantic_decontaminate): corpus vectors (vec_id % 20 != 0) within
+    cosine >= 0.4 of any pseudo-benchmark vector (vec_id % 20 == 0) —
+    the semantic complement to the n-gram `decontaminate` entry, catching
+    paraphrased leakage. Bipartite multi-table LSH candidates + exact
+    verify; the oracle replays planes, buckets, and the per-corpus-id
+    argmax."""
+    from tachyon_spark.functions.similarity import semantic_decontaminate
+
+    emb = _read(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 20 == 0)
+    corpus = emb.where(F.col("vec_id") % 20 != 0)
+    out = semantic_decontaminate(
+        corpus, bench, threshold=NEAR_DUP_THRESHOLD,
+        planes=LSH_PLANES, tables=LSH_TABLES,
+    )
+    return out.select("id", "bench_id", F.round("score", 6).alias("score"))
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2530,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample": q_m4_downsample,
         "anomaly_flags": q_anomaly_flags,
         "bigram_logprob": q_bigram_logprob,
+        "semantic_decontaminate": q_semantic_decontaminate,
     }
 
 
@@ -2880,6 +2902,48 @@ FROM scored ORDER BY score DESC, vec_id LIMIT 20
 
 NEAR_DUP_THRESHOLD = 0.4  # synthetic embeddings have no true near-dups;
 # 0.4 yields ~40 "related" pairs, exercising blocking + verify end-to-end
+
+
+def _semantic_decon_sql() -> str:
+    """Bipartite variant of _near_dup_sql: corpus x benchmark candidates,
+    exact verify, per-corpus-id argmax (ties -> lowest bench id)."""
+    plane_rows = _plane_rows_sql()
+    cos = (
+        "list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))"
+        " / (sqrt(list_sum(list_transform(ea.v, q -> q * q)))"
+        " * sqrt(list_sum(list_transform(eb.v, q -> q * q))))"
+    )
+    return f"""
+WITH p AS (
+{plane_rows}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dots AS (
+  SELECT e.vec_id, p.t, p.pi,
+         list_sum(list_transform(range(1, 65), i -> e.v[i] * p.plane[i])) AS d
+  FROM e CROSS JOIN p
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN d >= 0 THEN 1 << pi ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT c.vec_id AS id, b.vec_id AS bench_id
+  FROM buckets c JOIN buckets b ON c.t = b.t AND c.bucket = b.bucket
+  WHERE c.vec_id % 20 != 0 AND b.vec_id % 20 = 0
+),
+scored AS (
+  SELECT cd.id, cd.bench_id, {cos} AS score
+  FROM cand cd JOIN e ea ON ea.vec_id = cd.id JOIN e eb ON eb.vec_id = cd.bench_id
+)
+SELECT id, bench_id, round(score, 6) AS score FROM (
+  SELECT id, bench_id, score,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY score DESC, bench_id) AS rn
+  FROM scored WHERE score >= {NEAR_DUP_THRESHOLD}
+) WHERE rn = 1
+"""
 
 
 def _near_dup_sql() -> str:
@@ -3737,6 +3801,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann_lsh": _lsh_sql(),
         "embedding_ann_ivf": _IVF_SQL,
         "embedding_near_dup": _near_dup_sql(),
+        "semantic_decontaminate": _semantic_decon_sql(),
         "media_features": _MEDIA_SQL,
         "media_frames": """
             -- duration_ms = length(text)*10; frames every 1000ms, min 1

@@ -524,3 +524,59 @@ def quantized_cosine_topk(
         .limit(k)
         .select(F.col("id").alias(id_col), "score")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-space decontamination: corpus items whose vector is
+    within cosine >= threshold of ANY benchmark item — the semantic
+    complement to n-gram decontaminate_ngram (paraphrased eval leakage
+    that shares no 5-gram). Returns one row per contaminated corpus item:
+    (id, bench_id, score) with the best-matching benchmark item (ties ->
+    lowest bench id).
+
+    Shape: BIPARTITE multi-table LSH — both sides bucket with the SAME
+    hyperplane set, candidates are (corpus x benchmark) pairs sharing a
+    (table, bucket) key (never a full cross product; the benchmark side
+    is tiny so its bucket lists are short), exact cosine verifies only
+    candidates. Same recall construction as embedding_near_dup_pairs."""
+    dim = len(corpus.select(vec_col).head()[0])
+    all_planes = [
+        row for t in range(tables) for row in _hyperplanes(dim, planes, seed + t)
+    ]
+    udf = _lsh_buckets_udf(all_planes, planes)
+
+    def bucketed(df, name):
+        return df.select(
+            F.col(id_col).alias(name), udf(F.col(vec_col)).alias("__bs")
+        ).select(name, F.posexplode("__bs").alias("t", "bucket"))
+
+    cand = (
+        bucketed(corpus, "id")
+        .join(bucketed(benchmark, "bench_id"), ["t", "bucket"])
+        .select("id", "bench_id")
+        .distinct()
+    )
+    cand = cand.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    cv = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("__ca"))
+    bv = benchmark.select(F.col(id_col).alias("bench_id"), F.col(vec_col).cast("array<double>").alias("__cb"))
+    scored = (
+        cand.join(cv, "id")
+        .join(F.broadcast(bv), "bench_id")
+        .select("id", "bench_id", cosine(F.col("__ca"), F.col("__cb")).alias("score"))
+        .where(F.col("score") >= threshold)
+    )
+    return scored.groupBy("id").agg(
+        F.max_by(
+            F.struct("bench_id", "score"),
+            F.struct(F.col("score"), (-F.col("bench_id")).alias("nb")),
+        ).alias("best")
+    ).select("id", F.col("best.bench_id").alias("bench_id"), F.col("best.score").alias("score"))
