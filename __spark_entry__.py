@@ -2212,6 +2212,45 @@ def q_semantic_decontaminate(spark, sf_dir):
     return out.select("id", "bench_id", F.round("score", 6).alias("score"))
 
 
+
+def q_media_phash(spark, sf_dir):
+    """REAL image perceptual hash, oracle-graded (functions/multimodal.
+    image_phash): each doc's first 192 bytes become an 8x8 RGB PNG, the
+    engine genuinely inflates + unfilters it, grayscales, runs a naive
+    2-D DCT and thresholds the 15-coefficient lowband against its median.
+    The oracle recomputes every DCT sum from the raw text bytes — only a
+    real decode AND the exact transform produce the same 15 hash bits."""
+    from tachyon_spark.functions import codecs
+    from tachyon_spark.functions.multimodal import image_phash
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "content_id": pdf["doc_id"].astype(str),
+                    "payload": pdf["text"].map(
+                        lambda t: codecs.png_encode(
+                            8, 8, t[:192].ljust(192).encode("ascii"), 3
+                        )
+                    ),
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        enc, "content_id string, payload binary"
+    )
+    out = image_phash(media)
+    return out.select(
+        F.col("content_id").cast("long").alias("doc_id"),
+        "width", "height", "phash",
+        F.round("gray_mean", 6).alias("gray_mean"),
+    )
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2552,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_flags": q_anomaly_flags,
         "bigram_logprob": q_bigram_logprob,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "media_phash": q_media_phash,
     }
 
 
@@ -4444,6 +4484,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni ON uni.tok = p.prev
             CROSS JOIN v
             GROUP BY p.doc_id
+        """,
+        "media_phash": """
+            WITH s AS (
+              SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, (i - 1) // 24 AS y, ((i - 1) % 24) // 3 AS x,
+                     unicode(substr(s, i, 1)) AS v
+              FROM s, unnest(generate_series(1, 192)) AS u(i)
+            ),
+            gray AS (
+              SELECT doc_id, y, x, avg(v) AS g
+              FROM px GROUP BY doc_id, y, x
+            ),
+            dct AS (
+              -- angles pi*((2x+1)*u)/16: integer numerator + power-of-two
+              -- divide -> bitwise-identical to the engine's numpy angles;
+              -- round 6 BEFORE median/threshold kills sum-order noise
+              SELECT doc_id, uu.u, vv.v,
+                     round(sum(g * cos(pi() * ((2 * y + 1) * uu.u) / 16.0)
+                                 * cos(pi() * ((2 * x + 1) * vv.v) / 16.0)), 6)
+                       AS cf
+              FROM gray,
+                   unnest(generate_series(0, 3)) AS uu(u),
+                   unnest(generate_series(0, 3)) AS vv(v)
+              GROUP BY doc_id, uu.u, vv.v
+            ),
+            band AS (
+              SELECT doc_id, u * 4 + v AS idx, cf
+              FROM dct WHERE NOT (u = 0 AND v = 0)
+            ),
+            med AS (
+              SELECT doc_id, (list_sort(list(cf)))[8] AS med
+              FROM band GROUP BY doc_id
+            ),
+            bits AS (
+              SELECT b.doc_id,
+                     CAST(sum(CASE WHEN b.cf > m.med
+                              THEN CAST(1 AS BIGINT) << (b.idx - 1)
+                              ELSE 0 END) AS BIGINT) AS phash
+              FROM band b JOIN med m USING (doc_id)
+              GROUP BY b.doc_id
+            ),
+            gm AS (
+              SELECT doc_id, round(avg(g), 6) AS gray_mean
+              FROM gray GROUP BY doc_id
+            )
+            SELECT b.doc_id, 8 AS width, 8 AS height, b.phash, gm.gray_mean
+            FROM bits b JOIN gm USING (doc_id)
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -298,3 +298,65 @@ def audio_spectral(media: DataFrame, n: int = 64, bins: int = 32) -> DataFrame:
         "content_id string, sample_rate long, spectral_centroid double, "
         "log_power double, dominant_bin long",
     )
+
+
+def image_phash(media: DataFrame, size: int = 8, lowband: int = 4) -> DataFrame:
+    """Perceptual image hash over a REAL PNG decode: inflate + unfilter
+    the payload (functions/codecs.png_decode), grayscale, 2-D DCT-II, and
+    threshold the low-frequency band against its median — the standard
+    pHash construction behind image near-dup pipelines (two visually
+    identical images re-encoded differently map to the same bits; compose
+    the resulting hash with the SimHash-style hamming blocking in
+    functions/dedup for image dedup at scale).
+
+    The DCT is the NAIVE separable matmul (not a fast transform) and its
+    angles are built as pi * ((2x+1) * u) / (2N) — integer numerator,
+    power-of-two divide — so an engine-neutral oracle evaluates cos at
+    bitwise-identical angles; coefficients are rounded to 6 decimals
+    BEFORE the median/threshold so summation-order noise can't flip a
+    bit. Hash = row-major bits of the lowband (DC excluded), coeff >
+    median. Returns (content_id, width, height, phash, gray_mean)."""
+    import numpy as np
+
+    from tachyon_spark.functions import codecs
+
+    n = size
+    u = np.arange(n)
+    x = np.arange(n)
+    ang = np.pi * (np.outer(2 * x + 1, u).astype(np.float64)) / (2 * n)
+    C = np.cos(ang)  # C[x, u]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, hashes, gms = [], [], [], []
+            for payload in pdf["payload"]:
+                w, h, ch, raw = codecs.png_decode(bytes(payload))
+                px = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                px = px.reshape(h, w, ch)
+                gray = px.mean(axis=2)  # (h, w)
+                coef = C.T @ gray @ C  # DCT-II up to scale (scale cancels)
+                band = coef[:lowband, :lowband].copy().reshape(-1)[1:]  # drop DC
+                band = np.round(band, 6)
+                med = float(np.sort(band)[len(band) // 2])  # odd count
+                bits = 0
+                for i, c in enumerate(band):
+                    if c > med:
+                        bits |= 1 << i
+                ws.append(w)
+                hs.append(h)
+                hashes.append(bits)
+                gms.append(float(np.round(gray.mean(), 6)))
+            yield pd.DataFrame(
+                {
+                    "content_id": pdf["content_id"],
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                    "gray_mean": gms,
+                }
+            )
+
+    return media.select("content_id", "payload").mapInPandas(
+        kernel,
+        "content_id string, width long, height long, phash long, gray_mean double",
+    )

@@ -118,3 +118,33 @@ def test_audio_spectral_pure_tone(spark):
     assert out["12"].dominant_bin == 12
     assert out["12"].sample_rate == 8000  # decode really read the header
     assert out["0"].dominant_bin == 0 and out["0"].spectral_centroid == 0.0
+
+
+def test_image_phash_invariants(spark):
+    """pHash is invariant to uniform brightness shifts (DCT AC band) and
+    distinguishes structurally different images."""
+    from tachyon_spark.functions import codecs
+    from tachyon_spark.functions.multimodal import image_phash
+
+    import random
+
+    def img(seed, shift=0):
+        rnd = random.Random(seed)
+        vals = [rnd.randrange(50, 150) for _ in range(64)]
+        raw = bytes(v + shift for v in vals for _ in range(3))
+        return codecs.png_encode(8, 8, raw, 3)
+
+    rows = [
+        ("a", img(1)),
+        ("a_bright", img(1, shift=40)),  # same structure, uniformly brighter
+        ("b", img(2)),
+    ]
+    media = spark.createDataFrame(rows, "content_id string, payload binary")
+    out = {r.content_id: r for r in image_phash(media).collect()}
+    assert out["a"].width == 8 and out["a"].height == 8
+    # a uniform brightness shift only moves DC, which the band excludes
+    assert out["a"].phash == out["a_bright"].phash
+    assert out["a_bright"].gray_mean == out["a"].gray_mean + 40.0
+    # structurally different content hashes differently
+    assert out["a"].phash != out["b"].phash
+    assert 0 < out["a"].phash < (1 << 15)
