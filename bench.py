@@ -244,6 +244,11 @@ def main():
         "embedding_ann_quantized",
         "tfidf_top_terms",
         "pipeline_end_to_end",
+        "m4_downsample",
+        "anomaly_flags",
+        "bigram_logprob",
+        "semantic_decontaminate",
+        "media_phash",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
