@@ -3,6 +3,7 @@ from tachyon_spark.operators.interpolate import interpolated_binop
 from tachyon_spark.operators.topk import bottom_k, top_k
 from tachyon_spark.operators.asof import asof_join
 from tachyon_spark.operators.select import select_range
+from tachyon_spark.operators.downsample import anomaly_flags, m4_downsample
 
 __all__ = [
     "scalar_agg",
@@ -12,4 +13,6 @@ __all__ = [
     "bottom_k",
     "select_range",
     "asof_join",
+    "m4_downsample",
+    "anomaly_flags",
 ]

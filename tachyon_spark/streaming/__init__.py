@@ -1,5 +1,6 @@
 from tachyon_spark.streaming.ingest import start_stream_ingest
 from tachyon_spark.streaming.rollup import read_rollup, start_continuous_rollup
+from tachyon_spark.streaming.stateful import streaming_dedup, streaming_ewma
 from tachyon_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -13,4 +14,6 @@ __all__ = [
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",
+    "streaming_ewma",
+    "streaming_dedup",
 ]
