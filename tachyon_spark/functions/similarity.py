@@ -151,8 +151,12 @@ def ivf_cosine_topk(
     a partition-pruned scan of nprobe/n_centroids of the data (see
     ivf_build_index / ivf_probe_index); here it is an inline filter over the
     same expression."""
+    from tachyon_spark.functions.util import spread
+
     probe_ids = _probe_lists(query_vec, centroids, nprobe)
-    assigned = df.withColumn("__list", ivf_assign(F.col(vec_col), centroids))
+    # see semdedup: parallelize the per-row centroid argmax on
+    # single-file local inputs (no-op at scale)
+    assigned = spread(df).withColumn("__list", ivf_assign(F.col(vec_col), centroids))
     probed = assigned.where(F.col("__list").isin(probe_ids))
     return brute_force_cosine_topk(probed, query_vec, k, id_col, vec_col)
 
@@ -396,8 +400,14 @@ def semdedup(
     # normalize ONCE per vector: the pairwise step then needs only a dot
     # product — cosine() per pair would recompute both norms (3 array
     # aggregates instead of 1) for every one of the O(cluster^2) pairs
+    from tachyon_spark.functions.util import spread
+
+    # spread BEFORE the per-row-heavy assignment: a single-file local table
+    # scans as 1 partition and would run every centroid dot product in one
+    # task (no-op at scale where the scan has many splits)
     assigned = _materialize(
-        df.select(
+        spread(df)
+        .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
