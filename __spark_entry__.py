@@ -2251,6 +2251,22 @@ def q_media_phash(spark, sf_dir):
     )
 
 
+
+def q_table_profile(spark, sf_dir):
+    """Per-column profiling (functions/util.table_profile): null/distinct/
+    min-max for every events column in ONE scan (all aggregates in a
+    single agg, bounded stack unpivot — no per-column jobs). The
+    ANALYZE-style pass a pipeline runs before trusting a new source."""
+    from tachyon_spark.functions.util import table_profile
+
+    ev = _read(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", F.expr("ts DIV 1000").alias("ts_us"), "user_id",
+        "event_type", F.round("value", 6).alias("value"),
+    )
+    return table_profile(e)
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2592,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "semantic_decontaminate": q_semantic_decontaminate,
         "media_phash": q_media_phash,
+        "table_profile": q_table_profile,
     }
 
 
@@ -4534,6 +4551,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.doc_id, 8 AS width, 8 AS height, b.phash, gm.gray_mean
             FROM bits b JOIN gm USING (doc_id)
+        """,
+        "table_profile": """
+            WITH e AS (
+              SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+                     round(value, 6) AS value
+              FROM events
+            )
+            SELECT 'event_id' AS column, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   count(DISTINCT event_id) AS n_distinct,
+                   CAST(min(event_id) AS VARCHAR) AS min_value,
+                   CAST(max(event_id) AS VARCHAR) AS max_value
+            FROM e
+            UNION ALL
+            SELECT 'ts_us', count(*),
+                   CAST(sum(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT ts_us),
+                   CAST(min(ts_us) AS VARCHAR), CAST(max(ts_us) AS VARCHAR)
+            FROM e
+            UNION ALL
+            SELECT 'user_id', count(*),
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT user_id),
+                   CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+            FROM e
+            UNION ALL
+            SELECT 'event_type', count(*),
+                   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT event_type),
+                   min(event_type), max(event_type)
+            FROM e
+            UNION ALL
+            SELECT 'value', count(*),
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT value),
+                   CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+            FROM e
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -33,3 +33,38 @@ def spread(df: DataFrame, cap: int = 32) -> DataFrame:
     if 0 < n_files < target:
         return df.repartition(target)
     return df
+
+
+def table_profile(df, columns: list[str] | None = None):
+    """Per-column data-quality profile — the ANALYZE/profiling pass every
+    pipeline runs before training on a new source: for each column its
+    row count, null count, exact distinct count, and min/max rendered as
+    strings (type-agnostic output shape). Returns one row per column:
+    (column, n_rows, n_null, n_distinct, min_value, max_value).
+
+    ONE scan: all per-column aggregates evaluate in a single agg()
+    (map-side partials), then a bounded stack() unpivot — no per-column
+    jobs, no collect. Exact distinct counts expand per column in the same
+    pass; swap to approx_count_distinct at 100 TB if the 2%-error sketch
+    is acceptable (one-line change, same shape).
+    """
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __nl_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_rows, n_null, n_distinct, min_value, max_value)"
+    )
