@@ -163,7 +163,9 @@ def unigram_logprob(
     token join back (shuffle 2 — hot tokens like 'the' are skew-split by
     AQE), per-doc average (shuffle 3). The model frame (distinct tokens)
     is vocabulary-sized, not corpus-sized; everything stays JVM-side."""
-    toks = df.select(
+    from tachyon_spark.functions.util import spread
+
+    toks = spread(df, cap=16).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).where(F.col("tok") != "")
@@ -202,6 +204,8 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     toks = _tokens(F.col(text_col))
+    # no spread() here: the flat token explode is cheap per row and the
+    # added pre-explode shuffle measured ~2x slower at sf0.1
     pairs = (
         df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
         .where(F.col("term") != "")
@@ -249,11 +253,16 @@ def bigram_logprob(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-    pairs = df.select(
+    from tachyon_spark.functions.util import spread
+
+    # spread BEFORE the explode: a single-file local scan is 1 partition
+    # and would enumerate every pair in one task (no-op at scale)
+    src = spread(df, cap=16)
+    pairs = src.select(
         F.col(id_col).alias("id"), F.explode(pairs_arr).alias("p")
     ).select("id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
     uni = (
-        df.select(F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias("tok"))
+        src.select(F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("__cu"))
     )
