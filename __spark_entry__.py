@@ -2267,6 +2267,22 @@ def q_table_profile(spark, sf_dir):
     return table_profile(e)
 
 
+
+def q_image_near_dup(spark, sf_dir):
+    """Image near-duplicate detection end-to-end: REAL PNG decode ->
+    perceptual hash (q_media_phash's pipeline) -> pigeonhole hamming
+    blocking + exact popcount verify (functions/dedup.hamming_pairs,
+    15-bit hashes, hamming <= 2 over 3 bit-chunks). The pigeonhole gives
+    FULL recall, so the oracle verifies against brute-force all-pairs
+    truth computed straight from the text bytes."""
+    from tachyon_spark.functions.dedup import hamming_pairs
+
+    ph = q_media_phash(spark, sf_dir).select("doc_id", "phash")
+    return hamming_pairs(
+        ph, n_bits=15, max_hamming=2, id_col="doc_id", sig_col="phash"
+    )
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2609,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "media_phash": q_media_phash,
         "table_profile": q_table_profile,
+        "image_near_dup": q_image_near_dup,
     }
 
 
@@ -4588,6 +4605,58 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT value),
                    CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
             FROM e
+        """,
+        "image_near_dup": """
+            WITH s AS (
+              SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, (i - 1) // 24 AS y, ((i - 1) % 24) // 3 AS x,
+                     unicode(substr(s, i, 1)) AS v
+              FROM s, unnest(generate_series(1, 192)) AS u(i)
+            ),
+            gray AS (
+              SELECT doc_id, y, x, avg(v) AS g
+              FROM px GROUP BY doc_id, y, x
+            ),
+            dct AS (
+              -- angles pi*((2x+1)*u)/16: integer numerator + power-of-two
+              -- divide -> bitwise-identical to the engine's numpy angles;
+              -- round 6 BEFORE median/threshold kills sum-order noise
+              SELECT doc_id, uu.u, vv.v,
+                     round(sum(g * cos(pi() * ((2 * y + 1) * uu.u) / 16.0)
+                                 * cos(pi() * ((2 * x + 1) * vv.v) / 16.0)), 6)
+                       AS cf
+              FROM gray,
+                   unnest(generate_series(0, 3)) AS uu(u),
+                   unnest(generate_series(0, 3)) AS vv(v)
+              GROUP BY doc_id, uu.u, vv.v
+            ),
+            band AS (
+              SELECT doc_id, u * 4 + v AS idx, cf
+              FROM dct WHERE NOT (u = 0 AND v = 0)
+            ),
+            med AS (
+              SELECT doc_id, (list_sort(list(cf)))[8] AS med
+              FROM band GROUP BY doc_id
+            ),
+            bits AS (
+              SELECT b.doc_id,
+                     CAST(sum(CASE WHEN b.cf > m.med
+                              THEN CAST(1 AS BIGINT) << (b.idx - 1)
+                              ELSE 0 END) AS BIGINT) AS phash
+              FROM band b JOIN med m USING (doc_id)
+              GROUP BY b.doc_id
+            ),
+            gm AS (
+              SELECT doc_id, round(avg(g), 6) AS gray_mean
+              FROM gray GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.phash, b.phash)) AS hamming
+            FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 2
         """,
         "unigram_logprob": """
             WITH t2 AS (

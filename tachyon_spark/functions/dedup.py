@@ -451,7 +451,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return agg.select("id", bits.alias("simhash"))
 
 
-def simhash_chunks(max_hamming: int) -> list[tuple[int, int]]:
+def simhash_chunks(max_hamming: int, n_bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
     """(offset, width) bit-chunks partitioning the 60-bit fingerprint into
     max_hamming + 1 pieces — the pigeonhole guarantee: a pair within
     `max_hamming` differing bits MUST agree on at least one chunk, whatever
@@ -459,9 +459,9 @@ def simhash_chunks(max_hamming: int) -> list[tuple[int, int]]:
     [9,9,9,9,8,8,8]). The DuckDB oracle derives its blocking from this same
     function, so candidate generation replays exactly."""
     n = max_hamming + 1
-    if n > SIMHASH_BITS:
-        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
-    base, rem = divmod(SIMHASH_BITS, n)
+    if n > n_bits:
+        raise ValueError(f"max_hamming must be < {n_bits}")
+    base, rem = divmod(n_bits, n)
     out = []
     off = 0
     for i in range(n):
@@ -712,3 +712,60 @@ def strip_dup_spans(
         F.size(kept).alias("n_kept"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    n_bits: int,
+    max_hamming: int,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs for ANY fixed-width bit fingerprint (perceptual
+    image hashes, audio fingerprints, simhashes of other widths):
+    hamming(sig_a, sig_b) <= max_hamming. Same shape as simhash_pairs —
+    (max_hamming + 1)-chunk pigeonhole blocking (FULL recall by
+    construction) + exact popcount(xor) verify, never a cross join; the
+    oracle can therefore verify against brute-force all-pairs truth.
+    Returns (id_a, id_b, hamming)."""
+    spec = simhash_chunks(max_hamming, n_bits)
+    base = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).cast("long").alias("sig")
+    )
+    chunks = base.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sig", off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("key"),
+                    )
+                    for c, (off, w) in enumerate(spec)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sig", "cc.chunk", "cc.key")
+    dropped = None
+    if max_bucket is not None:
+        chunks, dropped = _cap_hot_buckets(
+            chunks, ["chunk", "key"], max_bucket, "hamming_pairs"
+        )
+    a = chunks.select(F.col("id").alias("id_a"), F.col("sig").alias("sa"), "chunk", "key")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("sig").alias("sb"), "chunk", "key")
+    cand = (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    out = (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return _attach_stats(out, max_bucket, dropped)

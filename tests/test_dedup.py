@@ -504,3 +504,24 @@ def test_quantized_ann_recall_and_quantizer(spark):
         assert all(-127 <= q <= 127 for q in r.qvec)
         assert max(abs(q) for q in r.qvec) == 127  # the max-magnitude element
         assert r.scale > 0
+
+
+def test_hamming_pairs_full_recall(spark):
+    """Pigeonhole blocking must find EVERY pair within max_hamming —
+    compare against brute force on random 15-bit signatures."""
+    import random
+
+    from tachyon_spark.functions.dedup import hamming_pairs
+
+    rnd = random.Random(5)
+    sigs = [(i, rnd.randrange(1 << 15)) for i in range(120)]
+    df = spark.createDataFrame(sigs, "id long, sig long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in hamming_pairs(df, n_bits=15, max_hamming=2).collect()}
+    want = {}
+    for i, (ia, sa) in enumerate(sigs):
+        for ib, sb in sigs[i + 1:]:
+            h = bin(sa ^ sb).count("1")
+            if h <= 2:
+                want[(ia, ib)] = h
+    assert got == want and len(want) > 0
