@@ -2283,6 +2283,38 @@ def q_image_near_dup(spark, sf_dir):
     )
 
 
+
+def q_funnel(spark, sf_dir):
+    """Ordered funnel analysis (operators/funnel.funnel): per user the
+    earliest view -> click -> purchase chain, each step strictly after
+    the previous and within 48h of it. One grouped min per step joined
+    user-keyed onto the previous stage — three keyed shuffles, no
+    sessionization state. The oracle replays the greedy chain with
+    correlated min subqueries."""
+    from tachyon_spark.operators.funnel import funnel
+
+    ev = _read(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", F.expr("ts DIV 1000").alias("ts"))
+    w48 = 48 * 3600 * 1_000_000
+    out = funnel(e, ["view", "click", "purchase"], within=w48)
+    return out.select(
+        F.col("user").alias("user_id"), "t1", "t2", "t3", "reached"
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle (operators/funnel.cohort_retention):
+    users cohorted by first-activity day, distinct actives per (cohort,
+    day offset) — two keyed aggregations, the standard retention
+    matrix."""
+    from tachyon_spark.operators.funnel import cohort_retention
+
+    ev = _read(spark, sf_dir, "events")
+    e = ev.select("user_id", F.expr("ts DIV 1000").alias("ts"))
+    day = 24 * 3600 * 1_000_000
+    return cohort_retention(e, period=day, max_offset=14)
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2626,6 +2658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": q_media_phash,
         "table_profile": q_table_profile,
         "image_near_dup": q_image_near_dup,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -4657,6 +4691,50 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.phash, b.phash)) AS hamming
             FROM bits a JOIN bits b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        """,
+        "funnel": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+            ),
+            s1 AS (
+              SELECT user_id, min(t) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT s1.user_id, s1.t1,
+                     (SELECT min(t) FROM e
+                      WHERE e.user_id = s1.user_id AND e.event_type = 'click'
+                        AND e.t > s1.t1
+                        AND e.t <= s1.t1 + 172800000000) AS t2
+              FROM s1
+            ),
+            s3 AS (
+              SELECT s2.user_id, s2.t1, s2.t2,
+                     CASE WHEN s2.t2 IS NULL THEN NULL ELSE
+                       (SELECT min(t) FROM e
+                        WHERE e.user_id = s2.user_id
+                          AND e.event_type = 'purchase'
+                          AND e.t > s2.t2
+                          AND e.t <= s2.t2 + 172800000000) END AS t3
+              FROM s2
+            )
+            SELECT user_id, t1, t2, t3,
+                   1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                     + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS reached
+            FROM s3
+        """,
+        "cohort_retention": """
+            WITH acts AS (
+              SELECT DISTINCT user_id AS u,
+                     epoch_us(ts) - epoch_us(ts) % 86400000000 AS p
+              FROM events
+            ),
+            first AS (SELECT u, min(p) AS cohort FROM acts GROUP BY u)
+            SELECT f.cohort, CAST((a.p - f.cohort) / 86400000000 AS BIGINT) AS "offset",
+                   count(DISTINCT a.u) AS n_users
+            FROM acts a JOIN first f USING (u)
+            WHERE (a.p - f.cohort) / 86400000000 <= 14
+            GROUP BY 1, 2
         """,
         "unigram_logprob": """
             WITH t2 AS (

@@ -4,6 +4,7 @@ from tachyon_spark.operators.topk import bottom_k, top_k
 from tachyon_spark.operators.asof import asof_join
 from tachyon_spark.operators.select import select_range
 from tachyon_spark.operators.downsample import anomaly_flags, m4_downsample
+from tachyon_spark.operators.funnel import cohort_retention, funnel
 
 __all__ = [
     "scalar_agg",
@@ -15,4 +16,6 @@ __all__ = [
     "asof_join",
     "m4_downsample",
     "anomaly_flags",
+    "funnel",
+    "cohort_retention",
 ]

@@ -41,3 +41,39 @@ def test_anomaly_flags_plain_and_robust(spark):
         [("c", t, 5.0) for t in range(5)], "stream_id string, ts long, value double"
     )
     assert not any(r.is_anomaly for r in anomaly_flags(const, 100).collect())
+
+
+def test_funnel_ordering_and_window(spark):
+    from tachyon_spark.operators.funnel import funnel
+
+    rows = [
+        # u1 completes all 3 in order
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: click BEFORE view -> not counted; no click after the view
+        (2, "click", 5), (2, "view", 10), (2, "purchase", 40),
+        # u3: click too late for the window
+        (3, "view", 10), (3, "click", 200),
+        # u4: same-ts click does NOT count (strictly after)
+        (4, "view", 10), (4, "click", 10),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {r.user: r for r in funnel(df, ["view", "click", "purchase"], within=50).collect()}
+    assert (out[1].t1, out[1].t2, out[1].t3, out[1].reached) == (10, 20, 30, 3)
+    assert out[2].t2 is None and out[2].reached == 1
+    assert out[3].t2 is None
+    assert out[4].t2 is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        funnel(df, ["view"])
+
+
+def test_cohort_retention_triangle(spark):
+    from tachyon_spark.operators.funnel import cohort_retention
+
+    # periods of 10: u1 first at 0, active offsets 0,1,3; u2 first at 10 (offset 0 only)
+    rows = [(1, 1), (1, 5), (1, 12), (1, 33), (2, 11)]
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    got = {(r.cohort, r.offset): r.n_users
+           for r in cohort_retention(df, period=10, max_offset=5).collect()}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (10, 0): 1}
