@@ -2315,6 +2315,24 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(e, period=day, max_offset=14)
 
 
+
+def q_cusum_drift(spark, sf_dir):
+    """CUSUM drift detection (operators/downsample.cusum_drift): one-sided
+    standardized CUSUM per (event_type, 6h window), k=0.5, alarm at h=4 —
+    catches small sustained shifts anomaly_flags' pointwise nsigma test
+    misses. Sorted per-window fold (bounded-window contract); the oracle
+    replays the identical recurrence with a scalar recursive CTE."""
+    from tachyon_spark.operators.downsample import cusum_drift
+
+    ev = _read(spark, sf_dir, "events")
+    e = ev.select("event_type", F.expr("ts DIV 1000").alias("ts"), "value")
+    out = cusum_drift(e, 6 * 3600 * 1_000_000, k=0.5, h=4.0, key_col="event_type")
+    return out.select(
+        F.col("key").alias("event_type"), "window", "n",
+        F.round("s_max", 6).alias("s_max"), "alarmed",
+    )
+
+
 _FIXTURE_MEMO: dict = {}
 
 
@@ -2660,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "cusum_drift": q_cusum_drift,
     }
 
 
@@ -4735,6 +4754,58 @@ def oracle_sql() -> dict[str, str]:
             FROM acts a JOIN first f USING (u)
             WHERE (a.p - f.cohort) / 86400000000 <= 14
             GROUP BY 1, 2
+        """,
+        "cusum_drift": """
+            -- scalar recursive-CTE fold (see holt_winters: duckdb 1.0's
+            -- list_reduce struct accumulators are unreliable); stats are
+            -- the window's own mean/stddev_pop
+            WITH RECURSIVE e AS (
+              SELECT event_type, epoch_us(ts) AS t, value,
+                     epoch_us(ts) - epoch_us(ts) % 21600000000 AS w
+              FROM events
+            ),
+            st AS (
+              SELECT event_type, w, avg(value) AS mu,
+                     stddev_pop(value) AS sd, count(*) AS n
+              FROM e GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT e.event_type, e.w, e.value::DOUBLE AS v,
+                     row_number() OVER (PARTITION BY e.event_type, e.w
+                                        ORDER BY e.t, e.value) AS i
+              FROM e
+            ),
+            rec AS (
+              SELECT event_type, w, 0 AS i, 0.0::DOUBLE AS s, 0.0::DOUBLE AS m
+              FROM st
+              UNION ALL
+              SELECT r.event_type, r.w, r.i + 1,
+                     greatest(0.0::DOUBLE,
+                              r.s + (p.v - st.mu) / st.sd - 0.5::DOUBLE),
+                     greatest(r.m,
+                              greatest(0.0::DOUBLE,
+                                       r.s + (p.v - st.mu) / st.sd
+                                       - 0.5::DOUBLE))
+              FROM rec r
+              JOIN p ON p.event_type = r.event_type AND p.w = r.w
+                    AND p.i = r.i + 1
+              JOIN st ON st.event_type = r.event_type AND st.w = r.w
+              WHERE st.sd > 0
+            )
+            SELECT st.event_type, st.w AS window, st.n,
+                   round(CASE WHEN st.sd > 0 THEN f.m ELSE 0.0 END, 6)
+                     AS s_max,
+                   CASE WHEN st.sd > 0 THEN f.m > 4.0 ELSE FALSE END
+                     AS alarmed
+            FROM st
+            LEFT JOIN (
+              SELECT event_type, w, m FROM (
+                SELECT event_type, w, m,
+                       row_number() OVER (PARTITION BY event_type, w
+                                          ORDER BY i DESC) AS rn
+                FROM rec
+              ) WHERE rn = 1
+            ) f ON f.event_type = st.event_type AND f.w = st.w
         """,
         "unigram_logprob": """
             WITH t2 AS (

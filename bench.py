@@ -249,6 +249,11 @@ def main():
         "bigram_logprob",
         "semantic_decontaminate",
         "media_phash",
+        "image_near_dup",
+        "funnel",
+        "cohort_retention",
+        "cusum_drift",
+        "table_profile",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

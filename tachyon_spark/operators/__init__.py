@@ -3,7 +3,7 @@ from tachyon_spark.operators.interpolate import interpolated_binop
 from tachyon_spark.operators.topk import bottom_k, top_k
 from tachyon_spark.operators.asof import asof_join
 from tachyon_spark.operators.select import select_range
-from tachyon_spark.operators.downsample import anomaly_flags, m4_downsample
+from tachyon_spark.operators.downsample import anomaly_flags, cusum_drift, m4_downsample
 from tachyon_spark.operators.funnel import cohort_retention, funnel
 
 __all__ = [
@@ -18,4 +18,5 @@ __all__ = [
     "anomaly_flags",
     "funnel",
     "cohort_retention",
+    "cusum_drift",
 ]

@@ -121,3 +121,70 @@ def anomaly_flags(
              > F.lit(nsigma) * F.col("spread")).alias("is_anomaly"),
         )
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    window_width: int,
+    k: float = 0.5,
+    h: float = 4.0,
+    key_col: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    anchor: int = 0,
+) -> DataFrame:
+    """One-sided CUSUM drift detection per (series, tumbling window): the
+    classic change-point statistic s_i = max(0, s_{i-1} + z_i - k) over
+    the window's standardized samples z_i = (x_i - mean) / stddev (window
+    mean/stddev_pop — the self-referenced baseline form), alarming when
+    the running sum ever exceeds h. Complements anomaly_flags: a CUSUM
+    catches small SUSTAINED shifts that never individually cross an
+    nsigma threshold.
+
+    The max(0, ...) clamp breaks the affine-composition trick EWMA uses,
+    so each (series, window) folds its own sorted sample list in one
+    task — the same bounded-window contract as holt_winters; windows
+    distribute per (series, window) key. Constant windows (stddev 0)
+    report s_max = 0 / no alarm. Returns (key, window, n, s_max,
+    alarmed)."""
+    if window_width <= 0:
+        raise ValueError("window_width must be positive")
+    b = (
+        (F.col(ts_col) - F.lit(anchor))
+        - (F.col(ts_col) - F.lit(anchor)) % F.lit(window_width)
+        + F.lit(anchor)
+    )
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("ts"),
+        v.alias("value"), b.alias("__w"),
+    )
+    pairs = F.sort_array(F.collect_list(F.struct("ts", "value")))
+    vals = F.transform(pairs, lambda p: p["value"])
+    agg = base.groupBy("key", F.col("__w").alias("window")).agg(
+        vals.alias("__vs"),
+        F.avg("value").alias("__mu"),
+        F.stddev_pop("value").alias("__sd"),
+    )
+    zero = F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("m"))
+    step = lambda acc, x: F.struct(
+        F.greatest(
+            F.lit(0.0),
+            acc["s"] + (x - F.col("__mu")) / F.col("__sd") - F.lit(k),
+        ).alias("s"),
+        F.greatest(
+            acc["m"],
+            F.greatest(
+                F.lit(0.0),
+                acc["s"] + (x - F.col("__mu")) / F.col("__sd") - F.lit(k),
+            ),
+        ).alias("m"),
+    )
+    smax = F.when(
+        F.col("__sd") > 0,
+        F.aggregate(F.col("__vs"), zero, step, lambda acc: acc["m"]),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "key", "window", F.size("__vs").alias("n"),
+        smax.alias("s_max"), (smax > F.lit(h)).alias("alarmed"),
+    )

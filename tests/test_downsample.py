@@ -77,3 +77,27 @@ def test_cohort_retention_triangle(spark):
     got = {(r.cohort, r.offset): r.n_users
            for r in cohort_retention(df, period=10, max_offset=5).collect()}
     assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (10, 0): 1}
+
+
+def test_cusum_drift_detects_sustained_shift(spark):
+    from tachyon_spark.operators.downsample import cusum_drift
+
+    # first half oscillates around 0, second half sustains +1: pointwise
+    # z-scores stay small but CUSUM accumulates past the threshold
+    vals = [0.5, -0.5] * 10 + [1.0] * 20
+    rows = [("s", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "stream_id string, ts long, value double")
+    out = cusum_drift(df, 1000, k=0.5, h=4.0).collect()
+    assert len(out) == 1 and out[0].alarmed and out[0].n == 40
+    # anomaly_flags at 3 sigma misses the same shift (no single outlier)
+    from tachyon_spark.operators.downsample import anomaly_flags
+
+    assert not any(
+        r.is_anomaly for r in anomaly_flags(df, 1000, nsigma=3.0).collect()
+    )
+    # constant window: stddev 0 -> s_max 0, no alarm
+    const = spark.createDataFrame(
+        [("c", t, 7.0) for t in range(5)], "stream_id string, ts long, value double"
+    )
+    got = cusum_drift(const, 1000).collect()
+    assert got[0].s_max == 0.0 and not got[0].alarmed
