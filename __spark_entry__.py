@@ -427,6 +427,14 @@ def q_hourly_rollup(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
+            # round 6 (not coarser): the events values are 2-decimal, so
+            # averages produce EXACT half-way ties at 4 decimals, where
+            # Spark (HALF_UP on the shortest decimal repr) and DuckDB
+            # (rounding the binary value) disagree systematically; at 6
+            # decimals ties don't occur. The residual failure mode is the
+            # opposite one — at 10x data a handful of averages land within
+            # one ulp of a 5e-7 boundary (last-digit flicker, documented
+            # in COVERAGE.md) — which is rarer than the tie problem.
             F.round(F.avg("value"), 6).alias("avg_value"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
@@ -542,7 +550,7 @@ def q_rolling_avg_1h(spark, sf_dir):
     out = ev_us.select(
         "event_type",
         "ts_us",
-        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),  # round 6: see hourly_rollup
     )
     # duplicate (event_type, ts_us) rows get identical frames in both
     # engines; dedupe so the value-hash compare is order-insensitive
@@ -627,7 +635,7 @@ def q_continuous_rollup(spark, sf_dir):
         F.col("stream_id").alias("event_type"),
         F.col("count").alias("n"),
         F.round("sum", 2).alias("sum_v"),
-        F.round("avg", 6).alias("avg_v"),
+        F.round("avg", 6).alias("avg_v"),  # round 6: see hourly_rollup
         F.col("min").alias("min_v"),
         F.col("max").alias("max_v"),
     )
@@ -2173,7 +2181,7 @@ def q_anomaly_flags(spark, sf_dir):
     return out.select(
         F.col("key").alias("event_type"), "ts",
         F.round("value", 6).alias("value"),
-        F.round("center", 6).alias("center"),
+        F.round("center", 6).alias("center"),  # round 6: see hourly_rollup
         F.round("spread", 6).alias("spread"),
         "is_anomaly",
     )
