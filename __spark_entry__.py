@@ -863,7 +863,7 @@ def q_deriv_windows(spark, sf_dir):
         .where(F.col("__s").isNotNull())
     )
     return out.select(
-        "event_type", "ts_us", F.round("__s", 9).alias("slope_per_sec")
+        "event_type", "ts_us", F.round("__s", 6).alias("slope_per_sec")
     )
 
 
@@ -966,7 +966,10 @@ def q_pack_sequences(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
-    return pack_sequences(toks, budget=512, n_shards=8)
+    out = pack_sequences(toks, budget=512, n_shards=8)
+    # deterministic presentation order: output is doc-count-sized, so the
+    # final sort is cheap and makes the result hash-stable across engines
+    return out.orderBy("shard", "seq_id", "start_tok", "id")
 
 
 def q_query_range_subquery(spark, sf_dir):
@@ -1828,7 +1831,7 @@ def q_predict_linear(spark, sf_dir):
     return out.select(
         "event_type",
         "ts_us",
-        F.round(F.col("__b") + F.col("__m") * pred_x, 9).alias("predicted"),
+        F.round(F.col("__b") + F.col("__m") * pred_x, 6).alias("predicted"),
     )
 
 
@@ -1844,8 +1847,8 @@ def q_stddev_windows(spark, sf_dir):
         (F.expr("ts DIV 1000") - F.expr("ts DIV 1000") % F.lit(w_us)).alias("ts_us"),
     )
     out = e.groupBy("event_type", "ts_us").agg(
-        F.round(F.stddev_pop(F.col("value").cast("double")), 9).alias("stddev"),
-        F.round(F.var_pop(F.col("value").cast("double")), 9).alias("stdvar"),
+        F.round(F.stddev_pop(F.col("value").cast("double")), 6).alias("stddev"),
+        F.round(F.var_pop(F.col("value").cast("double")), 6).alias("stdvar"),
     )
     return out
 
@@ -1974,7 +1977,14 @@ def q_asof_forward_nearest(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events")
     ev_us = ev.select(F.expr("ts DIV 1000").alias("ts"), "user_id", "event_type", "value")
-    clicks = ev_us.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    # distinct() mirrors the views dedup: two byte-identical click rows
+    # would otherwise multiply (m x n) through the fwd-near join below
+    # while the oracle emits one row per click row
+    clicks = (
+        ev_us.where(F.col("event_type") == "click")
+        .select("user_id", "ts", "value")
+        .distinct()
+    )
     views = (
         ev_us.where(F.col("event_type") == "view")
         .groupBy("user_id", "ts")
@@ -2579,7 +2589,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so the driver's 50-row CORRECTNESS window covers the queries
+    # that have never been driver-gated (VERDICT r4 item 1), with
+    # pack_sequences kept inside the window to confirm its fix.
     return {
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "unigram_logprob": q_unigram_logprob,
+        "clean_corpus_stats": q_clean_corpus_stats,
+        "vector_matching": q_vector_matching,
+        "promql_subquery": q_promql_subquery,
+        "promql_histogram": q_promql_histogram,
+        "media_real_decode": q_media_real_decode,
+        "media_video_decode": q_media_video_decode,
+        "streaming_ewma": q_streaming_ewma,
+        "repetition_score": q_repetition_score,
+        "agg_stddev": q_agg_stddev,
+        "topk_per_group": q_topk_per_group,
+        "media_wav_decode": q_media_wav_decode,
+        "dup_span_stats": q_dup_span_stats,
+        "semdedup": q_semdedup,
+        "domain_cap": q_domain_cap,
+        "global_shuffle": q_global_shuffle,
+        "predict_linear": q_predict_linear,
+        "stddev_windows": q_stddev_windows,
+        "holt_winters": q_holt_winters,
+        "strip_dup_spans": q_strip_dup_spans,
+        "media_spectral": q_media_spectral,
+        "mad_windows": q_mad_windows,
+        "asof_forward_nearest": q_asof_forward_nearest,
+        "streaming_dedup": q_streaming_dedup,
+        "embedding_ann_quantized": q_embedding_ann_quantized,
+        "weighted_sample": q_weighted_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
+        "m4_downsample": q_m4_downsample,
+        "anomaly_flags": q_anomaly_flags,
+        "bigram_logprob": q_bigram_logprob,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "media_phash": q_media_phash,
+        "table_profile": q_table_profile,
+        "image_near_dup": q_image_near_dup,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "cusum_drift": q_cusum_drift,
+        "pack_sequences": q_pack_sequences,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -2621,7 +2675,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_range_subquery": q_query_range_subquery,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
         "counter_resets": q_counter_resets,
         "deriv_windows": q_deriv_windows,
         "irate_windows": q_irate_windows,
@@ -2639,56 +2692,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "text_stats": q_text_stats,
-        "clean_corpus_stats": q_clean_corpus_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts_by_source": q_token_counts_by_source,
         "token_count_bpe": q_token_count_bpe,
         "doc_fingerprint": q_doc_fingerprint,
-        "vector_matching": q_vector_matching,
-        "promql_subquery": q_promql_subquery,
-        "promql_histogram": q_promql_histogram,
-        "media_real_decode": q_media_real_decode,
-        "media_video_decode": q_media_video_decode,
-        "streaming_ewma": q_streaming_ewma,
-        "repetition_score": q_repetition_score,
-        "agg_stddev": q_agg_stddev,
-        "topk_per_group": q_topk_per_group,
-        "media_wav_decode": q_media_wav_decode,
-        "dup_span_stats": q_dup_span_stats,
-        "semdedup": q_semdedup,
-        "domain_cap": q_domain_cap,
-        "global_shuffle": q_global_shuffle,
-        "predict_linear": q_predict_linear,
-        "stddev_windows": q_stddev_windows,
-        "holt_winters": q_holt_winters,
-        "strip_dup_spans": q_strip_dup_spans,
-        "media_spectral": q_media_spectral,
-        "mad_windows": q_mad_windows,
-        "asof_forward_nearest": q_asof_forward_nearest,
-        "streaming_dedup": q_streaming_dedup,
-        "embedding_ann_quantized": q_embedding_ann_quantized,
-        "weighted_sample": q_weighted_sample,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "pipeline_end_to_end": q_pipeline_end_to_end,
-        "m4_downsample": q_m4_downsample,
-        "anomaly_flags": q_anomaly_flags,
-        "bigram_logprob": q_bigram_logprob,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "media_phash": q_media_phash,
-        "table_profile": q_table_profile,
-        "image_near_dup": q_image_near_dup,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "cusum_drift": q_cusum_drift,
     }
-
 
 # ---------------------------------------------------------------- oracle SQL
 
@@ -3073,10 +3085,12 @@ scored AS (
   FROM cand cd JOIN e ea ON ea.vec_id = cd.id JOIN e eb ON eb.vec_id = cd.bench_id
 )
 SELECT id, bench_id, round(score, 6) AS score FROM (
+  -- round-6 threshold + tie-break: matches the engine's cross-engine
+  -- float discipline (sequential fold vs list_sum last-ulp divergence)
   SELECT id, bench_id, score,
          row_number() OVER (PARTITION BY id
-                            ORDER BY score DESC, bench_id) AS rn
-  FROM scored WHERE score >= {NEAR_DUP_THRESHOLD}
+                            ORDER BY round(score, 6) DESC, bench_id) AS rn
+  FROM scored WHERE round(score, 6) >= {NEAR_DUP_THRESHOLD}
 ) WHERE rn = 1
 """
 
@@ -3500,7 +3514,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT event_type, ts_us,
-                   round(regr_slope(value, (t - ts_us) / 1e6), 9) AS slope_per_sec
+                   round(regr_slope(value, (t - ts_us) / 1e6), 6) AS slope_per_sec
             FROM e GROUP BY 1, 2
             HAVING regr_slope(value, (t - ts_us) / 1e6) IS NOT NULL
         """,
@@ -3640,15 +3654,19 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (
               SELECT id, CAST(h % 8 AS INT) AS shard, n_tok,
-                     coalesce(sum(n_tok) OVER (
+                     -- duckdb sum(BIGINT) is HUGEINT, which pandas renders
+                     -- as float64 and the value-hash sees as 3.0 vs 3 (the
+                     -- r4 red row); pin the running sum back to BIGINT
+                     CAST(coalesce(sum(n_tok) OVER (
                        PARTITION BY h % 8 ORDER BY h, id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                     ), 0) AS cp
+                     ), 0) AS BIGINT) AS cp
               FROM t
             )
             SELECT id, shard, cp // 512 AS seq_id, cp % 512 AS start_tok,
                    n_tok
             FROM c
+            ORDER BY shard, seq_id, start_tok, id
         """,
         "scrub_pii": _pii_oracle_sql(),
         "query_range_subquery": f"""
@@ -4152,7 +4170,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, ts_us,
                    round(regr_intercept(value, (t - ts_us) / 1e6)
-                         + regr_slope(value, (t - ts_us) / 1e6) * 4200.0, 9)
+                         + regr_slope(value, (t - ts_us) / 1e6) * 4200.0, 6)
                      AS predicted
             FROM e GROUP BY 1, 2
             HAVING regr_slope(value, (t - ts_us) / 1e6) IS NOT NULL
@@ -4164,8 +4182,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT event_type, ts_us,
-                   round(stddev_pop(value), 9) AS stddev,
-                   round(var_pop(value), 9) AS stdvar
+                   round(stddev_pop(value), 6) AS stddev,
+                   round(var_pop(value), 6) AS stdvar
             FROM e GROUP BY 1, 2
         """,
         "holt_winters": """
@@ -4323,7 +4341,8 @@ def oracle_sql() -> dict[str, str]:
             WITH ev AS (
               SELECT user_id, epoch_us(ts) AS t, event_type, value FROM events
             ),
-            clicks AS (SELECT user_id, t, value FROM ev WHERE event_type = 'click'),
+            clicks AS (SELECT DISTINCT user_id, t, value
+                       FROM ev WHERE event_type = 'click'),
             views AS (SELECT user_id, t, avg(value) AS vv FROM ev
                       WHERE event_type = 'view' GROUP BY user_id, t),
             j AS (
@@ -4508,8 +4527,13 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "m4_downsample": """
+            -- DISTINCT keys role assignment by point (event_type, bucket,
+            -- t, value), matching the engine's grouped semantics: with two
+            -- byte-identical samples in a bucket, four independent
+            -- row_number windows could otherwise scatter 'first'/'min'
+            -- over different physical rows and emit two partial-role rows
             WITH e AS (
-              SELECT event_type, epoch_us(ts) AS t, value,
+              SELECT DISTINCT event_type, epoch_us(ts) AS t, value,
                      epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket
               FROM events
             ),

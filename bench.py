@@ -292,24 +292,38 @@ def main():
     import pyspark
 
     total = round(sum(results.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "queries_10x": queries_10x,
-                "total_10x": round(sum(queries_10x.values()), 3),
-                "sf": sf,
-                # round-over-round comparability: the runtime's fixed per-job
-                # cost moved between rounds (pyspark 4.0 -> 4.1.2 measured
-                # ~50-170 ms/job floor locally); compare totals only within
-                # the same version
-                "pyspark": pyspark.__version__,
-            }
-        )
-    )
+    # Field order matters for artifact robustness: the driver records only
+    # the LAST 2000 chars of stdout and the full payload (~4 KB at 77
+    # queries) no longer fits, so in r4 the leading totals were cut off.
+    # Totals and metadata go LAST so the captured tail always contains
+    # them; the complete payload is also written to BENCH_FULL.json in the
+    # repo so every per-query number stays readable.
+    payload = {
+        "queries": results,
+        "queries_10x": queries_10x,
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "total_10x": round(sum(queries_10x.values()), 3),
+        "sf": sf,
+        # round-over-round comparability: the runtime's fixed per-job
+        # cost moved between rounds (pyspark 4.0 -> 4.1.2 measured
+        # ~50-170 ms/job floor locally); compare totals only within
+        # the same version
+        "pyspark": pyspark.__version__,
+    }
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout; the stdout tail still carries the totals
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":

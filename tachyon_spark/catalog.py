@@ -257,6 +257,50 @@ class Catalog:
         self._write_fragment(new_rows)
         return ids
 
+    def register_streams_df(self, reg: DataFrame) -> None:
+        """Fully DISTRIBUTED bulk registration — the million-series path
+        (recording rules whose group-by explodes into huge stream families).
+        ``reg`` must carry the catalog schema columns (stream_id, name,
+        labels, value_type); rows never visit the driver: the duplicate
+        check is a join against the catalog parquet and the write is a
+        Spark append of new fragment files into the log directory.
+
+        Raises ValueError if any (name, labels) combination already exists
+        (same contract as ``create_streams``). Callers are responsible for
+        ``reg`` itself being duplicate-free (e.g. built from a distinct)."""
+
+        def canon(df: DataFrame) -> DataFrame:
+            entries = F.array_sort(F.map_entries("labels"))
+            kv = F.transform(
+                entries,
+                lambda e: F.concat(
+                    e["key"],
+                    F.lit("\x01"),
+                    F.coalesce(e["value"], F.lit("\x03null\x03")),
+                ),
+            )
+            return df.withColumn(
+                "__canon",
+                F.concat(F.col("name"), F.lit("\x00"), F.array_join(kv, "\x02")),
+            )
+
+        dup = (
+            canon(reg)
+            .join(canon(self.df()).select("__canon"), "__canon", "left_semi")
+            .select("name", "labels")
+            .first()
+        )
+        if dup is not None:
+            raise ValueError(
+                f"stream already exists: {dup['name']}{dict(dup['labels'])}"
+            )
+        reg.select("stream_id", "name", "labels", "value_type").write.mode(
+            "append"
+        ).parquet(self.dir)
+        # Spark names its files part-<task>-<uuid>...parquet — same suffix
+        # the fragment listing keys on, so loads/compaction pick them up;
+        # the _SUCCESS marker fails the .parquet filter and is ignored.
+
     def delete_stream(self, stream_id: str) -> None:
         self.delete_streams([stream_id])
 

@@ -393,7 +393,8 @@ class Connection:
         end: int,
         step: int | None = None,
         lookback: int | None = None,
-    ) -> list[str]:
+        return_ids: bool = True,
+    ) -> list[str] | None:
         """Prometheus-style RECORDING RULE: evaluate `promql` and persist
         the result as new f64 stream(s) named `name`, queryable like any
         ingested metric (the pre-computation move behind every dashboard's
@@ -404,11 +405,16 @@ class Connection:
         Output shaping: a plain (ts, value) vector records one stream
         `name`; a grouped result (e.g. `sum by (service) (...)` on a step
         grid) records one stream per group with the group columns as
-        labels — `name{service="web"}`. The distinct label combinations
-        are collected driver-side (bounded by series count, same contract
-        as the catalog) and the samples route through one broadcast join;
-        the evaluation itself stays the distributed plan it was. Returns
-        the created stream ids."""
+        labels — `name{service="web"}`.
+
+        Million-series posture: each stream id is a DETERMINISTIC hash of
+        (name, sorted label tuple) computed inline on the sample rows, so
+        routing samples to streams needs no driver round-trip and no join
+        at all, and catalog registration is a distributed parquet append
+        (`Catalog.register_streams_df`) — label combinations never funnel
+        through the driver. Returns the created stream ids; a rule whose
+        group-by explodes into millions of series should pass
+        ``return_ids=False`` to skip materializing that list."""
         q = (
             self.query_range(promql, start, end, step, lookback)
             if step is not None
@@ -434,29 +440,60 @@ class Connection:
                 )
             )
             return [sid]
-        keys = [tuple(r) for r in df.select(*label_cols).distinct().collect()]
-        if not keys:
-            return []
-        specs = []
-        for key in keys:
-            labels = ",".join(
-                f'{c}="{v}"' for c, v in zip(label_cols, key)
+        # deterministic stream id from (name, sorted label tuple): md5 of a
+        # separator-delimited canonical string, rendered uuid-shaped. Must
+        # stay in lockstep with Catalog.register_streams_df's __canon.
+        pieces = [F.lit(name), F.lit("\x00")]
+        for i, c in enumerate(sorted(label_cols)):
+            if i:
+                pieces.append(F.lit("\x02"))
+            pieces.append(
+                F.concat(
+                    F.lit(c),
+                    F.lit("\x01"),
+                    F.coalesce(
+                        F.col(c).cast("string"), F.lit("\x03null\x03")
+                    ),
+                )
             )
-            specs.append((f"{name}{{{labels}}}", VT_F64))
-        ids = self.create_streams(specs)
-        mapping = self.spark.createDataFrame(
-            [key + (sid,) for key, sid in zip(keys, ids)],
-            label_cols + ["stream_id"],
+        h = F.md5(F.concat(*pieces))
+        sid = F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.substring(h, 13, 4),
+            F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
         )
+        labels_map = F.create_map(
+            *[
+                x
+                for c in label_cols
+                for x in (F.lit(c), F.col(c).cast("string"))
+            ]
+        )
+        reg = (
+            df.select(*label_cols)
+            .distinct()
+            .select(
+                sid.alias("stream_id"),
+                F.lit(name).alias("name"),
+                labels_map.alias("labels"),
+                F.lit(VT_F64).alias("value_type"),
+            )
+        )
+        self.catalog.register_streams_df(reg)
         self.bulk_load(
-            df.join(F.broadcast(mapping), label_cols).select(
-                "stream_id",
+            df.select(
+                sid.alias("stream_id"),
                 "ts",
                 F.col("value").cast("double").alias("value"),
                 F.lit(None).cast("long").alias("value_int"),
             )
         )
-        return ids
+        if not return_ids:
+            return None
+        return [r[0] for r in reg.select("stream_id").collect()]
 
 
 class Inserter:

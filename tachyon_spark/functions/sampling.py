@@ -137,10 +137,15 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError("budget must be positive")
     if n_shards is None:
-        # default: 2x cores — NOTE this couples output to cluster size;
-        # pass an explicit n_shards when the packing must be reproducible
-        # across differently-sized clusters
-        n_shards = 2 * df.sparkSession.sparkContext.defaultParallelism
+        # default derived from the DATA, not the cluster: target ~64M
+        # tokens per shard so one shard's running-sum window fits a task,
+        # while two different local[N] sessions (or a 4-node vs 1000-node
+        # cluster) pack identically. One cheap agg over the token column —
+        # at 100 TB this is a map-side-combined count, not a data pull.
+        total = df.agg(
+            F.sum(F.col(token_col).cast("long")).alias("t")
+        ).first()["t"] or 0
+        n_shards = max(1, int(total // 64_000_000) + 1)
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     key = F.concat(F.col(id_col).cast("string"), F.lit(salt))

@@ -34,6 +34,15 @@ def cosine(a, b) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_guarded(a, b) -> F.Column:
+    """cosine() with zero-norm guards: a degenerate (all-zero) vector
+    scores 0 against everything instead of NULL (Spark's x/0.0), so rows
+    never silently drop out of downstream joins/argmaxes."""
+    return _dot(a, b) / (
+        F.greatest(_norm(a), F.lit(1e-12)) * F.greatest(_norm(b), F.lit(1e-12))
+    )
+
+
 def brute_force_cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -116,9 +125,14 @@ def ivf_assign(vec_col, centroids: list[list[float]]) -> F.Column:
     size, which OOMs the driver past ~16 centroids.) Ties break to the
     lowest centroid index (array_position returns the first match),
     matching the fold's strict-> semantics and the SQL oracles'
-    ORDER BY score DESC, ci."""
+    ORDER BY score DESC, ci. Norms are guarded (cosine_guarded) so an
+    all-zero vector lands in cluster 0 — the unguarded cosine would score
+    NULL everywhere and the row would vanish from downstream inner joins
+    (e.g. semdedup's within-cluster pairs)."""
     v = vec_col.cast("array<double>")
-    scores = F.array(*[cosine(v, F.lit(c).cast("array<double>")) for c in centroids])
+    scores = F.array(
+        *[cosine_guarded(v, F.lit(c).cast("array<double>")) for c in centroids]
+    )
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
@@ -578,15 +592,25 @@ def semantic_decontaminate(
     cand = cand.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     cv = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("__ca"))
     bv = benchmark.select(F.col(id_col).alias("bench_id"), F.col(vec_col).cast("array<double>").alias("__cb"))
+    # threshold compare and argmax tie-break both run on the ROUND-6 score
+    # (the repo's cross-engine float discipline, same as semdedup): Spark's
+    # sequential fold and an oracle's list_sum can disagree in the last
+    # ulps, which would flip boundary pairs in/out or flip which benchmark
+    # item wins the argmax.
     scored = (
         cand.join(cv, "id")
         .join(F.broadcast(bv), "bench_id")
-        .select("id", "bench_id", cosine(F.col("__ca"), F.col("__cb")).alias("score"))
-        .where(F.col("score") >= threshold)
+        .select(
+            "id",
+            "bench_id",
+            cosine(F.col("__ca"), F.col("__cb")).alias("score"),
+        )
+        .withColumn("__r6", F.round(F.col("score"), 6))
+        .where(F.col("__r6") >= threshold)
     )
     return scored.groupBy("id").agg(
         F.max_by(
             F.struct("bench_id", "score"),
-            F.struct(F.col("score"), (-F.col("bench_id")).alias("nb")),
+            F.struct(F.col("__r6"), (-F.col("bench_id")).alias("nb")),
         ).alias("best")
     ).select("id", F.col("best.bench_id").alias("bench_id"), F.col("best.score").alias("score"))

@@ -97,6 +97,20 @@ def test_pack_sequences_stable_under_repartition(docs):
     assert a == b
 
 
+def test_pack_sequences_default_shards_is_data_derived(docs):
+    """Default n_shards must depend only on the corpus (total tokens), not
+    on cluster shape — two differently-sized sessions pack identically.
+    Pinned by computing the default with the same data at two different
+    input partitionings and checking byte-identical outputs AND the same
+    shard count (defaultParallelism would have leaked cluster size)."""
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    a = pack_sequences(toks.coalesce(1), 128)
+    b = pack_sequences(toks.repartition(32), 128)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    # 600 tiny docs ≪ 64M tokens/shard target → exactly one shard, not 2×cores
+    assert a.select(F.countDistinct("shard")).first()[0] == 1
+
+
 def test_pack_sequences_validates(docs):
     toks = docs.select("doc_id", F.lit(10).alias("n_tok"))
     with pytest.raises(ValueError, match="budget"):
