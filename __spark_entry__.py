@@ -2546,6 +2546,32 @@ def q_quality_score(spark, sf_dir):
     return quality_score(_read(spark, sf_dir, "documents"))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher rule-set quality flags (functions/textstats.
+    gopher_quality_flags; Rae et al. 2021 A1.1): per-doc booleans for the
+    token-count / mean-word-length / symbol-ratio / alpha-word /
+    stopword rules plus the conjunctive pass — pure codegen column
+    expressions, zero shuffle. The oracle replays each rule from the
+    same token array."""
+    from tachyon_spark.functions.textstats import gopher_quality_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs)
+
+
+def q_token_entropy(spark, sf_dir):
+    """Within-doc token Shannon entropy (functions/textstats.
+    token_entropy): H = ln n - (sum c ln c)/n per document — the
+    scale-free repetition signal. Two doc-keyed shuffles (no corpus-wide
+    token key, so no 'the' skew), JVM-side."""
+    from tachyon_spark.functions.textstats import token_entropy
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_entropy(docs).select(
+        F.col("id").alias("doc_id"), "n_tok", "entropy"
+    )
+
+
 def q_token_counts_by_source(spark, sf_dir):
     from tachyon_spark.functions.textstats import _tokens
 
@@ -2700,6 +2726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_by_source": q_token_counts_by_source,
         "token_count_bpe": q_token_count_bpe,
         "doc_fingerprint": q_doc_fingerprint,
+        # round 5
+        "gopher_quality": q_gopher_quality,
+        "token_entropy": q_token_entropy,
     }
 
 # ---------------------------------------------------------------- oracle SQL
@@ -4928,5 +4957,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)
                    AS fingerprint
             FROM documents
+        """,
+        "gopher_quality": f"""
+            -- Gopher A1.1 rule replay; all ratios are int/int double
+            -- divisions (bit-identical across engines), mean_word_len is
+            -- the only rounded float
+            WITH s AS (
+              SELECT doc_id,
+                     len({tok}) AS n_tokens,
+                     CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / greatest(len({tok}), 1) AS mean_len,
+                     (length(text) - length(replace(text, '#', '')))
+                       + (length(text) - length(replace(text, '...', '')))
+                         / 3.0::DOUBLE AS n_sym,
+                     len(list_filter({tok},
+                         t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+                     len(list_intersect(list_distinct({ltok}),
+                         [{_STOP_LIST}])) AS stop_d
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   n_tokens BETWEEN 50 AND 100000 AS ok_n_tokens,
+                   round(mean_len, 6) AS mean_word_len,
+                   (mean_len >= 3.0::DOUBLE AND mean_len <= 10.0::DOUBLE)
+                     AS ok_word_len,
+                   n_sym / greatest(n_tokens, 1) <= 0.1::DOUBLE AS ok_symbols,
+                   CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1)
+                     >= 0.8::DOUBLE AS ok_alpha,
+                   stop_d >= 2 AS ok_stopwords,
+                   (n_tokens BETWEEN 50 AND 100000)
+                     AND (mean_len >= 3.0::DOUBLE AND mean_len <= 10.0::DOUBLE)
+                     AND (n_sym / greatest(n_tokens, 1) <= 0.1::DOUBLE)
+                     AND (CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1)
+                          >= 0.8::DOUBLE)
+                     AND (stop_d >= 2) AS "pass"
+            FROM s
+        """,
+        "token_entropy": f"""
+            -- H = ln n - (sum c ln c)/n; CAST the HUGEINT sums to BIGINT
+            WITH c AS (
+              SELECT doc_id, u.t AS tok, count(*) AS c
+              FROM (SELECT doc_id, {tok} AS w FROM documents),
+                   unnest(w) AS u(t)
+              WHERE u.t != ''
+              GROUP BY 1, 2
+            )
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+                   round(ln(CAST(sum(c) AS DOUBLE))
+                         - sum(c * ln(CAST(c AS DOUBLE)))
+                           / CAST(sum(c) AS DOUBLE), 6) AS entropy
+            FROM c GROUP BY doc_id
         """,
     }

@@ -150,6 +150,120 @@ def repetition_score(
     return df.select(F.col(id_col), F.round(score, 6).alias("repetition"))
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style document quality RULES (Rae et al. 2021, appendix A1.1
+    — the rule set most large English pretraining pipelines start from),
+    each as its own boolean column plus the conjunctive `pass` flag so a
+    pipeline can both filter and audit which rule rejected what:
+
+      ok_n_tokens   min_tokens <= token count <= max_tokens
+      ok_word_len   min <= mean word length <= max
+      ok_symbols    (# + ellipsis) / tokens <= max_symbol_ratio
+      ok_alpha      fraction of words containing a letter >= min_alpha_frac
+      ok_stopwords  at least min_stopwords DISTINCT stopwords present
+
+    Pure column expressions over the token array — codegen, zero shuffle,
+    linear at any corpus size (same contract as text_stats)."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    low = _tokens(F.lower(text))
+    n = F.size(toks)
+    nz = F.greatest(n, F.lit(1))
+    char_sum = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    mean_len = char_sum.cast("double") / nz
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_sym = n_hash + n_ellipsis
+    # words containing at least one alphabetic character
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(low), F.lit(EN_STOPWORDS))
+    )
+    staged = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        (n.between(min_tokens, max_tokens)).alias("ok_n_tokens"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        (
+            (mean_len >= F.lit(float(min_word_len)))
+            & (mean_len <= F.lit(float(max_word_len)))
+        ).alias("ok_word_len"),
+        (
+            n_sym.cast("double") / nz <= F.lit(float(max_symbol_ratio))
+        ).alias("ok_symbols"),
+        (
+            n_alpha.cast("double") / nz >= F.lit(float(min_alpha_frac))
+        ).alias("ok_alpha"),
+        (stop_distinct >= F.lit(min_stopwords)).alias("ok_stopwords"),
+    )
+    return staged.select(
+        "*",
+        (
+            F.col("ok_n_tokens")
+            & F.col("ok_word_len")
+            & F.col("ok_symbols")
+            & F.col("ok_alpha")
+            & F.col("ok_stopwords")
+        ).alias("pass"),
+    )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document Shannon entropy of the token distribution (nats):
+    H = -sum_t p_t ln p_t over the doc's own token frequencies — near 0
+    for degenerate repeated-token documents, ln(n_tok) when every token is
+    unique. The scale-free companion to repetition_score (which fixes an
+    n-gram width); low entropy at high n_tokens is the classic generated-
+    boilerplate signature.
+
+    Shape: token explode -> (doc, token) count groupBy -> per-doc entropy
+    groupBy. Two shuffles, keys are doc-id-based (no hot corpus-wide keys:
+    unlike unigram_logprob nothing aggregates per TOKEN, so 'the' cannot
+    skew), everything JVM-side."""
+    from tachyon_spark.functions.util import spread
+
+    toks = spread(df, cap=16).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("id", "tok").agg(F.count("*").alias("__c"))
+    return (
+        counts.groupBy("id")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(F.col("__c") * F.log(F.col("__c").cast("double"))).alias(
+                "__clogc"
+            ),
+        )
+        # H = ln n - (sum c ln c) / n  (algebraic form: one pass, no join
+        # back of the total to compute p_t per row)
+        .select(
+            F.col("id"),
+            F.col("__n").alias("n_tok"),
+            F.round(
+                F.log(F.col("__n").cast("double"))
+                - F.col("__clogc") / F.col("__n").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
