@@ -170,6 +170,8 @@ class PlanBuilder:
             return self._histogram_quantile(expr)
         if isinstance(expr, ast.LabelFunc):
             return self._label_func(expr)
+        if isinstance(expr, ast.AbsentOverTime):
+            return self._absent_over_time(expr)
         if isinstance(expr, ast.AbsentFunc):
             return self._absent(expr)
         if isinstance(expr, ast.RoundFunc):
@@ -254,6 +256,9 @@ class PlanBuilder:
         "sinh": F.sinh,
         "cosh": F.cosh,
         "tanh": F.tanh,
+        "asinh": F.asinh,
+        "acosh": F.acosh,
+        "atanh": F.atanh,
         "deg": F.degrees,
         "rad": F.radians,
     }
@@ -272,7 +277,8 @@ class PlanBuilder:
                       "log2": m.log2, "log10": m.log10, "sin": m.sin,
                       "cos": m.cos, "tan": m.tan, "asin": m.asin,
                       "acos": m.acos, "atan": m.atan, "sinh": m.sinh,
-                      "cosh": m.cosh, "tanh": m.tanh,
+                      "cosh": m.cosh, "tanh": m.tanh, "asinh": m.asinh,
+                      "acosh": m.acosh, "atanh": m.atanh,
                       "deg": m.degrees, "rad": m.radians}[node.func]
                 return Plan("scalar", None, VT_F64, literal=float(fn(child.literal)))
             out = child.df.select(
@@ -521,6 +527,36 @@ class PlanBuilder:
         out = inner_plan.df.groupBy(*keys).agg(agg.alias("value"))
         return Plan("vector", out, vt)
 
+    def _absent_over_time(self, node: ast.AbsentOverTime) -> Plan:
+        """absent_over_time(m[RANGE]) on the raw path: 1 per tumbling
+        window containing NO samples (the windowed dead-stream alert).
+        The window grid is generated data (span/width rows); present
+        windows anti-join it — one small exchange, no full scan beyond
+        the selector's own pruned read. Windows share _window_col's
+        anchor so they line up with every other windowed function."""
+        msel = node.child
+        width = msel.range_
+        if self.start is None or self.end is None:
+            raise ValueError(
+                "absent_over_time requires an explicit query range"
+            )
+        anchor = self._effective_start(msel.selector) or 0
+        span = self.end - self.start
+        n_win = max(span // width + 1, 1)
+        grid = self.conn.spark.range(n_win).select(
+            (F.lit(anchor) + F.col("id") * F.lit(width)).alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+        try:
+            child = self._selector(msel.selector)
+        except ValueError as e:
+            if "no streams matched" in str(e):
+                return Plan("vector", grid, VT_F64)
+            raise
+        present = child.df.select(self._window_col(msel)).distinct()
+        out = grid.join(present, "ts", "left_anti")
+        return Plan("vector", out, VT_F64)
+
     def _absent(self, node: ast.AbsentFunc) -> Plan:
         """absent(v): 1 when v has no samples in range (unknown metric OR
         empty range), else empty — the dead-stream alerting primitive."""
@@ -712,6 +748,10 @@ class PlanBuilder:
         """
         if node.func == "time":
             return Plan("scalar", None, VT_F64, literal=float(self.start or 0))
+        if node.func == "pi":
+            import math as _m
+
+            return Plan("scalar", None, VT_F64, literal=_m.pi)
         child = self.build(node.child)
         if node.func == "timestamp":
             if child.kind not in ("vector", "grouped"):

@@ -159,6 +159,8 @@ class RangeEvaluator:
             return self._getk(expr)
         if isinstance(expr, ast.HistogramQuantile):
             return self._histogram_quantile(expr)
+        if isinstance(expr, ast.AbsentOverTime):
+            return self._absent_over_time(expr)
         if isinstance(expr, ast.AbsentFunc):
             return self._absent(expr)
         if isinstance(expr, ast.LabelFunc):
@@ -172,7 +174,7 @@ class RangeEvaluator:
             "and comparisons with scalars, on()/ignoring() vector matching "
             "incl. group_left/group_right and set ops, "
             "abs/ceil/floor/sqrt/exp/ln/sgn, clamp*, round, topk/bottomk, "
-            "histogram_quantile, absent)"
+            "histogram_quantile, absent, absent_over_time)"
         )
 
     # ----------------------------------------------------------- selector
@@ -563,6 +565,10 @@ class RangeEvaluator:
                 "ts", F.col("ts").cast("double").alias("value")
             )
             return Plan("vector", out, VT_F64)
+        if expr.func == "pi":
+            import math as _m
+
+            return Plan("scalar", None, VT_F64, literal=_m.pi)
         child = self._eval(expr.child) if expr.func != "vector" else None
         if expr.func == "timestamp":
             if child.kind != "vector":
@@ -864,6 +870,26 @@ class RangeEvaluator:
         if child.kind not in ("vector", "grouped") or "ts" not in child.df.columns:
             raise ValueError("absent() requires a vector input")
         present = child.df.select("ts").distinct()
+        out = grid.join(present, "ts", "left_anti")
+        return Plan("vector", out, VT_F64)
+
+    def _absent_over_time(self, node) -> Plan:
+        """absent_over_time(m[R]) per step: 1 at steps whose left-open
+        window (t - R, t] holds NO samples of the range vector (unknown
+        metric -> 1 on the whole grid). Present steps come from the same
+        sample-to-step explode every windowed function uses; the grid
+        anti-join is one small exchange."""
+        grid = self.conn.spark.range(self.n_steps).select(
+            (F.lit(self.start) + F.col("id") * F.lit(self.step)).alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+        try:
+            child, df = self._exploded(node.child)
+        except ValueError as e:
+            if "no streams matched" in str(e):
+                return Plan("vector", grid, VT_F64)
+            raise
+        present = df.select(F.col("__step").alias("ts")).distinct()
         out = grid.join(present, "ts", "left_anti")
         return Plan("vector", out, VT_F64)
 

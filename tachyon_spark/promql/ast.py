@@ -238,7 +238,7 @@ HOLT_FUNCS = frozenset({"holt_winters", "double_exponential_smoothing"})
 # Timestamps in this engine are UNITLESS native units (SURVEY §1.2), so
 # these return/consume native ts values, not seconds (documented
 # divergence from Prometheus's seconds).
-CLOCK_FUNCS = frozenset({"timestamp", "scalar", "vector", "time"})
+CLOCK_FUNCS = frozenset({"timestamp", "scalar", "vector", "time", "pi"})
 OVER_TIME_FUNCS = frozenset(
     {
         "avg_over_time",
@@ -258,7 +258,8 @@ MATH_FUNCS = frozenset(
     {
         "abs", "ceil", "floor", "sqrt", "exp", "ln", "sgn",
         "log2", "log10", "sin", "cos", "tan", "asin", "acos", "atan",
-        "sinh", "cosh", "tanh", "deg", "rad",
+        "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+        "deg", "rad",
     }
 )
 
@@ -312,6 +313,16 @@ class RoundFunc:
 
 ROUND_FUNCS = frozenset({"round"})
 ABSENT_FUNCS = frozenset({"absent"})
+ABSENT_OVER_FUNCS = frozenset({"absent_over_time"})  # requires m[RANGE]
+
+
+@dataclass(frozen=True)
+class AbsentOverTime:
+    """absent_over_time(m[RANGE]): 1 for each window/step in which the
+    range vector has NO samples, nothing otherwise (prometheus/promql
+    functions.go funcAbsentOverTime) — the windowed dead-stream alert."""
+
+    child: object  # MatrixSelector
 COUNT_VALUES_FUNCS = frozenset({"count_values"})
 
 

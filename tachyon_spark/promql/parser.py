@@ -65,6 +65,7 @@ DURATION_UNITS = {
 KEYWORDS = (
     {"offset", "by", "without", "bool", "start", "end", "on", "ignoring", "group_left", "group_right"}
     | set(ast.ABSENT_FUNCS)
+    | set(ast.ABSENT_OVER_FUNCS)
     | set(ast.COUNT_VALUES_FUNCS)
     | set(ast.ROUND_FUNCS)
     | set(ast.AGG_FUNCS)
@@ -287,6 +288,17 @@ class Parser:
                 return self.parse_count_values()
             if tok.text in ast.ROUND_FUNCS:
                 return self.parse_round()
+            if tok.text in ast.ABSENT_OVER_FUNCS:
+                self.next()
+                self.expect("(")
+                child = self.parse_or()
+                self.expect(")")
+                if not isinstance(child, ast.MatrixSelector):
+                    raise PromQLError(
+                        "absent_over_time requires a range vector "
+                        "argument like m[5m]"
+                    )
+                return ast.AbsentOverTime(child)
             if tok.text in ast.ABSENT_FUNCS:
                 self.next()
                 self.expect("(")
@@ -536,9 +548,9 @@ class Parser:
     def parse_clock_func(self):
         func = self.next().text
         self.expect("(")
-        if func == "time":
+        if func in ("time", "pi"):
             self.expect(")")
-            return ast.ClockFunc("time", None)
+            return ast.ClockFunc(func, None)
         child = self.parse_or()
         self.expect(")")
         return ast.ClockFunc(func, child)

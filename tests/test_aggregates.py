@@ -160,6 +160,17 @@ def test_absent(golden_db):
     assert golden_db.query("absent(ints)", 1000, 2000).scalar() == 1.0
 
 
+def test_absent_over_time(golden_db):
+    # ints samples at 10,20,30,40; 20-wide windows anchored at 0 over
+    # 0..100 -> populated {0,20,40}, absent {60,80,100}
+    q = golden_db.query("absent_over_time(ints[20])", 0, 100)
+    assert sorted(q.rows()) == [(60, 1.0), (80, 1.0), (100, 1.0)]
+    # unknown metric: every window reports 1
+    q = golden_db.query("absent_over_time(nope_metric[20])", 0, 100)
+    assert sorted(t for t, _ in q.rows()) == [0, 20, 40, 60, 80, 100]
+    assert all(v == 1.0 for _, v in q.rows())
+
+
 def test_topk_by_group(golden_db):
     # top-1 per service over mg: web [10,20] -> 20; mobile [1,2] -> 2
     q = golden_db.query("topk by (service) (1, mg)", 0, 100)

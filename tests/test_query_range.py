@@ -246,6 +246,17 @@ def test_absent_on_grid(golden_db):
     assert sorted(t for t, _ in q.rows()) == [0, 10, 20, 30]
 
 
+def test_absent_over_time_on_grid(golden_db):
+    # web samples at 23,29,40,51; 20-wide left-open windows (t-20, t] on
+    # the 0..100/10 grid -> populated steps {30,40,50,60,70}
+    q = golden_db.query_range(f"absent_over_time({WEB}[20])", 0, 100, 10)
+    assert sorted(t for t, _ in q.rows()) == [0, 10, 20, 80, 90, 100]
+    assert all(v == 1.0 for _, v in q.rows())
+    # unknown metric: 1 across the whole grid
+    q = golden_db.query_range("absent_over_time(nope_metric[20])", 0, 30, 10)
+    assert sorted(t for t, _ in q.rows()) == [0, 10, 20, 30]
+
+
 def test_at_modifier_pins_instant_on_grid(golden_db):
     # @29 pins evaluation at ts 29 (value 47): every step reports it
     q = golden_db.query_range(f"{WEB} @ 29", 0, 30, 10, lookback=10)

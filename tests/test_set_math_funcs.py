@@ -156,6 +156,28 @@ def test_extended_math_funcs(golden_db):
     assert golden_db.query("deg(3.141592653589793)", 0, 100).scalar() == pytest.approx(180.0)
 
 
+def test_inverse_hyperbolic_and_pi(golden_db):
+    import math
+
+    vals = [4.1, 3.2, 2.3, 1.4]
+    got = golden_db.query('asinh(floats{t="f"})', 0, 100).rows()
+    assert [v for _, v in got] == pytest.approx([math.asinh(x) for x in vals])
+    got = golden_db.query('acosh(floats{t="f"})', 0, 100).rows()
+    assert [v for _, v in got] == pytest.approx([math.acosh(x) for x in vals])
+    got = golden_db.query('atanh(floats{t="f"} / 10)', 0, 100).rows()
+    assert [v for _, v in got] == pytest.approx(
+        [math.atanh(x / 10) for x in vals]
+    )
+    # pi(): a plain scalar, composing like any literal, on both paths
+    assert golden_db.query("pi()", 0, 100).scalar() == pytest.approx(math.pi)
+    assert golden_db.query("2 * pi()", 0, 100).scalar() == pytest.approx(
+        2 * math.pi
+    )
+    assert golden_db.query_range(
+        'floats{t="f"} * pi()', 40, 40, 10, lookback=10
+    ).rows() == [(40, pytest.approx(1.4 * math.pi))]
+
+
 def test_clock_funcs(golden_db):
     import math
 
