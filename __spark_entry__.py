@@ -1426,20 +1426,13 @@ def q_query_range_matching(spark, sf_dir):
     )
 
 
-def q_promql_subquery(spark, sf_dir):
-    """PromQL subquery end-to-end through the engine surface:
-    `max_over_time(rate(m[30m])[2h:30m])` (extension; the reference rejects
-    subqueries, query/planner.rs:125-133). The click series becomes stream
-    m; the inner rate evaluates per 30m tumbling window anchored at the
-    query start, the outer max re-aggregates the grid per 2h window. Two
-    map-side-partial shuffles, no per-step re-execution."""
+def _subquery_fixture_build(spark, sf_dir):
+    """Build closure for the shared 'promql_subquery' fixture db: the
+    in-range click series (avg per distinct ts) ingested as stream m."""
     import os
     import tempfile
 
     from tachyon_spark.connection import Connection
-
-    w30 = 30 * 60 * 1_000_000  # µs
-    w2h = 4 * w30
 
     def build():
         ev = _read(spark, sf_dir, "events")
@@ -1463,13 +1456,45 @@ def q_promql_subquery(spark, sf_dir):
         )
         return conn
 
-    conn = _memo_fixture(spark, sf_dir, "promql_subquery", build)
+    return build
+
+
+def q_promql_subquery(spark, sf_dir):
+    """PromQL subquery end-to-end through the engine surface:
+    `max_over_time(rate(m[30m])[2h:30m])` (extension; the reference rejects
+    subqueries, query/planner.rs:125-133). The click series becomes stream
+    m; the inner rate evaluates per 30m tumbling window anchored at the
+    query start, the outer max re-aggregates the grid per 2h window. Two
+    map-side-partial shuffles, no per-step re-execution."""
+    w30 = 30 * 60 * 1_000_000  # µs
+    w2h = 4 * w30
+
+    conn = _memo_fixture(
+        spark, sf_dir, "promql_subquery", _subquery_fixture_build(spark, sf_dir)
+    )
     out = conn.query(
         f"max_over_time(rate(m[{w30}])[{w2h}:{w30}])", T0_US, T1_US
     ).df()
     return out.select(
         F.col("ts").alias("ts_us"),
         F.round(F.col("value") * 1_000_000, 9).alias("max_rate_per_sec"),
+    )
+
+
+def q_absent_windows(spark, sf_dir):
+    """absent_over_time(m[30m]) end-to-end through the engine surface
+    (plans/builder._absent_over_time): 1 per 30m tumbling window with NO
+    click samples — the windowed dead-stream alert. The window grid is
+    generated data (span/width rows); present windows anti-join it.
+    Shares the memoized promql_subquery fixture db (same stream m)."""
+    w30 = 30 * 60 * 1_000_000
+
+    conn = _memo_fixture(
+        spark, sf_dir, "promql_subquery", _subquery_fixture_build(spark, sf_dir)
+    )
+    out = conn.query(f"absent_over_time(m[{w30}])", T0_US, T1_US).df()
+    return out.select(
+        F.col("ts").alias("ts_us"), F.col("value").alias("absent")
     )
 
 
@@ -2729,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5
         "gopher_quality": q_gopher_quality,
         "token_entropy": q_token_entropy,
+        "absent_windows": q_absent_windows,
     }
 
 # ---------------------------------------------------------------- oracle SQL
@@ -4992,6 +5018,22 @@ def oracle_sql() -> dict[str, str]:
                           >= 0.8::DOUBLE)
                      AND (stop_d >= 2) AS "pass"
             FROM s
+        """,
+        "absent_windows": f"""
+            -- replay the engine's 30m tumbling window grid anchored at
+            -- T0 and keep the windows with NO click samples
+            WITH p AS (
+              SELECT DISTINCT (epoch_us(ts) - {T0_US}) // 1800000000 AS k
+              FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+            ),
+            g AS (
+              SELECT unnest(generate_series(
+                0, ({T1_US} - {T0_US}) // 1800000000)) AS k
+            )
+            SELECT {T0_US} + k * 1800000000 AS ts_us, 1.0::DOUBLE AS absent
+            FROM g WHERE k NOT IN (SELECT k FROM p)
         """,
         "token_entropy": f"""
             -- H = ln n - (sum c ln c)/n; CAST the HUGEINT sums to BIGINT
