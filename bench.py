@@ -254,6 +254,10 @@ def main():
         "cohort_retention",
         "cusum_drift",
         "table_profile",
+        # round 5
+        "gopher_quality",
+        "token_entropy",
+        "absent_windows",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
