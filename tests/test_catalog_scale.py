@@ -201,6 +201,36 @@ def test_delete_crash_recovery(spark, tmp_path):
     assert not any(d.endswith(".old") for d in os.listdir(conn2.samples_path))
 
 
+def test_distributed_register_streams_df_100k(spark, tmp_path):
+    """Catalog.register_streams_df — the million-series record() path:
+    100k streams register through one DISTRIBUTED parquet append (rows
+    never visit the driver), resolve sees them all, the duplicate check
+    rejects a re-registration, and the fragments Spark wrote interoperate
+    with the pyarrow loader + compaction."""
+    conn = Connection(str(tmp_path / "db"), spark)
+    n = 100_000
+    reg = spark.range(n).select(
+        F.concat(F.lit("sid-"), F.col("id")).alias("stream_id"),
+        F.lit("reg_metric").alias("name"),
+        F.create_map(
+            F.lit("host"), F.concat(F.lit("h"), F.col("id")),
+            F.lit("dc"), F.concat(F.lit("dc"), (F.col("id") % 4)),
+        ).alias("labels"),
+        F.lit("f64").alias("value_type"),
+    )
+    t0 = time.monotonic()
+    conn.catalog.register_streams_df(reg)
+    reg_s = time.monotonic() - t0
+    rows = conn.catalog.resolve("reg_metric", ())
+    assert len(rows) == n
+    assert {r.stream_id for r in rows} == {f"sid-{i}" for i in range(n)}
+    assert rows[0].labels.keys() == {"host", "dc"}
+    # duplicate (name, labels) combos are rejected, same as create_streams
+    with pytest.raises(ValueError, match="already exists"):
+        conn.catalog.register_streams_df(reg.limit(1))
+    assert reg_s < 30, f"distributed register took {reg_s:.2f}s"
+
+
 def test_wide_selector_query_range_grid_is_distributed(spark, tmp_path):
     """query_range over a selector past the IN-list threshold: the
     per-series step grid must come from the DISTRIBUTED catalog frame
