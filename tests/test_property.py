@@ -378,3 +378,80 @@ def test_dup_span_stats_model(spark, docs, k):
                 covered.update(range(p, p + k))
         expect[i] = (len(ts), len(covered))
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.lists(
+                st.sampled_from("abcdefg"), min_size=1, max_size=20
+            ).map(" ".join),
+        ),
+        min_size=1, max_size=8, unique_by=lambda d: d[0],
+    )
+)
+def test_token_entropy_model(spark, docs):
+    """token_entropy vs the direct -sum p ln p over each doc's own token
+    frequencies (the engine computes the algebraic ln n - (sum c ln c)/n
+    form — same value, different association order, so compare approx)."""
+    from collections import Counter
+
+    from tachyon_spark.functions.textstats import token_entropy
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.id: (r.n_tok, r.entropy) for r in token_entropy(df).collect()}
+    for i, t in docs:
+        c = Counter(t.split(" "))
+        n = sum(c.values())
+        h = -sum((v / n) * math.log(v / n) for v in c.values())
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(round(h, 6), abs=2e-6), (i, t)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.lists(
+                st.sampled_from(["the", "fox", "a", "run", "123", "#", "..."]),
+                min_size=1, max_size=30,
+            ).map(" ".join),
+        ),
+        min_size=1, max_size=8, unique_by=lambda d: d[0],
+    )
+)
+def test_gopher_flags_model(spark, docs):
+    """gopher_quality_flags vs a direct Python evaluation of each rule
+    (loose thresholds so both pass/fail branches get exercised by the
+    small random docs)."""
+    from tachyon_spark.functions.textstats import (
+        EN_STOPWORDS,
+        gopher_quality_flags,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = gopher_quality_flags(
+        df, min_tokens=5, max_tokens=20, min_word_len=1.5, max_word_len=3.0,
+        max_symbol_ratio=0.2, min_alpha_frac=0.5, min_stopwords=1,
+    )
+    got = {r.doc_id: r.asDict() for r in out.collect()}
+    for i, t in docs:
+        toks = [w for w in t.split(" ") if w]
+        n = len(toks)
+        mean_len = sum(len(w) for w in toks) / max(n, 1)
+        n_sym = t.count("#") + t.count("...")
+        n_alpha = sum(1 for w in toks if any(ch.isalpha() for ch in w))
+        stop_d = len({w for w in t.lower().split(" ") if w} & set(EN_STOPWORDS))
+        g = got[i]
+        assert g["ok_n_tokens"] == (5 <= n <= 20), (i, t)
+        assert g["ok_word_len"] == (1.5 <= mean_len <= 3.0), (i, t)
+        assert g["ok_symbols"] == (n_sym / max(n, 1) <= 0.2), (i, t)
+        assert g["ok_alpha"] == (n_alpha / max(n, 1) >= 0.5), (i, t)
+        assert g["ok_stopwords"] == (stop_d >= 1), (i, t)
+        assert g["pass"] == all(
+            g[k] for k in
+            ("ok_n_tokens", "ok_word_len", "ok_symbols", "ok_alpha", "ok_stopwords")
+        )
