@@ -19,8 +19,8 @@ count_values; per-group topk; matrix selectors m[5m] with the
 rate/increase/delta/*_over_time/resets/changes/irate/idelta/deriv
 families; subqueries expr[RANGE:STEP]; vector matching on()/ignoring()
 with group_left/group_right; histogram_quantile; label_replace/label_join;
-set operators; the bool comparison modifier; absent(); math/sort/clamp
-functions.
+set operators; the bool comparison modifier; absent()/absent_over_time;
+math/sort/clamp functions; pi() and the evaluation-clock family.
 """
 
 from tachyon_spark.connection import Connection, Query
