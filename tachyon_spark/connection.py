@@ -472,28 +472,37 @@ class Connection:
                 for x in (F.lit(c), F.col(c).cast("string"))
             ]
         )
-        reg = (
-            df.select(*label_cols)
-            .distinct()
-            .select(
-                sid.alias("stream_id"),
-                F.lit(name).alias("name"),
-                labels_map.alias("labels"),
-                F.lit(VT_F64).alias("value_type"),
+        # one evaluation of the (possibly expensive) rule expression: the
+        # result feeds BOTH the registration distinct and the sample load,
+        # so persist it spill-safe rather than running the DAG twice
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            reg = (
+                df.select(*label_cols)
+                .distinct()
+                .select(
+                    sid.alias("stream_id"),
+                    F.lit(name).alias("name"),
+                    labels_map.alias("labels"),
+                    F.lit(VT_F64).alias("value_type"),
+                )
             )
-        )
-        self.catalog.register_streams_df(reg)
-        self.bulk_load(
-            df.select(
-                sid.alias("stream_id"),
-                "ts",
-                F.col("value").cast("double").alias("value"),
-                F.lit(None).cast("long").alias("value_int"),
+            self.catalog.register_streams_df(reg)
+            self.bulk_load(
+                df.select(
+                    sid.alias("stream_id"),
+                    "ts",
+                    F.col("value").cast("double").alias("value"),
+                    F.lit(None).cast("long").alias("value_int"),
+                )
             )
-        )
-        if not return_ids:
-            return None
-        return [r[0] for r in reg.select("stream_id").collect()]
+            if not return_ids:
+                return None
+            return [r[0] for r in reg.select("stream_id").collect()]
+        finally:
+            df.unpersist()
 
 
 class Inserter:
