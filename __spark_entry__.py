@@ -1798,6 +1798,33 @@ def q_semdedup(spark, sf_dir):
 
 
 
+CBAL_PER_CLUSTER = 20
+
+
+def q_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced subsampling (functions/sampling.
+    cluster_balanced_sample): assign every embedding to its nearest
+    seeded centroid (same deterministic md5-ordered centroid set as
+    semdedup so the oracle replays assignment exactly), then keep the
+    CBAL_PER_CLUSTER items with smallest md5(id||salt) per cluster — a
+    semantically flattened subset. Assignment is a narrow codegen
+    expression; the cap is the skew-safe two-phase window."""
+    from tachyon_spark.functions.sampling import cluster_balanced_sample
+
+    emb = _read(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.select("vec_id", "embedding")
+        .withColumn("__k", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__k", "vec_id")
+        .limit(SEMDEDUP_CENTROIDS)
+        .collect()
+    )
+    cents = [[float(x) for x in r.embedding] for r in seed_rows]
+    out = cluster_balanced_sample(emb, cents, per_cluster=CBAL_PER_CLUSTER)
+    return out.select(F.col("id").alias("vec_id"), "cluster")
+
+
+
 DOMAIN_CAP_N = 10
 
 
@@ -2755,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "token_entropy": q_token_entropy,
         "absent_windows": q_absent_windows,
+        "cluster_balanced": q_cluster_balanced,
     }
 
 # ---------------------------------------------------------------- oracle SQL
@@ -4199,6 +4227,48 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             JOIN assign a USING (vec_id)
             LEFT JOIN drops d USING (vec_id)
+        """,
+        "cluster_balanced": f"""
+            WITH cents AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ci,
+                     embedding
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT {SEMDEDUP_CENTROIDS}
+            ),
+            ce AS (
+              SELECT ci, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding::DOUBLE[]) AS x
+              FROM cents
+            ),
+            ve AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding::DOUBLE[]) AS x
+              FROM embeddings
+            ),
+            vc AS (
+              SELECT ve.vec_id, ce.ci,
+                     sum(ve.x * ce.x) /
+                       (sqrt(sum(ve.x * ve.x)) * sqrt(sum(ce.x * ce.x))) AS score
+              FROM ve JOIN ce ON ve.i = ce.i GROUP BY ve.vec_id, ce.ci
+            ),
+            assign AS (
+              SELECT vec_id, ci FROM (
+                SELECT vec_id, ci,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, ci) AS rn
+                FROM vc
+              ) WHERE rn = 1
+            )
+            SELECT vec_id, ci AS cluster FROM (
+              SELECT vec_id, ci, row_number() OVER (
+                PARTITION BY ci
+                ORDER BY CAST(CONCAT('0x', substr(
+                           md5(CAST(vec_id AS VARCHAR) || 'cbal'), 1, 15
+                         )) AS BIGINT), vec_id) AS rn
+              FROM assign
+            ) WHERE rn <= {CBAL_PER_CLUSTER}
         """,
         "domain_cap": f"""
             SELECT doc_id, source FROM (

@@ -258,6 +258,7 @@ def main():
         "gopher_quality",
         "token_entropy",
         "absent_windows",
+        "cluster_balanced",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

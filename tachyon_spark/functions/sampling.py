@@ -261,6 +261,37 @@ def cap_per_group(
     )
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: list[list[float]],
+    per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "cbal",
+) -> DataFrame:
+    """Diversity-aware subsampling: assign each vector to its nearest
+    centroid (cosine, JVM-side `ivf_assign`) and keep at most
+    `per_cluster` items per cluster via the deterministic md5 cap — the
+    standard move for building a semantically BALANCED subset (uniform
+    sampling over-represents dense regions; capping per cluster flattens
+    them, the selection companion to SemDeDup's within-cluster pruning).
+    Returns (id, cluster).
+
+    Shape: the assignment is a narrow column expression over the scan
+    (linear, no shuffle); the cap is cap_per_group's skew-safe two-phase
+    window — bounded rows per final-window group regardless of how hot a
+    cluster is. Deterministic and subset-monotone in per_cluster."""
+    from tachyon_spark.functions.similarity import ivf_assign
+
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        ivf_assign(F.col(vec_col), centroids).alias("cluster"),
+    )
+    return cap_per_group(
+        assigned, per_cluster, group_col="cluster", key_col="id", salt=salt
+    )
+
+
 def shuffle_order(
     df: DataFrame,
     key_col: str = "doc_id",

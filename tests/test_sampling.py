@@ -119,6 +119,29 @@ def test_pack_sequences_validates(docs):
         pack_sequences(toks, 128, 0)
 
 
+def test_cluster_balanced_sample(spark):
+    from tachyon_spark.functions.sampling import cluster_balanced_sample
+
+    # two obvious clusters on the axes, 30 vectors each
+    rows = [(i, [1.0 + (i % 7) * 0.01, 0.0]) for i in range(30)]
+    rows += [(100 + i, [0.0, 1.0 + (i % 5) * 0.01]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = cluster_balanced_sample(df, cents, per_cluster=10, id_col="vec_id")
+    got = out.collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster"], set()).add(r["id"])
+    # both clusters capped at exactly 10, assignment follows the axis
+    assert {len(v) for v in by_cluster.values()} == {10}
+    assert all(i < 100 for i in by_cluster[0])
+    assert all(i >= 100 for i in by_cluster[1])
+    # subset-monotone: raising the cap keeps the previous selection
+    bigger = cluster_balanced_sample(df, cents, per_cluster=20, id_col="vec_id")
+    big_ids = {r["id"] for r in bigger.collect()}
+    assert {r["id"] for r in got} <= big_ids
+
+
 def test_chunk_documents_windows(spark):
     from tachyon_spark.functions.sampling import chunk_documents
 
