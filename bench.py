@@ -152,6 +152,9 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         "query_range_increase",
         "scrub_pii",
         "unigram_logprob",
+        # round-5 text ops: zero-shuffle flags + doc-keyed entropy
+        "gopher_quality",
+        "token_entropy",
         # k-gram duplicated-span mark join (semdedup is excluded here on
         # purpose: its cluster COUNT must scale with the corpus — the
         # bench query pins k for oracle replay, so 10x data would measure
