@@ -270,7 +270,7 @@ def cluster_balanced_sample(
     salt: str = "cbal",
 ) -> DataFrame:
     """Diversity-aware subsampling: assign each vector to its nearest
-    centroid (cosine, JVM-side `ivf_assign`) and keep at most
+    centroid (cosine, Arrow-batched `ivf_assign_arrow` matmul) and keep at most
     `per_cluster` items per cluster via the deterministic md5 cap — the
     standard move for building a semantically BALANCED subset (uniform
     sampling over-represents dense regions; capping per cluster flattens
@@ -281,11 +281,14 @@ def cluster_balanced_sample(
     (linear, no shuffle); the cap is cap_per_group's skew-safe two-phase
     window — bounded rows per final-window group regardless of how hot a
     cluster is. Deterministic and subset-monotone in per_cluster."""
-    from tachyon_spark.functions.similarity import ivf_assign
+    from tachyon_spark.functions.similarity import ivf_assign_arrow
+    from tachyon_spark.functions.util import spread
 
-    assigned = df.select(
+    assigned = spread(df).select(
         F.col(id_col).alias("id"),
-        ivf_assign(F.col(vec_col), centroids).alias("cluster"),
+        ivf_assign_arrow(centroids)(
+            F.col(vec_col).cast("array<double>")
+        ).alias("cluster"),
     )
     return cap_per_group(
         assigned, per_cluster, group_col="cluster", key_col="id", salt=salt
