@@ -155,6 +155,8 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         # round-5 text ops: zero-shuffle flags + doc-keyed entropy
         "gopher_quality",
         "token_entropy",
+        # Arrow-matmul centroid assignment + skew-safe cap under 10x data
+        "cluster_balanced",
         # k-gram duplicated-span mark join (semdedup is excluded here on
         # purpose: its cluster COUNT must scale with the corpus — the
         # bench query pins k for oracle replay, so 10x data would measure
