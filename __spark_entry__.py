@@ -2611,6 +2611,31 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_quality_flags(docs)
 
 
+def q_calendar_fields(spark, sf_dir):
+    """PromQL calendar functions (plans/builder._calendar_col; Prometheus
+    minute/hour/day_of_*/month/year over unix-second values): the events
+    table's timestamps bucketed into calendar cells with per-cell counts.
+    The field expressions are tz-free date arithmetic (whole-day offset
+    from the epoch) so Spark and the oracle replay bit-identically; ONE
+    shuffle on the 5-part calendar key, map-side partials, narrow scan."""
+    from tachyon_spark.plans.builder import PlanBuilder
+
+    e = _read(spark, sf_dir, "events")
+    # _read normalizes events.ts to LONG NANOSECONDS -> epoch seconds
+    v = F.col("ts").cast("double") / F.lit(1e9)
+    cal = e.select(
+        PlanBuilder._calendar_col("year", v).alias("year"),
+        PlanBuilder._calendar_col("month", v).alias("month"),
+        PlanBuilder._calendar_col("day_of_month", v).alias("day_of_month"),
+        PlanBuilder._calendar_col("day_of_week", v).alias("day_of_week"),
+        PlanBuilder._calendar_col("hour", v).alias("hour"),
+    )
+    return (
+        cal.groupBy("year", "month", "day_of_month", "day_of_week", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_token_entropy(spark, sf_dir):
     """Within-doc token Shannon entropy (functions/textstats.
     token_entropy): H = ln n - (sum c ln c)/n per document — the
@@ -2712,6 +2737,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "cusum_drift": q_cusum_drift,
         "pack_sequences": q_pack_sequences,
+        "gopher_quality": q_gopher_quality,
+        "token_entropy": q_token_entropy,
+        "absent_windows": q_absent_windows,
+        "cluster_balanced": q_cluster_balanced,
+        "calendar_fields": q_calendar_fields,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -2779,10 +2809,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "doc_fingerprint": q_doc_fingerprint,
         # round 5
-        "gopher_quality": q_gopher_quality,
-        "token_entropy": q_token_entropy,
-        "absent_windows": q_absent_windows,
-        "cluster_balanced": q_cluster_balanced,
     }
 
 # ---------------------------------------------------------------- oracle SQL
@@ -5119,5 +5145,23 @@ def oracle_sql() -> dict[str, str]:
                          - sum(c * ln(CAST(c AS DOUBLE)))
                            / CAST(sum(c) AS DOUBLE), 6) AS entropy
             FROM c GROUP BY doc_id
+        """,
+        "calendar_fields": """
+            -- tz-free replay of plans/builder._calendar_col: the UTC date
+            -- by whole-day offset from the epoch, hour by modular
+            -- arithmetic (DuckDB dow is already 0=Sunday)
+            WITH d AS (
+              SELECT epoch(ts) AS s,
+                     DATE '1970-01-01'
+                       + CAST(floor(epoch(ts) / 86400) AS INT) AS dd
+              FROM events
+            )
+            SELECT CAST(year(dd) AS DOUBLE) AS year,
+                   CAST(month(dd) AS DOUBLE) AS month,
+                   CAST(day(dd) AS DOUBLE) AS day_of_month,
+                   CAST(date_part('dow', dd) AS DOUBLE) AS day_of_week,
+                   CAST(CAST(floor(s / 3600) AS BIGINT) % 24 AS DOUBLE) AS hour,
+                   count(*) AS n
+            FROM d GROUP BY 1, 2, 3, 4, 5
         """,
     }

@@ -166,6 +166,8 @@ class PlanBuilder:
             return self._clock_func(expr)
         if isinstance(expr, ast.MathFunc):
             return self._math_func(expr)
+        if isinstance(expr, ast.CalendarFunc):
+            return self._calendar_func(expr)
         if isinstance(expr, ast.HistogramQuantile):
             return self._histogram_quantile(expr)
         if isinstance(expr, ast.LabelFunc):
@@ -262,6 +264,89 @@ class PlanBuilder:
         "deg": F.degrees,
         "rad": F.radians,
     }
+
+    @staticmethod
+    def _calendar_col(func: str, v):
+        """Calendar field of `v` = unix SECONDS, computed tz-FREE: the UTC
+        calendar date is derived by whole-day offset from the epoch
+        (date_add on a date literal), so the result never depends on
+        spark.sql.session.timeZone; minute/hour are pure modular
+        arithmetic. Matches Prometheus's time.Unix(...).UTC() fields
+        (prometheus/promql functions.go funcDaysInMonth..funcYear).
+        Narrow codegen expression — no shuffle, no UDF."""
+        days = F.floor(v / F.lit(86400.0))
+        d = F.date_add(F.lit("1970-01-01").cast("date"), days.cast("int"))
+        if func == "minute":
+            return F.pmod(F.floor(v / F.lit(60.0)), F.lit(60.0)).cast("double")
+        if func == "hour":
+            return F.pmod(F.floor(v / F.lit(3600.0)), F.lit(24.0)).cast("double")
+        if func == "day_of_week":
+            # Spark dayofweek: 1=Sunday..7 — Prometheus wants 0=Sunday..6
+            return (F.dayofweek(d) - F.lit(1)).cast("double")
+        if func == "day_of_month":
+            return F.dayofmonth(d).cast("double")
+        if func == "day_of_year":
+            return F.dayofyear(d).cast("double")
+        if func == "days_in_month":
+            return F.dayofmonth(F.last_day(d)).cast("double")
+        if func == "month":
+            return F.month(d).cast("double")
+        if func == "year":
+            return F.year(d).cast("double")
+        raise ValueError(f"unknown calendar function {func!r}")
+
+    @staticmethod
+    def _calendar_py(func: str, v: float) -> float:
+        """Driver-side mirror of _calendar_col for literal scalars."""
+        import calendar as _cal
+        import datetime as _dt
+        import math as _m
+
+        if func == "minute":
+            return float(_m.floor(v / 60.0) % 60)
+        if func == "hour":
+            return float(_m.floor(v / 3600.0) % 24)
+        d = _dt.date(1970, 1, 1) + _dt.timedelta(days=_m.floor(v / 86400.0))
+        if func == "day_of_week":
+            return float((d.weekday() + 1) % 7)  # Monday=0 -> Sunday=0
+        if func == "day_of_month":
+            return float(d.day)
+        if func == "day_of_year":
+            return float(d.timetuple().tm_yday)
+        if func == "days_in_month":
+            return float(_cal.monthrange(d.year, d.month)[1])
+        if func == "month":
+            return float(d.month)
+        if func == "year":
+            return float(d.year)
+        raise ValueError(f"unknown calendar function {func!r}")
+
+    def _calendar_func(self, node: ast.CalendarFunc) -> Plan:
+        """Prometheus calendar functions (ast.CalendarFunc): sample VALUES
+        as unix seconds UTC -> field, f64. Zero-arg = vector(time()) with
+        time()'s native-ns value converted to seconds."""
+        if node.child is None:
+            secs = float(self.start or 0) / 1e9
+            ts0 = int(self.start or 0)
+            df = self.conn.spark.range(1).select(
+                F.lit(ts0).cast("long").alias("ts"),
+                F.lit(self._calendar_py(node.func, secs)).alias("value"),
+            )
+            return Plan("vector", df, VT_F64)
+        child = self.build(node.child)
+        if child.kind == "scalar" and child.literal is not None:
+            return Plan(
+                "scalar", None, VT_F64,
+                literal=self._calendar_py(node.func, float(child.literal)),
+            )
+        if child.kind not in ("vector", "grouped"):
+            raise ValueError(f"{node.func} requires a vector input")
+        keep = [c for c in child.df.columns if c != "value"]
+        result = self._calendar_col(node.func, F.col("value").cast("double"))
+        return Plan(
+            child.kind, child.df.select(*keep, result.alias("value")), VT_F64,
+            group_cols=child.group_cols, streams=child.streams,
+        )
 
     def _math_func(self, node: ast.MathFunc) -> Plan:
         """Elementwise math (extension; ast.MathFunc). Narrow column

@@ -151,6 +151,8 @@ class RangeEvaluator:
             return self._binary(expr)
         if isinstance(expr, ast.MathFunc):
             return self._columnwise(expr.func, expr.child, self._math_col)
+        if isinstance(expr, ast.CalendarFunc):
+            return self._calendar_func(expr)
         if isinstance(expr, ast.ClampFunc):
             return self._columnwise(expr, expr.child, self._clamp_col)
         if isinstance(expr, ast.RoundFunc):
@@ -742,6 +744,23 @@ class RangeEvaluator:
     @staticmethod
     def _math_col(func, v):
         return PlanBuilder._MATH[func](v)
+
+    def _calendar_func(self, expr) -> Plan:
+        """Calendar functions on the step grid (ast.CalendarFunc): values
+        are unix seconds. Zero-arg = the Prometheus vector(time()) default,
+        per-step: each grid instant's native-ns ts converted to seconds,
+        then the field — so `hour()` in a range query traces the clock."""
+        if expr.child is None:
+            out = self._grid_df().select(
+                "ts",
+                PlanBuilder._calendar_col(
+                    expr.func, F.col("ts").cast("double") / F.lit(1e9)
+                ).alias("value"),
+            )
+            return Plan("vector", out, VT_F64)
+        return self._columnwise(
+            expr.func, expr.child, PlanBuilder._calendar_col
+        )
 
     @staticmethod
     def _clamp_col(node, v):

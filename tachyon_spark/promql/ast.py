@@ -167,6 +167,22 @@ class MathFunc:
 
 
 @dataclass(frozen=True)
+class CalendarFunc:
+    """minute/hour/day_of_week/day_of_month/day_of_year/days_in_month/
+    month/year over a vector (extension; Prometheus calendar functions,
+    prometheus/promql functions.go funcDaysInMonth..funcYear). Sample
+    VALUES are interpreted as unix SECONDS in UTC — Prometheus's contract
+    — even though this engine's ts column is native unitless units. The
+    zero-arg form (`month()`) follows Prometheus's `v = vector(time())`
+    default, converting time()'s native value to seconds under the same
+    nanosecond-wall-clock assumption the duration suffixes use
+    (parser.DURATION_UNITS)."""
+
+    func: str  # minute hour day_of_week day_of_month day_of_year days_in_month month year
+    child: object | None  # None = Prometheus's vector(time()) default
+
+
+@dataclass(frozen=True)
 class LabelFunc:
     """label_replace(v, dst, replacement, src, regex) / label_join(v, dst,
     sep, src...) — per-series label-set rewrites (extension; absent from
@@ -252,6 +268,14 @@ OVER_TIME_FUNCS = frozenset(
         "stdvar_over_time",
         "present_over_time",
         "mad_over_time",
+    }
+)
+# calendar fields of sample values interpreted as unix seconds (UTC);
+# see CalendarFunc. All return f64 per PromQL function semantics.
+CALENDAR_FUNCS = frozenset(
+    {
+        "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+        "days_in_month", "month", "year",
     }
 )
 MATH_FUNCS = frozenset(

@@ -78,6 +78,7 @@ KEYWORDS = (
     | set(ast.HOLT_FUNCS)
     | set(ast.CLOCK_FUNCS)
     | set(ast.MATH_FUNCS)
+    | set(ast.CALENDAR_FUNCS)
     | set(ast.SET_OPS)
     | set(ast.SORT_FUNCS)
     | set(ast.CLAMP_FUNCS)
@@ -276,6 +277,8 @@ class Parser:
                 return self._maybe_subquery(self.parse_deriv_func())
             if tok.text in ast.MATH_FUNCS:
                 return self.parse_math_func()
+            if tok.text in ast.CALENDAR_FUNCS:
+                return self.parse_calendar_func()
             if tok.text in ast.SORT_FUNCS:
                 return self.parse_sort_func()
             if tok.text in ast.CLAMP_FUNCS:
@@ -561,6 +564,19 @@ class Parser:
         child = self.parse_or()
         self.expect(")")
         return ast.MathFunc(func, child)
+
+    def parse_calendar_func(self):
+        """month(v) / month() — zero-arg defaults to Prometheus's
+        vector(time()) (ast.CalendarFunc docstring)."""
+        func = self.next().text
+        self.expect("(")
+        nxt = self.peek()
+        if nxt is not None and nxt.text == ")":
+            self.next()
+            return ast.CalendarFunc(func, None)
+        child = self.parse_or()
+        self.expect(")")
+        return ast.CalendarFunc(func, child)
 
     def parse_sort_func(self):
         func = self.next().text

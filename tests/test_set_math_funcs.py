@@ -203,3 +203,89 @@ def test_clock_funcs(golden_db):
     ]
     got = dict(golden_db.query_range(f"scalar({q})", 0, 60, 30, lookback=10).rows())
     assert math.isnan(got[0]) and got[30] == 47.0
+
+
+# ---------------------------------------------------------------- calendar
+# Prometheus calendar functions (extension; prometheus/promql functions.go
+# funcDaysInMonth..funcYear): sample VALUES are unix seconds, fields in UTC.
+
+
+def _py_field(func, v):
+    import calendar as _cal
+    import datetime as _dt
+    import math as _m
+
+    if func == "minute":
+        return float(_m.floor(v / 60.0) % 60)
+    if func == "hour":
+        return float(_m.floor(v / 3600.0) % 24)
+    d = _dt.date(1970, 1, 1) + _dt.timedelta(days=_m.floor(v / 86400.0))
+    return {
+        "day_of_week": float((d.weekday() + 1) % 7),
+        "day_of_month": float(d.day),
+        "day_of_year": float(d.timetuple().tm_yday),
+        "days_in_month": float(_cal.monthrange(d.year, d.month)[1]),
+        "month": float(d.month),
+        "year": float(d.year),
+    }[func]
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "func",
+    ["minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+     "days_in_month", "month", "year"],
+)
+def test_calendar_funcs_vector(fixture_b, func):
+    # ints values [2,4,6,8] spread over years: v*1e8 + 1.7e9 seconds
+    q = fixture_b.query(f"{func}(ints * 100000000 + 1700000000)", 0, 100)
+    vals = [2, 4, 6, 8]
+    expect = [(ts, _py_field(func, v * 1e8 + 1.7e9))
+              for ts, v in zip([10, 20, 30, 40], vals)]
+    assert q.rows() == expect
+
+
+def test_calendar_known_values(fixture_b):
+    # 1700582400 = 2023-11-21T16:00:00Z, a Tuesday
+    assert fixture_b.query("day_of_week(vector(1700582400))", 0, 100).rows() == [(0, 2.0)]
+    assert fixture_b.query("month(vector(1700582400))", 0, 100).rows() == [(0, 11.0)]
+    assert fixture_b.query("hour(vector(1700582400))", 0, 100).rows() == [(0, 16.0)]
+    # leap February
+    assert fixture_b.query("days_in_month(vector(1709209600))", 0, 100).rows() == [(0, 29.0)]
+
+
+def test_calendar_scalar_literal(fixture_b):
+    assert fixture_b.query("year(1700582400)", 0, 100).scalar() == 2023.0
+    assert fixture_b.query("minute(1700582461)", 0, 100).scalar() == 1.0
+
+
+def test_calendar_negative_epoch(fixture_b):
+    # 1969-12-31T23:00:00Z — day fields flow backward correctly
+    assert fixture_b.query("year(vector(0 - 3600))", 0, 100).rows() == [(0, 1969.0)]
+    assert fixture_b.query("hour(vector(0 - 3600))", 0, 100).rows() == [(0, 23.0)]
+    assert fixture_b.query("day_of_month(vector(0 - 3600))", 0, 100).rows() == [(0, 31.0)]
+
+
+def test_calendar_zero_arg_uses_query_start(fixture_b):
+    # zero-arg = vector(time()) with native-ns -> seconds conversion;
+    # query start 1700582400e9 ns = 2023-11-21T16:00:00Z
+    start = 1_700_582_400 * 10 ** 9
+    q = fixture_b.query("month()", start, start + 10)
+    assert q.rows() == [(start, 11.0)]
+
+
+def test_calendar_on_grid(golden_db):
+    # grid path: hour() traces the step clock (ns steps -> seconds)
+    hour_ns = 3_600 * 10 ** 9
+    q = golden_db.query_range("hour()", 0, 3 * hour_ns, hour_ns)
+    assert q.rows() == [(0, 0.0), (hour_ns, 1.0), (2 * hour_ns, 2.0), (3 * hour_ns, 3.0)]
+
+
+def test_calendar_on_grid_vector(golden_db):
+    # columnwise over a selector on the grid: values as seconds
+    q = golden_db.query_range("minute(http_requests_total{service=\"web\"} * 60)", 0, 100, 10, lookback=100)
+    # web values carried on the grid; v*60 seconds -> minute = v % 60
+    got = dict(q.rows())
+    assert got[30] == 47.0 and got[100] == 48.0
