@@ -207,6 +207,10 @@ class PlanBuilder:
             )
         if isinstance(expr, ast.SortFunc):
             return self._sort_func(expr)
+        if isinstance(expr, ast.SortByLabelFunc):
+            return self._sort_by_label(expr)
+        if isinstance(expr, ast.LimitAgg):
+            return self._limit_agg(expr)
         if isinstance(expr, ast.ClampFunc):
             return self._clamp_func(expr)
         raise ValueError(f"unsupported expression: {expr!r}")
@@ -220,6 +224,105 @@ class PlanBuilder:
         order = F.asc("value") if node.func == "sort" else F.desc("value")
         out = child.df.select("ts", "value").orderBy(order, F.asc("ts"))
         return Plan("sorted", out, child.value_type)
+
+    def _sort_by_label(self, node: ast.SortByLabelFunc) -> Plan:
+        """sort_by_label(_desc): vector reordered by label values
+        (ast.SortByLabelFunc). Labels attach as one broadcast map join on
+        stream_id (same shape as grouped aggregation); the sort itself is
+        the presentation-order global sort the sort()/sort_desc family
+        already accepts at this altitude."""
+        child = self.build(node.child)
+        if child.kind != "vector":
+            raise ValueError(f"{node.func} requires a vector input")
+        if "stream_id" not in child.df.columns or not child.streams:
+            raise ValueError(
+                f"{node.func} requires a label-carrying selector vector"
+            )
+        df = self._attach_labels(child.df, node.labels, child.streams)
+        asc = node.func == "sort_by_label"
+        order = [
+            F.asc_nulls_first(l) if asc else F.desc_nulls_last(l)
+            for l in node.labels
+        ]
+        out = df.orderBy(*order, F.asc("ts")).select("ts", "value")
+        return Plan("sorted", out, child.value_type)
+
+    @staticmethod
+    def _series_fingerprint(s) -> str:
+        """Stable series identity string for hash-based sampling: metric
+        name + sorted labels — the same fingerprint regardless of matcher
+        or creation order."""
+        parts = [f"__name__={s.name}"] + [
+            f"{k}={v}" for k, v in sorted(s.labels.items())
+        ]
+        return ",".join(parts)
+
+    @staticmethod
+    def _select_limit_series(
+        func: str, param: float, streams: tuple, by: tuple[str, ...]
+    ) -> set:
+        """The limitk/limit_ratio series-selection rule, shared by the raw
+        and step-grid paths (selection is metadata-only, so both paths must
+        pick the SAME series for a given param)."""
+        import hashlib
+
+        if func == "limitk":
+            k = max(int(param), 0)
+            groups: dict[tuple, list] = {}
+            for s in streams:
+                key = tuple(s.labels.get(l) for l in by)
+                groups.setdefault(key, []).append(s)
+            return {
+                s.stream_id
+                for ss in groups.values()
+                for s in sorted(ss, key=lambda s: s.stream_id)[:k]
+            }
+        r = float(param)
+        if not -1.0 <= r <= 1.0:
+            raise ValueError("limit_ratio requires a ratio in [-1, 1]")
+        kept = set()
+        for s in streams:
+            dig = hashlib.md5(
+                PlanBuilder._series_fingerprint(s).encode()
+            ).digest()
+            u = int.from_bytes(dig[:8], "big") / 2.0**64
+            if (r >= 0 and u < r) or (r < 0 and u >= 1.0 + r):
+                kept.add(s.stream_id)
+        return kept
+
+    def _limit_agg(self, node: ast.LimitAgg) -> Plan:
+        """limitk/limit_ratio (ast.LimitAgg): per-group SERIES sampling.
+        Selection runs driver-side over the plan's bounded stream metadata
+        (the altitude label attachment already lives at); the distributed
+        plan only gains a pushdown-able stream_id IN filter, so the scan
+        SHRINKS — no shuffle, no window. Deterministic: limitk keeps the k
+        smallest stream_ids per group; limit_ratio hashes the series
+        fingerprint to [0,1) via md5 and keeps u < r (complement u >= 1+r
+        for negative r — limit_ratio(r) + limit_ratio(-(1-r)) partition)."""
+        import hashlib
+
+        p_plan = self.build(node.param)
+        if p_plan.kind != "scalar":
+            raise ValueError(f"{node.func} parameter must be a scalar")
+        if p_plan.literal is not None:
+            param = float(p_plan.literal)
+        else:
+            row = p_plan.df.select("value").collect()
+            param = float(row[0].value) if row else 0.0
+        child = self.build(node.child)
+        if child.kind != "vector":
+            raise ValueError(f"{node.func} requires a vector input")
+        if "stream_id" not in child.df.columns or not child.streams:
+            raise ValueError(
+                f"{node.func} requires a label-carrying selector vector"
+            )
+        kept = self._select_limit_series(node.func, param, child.streams, node.by)
+        if kept:
+            out = child.df.where(F.col("stream_id").isin(sorted(kept)))
+        else:
+            out = child.df.where(F.lit(False))
+        streams = tuple(s for s in child.streams if s.stream_id in kept)
+        return Plan("vector", out, child.value_type, streams=streams)
 
     def _clamp_func(self, node: ast.ClampFunc) -> Plan:
         """clamp/clamp_min/clamp_max with literal bounds; result f64."""

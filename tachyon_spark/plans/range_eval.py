@@ -159,6 +159,12 @@ class RangeEvaluator:
             return self._columnwise(expr, expr.child, self._round_col)
         if isinstance(expr, ast.GetK):
             return self._getk(expr)
+        if isinstance(expr, ast.SortByLabelFunc):
+            # Prometheus IGNORES sorting functions in range queries
+            # (sort/sort_by_label only affect instant-query presentation)
+            return self._eval(expr.child)
+        if isinstance(expr, ast.LimitAgg):
+            return self._limit_agg(expr)
         if isinstance(expr, ast.HistogramQuantile):
             return self._histogram_quantile(expr)
         if isinstance(expr, ast.AbsentOverTime):
@@ -913,6 +919,33 @@ class RangeEvaluator:
         return Plan("vector", out, VT_F64)
 
     # ---------------------------------------------------------------- getk
+    def _limit_agg(self, node: ast.LimitAgg) -> Plan:
+        """limitk/limit_ratio on the step grid: the SAME metadata-driven
+        series selection as the raw path (PlanBuilder._select_limit_series
+        — both paths must keep identical series for a given param), then a
+        pushdown-able stream_id filter on the grid frame."""
+        p_plan = self._eval(node.param)
+        if p_plan.kind != "scalar" or p_plan.literal is None:
+            raise ValueError(
+                f"query_range {node.func} parameter must be a literal"
+            )
+        child = self._eval(node.child)
+        if child.kind != "vector":
+            raise ValueError(f"{node.func} requires a vector input")
+        if "stream_id" not in child.df.columns or not child.streams:
+            raise ValueError(
+                f"{node.func} requires a label-carrying selector vector"
+            )
+        kept = PlanBuilder._select_limit_series(
+            node.func, float(p_plan.literal), child.streams, node.by
+        )
+        if kept:
+            out = child.df.where(F.col("stream_id").isin(sorted(kept)))
+        else:
+            out = child.df.where(F.lit(False))
+        streams = tuple(s for s in child.streams if s.stream_id in kept)
+        return Plan("vector", out, child.value_type, streams=streams)
+
     def _getk(self, node: ast.GetK) -> Plan:
         k_plan = self._eval(node.k)
         if k_plan.kind != "scalar" or k_plan.literal is None:

@@ -227,6 +227,34 @@ class SortFunc:
 
 
 @dataclass(frozen=True)
+class SortByLabelFunc:
+    """sort_by_label(v, "l1", ...) / sort_by_label_desc — vector reordered
+    by the given label values (extension; Prometheus experimental
+    functions, promql functions.go funcSortByLabel). Labels resolve
+    driver-side from Plan.streams like label_replace; ties break on ts."""
+
+    func: str  # sort_by_label | sort_by_label_desc
+    child: object
+    labels: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class LimitAgg:
+    """limitk(k, v) / limit_ratio(r, v) — per-group series sampling
+    (extension; Prometheus experimental aggregators, promql aggregations).
+    Deterministic where Prometheus is arbitrary: limitk keeps the k
+    smallest stream_ids per group; limit_ratio keeps series whose
+    md5-fingerprint unit-interval hash u < r (or the exact complement
+    u >= 1+r for negative r, so limit_ratio(r) and limit_ratio(-(1-r))
+    partition the series set — the Prometheus complement contract)."""
+
+    func: str  # limitk | limit_ratio
+    param: object  # scalar expr: k (limitk) or ratio in [-1, 1]
+    child: object
+    by: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
 class ClampFunc:
     """clamp/clamp_min/clamp_max with literal bounds (extension).
     Results are f64 (PromQL semantics: all function results are floats)."""
@@ -362,4 +390,6 @@ class CountValues:
 HISTOGRAM_FUNCS = frozenset({"histogram_quantile"})
 LABEL_FUNCS = frozenset({"label_replace", "label_join"})
 SORT_FUNCS = frozenset({"sort", "sort_desc"})
+SORT_BY_LABEL_FUNCS = frozenset({"sort_by_label", "sort_by_label_desc"})
+LIMIT_FUNCS = frozenset({"limitk", "limit_ratio"})
 CLAMP_FUNCS = frozenset({"clamp", "clamp_min", "clamp_max"})

