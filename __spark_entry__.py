@@ -2636,6 +2636,23 @@ def q_calendar_fields(spark, sf_dir):
     )
 
 
+def q_mixture_resample(spark, sf_dir):
+    """Target-domain-mixture resampling (functions/sampling.
+    mixture_resample): resample three sources to a 0.5/0.25/0.25 mixture
+    — the LLM data-mixing step. Weights are exact binary fractions
+    summing to 1.0 so the driver-side quota arithmetic and the oracle's
+    SQL replay floor identical doubles. Tiny counts agg driver-side;
+    selection is the skew-safe two-phase md5 cap; output is doc-count
+    bounded so the final presentation sort is cheap."""
+    from tachyon_spark.functions.sampling import mixture_resample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = mixture_resample(
+        docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_token_entropy(spark, sf_dir):
     """Within-doc token Shannon entropy (functions/textstats.
     token_entropy): H = ln n - (sum c ln c)/n per document — the
@@ -2742,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "absent_windows": q_absent_windows,
         "cluster_balanced": q_cluster_balanced,
         "calendar_fields": q_calendar_fields,
+        "mixture_resample": q_mixture_resample,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -5145,6 +5163,41 @@ def oracle_sql() -> dict[str, str]:
                          - sum(c * ln(CAST(c AS DOUBLE)))
                            / CAST(sum(c) AS DOUBLE), 6) AS entropy
             FROM c GROUP BY doc_id
+        """,
+        "mixture_resample": """
+            -- quota replay: N* = min_d floor(count_d / p_d), quota_d =
+            -- floor(N* p_d); per-domain keep the quota smallest
+            -- md5(doc_id||'mix') (60-bit prefix, same space as Spark's
+            -- conv(substr(md5,1,15),16,10))
+            WITH p(source, p) AS (
+              VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)
+            ),
+            c AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY 1
+            ),
+            feas AS (
+              SELECT CAST(min(floor(c.n / p.p)) AS BIGINT) AS nstar
+              FROM p JOIN c USING (source)
+            ),
+            q AS (
+              SELECT p.source,
+                     CAST(floor((SELECT nstar FROM feas) * p.p) AS BIGINT)
+                       AS quota
+              FROM p
+            ),
+            r AS (
+              SELECT d.doc_id, d.source,
+                     row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY CAST(CONCAT('0x',
+                         substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'),
+                                1, 15)) AS BIGINT),
+                                d.doc_id
+                     ) AS rn
+              FROM documents d JOIN q ON d.source = q.source
+            )
+            SELECT doc_id, source FROM r JOIN q USING (source)
+            WHERE rn <= quota ORDER BY doc_id
         """,
         "calendar_fields": """
             -- tz-free replay of plans/builder._calendar_col: the UTC date

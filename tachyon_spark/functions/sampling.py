@@ -358,3 +358,72 @@ def weighted_sample(
     u = hash_unit(F.col(key_col), salt)
     w = F.greatest(F.least(weight_col.cast("double"), F.lit(1.0)), F.lit(0.0))
     return df.where(u < w)
+
+
+def mixture_resample(
+    df: DataFrame,
+    target: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    total: int | None = None,
+) -> DataFrame:
+    """Resample a corpus to a TARGET DOMAIN MIXTURE without upsampling —
+    the data-mixing step of every LLM pretraining pipeline (fixed mixture
+    weights a la Gopher/LLaMA; the application half of DoReMi, whose
+    learned weights arrive as exactly this dict). Given target proportions
+    per domain, the largest achievable corpus is
+    N* = min_d floor(count_d / p_d); each domain keeps
+    quota_d = floor(N* * p_d) rows (optionally N = min(N*, total)),
+    chosen deterministically as the quota smallest md5(key||salt) — so
+    the selection is reproducible, cluster-size independent, and
+    subset-monotone when the target total shrinks. Domains absent from
+    `target` (or with weight 0) are dropped; a target domain missing from
+    the corpus makes the mixture infeasible -> empty result (never a
+    silently wrong mixture).
+
+    Scale shape: one tiny counts aggregate (#domains rows) drives the
+    quota computation driver-side; the selection itself is the skew-safe
+    two-phase window of cap_per_group generalized to per-group quotas (a
+    broadcast quota join + bucketed slice cap, so a 1B-row domain never
+    lands in one task). Output mixture matches target to within 1/N*.
+    """
+    if not target:
+        raise ValueError("target mixture must be non-empty")
+    ssum = float(sum(target.values()))
+    if ssum <= 0 or any(v < 0 for v in target.values()):
+        raise ValueError("target weights must be non-negative, sum > 0")
+    p = {d: w / ssum for d, w in target.items() if w > 0}
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(group_col).isin(list(p)))
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    feasible = min(int(counts.get(d, 0) / pd) for d, pd in p.items())
+    if total is not None:
+        feasible = min(feasible, int(total))
+    quotas = [(d, int(feasible * pd)) for d, pd in p.items()]
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        quotas, f"{group_col} string, __quota long"
+    )
+    fanout = 32
+    key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    base = (
+        df.join(F.broadcast(qdf), group_col, "inner").withColumn("__h", h)
+    )
+    slice_w = Window.partitionBy(
+        F.col(group_col), (F.col("__h") % fanout)
+    ).orderBy("__h", key_col)
+    pre = base.withColumn("__rs", F.row_number().over(slice_w)).where(
+        F.col("__rs") <= F.col("__quota")
+    )
+    final_w = Window.partitionBy(group_col).orderBy("__h", key_col)
+    return (
+        pre.withColumn("__rn", F.row_number().over(final_w))
+        .where(F.col("__rn") <= F.col("__quota"))
+        .drop("__h", "__rs", "__rn", "__quota")
+    )

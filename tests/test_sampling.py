@@ -247,3 +247,49 @@ def test_weighted_sample(docs):
     assert 0.4 < len(half) / 600 < 0.6
     q3 = {r.doc_id for r in weighted_sample(docs, F.lit(0.75)).collect()}
     assert half < q3
+
+
+# --------------------------------------------------------- mixture_resample
+# docs fixture: 600 rows, sources crawl/wiki/books exactly 200 each.
+
+
+def test_mixture_resample_hits_target(docs):
+    from tachyon_spark.functions.sampling import mixture_resample
+
+    out = mixture_resample(docs, {"crawl": 0.5, "wiki": 0.3, "books": 0.2})
+    counts = {r["source"]: r["n"]
+              for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # N* = min(200/0.5, 200/0.3, 200/0.2) = 400 -> quotas 200/120/80
+    assert counts == {"crawl": 200, "wiki": 120, "books": 80}
+
+
+def test_mixture_resample_total_cap_and_monotone(docs):
+    from tachyon_spark.functions.sampling import mixture_resample
+
+    big = mixture_resample(docs, {"crawl": 0.5, "wiki": 0.5}, total=200)
+    small = mixture_resample(docs, {"crawl": 0.5, "wiki": 0.5}, total=100)
+    cb = {r["source"]: r["n"]
+          for r in big.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert cb == {"crawl": 100, "wiki": 100}
+    # books excluded entirely (weight absent = 0)
+    assert big.where(F.col("source") == "books").count() == 0
+    # subset-monotone: shrinking the total keeps a subset of the selection
+    big_ids = {r["doc_id"] for r in big.select("doc_id").collect()}
+    small_ids = {r["doc_id"] for r in small.select("doc_id").collect()}
+    assert small_ids <= big_ids and len(small_ids) == 100
+
+
+def test_mixture_resample_stability_and_infeasible(docs, spark):
+    from tachyon_spark.functions.sampling import mixture_resample
+
+    t = {"crawl": 0.7, "wiki": 0.3}
+    a = sorted(r["doc_id"] for r in mixture_resample(docs, t).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in mixture_resample(docs.repartition(13), t).select("doc_id").collect())
+    assert a == b  # cluster-layout independent
+    # a target domain missing from the corpus -> infeasible -> empty
+    out = mixture_resample(docs, {"crawl": 0.5, "reddit": 0.5})
+    assert out.count() == 0
+    with pytest.raises(ValueError):
+        mixture_resample(docs, {})
+    with pytest.raises(ValueError):
+        mixture_resample(docs, {"crawl": -1.0, "wiki": 2.0})
