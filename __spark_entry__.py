@@ -2636,6 +2636,38 @@ def q_calendar_fields(spark, sf_dir):
     )
 
 
+def q_quality_percentile(spark, sf_dir):
+    """Domain-relative quality (functions/textstats.quality_percentile):
+    percent_rank of the rounded quality score WITHIN each source — the
+    per-domain threshold form of quality pruning. One window shuffle on
+    the domain key; ties share a rank so both engines agree."""
+    from tachyon_spark.functions.textstats import quality_percentile
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_percentile(docs).orderBy("doc_id")
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-100 bigrams (functions/textstats.corpus_top_ngrams):
+    per-row n-gram transform (no pairwise step), map-side combined counts
+    into ONE ngram-keyed exchange, TakeOrderedAndProject final top-k.
+    Deterministic tie-break (count desc, ngram asc)."""
+    from tachyon_spark.functions.textstats import corpus_top_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_top_ngrams(docs, n=2, top=100)
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Per-domain vocabulary shape (functions/textstats.vocab_stats):
+    token count / distinct types / type-token ratio / hapax share. Two
+    keyed exchanges ((source, term) then source), no window."""
+    from tachyon_spark.functions.textstats import vocab_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_stats(docs).orderBy("source")
+
+
 def q_mixture_resample(spark, sf_dir):
     """Target-domain-mixture resampling (functions/sampling.
     mixture_resample): resample three sources to a 0.5/0.25/0.25 mixture
@@ -2760,6 +2792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced": q_cluster_balanced,
         "calendar_fields": q_calendar_fields,
         "mixture_resample": q_mixture_resample,
+        "quality_percentile": q_quality_percentile,
+        "top_ngrams": q_top_ngrams,
+        "vocab_stats": q_vocab_stats,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -5163,6 +5198,49 @@ def oracle_sql() -> dict[str, str]:
                          - sum(c * ln(CAST(c AS DOUBLE)))
                            / CAST(sum(c) AS DOUBLE), 6) AS entropy
             FROM c GROUP BY doc_id
+        """,
+        "quality_percentile": f"""
+            -- quality_score replay + per-source percent_rank over the
+            -- ROUNDED score (ties share a rank in both engines)
+            WITH q AS (
+              SELECT doc_id, source, round(
+                0.4 * least(1.0, len({ltok}) / 100.0)
+              + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       * 1.0 / greatest(length(text), 1))
+              + 0.3 * least(1.0, 10.0 * ({stop} * 1.0 / greatest(len({ltok}), 1))), 6) AS quality
+              FROM documents
+            )
+            SELECT doc_id, source, quality,
+                   round(percent_rank() OVER (
+                     PARTITION BY source ORDER BY quality), 6) AS pctl
+            FROM q ORDER BY doc_id
+        """,
+        "top_ngrams": f"""
+            -- per-doc bigram enumeration replay; count desc, ngram asc
+            WITH toks AS (
+              SELECT {ltok} AS w FROM documents
+            ),
+            g AS (
+              SELECT unnest(list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i+1])) AS ngram
+              FROM toks WHERE len(w) >= 2
+            )
+            SELECT ngram, count(*) AS n FROM g
+            GROUP BY 1 ORDER BY n DESC, ngram LIMIT 100
+        """,
+        "vocab_stats": f"""
+            WITH p AS (
+              SELECT source, u.t AS tok, count(*) AS c
+              FROM (SELECT source, {ltok} AS w FROM documents),
+                   unnest(w) AS u(t)
+              GROUP BY 1, 2
+            )
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types,
+                   round(count(*) * 1.0 / sum(c), 6) AS ttr,
+                   round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS hapax_frac
+            FROM p GROUP BY source ORDER BY source
         """,
         "mixture_resample": """
             -- quota replay: N* = min_d floor(count_d / p_d), quota_d =

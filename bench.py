@@ -264,6 +264,11 @@ def main():
         "token_entropy",
         "absent_windows",
         "cluster_balanced",
+        "calendar_fields",
+        "mixture_resample",
+        "quality_percentile",
+        "top_ngrams",
+        "vocab_stats",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

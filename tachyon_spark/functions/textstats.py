@@ -396,3 +396,103 @@ def bigram_logprob(
         F.count("*").alias("n_pairs"),
         F.round(F.avg("__nll"), 6).alias("avg_nll"),
     )
+
+
+def quality_percentile(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-RELATIVE quality: percent_rank of the heuristic quality
+    score WITHIN each source. The filtering companion to quality_score —
+    a single global threshold over-prunes domains whose style
+    systematically scores low (code, forums) and under-prunes ones that
+    score high (news); per-domain percentiles make "drop the worst 20%"
+    mean the same thing everywhere (the quality-pruning shape used by
+    CCNet's perplexity buckets and FineWeb's per-dump filters).
+
+    Shape: the score is a narrow codegen projection; the only wide
+    exchange is one window shuffle on the domain key. Ties share a rank
+    (SQL percent_rank), so the output is deterministic and replayable.
+    Skew note: a window over a hot domain lands that domain in one task —
+    at 100 TB prefer pre-bucketing by domain (the catalog layout) or the
+    two-phase cap pattern; domains in practice are many and bounded."""
+    from pyspark.sql import Window
+
+    scored = quality_score(df, id_col=id_col, text_col=text_col)
+    keyed = df.select(F.col(id_col), F.col(group_col)).join(
+        scored, id_col
+    )
+    w = Window.partitionBy(group_col).orderBy("quality")
+    return keyed.select(
+        id_col,
+        group_col,
+        "quality",
+        F.round(F.percent_rank().over(w), 6).alias("pctl"),
+    )
+
+
+def corpus_top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    top: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-`top` word n-grams by occurrence count — the
+    corpus-analysis staple (tokenizer vocabulary design, contamination
+    screens, boilerplate scouting). Deterministic tie-break
+    (count desc, ngram asc).
+
+    Shape: the n-gram enumeration is a per-row array transform (no
+    pairwise join); counts combine MAP-SIDE before the single
+    ngram-keyed exchange, so hot n-grams ("of the") never concentrate
+    rows; the final top-k is TakeOrderedAndProject, not a global sort."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from tachyon_spark.functions.util import spread
+
+    staged = spread(df).select(_tokens(F.lower(F.col(text_col))).alias("__w"))
+    grams = staged.where(F.size("__w") >= n).select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(__w) - {n}),"
+                f" i -> array_join(slice(__w, i + 1, {n}), ' '))"
+            )
+        ).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("ngram")).limit(top)
+
+
+def vocab_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain vocabulary statistics: token count, distinct terms,
+    type-token ratio, and hapax share (fraction of types occurring once —
+    Heaps-law health check; scripted/boilerplate domains show tiny TTR
+    and hapax collapse, OCR-noise domains show hapax explosion).
+
+    Shape: one (domain, term)-keyed count (map-side combine absorbs hot
+    terms), then a domain-keyed rollup — two bounded exchanges, both on
+    keys with natural cardinality; no window, no driver collect."""
+    pairs = (
+        df.select(
+            F.col(group_col),
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("__t"),
+        )
+        .groupBy(group_col, "__t")
+        .agg(F.count("*").alias("__c"))
+    )
+    return pairs.groupBy(group_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(F.count("*") / F.sum("__c"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("hapax_frac"),
+    )

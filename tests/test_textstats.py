@@ -49,3 +49,63 @@ def test_token_entropy_bounds(docs):
     assert 0.0 < h0 <= math.log(out[0]["n_tok"]) + 1e-9
     # uniform-distribution check: 12 distinct words x 5 repeats -> ln(12)
     assert abs(h0 - math.log(12)) < 1e-6
+
+
+# ----------------------------------- quality_percentile / ngrams / vocab
+
+
+def test_quality_percentile_domain_relative(spark):
+    from tachyon_spark.functions.textstats import quality_percentile
+
+    rows = [
+        # src A: three docs of increasing quality (longer, more stopwords)
+        (1, "A", "x y"),
+        (2, "A", "the and is of it " * 10),
+        (3, "A", "the quick brown fox is on the hill and it runs " * 5),
+        # src B: two docs
+        (4, "B", "z"),
+        (5, "B", "the cat is on the mat and it sleeps " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["pctl"] for r in quality_percentile(df).collect()}
+    # lowest doc per domain gets 0.0; highest gets 1.0 — per DOMAIN
+    assert out[1] == 0.0 and out[3] == 1.0
+    assert out[4] == 0.0 and out[5] == 1.0
+
+
+def test_corpus_top_ngrams_counts_and_ties(spark):
+    from tachyon_spark.functions.textstats import corpus_top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    got = [(r["ngram"], r["n"]) for r in corpus_top_ngrams(df, n=2, top=3).collect()]
+    # bigrams: doc1: 'a b','b a','a b','b c'; doc2: 'a b','b x'
+    assert got[0] == ("a b", 3)
+    assert set(got[1:]) <= {("a b", 3), ("b a", 1), ("b c", 1), ("b x", 1)}
+    # tie-break: count desc then ngram asc
+    assert got[1] == ("b a", 1) and got[2] == ("b c", 1)
+    # unigrams and short-doc guard
+    uni = dict((r["ngram"], r["n"]) for r in corpus_top_ngrams(df, n=1, top=10).collect())
+    assert uni["a"] == 3 and uni["b"] == 3
+    import pytest
+
+    with pytest.raises(ValueError):
+        corpus_top_ngrams(df, n=0)
+
+
+def test_vocab_stats(spark):
+    from tachyon_spark.functions.textstats import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "A", "a a b"), (2, "A", "a c"), (3, "B", "z z z z")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in vocab_stats(df).collect()}
+    # A: tokens a,a,b,a,c -> 5 tokens, 3 types, hapax b,c -> 2/3
+    assert out["A"]["n_tokens"] == 5 and out["A"]["n_types"] == 3
+    assert out["A"]["ttr"] == 0.6
+    assert abs(out["A"]["hapax_frac"] - 2 / 3) < 1e-6
+    # B: 4 tokens 1 type, no hapax
+    assert out["B"]["n_tokens"] == 4 and out["B"]["n_types"] == 1
+    assert out["B"]["hapax_frac"] == 0.0
