@@ -2506,6 +2506,19 @@ def q_embedding_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
 
 
+def q_knn_graph(spark, sf_dir):
+    """Approximate k-NN graph (functions/similarity.knn_graph): every
+    vector's top-3 cosine neighbors among multi-table LSH candidates —
+    (table, bucket) equi-joins only, exact rescoring, per-id window rank.
+    The oracle replays the plane constants, candidate union and ranking;
+    scores round to 6 before ranking so ranks can't flip cross-engine."""
+    from tachyon_spark.functions.similarity import knn_graph
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = knn_graph(emb, k=3, planes=LSH_PLANES, tables=LSH_TABLES)
+    return out.orderBy("id", "rank")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: documents→binary payloads→mapInPandas feature
     extraction (functions/multimodal.py). The fake decode is sha256-digest
@@ -2795,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile": q_quality_percentile,
         "top_ngrams": q_top_ngrams,
         "vocab_stats": q_vocab_stats,
+        "knn_graph": q_knn_graph,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -3159,6 +3173,62 @@ def _plane_rows_sql() -> str:
         for t in range(LSH_TABLES)
         for i, p in enumerate(_hyperplanes(dim=64, planes=LSH_PLANES, seed=7 + t))
     )
+
+
+def _knn_sql() -> str:
+    """k-NN graph oracle: plane-constant bucket replay, the deduped-half
+    candidate union (both orientations), exact cosine rescore rounded to 6
+    BEFORE ranking, per-id row_number rank with neighbor-id tie-break —
+    term for term the functions/similarity.knn_graph plan."""
+    plane_rows = _plane_rows_sql()
+    return f"""
+WITH p AS (
+{plane_rows}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dots AS (
+  SELECT e.vec_id, p.t, p.pi,
+         list_sum(list_transform(range(1, 65), i -> e.v[i] * p.plane[i])) AS d
+  FROM e CROSS JOIN p
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN d >= 0 THEN 1 << pi ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+half AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+cand AS (
+  SELECT id_a, id_b FROM half
+  UNION ALL
+  SELECT id_b, id_a FROM half
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+scored AS (
+  SELECT c.id_a AS id, c.id_b AS neighbor_id,
+         round(list_sum(list_transform(range(1, 65),
+                                       i -> na.v[i] * nb.v[i]))
+               / (na.nrm * nb.nrm), 6) AS score
+  FROM cand c
+  JOIN n na ON na.vec_id = c.id_a
+  JOIN n nb ON nb.vec_id = c.id_b
+),
+r AS (
+  SELECT id, neighbor_id, score,
+         row_number() OVER (
+           PARTITION BY id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT id, CAST(rnk AS INT) AS rank, neighbor_id, score
+FROM r WHERE rnk <= 3 ORDER BY id, rnk
+"""
 
 
 def _lsh_sql() -> str:
@@ -4114,6 +4184,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id
         """,
         "embedding_ann_lsh": _lsh_sql(),
+        "knn_graph": _knn_sql(),
         "embedding_ann_ivf": _IVF_SQL,
         "embedding_near_dup": _near_dup_sql(),
         "semantic_decontaminate": _semantic_decon_sql(),

@@ -269,6 +269,7 @@ def main():
         "quality_percentile",
         "top_ngrams",
         "vocab_stats",
+        "knn_graph",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

@@ -650,3 +650,90 @@ def semantic_decontaminate(
             F.struct(F.col("__r6"), (-F.col("bench_id")).alias("nb")),
         ).alias("best")
     ).select("id", F.col("best.bench_id").alias("bench_id"), F.col("best.score").alias("score"))
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    planes: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN GRAPH: every vector's top-k cosine neighbors among
+    multi-table LSH candidates — the neighborhood primitive under dedup
+    graphs, kNN label propagation, and density/diversity scoring. Returns
+    (id, rank, neighbor_id, score), rank 1..<=k (fewer when the tables
+    yield fewer candidates — approximate by construction; recall follows
+    the OR-construction 1-(1-p^planes)^tables).
+
+    Same scale spine as embedding_near_dup_pairs: candidates come ONLY
+    from (table, bucket) equi-joins (never corpus-wide all-pairs); the
+    exact rescoring runs after an explicit repartition (byte-light pairs,
+    CPU-heavy dot products — AQE's byte-based coalesce would serialize
+    them); hot buckets cap+log via _cap_hot_buckets. The per-id top-k is
+    one id-keyed window over candidate-bounded rows. Scores round to 6
+    BEFORE ranking and ties break on neighbor id, so ranks replay
+    identically in any engine regardless of summation order."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    dim = len(df.select(vec_col).head()[0])
+    all_planes = [
+        row for t in range(tables) for row in _hyperplanes(dim, planes, seed + t)
+    ]
+    udf = _lsh_buckets_udf(all_planes, planes)
+    from tachyon_spark.functions.util import spread
+
+    bucketed = spread(df).select(
+        F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("__bs")
+    ).select("id", F.posexplode("__bs").alias("t", "bucket"))
+    dropped = None
+    if max_bucket is not None:
+        from tachyon_spark.functions.dedup import _cap_hot_buckets
+
+        bucketed, dropped = _cap_hot_buckets(
+            bucketed, ["t", "bucket"], max_bucket, "knn_graph"
+        )
+    a = bucketed.select(F.col("id").alias("id_a"), "t", "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), "t", "bucket")
+    half = (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # both orientations from one deduped half: each undirected candidate
+    # pair scores ONCE per direction, never once per shared bucket
+    cand = half.unionByName(
+        half.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    vecs = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    paired = (
+        cand.join(vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a")
+        .join(vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
+    )
+    scored = paired.select(
+        "id_a", "id_b",
+        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b"))
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("id_a").alias("id"),
+            F.col("__rn").alias("rank"),
+            F.col("id_b").alias("neighbor_id"),
+            "score",
+        )
+    )
+    from tachyon_spark.functions.dedup import _attach_stats
+
+    return _attach_stats(out, max_bucket, dropped)

@@ -525,3 +525,54 @@ def test_hamming_pairs_full_recall(spark):
             if h <= 2:
                 want[(ia, ib)] = h
     assert got == want and len(want) > 0
+
+
+def test_knn_graph_matches_brute_force_on_candidates(spark):
+    """knn_graph: per-id top-k over LSH candidates; with enough tables the
+    graph matches the exact brute-force graph on a small set."""
+    import numpy as np
+
+    from tachyon_spark.functions.similarity import knn_graph
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # many tables + few planes -> candidate recall ~1 on 40 vectors
+    got = knn_graph(df, k=3, planes=2, tables=12).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["id"], []).append((r["rank"], r["neighbor_id"], r["score"]))
+    # exact graph
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round((norms @ norms.T).astype(np.float64), 6)
+    ok = 0
+    for i in range(40):
+        order = sorted(
+            ((sims[i, j], j) for j in range(40) if j != i),
+            key=lambda p: (-p[0], p[1]),
+        )[:3]
+        expect = [j for _, j in order]
+        gotn = [n for _, n, _ in sorted(by_id.get(i, []))]
+        ok += gotn == expect
+    assert ok >= 38  # allow boundary rounding wiggle, not recall misses
+    # structural invariants: ranks are 1..k dense, no self edges
+    for i, lst in by_id.items():
+        ranks = sorted(r for r, _, _ in lst)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert all(n != i for _, n, _ in lst)
+
+
+def test_knn_graph_deterministic_and_k_bound(spark):
+    from tachyon_spark.functions.similarity import knn_graph
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, knn_graph(df, k=2, planes=1, tables=4).collect()))
+    b = sorted(map(tuple, knn_graph(df.repartition(3), k=2, planes=1, tables=4).collect()))
+    assert a == b
+    assert all(t[1] <= 2 for t in a)
+    import pytest
+
+    with pytest.raises(ValueError):
+        knn_graph(df, k=0)
