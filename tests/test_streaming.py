@@ -153,3 +153,69 @@ def test_watermark_drops_late_rows(db, tmp_path):
     assert dropped == 1
     out = {r.window_start_us: r for r in db.spark.sql("SELECT * FROM late_test").collect()}
     assert out[0].n == 1 and out[0].sum_value == 1.0  # late 100.0 not merged
+
+
+# ------------------------------------------------- stream-stream join
+def _ts_rows(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, event_ts timestamp")
+
+
+def test_stream_attribution_join_streaming_matches_batch(db, tmp_path):
+    """Stream-stream interval join: availableNow streaming result ==
+    the same call on batch frames (the replayable oracle)."""
+    import datetime as dt
+
+    from tachyon_spark.streaming import stream_attribution_join
+
+    spark = db.spark
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    imps = [(1, t(0)), (1, t(100)), (2, t(10)), (3, t(0))]
+    convs = [(1, t(30)), (2, t(400)), (3, t(299)), (4, t(5))]
+    imp_dir, conv_dir = str(tmp_path / "imp"), str(tmp_path / "conv")
+    _ts_rows(spark, imps).coalesce(1).write.parquet(imp_dir)
+    _ts_rows(spark, convs).coalesce(1).write.parquet(conv_dir)
+
+    schema = "user_id long, event_ts timestamp"
+    s_imp = spark.readStream.schema(schema).parquet(imp_dir)
+    s_conv = spark.readStream.schema(schema).parquet(conv_dir)
+    out = stream_attribution_join(s_imp, s_conv, within="5 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["lag_s"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    )
+    # user1: conv@30 matches imp@0 (lag 30) but NOT imp@100 (conv before);
+    # user2: conv@400 vs imp@10 -> lag 390 > 300 -> no match;
+    # user3: conv@299 matches imp@0 (lag 299 <= 300); user4: no imp
+    assert got == [(1, 30.0), (3, 299.0)]
+
+    batch = stream_attribution_join(
+        _ts_rows(spark, imps), _ts_rows(spark, convs), within="5 minutes"
+    )
+    got_batch = sorted((r["user_id"], r["lag_s"]) for r in batch.collect())
+    assert got_batch == got
+
+
+def test_stream_attribution_join_left_outer_batch(db):
+    import datetime as dt
+
+    from tachyon_spark.streaming import stream_attribution_join
+
+    spark = db.spark
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    imps = _ts_rows(spark, [(1, t(0)), (2, t(0))])
+    convs = _ts_rows(spark, [(1, t(10))])
+    out = stream_attribution_join(imps, convs, within="1 minutes", how="leftOuter")
+    rows = {r["user_id"]: r["lag_s"] for r in out.collect()}
+    assert rows[1] == 10.0 and rows[2] is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        stream_attribution_join(imps, convs, how="full")
