@@ -1906,6 +1906,28 @@ def q_stddev_windows(spark, sf_dir):
 
 
 
+def q_ts_extrema_windows(spark, sf_dir):
+    """PromQL ts_of_max/min/last_over_time(m[1h]) mirror (plans/builder.
+    _over_time_agg 'ts_of_*'): the TIMESTAMP of the max/min/newest sample
+    per (series, window). max_by/min_by over a (value, ±ts) struct — value
+    ties resolve to the LATEST ts in BOTH engines (the oracle replays the
+    same composite order), so duplicate samples can't flip the gate. One
+    shuffle, map-side partials."""
+    ev = _read(spark, sf_dir, "events")
+    w_us = 60 * 60 * 1_000_000
+    e = ev.select(
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.expr("ts DIV 1000").alias("t"),
+        (F.expr("ts DIV 1000") - F.expr("ts DIV 1000") % F.lit(w_us)).alias("ts_us"),
+    )
+    return e.groupBy("event_type", "ts_us").agg(
+        F.max_by("t", F.struct(F.col("value"), F.col("t"))).alias("ts_of_max"),
+        F.min_by("t", F.struct(F.col("value"), -F.col("t"))).alias("ts_of_min"),
+        F.max("t").alias("ts_of_last"),
+    )
+
+
 def q_holt_winters(spark, sf_dir):
     """PromQL holt_winters(m[1h], 0.3, 0.1) mirror (plans/builder.
     _holt_winters): double exponential smoothing per (series, window) — a
@@ -2809,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "vocab_stats": q_vocab_stats,
         "knn_graph": q_knn_graph,
+        "ts_extrema_windows": q_ts_extrema_windows,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -5269,6 +5292,29 @@ def oracle_sql() -> dict[str, str]:
                          - sum(c * ln(CAST(c AS DOUBLE)))
                            / CAST(sum(c) AS DOUBLE), 6) AS entropy
             FROM c GROUP BY doc_id
+        """,
+        "ts_extrema_windows": """
+            -- ts_of_* replay: composite (value, ±t) order — value ties
+            -- resolve to the LATEST t in both engines
+            WITH e AS (
+              SELECT event_type, CAST(value AS DOUBLE) AS value,
+                     epoch_us(ts) AS t,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us
+              FROM events
+            ),
+            r AS (
+              SELECT event_type, ts_us, t,
+                     row_number() OVER (PARTITION BY event_type, ts_us
+                       ORDER BY value DESC, t DESC) AS rmax,
+                     row_number() OVER (PARTITION BY event_type, ts_us
+                       ORDER BY value ASC, t DESC) AS rmin
+              FROM e
+            )
+            SELECT event_type, ts_us,
+                   max(CASE WHEN rmax = 1 THEN t END) AS ts_of_max,
+                   max(CASE WHEN rmin = 1 THEN t END) AS ts_of_min,
+                   max(t) AS ts_of_last
+            FROM r GROUP BY 1, 2
         """,
         "quality_percentile": f"""
             -- quality_score replay + per-source percent_rank over the

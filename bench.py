@@ -270,6 +270,7 @@ def main():
         "top_ngrams",
         "vocab_stats",
         "knn_graph",
+        "ts_extrema_windows",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

@@ -632,6 +632,26 @@ class PlanBuilder:
             return F.var_pop(v.cast("double")), VT_F64
         if fn == "present":
             return F.max(F.lit(1.0)), VT_F64
+        # ts_of_* (Prometheus 3.x experimental, promql functions.go
+        # funcTsOfMaxOverTime family): the TIMESTAMP of the newest /
+        # max / min sample, in native ts units as f64 (same unit
+        # divergence as timestamp(), ast.CLOCK_FUNCS note). Prometheus
+        # scans with >= / <=, so value ties resolve to the LATEST ts —
+        # mirrored here by the (value, ts) / (value, -ts) struct orders.
+        if fn == "ts_of_last":
+            return F.max("ts").cast("double"), VT_F64
+        if fn == "ts_of_max":
+            return (
+                F.max_by("ts", F.struct(v.cast("double"), F.col("ts")))
+                .cast("double"),
+                VT_F64,
+            )
+        if fn == "ts_of_min":
+            return (
+                F.min_by("ts", F.struct(v.cast("double"), -F.col("ts")))
+                .cast("double"),
+                VT_F64,
+            )
         # last: newest sample, (ts, value) tie-break
         return F.max_by("value", F.struct("ts", "value")), child_vt
 

@@ -296,6 +296,11 @@ OVER_TIME_FUNCS = frozenset(
         "stdvar_over_time",
         "present_over_time",
         "mad_over_time",
+        # Prometheus 3.x experimental: timestamp of the newest/max/min
+        # sample per window (native ts units as f64, like timestamp())
+        "ts_of_last_over_time",
+        "ts_of_max_over_time",
+        "ts_of_min_over_time",
     }
 )
 # calendar fields of sample values interpreted as unix seconds (UTC);

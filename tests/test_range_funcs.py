@@ -347,3 +347,26 @@ def test_mad_over_time_and_group(golden_db):
     assert {r.service: r.value for r in got} == {
         "web": 1.0, "cool": 1.0, "mobile": 1.0
     }
+
+
+def test_ts_of_over_time_funcs(golden_db):
+    # Prometheus 3.x experimental ts_of_* family: the TIMESTAMP (native
+    # units, f64) of the max/min/newest sample per window.
+    # web windows of 20 from 0: [20,40): (23,45),(29,47); [40,60): (40,23),(51,48)
+    q = 'http_requests_total{service="web"}'
+    assert golden_db.query(f"ts_of_max_over_time({q}[20])", 0, 100).rows() == [
+        (20, 29.0), (40, 51.0)]
+    assert golden_db.query(f"ts_of_min_over_time({q}[20])", 0, 100).rows() == [
+        (20, 23.0), (40, 40.0)]
+    assert golden_db.query(f"ts_of_last_over_time({q}[20])", 0, 100).rows() == [
+        (20, 29.0), (40, 51.0)]
+    # grid path shares the same aggregate column
+    got = golden_db.query_range(f"ts_of_max_over_time({q}[30])", 60, 60, 10).rows()
+    # window (30, 60]: samples at 40 (23), 51 (48) -> max 48 at ts 51
+    assert got == [(60, 51.0)]
+    # value ties resolve to the LATEST timestamp (Prometheus >= scan):
+    # ia values [0,20,0,20] at ts [10,20,30,40] -> max 20 latest at 40
+    assert golden_db.query("ts_of_max_over_time(ia[100])", 0, 100).rows() == [
+        (0, 40.0)]
+    assert golden_db.query("ts_of_min_over_time(ia[100])", 0, 100).rows() == [
+        (0, 30.0)]
