@@ -100,6 +100,14 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("parse-headers")
 
+    # metadata introspection (beyond the reference CLI; Prometheus
+    # /api/v1/labels // label/<l>/values // series parity)
+    sub.add_parser("labels")
+    sp = sub.add_parser("label-values")
+    sp.add_argument("label")
+    sp = sub.add_parser("series")
+    sp.add_argument("selector")
+
     args = p.parse_args(argv)
 
     from tachyon_spark.connection import Connection
@@ -159,6 +167,17 @@ def main(argv: list[str] | None = None) -> int:
             step=args.step, lookback=args.lookback,
         )
         print(f"recorded {len(ids)} stream(s)")
+    elif args.cmd == "labels":
+        for name in conn.label_names():
+            print(name)
+    elif args.cmd == "label-values":
+        for v in conn.label_values(args.label):
+            print(v)
+    elif args.cmd == "series":
+        import json as _json
+
+        for s in conn.series(args.selector):
+            print(_json.dumps(s, sort_keys=True))
     elif args.cmd == "check-stream-exists":
         # tachyon_cli/src/main.rs:66-102
         if conn.check_stream_exists(args.selector):

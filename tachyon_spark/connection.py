@@ -198,6 +198,49 @@ class Connection:
     def get_all_streams(self) -> list:
         return self.catalog.all_streams()
 
+    # ---- label/series introspection (Prometheus metadata API parity:
+    # /api/v1/labels, /api/v1/label/<l>/values, /api/v1/series — the
+    # reference's SQLite inverted index answers these implicitly,
+    # indexer.rs:136-179). Driver-side over the catalog's bounded
+    # metadata, the same altitude the label machinery already lives at;
+    # 10^5+-series catalogs go through catalog.df() distributed instead.
+
+    def label_names(self) -> list[str]:
+        """All label names in use, plus '__name__', sorted."""
+        names = {"__name__"}
+        for s in self.catalog.all_streams():
+            names.update(s.labels)
+        return sorted(names)
+
+    def label_values(self, label: str) -> list[str]:
+        """Distinct values of a label ('__name__' = metric names), sorted."""
+        if label == "__name__":
+            return sorted({s.name for s in self.catalog.all_streams()})
+        return sorted(
+            {
+                s.labels[label]
+                for s in self.catalog.all_streams()
+                if label in s.labels
+            }
+        )
+
+    def series(self, selector: str) -> list[dict[str, str]]:
+        """Full label sets of the streams matching a selector, each
+        including the synthetic '__name__', sorted for determinism.
+        Unlike stream creation, any matcher op is allowed here (=, !=,
+        =~, !~ — the query-side resolve semantics)."""
+        from tachyon_spark.catalog import check_matcher_regexes
+
+        expr = parse(selector)
+        if not isinstance(expr, VectorSelector):
+            raise ValueError(
+                f"expected a vector selector, got {type(expr).__name__}"
+            )
+        check_matcher_regexes(expr.matchers)
+        rows = self.catalog.resolve(expr.name, expr.matchers)
+        out = [{"__name__": r.name, **r.labels} for r in rows]
+        return sorted(out, key=lambda d: sorted(d.items()))
+
     def delete_stream(self, selector: str) -> int:
         """Delete matching streams: catalog rows + their samples partitions.
         (The reference declares but never implements this — lib.rs:458-460

@@ -53,13 +53,28 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": "not found"})
 
     def do_POST(self):
-        if self.path not in ("/query", "/query_range", "/record"):
+        if self.path not in (
+            "/query", "/query_range", "/record",
+            "/labels", "/label_values", "/series",
+        ):
             self._json(404, {"error": "not found"})
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
             conn = _get_connection(req["path"])
+            # Prometheus metadata API parity (beyond the reference):
+            # {path} -> labels; {path, label} -> values; {path, selector}
+            # -> full matching label sets
+            if self.path == "/labels":
+                self._json(200, {"labels": conn.label_names()})
+                return
+            if self.path == "/label_values":
+                self._json(200, {"values": conn.label_values(req["label"])})
+                return
+            if self.path == "/series":
+                self._json(200, {"series": conn.series(req["selector"])})
+                return
             if self.path == "/record":
                 # recording rule: {path, name, query, start, end[, step,
                 # lookback]} -> {streams: [ids]}

@@ -186,3 +186,64 @@ def test_http_record(tmp_path, spark):
         assert body["timestamps"] == [20] and body["values"] == [4.0]
     finally:
         srv.shutdown()
+
+
+def test_metadata_api_and_endpoints(tmp_path, spark):
+    """Prometheus metadata-API parity: label_names / label_values / series
+    on the Connection, plus the /labels /label_values /series endpoints."""
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "metadb")
+    conn = Connection(db, spark)
+    conn.create_stream('reqs{service="web",tier="gold"}', "f64")
+    conn.create_stream('reqs{service="db"}', "u64")
+    conn.create_stream('errs{service="web"}', "i64")
+
+    assert conn.label_names() == ["__name__", "service", "tier"]
+    assert conn.label_values("__name__") == ["errs", "reqs"]
+    assert conn.label_values("service") == ["db", "web"]
+    assert conn.label_values("nope") == []
+    got = conn.series('reqs{service=~"w.*"}')
+    assert got == [{"__name__": "reqs", "service": "web", "tier": "gold"}]
+
+    import tachyon_spark.server as srv_mod
+    from tachyon_spark.server import serve
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.load(r)
+
+    try:
+        assert post("/labels", {"path": db})["labels"] == [
+            "__name__", "service", "tier"]
+        assert post("/label_values", {"path": db, "label": "service"})[
+            "values"] == ["db", "web"]
+        assert post("/series", {"path": db, "selector": "reqs"})["series"] == [
+            {"__name__": "reqs", "service": "db"},
+            {"__name__": "reqs", "service": "web", "tier": "gold"},
+        ]
+    finally:
+        srv.shutdown()
+
+
+def test_cli_metadata_verbs(tmp_path, capsys):
+    db = str(tmp_path / "climeta")
+    cli_main([db, "create-stream", 'm{service="web"}', "f64"])
+    cli_main([db, "create-stream", 'm{service="db"}', "f64"])
+    capsys.readouterr()
+    assert cli_main([db, "labels"]) == 0
+    assert capsys.readouterr().out.split() == ["__name__", "service"]
+    assert cli_main([db, "label-values", "service"]) == 0
+    assert capsys.readouterr().out.split() == ["db", "web"]
+    assert cli_main([db, "series", 'm{service="web"}']) == 0
+    assert json.loads(capsys.readouterr().out) == {
+        "__name__": "m", "service": "web"}
