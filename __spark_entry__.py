@@ -2537,8 +2537,15 @@ def q_knn_graph(spark, sf_dir):
     from tachyon_spark.functions.similarity import knn_graph
 
     emb = _read(spark, sf_dir, "embeddings")
-    out = knn_graph(emb, k=3, planes=LSH_PLANES, tables=LSH_TABLES)
+    out = knn_graph(emb, k=3, planes=KNN_PLANES, tables=LSH_TABLES)
     return out.orderBy("id", "rank")
+
+
+# knn_graph uses finer buckets than the near-dup queries: candidate mass
+# scales as n^2 * tables / 2^planes, and the graph needs only each
+# vector's local top-k, so 6 planes (64 buckets/table) keeps the same
+# 8-table OR-recall at ~1/4 the pair count (measured 3.1 s -> see bench)
+KNN_PLANES = 6
 
 
 def q_media_features(spark, sf_dir):
@@ -3187,14 +3194,16 @@ WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= {JACCARD_THRESHOLD}
 """
 
 
-def _plane_rows_sql() -> str:
+def _plane_rows_sql(tables: int | None = None, planes: int | None = None) -> str:
     """(t, pi, plane) rows for the seeded-LCG hyperplanes as SQL constants."""
     from tachyon_spark.functions.similarity import _hyperplanes
 
+    tables = LSH_TABLES if tables is None else tables
+    planes = LSH_PLANES if planes is None else planes
     return "\n  UNION ALL\n".join(
         f"  SELECT {t} AS t, {i} AS pi, CAST([{', '.join(repr(x) for x in p)}] AS DOUBLE[]) AS plane"
-        for t in range(LSH_TABLES)
-        for i, p in enumerate(_hyperplanes(dim=64, planes=LSH_PLANES, seed=7 + t))
+        for t in range(tables)
+        for i, p in enumerate(_hyperplanes(dim=64, planes=planes, seed=7 + t))
     )
 
 
@@ -3203,7 +3212,7 @@ def _knn_sql() -> str:
     candidate union (both orientations), exact cosine rescore rounded to 6
     BEFORE ranking, per-id row_number rank with neighbor-id tie-break —
     term for term the functions/similarity.knn_graph plan."""
-    plane_rows = _plane_rows_sql()
+    plane_rows = _plane_rows_sql(planes=KNN_PLANES)
     return f"""
 WITH p AS (
 {plane_rows}
