@@ -455,3 +455,33 @@ def test_gopher_flags_model(spark, docs):
             g[k] for k in
             ("ok_n_tokens", "ok_word_len", "ok_symbols", "ok_alpha", "ok_stopwords")
         )
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        # ±~130 years around the epoch, fractional seconds included
+        st.floats(min_value=-4.0e9, max_value=4.0e9,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=40,
+    )
+)
+def test_calendar_col_matches_python_datetime(spark, epochs):
+    """plans/builder._calendar_col (tz-free date_add arithmetic) must agree
+    with Python's proleptic-Gregorian datetime on arbitrary epochs —
+    including negatives (pre-1970) and fractional seconds."""
+    from pyspark.sql import functions as F
+
+    from tachyon_spark.plans.builder import PlanBuilder
+
+    funcs = ["minute", "hour", "day_of_week", "day_of_month",
+             "day_of_year", "days_in_month", "month", "year"]
+    df = spark.createDataFrame([(v,) for v in epochs], "v double")
+    row_cols = [
+        PlanBuilder._calendar_col(f, F.col("v")).alias(f) for f in funcs
+    ]
+    got = df.select("v", *row_cols).collect()
+    for r in got:
+        for f in funcs:
+            assert r[f] == PlanBuilder._calendar_py(f, r["v"]), (f, r["v"])
