@@ -2727,6 +2727,38 @@ def q_mixture_resample(spark, sf_dir):
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
+def q_temperature_resample(spark, sf_dir):
+    """Temperature mixture flattening (functions/sampling.
+    temperature_resample, alpha=0.5): domain share ∝ sqrt(count) — the
+    mC4/XLM-R rule. sqrt is IEEE-exact, so the oracle recomputes the same
+    weights from its own counts and floors identical doubles; selection
+    replays mixture_resample's quota machinery."""
+    from tachyon_spark.functions.sampling import temperature_resample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = temperature_resample(docs, alpha=0.5, group_col="lang")
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_corr_matrix(spark, sf_dir):
+    """One-scan pairwise Pearson correlations (functions/util.corr_matrix)
+    over document length signals — all pairs in a single agg (no per-pair
+    jobs), long-form output, round-6 against partial-aggregation order."""
+    from tachyon_spark.functions.textstats import _tokens
+    from tachyon_spark.functions.util import corr_matrix
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(_tokens(F.col("text"))).cast("double").alias("n_tokens"),
+        F.size(F.array_distinct(_tokens(F.lower(F.col("text")))))
+        .cast("double")
+        .alias("n_types"),
+    )
+    return corr_matrix(docs, ["n_chars", "n_tokens", "n_types"]).orderBy(
+        "col_a", "col_b"
+    )
+
+
 def q_token_entropy(spark, sf_dir):
     """Within-doc token Shannon entropy (functions/textstats.
     token_entropy): H = ln n - (sum c ln c)/n per document — the
@@ -2839,6 +2871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "knn_graph": q_knn_graph,
         "ts_extrema_windows": q_ts_extrema_windows,
+        "temperature_resample": q_temperature_resample,
+        "corr_matrix": q_corr_matrix,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -5324,6 +5358,61 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rmin = 1 THEN t END) AS ts_of_min,
                    max(t) AS ts_of_last
             FROM r GROUP BY 1, 2
+        """,
+        "temperature_resample": """
+            -- sqrt-temperature weights recomputed from the oracle's own
+            -- counts (sqrt is IEEE-exact: identical doubles both engines),
+            -- then the mixture_resample quota + hash-rank replay
+            WITH c AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY 1
+            ),
+            p AS (
+              SELECT lang,
+                     sqrt(CAST(n AS DOUBLE))
+                       / (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM c) AS p
+              FROM c
+            ),
+            feas AS (
+              SELECT CAST(min(floor(c.n / p.p)) AS BIGINT) AS nstar
+              FROM p JOIN c USING (lang)
+            ),
+            q AS (
+              SELECT p.lang,
+                     CAST(floor((SELECT nstar FROM feas) * p.p) AS BIGINT)
+                       AS quota
+              FROM p
+            ),
+            r AS (
+              SELECT d.doc_id, d.lang,
+                     row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY CAST(CONCAT('0x',
+                         substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'),
+                                1, 15)) AS BIGINT),
+                                d.doc_id
+                     ) AS rn
+              FROM documents d JOIN q ON d.lang = q.lang
+            )
+            SELECT doc_id, lang FROM r JOIN q USING (lang)
+            WHERE rn <= quota ORDER BY doc_id
+        """,
+        "corr_matrix": f"""
+            WITH s AS (
+              SELECT CAST(n_chars AS DOUBLE) AS n_chars,
+                     CAST(len({tok}) AS DOUBLE) AS n_tokens,
+                     CAST(len(list_distinct({ltok})) AS DOUBLE) AS n_types
+              FROM documents
+            )
+            SELECT col_a, col_b, corr FROM (
+              SELECT 'n_chars' AS col_a, 'n_tokens' AS col_b,
+                     round(corr(n_chars, n_tokens), 6) AS corr FROM s
+              UNION ALL
+              SELECT 'n_chars', 'n_types', round(corr(n_chars, n_types), 6)
+              FROM s
+              UNION ALL
+              SELECT 'n_tokens', 'n_types', round(corr(n_tokens, n_types), 6)
+              FROM s
+            ) ORDER BY col_a, col_b
         """,
         "quality_percentile": f"""
             -- quality_score replay + per-source percent_rank over the

@@ -271,6 +271,8 @@ def main():
         "vocab_stats",
         "knn_graph",
         "ts_extrema_windows",
+        "temperature_resample",
+        "corr_matrix",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

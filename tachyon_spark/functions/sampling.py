@@ -427,3 +427,39 @@ def mixture_resample(
         .where(F.col("__rn") <= F.col("__quota"))
         .drop("__h", "__rs", "__rn", "__quota")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    total: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture flattening: resample so domain d's share
+    is proportional to count_d^alpha — the multilingual/multi-domain
+    sampling rule (mC4 / XLM-R style: alpha < 1 UP-weights small domains
+    relative to their natural share without literal upsampling; alpha=1 is
+    the natural mixture, alpha=0 uniform). The target proportions come
+    from one tiny counts aggregate; selection delegates to
+    mixture_resample's skew-safe quota machinery, so everything there
+    (determinism, subset-monotonicity, no hot-domain task) carries over.
+
+    Note on alpha: 0.5 (the common default) uses sqrt, which IEEE 754
+    rounds exactly — any engine replaying the weights computes identical
+    doubles; arbitrary alphas go through pow, whose last ulp is
+    library-dependent, so cross-engine replays should prefer 0.5."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return df.limit(0)
+    target = {d: float(n) ** alpha for d, n in counts.items()}
+    return mixture_resample(
+        df, target, group_col=group_col, key_col=key_col, salt=salt,
+        total=total,
+    )

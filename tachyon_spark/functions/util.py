@@ -68,3 +68,34 @@ def table_profile(df, columns: list[str] | None = None):
         f"stack({len(cols)}, {stack_args}) AS "
         "(column, n_rows, n_null, n_distinct, min_value, max_value)"
     )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns in ONE scan:
+    all k(k-1)/2 F.corr aggregates land in a single groupBy().agg — one
+    pass, map-side partial moments, no per-pair jobs (df.stat.corr runs a
+    job per pair). Output is long form (col_a, col_b, corr) with a < b,
+    rounded to 6 (covariance partial-aggregation order differs between
+    engines in the last ulps). The feature-redundancy screen that runs
+    before training-data feature selection."""
+    from pyspark.sql import functions as F
+
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    aggs = []
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            pairs.append((a, b))
+            aggs.append(
+                F.round(
+                    F.corr(F.col(a).cast("double"), F.col(b).cast("double")), 6
+                ).alias(f"__c{len(aggs)}")
+            )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+    )

@@ -293,3 +293,29 @@ def test_mixture_resample_stability_and_infeasible(docs, spark):
         mixture_resample(docs, {})
     with pytest.raises(ValueError):
         mixture_resample(docs, {"crawl": -1.0, "wiki": 2.0})
+
+
+def test_temperature_resample_flattens(spark):
+    from tachyon_spark.functions.sampling import temperature_resample
+
+    # skewed corpus: big 400 docs, small 100
+    rows = [(i, "big" if i < 400 else "small", "t") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = temperature_resample(df, alpha=0.5)
+    counts = {r["source"]: r["n"]
+              for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # alpha=0.5: weights 20:10 -> target 2/3:1/3; feasible N* =
+    # min(400/(2/3), 100/(1/3)) = 300 -> quotas 200:100
+    assert counts == {"big": 200, "small": 100}
+    # alpha=1 is the natural mixture: everything kept
+    nat = temperature_resample(df, alpha=1.0)
+    assert nat.count() == 500
+    # alpha=0 targets uniform: quotas 100:100
+    uni = temperature_resample(df, alpha=0.0)
+    cu = {r["source"]: r["n"]
+          for r in uni.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert cu == {"big": 100, "small": 100}
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_resample(df, alpha=-0.1)

@@ -109,3 +109,20 @@ def test_vocab_stats(spark):
     # B: 4 tokens 1 type, no hapax
     assert out["B"]["n_tokens"] == 4 and out["B"]["n_types"] == 1
     assert out["B"]["hapax_frac"] == 0.0
+
+
+def test_corr_matrix_one_scan(spark):
+    import math
+
+    from tachyon_spark.functions.util import corr_matrix
+
+    rows = [(float(i), 2.0 * i + 1.0, float((-1) ** i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")] == 1.0  # exact linear
+    assert abs(got[("x", "z")]) < 0.2  # alternating sign ~ uncorrelated
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    import pytest
+
+    with pytest.raises(ValueError):
+        corr_matrix(df, ["x"])
