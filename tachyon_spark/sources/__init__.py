@@ -4,6 +4,11 @@ from tachyon_spark.sources.csv_io import (
     import_csv,
     import_jsonl,
 )
+from tachyon_spark.sources.bucketed import (
+    is_exchange_free_join,
+    read_bucketed,
+    write_bucketed,
+)
 from tachyon_spark.sources.stats import samples_file_stats
 
 __all__ = [
@@ -12,4 +17,7 @@ __all__ = [
     "import_jsonl",
     "export_jsonl",
     "samples_file_stats",
+    "write_bucketed",
+    "read_bucketed",
+    "is_exchange_free_join",
 ]

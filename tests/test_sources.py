@@ -133,3 +133,47 @@ def test_jsonl_integer_stream_typed(spark, tmp_path):
     src.write_text(json.dumps({"ts": 5, "value": 42}))
     assert import_jsonl(conn, 'jli{k="1"}', str(src)) == 1
     assert conn.query('jli{k="1"}', 0, 10).rows() == [(5, 42)]
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """write_bucketed pays the shuffle once: a later equi-join of two
+    tables bucketed on the same key plans with NO Exchange (and, with
+    sortBy, no extra Sort) — the repeated-join co-location contract."""
+    from pyspark.sql import functions as F
+
+    from tachyon_spark.sources import (
+        is_exchange_free_join,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("x")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("y")
+    )
+    write_bucketed(a, "tb_a", ["user_id"], n_buckets=8,
+                   sort_cols=["user_id"], path=str(tmp_path / "a"))
+    write_bucketed(b, "tb_b", ["user_id"], n_buckets=8,
+                   sort_cols=["user_id"], path=str(tmp_path / "b"))
+    ra, rb = read_bucketed(spark, "tb_a"), read_bucketed(spark, "tb_b")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert is_exchange_free_join(ra, rb, ["user_id"])
+        joined = ra.join(rb, "user_id")
+        assert joined.count() == 1000
+        # a plain parquet read of the same files LOSES the bucket spec
+        plain = spark.read.parquet(str(tmp_path / "a"))
+        assert not is_exchange_free_join(plain, rb, ["user_id"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS tb_a")
+        spark.sql("DROP TABLE IF EXISTS tb_b")
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_bucketed(a, "tb_bad", [], n_buckets=8)
