@@ -1928,6 +1928,26 @@ def q_ts_extrema_windows(spark, sf_dir):
     )
 
 
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB visualization downsampling, parallel fixed-anchor variant
+    (operators/downsample.lttb_downsample): one max-triangle-area sample
+    per (series, 1h bucket) vs neighbor-bucket mean anchors; endpoints
+    pinned. Areas round to 6 pre-argmax with earliest-ts ties so the
+    oracle's two-key window ordering replays the same picks."""
+    from tachyon_spark.operators.downsample import lttb_downsample
+
+    ev = _read(spark, sf_dir, "events")
+    w_us = 60 * 60 * 1_000_000
+    e = ev.select(
+        "event_type",
+        F.expr("ts DIV 1000").alias("t_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return lttb_downsample(
+        e, w_us, key_col="event_type", ts_col="t_us", value_col="value"
+    )
+
+
 def q_holt_winters(spark, sf_dir):
     """PromQL holt_winters(m[1h], 0.3, 0.1) mirror (plans/builder.
     _holt_winters): double exponential smoothing per (series, window) — a
@@ -2873,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_extrema_windows": q_ts_extrema_windows,
         "temperature_resample": q_temperature_resample,
         "corr_matrix": q_corr_matrix,
+        "lttb_downsample": q_lttb_downsample,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -5335,6 +5356,44 @@ def oracle_sql() -> dict[str, str]:
                          - sum(c * ln(CAST(c AS DOUBLE)))
                            / CAST(sum(c) AS DOUBLE), 6) AS entropy
             FROM c GROUP BY doc_id
+        """,
+        "lttb_downsample": """
+            -- fixed-anchor LTTB replay: bucket means, lag/lead anchors,
+            -- round-6 area argmax; first bucket -> min t, last -> max t
+            WITH e AS (
+              SELECT event_type AS key, epoch_us(ts) AS t,
+                     CAST(value AS DOUBLE) AS v,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket
+              FROM events
+            ),
+            m AS (
+              SELECT key, bucket, avg(CAST(t AS DOUBLE)) AS mt,
+                     avg(v) AS mv
+              FROM e GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT key, bucket,
+                     lag(mt) OVER w AS at, lag(mv) OVER w AS av,
+                     lead(mt) OVER w AS ct, lead(mv) OVER w AS cv
+              FROM m WINDOW w AS (PARTITION BY key ORDER BY bucket)
+            ),
+            c AS (
+              SELECT e.key, e.bucket, e.t, e.v, a.at, a.ct,
+                     round(abs((a.at - a.ct) * (e.v - a.av)
+                               - (a.at - CAST(e.t AS DOUBLE))
+                                 * (a.cv - a.av)) / 2.0, 6) AS area
+              FROM e JOIN a USING (key, bucket)
+            ),
+            r AS (
+              SELECT key, bucket, t, v,
+                     row_number() OVER (PARTITION BY key, bucket ORDER BY
+                       CASE WHEN at IS NULL OR ct IS NULL THEN 0.0
+                            ELSE area END DESC,
+                       CASE WHEN ct IS NULL AND at IS NOT NULL
+                            THEN -t ELSE t END ASC) AS rn
+              FROM c
+            )
+            SELECT key, bucket, t AS ts, v AS value FROM r WHERE rn = 1
         """,
         "ts_extrema_windows": """
             -- ts_of_* replay: composite (value, ±t) order — value ties

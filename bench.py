@@ -273,6 +273,7 @@ def main():
         "ts_extrema_windows",
         "temperature_resample",
         "corr_matrix",
+        "lttb_downsample",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

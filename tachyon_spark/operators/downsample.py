@@ -188,3 +188,83 @@ def cusum_drift(
         "key", "window", F.size("__vs").alias("n"),
         smax.alias("s_max"), (smax > F.lit(h)).alias("alarmed"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    bucket_width: int,
+    key_col: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    anchor: int = 0,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013), the
+    PARALLEL fixed-anchor variant: per (series, bucket) keep the sample
+    maximizing the triangle area against the NEIGHBOR BUCKETS' MEAN
+    points. Classic LTTB anchors on the previously SELECTED point — a
+    sequential chain no distributed plan can honor; anchoring on the
+    previous bucket's mean (the same approximation the original paper
+    uses for the NEXT bucket) keeps selections within ~1 sample of the
+    sequential algorithm on smooth series and makes every bucket
+    independent. First/last buckets keep their first/last sample (LTTB
+    always pins the endpoints). Returns (key, bucket, ts, value).
+
+    Shape: one (series, bucket) aggregate for the means, one bounded
+    window over the means frame (bucket-count-sized — the display width,
+    not the data), one join back, one argmax aggregate. Areas round to 6
+    before the argmax (ties -> earliest ts) so the selection replays
+    identically in SQL."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    from pyspark.sql import Window
+
+    b = (
+        (F.col(ts_col) - F.lit(anchor))
+        - (F.col(ts_col) - F.lit(anchor)) % F.lit(bucket_width)
+        + F.lit(anchor)
+    )
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+        b.alias("bucket"),
+    )
+    means = base.groupBy("key", "bucket").agg(
+        F.avg(F.col("ts").cast("double")).alias("mt"),
+        F.avg("value").alias("mv"),
+    )
+    w = Window.partitionBy("key").orderBy("bucket")
+    anchors = means.select(
+        "key", "bucket",
+        F.lag("mt").over(w).alias("at"), F.lag("mv").over(w).alias("av"),
+        F.lead("mt").over(w).alias("ct"), F.lead("mv").over(w).alias("cv"),
+    )
+    cand = base.join(anchors, ["key", "bucket"])
+    area = F.round(
+        F.abs(
+            (F.col("at") - F.col("ct")) * (F.col("value") - F.col("av"))
+            - (F.col("at") - F.col("ts").cast("double"))
+            * (F.col("cv") - F.col("av"))
+        ) / F.lit(2.0),
+        6,
+    )
+    pt = F.struct(F.col("ts").alias("ts"), F.col("value").alias("value"))
+    picked = cand.groupBy("key", "bucket").agg(
+        F.max_by(
+            pt,
+            F.when(
+                F.col("at").isNull(),  # first bucket: keep FIRST sample
+                F.struct(F.lit(0.0).alias("a"), (-F.col("ts")).alias("o")),
+            )
+            .when(
+                F.col("ct").isNull(),  # last bucket: keep LAST sample
+                F.struct(F.lit(0.0).alias("a"), F.col("ts").alias("o")),
+            )
+            .otherwise(
+                F.struct(area.alias("a"), (-F.col("ts")).alias("o"))
+            ),
+        ).alias("p")
+    )
+    return picked.select(
+        "key", "bucket", F.col("p.ts").alias("ts"), F.col("p.value").alias("value")
+    )

@@ -101,3 +101,60 @@ def test_cusum_drift_detects_sustained_shift(spark):
     )
     got = cusum_drift(const, 1000).collect()
     assert got[0].s_max == 0.0 and not got[0].alarmed
+
+
+def test_lttb_downsample_matches_python_model(spark):
+    """Fixed-anchor LTTB vs a direct Python replay: one selected sample
+    per bucket, endpoints pinned, interior pick = max triangle area vs
+    neighbor-bucket means (area round-6, tie -> earliest ts)."""
+    from tachyon_spark.operators.downsample import lttb_downsample
+
+    pts = [(t, float(((t * 7) % 13) - 6)) for t in range(0, 40)]
+    df = spark.createDataFrame(
+        [("s", t, v) for t, v in pts], "stream_id string, ts long, value double"
+    )
+    got = {
+        r["bucket"]: (r["ts"], r["value"])
+        for r in lttb_downsample(df, 10).collect()
+    }
+
+    # python model
+    import collections
+
+    buckets = collections.defaultdict(list)
+    for t, v in pts:
+        buckets[t - t % 10].append((t, v))
+    order = sorted(buckets)
+    means = {b: (sum(t for t, _ in buckets[b]) / len(buckets[b]),
+                 sum(v for _, v in buckets[b]) / len(buckets[b]))
+             for b in order}
+    expect = {}
+    for i, bkt in enumerate(order):
+        if i == 0:
+            expect[bkt] = min(buckets[bkt])
+        elif i == len(order) - 1:
+            expect[bkt] = max(buckets[bkt])
+        else:
+            at, av = means[order[i - 1]]
+            ct, cv = means[order[i + 1]]
+            best = max(
+                buckets[bkt],
+                key=lambda p: (round(abs((at - ct) * (p[1] - av)
+                                         - (at - p[0]) * (cv - av)) / 2, 6),
+                               -p[0]),
+            )
+            expect[bkt] = best
+    assert got == expect
+    assert len(got) == 4  # one pick per bucket
+
+
+def test_lttb_validation(spark):
+    import pytest
+
+    from tachyon_spark.operators.downsample import lttb_downsample
+
+    df = spark.createDataFrame([("s", 1, 1.0)], "stream_id string, ts long, value double")
+    with pytest.raises(ValueError):
+        lttb_downsample(df, 0)
+    # single-bucket series keeps its first sample
+    assert lttb_downsample(df, 10).collect()[0]["ts"] == 1
