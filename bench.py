@@ -160,8 +160,16 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         # k-gram duplicated-span mark join (semdedup is excluded here on
         # purpose: its cluster COUNT must scale with the corpus — the
         # bench query pins k for oracle replay, so 10x data would measure
-        # a misconfigured quadratic, not the operator)
+        # a misconfigured quadratic, not the operator; knn_graph is
+        # excluded for the same reason — fixed LSH planes make candidate
+        # mass quadratic in corpus size, the real deployment re-sizes
+        # planes with auto_planes)
         "dup_span_stats",
+        # round-5 linear ops: single-shuffle aggregates + quota machinery
+        "calendar_fields",
+        "top_ngrams",
+        "mixture_resample",
+        "lttb_downsample",
     ]
     entrymod._read(spark, rep, "events").count()  # warm listing
     out["full_scan_agg"] = timed(

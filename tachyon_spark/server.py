@@ -56,6 +56,7 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path not in (
             "/query", "/query_range", "/record",
             "/labels", "/label_values", "/series",
+            "/api/v1/query", "/api/v1/query_range",
         ):
             self._json(404, {"error": "not found"})
             return
@@ -74,6 +75,25 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if self.path == "/series":
                 self._json(200, {"series": conn.series(req["selector"])})
+                return
+            if self.path in ("/api/v1/query", "/api/v1/query_range"):
+                # Prometheus API response shape (promapi.py): what
+                # Grafana-style clients poll. ns_clock (default True)
+                # renders native-ns timestamps as unix seconds.
+                from tachyon_spark.promapi import prometheus_envelope
+
+                if self.path.endswith("query_range"):
+                    q = conn.query_range(
+                        req["query"], req["start"], req["end"], req["step"],
+                        req.get("lookback"),
+                    )
+                else:
+                    q = conn.query(
+                        req["query"], req.get("start"), req.get("end")
+                    )
+                self._json(
+                    200, prometheus_envelope(q, req.get("ns_clock", True))
+                )
                 return
             if self.path == "/record":
                 # recording rule: {path, name, query, start, end[, step,
@@ -111,7 +131,15 @@ class _Handler(BaseHTTPRequestHandler):
                 payload = {"value_type": q.value_type, "values": q.rows()}
             self._json(200, payload)
         except Exception as exc:  # mirror the reference's error JSON
-            self._json(400, {"error": str(exc)})
+            if self.path.startswith("/api/v1/"):
+                # Prometheus-style error envelope for the /api surface
+                self._json(
+                    400,
+                    {"status": "error", "errorType": "bad_data",
+                     "error": str(exc)},
+                )
+            else:
+                self._json(400, {"error": str(exc)})
 
 
 def serve(host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPServer:

@@ -247,3 +247,77 @@ def test_cli_metadata_verbs(tmp_path, capsys):
     assert cli_main([db, "series", 'm{service="web"}']) == 0
     assert json.loads(capsys.readouterr().out) == {
         "__name__": "m", "service": "web"}
+
+
+def test_prometheus_api_endpoints(tmp_path, spark):
+    """/api/v1/query(_range): Prometheus response envelope — per-series
+    matrix with label sets, grouped instants as vectors, scalars, and the
+    Prometheus-style error envelope."""
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "promdb")
+    conn = Connection(db, spark)
+    for svc, pts in (("web", [(10, 1.0), (20, 2.0)]), ("db", [(10, 5.0)])):
+        conn.create_stream(f'reqs{{service="{svc}"}}', "f64")
+        ins = conn.prepare_insert(f'reqs{{service="{svc}"}}')
+        for t, v in pts:
+            ins.insert(t, v)
+        ins.flush()
+
+    import tachyon_spark.server as srv_mod
+    from tachyon_spark.server import serve
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+
+    def post(path, payload, expect_err=False):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return json.load(r)
+        except urllib.error.HTTPError as e:
+            assert expect_err
+            return json.load(e)
+
+    try:
+        # per-series matrix with full label sets (raw native ts: ns_clock off)
+        body = post("/api/v1/query", {
+            "path": db, "query": "reqs", "start": 0, "end": 100,
+            "ns_clock": False})
+        assert body["status"] == "success"
+        data = body["data"]
+        assert data["resultType"] == "matrix"
+        by_svc = {s["metric"]["service"]: s["values"] for s in data["result"]}
+        assert by_svc["db"] == [[10, "5.0"]]
+        assert by_svc["web"] == [[10, "1.0"], [20, "2.0"]]
+        assert all(s["metric"]["__name__"] == "reqs" for s in data["result"])
+        # grouped instant -> Prometheus vector
+        body = post("/api/v1/query", {
+            "path": db, "query": "sum by (service) (reqs)",
+            "start": 0, "end": 100})
+        assert body["data"]["resultType"] == "vector"
+        got = {r["metric"]["service"]: r["value"][1]
+               for r in body["data"]["result"]}
+        assert got == {"db": "5.0", "web": "3.0"}
+        # scalar
+        body = post("/api/v1/query", {
+            "path": db, "query": "sum(reqs)", "start": 0, "end": 100})
+        assert body["data"] == {"resultType": "scalar", "result": [0, "8.0"]}
+        # query_range matrix (step grid), native units
+        body = post("/api/v1/query_range", {
+            "path": db, "query": 'reqs{service="web"}', "start": 0,
+            "end": 30, "step": 10, "lookback": 10, "ns_clock": False})
+        vals = body["data"]["result"][0]["values"]
+        assert vals == [[10, "1.0"], [20, "2.0"], [30, "2.0"]]
+        # error envelope
+        body = post("/api/v1/query", {
+            "path": db, "query": "not a query ((", "start": 0, "end": 1},
+            expect_err=True)
+        assert body["status"] == "error" and body["error"]
+    finally:
+        srv.shutdown()
