@@ -49,8 +49,47 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/health":
             self._json(200, {"status": "ok"})
-        else:
-            self._json(404, {"error": "not found"})
+            return
+        # GET form of the /api/v1 endpoints (the shape Prometheus clients
+        # actually issue): query params instead of a JSON body. Numeric
+        # params parse as ints (native-unit clocks are integers).
+        from urllib.parse import parse_qsl, urlparse
+
+        parsed = urlparse(self.path)
+        if parsed.path in ("/api/v1/query", "/api/v1/query_range"):
+            req = dict(parse_qsl(parsed.query))
+            for k in ("start", "end", "step", "lookback"):
+                if k in req:
+                    req[k] = int(req[k])
+            if "ns_clock" in req:
+                req["ns_clock"] = req["ns_clock"] not in ("0", "false", "")
+            self.path = parsed.path
+            self._handle_api(req)
+            return
+        self._json(404, {"error": "not found"})
+
+    def _handle_api(self, req: dict) -> None:
+        """Prometheus API response shape (promapi.py): what Grafana-style
+        clients poll, via GET query params or POST JSON. ns_clock
+        (default True) renders native-ns timestamps as unix seconds."""
+        try:
+            conn = _get_connection(req["path"])
+            from tachyon_spark.promapi import prometheus_envelope
+
+            if self.path.endswith("query_range"):
+                q = conn.query_range(
+                    req["query"], req["start"], req["end"], req["step"],
+                    req.get("lookback"),
+                )
+            else:
+                q = conn.query(req["query"], req.get("start"), req.get("end"))
+            self._json(200, prometheus_envelope(q, req.get("ns_clock", True)))
+        except Exception as exc:
+            self._json(
+                400,
+                {"status": "error", "errorType": "bad_data",
+                 "error": str(exc)},
+            )
 
     def do_POST(self):
         if self.path not in (
@@ -77,23 +116,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(200, {"series": conn.series(req["selector"])})
                 return
             if self.path in ("/api/v1/query", "/api/v1/query_range"):
-                # Prometheus API response shape (promapi.py): what
-                # Grafana-style clients poll. ns_clock (default True)
-                # renders native-ns timestamps as unix seconds.
-                from tachyon_spark.promapi import prometheus_envelope
-
-                if self.path.endswith("query_range"):
-                    q = conn.query_range(
-                        req["query"], req["start"], req["end"], req["step"],
-                        req.get("lookback"),
-                    )
-                else:
-                    q = conn.query(
-                        req["query"], req.get("start"), req.get("end")
-                    )
-                self._json(
-                    200, prometheus_envelope(q, req.get("ns_clock", True))
-                )
+                self._handle_api(req)
                 return
             if self.path == "/record":
                 # recording rule: {path, name, query, start, end[, step,

@@ -321,3 +321,40 @@ def test_prometheus_api_endpoints(tmp_path, spark):
         assert body["status"] == "error" and body["error"]
     finally:
         srv.shutdown()
+
+
+def test_prometheus_api_get_form(tmp_path, spark):
+    from urllib.parse import quote
+
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "promget")
+    conn = Connection(db, spark)
+    conn.create_stream('g{a="1"}', "f64")
+    ins = conn.prepare_insert('g{a="1"}')
+    ins.insert(10, 1.0)
+    ins.flush()
+
+    import tachyon_spark.server as srv_mod
+    from tachyon_spark.server import serve
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+    try:
+        url = (f"http://127.0.0.1:{port}/api/v1/query?path={quote(db)}"
+               f"&query={quote('g')}&start=0&end=100&ns_clock=0")
+        with urllib.request.urlopen(url) as r:
+            body = json.load(r)
+        assert body["status"] == "success"
+        assert body["data"]["result"][0]["values"] == [[10, "1.0"]]
+        # GET error -> Prometheus error envelope
+        bad = (f"http://127.0.0.1:{port}/api/v1/query?path={quote(db)}"
+               f"&query={quote('((')}&start=0&end=1")
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert json.load(e)["status"] == "error"
+    finally:
+        srv.shutdown()
