@@ -224,6 +224,38 @@ class Connection:
             }
         )
 
+    def tsdb_status(self, top: int = 10) -> dict:
+        """Cardinality report (Prometheus /api/v1/status/tsdb parity):
+        total series, per-metric series counts, per-label value counts and
+        pair counts — the first thing an operator checks when cardinality
+        explodes. Driver-side over the bounded catalog metadata."""
+        from collections import Counter
+
+        streams = self.catalog.all_streams()
+        by_metric: Counter = Counter()
+        label_values: dict[str, set] = {}
+        label_pairs: Counter = Counter()
+        for s in streams:
+            by_metric[s.name] += 1
+            for k, v in s.labels.items():
+                label_values.setdefault(k, set()).add(v)
+                label_pairs[f"{k}={v}"] += 1
+        return {
+            "numSeries": len(streams),
+            "seriesCountByMetricName": [
+                {"name": n, "value": c} for n, c in by_metric.most_common(top)
+            ],
+            "labelValueCountByLabelName": [
+                {"name": k, "value": len(vs)}
+                for k, vs in sorted(
+                    label_values.items(), key=lambda kv: (-len(kv[1]), kv[0])
+                )[:top]
+            ],
+            "seriesCountByLabelValuePair": [
+                {"name": p, "value": c} for p, c in label_pairs.most_common(top)
+            ],
+        }
+
     def series(self, selector: str) -> list[dict[str, str]]:
         """Full label sets of the streams matching a selector, each
         including the synthetic '__name__', sorted for determinism.

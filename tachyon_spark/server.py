@@ -56,6 +56,22 @@ class _Handler(BaseHTTPRequestHandler):
         from urllib.parse import parse_qsl, urlparse
 
         parsed = urlparse(self.path)
+        if parsed.path == "/api/v1/status/tsdb":
+            req = dict(parse_qsl(parsed.query))
+            try:
+                conn = _get_connection(req["path"])
+                self._json(
+                    200,
+                    {"status": "success",
+                     "data": conn.tsdb_status(int(req.get("top", 10)))},
+                )
+            except Exception as exc:
+                self._json(
+                    400,
+                    {"status": "error", "errorType": "bad_data",
+                     "error": str(exc)},
+                )
+            return
         if parsed.path in ("/api/v1/query", "/api/v1/query_range"):
             req = dict(parse_qsl(parsed.query))
             for k in ("start", "end", "step", "lookback"):

@@ -358,3 +358,37 @@ def test_prometheus_api_get_form(tmp_path, spark):
             assert json.load(e)["status"] == "error"
     finally:
         srv.shutdown()
+
+
+def test_tsdb_status(tmp_path, spark):
+    from urllib.parse import quote
+
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "statusdb")
+    conn = Connection(db, spark)
+    conn.create_stream('m1{service="web"}', "f64")
+    conn.create_stream('m1{service="db"}', "f64")
+    conn.create_stream('m2{service="web",tier="gold"}', "f64")
+    st = conn.tsdb_status()
+    assert st["numSeries"] == 3
+    assert st["seriesCountByMetricName"][0] == {"name": "m1", "value": 2}
+    assert {d["name"]: d["value"] for d in st["labelValueCountByLabelName"]} == {
+        "service": 2, "tier": 1}
+    assert {d["name"]: d["value"] for d in st["seriesCountByLabelValuePair"]} == {
+        "service=web": 2, "service=db": 1, "tier=gold": 1}
+
+    import tachyon_spark.server as srv_mod
+    from tachyon_spark.server import serve
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+    try:
+        url = f"http://127.0.0.1:{port}/api/v1/status/tsdb?path={quote(db)}"
+        with urllib.request.urlopen(url) as r:
+            body = json.load(r)
+        assert body["status"] == "success"
+        assert body["data"]["numSeries"] == 3
+    finally:
+        srv.shutdown()
