@@ -77,3 +77,22 @@ def test_count_values_reserved_label_rejected():
     for label in ("value", "ts", "stream_id"):
         with pytest.raises(PromQLError, match="reserved"):
             parse(f'count_values("{label}", m)')
+
+
+def test_parser_raises_only_controlled_errors():
+    """Fuzz: arbitrary input must yield PromQLError/ValueError, never an
+    uncontrolled IndexError/AttributeError (the error surface the CLI,
+    server, and library callers catch)."""
+    import random
+    import string
+
+    from tachyon_spark.promql.parser import PromQLError, parse
+
+    rng = random.Random(5)
+    alphabet = string.ascii_lowercase + '(){}[]"\',=!~@: .0123456789+-*/%_'
+    for _ in range(4000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 25)))
+        try:
+            parse(s)
+        except (PromQLError, ValueError):
+            pass
