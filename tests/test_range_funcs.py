@@ -370,3 +370,13 @@ def test_ts_of_over_time_funcs(golden_db):
         (0, 40.0)]
     assert golden_db.query("ts_of_min_over_time(ia[100])", 0, 100).rows() == [
         (0, 30.0)]
+
+
+def test_ts_of_over_time_subquery(golden_db):
+    # ia: ts [10,20,30,40] -> subquery grid (window-start ts): 10:0, 20:20,
+    # 30:0, 40:20; ts_of_max over the grid: max 20 ties at grid ts 20/40 ->
+    # LATEST (40); ts_of_min ties 0 at 10/30 -> 30
+    q = golden_db.query("ts_of_max_over_time(ia[100:10])", 0, 100)
+    assert q.rows() == [(0, 40.0)]
+    q2 = golden_db.query("ts_of_min_over_time(ia[100:10])", 0, 100)
+    assert q2.rows() == [(0, 30.0)]
