@@ -108,3 +108,41 @@ def prometheus_data(query, ns_clock: bool = True) -> dict:
 
 def prometheus_envelope(query, ns_clock: bool = True) -> dict:
     return {"status": "success", "data": prometheus_data(query, ns_clock)}
+
+
+def _escape_label(v: str) -> str:
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def openmetrics_text(conn, start=None, end=None) -> str:
+    """OpenMetrics/Prometheus text exposition of the LATEST sample per
+    stream (optionally within [start, end]) — the /metrics page, so a real
+    Prometheus can scrape this engine's state. One distributed max_by per
+    stream (map-side partial argmax, one exchange on stream_id); labels
+    attach driver-side from the bounded catalog. Lines sorted for
+    determinism; ends with the required # EOF."""
+    from pyspark.sql import functions as F
+
+    df = conn.samples_df()
+    if start is not None:
+        df = df.where(F.col("ts") >= int(start))
+    if end is not None:
+        df = df.where(F.col("ts") <= int(end))
+    pt = F.struct("ts", "value", "value_int")
+    latest = {
+        r["stream_id"]: r["p"]
+        for r in df.groupBy("stream_id").agg(F.max_by(pt, "ts").alias("p")).collect()
+    }
+    lines = []
+    for s in conn.get_all_streams():
+        p = latest.get(s.stream_id)
+        if p is None:
+            continue
+        v = p["value"] if p["value"] is not None else p["value_int"]
+        labels = ",".join(
+            f'{k}="{_escape_label(str(val))}"'
+            for k, val in sorted(s.labels.items())
+        )
+        body = f"{{{labels}}}" if labels else ""
+        lines.append(f"{s.name}{body} {v} {p['ts']}")
+    return "\n".join(sorted(lines)) + "\n# EOF\n"

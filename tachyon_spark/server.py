@@ -56,6 +56,29 @@ class _Handler(BaseHTTPRequestHandler):
         from urllib.parse import parse_qsl, urlparse
 
         parsed = urlparse(self.path)
+        if parsed.path == "/metrics":
+            # OpenMetrics text exposition (promapi.openmetrics_text):
+            # latest sample per stream, scrapeable by a real Prometheus
+            req = dict(parse_qsl(parsed.query))
+            try:
+                from tachyon_spark.promapi import openmetrics_text
+
+                conn = _get_connection(req["path"])
+                body = openmetrics_text(
+                    conn, req.get("start"), req.get("end")
+                ).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "application/openmetrics-text; version=1.0.0; "
+                    "charset=utf-8",
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as exc:
+                self._json(400, {"error": str(exc)})
+            return
         if parsed.path == "/api/v1/status/tsdb":
             req = dict(parse_qsl(parsed.query))
             try:

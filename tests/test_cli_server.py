@@ -392,3 +392,49 @@ def test_tsdb_status(tmp_path, spark):
         assert body["data"]["numSeries"] == 3
     finally:
         srv.shutdown()
+
+
+def test_openmetrics_exposition(tmp_path, spark):
+    from urllib.parse import quote
+
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.promapi import openmetrics_text
+
+    db = str(tmp_path / "omdb")
+    conn = Connection(db, spark)
+    conn.create_stream('cpu{host="a"}', "f64")
+    conn.create_stream('cpu{host="b"}', "f64")
+    conn.create_stream('up', "i64")
+    for sel, pts in (('cpu{host="a"}', [(10, 1.5), (20, 2.5)]),
+                     ('cpu{host="b"}', [(15, 9.0)])):
+        ins = conn.prepare_insert(sel)
+        for t, v in pts:
+            ins.insert(t, v)
+        ins.flush()
+    ins = conn.prepare_insert("up")
+    ins.insert(30, 1)
+    ins.flush()
+
+    text = openmetrics_text(conn)
+    lines = text.strip().splitlines()
+    assert lines[-1] == "# EOF"
+    assert 'cpu{host="a"} 2.5 20' in lines  # LATEST sample only
+    assert 'cpu{host="b"} 9.0 15' in lines
+    assert any(l.startswith("up 1 ") for l in lines)  # bare metric, int value
+    # time-range cap: end=12 sees only the first cpu{a} sample
+    assert 'cpu{host="a"} 1.5 10' in openmetrics_text(conn, end=12)
+
+    import tachyon_spark.server as srv_mod
+    from tachyon_spark.server import serve
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+    try:
+        url = f"http://127.0.0.1:{port}/metrics?path={quote(db)}"
+        with urllib.request.urlopen(url) as r:
+            assert "openmetrics-text" in r.headers["Content-Type"]
+            body = r.read().decode()
+        assert 'cpu{host="a"} 2.5 20' in body and body.endswith("# EOF\n")
+    finally:
+        srv.shutdown()
