@@ -73,6 +73,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--end", type=int, default=DEFAULT_END)
     sp.add_argument("--export", help="directory to write Timestamp,Value CSV")
     sp.add_argument("--chart", action="store_true")
+    sp.add_argument(
+        "--explain", action="store_true",
+        help="print the physical plan instead of results (check "
+        "PartitionFilters / PushedFilters / exchanges)",
+    )
 
     sp = sub.add_parser("query-range")
     sp.add_argument("promql")
@@ -139,7 +144,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"imported {n} samples")
     elif args.cmd == "query":
         q = conn.query(args.promql, args.start, args.end)
-        if args.export:
+        if args.explain:
+            q.explain("formatted")
+        elif args.export:
             from tachyon_spark.sources import export_csv
 
             export_csv(q.df(), args.export)

@@ -72,3 +72,55 @@ def multires_rollup(
         bucket.alias("bucket"),
         "n", "sum", "min", "max", "avg",
     )
+
+
+def serve_from_rollup(
+    rollup: DataFrame,
+    resolutions: dict[str, int],
+    start: int,
+    end: int,
+    step: int,
+    agg: str = "avg",
+) -> DataFrame:
+    """Materialized-view routing: answer a step-aligned range request from
+    a multires_rollup table by picking the COARSEST stored resolution that
+    divides `step` (classic rollup serving — a 1h-step dashboard panel
+    reads the 1h rollup, not 60 1m rows, and never the raw samples).
+    Returns (key, bucket, value) re-aggregated to `step` buckets.
+
+    Merge semantics per aggregate: n/sum re-SUM, min/max re-MIN/MAX, and
+    avg recomputes as sum(sum)/sum(n) — the mergeable-partial contract
+    that makes coarsening exact (averaging averages would weight buckets
+    equally; this weights by count). Raises if no stored resolution
+    divides the step — falling back to raw silently would hide a 60x
+    read amplification."""
+    fits = {n: w for n, w in resolutions.items() if step % int(w) == 0}
+    if not fits:
+        raise ValueError(
+            f"no stored resolution divides step={step}; "
+            f"have {sorted(resolutions.values())} — query raw samples "
+            "explicitly instead"
+        )
+    name = max(fits, key=lambda n: fits[n])
+    sb = (F.col("bucket") - F.col("bucket") % F.lit(int(step)))
+    base = rollup.where(
+        (F.col("resolution") == name)
+        & (F.col("bucket") >= int(start))
+        & (F.col("bucket") <= int(end))
+    ).select("key", sb.alias("sbucket"), "n", "sum", "min", "max")
+    merged = base.groupBy("key", F.col("sbucket").alias("bucket")).agg(
+        F.sum("n").alias("__n"),
+        F.sum("sum").alias("__sum"),
+        F.min("min").alias("__min"),
+        F.max("max").alias("__max"),
+    )
+    value = {
+        "avg": F.round(F.col("__sum") / F.col("__n"), 6),
+        "sum": F.col("__sum"),
+        "min": F.col("__min"),
+        "max": F.col("__max"),
+        "count": F.col("__n"),
+    }.get(agg)
+    if value is None:
+        raise ValueError(f"unsupported agg {agg!r}")
+    return merged.select("key", "bucket", value.alias("value"))

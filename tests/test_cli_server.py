@@ -438,3 +438,14 @@ def test_openmetrics_exposition(tmp_path, spark):
         assert 'cpu{host="a"} 2.5 20' in body and body.endswith("# EOF\n")
     finally:
         srv.shutdown()
+
+
+def test_cli_query_explain(tmp_path, capsys):
+    db = str(tmp_path / "expdb")
+    cli_main([db, "create-stream", 'e{h="a"}', "f64"])
+    cli_main([db, "insert", 'e{h="a"}', "10", "1.5"])
+    capsys.readouterr()
+    assert cli_main([db, "query", "e", "--start", "0", "--end", "100",
+                     "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out

@@ -189,3 +189,37 @@ def test_multires_rollup_one_exchange(spark):
         multires_rollup(df, {})
     with pytest.raises(ValueError):
         multires_rollup(df, {"x": 0})
+
+
+def test_serve_from_rollup_routes_and_merges_exactly(spark):
+    """Rollup serving: picks the coarsest dividing resolution, and the
+    count-weighted merge equals direct aggregation of the raw samples."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tachyon_spark.operators.multires import (
+        multires_rollup,
+        serve_from_rollup,
+    )
+
+    raw = spark.createDataFrame(
+        [("a", t, float((t * 13) % 7)) for t in range(0, 200, 3)],
+        "stream_id string, ts long, value double",
+    )
+    res = {"r10": 10, "r50": 50}
+    roll = multires_rollup(raw, res)
+    served = {(r["key"], r["bucket"]): r["value"]
+              for r in serve_from_rollup(roll, res, 0, 199, 100).collect()}
+    direct = {("a", b): v for b, v in raw.groupBy(
+        (F.col("ts") - F.col("ts") % 100).alias("b")).agg(
+        F.round(F.avg("value"), 6).alias("v")).collect()}
+    assert served == direct
+    # sum/count merges are exact too
+    got_n = {(r["key"], r["bucket"]): r["value"] for r in
+             serve_from_rollup(roll, res, 0, 199, 100, agg="count").collect()}
+    assert got_n[("a", 0)] == 34 and got_n[("a", 100)] == 33
+    # step that no resolution divides -> explicit error, never silent raw
+    with pytest.raises(ValueError, match="no stored resolution"):
+        serve_from_rollup(roll, res, 0, 199, 75)
+    with pytest.raises(ValueError, match="unsupported agg"):
+        serve_from_rollup(roll, res, 0, 199, 100, agg="median")
