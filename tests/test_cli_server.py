@@ -449,3 +449,25 @@ def test_cli_query_explain(tmp_path, capsys):
                      "--explain"]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "PushedFilters" in out
+
+
+def test_prometheus_api_grouped_grid_matrix(tmp_path, spark):
+    """Grouped query_range -> one labeled matrix per group (the Grafana
+    `sum by (service)` panel shape)."""
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.promapi import prometheus_data
+
+    db = str(tmp_path / "promgrid")
+    conn = Connection(db, spark)
+    for svc, pts in (("web", [(10, 1.0), (20, 2.0)]), ("db", [(10, 5.0)])):
+        conn.create_stream(f'r{{service="{svc}"}}', "f64")
+        ins = conn.prepare_insert(f'r{{service="{svc}"}}')
+        for t, v in pts:
+            ins.insert(t, v)
+        ins.flush()
+    q = conn.query_range("sum by (service) (r)", 0, 30, 10, lookback=30)
+    data = prometheus_data(q, ns_clock=False)
+    assert data["resultType"] == "matrix"
+    by = {s["metric"]["service"]: s["values"] for s in data["result"]}
+    assert by["db"] == [[10, "5.0"], [20, "5.0"], [30, "5.0"]]
+    assert by["web"] == [[10, "1.0"], [20, "2.0"], [30, "2.0"]]
