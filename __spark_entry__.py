@@ -2755,6 +2755,25 @@ def q_vocab_stats(spark, sf_dir):
     return vocab_stats(docs).orderBy("source")
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Dedup-aware split (functions/sampling.leakage_safe_split): hash on
+    the MinHash-LSH cluster representative so near-duplicate families
+    co-travel across train/val/test — no eval leakage through dup twins.
+    Composes the driver-gated cluster machinery (dedup_clusters) with
+    hash_split's exact-binary thresholds; the oracle replays the
+    recursive-closure reps + the 60-bit md5 split."""
+    from tachyon_spark.functions.dedup import dedup_clusters, minhash_lsh_pairs
+    from tachyon_spark.functions.sampling import leakage_safe_split
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, NUM_HASHES, BANDS, JACCARD_THRESHOLD)
+    clusters = dedup_clusters(pairs)
+    out = leakage_safe_split(
+        docs, clusters, {"train": 0.75, "val": 0.125, "test": 0.125}
+    )
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
 def q_mixture_resample(spark, sf_dir):
     """Target-domain-mixture resampling (functions/sampling.
     mixture_resample): resample three sources to a 0.5/0.25/0.25 mixture
@@ -2920,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "lttb_downsample": q_lttb_downsample,
         "multires_rollup": q_multires_rollup,
+        "leakage_safe_split": q_leakage_safe_split,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -5516,6 +5536,45 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'n_tokens', 'n_types', round(corr(n_tokens, n_types), 6)
               FROM s
             ) ORDER BY col_a, col_b
+        """,
+        "leakage_safe_split": f"""
+            -- reps from the recursive pair closure (the dedup_clusters
+            -- oracle), split key = coalesce(rep, doc_id), then the exact
+            -- 60-bit md5 threshold replay of hash_split
+            WITH RECURSIVE pairs AS (
+              {_minhash_sql()}
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+            ),
+            clus AS (
+              SELECT s AS doc_id, least(s, min(d)) AS cluster_rep
+              FROM reach GROUP BY s
+            ),
+            k AS (
+              SELECT doc.doc_id,
+                     coalesce(c.cluster_rep, doc.doc_id) AS skey
+              FROM documents doc LEFT JOIN clus c ON doc.doc_id = c.doc_id
+            ),
+            u AS (
+              SELECT doc_id,
+                     CAST(CONCAT('0x', substr(
+                       md5(CAST(skey AS VARCHAR) || 'split'), 1, 15
+                     )) AS BIGINT) / 1152921504606846976.0 AS u
+              FROM k
+            )
+            SELECT doc_id,
+                   CASE WHEN u < 0.75 THEN 'train'
+                        WHEN u < 0.875 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u ORDER BY doc_id
         """,
         "quality_percentile": f"""
             -- quality_score replay + per-source percent_rank over the

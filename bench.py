@@ -284,6 +284,7 @@ def main():
         "corr_matrix",
         "lttb_downsample",
         "multires_rollup",
+        "leakage_safe_split",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

@@ -463,3 +463,33 @@ def temperature_resample(
         df, target, group_col=group_col, key_col=key_col, salt=salt,
         total=total,
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    splits: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Dedup-aware train/val/test split: hash on the CLUSTER REPRESENTATIVE
+    (from dedup_clusters' (doc_id, cluster_rep) frame) so every member of
+    a near-duplicate family lands in the SAME split — the leakage guard a
+    plain per-doc hash_split lacks (one near-dup in train and its twin in
+    test silently inflates eval). Documents outside any cluster split on
+    their own id (singleton semantics: rep == self).
+
+    Shape: one left join on the doc key (clusters output is doc-count
+    bounded; broadcast when small), then hash_split's narrow threshold
+    assignment on the rep key — same determinism/monotonicity contract,
+    now at cluster granularity."""
+    c = clusters.select(
+        F.col(key_col).alias("__k"), F.col("cluster_rep").alias("__rep")
+    )
+    joined = df.join(c, df[key_col] == F.col("__k"), "left").drop("__k")
+    keyed = joined.withColumn(
+        "__split_key", F.coalesce(F.col("__rep"), F.col(key_col))
+    ).drop("__rep")
+    return hash_split(keyed, splits, key_col="__split_key", salt=salt).drop(
+        "__split_key"
+    )

@@ -319,3 +319,35 @@ def test_temperature_resample_flattens(spark):
 
     with pytest.raises(ValueError):
         temperature_resample(df, alpha=-0.1)
+
+
+def test_leakage_safe_split_co_travels_clusters(spark):
+    from tachyon_spark.functions.sampling import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in range(200)], "doc_id long, text string"
+    )
+    # three near-dup families + singletons
+    clusters = spark.createDataFrame(
+        [(1, 0), (2, 0), (0, 0), (50, 50), (51, 50), (120, 119), (119, 119)],
+        "doc_id long, cluster_rep long",
+    )
+    out = leakage_safe_split(docs, clusters, {"train": 0.7, "test": 0.3})
+    sp = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(sp) == 200  # no row lost or duplicated
+    # every family co-travels
+    assert sp[0] == sp[1] == sp[2]
+    assert sp[50] == sp[51]
+    assert sp[119] == sp[120]
+    # family split == what the REP would get standalone (hash on rep key)
+    rep_only = hash_split(
+        spark.createDataFrame([(0,), (50,), (119,)], "doc_id long"),
+        {"train": 0.7, "test": 0.3},
+    )
+    for r in rep_only.collect():
+        assert sp[r["doc_id"]] == r["split"]
+    # non-clustered docs split exactly as plain hash_split
+    plain = {r["doc_id"]: r["split"]
+             for r in hash_split(docs, {"train": 0.7, "test": 0.3}).collect()}
+    members = {0, 1, 2, 50, 51, 119, 120}
+    assert all(sp[i] == plain[i] for i in range(200) if i not in members)
