@@ -430,6 +430,7 @@ class Connection:
 
         expr = parse(promql)
         plan = PlanBuilder(self, start, end).build(expr)
+        plan.eval_ts = end  # instant results report the evaluation time
         if plan.df is None and plan.literal is not None:
             plan.df = self.spark.range(1).select(F.lit(plan.literal).alias("value"))
         return Query(plan)

@@ -81,6 +81,7 @@ def serve_from_rollup(
     end: int,
     step: int,
     agg: str = "avg",
+    anchor: int = 0,
 ) -> DataFrame:
     """Materialized-view routing: answer a step-aligned range request from
     a multires_rollup table by picking the COARSEST stored resolution that
@@ -93,7 +94,13 @@ def serve_from_rollup(
     that makes coarsening exact (averaging averages would weight buckets
     equally; this weights by count). Raises if no stored resolution
     divides the step — falling back to raw silently would hide a 60x
-    read amplification."""
+    read amplification.
+
+    `anchor` must match the anchor multires_rollup was built with: a
+    w-bucket of an anchored rollup starts at anchor + k*w, and re-bucketing
+    with a different origin would make one stored bucket straddle two step
+    buckets (silently wrong sums). Step buckets are aligned to the same
+    anchor: sbucket = bucket - (bucket - anchor) % step."""
     fits = {n: w for n, w in resolutions.items() if step % int(w) == 0}
     if not fits:
         raise ValueError(
@@ -102,7 +109,10 @@ def serve_from_rollup(
             "explicitly instead"
         )
     name = max(fits, key=lambda n: fits[n])
-    sb = (F.col("bucket") - F.col("bucket") % F.lit(int(step)))
+    sb = (
+        F.col("bucket")
+        - (F.col("bucket") - F.lit(int(anchor))) % F.lit(int(step))
+    )
     base = rollup.where(
         (F.col("resolution") == name)
         & (F.col("bucket") >= int(start))

@@ -108,6 +108,9 @@ class Plan:
     # (on/ignoring) needs per-series label sets and gets them driver-side
     # from here instead of a distributed catalog join
     streams: tuple = ()
+    # query evaluation instant (native ts units) — Prometheus instant
+    # results carry [eval_ts, value]; Connection.query stamps this
+    eval_ts: int | None = None
 
     @property
     def return_type(self) -> str:

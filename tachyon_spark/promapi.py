@@ -17,6 +17,31 @@ collected driver-side; the scale path is the DataFrame API.
 
 from __future__ import annotations
 
+# Cap on points collected to the driver per API response. Prometheus
+# enforces the same idea (--query.max-samples, 11k points/series in the UI):
+# result size is n_steps x n_series, and a careless grid query over a
+# high-cardinality selector must fail fast with a clear error, not OOM the
+# serving process. The limit is applied as df.limit(max+1) so Spark stops
+# producing rows at the cap instead of materializing the full result.
+DEFAULT_MAX_POINTS = 1_000_000
+
+
+class TooManyPoints(ValueError):
+    """Result exceeds the serving-path point cap (see DEFAULT_MAX_POINTS)."""
+
+
+def _bounded_collect(df, max_points):
+    if max_points is None:
+        return df.collect()
+    rows = df.limit(int(max_points) + 1).collect()
+    if len(rows) > max_points:
+        raise TooManyPoints(
+            f"query result exceeds {max_points} points; narrow the time "
+            "range, widen the step, or aggregate across series "
+            "(configurable via max_points)"
+        )
+    return rows
+
 
 def _fmt_ts(t, ns_clock: bool):
     return t / 1e9 if ns_clock else t
@@ -27,16 +52,28 @@ def _fmt_val(v) -> str:
     return repr(float(v)) if isinstance(v, float) else str(v)
 
 
-def prometheus_data(query, ns_clock: bool = True) -> dict:
+def _eval_ts(plan, ns_clock: bool):
+    """The instant a point-in-time result is reported at: the query's
+    evaluation end (Prometheus semantics), 0 only when no range was given."""
+    return _fmt_ts(plan.eval_ts, ns_clock) if plan.eval_ts is not None else 0
+
+
+def prometheus_data(
+    query, ns_clock: bool = True, max_points: int | None = DEFAULT_MAX_POINTS
+) -> dict:
     """The "data" object for a Query result: matrix for multi-instant
     vectors (per-series when stream identity survived the plan, one
-    anonymous/grouped series otherwise), scalar for scalars."""
+    anonymous/grouped series otherwise), scalar for scalars.
+
+    Raises TooManyPoints when the result would exceed `max_points` samples
+    (None disables the guard) — the serving path collects driver-side, and
+    the cap keeps a high-cardinality grid query from OOMing the server."""
     plan = query.plan
     if plan.return_type == "scalar":
         v = query.scalar()
         return {
             "resultType": "scalar",
-            "result": [0, _fmt_val(v)] if v is not None else [],
+            "result": [_eval_ts(plan, ns_clock), _fmt_val(v)] if v is not None else [],
         }
     if (
         plan.kind == "vector"
@@ -47,10 +84,11 @@ def prometheus_data(query, ns_clock: bool = True) -> dict:
         labels = {
             s.stream_id: {"__name__": s.name, **s.labels} for s in plan.streams
         }
-        rows = (
-            plan.df.select("stream_id", "ts", "value")
-            .orderBy("stream_id", "ts")
-            .collect()
+        rows = _bounded_collect(
+            plan.df.select("stream_id", "ts", "value").orderBy(
+                "stream_id", "ts"
+            ),
+            max_points,
         )
         series: dict[str, list] = {}
         for r in rows:
@@ -66,39 +104,52 @@ def prometheus_data(query, ns_clock: bool = True) -> dict:
     if plan.kind == "grouped" and plan.df is not None:
         if "ts" in plan.df.columns:
             keys = [c for c in plan.group_cols if c != "ts"]
-            rows = plan.df.orderBy(*plan.group_cols).collect()
+            rows = _bounded_collect(
+                plan.df.orderBy(*plan.group_cols), max_points
+            )
             series = {}
             for r in rows:
                 k = tuple((c, r[c]) for c in keys)
                 series.setdefault(k, []).append(
                     [_fmt_ts(r["ts"], ns_clock), _fmt_val(r["value"])]
                 )
+            # a series may be missing one of the `by` labels (None from the
+            # catalog left-join) — sort None-safe and, like Prometheus,
+            # OMIT absent labels from the metric instead of rendering 'None'
+            none_safe = lambda k: [(c, "" if v is None else str(v)) for c, v in k]
             result = [
-                {"metric": {c: str(v) for c, v in k}, "values": vals}
-                for k, vals in sorted(series.items())
+                {
+                    "metric": {c: str(v) for c, v in k if v is not None},
+                    "values": vals,
+                }
+                for k, vals in sorted(series.items(), key=lambda kv: none_safe(kv[0]))
             ]
             return {"resultType": "matrix", "result": result}
         # grouped instant (raw-path `sum by (...)`) — a Prometheus vector
         keys = list(plan.group_cols)
-        rows = plan.df.orderBy(*keys).collect()
+        rows = _bounded_collect(plan.df.orderBy(*keys), max_points)
         return {
             "resultType": "vector",
             "result": [
                 {
-                    "metric": {c: str(r[c]) for c in keys},
-                    "value": [0, _fmt_val(r["value"])],
+                    "metric": {
+                        c: str(r[c]) for c in keys if r[c] is not None
+                    },
+                    "value": [_eval_ts(plan, ns_clock), _fmt_val(r["value"])],
                 }
                 for r in rows
             ],
         }
     # derived vector without series identity: one anonymous series
-    rows = query.rows()
+    rows = _bounded_collect(query.df(), max_points)
     return {
         "resultType": "matrix",
         "result": [
             {
                 "metric": {},
-                "values": [[_fmt_ts(t, ns_clock), _fmt_val(v)] for t, v in rows],
+                "values": [
+                    [_fmt_ts(r.ts, ns_clock), _fmt_val(r.value)] for r in rows
+                ],
             }
         ]
         if rows
@@ -106,21 +157,32 @@ def prometheus_data(query, ns_clock: bool = True) -> dict:
     }
 
 
-def prometheus_envelope(query, ns_clock: bool = True) -> dict:
-    return {"status": "success", "data": prometheus_data(query, ns_clock)}
+def prometheus_envelope(
+    query, ns_clock: bool = True, max_points: int | None = DEFAULT_MAX_POINTS
+) -> dict:
+    return {
+        "status": "success",
+        "data": prometheus_data(query, ns_clock, max_points),
+    }
 
 
 def _escape_label(v: str) -> str:
     return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
 
 
-def openmetrics_text(conn, start=None, end=None) -> str:
+def openmetrics_text(conn, start=None, end=None, ns_clock: bool = True) -> str:
     """OpenMetrics/Prometheus text exposition of the LATEST sample per
     stream (optionally within [start, end]) — the /metrics page, so a real
     Prometheus can scrape this engine's state. One distributed max_by per
     stream (map-side partial argmax, one exchange on stream_id); labels
     attach driver-side from the bounded catalog. Lines sorted for
-    determinism; ends with the required # EOF."""
+    determinism; ends with the required # EOF.
+
+    OpenMetrics timestamps are unix SECONDS; `ns_clock=True` (default)
+    converts the engine's native ns clock, matching prometheus_data.
+    Pass False for native-unit exposition (not scrapeable by a real
+    Prometheus — test/debug only). `start`/`end` stay in native units
+    either way (they filter the raw ts column)."""
     from pyspark.sql import functions as F
 
     df = conn.samples_df()
@@ -144,5 +206,6 @@ def openmetrics_text(conn, start=None, end=None) -> str:
             for k, val in sorted(s.labels.items())
         )
         body = f"{{{labels}}}" if labels else ""
-        lines.append(f"{s.name}{body} {v} {p['ts']}")
+        ts = _fmt_ts(p["ts"], ns_clock)
+        lines.append(f"{s.name}{body} {v} {ts}")
     return "\n".join(sorted(lines)) + "\n# EOF\n"

@@ -111,10 +111,14 @@ class _Handler(BaseHTTPRequestHandler):
         """Prometheus API response shape (promapi.py): what Grafana-style
         clients poll, via GET query params or POST JSON. ns_clock
         (default True) renders native-ns timestamps as unix seconds."""
+        from tachyon_spark.promapi import (
+            DEFAULT_MAX_POINTS,
+            TooManyPoints,
+            prometheus_envelope,
+        )
+
         try:
             conn = _get_connection(req["path"])
-            from tachyon_spark.promapi import prometheus_envelope
-
             if self.path.endswith("query_range"):
                 q = conn.query_range(
                     req["query"], req["start"], req["end"], req["step"],
@@ -122,7 +126,22 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             else:
                 q = conn.query(req["query"], req.get("start"), req.get("end"))
-            self._json(200, prometheus_envelope(q, req.get("ns_clock", True)))
+            mp = req.get("max_points", DEFAULT_MAX_POINTS)
+            self._json(
+                200,
+                prometheus_envelope(
+                    q, req.get("ns_clock", True), int(mp) if mp else None
+                ),
+            )
+        except TooManyPoints as exc:
+            # Prometheus returns 422 "execution" when a query trips
+            # --query.max-samples; mirror that so clients can distinguish
+            # a too-big result from a malformed request
+            self._json(
+                422,
+                {"status": "error", "errorType": "execution",
+                 "error": str(exc)},
+            )
         except Exception as exc:
             self._json(
                 400,

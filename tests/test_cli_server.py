@@ -415,14 +415,18 @@ def test_openmetrics_exposition(tmp_path, spark):
     ins.insert(30, 1)
     ins.flush()
 
-    text = openmetrics_text(conn)
+    text = openmetrics_text(conn, ns_clock=False)
     lines = text.strip().splitlines()
     assert lines[-1] == "# EOF"
     assert 'cpu{host="a"} 2.5 20' in lines  # LATEST sample only
     assert 'cpu{host="b"} 9.0 15' in lines
     assert any(l.startswith("up 1 ") for l in lines)  # bare metric, int value
     # time-range cap: end=12 sees only the first cpu{a} sample
-    assert 'cpu{host="a"} 1.5 10' in openmetrics_text(conn, end=12)
+    assert 'cpu{host="a"} 1.5 10' in openmetrics_text(conn, end=12,
+                                                      ns_clock=False)
+    # default exposition is OpenMetrics-conformant unix SECONDS (ADVICE r5):
+    # native ns 20 -> 2e-08 s, so a real scraper places samples correctly
+    assert 'cpu{host="a"} 2.5 2e-08' in openmetrics_text(conn)
 
     import tachyon_spark.server as srv_mod
     from tachyon_spark.server import serve
@@ -435,7 +439,7 @@ def test_openmetrics_exposition(tmp_path, spark):
         with urllib.request.urlopen(url) as r:
             assert "openmetrics-text" in r.headers["Content-Type"]
             body = r.read().decode()
-        assert 'cpu{host="a"} 2.5 20' in body and body.endswith("# EOF\n")
+        assert 'cpu{host="a"} 2.5 2e-08' in body and body.endswith("# EOF\n")
     finally:
         srv.shutdown()
 

@@ -223,3 +223,31 @@ def test_serve_from_rollup_routes_and_merges_exactly(spark):
         serve_from_rollup(roll, res, 0, 199, 75)
     with pytest.raises(ValueError, match="unsupported agg"):
         serve_from_rollup(roll, res, 0, 199, 100, agg="median")
+
+
+def test_serve_from_rollup_anchor_alignment(spark):
+    """ADVICE r5: serving an anchored rollup must re-bucket from the SAME
+    anchor — with anchor=0 re-bucketing, an anchored w-bucket straddles two
+    step buckets and the merged sums silently shift."""
+    from pyspark.sql import functions as F
+
+    from tachyon_spark.operators.multires import (
+        multires_rollup,
+        serve_from_rollup,
+    )
+
+    raw = spark.createDataFrame(
+        [("a", t, float(t % 11)) for t in range(5, 205, 3)],
+        "stream_id string, ts long, value double",
+    )
+    res = {"r10": 10}
+    roll = multires_rollup(raw, res, anchor=5)
+    served = {(r["key"], r["bucket"]): r["value"]
+              for r in serve_from_rollup(
+                  roll, res, 0, 210, 50, agg="sum", anchor=5).collect()}
+    direct = {("a", b): v for b, v in raw.groupBy(
+        (F.col("ts") - (F.col("ts") - 5) % 50).alias("b")).agg(
+        F.sum("value").alias("v")).collect()}
+    assert served == direct
+    # anchored step buckets start at anchor + k*step, not k*step
+    assert all(b % 50 == 5 for _, b in served)
