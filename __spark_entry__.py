@@ -2880,9 +2880,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-row CORRECTNESS window covers the queries
-    # that have never been driver-gated (VERDICT r4 item 1), with
-    # pack_sequences kept inside the window to confirm its fix.
+    # that have never been driver-gated (VERDICT r6 item 2 — the 7 entries
+    # below lead), then the rest of the rotation.
     return {
+        "knn_graph": q_knn_graph,
+        "ts_extrema_windows": q_ts_extrema_windows,
+        "temperature_resample": q_temperature_resample,
+        "corr_matrix": q_corr_matrix,
+        "lttb_downsample": q_lttb_downsample,
+        "multires_rollup": q_multires_rollup,
+        "leakage_safe_split": q_leakage_safe_split,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "unigram_logprob": q_unigram_logprob,
@@ -2933,13 +2940,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile": q_quality_percentile,
         "top_ngrams": q_top_ngrams,
         "vocab_stats": q_vocab_stats,
-        "knn_graph": q_knn_graph,
-        "ts_extrema_windows": q_ts_extrema_windows,
-        "temperature_resample": q_temperature_resample,
-        "corr_matrix": q_corr_matrix,
-        "lttb_downsample": q_lttb_downsample,
-        "multires_rollup": q_multires_rollup,
-        "leakage_safe_split": q_leakage_safe_split,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,

@@ -1,6 +1,8 @@
 import json
 import urllib.request
 
+import pytest
+
 from tachyon_spark.cli import _ascii_chart, main as cli_main
 from tachyon_spark.server import serve
 
@@ -304,10 +306,12 @@ def test_prometheus_api_endpoints(tmp_path, spark):
         got = {r["metric"]["service"]: r["value"][1]
                for r in body["data"]["result"]}
         assert got == {"db": "5.0", "web": "3.0"}
-        # scalar
+        # scalar — timestamp is the eval instant (end=100 ns -> 1e-7 s)
         body = post("/api/v1/query", {
             "path": db, "query": "sum(reqs)", "start": 0, "end": 100})
-        assert body["data"] == {"resultType": "scalar", "result": [0, "8.0"]}
+        assert body["data"]["resultType"] == "scalar"
+        ts, val = body["data"]["result"]
+        assert val == "8.0" and ts == pytest.approx(1e-07)
         # query_range matrix (step grid), native units
         body = post("/api/v1/query_range", {
             "path": db, "query": 'reqs{service="web"}', "start": 0,
