@@ -1426,6 +1426,70 @@ def q_query_range_matching(spark, sf_dir):
     )
 
 
+def q_promql_grouped_range(spark, sf_dir):
+    """Grouped query_range THROUGH the Prometheus serving surface
+    (promapi.prometheus_data, grouped-matrix path promapi.py:104-128):
+    per-(user, et) streams gm{user=,et=}, `sum by (user) (gm)` on a 12h
+    step grid with 6h lookback, then the result is shaped into the
+    Prometheus matrix JSON (per-group series, label rendering, sample
+    ordering) and re-parsed — so the oracle gates the JSON envelope the
+    HTTP shell serves, not just the underlying DataFrame. The collect is
+    the serving path's documented driver-side step (bounded grid x group
+    cardinality); the scale path stays `Query.df()`."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.promapi import prometheus_data
+
+    def build():
+        ev = _read(spark, sf_dir, "events")
+        series = (
+            ev.where(
+                F.col("event_type").isin("click", "view")
+                & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+            )
+            .groupBy("event_type", "user_id", F.expr("ts DIV 1000").alias("ts"))
+            .agg(F.avg("value").alias("value"))
+        )
+        pairs = sorted(
+            (r.event_type, r.user_id)
+            for r in series.select("event_type", "user_id").distinct().collect()
+        )
+        work = tempfile.mkdtemp(prefix="ty_gqr_")
+        conn = Connection(os.path.join(work, "db"), spark)
+        ids = conn.create_streams(
+            [(f'gm{{user="{uid}",et="{et}"}}', "f64") for et, uid in pairs]
+        )
+        mapping = spark.createDataFrame(
+            [(et, uid, sid) for (et, uid), sid in zip(pairs, ids)],
+            "event_type string, user_id long, stream_id string",
+        )
+        conn.bulk_load(
+            series.join(F.broadcast(mapping), ["event_type", "user_id"]).select(
+                "stream_id", "ts", "value",
+                F.lit(None).cast("long").alias("value_int"),
+            )
+        )
+        return conn
+
+    conn = _memo_fixture(spark, sf_dir, "grouped_range", build)
+    w12h = 12 * 3600 * 1_000_000
+    w6h = 6 * 3600 * 1_000_000
+    q = conn.query_range("sum by (user) (gm)", T0_US, T1_US, w12h, lookback=w6h)
+    data = prometheus_data(q, ns_clock=False, max_points=None)
+    assert data["resultType"] == "matrix"
+    rows = [
+        (int(s["metric"]["user"]), int(ts), float(v))
+        for s in data["result"]
+        for ts, v in s["values"]
+    ]
+    out = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    return out.select(
+        "user_id", "ts_us", F.round("value", 6).alias("sum_uv")
+    )
+
+
 def _subquery_fixture_build(spark, sf_dir):
     """Build closure for the shared 'promql_subquery' fixture db: the
     in-range click series (avg per distinct ts) ingested as stream m."""
@@ -1951,6 +2015,40 @@ def q_multires_rollup(spark, sf_dir):
     # DuckDB's binary rounding systematically disagree — the documented
     # round-6 tie case (COVERAGE.md), not a semantic divergence
     return out.drop("avg")
+
+
+ROLLUP_ANCHOR_US = 900_000_000  # 15 min — deliberately off the hour grid
+
+
+def q_rollup_serve(spark, sf_dir):
+    """Materialized-view routing (operators/multires.serve_from_rollup):
+    a 2h-step range request answered FROM the 1m+1h rollup table — the
+    router picks the coarsest stored resolution dividing the step (1h),
+    filters its buckets to [start, end], and re-aggregates the mergeable
+    partials onto the anchor-aligned 2h grid (sum re-SUMs; never touches
+    raw samples). The non-zero 15-min anchor exercises the pmod floor
+    alignment (ADVICE r6) on both the build and serve grids."""
+    from tachyon_spark.operators.multires import (
+        multires_rollup,
+        serve_from_rollup,
+    )
+
+    res = {"1m": 60_000_000, "1h": 3_600_000_000}
+    ev = _read(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", F.expr("ts DIV 1000").alias("t_us"), "value"
+    )
+    rollup = multires_rollup(
+        e, res, key_col="event_type", ts_col="t_us", value_col="value",
+        anchor=ROLLUP_ANCHOR_US,
+    )
+    out = serve_from_rollup(
+        rollup, res, start=T0_US, end=T1_US, step=7_200_000_000,
+        agg="sum", anchor=ROLLUP_ANCHOR_US,
+    )
+    # gate the exact mergeable SUM (bit-stable across engines, like the
+    # multires_rollup gate); avg-merge (sum/n) is pinned by pytest goldens
+    return out.select("key", "bucket", F.col("value").alias("sum2h"))
 
 
 def q_lttb_downsample(spark, sf_dir):
@@ -2890,6 +2988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample": q_lttb_downsample,
         "multires_rollup": q_multires_rollup,
         "leakage_safe_split": q_leakage_safe_split,
+        # round-6 serving surface (VERDICT r6 item 3)
+        "rollup_serve": q_rollup_serve,
+        "promql_grouped_range": q_promql_grouped_range,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "unigram_logprob": q_unigram_logprob,
@@ -5420,6 +5521,61 @@ def oracle_sql() -> dict[str, str]:
                    max(v) AS max
             FROM e
             GROUP BY GROUPING SETS ((key, b1m), (key, b1h))
+        """,
+        "rollup_serve": f"""
+            -- serve_from_rollup replay: anchored 1h partial sums (the
+            -- stored resolution the router picks for a 2h step), bucket
+            -- range filter, then anchor-aligned 2h re-SUM. Two-level sum
+            -- mirrors the engine exactly: each 2h bucket merges exactly
+            -- two 1h partials, so the float addition is order-free.
+            -- ts is positive and >> anchor, so plain % == pmod here.
+            WITH e AS (
+              SELECT event_type AS key, CAST(value AS DOUBLE) AS v,
+                     epoch_us(ts)
+                       - (epoch_us(ts) - 900000000) % 3600000000 AS hb
+              FROM events
+            ),
+            h AS (
+              SELECT key, hb, sum(v) AS s FROM e GROUP BY 1, 2
+            ),
+            f AS (
+              SELECT key,
+                     hb - (hb - 900000000) % 7200000000 AS bucket, s
+              FROM h WHERE hb BETWEEN {T0_US} AND {T1_US}
+            )
+            SELECT key, bucket, sum(s) AS sum2h FROM f GROUP BY 1, 2
+        """,
+        "promql_grouped_range": f"""
+            -- grouped grid replay: per (user, et) latest-sample-within-
+            -- lookback on the 12h grid, then sum over et per (user, step)
+            -- — the engine's `sum by (user) (gm)` through the Prometheus
+            -- matrix JSON envelope (string-rendered labels/values parse
+            -- back losslessly; round-6 on the 2-operand sum)
+            WITH s AS (
+              SELECT event_type, user_id, epoch_us(ts) AS t,
+                     avg(value) AS value
+              FROM events
+              WHERE event_type IN ('click', 'view')
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT event_type, user_id,
+                     unnest(generate_series({T0_US}, {T1_US}, 43200000000))
+                       AS g
+              FROM (SELECT DISTINCT event_type, user_id FROM s)
+            ),
+            r AS (
+              SELECT grid.event_type, grid.user_id, grid.g,
+                     max_by(s.value, s.t) AS v
+              FROM grid JOIN s
+                ON s.event_type = grid.event_type
+               AND s.user_id = grid.user_id
+               AND s.t <= grid.g AND s.t >= grid.g - 21600000000
+              GROUP BY 1, 2, 3
+            )
+            SELECT user_id, g AS ts_us, round(sum(v), 6) AS sum_uv
+            FROM r GROUP BY 1, 2
         """,
         "lttb_downsample": """
             -- fixed-anchor LTTB replay: bucket means, lag/lead anchors,

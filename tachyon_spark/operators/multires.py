@@ -42,9 +42,12 @@ def multires_rollup(
         width = int(resolutions[name])
         if width <= 0:
             raise ValueError(f"resolution {name!r} width must be positive")
+        # pmod, not %: Spark's % follows the dividend's sign, so plain %
+        # would round pre-anchor timestamps toward the anchor instead of
+        # flooring onto the anchor + k*width grid
         b = (
             (F.col(ts_col) - F.lit(anchor))
-            - (F.col(ts_col) - F.lit(anchor)) % F.lit(width)
+            - F.pmod(F.col(ts_col) - F.lit(anchor), F.lit(width))
             + F.lit(anchor)
         )
         cols.append(b.alias(f"__b_{name}"))
@@ -100,7 +103,10 @@ def serve_from_rollup(
     w-bucket of an anchored rollup starts at anchor + k*w, and re-bucketing
     with a different origin would make one stored bucket straddle two step
     buckets (silently wrong sums). Step buckets are aligned to the same
-    anchor: sbucket = bucket - (bucket - anchor) % step."""
+    anchor: sbucket = bucket - pmod(bucket - anchor, step) — pmod for true
+    floor alignment (Spark's % follows the dividend's sign, which would
+    round pre-anchor buckets toward the anchor; the build side floors with
+    pmod the same way, keeping both grids consistent for all data)."""
     fits = {n: w for n, w in resolutions.items() if step % int(w) == 0}
     if not fits:
         raise ValueError(
@@ -111,7 +117,7 @@ def serve_from_rollup(
     name = max(fits, key=lambda n: fits[n])
     sb = (
         F.col("bucket")
-        - (F.col("bucket") - F.lit(int(anchor))) % F.lit(int(step))
+        - F.pmod(F.col("bucket") - F.lit(int(anchor)), F.lit(int(step)))
     )
     base = rollup.where(
         (F.col("resolution") == name)

@@ -251,3 +251,42 @@ def test_serve_from_rollup_anchor_alignment(spark):
     assert served == direct
     # anchored step buckets start at anchor + k*step, not k*step
     assert all(b % 50 == 5 for _, b in served)
+
+
+def test_rollup_pre_anchor_data_floors(spark):
+    """ADVICE r6: data BEFORE the anchor must floor onto the anchor+k*w
+    grid (pmod), not round toward the anchor — Spark's % follows the
+    dividend's sign, which would put ts=-3 with anchor=100, w=10 into
+    bucket 100 - 0 = 100's negative twin at -0 instead of -10's grid."""
+    from pyspark.sql import functions as F
+
+    from tachyon_spark.operators.multires import (
+        multires_rollup,
+        serve_from_rollup,
+    )
+
+    # ts spans both sides of the anchor
+    raw = spark.createDataFrame(
+        [("a", t, 1.0) for t in range(3, 200, 7)],
+        "stream_id string, ts long, value double",
+    )
+    res = {"r10": 10}
+    anchor = 105
+    roll = multires_rollup(raw, res, anchor=anchor)
+    # every bucket sits on the anchor + k*w grid, pre-anchor included
+    for r in roll.collect():
+        assert (r["bucket"] - anchor) % 10 == 0
+    per_ts = {
+        r["ts"]: r["ts"] - ((r["ts"] - anchor) % 10 + 10) % 10
+        for r in raw.collect()
+    }
+    got_buckets = sorted(r["bucket"] for r in roll.collect())
+    assert got_buckets == sorted(set(per_ts.values()))
+    # serving with the same anchor merges exactly onto the anchored grid
+    served = {r["bucket"]: r["value"] for r in serve_from_rollup(
+        roll, res, -1000, 1000, 50, agg="count", anchor=anchor).collect()}
+    direct = {b: n for b, n in raw.groupBy(
+        (F.col("ts") - F.pmod(F.col("ts") - anchor, F.lit(50))).alias("b")
+    ).count().collect()}
+    assert served == direct
+    assert all((b - anchor) % 50 == 0 for b in served)
