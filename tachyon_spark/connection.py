@@ -430,7 +430,13 @@ class Connection:
 
         expr = parse(promql)
         plan = PlanBuilder(self, start, end).build(expr)
-        plan.eval_ts = end  # instant results report the evaluation time
+        # Instant results report the evaluation time = `end`. With no end
+        # given there is no evaluation range: eval_ts stays None and the
+        # Prometheus envelope reports timestamp 0 (documented divergence
+        # from Prometheus's "now" — this engine's clock is native unitless
+        # units with no defined mapping to the server's wall clock, so
+        # stamping time.time_ns() would only be right for ns-clock data).
+        plan.eval_ts = end
         if plan.df is None and plan.literal is not None:
             plan.df = self.spark.range(1).select(F.lit(plan.literal).alias("value"))
         return Query(plan)

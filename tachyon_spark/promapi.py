@@ -48,7 +48,14 @@ def _fmt_ts(t, ns_clock: bool):
 
 
 def _fmt_val(v) -> str:
-    # Prometheus renders sample values as strings
+    # Prometheus renders sample values as strings. Decimal (the u64-exact
+    # DecimalType layout) normalizes through int exactly like Query.rows()
+    # — str(Decimal) would render '1E+2'-style forms if an op ever shifts
+    # the exponent, silently diverging between the two collection paths.
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(int(v))
     return repr(float(v)) if isinstance(v, float) else str(v)
 
 

@@ -64,8 +64,14 @@ class _Handler(BaseHTTPRequestHandler):
                 from tachyon_spark.promapi import openmetrics_text
 
                 conn = _get_connection(req["path"])
+                # start/end arrive as strings from the query params —
+                # convert so the ts filter compares long-to-long instead
+                # of via implicit cast; ns_clock mirrors the /api/v1 form
+                start = int(req["start"]) if "start" in req else None
+                end = int(req["end"]) if "end" in req else None
+                ns_clock = req.get("ns_clock") not in ("0", "false", "")
                 body = openmetrics_text(
-                    conn, req.get("start"), req.get("end")
+                    conn, start, end, ns_clock=ns_clock
                 ).encode()
                 self.send_response(200)
                 self.send_header(
@@ -126,12 +132,24 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             else:
                 q = conn.query(req["query"], req.get("start"), req.get("end"))
-            mp = req.get("max_points", DEFAULT_MAX_POINTS)
+            # max_points: clients may LOWER the serving cap, never raise or
+            # disable it (the cap protects the server's memory, so a
+            # client-controllable escape hatch would defeat it). Absent or
+            # JSON null -> the server-side default; 0/negative/garbage ->
+            # bad_data.
+            mp = req.get("max_points")
+            if mp is None:
+                cap = DEFAULT_MAX_POINTS
+            else:
+                cap = int(mp)  # ValueError -> 400 bad_data below
+                if cap <= 0:
+                    raise ValueError(
+                        "max_points must be a positive integer"
+                    )
+                cap = min(cap, DEFAULT_MAX_POINTS)
             self._json(
                 200,
-                prometheus_envelope(
-                    q, req.get("ns_clock", True), int(mp) if mp else None
-                ),
+                prometheus_envelope(q, req.get("ns_clock", True), cap),
             )
         except TooManyPoints as exc:
             # Prometheus returns 422 "execution" when a query trips

@@ -323,6 +323,23 @@ def test_prometheus_api_endpoints(tmp_path, spark):
             "path": db, "query": "not a query ((", "start": 0, "end": 1},
             expect_err=True)
         assert body["status"] == "error" and body["error"]
+        # max_points semantics (ADVICE r6): a client may LOWER the cap
+        # (tripping it -> 422 execution), but 0/negative is bad_data and
+        # JSON null falls back to the server default instead of disabling
+        # the guard
+        body = post("/api/v1/query", {
+            "path": db, "query": "reqs", "start": 0, "end": 100,
+            "max_points": 1}, expect_err=True)
+        assert body["status"] == "error" and body["errorType"] == "execution"
+        body = post("/api/v1/query", {
+            "path": db, "query": "reqs", "start": 0, "end": 100,
+            "max_points": 0}, expect_err=True)
+        assert body["status"] == "error" and body["errorType"] == "bad_data"
+        body = post("/api/v1/query", {
+            "path": db, "query": "reqs", "start": 0, "end": 100,
+            "max_points": None, "ns_clock": False})
+        assert body["status"] == "success"
+        assert len(body["data"]["result"]) == 2
     finally:
         srv.shutdown()
 
@@ -444,6 +461,13 @@ def test_openmetrics_exposition(tmp_path, spark):
             assert "openmetrics-text" in r.headers["Content-Type"]
             body = r.read().decode()
         assert 'cpu{host="a"} 2.5 2e-08' in body and body.endswith("# EOF\n")
+        # ADVICE r6: GET start/end convert to ints (long-to-long ts filter)
+        # and ns_clock=0 is reachable over HTTP (native-unit timestamps)
+        url2 = (f"http://127.0.0.1:{port}/metrics?path={quote(db)}"
+                f"&start=0&end=12&ns_clock=0")
+        with urllib.request.urlopen(url2) as r:
+            body2 = r.read().decode()
+        assert 'cpu{host="a"} 1.5 10' in body2
     finally:
         srv.shutdown()
 
