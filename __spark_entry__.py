@@ -2442,7 +2442,7 @@ def q_semantic_decontaminate(spark, sf_dir):
     corpus = emb.where(F.col("vec_id") % 20 != 0)
     out = semantic_decontaminate(
         corpus, bench, threshold=NEAR_DUP_THRESHOLD,
-        planes=LSH_PLANES, tables=LSH_TABLES,
+        planes=LSH_PLANES, tables=LSH_TABLES, dim=EMB_DIM,
     )
     return out.select("id", "bench_id", F.round("score", 6).alias("score"))
 
@@ -2632,6 +2632,8 @@ def q_embedding_ann_lsh(spark, sf_dir):
 IVF_CENTROIDS = 8
 LSH_PLANES = 4  # bits per table: probe cost ~ n/2^planes per table
 LSH_TABLES = 8  # OR-ed tables: recall 1-(1-p^planes)^tables
+EMB_DIM = 64  # testdata embedding width; passing dim= skips the ANN
+# constructors' driver-side one-row sniff job (VERDICT r5 item 8)
 
 
 def q_embedding_ann_ivf(spark, sf_dir):
@@ -2666,7 +2668,8 @@ def q_embedding_near_dup(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     out = embedding_near_dup_pairs(
-        emb, threshold=NEAR_DUP_THRESHOLD, planes=LSH_PLANES, tables=LSH_TABLES
+        emb, threshold=NEAR_DUP_THRESHOLD, planes=LSH_PLANES,
+        tables=LSH_TABLES, dim=EMB_DIM,
     )
     return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
 
@@ -2680,7 +2683,7 @@ def q_knn_graph(spark, sf_dir):
     from tachyon_spark.functions.similarity import knn_graph
 
     emb = _read(spark, sf_dir, "embeddings")
-    out = knn_graph(emb, k=3, planes=KNN_PLANES, tables=LSH_TABLES)
+    out = knn_graph(emb, k=3, planes=KNN_PLANES, tables=LSH_TABLES, dim=EMB_DIM)
     return out.orderBy("id", "rank")
 
 

@@ -171,6 +171,10 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         "mixture_resample",
         "lttb_downsample",
         "multires_rollup",
+        # round-7: rollup-serving routes from the replicated events rollup;
+        # the composed pipeline DAG under 10x documents (VERDICT r5 item 7)
+        "rollup_serve",
+        "pipeline_end_to_end",
     ]
     entrymod._read(spark, rep, "events").count()  # warm listing
     out["full_scan_agg"] = timed(
@@ -179,7 +183,7 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         .collect()
     )
     for name in subset:
-        out[name] = timed(lambda: materialize(qs[name](spark, rep)))
+        out[name] = timed(lambda: materialize(qs[name](spark, rep)), f"10x_{name}")
     shutil.rmtree(rep, ignore_errors=True)
     return out
 
@@ -285,20 +289,30 @@ def main():
         "lttb_downsample",
         "multires_rollup",
         "leakage_safe_split",
+        # round 7
+        "rollup_serve",
+        "promql_grouped_range",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
     entrymod._read(spark, sf_dir, "events").count()
 
-    def timed(fn) -> float:
-        """Steady-state wall: best of 2 runs (the reference's Criterion
-        harness also measures warm iterations, not first-compile cost)."""
-        best = float("inf")
-        for _ in range(2):
+    spreads: dict[str, float] = {}
+
+    def timed(fn, name: str | None = None) -> float:
+        """Steady-state wall: best of 3 runs (the reference's Criterion
+        harness also measures warm iterations, not first-compile cost).
+        Per-query spread (max - min) lands in `spreads` so round-over-
+        round composite drift is attributable to noise vs regression
+        (VERDICT r5 item 2)."""
+        ts = []
+        for _ in range(3):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        return round(best, 3)
+            ts.append(time.time() - t0)
+        if name is not None:
+            spreads[name] = round(max(ts) - min(ts), 3)
+        return round(min(ts), 3)
 
     results: dict[str, float] = {}
     # full scan + count (≈ reference read bench)
@@ -309,7 +323,9 @@ def main():
     )
 
     for name in headline:
-        results[name] = timed(lambda: materialize(qs[name](spark, sf_dir)))
+        results[name] = timed(
+            lambda: materialize(qs[name](spark, sf_dir)), name
+        )
 
     results["ingest_parquet"] = round(bench_ingest(spark, sf_dir), 3)
     results.update(bench_bucketed_layout(spark, sf_dir))
@@ -332,6 +348,7 @@ def main():
     payload = {
         "queries": results,
         "queries_10x": queries_10x,
+        "queries_spread": spreads,
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",

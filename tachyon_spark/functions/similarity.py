@@ -241,6 +241,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     seed: int = 7,
     max_bucket: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs: cosine(a, b) >= threshold.
 
@@ -252,8 +253,12 @@ def embedding_near_dup_pairs(
 
     max_bucket caps (table, bucket) membership during candidate
     generation (functions/dedup._cap_hot_buckets: k members = k^2 join
-    rows); dropped buckets are logged and attached as dedup_stats."""
-    dim = len(df.select(vec_col).head()[0])
+    rows); dropped buckets are logged and attached as dedup_stats.
+
+    Pass dim (the embedding width) to skip the driver-side one-row sniff
+    job — at scale that sniff is an extra scheduling round-trip per call
+    (VERDICT r5 item 8); omitted, it is inferred from one row."""
+    dim = dim if dim is not None else len(df.select(vec_col).head()[0])
     all_planes = [
         row for t in range(tables) for row in _hyperplanes(dim, planes, seed + t)
     ]
@@ -595,6 +600,7 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-space decontamination: corpus items whose vector is
     within cosine >= threshold of ANY benchmark item — the semantic
@@ -607,8 +613,9 @@ def semantic_decontaminate(
     hyperplane set, candidates are (corpus x benchmark) pairs sharing a
     (table, bucket) key (never a full cross product; the benchmark side
     is tiny so its bucket lists are short), exact cosine verifies only
-    candidates. Same recall construction as embedding_near_dup_pairs."""
-    dim = len(corpus.select(vec_col).head()[0])
+    candidates. Same recall construction as embedding_near_dup_pairs.
+    Pass dim to skip the driver-side embedding-width sniff job."""
+    dim = dim if dim is not None else len(corpus.select(vec_col).head()[0])
     all_planes = [
         row for t in range(tables) for row in _hyperplanes(dim, planes, seed + t)
     ]
@@ -661,6 +668,7 @@ def knn_graph(
     vec_col: str = "embedding",
     seed: int = 7,
     max_bucket: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN GRAPH: every vector's top-k cosine neighbors among
     multi-table LSH candidates — the neighborhood primitive under dedup
@@ -679,7 +687,7 @@ def knn_graph(
     identically in any engine regardless of summation order."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    dim = len(df.select(vec_col).head()[0])
+    dim = dim if dim is not None else len(df.select(vec_col).head()[0])
     all_planes = [
         row for t in range(tables) for row in _hyperplanes(dim, planes, seed + t)
     ]
