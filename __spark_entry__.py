@@ -1562,12 +1562,10 @@ def q_absent_windows(spark, sf_dir):
     )
 
 
-def q_promql_histogram(spark, sf_dir):
-    """histogram_quantile(0.5, hqm) end-to-end (extension; absent from the
-    reference): per-6h cumulative bucket counts of click values (le in
-    {1,5,20,+Inf}) are registered as le-labeled streams, then the
-    Prometheus bucket interpolation runs as array HOFs per timestamp
-    (functions/histogram.py). Oracle replays the same CASE ladder in SQL."""
+def _histogram_fixture_build(spark, sf_dir):
+    """Build closure for the shared 'promql_histogram' fixture db: per-6h
+    cumulative bucket counts of click values (le in {1,5,20,+Inf})
+    registered as le-labeled streams hqm."""
     import os
     import tempfile
 
@@ -1606,11 +1604,55 @@ def q_promql_histogram(spark, sf_dir):
         )
         return conn
 
-    conn = _memo_fixture(spark, sf_dir, "promql_histogram", build)
+    return build
+
+
+def q_promql_histogram(spark, sf_dir):
+    """histogram_quantile(0.5, hqm) end-to-end (extension; absent from the
+    reference): per-6h cumulative bucket counts of click values (le in
+    {1,5,20,+Inf}) are registered as le-labeled streams, then the
+    Prometheus bucket interpolation runs as array HOFs per timestamp
+    (functions/histogram.py). Oracle replays the same CASE ladder in SQL."""
+    conn = _memo_fixture(
+        spark, sf_dir, "promql_histogram", _histogram_fixture_build(spark, sf_dir)
+    )
     out = conn.query("histogram_quantile(0.5, hqm)", T0_US, T1_US).df()
     return out.select(
         F.col("ts").alias("ts_us"), F.round("value", 6).alias("p50")
     )
+
+
+def q_histogram_helpers(spark, sf_dir):
+    """Prometheus 3.x classic-histogram helpers end-to-end
+    (functions/histogram.bucket_agg / bucket_fraction, VERDICT r6 item 6):
+    histogram_count / histogram_sum / histogram_avg /
+    histogram_fraction(2, 10, .) over the shared le-bucket fixture, one
+    tagged row set per helper. count is the +Inf cumulative count (exact);
+    sum/avg use the midpoint estimate with the +Inf bucket represented by
+    the highest finite le; fraction interpolates linearly inside bucket
+    bounds. The oracle recomputes all four from the raw click values'
+    bucket counts."""
+    conn = _memo_fixture(
+        spark, sf_dir, "promql_histogram", _histogram_fixture_build(spark, sf_dir)
+    )
+    parts = []
+    for tag, promql in (
+        ("count", "histogram_count(hqm)"),
+        ("sum", "histogram_sum(hqm)"),
+        ("avg", "histogram_avg(hqm)"),
+        ("frac_2_10", "histogram_fraction(2, 10, hqm)"),
+    ):
+        parts.append(
+            conn.query(promql, T0_US, T1_US).df().select(
+                F.lit(tag).alias("stat"),
+                F.col("ts").alias("ts_us"),
+                F.round("value", 6).alias("value"),
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out
 
 
 def q_media_real_decode(spark, sf_dir):
@@ -2994,6 +3036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 serving surface (VERDICT r6 item 3)
         "rollup_serve": q_rollup_serve,
         "promql_grouped_range": q_promql_grouped_range,
+        # round-7 classic-histogram helpers (VERDICT r6 item 6)
+        "histogram_helpers": q_histogram_helpers,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "unigram_logprob": q_unigram_logprob,
@@ -3317,6 +3361,39 @@ SELECT ts_us, round(
     WHEN 0.5 * cinf <= c20 THEN 5 + 15.0 * (0.5 * cinf - c5) / (c20 - c5)
     ELSE 20.0
   END, 6) AS p50
+FROM c WHERE cinf > 0
+"""
+
+
+_HISTOGRAM_HELPERS_SQL = """
+WITH c AS (
+  SELECT {t0} + ((epoch_us(ts) - {t0}) // {w6h}) * {w6h} AS ts_us,
+         count(*) FILTER (value <= 1)  AS c1,
+         count(*) FILTER (value <= 5)  AS c5,
+         count(*) FILTER (value <= 20) AS c20,
+         count(*) AS cinf
+  FROM events
+  WHERE event_type = 'click' AND epoch_us(ts) BETWEEN {t0} AND {t1}
+  GROUP BY 1
+)
+-- the four helpers recomputed from raw bucket counts, same IEEE order as
+-- functions/histogram.bucket_agg / bucket_fraction (exact-binary mids)
+SELECT 'count' AS stat, ts_us, round(1.0 * cinf, 6) AS value
+FROM c WHERE cinf > 0
+UNION ALL
+SELECT 'sum', ts_us,
+       round(c1 * 0.5 + (c5 - c1) * 3.0 + (c20 - c5) * 12.5
+             + (cinf - c20) * 20.0, 6)
+FROM c WHERE cinf > 0
+UNION ALL
+SELECT 'avg', ts_us,
+       round((c1 * 0.5 + (c5 - c1) * 3.0 + (c20 - c5) * 12.5
+              + (cinf - c20) * 20.0) / cinf, 6)
+FROM c WHERE cinf > 0
+UNION ALL
+SELECT 'frac_2_10', ts_us,
+       round(((c5 + (c20 - c5) * (10.0 - 5.0) / (20.0 - 5.0))
+              - (c1 + (c5 - c1) * (2.0 - 1.0) / (5.0 - 1.0))) / cinf, 6)
 FROM c WHERE cinf > 0
 """
 
@@ -3786,6 +3863,9 @@ def oracle_sql() -> dict[str, str]:
         "vector_matching": _VECTOR_MATCHING_SQL.format(t0=T0_US, t1=T1_US),
         "promql_subquery": _PROMQL_SUBQUERY_SQL.format(
             t0=T0_US, t1=T1_US, w30=30 * 60 * 1_000_000, w2h=2 * 3600 * 1_000_000
+        ),
+        "histogram_helpers": _HISTOGRAM_HELPERS_SQL.format(
+            t0=T0_US, t1=T1_US, w6h=6 * 3600 * 1_000_000
         ),
         "promql_histogram": _PROMQL_HISTOGRAM_SQL.format(
             t0=T0_US, t1=T1_US, w6h=6 * 3600 * 1_000_000

@@ -292,6 +292,7 @@ def main():
         # round 7
         "rollup_serve",
         "promql_grouped_range",
+        "histogram_helpers",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

@@ -311,22 +311,34 @@ class Catalog:
         rows = [s for s in self._load() if s.stream_id not in drop]
         self._rewrite(rows)
 
-    def resolve(self, name: str, matchers=()) -> list[StreamInfo]:
+    def resolve(self, name: str, matchers=(), or_groups=()) -> list[StreamInfo]:
         """Streams matching metric name + all matchers, ordered by stream_id.
+        `or_groups` is the forked-parser `{a="x" or b="y"}` disjunction
+        (ast.VectorSelector.or_groups): a stream matches if ANY group's
+        conjunction matches.
 
         Driver path: the name index narrows the loop to one metric's streams
         (the inverted-index role of indexer.rs:493-516). For plans that must
         not carry the id list at all, see ``resolve_df``."""
-        check_matcher_regexes(matchers)
+        groups = or_groups or (tuple(matchers),)
+        for g in groups:
+            check_matcher_regexes(g)
         self._load()
-        hits = [s for s in self._by_name.get(name, ()) if _matches(s, matchers)]
+        hits = [
+            s
+            for s in self._by_name.get(name, ())
+            if any(_matches(s, g) for g in groups)
+        ]
         return sorted(hits, key=lambda s: s.stream_id)
 
-    def resolve_df(self, name: str, matchers=()) -> DataFrame:
+    def resolve_df(self, name: str, matchers=(), or_groups=()) -> DataFrame:
         """Distributed resolution: catalog parquet scan -> name + matcher
-        filter. The builder semi-joins samples against this frame when the
-        match cardinality is too high for an IN-list literal."""
-        check_matcher_regexes(matchers)
-        return self.df().where(
-            (F.col("name") == name) & matcher_predicate(matchers)
-        )
+        filter (OR of the per-group conjunctions when `or_groups` is set).
+        The builder semi-joins samples against this frame when the match
+        cardinality is too high for an IN-list literal."""
+        groups = or_groups or (tuple(matchers),)
+        pred = F.lit(False)
+        for g in groups:
+            check_matcher_regexes(g)
+            pred = pred | matcher_predicate(g)
+        return self.df().where((F.col("name") == name) & pred)

@@ -268,8 +268,9 @@ class Connection:
             raise ValueError(
                 f"expected a vector selector, got {type(expr).__name__}"
             )
-        check_matcher_regexes(expr.matchers)
-        rows = self.catalog.resolve(expr.name, expr.matchers)
+        for g in expr.or_groups or (expr.matchers,):
+            check_matcher_regexes(g)
+        rows = self.catalog.resolve(expr.name, expr.matchers, expr.or_groups)
         out = [{"__name__": r.name, **r.labels} for r in rows]
         return sorted(out, key=lambda d: sorted(d.items()))
 
@@ -346,6 +347,11 @@ class Connection:
         expr = parse(selector)
         if not isinstance(expr, VectorSelector):
             raise ValueError(f"expected a vector selector, got {type(expr).__name__}")
+        if expr.or_groups:
+            raise ValueError(
+                "stream creation takes one concrete label set, not an "
+                "'or' matcher disjunction"
+            )
         for m in expr.matchers:
             if m.op != "=":
                 raise ValueError("stream creation requires plain '=' matchers")

@@ -56,6 +56,22 @@ def le_series_frame(spark, streams):
     return frame, len(series_keys) > 1
 
 
+def _bucket_arrays(
+    df: DataFrame, group_cols: list[str], le_col: str, value_col: str
+):
+    """Shared grouping step of every bucket helper: one row per group with
+    the le-sorted (le, cumulative count) struct array (bounded fan-in —
+    histograms have tens of buckets). Returns (grouped_df, les, counts)
+    column expressions over the array."""
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col(le_col).alias("le"), F.col(value_col).cast("double").alias("c")))
+    )
+    g = df.groupBy(*group_cols).agg(pairs.alias("__b"))
+    les = F.transform(F.col("__b"), lambda s: s["le"])
+    counts = F.transform(F.col("__b"), lambda s: s["c"])
+    return g, les, counts
+
+
 def bucket_quantile(
     df: DataFrame,
     phi: float,
@@ -66,12 +82,7 @@ def bucket_quantile(
     """Per-group bucket quantile. `df` has one row per (group, bucket) with
     the bucket's upper bound (double; +Inf allowed) and CUMULATIVE count.
     Returns one row per group: (group_cols..., value)."""
-    pairs = F.array_sort(
-        F.collect_list(F.struct(F.col(le_col).alias("le"), F.col(value_col).cast("double").alias("c")))
-    )
-    g = df.groupBy(*group_cols).agg(pairs.alias("__b"))
-    les = F.transform(F.col("__b"), lambda s: s["le"])
-    counts = F.transform(F.col("__b"), lambda s: s["c"])
+    g, les, counts = _bucket_arrays(df, group_cols, le_col, value_col)
     total = F.element_at(counts, -1)
     rank = F.lit(float(phi)) * total
     # first 1-based index whose cumulative count >= rank
@@ -93,5 +104,116 @@ def bucket_quantile(
         )
     )
     return g.select(*group_cols, quantile.alias("value")).where(
+        F.col("value").isNotNull()
+    )
+
+
+def bucket_agg(
+    df: DataFrame,
+    op: str,
+    group_cols: list[str],
+    le_col: str = "le",
+    value_col: str = "value",
+) -> DataFrame:
+    """Prometheus 3.x classic-histogram helpers over cumulative le buckets:
+
+    - count: the observation count — the +Inf (= last) bucket's cumulative
+      count, exact.
+    - sum: ESTIMATED sum of observations — per-bucket count times the
+      bucket midpoint ((prev_le + le) / 2; the first bucket from 0), the
+      +Inf bucket represented by the highest finite le (the same clamp
+      bucket_quantile applies). Classic buckets don't carry a true sum, so
+      this is the standard midpoint estimate; null when the only bucket
+      is +Inf (no finite bound to clamp to).
+    - avg: sum / count (inherits sum's estimate semantics); null for an
+      empty histogram.
+
+    Same shape as bucket_quantile: one narrow shuffle on the group key,
+    then pure array HOFs — no UDF, constant bucket fan-in."""
+    g, les, counts = _bucket_arrays(df, group_cols, le_col, value_col)
+    total = F.element_at(counts, -1)
+    if op == "count":
+        value = total
+    else:
+        n = F.size(F.col("__b"))
+        hf = F.element_at(les, F.greatest(n - 1, F.lit(1)))
+        highest_finite = F.when((n >= 2) & (hf != F.lit(INF)), hf)
+        # per-bucket (count_i - count_{i-1}) * representative midpoint
+        idxs = F.sequence(F.lit(1), n)
+        contrib = F.transform(
+            idxs,
+            lambda i: (
+                F.element_at(counts, i)
+                - F.when(i == 1, F.lit(0.0)).otherwise(
+                    F.element_at(counts, i - 1)
+                )
+            )
+            * F.when(
+                F.element_at(les, i) == F.lit(INF), highest_finite
+            ).otherwise(
+                (
+                    F.when(i == 1, F.lit(0.0)).otherwise(
+                        F.element_at(les, i - 1)
+                    )
+                    + F.element_at(les, i)
+                )
+                / 2.0
+            ),
+        )
+        est_sum = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+        if op == "sum":
+            value = est_sum
+        elif op == "avg":
+            value = F.when(total > 0, est_sum / total)
+        else:
+            raise ValueError(f"unsupported histogram agg {op!r}")
+    return g.select(*group_cols, value.cast("double").alias("value")).where(
+        F.col("value").isNotNull()
+    )
+
+
+def bucket_fraction(
+    df: DataFrame,
+    lo: float,
+    hi: float,
+    group_cols: list[str],
+    le_col: str = "le",
+    value_col: str = "value",
+) -> DataFrame:
+    """histogram_fraction(lo, hi, buckets) for classic cumulative buckets:
+    the estimated fraction of observations in [lo, hi] — the interpolated
+    cumulative count at hi minus at lo, over the total. Interpolation is
+    linear within a bucket's [prev_le, le] bounds (the first bucket from
+    0), matching bucket_quantile's model; a bound inside the +Inf bucket
+    contributes the last finite cumulative count (no finite width to
+    interpolate over); a bound past every bucket contributes the total.
+    Empty histograms (total <= 0) yield no row."""
+    g, les, counts = _bucket_arrays(df, group_cols, le_col, value_col)
+    total = F.element_at(counts, -1)
+
+    def cum_at(b):
+        bb = F.lit(float(b))
+        idx = F.size(F.filter(les, lambda le: le < bb)) + 1
+        n = F.size(F.col("__b"))
+        b_le = F.element_at(les, F.least(idx, n))
+        b_cnt = F.element_at(counts, F.least(idx, n))
+        prev_cnt = F.when(idx == 1, F.lit(0.0)).otherwise(
+            F.element_at(counts, F.greatest(idx - 1, F.lit(1)))
+        )
+        prev_le = F.when(idx == 1, F.lit(0.0)).otherwise(
+            F.element_at(les, F.greatest(idx - 1, F.lit(1)))
+        )
+        return (
+            F.when(idx > n, total)
+            .when(b_le == F.lit(INF), prev_cnt)
+            .when(b_le == prev_le, b_cnt)
+            .otherwise(
+                prev_cnt
+                + (b_cnt - prev_cnt) * (bb - prev_le) / (b_le - prev_le)
+            )
+        )
+
+    frac = F.when(total > 0, (cum_at(hi) - cum_at(lo)) / total)
+    return g.select(*group_cols, frac.cast("double").alias("value")).where(
         F.col("value").isNotNull()
     )

@@ -173,6 +173,10 @@ class PlanBuilder:
             return self._calendar_func(expr)
         if isinstance(expr, ast.HistogramQuantile):
             return self._histogram_quantile(expr)
+        if isinstance(expr, ast.HistogramAgg):
+            return self._histogram_agg(expr)
+        if isinstance(expr, ast.HistogramFraction):
+            return self._histogram_fraction(expr)
         if isinstance(expr, ast.LabelFunc):
             return self._label_func(expr)
         if isinstance(expr, ast.AbsentOverTime):
@@ -814,12 +818,30 @@ class PlanBuilder:
         works in raw-sample mode too. Aggregate children (`sum by (le)`)
         belong to query_range, where instants exist per step; the raw
         engine's aggregates collapse time."""
-        from tachyon_spark.functions.histogram import bucket_quantile, le_series_frame
+        from tachyon_spark.functions.histogram import bucket_quantile
 
-        child = self.build(node.child)
+        out, multi = self._le_bucket_eval(
+            node.child, "histogram_quantile",
+            lambda df, group_cols: bucket_quantile(
+                df, node.phi, group_cols, le_col="__le"
+            ),
+        )
+        if multi:
+            return Plan("grouped", out, VT_F64, group_cols=("series", "ts"))
+        return Plan("vector", out, VT_F64)
+
+    def _le_bucket_eval(self, child_expr, fname: str, apply):
+        """Shared raw-sample le-bucket evaluation for the histogram family:
+        resolve the child to le-labeled bucket streams, broadcast-join the
+        (stream_id -> le, series) frame, and run `apply(df, group_cols)`
+        per timestamp (and per remaining-label series when more than one
+        exists). Returns (df, multi)."""
+        from tachyon_spark.functions.histogram import le_series_frame
+
+        child = self.build(child_expr)
         if child.kind != "vector" or not child.streams:
             raise ValueError(
-                "histogram_quantile (raw-sample mode) requires le-labeled "
+                f"{fname} (raw-sample mode) requires le-labeled "
                 "bucket series: a selector or a windowed function over one "
                 "(aggregate inputs are a query_range shape — raw aggregates "
                 "collapse time)"
@@ -827,9 +849,41 @@ class PlanBuilder:
         le_map, multi = le_series_frame(self.conn.spark, child.streams)
         df = child.df.join(F.broadcast(le_map), "stream_id")
         group_cols = (["__series"] if multi else []) + ["ts"]
-        out = bucket_quantile(df, node.phi, group_cols, le_col="__le")
+        out = apply(df, group_cols)
         if multi:
             out = out.withColumnRenamed("__series", "series")
+        return out, multi
+
+    def _histogram_agg(self, node: ast.HistogramAgg) -> Plan:
+        """histogram_count/sum/avg(buckets): Prometheus 3.x classic-
+        histogram helpers over the same le-frame machinery as
+        histogram_quantile — count is the +Inf bucket's cumulative count,
+        sum the midpoint estimate, avg their ratio
+        (functions/histogram.bucket_agg)."""
+        from tachyon_spark.functions.histogram import bucket_agg
+
+        out, multi = self._le_bucket_eval(
+            node.child, f"histogram_{node.op}",
+            lambda df, group_cols: bucket_agg(
+                df, node.op, group_cols, le_col="__le"
+            ),
+        )
+        if multi:
+            return Plan("grouped", out, VT_F64, group_cols=("series", "ts"))
+        return Plan("vector", out, VT_F64)
+
+    def _histogram_fraction(self, node: ast.HistogramFraction) -> Plan:
+        """histogram_fraction(lo, hi, buckets): interpolated in-range
+        observation fraction (functions/histogram.bucket_fraction)."""
+        from tachyon_spark.functions.histogram import bucket_fraction
+
+        out, multi = self._le_bucket_eval(
+            node.child, "histogram_fraction",
+            lambda df, group_cols: bucket_fraction(
+                df, node.lo, node.hi, group_cols, le_col="__le"
+            ),
+        )
+        if multi:
             return Plan("grouped", out, VT_F64, group_cols=("series", "ts"))
         return Plan("vector", out, VT_F64)
 
@@ -1083,7 +1137,10 @@ class PlanBuilder:
         elif sel.at_ts is not None:
             start = sel.at_ts
         if (sel.at_anchor or sel.at_ts is not None) and sel.offset:
-            start = (start or 0) + sel.offset
+            # saturating u64 arithmetic like the reference's
+            # saturating_add/saturating_sub (negative offsets floor at 0,
+            # @ end() + offset caps at u64::MAX)
+            start = min(max((start or 0) + sel.offset, 0), U64_MAX)
         return start
 
     def _window_col(self, msel: ast.MatrixSelector):
@@ -1175,7 +1232,7 @@ class PlanBuilder:
 
     # --------------------------------------------------------------- selector
     def _selector(self, sel: ast.VectorSelector) -> Plan:
-        rows = self.conn.catalog.resolve(sel.name, sel.matchers)
+        rows = self.conn.catalog.resolve(sel.name, sel.matchers, sel.or_groups)
         if not rows:
             raise ValueError(f"no streams matched selector {sel.name!r}")
 
@@ -1202,7 +1259,9 @@ class PlanBuilder:
             df = select_range(
                 self.conn.samples_df(), None, start, end,
                 time_bucket=self.conn.time_bucket,
-                stream_ids_df=self.conn.catalog.resolve_df(sel.name, sel.matchers),
+                stream_ids_df=self.conn.catalog.resolve_df(
+                    sel.name, sel.matchers, sel.or_groups
+                ),
                 id_count=len(ids),
                 stream_buckets=buckets,
             )

@@ -196,7 +196,7 @@ class RangeEvaluator:
                 "query_range (instant selectors support @)"
             )
         off = sel.offset or 0
-        bare = ast.VectorSelector(sel.name, sel.matchers)
+        bare = ast.VectorSelector(sel.name, sel.matchers, or_groups=sel.or_groups)
         b = PlanBuilder(self.conn, self.start - back - off, self.end - off)
         child = b._selector(bare)
         if off:
@@ -214,7 +214,7 @@ class RangeEvaluator:
             return self.conn.spark.createDataFrame(
                 [(s.stream_id,) for s in streams], "stream_id string"
             )
-        return self.conn.catalog.resolve_df(sel.name, sel.matchers).select(
+        return self.conn.catalog.resolve_df(sel.name, sel.matchers, sel.or_groups).select(
             "stream_id"
         )
 
@@ -270,7 +270,9 @@ class RangeEvaluator:
             t = self.end
         else:
             t = int(sel.at_ts)
-        bare = ast.VectorSelector(sel.name, sel.matchers, offset=sel.offset)
+        bare = ast.VectorSelector(
+            sel.name, sel.matchers, offset=sel.offset, or_groups=sel.or_groups
+        )
         sub = RangeEvaluator(self.conn, t, t, self.step, self.lookback)
         child = sub._selector_instant(bare)
         out = child.df.select(

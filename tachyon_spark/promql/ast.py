@@ -25,7 +25,12 @@ class VectorSelector:
     matchers: tuple[Matcher, ...] = ()
     at_ts: int | None = None  # `@ <ts>` pins start (planner.rs:162-180)
     at_anchor: str | None = None  # 'start' | 'end' for @ start()/@ end()
-    offset: int = 0  # `offset <n>` shifts start
+    offset: int = 0  # `offset <n>` shifts start (negative allowed)
+    # `{a="x" or b="y"}` — the reference's forked promql-parser extends
+    # matchers with OR groups (every planner.rs test uses them). When
+    # non-empty this is the full disjunction-of-conjunctions and
+    # `matchers` is empty; a stream matches if ANY group matches.
+    or_groups: tuple[tuple[Matcher, ...], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -207,6 +212,31 @@ class HistogramQuantile:
 
     phi: float
     child: object  # VectorSelector of bucket series
+
+
+@dataclass(frozen=True)
+class HistogramAgg:
+    """histogram_count/sum/avg(buckets) — Prometheus 3.x classic-histogram
+    helpers over cumulative le-labeled bucket series (extension; absent
+    from the reference). count is the +Inf bucket's cumulative count
+    (exact); sum is the midpoint estimate (+Inf bucket represented by the
+    highest finite le, the same clamp histogram_quantile uses); avg is
+    sum / count."""
+
+    op: str  # "count" | "sum" | "avg"
+    child: object
+
+
+@dataclass(frozen=True)
+class HistogramFraction:
+    """histogram_fraction(lo, hi, buckets): estimated fraction of
+    observations in [lo, hi] — interpolated cumulative count at hi minus
+    at lo, over the total (extension; Prometheus 3.x helper re-expressed
+    for classic cumulative buckets)."""
+
+    lo: float
+    hi: float
+    child: object
 
 
 @dataclass(frozen=True)
@@ -393,6 +423,10 @@ class CountValues:
     label: str
     child: object
 HISTOGRAM_FUNCS = frozenset({"histogram_quantile"})
+HISTOGRAM_AGG_FUNCS = frozenset(
+    {"histogram_count", "histogram_sum", "histogram_avg"}
+)
+HISTOGRAM_FRACTION_FUNCS = frozenset({"histogram_fraction"})
 LABEL_FUNCS = frozenset({"label_replace", "label_join"})
 SORT_FUNCS = frozenset({"sort", "sort_desc"})
 SORT_BY_LABEL_FUNCS = frozenset({"sort_by_label", "sort_by_label_desc"})

@@ -291,6 +291,10 @@ class Parser:
                 return self.parse_clamp_func()
             if tok.text in ast.HISTOGRAM_FUNCS:
                 return self.parse_histogram_quantile()
+            if tok.text in ast.HISTOGRAM_AGG_FUNCS:
+                return self.parse_histogram_agg()
+            if tok.text in ast.HISTOGRAM_FRACTION_FUNCS:
+                return self.parse_histogram_fraction()
             if tok.text in ast.LABEL_FUNCS:
                 return self.parse_label_func()
             if tok.text in ast.COUNT_VALUES_FUNCS:
@@ -429,6 +433,57 @@ class Parser:
             )
         return ast.HistogramQuantile(phi, child)
 
+    def _histogram_child(self, fname: str):
+        """Shared le-bucket child validation for the histogram helpers."""
+        child = self.parse_or()
+        if not isinstance(
+            child,
+            (ast.VectorSelector, ast.Aggregate, ast.RangeFunc, ast.OverTimeFunc),
+        ):
+            raise PromQLError(
+                f"{fname} requires le-labeled bucket series (a selector, a "
+                "windowed rate/increase/*_over_time over them, or an "
+                "aggregate grouped by (le))"
+            )
+        return child
+
+    def _signed_number(self, fname: str, arg: str) -> float:
+        neg = False
+        if self.at("-"):
+            self.next()
+            neg = True
+        tok = self.next()
+        if tok.kind != "number":
+            raise PromQLError(
+                f"{fname} {arg} must be a number, got {tok.text!r}"
+            )
+        return -float(tok.text) if neg else float(tok.text)
+
+    def parse_histogram_agg(self):
+        """histogram_count/sum/avg(selector) over le-labeled buckets."""
+        fname = self.next().text
+        self.expect("(")
+        child = self._histogram_child(fname)
+        self.expect(")")
+        return ast.HistogramAgg(fname.removeprefix("histogram_"), child)
+
+    def parse_histogram_fraction(self):
+        """histogram_fraction(lo, hi, selector) over le-labeled buckets."""
+        self.next()
+        self.expect("(")
+        lo = self._signed_number("histogram_fraction", "lower bound")
+        self.expect(",")
+        hi = self._signed_number("histogram_fraction", "upper bound")
+        if hi < lo:
+            raise PromQLError(
+                f"histogram_fraction bounds must satisfy lo <= hi, got "
+                f"({lo}, {hi})"
+            )
+        self.expect(",")
+        child = self._histogram_child("histogram_fraction")
+        self.expect(")")
+        return ast.HistogramFraction(lo, hi, child)
+
     def parse_aggregate(self):
         func = self.next().text
         by: tuple[str, ...] = ()
@@ -455,6 +510,15 @@ class Parser:
             self.expect(",")
         child = self.parse_or()
         self.expect(")")
+        # Prometheus also allows the POSTFIX grouping form:
+        # `sum(rate(m[5m])) by (job)` == `sum by (job) (rate(m[5m]))`
+        if not by and not without:
+            if self.at("by"):
+                self.next()
+                by = tuple(self._parse_label_list())
+            elif self.at("without"):
+                self.next()
+                without = tuple(self._parse_label_list())
         return ast.Aggregate(func, child, by, without, param)
 
     def parse_range_func(self):
@@ -663,7 +727,10 @@ class Parser:
         name_tok = self.next()
         if name_tok.kind != "ident" or name_tok.text in KEYWORDS:
             raise PromQLError(f"expected metric name, got {name_tok.text!r}")
-        matchers: list[ast.Matcher] = []
+        # matcher groups: ',' continues the current conjunction, 'or'
+        # starts a new one ({a="x" or b="y"} — the reference's forked
+        # promql-parser extension; a stream matches ANY group)
+        groups: list[list[ast.Matcher]] = [[]]
         if self.at("{"):
             self.next()
             while not self.at("}"):
@@ -676,10 +743,21 @@ class Parser:
                 val = self.next()
                 if val.kind != "string":
                     raise PromQLError(f"matcher value must be a string, got {val.text!r}")
-                matchers.append(ast.Matcher(label.text, op_tok.text, _unquote(val.text)))
+                groups[-1].append(ast.Matcher(label.text, op_tok.text, _unquote(val.text)))
                 if self.at(","):
                     self.next()
+                elif self.at("or"):
+                    self.next()
+                    if self.at("}"):
+                        raise PromQLError("dangling 'or' in matcher list")
+                    groups.append([])
             self.expect("}")
+        if len(groups) > 1:
+            matchers: tuple = ()
+            or_groups = tuple(tuple(g) for g in groups)
+        else:
+            matchers = tuple(groups[0])
+            or_groups = ()
         range_ = None
         step = None
         if self.at("["):
@@ -705,14 +783,22 @@ class Parser:
                 else:
                     raise PromQLError(f"bad @ modifier {tok.text!r}")
             elif self.at("offset"):
+                # duration with optional sign and unit: `offset 5m`,
+                # `offset -30` (the reference supports Offset::Neg,
+                # planner.rs:171-176)
                 self.next()
-                tok = self.next()
-                if tok.kind != "number":
-                    raise PromQLError(f"offset needs a number, got {tok.text!r}")
-                offset = int(float(tok.text))
+                neg = False
+                if self.at("-"):
+                    self.next()
+                    neg = True
+                offset = self._duration()
+                if neg:
+                    offset = -offset
             else:
                 break
-        sel = ast.VectorSelector(name_tok.text, tuple(matchers), at_ts, at_anchor, offset)
+        sel = ast.VectorSelector(
+            name_tok.text, matchers, at_ts, at_anchor, offset, or_groups
+        )
         if step is not None:
             return ast.Subquery(sel, range_, step)
         if range_ is not None:

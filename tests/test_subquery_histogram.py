@@ -107,3 +107,68 @@ def test_histogram_quantile_windowed_child_raw(golden_db):
 def test_histogram_quantile_aggregate_child_raw_rejected(golden_db):
     with pytest.raises(ValueError, match="query_range"):
         golden_db.query("histogram_quantile(0.5, sum by (le) (hq))", 0, 100)
+
+
+# --- Prometheus 3.x classic-histogram helpers (VERDICT r6 item 6) ---------
+# hq buckets: ts10 cumulative [1, 2, 4] for les [0.5, 1, +Inf];
+#             ts20 cumulative [2, 5, 5]
+
+
+def test_histogram_count_golden(golden_db):
+    q = golden_db.query("histogram_count(hq)", 0, 100)
+    assert q.rows() == [(10, 4.0), (20, 5.0)]
+
+
+def test_histogram_sum_golden(golden_db):
+    # midpoint estimate: per-bucket n * mid; +Inf bucket represented by
+    # the highest finite le (same clamp as histogram_quantile)
+    # ts10: n=[1,1,2], mids=[0.25, 0.75, 1.0] -> 3.0
+    # ts20: n=[2,3,0] -> 0.5 + 2.25 = 2.75
+    q = golden_db.query("histogram_sum(hq)", 0, 100)
+    assert q.rows() == [(10, 3.0), (20, 2.75)]
+
+
+def test_histogram_avg_golden(golden_db):
+    q = golden_db.query("histogram_avg(hq)", 0, 100)
+    assert q.rows() == [(10, 0.75), (20, 0.55)]
+
+
+def test_histogram_fraction_bucket_boundaries_exact(golden_db):
+    # bounds on bucket boundaries need no interpolation
+    q = golden_db.query("histogram_fraction(0.5, 1, hq)", 0, 100)
+    assert q.rows() == [(10, 0.25), (20, 0.6)]
+
+
+def test_histogram_fraction_interpolates(golden_db):
+    # ts10: C(0.75)=1.5, C(0.25)=0.5 -> 0.25; ts20: C(0.75)=3.5, C(0.25)=1
+    q = golden_db.query("histogram_fraction(0.25, 0.75, hq)", 0, 100)
+    rows = q.rows()
+    assert rows[0][0] == 10 and abs(rows[0][1] - 0.25) < 1e-9
+    assert rows[1][0] == 20 and abs(rows[1][1] - 0.5) < 1e-9
+
+
+def test_histogram_helpers_require_le(golden_db):
+    with pytest.raises(ValueError, match="no 'le' label"):
+        golden_db.query("histogram_sum(ints)", 0, 100)
+    with pytest.raises(ValueError, match="no 'le' label"):
+        golden_db.query("histogram_fraction(0, 1, ints)", 0, 100)
+
+
+def test_histogram_fraction_bounds_order_rejected():
+    from tachyon_spark.promql.parser import PromQLError, parse
+
+    with pytest.raises(PromQLError, match="lo <= hi"):
+        parse("histogram_fraction(2, 1, hq)")
+
+
+def test_histogram_helpers_only_inf_bucket(db):
+    # count is exact even with only +Inf (it IS the total); sum/avg have
+    # no finite representative -> rows drop (null filtered)
+    from tests.conftest import make_stream
+
+    make_stream(db, 'hinf2{le="+Inf"}', "u64", [(10, 4), (20, 7)])
+    assert db.query("histogram_count(hinf2)", 0, 100).rows() == [
+        (10, 4.0), (20, 7.0)
+    ]
+    assert db.query("histogram_sum(hinf2)", 0, 100).rows() == []
+    assert db.query("histogram_avg(hinf2)", 0, 100).rows() == []
