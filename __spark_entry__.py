@@ -3022,72 +3022,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so the driver's 50-row CORRECTNESS window covers the queries
-    # that have never been driver-gated (VERDICT r6 item 2 — the 7 entries
-    # below lead), then the rest of the rotation.
+    # Staleness-first rotation (VERDICT r9 item 1): the driver gates the
+    # FIRST 50 entries each round. Ordered by last driver-gated round
+    # ascending — token_counts_by_source leads (its only driver row ever is
+    # the r01 FAIL), then the r01/r03 seventeen, then the r04 block; the
+    # r06/r08-gated queries trail. Regenerate next round from the
+    # CORRECTNESS_r0*.json history (tools/rotate_registry.py).
     return {
-        "knn_graph": q_knn_graph,
-        "ts_extrema_windows": q_ts_extrema_windows,
-        "temperature_resample": q_temperature_resample,
-        "corr_matrix": q_corr_matrix,
-        "lttb_downsample": q_lttb_downsample,
-        "multires_rollup": q_multires_rollup,
-        "leakage_safe_split": q_leakage_safe_split,
-        # round-6 serving surface (VERDICT r6 item 3)
-        "rollup_serve": q_rollup_serve,
-        "promql_grouped_range": q_promql_grouped_range,
-        # round-7 classic-histogram helpers (VERDICT r6 item 6)
-        "histogram_helpers": q_histogram_helpers,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "unigram_logprob": q_unigram_logprob,
-        "clean_corpus_stats": q_clean_corpus_stats,
-        "vector_matching": q_vector_matching,
-        "promql_subquery": q_promql_subquery,
-        "promql_histogram": q_promql_histogram,
-        "media_real_decode": q_media_real_decode,
-        "media_video_decode": q_media_video_decode,
-        "streaming_ewma": q_streaming_ewma,
-        "repetition_score": q_repetition_score,
-        "agg_stddev": q_agg_stddev,
-        "topk_per_group": q_topk_per_group,
-        "media_wav_decode": q_media_wav_decode,
-        "dup_span_stats": q_dup_span_stats,
-        "semdedup": q_semdedup,
-        "domain_cap": q_domain_cap,
-        "global_shuffle": q_global_shuffle,
-        "predict_linear": q_predict_linear,
-        "stddev_windows": q_stddev_windows,
-        "holt_winters": q_holt_winters,
-        "strip_dup_spans": q_strip_dup_spans,
-        "media_spectral": q_media_spectral,
-        "mad_windows": q_mad_windows,
-        "asof_forward_nearest": q_asof_forward_nearest,
-        "streaming_dedup": q_streaming_dedup,
-        "embedding_ann_quantized": q_embedding_ann_quantized,
-        "weighted_sample": q_weighted_sample,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "pipeline_end_to_end": q_pipeline_end_to_end,
-        "m4_downsample": q_m4_downsample,
-        "anomaly_flags": q_anomaly_flags,
-        "bigram_logprob": q_bigram_logprob,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "media_phash": q_media_phash,
-        "table_profile": q_table_profile,
-        "image_near_dup": q_image_near_dup,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "cusum_drift": q_cusum_drift,
-        "pack_sequences": q_pack_sequences,
-        "gopher_quality": q_gopher_quality,
-        "token_entropy": q_token_entropy,
-        "absent_windows": q_absent_windows,
-        "cluster_balanced": q_cluster_balanced,
-        "calendar_fields": q_calendar_fields,
-        "mixture_resample": q_mixture_resample,
-        "quality_percentile": q_quality_percentile,
-        "top_ngrams": q_top_ngrams,
-        "vocab_stats": q_vocab_stats,
+        "token_counts_by_source": q_token_counts_by_source,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count_bpe": q_token_count_bpe,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "media_resize": q_media_resize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "decontaminate": q_decontaminate,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "text_stats": q_text_stats,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -3137,24 +3095,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "ewma_final": q_ewma_final,
         "embedding_ann_lsh": q_embedding_ann_lsh,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "media_features": q_media_features,
-        "media_frames": q_media_frames,
-        "media_resize": q_media_resize,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "decontaminate": q_decontaminate,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_counts_by_source": q_token_counts_by_source,
-        "token_count_bpe": q_token_count_bpe,
-        "doc_fingerprint": q_doc_fingerprint,
-        # round 5
+        "pack_sequences": q_pack_sequences,
+        "gopher_quality": q_gopher_quality,
+        "token_entropy": q_token_entropy,
+        "absent_windows": q_absent_windows,
+        "cluster_balanced": q_cluster_balanced,
+        "calendar_fields": q_calendar_fields,
+        "mixture_resample": q_mixture_resample,
+        "quality_percentile": q_quality_percentile,
+        "top_ngrams": q_top_ngrams,
+        "vocab_stats": q_vocab_stats,
+        "knn_graph": q_knn_graph,
+        "ts_extrema_windows": q_ts_extrema_windows,
+        "temperature_resample": q_temperature_resample,
+        "corr_matrix": q_corr_matrix,
+        "lttb_downsample": q_lttb_downsample,
+        "multires_rollup": q_multires_rollup,
+        "leakage_safe_split": q_leakage_safe_split,
+        "rollup_serve": q_rollup_serve,
+        "promql_grouped_range": q_promql_grouped_range,
+        "histogram_helpers": q_histogram_helpers,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "unigram_logprob": q_unigram_logprob,
+        "clean_corpus_stats": q_clean_corpus_stats,
+        "vector_matching": q_vector_matching,
+        "promql_subquery": q_promql_subquery,
+        "promql_histogram": q_promql_histogram,
+        "media_real_decode": q_media_real_decode,
+        "media_video_decode": q_media_video_decode,
+        "streaming_ewma": q_streaming_ewma,
+        "repetition_score": q_repetition_score,
+        "agg_stddev": q_agg_stddev,
+        "topk_per_group": q_topk_per_group,
+        "media_wav_decode": q_media_wav_decode,
+        "dup_span_stats": q_dup_span_stats,
+        "semdedup": q_semdedup,
+        "domain_cap": q_domain_cap,
+        "global_shuffle": q_global_shuffle,
+        "predict_linear": q_predict_linear,
+        "stddev_windows": q_stddev_windows,
+        "holt_winters": q_holt_winters,
+        "strip_dup_spans": q_strip_dup_spans,
+        "media_spectral": q_media_spectral,
+        "mad_windows": q_mad_windows,
+        "asof_forward_nearest": q_asof_forward_nearest,
+        "streaming_dedup": q_streaming_dedup,
+        "embedding_ann_quantized": q_embedding_ann_quantized,
+        "weighted_sample": q_weighted_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
+        "m4_downsample": q_m4_downsample,
+        "anomaly_flags": q_anomaly_flags,
+        "bigram_logprob": q_bigram_logprob,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "media_phash": q_media_phash,
+        "table_profile": q_table_profile,
+        "image_near_dup": q_image_near_dup,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "cusum_drift": q_cusum_drift,
     }
 
 # ---------------------------------------------------------------- oracle SQL
