@@ -200,13 +200,15 @@ class PlanBuilder:
             child = self.build(expr.child)
             if child.kind != "vector":
                 raise ValueError("count_values requires a vector input")
-            out = (
-                child.df.groupBy(
-                    F.col("value").cast("string").alias(expr.label)
-                )
-                .agg(F.count("*").alias("value"))
+            cdf, extra = self._grouping_cols(
+                child, expr.by, expr.without, "count_values"
             )
-            return Plan("grouped", out, VT_U64, group_cols=(expr.label,))
+            out = cdf.groupBy(
+                *extra, F.col("value").cast("string").alias(expr.label)
+            ).agg(F.count("*").alias("value"))
+            return Plan(
+                "grouped", out, VT_U64, group_cols=(*extra, expr.label)
+            )
         if isinstance(expr, ast.Subquery):
             raise ValueError(
                 "a subquery expr[RANGE:STEP] can only be the argument of an "
@@ -1703,35 +1705,57 @@ class PlanBuilder:
             out = grouped_agg(df, func, list(node.by), param=node.param, approx=approx)
             return Plan("grouped", out, vt, group_cols=tuple(node.by))
         if node.without:
-            # group by every label EXCEPT the listed ones: per-series
-            # canonical remaining-label key computed driver-side from the
-            # plan's stream info, attached as one broadcast map column
-            if "stream_id" not in cdf.columns or not child.streams:
-                raise ValueError(
-                    "grouped aggregation (without ...) requires a "
-                    "label-carrying selector vector"
-                )
-            drop = set(node.without)
-            rows = [
-                (
-                    s.stream_id,
-                    ",".join(
-                        f"{k}={v}"
-                        for k, v in sorted(s.labels.items())
-                        if k not in drop
-                    ),
-                )
-                for s in child.streams
-            ]
-            key_df = self.conn.spark.createDataFrame(
-                rows, "stream_id string, series string"
-            )
-            df = cdf.join(F.broadcast(key_df), "stream_id", "left")
+            df = self._attach_series_key(cdf, node.without, child.streams)
             out = grouped_agg(df, func, ["series"], param=node.param, approx=approx)
             return Plan("grouped", out, vt, group_cols=("series",))
         return Plan(
             "scalar", scalar_agg(cdf, func, param=node.param, approx=approx), vt
         )
+
+    def _attach_series_key(
+        self, cdf: DataFrame, without: tuple[str, ...], streams: tuple
+    ) -> DataFrame:
+        """`without (l1,..)` grouping key: group by every label EXCEPT the
+        listed ones — per-series canonical remaining-label key computed
+        driver-side from the plan's stream info, attached as one broadcast
+        map column named `series`."""
+        if "stream_id" not in cdf.columns or not streams:
+            raise ValueError(
+                "grouped aggregation (without ...) requires a "
+                "label-carrying selector vector"
+            )
+        drop = set(without)
+        rows = [
+            (
+                s.stream_id,
+                ",".join(
+                    f"{k}={v}"
+                    for k, v in sorted(s.labels.items())
+                    if k not in drop
+                ),
+            )
+            for s in streams
+        ]
+        key_df = self.conn.spark.createDataFrame(
+            rows, "stream_id string, series string"
+        )
+        return cdf.join(F.broadcast(key_df), "stream_id", "left")
+
+    def _grouping_cols(
+        self, child: "Plan", by: tuple[str, ...], without: tuple[str, ...],
+        what: str,
+    ) -> tuple[DataFrame, tuple[str, ...]]:
+        """Shared by/without grouping-column attachment for aggregation
+        operators that group on labels plus their own key (count_values).
+        Returns (df with group columns, group column names)."""
+        if by:
+            return self._attach_labels(child.df, by, child.streams), by
+        if without:
+            return (
+                self._attach_series_key(child.df, without, child.streams),
+                ("series",),
+            )
+        return child.df, ()
 
     def _attach_labels(
         self, df: DataFrame, labels: tuple[str, ...], streams: tuple = ()

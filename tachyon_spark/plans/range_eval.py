@@ -870,13 +870,15 @@ class RangeEvaluator:
         child = self._eval(node.child)
         if child.kind not in ("vector", "grouped"):
             raise ValueError("count_values requires a vector input")
-        out = (
-            child.df.groupBy(
-                F.col("value").cast("string").alias(node.label), "ts"
-            )
-            .agg(F.count("*").alias("value"))
+        cdf, extra = self._b._grouping_cols(
+            child, node.by, node.without, "count_values"
         )
-        return Plan("grouped", out, VT_U64, group_cols=(node.label, "ts"))
+        out = cdf.groupBy(
+            *extra, F.col("value").cast("string").alias(node.label), "ts"
+        ).agg(F.count("*").alias("value"))
+        return Plan(
+            "grouped", out, VT_U64, group_cols=(*extra, node.label, "ts")
+        )
 
     # -------------------------------------------------------------- absent
     def _absent(self, node: ast.AbsentFunc) -> Plan:

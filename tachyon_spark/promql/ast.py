@@ -422,6 +422,10 @@ class CountValues:
 
     label: str
     child: object
+    # by/without grouping (PromQL: count_values is an aggregation operator;
+    # `count_values ("v", m) by (job)` counts per (job, value) pair).
+    by: tuple[str, ...] = ()
+    without: tuple[str, ...] = ()
 HISTOGRAM_FUNCS = frozenset({"histogram_quantile"})
 HISTOGRAM_AGG_FUNCS = frozenset(
     {"histogram_count", "histogram_sum", "histogram_avg"}

@@ -175,6 +175,33 @@ class Parser:
                 include = tuple(self._parse_label_list())
         return ast.VectorMatching(on, labels, group, include)
 
+    def _parse_grouping(
+        self, func: str, allow_without: bool = True
+    ) -> tuple[tuple[str, ...], tuple[str, ...]]:
+        """Optional `by (...)` / `without (...)` at the CURRENT position.
+        Prometheus accepts the grouping modifier both prefix
+        (`sum by (job) (v)`) and postfix (`sum(v) by (job)`) on every
+        aggregation — sum-family, topk/bottomk, quantile, count_values,
+        limitk/limit_ratio. Callers invoke this before '(' and, if nothing
+        was found, again after ')'. Aggregations whose engine semantics
+        only define `by` pass allow_without=False for a clear error
+        instead of a trailing-input parse failure."""
+        by: tuple[str, ...] = ()
+        without: tuple[str, ...] = ()
+        if self.at("by"):
+            self.next()
+            by = tuple(self._parse_label_list())
+        elif self.at("without"):
+            if not allow_without:
+                raise PromQLError(
+                    f"{func} supports only `by (...)` grouping in this "
+                    "engine (documented divergence: `without` needs the "
+                    "full remaining-label set per series)"
+                )
+            self.next()
+            without = tuple(self._parse_label_list())
+        return by, without
+
     def _parse_label_list(self) -> list[str]:
         self.expect("(")
         labels = []
@@ -321,9 +348,11 @@ class Parser:
             return self.parse_selector()
         raise PromQLError(f"unexpected token {tok.text!r} at {tok.pos} in {self.src!r}")
 
-    def _duration(self) -> int:
+    def _duration(self, allow_zero: bool = False) -> int:
         """<number>[unit] — bare numbers are native ts units; suffixed units
-        assume nanosecond timestamps."""
+        assume nanosecond timestamps. Range selectors and subquery steps
+        must be strictly positive; the offset modifier passes
+        allow_zero=True (Prometheus accepts `offset 0`)."""
         num = self.next()
         if num.kind != "number":
             raise PromQLError(f"duration must be a number, got {num.text!r}")
@@ -333,7 +362,7 @@ class Parser:
             if nxt.text not in DURATION_UNITS:
                 raise PromQLError(f"unknown duration unit {nxt.text!r}")
             dur *= DURATION_UNITS[self.next().text]
-        if dur <= 0:
+        if dur < 0 or (dur == 0 and not allow_zero):
             raise PromQLError("duration must be positive")
         return int(dur)
 
@@ -366,8 +395,10 @@ class Parser:
         return ast.RoundFunc(child, to_nearest)
 
     def parse_count_values(self):
-        """count_values("label", v)."""
-        self.next()
+        """count_values("label", v), optional by/without grouping prefix or
+        postfix (PromQL: count_values is an aggregation operator)."""
+        func = self.next().text
+        by, without = self._parse_grouping(func)
         self.expect("(")
         tok = self.next()
         if tok.kind != "string":
@@ -383,7 +414,13 @@ class Parser:
         self.expect(",")
         child = self.parse_or()
         self.expect(")")
-        return ast.CountValues(label, child)
+        if not by and not without:
+            by, without = self._parse_grouping(func)
+        if label in by:
+            raise PromQLError(
+                f"count_values label {label!r} collides with a grouping label"
+            )
+        return ast.CountValues(label, child, by, without)
 
     def parse_label_func(self):
         """label_replace(v, "dst", "repl", "src", "regex") /
@@ -486,14 +523,7 @@ class Parser:
 
     def parse_aggregate(self):
         func = self.next().text
-        by: tuple[str, ...] = ()
-        without: tuple[str, ...] = ()
-        if self.at("by"):
-            self.next()
-            by = tuple(self._parse_label_list())
-        elif self.at("without"):
-            self.next()
-            without = tuple(self._parse_label_list())
+        by, without = self._parse_grouping(func)
         self.expect("(")
         param = None
         if func == "quantile":  # quantile(phi, v)
@@ -510,15 +540,8 @@ class Parser:
             self.expect(",")
         child = self.parse_or()
         self.expect(")")
-        # Prometheus also allows the POSTFIX grouping form:
-        # `sum(rate(m[5m])) by (job)` == `sum by (job) (rate(m[5m]))`
         if not by and not without:
-            if self.at("by"):
-                self.next()
-                by = tuple(self._parse_label_list())
-            elif self.at("without"):
-                self.next()
-                without = tuple(self._parse_label_list())
+            by, without = self._parse_grouping(func)
         return ast.Aggregate(func, child, by, without, param)
 
     def parse_range_func(self):
@@ -655,18 +678,17 @@ class Parser:
         return ast.SortByLabelFunc(func, child, tuple(labels))
 
     def parse_limit_agg(self):
-        """limitk(k, v) / limit_ratio(r, v), optional `by (...)` prefix
-        (same grammar as topk)."""
+        """limitk(k, v) / limit_ratio(r, v), optional `by (...)` prefix or
+        postfix (same grammar as topk)."""
         func = self.next().text
-        by: tuple[str, ...] = ()
-        if self.at("by"):
-            self.next()
-            by = tuple(self._parse_label_list())
+        by, _ = self._parse_grouping(func, allow_without=False)
         self.expect("(")
         param = self.parse_or()
         self.expect(",")
         child = self.parse_or()
         self.expect(")")
+        if not by:
+            by, _ = self._parse_grouping(func, allow_without=False)
         return ast.LimitAgg(func, param, child, by)
 
     def parse_calendar_func(self):
@@ -712,15 +734,14 @@ class Parser:
 
     def parse_getk(self):
         func = self.next().text
-        by: tuple[str, ...] = ()
-        if self.at("by"):
-            self.next()
-            by = tuple(self._parse_label_list())
+        by, _ = self._parse_grouping(func, allow_without=False)
         self.expect("(")
         k = self.parse_or()
         self.expect(",")
         child = self.parse_or()
         self.expect(")")
+        if not by:
+            by, _ = self._parse_grouping(func, allow_without=False)
         return ast.GetK(func, k, child, by)
 
     def parse_selector(self):
@@ -791,7 +812,7 @@ class Parser:
                 if self.at("-"):
                     self.next()
                     neg = True
-                offset = self._duration()
+                offset = self._duration(allow_zero=True)
                 if neg:
                     offset = -offset
             else:

@@ -111,6 +111,72 @@ def test_offset_signs_match_reference_saturating_semantics(db):
     ).offset
 
 
+def test_offset_zero_accepted(db):
+    """Prometheus accepts a zero offset (`m offset 0` == `m`); range
+    selectors and subquery steps stay strictly positive."""
+    assert parse("m offset 0").offset == 0
+    assert parse("m offset 0m").offset == 0
+    assert parse("m offset -0").offset == 0
+    from tests.conftest import make_stream
+
+    make_stream(db, "conf_off0", "f64", [(10, 1.0), (50, 2.0)])
+    assert db.query("conf_off0 offset 0", 0, 100).rows() == db.query(
+        "conf_off0", 0, 100
+    ).rows()
+    with pytest.raises(PromQLError):
+        parse("m[0]")
+    with pytest.raises(PromQLError):
+        parse("max_over_time(m[40:0])")
+
+
+def test_postfix_grouping_all_aggregations(golden_db):
+    """Prometheus accepts the grouping modifier postfix on EVERY
+    aggregation operator: `topk(5, m) by (job)` == `topk by (job) (5, m)`
+    (same for bottomk/quantile/count_values/limitk/limit_ratio)."""
+    pairs = [
+        ("topk(5, m) by (job)", "topk by (job) (5, m)"),
+        ("bottomk(2, m) by (job)", "bottomk by (job) (2, m)"),
+        ("quantile(0.9, m) by (job)", "quantile by (job) (0.9, m)"),
+        ('count_values("v", m) by (job)', 'count_values by (job) ("v", m)'),
+        ("limitk(2, m) by (job)", "limitk by (job) (2, m)"),
+        ("limit_ratio(0.5, m) by (job)", "limit_ratio by (job) (0.5, m)"),
+        ("sum(m) without (job)", "sum without (job) (m)"),
+        ('count_values("v", m) without (job)',
+         'count_values without (job) ("v", m)'),
+    ]
+    for postfix, prefix in pairs:
+        assert parse(postfix) == parse(prefix), postfix
+    # by-only aggregations reject `without` with a clear error
+    for src in ("topk(5, m) without (job)", "limitk(2, m) without (job)"):
+        with pytest.raises(PromQLError, match="only `by"):
+            parse(src)
+    # postfix evaluates identically to prefix through the engine
+    post = golden_db.query("topk(1, mg) by (service)", 0, 100)
+    pre = golden_db.query("topk by (service) (1, mg)", 0, 100)
+    assert sorted(map(tuple, post.df().collect())) == sorted(
+        map(tuple, pre.df().collect())
+    )
+
+
+def test_count_values_grouped(golden_db):
+    """count_values with by/without grouping (PromQL: count_values is an
+    aggregation): counts per (group, value) pair."""
+    # mg web [10,20], mobile [1,2] -> one row per (service, value)
+    q = golden_db.query('count_values("v", mg) by (service)', 0, 100)
+    assert sorted(map(tuple, q.df().collect())) == [
+        ("mobile", "1", 1), ("mobile", "2", 1),
+        ("web", "10", 1), ("web", "20", 1),
+    ]
+    # without(service) drops the only label -> empty series key
+    q2 = golden_db.query('count_values without (service) ("v", mg)', 0, 100)
+    assert sorted(map(tuple, q2.df().collect())) == [
+        ("", "1", 1), ("", "10", 1), ("", "2", 1), ("", "20", 1),
+    ]
+    # grouping label colliding with the value label is rejected
+    with pytest.raises(PromQLError, match="collides"):
+        parse('count_values("service", mg) by (service)')
+
+
 # --- 2. shapes the reference REJECTS: our disposition, pinned -------------
 # Each entry: (query, "extension" if we evaluate it | exact parse/plan error)
 
