@@ -1649,6 +1649,28 @@ def q_histogram_helpers(spark, sf_dir):
                 F.round("value", 6).alias("value"),
             )
         )
+    # grid-mode helpers (round 9): the same numbers through query_range —
+    # the 6h step grid is aligned to the fixture's 6h bucket windows, so
+    # every step's lookback-latest instant IS the window sample and the
+    # grid replays the raw rows exactly. The grid ends one step early:
+    # [T0, T1] spans exactly 40 windows, and a step AT T1 would re-read
+    # the last window's sample through the lookback as a 41st row.
+    # count_grid uses the GROUPED child form (`sum by (le)`) to gate the
+    # dashboard-canonical path.
+    w6h = 6 * 3600 * 1_000_000
+    for tag, promql in (
+        ("count_grid", "histogram_count(sum by (le) (hqm))"),
+        ("frac_2_10_grid", "histogram_fraction(2, 10, hqm)"),
+    ):
+        parts.append(
+            conn.query_range(promql, T0_US, T1_US - w6h, w6h, lookback=w6h)
+            .df()
+            .select(
+                F.lit(tag).alias("stat"),
+                F.col("ts").alias("ts_us"),
+                F.round("value", 6).alias("value"),
+            )
+        )
     out = parts[0]
     for pdf in parts[1:]:
         out = out.unionByName(pdf)
@@ -3400,6 +3422,17 @@ SELECT 'avg', ts_us,
 FROM c WHERE cinf > 0
 UNION ALL
 SELECT 'frac_2_10', ts_us,
+       round(((c5 + (c20 - c5) * (10.0 - 5.0) / (20.0 - 5.0))
+              - (c1 + (c5 - c1) * (2.0 - 1.0) / (5.0 - 1.0))) / cinf, 6)
+FROM c WHERE cinf > 0
+-- grid-mode replicas (round 9): the 6h step grid is aligned to the 6h
+-- bucket windows, so query_range's lookback-latest instants replay the
+-- raw rows exactly (q_histogram_helpers)
+UNION ALL
+SELECT 'count_grid', ts_us, round(1.0 * cinf, 6)
+FROM c WHERE cinf > 0
+UNION ALL
+SELECT 'frac_2_10_grid', ts_us,
        round(((c5 + (c20 - c5) * (10.0 - 5.0) / (20.0 - 5.0))
               - (c1 + (c5 - c1) * (2.0 - 1.0) / (5.0 - 1.0))) / cinf, 6)
 FROM c WHERE cinf > 0

@@ -187,12 +187,18 @@ def bucket_fraction(
     0), matching bucket_quantile's model; a bound inside the +Inf bucket
     contributes the last finite cumulative count (no finite width to
     interpolate over); a bound past every bucket contributes the total.
+    Bounds are CLAMPED into the bucket domain [0, +Inf) before
+    interpolating: the model's first bucket spans [0, le_1], so a negative
+    bound holds cumulative count 0 — extrapolating below 0 produced a
+    NEGATIVE cumulative count that inflated the fraction
+    (histogram_fraction(-5, 1, b) > histogram_fraction(0, 1, b)).
     Empty histograms (total <= 0) yield no row."""
     g, les, counts = _bucket_arrays(df, group_cols, le_col, value_col)
     total = F.element_at(counts, -1)
 
     def cum_at(b):
-        bb = F.lit(float(b))
+        # clamp into the bucket domain: cumulative count below 0 is 0
+        bb = F.greatest(F.lit(float(b)), F.lit(0.0))
         idx = F.size(F.filter(les, lambda le: le < bb)) + 1
         n = F.size(F.col("__b"))
         b_le = F.element_at(les, F.least(idx, n))

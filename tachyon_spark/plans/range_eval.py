@@ -167,6 +167,10 @@ class RangeEvaluator:
             return self._limit_agg(expr)
         if isinstance(expr, ast.HistogramQuantile):
             return self._histogram_quantile(expr)
+        if isinstance(expr, ast.HistogramAgg):
+            return self._histogram_agg(expr)
+        if isinstance(expr, ast.HistogramFraction):
+            return self._histogram_fraction(expr)
         if isinstance(expr, ast.AbsentOverTime):
             return self._absent_over_time(expr)
         if isinstance(expr, ast.AbsentFunc):
@@ -182,7 +186,8 @@ class RangeEvaluator:
             "and comparisons with scalars, on()/ignoring() vector matching "
             "incl. group_left/group_right and set ops, "
             "abs/ceil/floor/sqrt/exp/ln/sgn, clamp*, round, topk/bottomk, "
-            "histogram_quantile, absent, absent_over_time)"
+            "histogram_quantile/count/sum/avg/fraction, absent, "
+            "absent_over_time)"
         )
 
     # ----------------------------------------------------------- selector
@@ -812,22 +817,71 @@ class RangeEvaluator:
         Either way the per-group bucket list is bounded (tens of les), the
         interpolation is pure array-HOF codegen (functions/histogram.py),
         and the only exchange is the group-key hash — scale-safe."""
-        from tachyon_spark.functions.histogram import (
-            bucket_quantile,
-            le_series_frame,
-            parse_le,
+        from tachyon_spark.functions.histogram import bucket_quantile
+
+        return self._le_bucket_eval(
+            node.child, "histogram_quantile",
+            lambda df, group_cols: bucket_quantile(
+                df, node.phi, group_cols, le_col="__le"
+            ),
         )
 
-        child = self._eval(node.child)
+    def _histogram_agg(self, node: ast.HistogramAgg) -> Plan:
+        """histogram_count/sum/avg per step instant — the grid analogue of
+        the raw path (builder._histogram_agg): the canonical dashboard
+        shape `histogram_count(sum by (le) (rate(m_bucket[5m])))`. Same
+        le-bucket machinery as histogram_quantile; count/sum/avg math is
+        functions/histogram.bucket_agg."""
+        from tachyon_spark.functions.histogram import bucket_agg
+
+        return self._le_bucket_eval(
+            node.child, f"histogram_{node.op}",
+            lambda df, group_cols: bucket_agg(
+                df, node.op, group_cols, le_col="__le"
+            ),
+        )
+
+    def _histogram_fraction(self, node: ast.HistogramFraction) -> Plan:
+        """histogram_fraction(lo, hi, buckets) per step instant — bounds
+        clamped into the bucket domain (functions/histogram.
+        bucket_fraction)."""
+        from tachyon_spark.functions.histogram import bucket_fraction
+
+        return self._le_bucket_eval(
+            node.child, "histogram_fraction",
+            lambda df, group_cols: bucket_fraction(
+                df, node.lo, node.hi, group_cols, le_col="__le"
+            ),
+        )
+
+    def _le_bucket_eval(self, child_expr, fname: str, apply) -> Plan:
+        """Shared grid-mode le-bucket evaluation for the histogram family
+        (quantile/count/sum/avg/fraction). Two child forms (wider than
+        the raw path, which only accepts streams-carrying vectors):
+
+        - grouped with 'le' among its group columns (a `sum by (le[, ...])`
+          aggregate): parse le and run the bucket math per (remaining
+          group cols, step) — the groupBy shares the aggregate's existing
+          key shuffle shape.
+        - vector carrying le-labeled streams (a selector instant or a
+          windowed rate/increase over bucket series): broadcast the
+          (stream_id -> le, series) map, then evaluate per (series?, step).
+
+        Either way the per-group bucket list is bounded (tens of les), the
+        math is pure array-HOF codegen (functions/histogram.py), and the
+        only exchange is the group-key hash — scale-safe."""
+        from tachyon_spark.functions.histogram import le_series_frame, parse_le
+
+        child = self._eval(child_expr)
         if child.kind == "grouped" and "le" in (child.group_cols or ()):
             rest = [c for c in child.group_cols if c != "le"]
             if "ts" not in rest:
                 raise ValueError(
-                    "histogram_quantile: grouped input must keep the step "
+                    f"{fname}: grouped input must keep the step "
                     "timestamp (aggregate with by (le, ...))"
                 )
             df = child.df.withColumn("__le", parse_le("le"))
-            out = bucket_quantile(df, node.phi, rest, le_col="__le")
+            out = apply(df, rest)
             if rest == ["ts"]:
                 return Plan("vector", out, VT_F64)
             return Plan("grouped", out, VT_F64, group_cols=tuple(rest))
@@ -835,13 +889,13 @@ class RangeEvaluator:
             le_map, multi = le_series_frame(self.conn.spark, child.streams)
             df = child.df.join(F.broadcast(le_map), "stream_id")
             group_cols = (["__series"] if multi else []) + ["ts"]
-            out = bucket_quantile(df, node.phi, group_cols, le_col="__le")
+            out = apply(df, group_cols)
             if multi:
                 out = out.withColumnRenamed("__series", "series")
                 return Plan("grouped", out, VT_F64, group_cols=("series", "ts"))
             return Plan("vector", out, VT_F64)
         raise ValueError(
-            "histogram_quantile in query_range needs le-labeled bucket "
+            f"{fname} in query_range needs le-labeled bucket "
             "series (a selector / windowed function over them, or an "
             "aggregate grouped by (le))"
         )

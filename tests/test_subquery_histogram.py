@@ -172,3 +172,60 @@ def test_histogram_helpers_only_inf_bucket(db):
     ]
     assert db.query("histogram_sum(hinf2)", 0, 100).rows() == []
     assert db.query("histogram_avg(hinf2)", 0, 100).rows() == []
+
+
+def test_histogram_fraction_negative_lower_bound_clamped(golden_db):
+    """Bounds clamp into the bucket domain [0, +Inf): a negative lower
+    bound must NOT extrapolate a negative cumulative count (which inflated
+    the fraction above the [0, hi] value)."""
+    neg = golden_db.query("histogram_fraction(-5, 1, hq)", 0, 100).rows()
+    zero = golden_db.query("histogram_fraction(0, 1, hq)", 0, 100).rows()
+    assert neg == zero
+    # a fully-negative range holds no observations
+    allneg = golden_db.query("histogram_fraction(-5, -1, hq)", 0, 100).rows()
+    assert [v for _, v in allneg] == [0.0, 0.0]
+
+
+def test_histogram_helpers_selector_grid(golden_db):
+    """histogram_count/sum/avg/fraction in query_range (grid mode): per-
+    step instants over the lookback-latest bucket samples — same numbers
+    as the raw goldens at their own ts."""
+    kw = dict(start=10, end=20, step=10, lookback=10)
+    q = golden_db.query_range("histogram_count(hq)", **kw)
+    assert sorted(q.rows()) == [(10, 4.0), (20, 5.0)]
+    q = golden_db.query_range("histogram_sum(hq)", **kw)
+    assert sorted(q.rows()) == [(10, 3.0), (20, 2.75)]
+    q = golden_db.query_range("histogram_avg(hq)", **kw)
+    assert sorted(q.rows()) == [(10, 0.75), (20, 0.55)]
+    q = golden_db.query_range("histogram_fraction(0.5, 1, hq)", **kw)
+    assert sorted(q.rows()) == [(10, 0.25), (20, 0.6)]
+
+
+def test_histogram_helpers_grouped_le_child_grid(golden_db):
+    """The canonical dashboard shape on the grid: `histogram_count(sum by
+    (le) (hq))` — grouped-le child path shared with histogram_quantile."""
+    kw = dict(start=10, end=20, step=10, lookback=10)
+    q = golden_db.query_range("histogram_count(sum by (le) (hq))", **kw)
+    assert sorted(q.rows()) == [(10, 4.0), (20, 5.0)]
+    q = golden_db.query_range("histogram_avg(sum by (le) (hq))", **kw)
+    assert sorted(q.rows()) == [(10, 0.75), (20, 0.55)]
+    q = golden_db.query_range(
+        "histogram_fraction(0.25, 0.75, sum by (le) (hq))", **kw
+    )
+    rows = sorted(q.rows())
+    assert rows[0][0] == 10 and abs(rows[0][1] - 0.25) < 1e-9
+    assert rows[1][0] == 20 and abs(rows[1][1] - 0.5) < 1e-9
+
+
+def test_histogram_helpers_windowed_child_grid(golden_db):
+    """histogram_count over a windowed child: increase(hq[20]) at step 20
+    covers (0, 20] and turns each cumulative bucket series into its window
+    increase — les [0.5, 1, +Inf] become [1, 3, 1]. histogram_count is the
+    +Inf bucket's value, so 1.0. Steps 10/30/40 have single-sample windows
+    and drop, matching the quantile test's window behavior."""
+    q = golden_db.query_range(
+        "histogram_count(increase(hq[20]))", 0, 40, 10, lookback=10
+    )
+    got = dict(q.rows())
+    assert set(got) == {20}
+    assert abs(got[20] - 1.0) < 1e-9
