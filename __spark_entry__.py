@@ -144,6 +144,63 @@ def q_selector_scan(spark, sf_dir):
     ).select(F.expr("ts DIV 1000").alias("ts_us"), "value")
 
 
+def q_selector_scan_or(spark, sf_dir):
+    """Or-matcher disjunction selector through the engine surface
+    (forked-parser or_groups — every reference planner test uses them,
+    query/planner.rs:268-279): per-event_type streams om{et=...,grp=...}
+    where grp buckets the five event types into "a" (click, error) and
+    "b" (view, purchase, signup). The selector
+    `om{et="click" or grp="b"}` must resolve the UNION of the two
+    conjunction groups (catalog.py resolve/resolve_df): click via the
+    first group, view/purchase/signup via the second, error via neither.
+    Output rows re-label with et through the bounded catalog map (5
+    streams); the oracle recomputes the four matching series straight
+    from events."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+
+    grp = {"click": "a", "error": "a", "view": "b", "purchase": "b", "signup": "b"}
+
+    def build():
+        ev = _read(spark, sf_dir, "events")
+        series = (
+            ev.where(F.col("ts").between(T0_US * 1000, T1_US * 1000))
+            .groupBy("event_type", F.expr("ts DIV 1000").alias("ts"))
+            .agg(F.avg("value").alias("value"))
+        )
+        work = tempfile.mkdtemp(prefix="ty_or_")
+        conn = Connection(os.path.join(work, "db"), spark)
+        ets = sorted(grp)
+        ids = conn.create_streams(
+            [(f'om{{et="{et}",grp="{grp[et]}"}}', "f64") for et in ets]
+        )
+        mapping = spark.createDataFrame(
+            list(zip(ets, ids)), "event_type string, stream_id string"
+        )
+        conn.bulk_load(
+            series.join(F.broadcast(mapping), "event_type").select(
+                "stream_id", "ts", "value",
+                F.lit(None).cast("long").alias("value_int"),
+            )
+        )
+        return conn
+
+    conn = _memo_fixture(spark, sf_dir, "selector_or", build)
+    # plan.df keeps stream_id (Query.df() projects it away for the
+    # reference's (ts, value) vector shape) — needed for the et re-label
+    out = conn.query('om{et="click" or grp="b"}', T0_US, T1_US).plan.df
+    # bounded re-label: 5 catalog streams -> (stream_id, et) map
+    id_et = spark.createDataFrame(
+        [(s.stream_id, s.labels["et"]) for s in conn.get_all_streams()],
+        "stream_id string, et string",
+    )
+    return out.join(F.broadcast(id_et), "stream_id").select(
+        "et", F.col("ts").alias("ts_us"), F.round("value", 6).alias("value")
+    )
+
+
 def _agg(spark, sf_dir, func, alias, nd=None):
     ev = _read(spark, sf_dir, "events")
     base = ev.where(
@@ -3076,6 +3133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "text_stats": q_text_stats,
+        # round 9: or-matcher disjunction gate (VERDICT r9 item 6)
+        "selector_scan_or": q_selector_scan_or,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -3870,6 +3929,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "selector_scan": (
             f"SELECT epoch_us(ts) AS ts_us, value FROM events WHERE {_CLICK_RANGE}"
+        ),
+        "selector_scan_or": (
+            "SELECT event_type AS et, epoch_us(ts) AS ts_us, "
+            "round(avg(value), 6) AS value FROM events "
+            "WHERE event_type IN ('click', 'view', 'purchase', 'signup') "
+            f"AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US} "
+            "GROUP BY event_type, epoch_us(ts)"
         ),
         "agg_sum": f"SELECT round(sum(value), 2) AS sum_value FROM events WHERE {_CLICK_RANGE}",
         "agg_count": f"SELECT count(value) AS count_value FROM events WHERE {_CLICK_RANGE}",
