@@ -268,18 +268,28 @@ class PlanBuilder:
 
     @staticmethod
     def _select_limit_series(
-        func: str, param: float, streams: tuple, by: tuple[str, ...]
+        func: str, param: float, streams: tuple, by: tuple[str, ...],
+        without: tuple[str, ...] = (),
     ) -> set:
         """The limitk/limit_ratio series-selection rule, shared by the raw
         and step-grid paths (selection is metadata-only, so both paths must
-        pick the SAME series for a given param)."""
+        pick the SAME series for a given param). `without` groups on every
+        label EXCEPT the listed ones (mutually exclusive with `by`)."""
         import hashlib
 
         if func == "limitk":
             k = max(int(param), 0)
             groups: dict[tuple, list] = {}
             for s in streams:
-                key = tuple(s.labels.get(l) for l in by)
+                if without:
+                    drop = set(without)
+                    key = tuple(
+                        (l, v)
+                        for l, v in sorted(s.labels.items())
+                        if l not in drop
+                    )
+                else:
+                    key = tuple(s.labels.get(l) for l in by)
                 groups.setdefault(key, []).append(s)
             return {
                 s.stream_id
@@ -325,7 +335,9 @@ class PlanBuilder:
             raise ValueError(
                 f"{node.func} requires a label-carrying selector vector"
             )
-        kept = self._select_limit_series(node.func, param, child.streams, node.by)
+        kept = self._select_limit_series(
+            node.func, param, child.streams, node.by, node.without
+        )
         if kept:
             out = child.df.where(F.col("stream_id").isin(sorted(kept)))
         else:
@@ -1797,13 +1809,22 @@ class PlanBuilder:
         child = self.build(node.child)
         if child.kind != "vector":
             raise ValueError("topk/bottomk requires a vector input")
-        if node.by:
+        if node.by or node.without:
             # per-group k: rank window shares the group-key shuffle — no
-            # global sort (extension; the reference's GetK is global only)
+            # global sort (extension; the reference's GetK is global only).
+            # `without` groups on the canonical remaining-label series key
+            # (same broadcast attach as Aggregate.without).
             from tachyon_spark.operators.topk import grouped_top_k
 
-            df = self._attach_labels(child.df, node.by, child.streams)
-            out = grouped_top_k(df, k, list(node.by), desc=node.func == "topk")
-            return Plan("grouped", out, child.value_type, group_cols=tuple(node.by))
+            if node.by:
+                df = self._attach_labels(child.df, node.by, child.streams)
+                cols = list(node.by)
+            else:
+                df = self._attach_series_key(
+                    child.df, node.without, child.streams
+                )
+                cols = ["series"]
+            out = grouped_top_k(df, k, cols, desc=node.func == "topk")
+            return Plan("grouped", out, child.value_type, group_cols=tuple(cols))
         fn = top_k if node.func == "topk" else bottom_k
         return Plan("topk", fn(child.df, k), child.value_type)

@@ -995,7 +995,8 @@ class RangeEvaluator:
                 f"{node.func} requires a label-carrying selector vector"
             )
         kept = PlanBuilder._select_limit_series(
-            node.func, float(p_plan.literal), child.streams, node.by
+            node.func, float(p_plan.literal), child.streams, node.by,
+            node.without,
         )
         if kept:
             out = child.df.where(F.col("stream_id").isin(sorted(kept)))
@@ -1012,8 +1013,10 @@ class RangeEvaluator:
         child = self._eval(node.child)
         if child.kind != "vector":
             raise ValueError("topk/bottomk requires a vector input")
-        if node.by:
-            raise ValueError("topk by (...) is not supported in query_range")
+        if node.by or node.without:
+            raise ValueError(
+                "topk by/without (...) is not supported in query_range"
+            )
         # per-INSTANT top-k (PromQL): rank window per step, one shuffle
         out = grouped_top_k(child.df, k, ["ts"], desc=node.func == "topk")
         return Plan("grouped", out, child.value_type, group_cols=("ts",))

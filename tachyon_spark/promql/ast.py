@@ -116,6 +116,9 @@ class GetK:
     k: object  # scalar expression
     child: object
     by: tuple[str, ...] = ()  # `topk by (label) (k, v)`: per-group k (extension)
+    # `topk without (label) (k, v)`: per-remaining-label-group k; output
+    # carries the canonical `series` key column (same as Aggregate.without)
+    without: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -282,6 +285,7 @@ class LimitAgg:
     param: object  # scalar expr: k (limitk) or ratio in [-1, 1]
     child: object
     by: tuple[str, ...] = ()
+    without: tuple[str, ...] = ()  # group by every label EXCEPT these
 
 
 @dataclass(frozen=True)

@@ -176,28 +176,20 @@ class Parser:
         return ast.VectorMatching(on, labels, group, include)
 
     def _parse_grouping(
-        self, func: str, allow_without: bool = True
+        self, func: str
     ) -> tuple[tuple[str, ...], tuple[str, ...]]:
         """Optional `by (...)` / `without (...)` at the CURRENT position.
         Prometheus accepts the grouping modifier both prefix
         (`sum by (job) (v)`) and postfix (`sum(v) by (job)`) on every
         aggregation — sum-family, topk/bottomk, quantile, count_values,
         limitk/limit_ratio. Callers invoke this before '(' and, if nothing
-        was found, again after ')'. Aggregations whose engine semantics
-        only define `by` pass allow_without=False for a clear error
-        instead of a trailing-input parse failure."""
+        was found, again after ')'."""
         by: tuple[str, ...] = ()
         without: tuple[str, ...] = ()
         if self.at("by"):
             self.next()
             by = tuple(self._parse_label_list())
         elif self.at("without"):
-            if not allow_without:
-                raise PromQLError(
-                    f"{func} supports only `by (...)` grouping in this "
-                    "engine (documented divergence: `without` needs the "
-                    "full remaining-label set per series)"
-                )
             self.next()
             without = tuple(self._parse_label_list())
         return by, without
@@ -681,15 +673,15 @@ class Parser:
         """limitk(k, v) / limit_ratio(r, v), optional `by (...)` prefix or
         postfix (same grammar as topk)."""
         func = self.next().text
-        by, _ = self._parse_grouping(func, allow_without=False)
+        by, without = self._parse_grouping(func)
         self.expect("(")
         param = self.parse_or()
         self.expect(",")
         child = self.parse_or()
         self.expect(")")
-        if not by:
-            by, _ = self._parse_grouping(func, allow_without=False)
-        return ast.LimitAgg(func, param, child, by)
+        if not by and not without:
+            by, without = self._parse_grouping(func)
+        return ast.LimitAgg(func, param, child, by, without)
 
     def parse_calendar_func(self):
         """month(v) / month() — zero-arg defaults to Prometheus's
@@ -734,15 +726,15 @@ class Parser:
 
     def parse_getk(self):
         func = self.next().text
-        by, _ = self._parse_grouping(func, allow_without=False)
+        by, without = self._parse_grouping(func)
         self.expect("(")
         k = self.parse_or()
         self.expect(",")
         child = self.parse_or()
         self.expect(")")
-        if not by:
-            by, _ = self._parse_grouping(func, allow_without=False)
-        return ast.GetK(func, k, child, by)
+        if not by and not without:
+            by, without = self._parse_grouping(func)
+        return ast.GetK(func, k, child, by, without)
 
     def parse_selector(self):
         name_tok = self.next()

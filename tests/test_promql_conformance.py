@@ -143,19 +143,35 @@ def test_postfix_grouping_all_aggregations(golden_db):
         ("sum(m) without (job)", "sum without (job) (m)"),
         ('count_values("v", m) without (job)',
          'count_values without (job) ("v", m)'),
+        ("topk(5, m) without (job)", "topk without (job) (5, m)"),
+        ("limitk(2, m) without (job)", "limitk without (job) (2, m)"),
     ]
     for postfix, prefix in pairs:
         assert parse(postfix) == parse(prefix), postfix
-    # by-only aggregations reject `without` with a clear error
-    for src in ("topk(5, m) without (job)", "limitk(2, m) without (job)"):
-        with pytest.raises(PromQLError, match="only `by"):
-            parse(src)
     # postfix evaluates identically to prefix through the engine
     post = golden_db.query("topk(1, mg) by (service)", 0, 100)
     pre = golden_db.query("topk by (service) (1, mg)", 0, 100)
     assert sorted(map(tuple, post.df().collect())) == sorted(
         map(tuple, pre.df().collect())
     )
+
+
+def test_topk_limitk_without_grouping(golden_db):
+    """`without` grouping on topk/bottomk and limitk (round 9; previously
+    a documented by-only divergence): groups on the canonical
+    remaining-label series key, same as Aggregate.without."""
+    # vm_multi: {service=web,host=a} [1,2], {service=web,host=b} [3] —
+    # without(host) leaves one service=web group; top-1 value is 3.0
+    q = golden_db.query("topk without (host) (1, vm_multi)", 0, 100)
+    assert [tuple(r) for r in q.df().collect()] == [("service=web", 3.0)]
+    # bottomk: smallest value in the merged group is 1.0
+    q2 = golden_db.query("bottomk without (host) (1, vm_multi)", 0, 100)
+    assert [tuple(r) for r in q2.df().collect()] == [("service=web", 1.0)]
+    # mg's only label is service, so without(service) collapses both
+    # streams into one group == the ungrouped limitk selection
+    a = sorted(golden_db.query("limitk without (service) (1, mg)", 0, 100).rows())
+    b = sorted(golden_db.query("limitk(1, mg)", 0, 100).rows())
+    assert a == b and len(a) == 2
 
 
 def test_count_values_grouped(golden_db):
