@@ -1014,8 +1014,22 @@ class RangeEvaluator:
         if child.kind != "vector":
             raise ValueError("topk/bottomk requires a vector input")
         if node.by or node.without:
-            raise ValueError(
-                "topk by/without (...) is not supported in query_range"
+            # per-(group, INSTANT) top-k: label/series-key attach via the
+            # raw builder's broadcast maps, rank window keyed on
+            # (group cols..., step) — still one shuffle
+            if node.by:
+                df = self._b._attach_labels(child.df, node.by, child.streams)
+                cols = list(node.by)
+            else:
+                df = self._b._attach_series_key(
+                    child.df, node.without, child.streams
+                )
+                cols = ["series"]
+            out = grouped_top_k(
+                df, k, [*cols, "ts"], desc=node.func == "topk"
+            )
+            return Plan(
+                "grouped", out, child.value_type, group_cols=(*cols, "ts")
             )
         # per-INSTANT top-k (PromQL): rank window per step, one shuffle
         out = grouped_top_k(child.df, k, ["ts"], desc=node.func == "topk")

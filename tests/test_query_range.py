@@ -115,6 +115,25 @@ def test_topk_per_instant(golden_db):
     assert (30, 47) in rows and len([r for r in rows if r[0] == 30]) == 1
 
 
+def test_topk_grouped_per_instant(golden_db):
+    """topk by/without on the grid (round 9): per-(group, step) ranking.
+    vm_multi: {service=web,host=a} samples 1.0@10, 2.0@20;
+    {service=web,host=b} 3.0@10 — top-1 by (service) per step."""
+    q = golden_db.query_range(
+        "topk by (service) (1, vm_multi)", 10, 20, 10, lookback=10
+    )
+    rows = sorted(tuple(r) for r in q.df().collect())
+    # step 10: max(1.0, 3.0) = 3.0; step 20: host b carries 3.0 via
+    # lookback, host a has 2.0 -> 3.0 again
+    assert rows == [("web", 10, 3.0), ("web", 20, 3.0)]
+    # without(host) groups on the remaining-label series key
+    q2 = golden_db.query_range(
+        "topk without (host) (1, vm_multi)", 10, 20, 10, lookback=10
+    )
+    rows2 = sorted(tuple(r) for r in q2.df().collect())
+    assert rows2 == [("service=web", 10, 3.0), ("service=web", 20, 3.0)]
+
+
 def test_vector_matching_exact_step_join(golden_db):
     # vm_req / on(service) vm_lim at steps; both sides resolve per step
     # with lookback, join is exact per (service, step) — no interpolation
