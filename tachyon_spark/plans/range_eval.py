@@ -802,21 +802,8 @@ class RangeEvaluator:
     def _histogram_quantile(self, node: ast.HistogramQuantile) -> Plan:
         """histogram_quantile(phi, buckets) per step instant — the canonical
         dashboard shape `histogram_quantile(phi, sum by (le) (rate(
-        m_bucket[5m])))`. Two child forms (wider than the raw path, which
-        only accepts a bare selector):
-
-        - grouped with 'le' among its group columns (a `sum by (le[, ...])`
-          aggregate): parse le and run the bucket interpolation per
-          (remaining group cols, step) — the groupBy shares the aggregate's
-          existing key shuffle shape.
-        - vector carrying le-labeled streams (a selector instant or a
-          windowed rate/increase over bucket series): broadcast the
-          (stream_id -> le, series) map, then interpolate per
-          (series?, step).
-
-        Either way the per-group bucket list is bounded (tens of les), the
-        interpolation is pure array-HOF codegen (functions/histogram.py),
-        and the only exchange is the group-key hash — scale-safe."""
+        m_bucket[5m])))`. Child handling and scale shape: _le_bucket_eval
+        (shared with histogram_count/sum/avg/fraction)."""
         from tachyon_spark.functions.histogram import bucket_quantile
 
         return self._le_bucket_eval(
