@@ -58,11 +58,15 @@ Spark mapping — the step grid is DATA, never a per-step driver loop:
                   exploded to the outer windows — never a per-step
                   re-execution of the inner query.
 
+  rate(m[R] @ T)  pinned range window (T - R, T]: one single-step
+                  windowed evaluation at T, fanned across the steps with
+                  one explode (same shape as m @ T).
+
 Unsupported in range mode (clear errors, not silent wrong answers):
-@ on range selectors, sort (per-step ordering has no meaning on a
-grid), vector-vector ops without on()/ignoring(). `offset` IS
-supported, PromQL-style (the raw-sample engine ignores offset without
-@ for reference parity; here it shifts the sample clock).
+sort (per-step ordering has no meaning on a grid), vector-vector ops
+without on()/ignoring(). `offset` IS supported, PromQL-style (the
+raw-sample engine ignores offset without @ for reference parity; here
+it shifts the sample clock).
 """
 
 from __future__ import annotations
@@ -325,6 +329,39 @@ class RangeEvaluator:
             )
         )
 
+    def _windowed_at(self, func: str, msel, arg, family: str) -> Plan:
+        """`rate(m[R] @ T)` (or `@ start()`/`@ end()`) on the grid: the
+        range window is PINNED at (T - R, T] — every step reports the same
+        value (Prometheus @ semantics; the grid only sets output
+        timestamps). Mirrors _selector_at: one single-step windowed
+        evaluation at T, then the per-series row fans across the steps
+        with one explode — no per-step rescan. `offset` composes (handled
+        by _scan inside the sub-evaluation)."""
+        sel = msel.selector
+        if sel.at_anchor == "start":
+            t = self.start
+        elif sel.at_anchor == "end":
+            t = self.end
+        else:
+            t = int(sel.at_ts)
+        bare = ast.MatrixSelector(
+            ast.VectorSelector(
+                sel.name, sel.matchers, offset=sel.offset,
+                or_groups=sel.or_groups,
+            ),
+            msel.range_,
+        )
+        sub = RangeEvaluator(self.conn, t, t, self.step, self.lookback)
+        child = sub._windowed(func, bare, arg, family)
+        out = child.df.select(
+            "stream_id",
+            F.explode(
+                F.sequence(F.lit(self.start), F.lit(self.end), F.lit(self.step))
+            ).alias("ts"),
+            "value",
+        )
+        return Plan("vector", out, child.value_type, streams=child.streams)
+
     def _exploded(self, msel: ast.MatrixSelector) -> tuple[Plan, DataFrame]:
         r = msel.range_
         child = self._scan(msel.selector, r)
@@ -381,6 +418,8 @@ class RangeEvaluator:
             raise ValueError(
                 f"{func} requires a range vector m[RANGE] in query_range"
             )
+        if msel.selector.at_ts is not None or msel.selector.at_anchor:
+            return self._windowed_at(func, msel, arg, family)
         child, df = self._exploded(msel)
         part = ["stream_id", "__step"]
         if family == "over_time":

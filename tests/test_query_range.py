@@ -134,6 +134,24 @@ def test_topk_grouped_per_instant(golden_db):
     assert rows2 == [("service=web", 10, 3.0), ("service=web", 20, 3.0)]
 
 
+def test_windowed_at_pinned_range(golden_db):
+    """`rate(m[R] @ T)` on the grid (round 9): the range window pins at
+    (T - R, T] and every step reports that one value (Prometheus @
+    semantics — the grid only sets output timestamps)."""
+    pinned = golden_db.query_range("increase(ints[30] @ 40)", 0, 20, 10)
+    ref = golden_db.query_range("increase(ints[30])", 40, 40, 10)
+    [(t_ref, v_ref)] = ref.rows()
+    assert t_ref == 40
+    assert sorted(pinned.rows()) == [(0, v_ref), (10, v_ref), (20, v_ref)]
+    # @ end() anchors at the query's end
+    anchored = golden_db.query_range("increase(ints[30] @ end())", 20, 40, 10)
+    assert sorted(anchored.rows()) == [(20, v_ref), (30, v_ref), (40, v_ref)]
+    # *_over_time with a pinned window: max_over_time(ints[30] @ 40) over
+    # (10, 40] = max(4, 6, 8) = 8 at every step
+    m = golden_db.query_range("max_over_time(ints[30] @ 40)", 0, 10, 10)
+    assert sorted(m.rows()) == [(0, 8), (10, 8)]
+
+
 def test_vector_matching_exact_step_join(golden_db):
     # vm_req / on(service) vm_lim at steps; both sides resolve per step
     # with lookback, join is exact per (service, step) — no interpolation
