@@ -62,11 +62,15 @@ Spark mapping — the step grid is DATA, never a per-step driver loop:
                   windowed evaluation at T, fanned across the steps with
                   one explode (same shape as m @ T).
 
+Vector-to-vector ops without a modifier use Prometheus's DEFAULT
+matching — one-to-one on the full label sets (= `ignoring()` with no
+labels).
+
 Unsupported in range mode (clear errors, not silent wrong answers):
-sort (per-step ordering has no meaning on a grid), vector-vector ops
-without on()/ignoring(). `offset` IS supported, PromQL-style (the
-raw-sample engine ignores offset without @ for reference parity; here
-it shifts the sample clock).
+sort (per-step ordering has no meaning on a grid), vector-to-vector
+comparisons (the reference panics). `offset` IS supported, PromQL-style
+(the raw-sample engine ignores offset without @ for reference parity;
+here it shifts the sample clock).
 """
 
 from __future__ import annotations
@@ -580,6 +584,20 @@ class RangeEvaluator:
         rhs = self._eval(node.rhs)
         if node.matching is not None:
             return self._matched(node, lhs, rhs)
+        if (
+            lhs.kind == "vector"
+            and rhs.kind == "vector"
+            and node.op not in _CMP
+        ):
+            # Prometheus DEFAULT vector matching (round 9): one-to-one on
+            # the FULL label sets — exactly `ignoring()` with no labels
+            # (the raw engine's analogue is its interpolating union join;
+            # on the grid instants align exactly, so the equi-join is the
+            # correct semantic)
+            from dataclasses import replace
+
+            dflt = replace(node, matching=ast.VectorMatching(False, ()))
+            return self._matched(dflt, lhs, rhs)
         is_cmp = node.op in _CMP
         for vec, scal, s_left in ((lhs, rhs, False), (rhs, lhs, True)):
             if vec.kind in ("vector", "grouped") and scal.kind == "scalar":
@@ -598,8 +616,9 @@ class RangeEvaluator:
                 val = py_arith(node.op, a, b)
             return Plan("scalar", None, VT_F64, literal=float(val))
         raise ValueError(
-            "query_range vector-to-vector operations require explicit "
-            "on()/ignoring() matching"
+            "unsupported query_range operand combination for "
+            f"{node.op!r} (vector-to-vector comparisons are rejected — "
+            "the reference panics; grouped operands need on()/ignoring())"
         )
 
     def _grid_df(self):

@@ -152,6 +152,23 @@ def test_windowed_at_pinned_range(golden_db):
     assert sorted(m.rows()) == [(0, 8), (10, 8)]
 
 
+def test_default_vector_matching_on_grid(golden_db):
+    """`a / b` with NO modifier (round 9): Prometheus's default one-to-one
+    matching on the full label sets — identical to `ignoring()` with no
+    labels, and (here, where service is the only label) to on(service)."""
+    dflt = golden_db.query_range("vm_req / vm_lim", 0, 30, 10, lookback=10)
+    expl = golden_db.query_range(
+        "vm_req / on(service) vm_lim", 0, 30, 10, lookback=10
+    )
+    # ignoring() renders the canonical "k=v" series key where on(service)
+    # renders the bare label value — values and alignment must agree
+    d = sorted(
+        (r[0].removeprefix("service="), *r[1:]) for r in dflt.df().collect()
+    )
+    e = sorted(tuple(r) for r in expl.df().collect())
+    assert d == e and len(d) > 0
+
+
 def test_vector_matching_exact_step_join(golden_db):
     # vm_req / on(service) vm_lim at steps; both sides resolve per step
     # with lookback, join is exact per (service, step) — no interpolation
@@ -176,10 +193,14 @@ def test_errors(golden_db):
         golden_db.query_range(WEB, 0, 100, 0)
     with pytest.raises(ValueError, match="steps"):
         golden_db.query_range(WEB, 0, 10**9, 1)
-    with pytest.raises(ValueError, match="@ modifiers on range"):
-        golden_db.query_range(f"rate({WEB}[20] @ 50)", 0, 100, 10)
-    with pytest.raises(ValueError, match="on\\(\\)/ignoring\\(\\)"):
-        golden_db.query_range("ia + ib", 0, 100, 10)
+    # round 9: formerly errors, now features — @ on range selectors pins
+    # the window; modifier-less vector ops use Prometheus default matching
+    # (ia and ib carry no labels, so their empty keys align)
+    pinned = golden_db.query_range("rate(ints[30] @ 40)", 0, 20, 10)
+    assert len({v for _, v in pinned.rows()}) == 1  # same value every step
+    assert golden_db.query_range("ia + ib", 0, 100, 10).df().count() > 0
+    with pytest.raises(ValueError, match="vector-to-vector comparison"):
+        golden_db.query_range("ia > ib", 0, 100, 10)
     with pytest.raises(ValueError, match="not supported in query_range"):
         golden_db.query_range(f"sort({WEB})", 0, 100, 10)
     with pytest.raises(ValueError, match="range vector"):
