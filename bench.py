@@ -209,6 +209,8 @@ def main():
     qs = entrymod.queries()
     headline = [
         "selector_scan",
+        # round 9: or-matcher disjunction resolution + union scan
+        "selector_scan_or",
         "agg_stats",
         "topk_values",
         "vector_scalar_arith",

@@ -96,3 +96,17 @@ def test_parser_raises_only_controlled_errors():
             parse(s)
         except (PromQLError, ValueError):
             pass
+    # token-soup variant biased toward the grouping grammar (round 9:
+    # postfix/prefix by/without on every aggregation) — multi-char tokens
+    # random chars rarely produce
+    words = [
+        "topk", "bottomk", "sum", "quantile", "count_values", "limitk",
+        "limit_ratio", "by", "without", "offset", "or", "(", ")", ",",
+        "(job)", "(a,b)", "m", "5", "0.9", '"v"', "@", "0", "-", "[5m]",
+    ]
+    for _ in range(2000):
+        s = " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        try:
+            parse(s)
+        except (PromQLError, ValueError):
+            pass
