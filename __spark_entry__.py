@@ -1483,21 +1483,13 @@ def q_query_range_matching(spark, sf_dir):
     )
 
 
-def q_promql_grouped_range(spark, sf_dir):
-    """Grouped query_range THROUGH the Prometheus serving surface
-    (promapi.prometheus_data, grouped-matrix path promapi.py:104-128):
-    per-(user, et) streams gm{user=,et=}, `sum by (user) (gm)` on a 12h
-    step grid with 6h lookback, then the result is shaped into the
-    Prometheus matrix JSON (per-group series, label rendering, sample
-    ordering) and re-parsed — so the oracle gates the JSON envelope the
-    HTTP shell serves, not just the underlying DataFrame. The collect is
-    the serving path's documented driver-side step (bounded grid x group
-    cardinality); the scale path stays `Query.df()`."""
+def _grouped_range_fixture_build(spark, sf_dir):
+    """Build closure for the shared 'grouped_range' fixture db: per-(user,
+    et) streams gm{user=,et=} of the click/view per-instant averages."""
     import os
     import tempfile
 
     from tachyon_spark.connection import Connection
-    from tachyon_spark.promapi import prometheus_data
 
     def build():
         ev = _read(spark, sf_dir, "events")
@@ -1530,7 +1522,25 @@ def q_promql_grouped_range(spark, sf_dir):
         )
         return conn
 
-    conn = _memo_fixture(spark, sf_dir, "grouped_range", build)
+    return build
+
+
+def q_promql_grouped_range(spark, sf_dir):
+    """Grouped query_range THROUGH the Prometheus serving surface
+    (promapi.prometheus_data, grouped-matrix path promapi.py:104-128):
+    per-(user, et) streams gm{user=,et=}, `sum by (user) (gm)` on a 12h
+    step grid with 6h lookback, then the result is shaped into the
+    Prometheus matrix JSON (per-group series, label rendering, sample
+    ordering) and re-parsed — so the oracle gates the JSON envelope the
+    HTTP shell serves, not just the underlying DataFrame. The collect is
+    the serving path's documented driver-side step (bounded grid x group
+    cardinality); the scale path stays `Query.df()`."""
+    from tachyon_spark.promapi import prometheus_data
+
+    conn = _memo_fixture(
+        spark, sf_dir, "grouped_range",
+        _grouped_range_fixture_build(spark, sf_dir),
+    )
     w12h = 12 * 3600 * 1_000_000
     w6h = 6 * 3600 * 1_000_000
     q = conn.query_range("sum by (user) (gm)", T0_US, T1_US, w12h, lookback=w6h)
@@ -1544,6 +1554,41 @@ def q_promql_grouped_range(spark, sf_dir):
     out = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
     return out.select(
         "user_id", "ts_us", F.round("value", 6).alias("sum_uv")
+    )
+
+
+def q_promql_topk_without(spark, sf_dir):
+    """`topk without (user) (1, gm)` end-to-end (round 9: without grouping
+    on GetK — plans/builder._getk series-key path): over the per-(user,
+    et) gm streams, the remaining-label groups are et=click / et=view and
+    the engine must report each group's maximum sample value under the
+    canonical series key. The oracle recomputes the per-group max from
+    events (max is summation-order-free; round-6 like the fixture's
+    other gates)."""
+    conn = _memo_fixture(
+        spark, sf_dir, "grouped_range",
+        _grouped_range_fixture_build(spark, sf_dir),
+    )
+    out = conn.query("topk without (user) (1, gm)", T0_US, T1_US).df()
+    return out.select("series", F.round("value", 6).alias("value"))
+
+
+def q_promql_pinned_range(spark, sf_dir):
+    """`max_over_time(m[6h] @ T1)` on a 12h step grid (round 9: @ on range
+    selectors in query_range — plans/range_eval._windowed_at): the window
+    pins at (T1 - 6h, T1] and every step reports that one max. The oracle
+    replays the pinned window max and cross-joins it onto the generated
+    grid — only the fan-out shape and the window edges can disagree."""
+    conn = _memo_fixture(
+        spark, sf_dir, "qr_subquery", _subquery_fixture_build(spark, sf_dir)
+    )
+    w6h = 6 * 3600 * 1_000_000
+    w12h = 2 * w6h
+    out = conn.query_range(
+        f"max_over_time(m[{w6h}] @ {T1_US})", T0_US, T1_US, w12h, lookback=w6h
+    ).df()
+    return out.select(
+        F.col("ts").alias("ts_us"), F.round("value", 6).alias("value")
     )
 
 
@@ -3135,6 +3180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         # round 9: or-matcher disjunction gate (VERDICT r9 item 6)
         "selector_scan_or": q_selector_scan_or,
+        "promql_topk_without": q_promql_topk_without,
+        "promql_pinned_range": q_promql_pinned_range,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -3930,6 +3977,34 @@ def oracle_sql() -> dict[str, str]:
         "selector_scan": (
             f"SELECT epoch_us(ts) AS ts_us, value FROM events WHERE {_CLICK_RANGE}"
         ),
+        "promql_topk_without": f"""
+            WITH s AS (
+              SELECT event_type, user_id, epoch_us(ts) AS t,
+                     avg(value) AS value
+              FROM events
+              WHERE event_type IN ('click', 'view')
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1, 2, 3
+            )
+            SELECT 'et=' || event_type AS series,
+                   round(max(value), 6) AS value
+            FROM s GROUP BY event_type
+        """,
+        "promql_pinned_range": f"""
+            WITH s AS (
+              SELECT epoch_us(ts) AS t, avg(value) AS v FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            ),
+            m AS (
+              SELECT round(max(v), 6) AS value FROM s
+              WHERE t > {T1_US} - 21600000000 AND t <= {T1_US}
+            )
+            SELECT g.ts_us, m.value
+            FROM (SELECT unnest(generate_series({T0_US}, {T1_US},
+                                                43200000000)) AS ts_us) g, m
+        """,
         "selector_scan_or": (
             "SELECT event_type AS et, epoch_us(ts) AS ts_us, "
             "round(avg(value), 6) AS value FROM events "
