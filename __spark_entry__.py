@@ -591,23 +591,26 @@ def q_rate_per_type(spark, sf_dir):
 
 
 def q_rolling_avg_1h(spark, sf_dir):
-    """Rolling 1-hour average per event_type via a RANGE window frame
-    (rangeBetween on event-time, partitioned by key — distributes per key,
-    no global sort). DuckDB oracle uses the identical RANGE frame."""
-    from pyspark.sql import Window
+    """Rolling 1-hour average per event_type via a RANGE window frame —
+    computed in carry-in TIME BUCKETS (operators/rolling.rolling_range_agg,
+    round 9): the plain `partitionBy(event_type)` form saturates at the
+    FIXED key cardinality (5 tasks forever — measured 26x degradation
+    under a 100x replica, SCALE.md), where the bucketed decomposition's
+    parallelism grows with the time span. Frame-identical to DuckDB's
+    RANGE frame oracle: every row's (ts-1h, ts] window sees the same row
+    multiset through the bucket + carry construction."""
+    from tachyon_spark.operators.rolling import rolling_range_agg
 
     HOUR_US = 3_600_000_000
     ev = _read(spark, sf_dir, "events")
     ev_us = ev.select(F.expr("ts DIV 1000").alias("ts_us"), "event_type", "value")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts_us")
-        .rangeBetween(-HOUR_US, 0)
-    )
-    out = ev_us.select(
+    out = rolling_range_agg(
+        ev_us, ["event_type"], "ts_us", HOUR_US,
+        lambda: F.avg("value"), out_col="__ravg",
+    ).select(
         "event_type",
         "ts_us",
-        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),  # round 6: see hourly_rollup
+        F.round(F.col("__ravg"), 6).alias("rolling_avg"),  # round 6: see hourly_rollup
     )
     # duplicate (event_type, ts_us) rows get identical frames in both
     # engines; dedupe so the value-hash compare is order-insensitive
