@@ -307,6 +307,9 @@ def main():
         "rollup_serve",
         "promql_grouped_range",
         "histogram_helpers",
+        # round 9
+        "promql_topk_without",
+        "promql_pinned_range",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
