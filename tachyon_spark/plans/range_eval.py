@@ -64,13 +64,14 @@ Spark mapping — the step grid is DATA, never a per-step driver loop:
 
 Vector-to-vector ops without a modifier use Prometheus's DEFAULT
 matching — one-to-one on the full label sets (= `ignoring()` with no
-labels).
+labels). Vector-to-vector COMPARISONS evaluate with PromQL semantics in
+grid mode (filter keeps the LHS sample; `bool` yields 1/0) — an
+extension; the raw engine keeps the reference's panic.
 
 Unsupported in range mode (clear errors, not silent wrong answers):
-sort (per-step ordering has no meaning on a grid), vector-to-vector
-comparisons (the reference panics). `offset` IS supported, PromQL-style
-(the raw-sample engine ignores offset without @ for reference parity;
-here it shifts the sample clock).
+sort (per-step ordering has no meaning on a grid). `offset` IS
+supported, PromQL-style (the raw-sample engine ignores offset without @
+for reference parity; here it shifts the sample clock).
 """
 
 from __future__ import annotations
@@ -584,16 +585,12 @@ class RangeEvaluator:
         rhs = self._eval(node.rhs)
         if node.matching is not None:
             return self._matched(node, lhs, rhs)
-        if (
-            lhs.kind == "vector"
-            and rhs.kind == "vector"
-            and node.op not in _CMP
-        ):
+        if lhs.kind == "vector" and rhs.kind == "vector":
             # Prometheus DEFAULT vector matching (round 9): one-to-one on
             # the FULL label sets — exactly `ignoring()` with no labels
             # (the raw engine's analogue is its interpolating union join;
             # on the grid instants align exactly, so the equi-join is the
-            # correct semantic)
+            # correct semantic). Applies to arithmetic AND comparisons.
             from dataclasses import replace
 
             dflt = replace(node, matching=ast.VectorMatching(False, ()))
@@ -617,8 +614,7 @@ class RangeEvaluator:
             return Plan("scalar", None, VT_F64, literal=float(val))
         raise ValueError(
             "unsupported query_range operand combination for "
-            f"{node.op!r} (vector-to-vector comparisons are rejected — "
-            "the reference panics; grouped operands need on()/ignoring())"
+            f"{node.op!r} (grouped operands need on()/ignoring() matching)"
         )
 
     def _grid_df(self):
@@ -711,10 +707,6 @@ class RangeEvaluator:
         map. Set ops match membership per (group, step). Both sides
         shuffle once on the same (key, step)."""
         matching = node.matching
-        if node.op in _CMP:
-            raise ValueError(
-                "vector-to-vector comparison is not supported (reference panics)"
-            )
         if lhs.kind != "vector" or rhs.kind != "vector":
             raise ValueError("on()/ignoring() requires vector operands")
         if not lhs.streams or not rhs.streams:
@@ -802,9 +794,23 @@ class RangeEvaluator:
             b_frame.select(*b_cols, F.col("value").cast("double").alias("__vb")),
             on,
         )
-        out = joined.select(
-            *sel, _ARITH[node.op](F.col("__va"), F.col("__vb")).alias("value")
-        )
+        if node.op in _CMP:
+            # comparisons (extension in grid mode; the raw engine keeps the
+            # reference's panic): filter semantics keep the LHS sample
+            # where the predicate holds; `bool` yields 1/0 per matched pair
+            pred = _CMP[node.op](F.col("__va"), F.col("__vb"))
+            if node.bool_mode:
+                out = joined.select(
+                    *sel, pred.cast("double").alias("value")
+                )
+            else:
+                out = joined.where(pred).select(
+                    *sel, F.col("__va").alias("value")
+                )
+        else:
+            out = joined.select(
+                *sel, _ARITH[node.op](F.col("__va"), F.col("__vb")).alias("value")
+            )
         if matching.include:
             out = self._b._attach_include(
                 out, matching, key_cols, lkeys, rkeys, lhs, rhs

@@ -169,6 +169,29 @@ def test_default_vector_matching_on_grid(golden_db):
     assert d == e and len(d) > 0
 
 
+def test_vector_comparison_on_grid(golden_db):
+    """Vector-to-vector comparisons on the grid (round 9 extension; raw
+    mode keeps the reference's panic): filter keeps the LHS sample where
+    the predicate holds; `bool` yields 1/0 per matched (key, step)."""
+    # vm_req vs vm_lim on(service): req < lim everywhere except nowhere —
+    # web 10/100, 20/100, 30/200; mobile 8/40 (step 20) -> all true
+    q = golden_db.query_range(
+        "vm_req < on(service) vm_lim", 0, 30, 10, lookback=10
+    )
+    rows = {(r.service, r.ts): r.value for r in q.df().collect()}
+    assert rows[("web", 10)] == 10.0  # LHS value kept
+    assert rows[("mobile", 20)] == 8.0
+    # bool mode: 1/0 for every matched pair
+    qb = golden_db.query_range(
+        "vm_req > bool on(service) vm_lim", 0, 30, 10, lookback=10
+    )
+    vals = {v for _, v in ((r.ts, r.value) for r in qb.df().collect())}
+    assert vals == {0.0}  # req never exceeds lim in this fixture
+    # default matching composes with comparisons too (same label sets)
+    qd = golden_db.query_range("vm_req < vm_lim", 0, 30, 10, lookback=10)
+    assert qd.df().count() == q.df().count()
+
+
 def test_vector_matching_exact_step_join(golden_db):
     # vm_req / on(service) vm_lim at steps; both sides resolve per step
     # with lookback, join is exact per (service, step) — no interpolation
@@ -199,8 +222,6 @@ def test_errors(golden_db):
     pinned = golden_db.query_range("rate(ints[30] @ 40)", 0, 20, 10)
     assert len({v for _, v in pinned.rows()}) == 1  # same value every step
     assert golden_db.query_range("ia + ib", 0, 100, 10).df().count() > 0
-    with pytest.raises(ValueError, match="vector-to-vector comparison"):
-        golden_db.query_range("ia > ib", 0, 100, 10)
     with pytest.raises(ValueError, match="not supported in query_range"):
         golden_db.query_range(f"sort({WEB})", 0, 100, 10)
     with pytest.raises(ValueError, match="range vector"):
