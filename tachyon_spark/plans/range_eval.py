@@ -68,10 +68,10 @@ labels). Vector-to-vector COMPARISONS evaluate with PromQL semantics in
 grid mode (filter keeps the LHS sample; `bool` yields 1/0) — an
 extension; the raw engine keeps the reference's panic.
 
-Unsupported in range mode (clear errors, not silent wrong answers):
-sort (per-step ordering has no meaning on a grid). `offset` IS
-supported, PromQL-style (the raw-sample engine ignores offset without @
-for reference parity; here it shifts the sample clock).
+sort/sort_desc/sort_by_label are IGNORED in range mode (Prometheus:
+sorting only affects instant-query presentation). `offset` IS supported,
+PromQL-style (the raw-sample engine ignores offset without @ for
+reference parity; here it shifts the sample clock).
 """
 
 from __future__ import annotations
@@ -168,9 +168,10 @@ class RangeEvaluator:
             return self._columnwise(expr, expr.child, self._round_col)
         if isinstance(expr, ast.GetK):
             return self._getk(expr)
-        if isinstance(expr, ast.SortByLabelFunc):
+        if isinstance(expr, (ast.SortFunc, ast.SortByLabelFunc)):
             # Prometheus IGNORES sorting functions in range queries
-            # (sort/sort_by_label only affect instant-query presentation)
+            # (sort/sort_desc/sort_by_label only affect instant-query
+            # presentation)
             return self._eval(expr.child)
         if isinstance(expr, ast.LimitAgg):
             return self._limit_agg(expr)

@@ -222,8 +222,9 @@ def test_errors(golden_db):
     pinned = golden_db.query_range("rate(ints[30] @ 40)", 0, 20, 10)
     assert len({v for _, v in pinned.rows()}) == 1  # same value every step
     assert golden_db.query_range("ia + ib", 0, 100, 10).df().count() > 0
-    with pytest.raises(ValueError, match="not supported in query_range"):
-        golden_db.query_range(f"sort({WEB})", 0, 100, 10)
+    # Prometheus IGNORES sort in range queries (presentation-only)
+    assert golden_db.query_range(f"sort({WEB})", 0, 100, 10, lookback=10).rows() == \
+        golden_db.query_range(WEB, 0, 100, 10, lookback=10).rows()
     with pytest.raises(ValueError, match="range vector"):
         golden_db.query_range(f"rate({WEB})", 0, 100, 10)
 
