@@ -1354,6 +1354,82 @@ def q_streaming_ewma(spark, sf_dir):
     )
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Native stateful streaming SESSION WINDOWS end-to-end
+    (streaming/windows.session_window_agg over readStream, 30-min gap,
+    1-min watermark, APPEND output): click events split into 4
+    time-ordered parquet drops (one per micro-batch) plus a far-future
+    sentinel drop that advances the GLOBAL watermark past every real
+    session so they all finalize and emit. Sessions spanning a drop
+    boundary must MERGE across micro-batches — that cross-batch session
+    state is what's graded; the oracle is the batch gaps-and-islands
+    replay over the same clicks (sentinel user filtered out)."""
+    import os
+    import tempfile
+    import time
+
+    from tachyon_spark.streaming.windows import session_window_agg
+
+    ev = _read(spark, sf_dir, "events")
+    rows = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts DIV 1000").alias("ts"), "value"
+    )
+    lo, hi = rows.agg(F.min("ts"), F.max("ts")).head()
+    span = max(hi - lo + 1, 4)
+    work = tempfile.mkdtemp(prefix="ty_ssess_")
+    src_dir = os.path.join(work, "drops")
+    os.makedirs(src_dir)
+    base = time.time() - 1000
+    for k in range(4):
+        t_lo = lo + k * span // 4
+        t_hi = lo + (k + 1) * span // 4
+        part = rows.where((F.col("ts") >= t_lo) & (F.col("ts") < t_hi)).coalesce(1)
+        drop_dir = os.path.join(work, f"stage{k}")
+        part.write.mode("overwrite").parquet(drop_dir)
+        files = [f for f in os.listdir(drop_dir) if f.endswith(".parquet")]
+        dst = os.path.join(src_dir, f"drop-{k}.parquet")
+        os.rename(os.path.join(drop_dir, files[0]), dst)
+        os.utime(dst, (base + k * 10, base + k * 10))
+    # sentinel: one far-future row pushes the watermark past every real
+    # session's close so append mode emits them all
+    sentinel = spark.createDataFrame(
+        [(-1, hi + 30 * 86_400_000_000, 0.0)], "user_id long, ts long, value double"
+    ).coalesce(1)
+    sdir = os.path.join(work, "sentinel")
+    sentinel.write.mode("overwrite").parquet(sdir)
+    sfile = [f for f in os.listdir(sdir) if f.endswith(".parquet")][0]
+    dst = os.path.join(src_dir, "drop-4.parquet")
+    os.rename(os.path.join(sdir, sfile), dst)
+    os.utime(dst, (base + 40, base + 40))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = os.path.join(work, "out")
+    q = (
+        session_window_agg(
+            stream, "30 minutes", keys=["user_id"], watermark="1 minute"
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming sessionization catch-up timed out")
+    res = spark.read.parquet(out_dir)
+    return res.where(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("window_start_us").alias("session_start_us"),
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # beyond-reference: LLM-data-pipeline operators
 # --------------------------------------------------------------------------
@@ -3185,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selector_scan_or": q_selector_scan_or,
         "promql_topk_without": q_promql_topk_without,
         "promql_pinned_range": q_promql_pinned_range,
+        "streaming_sessions": q_streaming_sessions,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -4170,6 +4247,25 @@ def oracle_sql() -> dict[str, str]:
                      value
               FROM events, (SELECT unnest([0, 1]) AS i) g
             ) GROUP BY window_start_us
+        """,
+        "streaming_sessions": """
+            -- batch gaps-and-islands replay of the streaming session
+            -- windows (clicks only; sentinel user filtered engine-side)
+            WITH s AS (
+              SELECT user_id, epoch_us(ts) AS t, value,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                          OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events WHERE event_type = 'click'
+            ), g AS (
+              SELECT user_id, t, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM s
+            )
+            SELECT user_id, min(t) AS session_start_us, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM g GROUP BY user_id, sess_id
         """,
         "session_window_stats": """
             WITH s AS (
