@@ -195,7 +195,9 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         .collect()
     )
     for name in subset:
-        out[name] = timed(lambda: materialize(qs[name](spark, rep)), f"10x_{name}")
+        out[name] = timed(
+            lambda: materialize(qs[name](spark, rep)), f"10x_{name}", runs=2
+        )
     shutil.rmtree(rep, ignore_errors=True)
     return out
 
@@ -317,14 +319,16 @@ def main():
 
     spreads: dict[str, float] = {}
 
-    def timed(fn, name: str | None = None) -> float:
-        """Steady-state wall: best of 3 runs (the reference's Criterion
+    def timed(fn, name: str | None = None, runs: int = 3) -> float:
+        """Steady-state wall: best of `runs` (the reference's Criterion
         harness also measures warm iterations, not first-compile cost).
         Per-query spread (max - min) lands in `spreads` so round-over-
         round composite drift is attributable to noise vs regression
-        (VERDICT r5 item 2)."""
+        (VERDICT r5 item 2). The 10x subset passes runs=2 — it measures
+        the SCALING RATIO, where one warm re-run suffices, and the third
+        pass was ~2 minutes of bench wall."""
         ts = []
-        for _ in range(3):
+        for _ in range(runs):
             t0 = time.time()
             fn()
             ts.append(time.time() - t0)
