@@ -1495,20 +1495,16 @@ def q_vector_matching(spark, sf_dir):
     )
 
 
-def q_query_range_matching(spark, sf_dir):
-    """Grid vector matching end-to-end through the engine surface
-    (plans/range_eval._matched): per-user click/view streams, then
-    `vm_click / on(user) vm_view` evaluated on a 12h step grid with a 6h
-    lookback — each side resolves its per-step instant independently
-    (staleness drops a user's side past the lookback), then an exact
-    equi-join per (user, step). No interpolation between instants
-    (PromQL); both sides share one (key, step) shuffle. The oracle
-    replays grid x last-sample-lookback per side and divides."""
+def _qr_matching_fixture_build(spark, sf_dir):
+    """Build closure for the shared 'qr_matching' fixture db: per-user
+    click/view streams vm_click{user=}/vm_view{user=} (view side stored
+    strictly positive: 1000+|avg| — the engine's x/0 is IEEE ±Inf but
+    DuckDB's is NULL, so a hash-gated fixture must not produce zero
+    divisors)."""
     import os
     import tempfile
 
     from tachyon_spark.connection import Connection
-
 
     def build():
         ev = _read(spark, sf_dir, "events")
@@ -1549,7 +1545,21 @@ def q_query_range_matching(spark, sf_dir):
         )
         return conn
 
-    conn = _memo_fixture(spark, sf_dir, "qr_matching", build)
+    return build
+
+
+def q_query_range_matching(spark, sf_dir):
+    """Grid vector matching end-to-end through the engine surface
+    (plans/range_eval._matched): per-user click/view streams, then
+    `vm_click / on(user) vm_view` evaluated on a 12h step grid with a 6h
+    lookback — each side resolves its per-step instant independently
+    (staleness drops a user's side past the lookback), then an exact
+    equi-join per (user, step). No interpolation between instants
+    (PromQL); both sides share one (key, step) shuffle. The oracle
+    replays grid x last-sample-lookback per side and divides."""
+    conn = _memo_fixture(
+        spark, sf_dir, "qr_matching", _qr_matching_fixture_build(spark, sf_dir)
+    )
     w12h = 12 * 3600 * 1_000_000
     w6h = 6 * 3600 * 1_000_000
     out = conn.query_range(
@@ -1560,6 +1570,39 @@ def q_query_range_matching(spark, sf_dir):
         F.col("ts").alias("ts_us"),
         F.round("value", 6).alias("ratio"),
     )
+
+
+def q_query_range_compare(spark, sf_dir):
+    """Grid vector-to-vector COMPARISON end-to-end (round 9;
+    plans/range_eval._matched comparison branch): over the qr_matching
+    fixture, `vm_click > on(user) (vm_view - 1010)` — the view side is
+    stored as 1000+|avg| so the shift yields a genuinely mixed predicate.
+    Two arms: filter semantics (keep the LHS instant where true) and
+    `bool` (1/0 for every matched (user, step) pair). The oracle replays
+    grid x lookback per side and applies the same predicate."""
+    conn = _memo_fixture(
+        spark, sf_dir, "qr_matching", _qr_matching_fixture_build(spark, sf_dir)
+    )
+    w12h = 12 * 3600 * 1_000_000
+    w6h = 6 * 3600 * 1_000_000
+    filt = conn.query_range(
+        "vm_click > on(user) (vm_view - 1010)", T0_US, T1_US, w12h, lookback=w6h
+    ).df().select(
+        F.lit("filt").alias("arm"),
+        F.col("user").cast("long").alias("user_id"),
+        F.col("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+    )
+    boolm = conn.query_range(
+        "vm_click > bool on(user) (vm_view - 1010)", T0_US, T1_US, w12h,
+        lookback=w6h,
+    ).df().select(
+        F.lit("bool").alias("arm"),
+        F.col("user").cast("long").alias("user_id"),
+        F.col("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+    )
+    return filt.unionByName(boolm)
 
 
 def _grouped_range_fixture_build(spark, sf_dir):
@@ -3262,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_topk_without": q_promql_topk_without,
         "promql_pinned_range": q_promql_pinned_range,
         "streaming_sessions": q_streaming_sessions,
+        "query_range_compare": q_query_range_compare,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -4622,6 +4666,47 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM r WHERE event_type = 'click') c
             JOIN (SELECT * FROM r WHERE event_type = 'view') v
               ON v.user_id = c.user_id AND v.g = c.g
+        """,
+        "query_range_compare": f"""
+            -- grid comparison replay: per side grid x lookback-latest,
+            -- then the same predicate — filter arm keeps the LHS value,
+            -- bool arm yields 1/0 per matched pair
+            WITH s AS (
+              SELECT event_type, user_id, epoch_us(ts) AS t,
+                     CASE WHEN event_type = 'view'
+                          THEN 1000.0 + abs(avg(value))
+                          ELSE avg(value) END AS value
+              FROM events
+              WHERE event_type IN ('click', 'view')
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT event_type, user_id,
+                     unnest(generate_series({T0_US}, {T1_US}, 43200000000)) AS g
+              FROM (SELECT DISTINCT event_type, user_id FROM s)
+            ),
+            r AS (
+              SELECT grid.event_type, grid.user_id, grid.g,
+                     max_by(s.value, s.t) AS v
+              FROM grid JOIN s
+                ON s.event_type = grid.event_type
+               AND s.user_id = grid.user_id
+               AND s.t <= grid.g AND s.t >= grid.g - 21600000000
+              GROUP BY 1, 2, 3
+            ),
+            j AS (
+              SELECT c.user_id, c.g, c.v AS cv, v.v - 1010 AS vs
+              FROM (SELECT * FROM r WHERE event_type = 'click') c
+              JOIN (SELECT * FROM r WHERE event_type = 'view') v
+                ON v.user_id = c.user_id AND v.g = c.g
+            )
+            SELECT 'filt' AS arm, user_id, g AS ts_us, round(cv, 6) AS value
+            FROM j WHERE cv > vs
+            UNION ALL
+            SELECT 'bool', user_id, g,
+                   CASE WHEN cv > vs THEN 1.0 ELSE 0.0 END
+            FROM j
         """,
         "query_range_histogram": f"""
             -- grid histogram_quantile oracle: per-step bucket counts are
