@@ -3655,17 +3655,31 @@ SELECT 'frac_2_10', ts_us,
        round(((c5 + (c20 - c5) * (10.0 - 5.0) / (20.0 - 5.0))
               - (c1 + (c5 - c1) * (2.0 - 1.0) / (5.0 - 1.0))) / cinf, 6)
 FROM c WHERE cinf > 0
--- grid-mode replicas (round 9): the 6h step grid is aligned to the 6h
--- bucket windows, so query_range's lookback-latest instants replay the
--- raw rows exactly (q_histogram_helpers)
+-- grid-mode replicas (round 9): proper lookback replay — each step g on
+-- the 6h grid takes the LATEST window row within [g - 6h, g] (at sf0.01
+-- every window has clicks so this degenerates to the raw rows; at
+-- sf0.001 sparse windows exercise the carry — q_histogram_helpers)
 UNION ALL
-SELECT 'count_grid', ts_us, round(1.0 * cinf, 6)
-FROM c WHERE cinf > 0
+SELECT 'count_grid', gc.g, round(1.0 * gc.cinf, 6)
+FROM (
+  SELECT g.g, max_by(c.c1, c.ts_us) AS c1, max_by(c.c5, c.ts_us) AS c5,
+         max_by(c.c20, c.ts_us) AS c20, max_by(c.cinf, c.ts_us) AS cinf
+  FROM (SELECT unnest(generate_series({t0}, {t1} - {w6h}, {w6h})) AS g) g
+  JOIN c ON c.ts_us <= g.g AND c.ts_us >= g.g - {w6h}
+  GROUP BY g.g
+) gc
 UNION ALL
-SELECT 'frac_2_10_grid', ts_us,
-       round(((c5 + (c20 - c5) * (10.0 - 5.0) / (20.0 - 5.0))
-              - (c1 + (c5 - c1) * (2.0 - 1.0) / (5.0 - 1.0))) / cinf, 6)
-FROM c WHERE cinf > 0
+SELECT 'frac_2_10_grid', gc.g,
+       round(((gc.c5 + (gc.c20 - gc.c5) * (10.0 - 5.0) / (20.0 - 5.0))
+              - (gc.c1 + (gc.c5 - gc.c1) * (2.0 - 1.0) / (5.0 - 1.0)))
+             / gc.cinf, 6)
+FROM (
+  SELECT g.g, max_by(c.c1, c.ts_us) AS c1, max_by(c.c5, c.ts_us) AS c5,
+         max_by(c.c20, c.ts_us) AS c20, max_by(c.cinf, c.ts_us) AS cinf
+  FROM (SELECT unnest(generate_series({t0}, {t1} - {w6h}, {w6h})) AS g) g
+  JOIN c ON c.ts_us <= g.g AND c.ts_us >= g.g - {w6h}
+  GROUP BY g.g
+) gc
 """
 
 
