@@ -587,6 +587,40 @@ class RangeEvaluator:
         if node.matching is not None:
             return self._matched(node, lhs, rhs)
         if lhs.kind == "vector" and rhs.kind == "vector":
+            l_bare = "stream_id" not in lhs.df.columns
+            r_bare = "stream_id" not in rhs.df.columns
+            if l_bare and r_bare:
+                # both sides carry the EMPTY label set (ungrouped per-step
+                # aggregates, grid literals-made-vectors): Prometheus's
+                # default match is one-to-one on the empty key — a pure
+                # per-step equi-join. The dashboard-canonical
+                # `sum(a) / sum(b)` shape.
+                joined = lhs.df.select(
+                    "ts", F.col("value").cast("double").alias("__va")
+                ).join(
+                    rhs.df.select(
+                        "ts", F.col("value").cast("double").alias("__vb")
+                    ),
+                    "ts",
+                )
+                if node.op in _CMP:
+                    pred = _CMP[node.op](F.col("__va"), F.col("__vb"))
+                    if node.bool_mode:
+                        out = joined.select(
+                            "ts", pred.cast("double").alias("value")
+                        )
+                    else:
+                        out = joined.where(pred).select(
+                            "ts", F.col("__va").alias("value")
+                        )
+                else:
+                    out = joined.select(
+                        "ts",
+                        _ARITH[node.op](
+                            F.col("__va"), F.col("__vb")
+                        ).alias("value"),
+                    )
+                return Plan("vector", out, VT_F64)
             # Prometheus DEFAULT vector matching (round 9): one-to-one on
             # the FULL label sets — exactly `ignoring()` with no labels
             # (the raw engine's analogue is its interpolating union join;

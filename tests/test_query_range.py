@@ -428,3 +428,29 @@ def test_query_range_limitk_and_sort_passthrough(golden_db):
     keep = golden_db.query_range("limit_ratio(0.4, http_requests_total)", 0, 100, 10, lookback=100)
     comp = golden_db.query_range("limit_ratio(-0.6, http_requests_total)", 0, 100, 10, lookback=100)
     assert sorted(keep.rows() + comp.rows()) == sorted(base.rows())
+
+
+def test_bare_vector_binary_on_grid(golden_db):
+    """`sum(a) / sum(b)` on the grid (round 9): ungrouped per-step
+    aggregates carry the EMPTY label set, so Prometheus's default match is
+    one-to-one on the empty key — a pure per-step join. The dashboard
+    ratio-of-sums shape."""
+    q = golden_db.query_range(
+        "sum(vm_req) / sum(vm_lim)", 0, 30, 10, lookback=10
+    )
+    got = dict(q.rows())
+    # t=10: req web 10 + mobile 4, lim web 100 (mobile lim absent) -> 0.14
+    assert got[10] == pytest.approx(14 / 100)
+    # t=20: req 20+8=28, lim 100+40=140 -> 0.2
+    assert got[20] == pytest.approx(28 / 140)
+    # t=30: req 30+12=42, lim 200+40=240
+    assert got[30] == pytest.approx(42 / 240)
+    # comparisons too: filter keeps the LHS per-step sum where true
+    qc = golden_db.query_range(
+        "sum(vm_req) < sum(vm_lim)", 0, 30, 10, lookback=10
+    )
+    assert dict(qc.rows())[20] == pytest.approx(28.0)
+    qb = golden_db.query_range(
+        "sum(vm_req) >= bool sum(vm_lim)", 0, 30, 10, lookback=10
+    )
+    assert set(v for _, v in qb.rows()) == {0.0}
