@@ -705,6 +705,12 @@ class PlanBuilder:
         minus the fixed 5m lookback (a step with no samples yields nothing;
         divergence documented). Inner windowed function: built as-is; its
         window width must equal STEP so its output rows ARE the step grid."""
+        if sub.at_ts is not None or sub.at_anchor or sub.offset:
+            raise ValueError(
+                "@/offset modifiers on subqueries are supported in "
+                "query_range only (raw-sample subqueries are already an "
+                "extension; pin the window there)"
+            )
         inner = sub.child
         if isinstance(inner, ast.VectorSelector):
             child = self._selector(inner)

@@ -393,9 +393,36 @@ class RangeEvaluator:
         r, s = sub.range_, sub.step
         if s <= 0:
             raise ValueError("subquery step must be positive")
+        if sub.at_ts is not None or sub.at_anchor:
+            # `fn(expr[R:S] @ T)`: the subquery's evaluation clock pins at
+            # T — one single-step evaluation there, fanned across the grid
+            # (same shape as _windowed_at; offset composes inside)
+            from dataclasses import replace
+
+            if sub.at_anchor == "start":
+                t = self.start
+            elif sub.at_anchor == "end":
+                t = self.end
+            else:
+                t = int(sub.at_ts)
+            bare = replace(sub, at_ts=None, at_anchor=None)
+            sub_eval = RangeEvaluator(self.conn, t, t, self.step, self.lookback)
+            child = sub_eval._over_time_subquery(replace(node, child=bare))
+            has_sid = "stream_id" in child.df.columns
+            out = child.df.select(
+                *(["stream_id"] if has_sid else []),
+                F.explode(
+                    F.sequence(
+                        F.lit(self.start), F.lit(self.end), F.lit(self.step)
+                    )
+                ).alias("ts"),
+                "value",
+            )
+            return Plan("vector", out, child.value_type, streams=child.streams)
+        off = sub.offset or 0
         back = (r // s) * s  # inner grid stays aligned with `start`
         inner_eval = RangeEvaluator(
-            self.conn, self.start - back, self.end, s, self.lookback
+            self.conn, self.start - back - off, self.end - off, s, self.lookback
         )
         inner = inner_eval._eval(sub.child)
         if inner.kind != "vector":
@@ -404,6 +431,10 @@ class RangeEvaluator:
                 "plain vector (selectors, windowed functions, arithmetic)"
             )
         df = inner.df
+        if off:
+            # the subquery clock shifted back by `offset`; restore the
+            # outer step clock on the inner instants (same move as _scan)
+            df = df.withColumn("ts", F.col("ts") + F.lit(off))
         has_sid = "stream_id" in df.columns
         keep = (["stream_id"] if has_sid else []) + ["ts", "value"]
         exploded = self._explode_to_steps(df.select(*keep), r)

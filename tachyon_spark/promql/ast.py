@@ -59,6 +59,13 @@ class Subquery:
     child: object  # VectorSelector | RangeFunc | OverTimeFunc | ...
     range_: int
     step: int
+    # `expr[R:S] @ T` / `offset o` pin/shift the SUBQUERY's evaluation
+    # clock (Prometheus: modifiers after the brackets bind to the
+    # subquery, not the inner expression). Grid mode evaluates them;
+    # raw-sample mode rejects with a clear error.
+    at_ts: int | None = None
+    at_anchor: str | None = None  # 'start' | 'end'
+    offset: int = 0
 
 
 @dataclass(frozen=True)

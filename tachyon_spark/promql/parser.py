@@ -367,7 +367,8 @@ class Parser:
         self.expect(":")
         step = self._duration()
         self.expect("]")
-        return ast.Subquery(expr, range_, step)
+        at_ts, at_anchor, offset = self._parse_at_offset()
+        return ast.Subquery(expr, range_, step, at_ts, at_anchor, offset)
 
     def parse_round(self):
         """round(v[, to_nearest])."""
@@ -780,6 +781,24 @@ class Parser:
                 self.next()
                 step = self._duration()
             self.expect("]")
+        at_ts, at_anchor, offset = self._parse_at_offset()
+        if step is not None:
+            # Prometheus: modifiers after `[R:S]` bind to the SUBQUERY
+            bare = ast.VectorSelector(
+                name_tok.text, matchers, None, None, 0, or_groups
+            )
+            return ast.Subquery(bare, range_, step, at_ts, at_anchor, offset)
+        sel = ast.VectorSelector(
+            name_tok.text, matchers, at_ts, at_anchor, offset, or_groups
+        )
+        if range_ is not None:
+            return ast.MatrixSelector(sel, range_)
+        return sel
+
+    def _parse_at_offset(self):
+        """Trailing `@ T` / `@ start()/end()` / `offset d` modifiers (any
+        order, each at most once in practice; signed offsets per the
+        reference's Offset::Neg, planner.rs:171-176)."""
         at_ts = None
         at_anchor = None
         offset = 0
@@ -796,9 +815,6 @@ class Parser:
                 else:
                     raise PromQLError(f"bad @ modifier {tok.text!r}")
             elif self.at("offset"):
-                # duration with optional sign and unit: `offset 5m`,
-                # `offset -30` (the reference supports Offset::Neg,
-                # planner.rs:171-176)
                 self.next()
                 neg = False
                 if self.at("-"):
@@ -809,14 +825,7 @@ class Parser:
                     offset = -offset
             else:
                 break
-        sel = ast.VectorSelector(
-            name_tok.text, matchers, at_ts, at_anchor, offset, or_groups
-        )
-        if step is not None:
-            return ast.Subquery(sel, range_, step)
-        if range_ is not None:
-            return ast.MatrixSelector(sel, range_)
-        return sel
+        return at_ts, at_anchor, offset
 
 
 def parse(src: str):

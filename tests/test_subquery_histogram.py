@@ -229,3 +229,34 @@ def test_histogram_helpers_windowed_child_grid(golden_db):
     got = dict(q.rows())
     assert set(got) == {20}
     assert abs(got[20] - 1.0) < 1e-9
+
+
+def test_subquery_at_and_offset_on_grid(golden_db):
+    """`fn(expr[R:S] @ T)` / `offset o` in query_range (round 9): the
+    modifiers after the brackets bind to the SUBQUERY's evaluation clock
+    (Prometheus), not the inner expression."""
+    # pinned: every step reports the single-step evaluation at T=40
+    pinned = golden_db.query_range("max_over_time(ints[40:20] @ 40)", 0, 20, 10)
+    ref = golden_db.query_range("max_over_time(ints[40:20])", 40, 40, 10)
+    [(t_ref, v_ref)] = ref.rows()
+    assert t_ref == 40
+    assert sorted(pinned.rows()) == [(0, v_ref), (10, v_ref), (20, v_ref)]
+    # @ end() anchors at the query's end
+    anch = golden_db.query_range(
+        "max_over_time(ints[40:20] @ end())", 20, 40, 10
+    )
+    assert sorted(anch.rows()) == [(20, v_ref), (30, v_ref), (40, v_ref)]
+    # offset: the whole subquery clock shifts — results equal the
+    # unshifted query at (t - offset), re-stamped on the outer grid
+    off = golden_db.query_range("max_over_time(ints[40:20] offset 10)", 10, 50, 10)
+    plain = golden_db.query_range("max_over_time(ints[40:20])", 0, 40, 10)
+    assert sorted((t + 10, v) for t, v in plain.rows()) == sorted(off.rows())
+
+
+def test_subquery_at_offset_rejected_raw(golden_db):
+    import pytest
+
+    with pytest.raises(ValueError, match="query_range only"):
+        golden_db.query("max_over_time(ints[40:20] @ 40)", 0, 100)
+    with pytest.raises(ValueError, match="query_range only"):
+        golden_db.query("max_over_time(ints[40:20] offset 10)", 0, 100)
