@@ -211,8 +211,10 @@ class PlanBuilder:
             )
         if isinstance(expr, ast.Subquery):
             raise ValueError(
-                "a subquery expr[RANGE:STEP] can only be the argument of an "
-                "*_over_time function"
+                "a subquery expr[RANGE:STEP] can only be the argument of a "
+                "windowed function (*_over_time, rate/increase/delta, "
+                "resets/changes/irate/idelta, deriv, predict_linear, "
+                "holt_winters)"
             )
         if isinstance(expr, ast.SortFunc):
             return self._sort_func(expr)
@@ -552,6 +554,10 @@ class PlanBuilder:
         compat = getattr(self.conn, "compat_rate_last_first", False)
         if isinstance(node.child, ast.MatrixSelector):
             return self._range_windowed(node.func, node.child)
+        if isinstance(node.child, ast.Subquery):
+            return self._windowed_subquery_func(
+                "range", node.func, node.child, None
+            )
         child = self.build(node.child)
         if child.kind != "vector":
             raise ValueError(f"{node.func} requires a vector input")
@@ -913,9 +919,16 @@ class PlanBuilder:
         this is the same single-shuffle shape as every windowed function.
         Slope is per native ts unit (multiply by 1e9 for per-second on ns
         data); windows without 2 distinct ts yield null and are dropped."""
+        if isinstance(node.child, ast.Subquery):
+            return self._windowed_subquery_func(
+                "deriv", "deriv", node.child, None
+            )
         msel = node.child
         child = self._selector(msel.selector)
         win = self._window_col(msel)
+        return self._deriv_frame(child, win)
+
+    def _deriv_frame(self, child: Plan, win) -> Plan:
         out = (
             child.df.groupBy(*self._series_window_keys(child, win))
             .agg(
@@ -933,13 +946,22 @@ class PlanBuilder:
         regr_slope * (win_start + range + t). Both regr_* are mergeable
         aggregates: same single-shuffle shape as deriv (prometheus/promql
         functions.go funcPredictLinear, over raw tumbling windows)."""
+        if isinstance(node.child, ast.Subquery):
+            return self._windowed_subquery_func(
+                "predict", "predict_linear", node.child, node.horizon
+            )
         msel = node.child
         child = self._selector(msel.selector)
         win = self._window_col(msel)
+        return self._predict_frame(child, win, msel.range_, node.horizon)
+
+    def _predict_frame(
+        self, child: Plan, win, width: int, horizon: float
+    ) -> Plan:
         ts_d = F.col("ts").cast("double")
         v_d = F.col("value").cast("double")
         keys = self._series_window_keys(child, win)
-        pred_t = F.col("__win") + F.lit(float(msel.range_) + node.horizon)
+        pred_t = F.col("__win") + F.lit(float(width) + horizon)
         out = (
             child.df.groupBy(*keys)
             .agg(
@@ -1008,15 +1030,50 @@ class PlanBuilder:
         )
 
     def _holt_winters(self, node: ast.HoltWintersFunc) -> Plan:
+        if isinstance(node.child, ast.Subquery):
+            return self._windowed_subquery_func(
+                "holt", "holt_winters", node.child, (node.sf, node.tf)
+            )
         msel = node.child
         child = self._selector(msel.selector)
         win = self._window_col(msel)
+        return self._holt_frame(child, win, node.sf, node.tf)
+
+    def _holt_frame(self, child: Plan, win, sf: float, tf: float) -> Plan:
         out = (
             child.df.groupBy(*self._series_window_keys(child, win))
-            .agg(self._holt_winters_value(node.sf, node.tf).alias("value"))
+            .agg(self._holt_winters_value(sf, tf).alias("value"))
             .where(F.col("value").isNotNull())
         )
         return Plan("vector", out, VT_F64, streams=child.streams)
+
+    def _windowed_subquery_func(
+        self, family: str, func: str, sub: ast.Subquery, arg
+    ) -> Plan:
+        """rate/increase/delta, resets/changes/irate/idelta, deriv,
+        predict_linear and holt_winters over a SUBQUERY on the raw path —
+        `rate((a + b)[30m:5m])`: the inner expression's instants on the
+        S-step grid (_subquery_inner, shared with *_over_time), then the
+        same per-(series, RANGE-wide tumbling window) evaluation the
+        matrix-selector form runs — the frame helpers are literally the
+        same code. Two hash shuffles total (inner grid + outer window),
+        no per-step re-execution of the inner query."""
+        inner_plan, anchor = self._subquery_inner(sub)
+        width = sub.range_
+        a = F.lit(anchor)
+        win = (
+            (F.col("ts") - a) - (F.col("ts") - a) % F.lit(width) + a
+        ).alias("ts")
+        if family == "range":
+            return self._range_windowed_frame(func, inner_plan, win)
+        if family == "count":
+            return self._range_count_frame(func, inner_plan, win)
+        if family == "deriv":
+            return self._deriv_frame(inner_plan, win)
+        if family == "predict":
+            return self._predict_frame(inner_plan, win, width, arg)
+        sf, tf = arg
+        return self._holt_frame(inner_plan, win, sf, tf)
 
     def _clock_func(self, node: ast.ClockFunc) -> Plan:
         """Evaluation-clock functions on the raw-sample path (ts stays in
@@ -1080,11 +1137,18 @@ class PlanBuilder:
         (resets) or inequalities (changes) between consecutive samples.
         One shuffle on the (series, window) key; the lag window and the
         aggregation share that partitioning, so no second exchange."""
-        from pyspark.sql import Window as W
-
+        if isinstance(node.child, ast.Subquery):
+            return self._windowed_subquery_func(
+                "count", node.func, node.child, None
+            )
         msel = node.child
         child = self._selector(msel.selector)
         win = self._window_col(msel)
+        return self._range_count_frame(node.func, child, win)
+
+    def _range_count_frame(self, func: str, child: Plan, win) -> Plan:
+        from pyspark.sql import Window as W
+
         df = child.df.select(
             *( ["stream_id"] if "stream_id" in child.df.columns else [] ),
             F.col("ts").alias("__ts"),
@@ -1095,13 +1159,13 @@ class PlanBuilder:
         w = W.partitionBy(*part).orderBy("__ts", "value")
         prev = F.lag("value").over(w)
         keep = [c for c in ("stream_id",) if c in df.columns]
-        if node.func in ("irate", "idelta"):
+        if func in ("irate", "idelta"):
             # instant rate/delta: only the LAST consecutive pair per window.
             # irate is reset-aware like rate (a negative last delta means
             # the counter restarted: use v); idelta stays the raw gauge diff
             diff = (F.col("value") - prev).cast("double")
             tdiff = (F.col("__ts") - F.lag("__ts").over(w)).cast("double")
-            if node.func == "irate":
+            if func == "irate":
                 num = diff
                 if not getattr(self.conn, "compat_rate_last_first", False):
                     num = F.when(diff >= 0, diff).otherwise(
@@ -1122,7 +1186,7 @@ class PlanBuilder:
                 VT_F64,
                 streams=child.streams,
             )
-        if node.func == "resets":
+        if func == "resets":
             flag = (F.col("value") < prev).cast("long")
         else:  # changes
             flag = (F.col("value") != prev).cast("long")
@@ -1186,6 +1250,9 @@ class PlanBuilder:
         composable downstream."""
         child = self._selector(msel.selector)
         win = self._window_col(msel)
+        return self._range_windowed_frame(func, child, win)
+
+    def _range_windowed_frame(self, func: str, child: Plan, win) -> Plan:
         compat = getattr(self.conn, "compat_rate_last_first", False)
         if func in ("rate", "increase") and not compat:
             return self._counter_windowed(func, child, win)

@@ -140,14 +140,16 @@ class RangeEvaluator:
         if isinstance(expr, ast.RangeFunc):
             return self._windowed(expr.func, expr.child, None)
         if isinstance(expr, ast.OverTimeFunc):
-            if isinstance(expr.child, ast.Subquery):
-                return self._over_time_subquery(expr)
             fn = expr.func[: -len("_over_time")]
             return self._windowed(fn, expr.child, expr.arg, family="over_time")
         if isinstance(expr, ast.RangeCountFunc):
             return self._windowed(expr.func, expr.child, None, family="count")
         if isinstance(expr, ast.DerivFunc):
             return self._windowed("deriv", expr.child, None, family="deriv")
+        if isinstance(expr, ast.PredictLinearFunc):
+            return self._windowed(
+                "predict_linear", expr.child, expr.horizon, family="predict"
+            )
         if isinstance(expr, ast.ClockFunc):
             return self._clock_func(expr)
         if isinstance(expr, ast.HoltWintersFunc):
@@ -376,20 +378,22 @@ class RangeEvaluator:
         )
         return child, df
 
-    def _over_time_subquery(self, node: ast.OverTimeFunc) -> Plan:
-        """`fn_over_time(expr[R:S])` on the outer grid: the inner
-        expression is evaluated ONCE on its own S-step grid (a nested
-        RangeEvaluator extended back by R so the first outer window is
-        fully populated — full lookback/staleness semantics apply to the
-        inner instants, unlike the raw engine's documented last-sample
-        divergence), then each inner instant explodes to the outer steps
-        whose left-open window (t - R, t] contains it and aggregates per
-        (series?, step). No per-step re-execution of the inner query —
-        PromQL engines re-run the inner expr per step; here the grid is
-        one dataframe. Two keyed shuffles total (inner grid + outer
-        window)."""
-        sub = node.child
-        fn = node.func[: -len("_over_time")]
+    def _windowed_subquery(
+        self, fn: str, sub: ast.Subquery, arg, family: str
+    ) -> Plan:
+        """Any windowed function over a subquery — `fn_over_time(
+        expr[R:S])`, `rate(expr[R:S])`, `resets/changes/irate/idelta`,
+        `deriv`, `predict_linear`, `holt_winters` — on the outer grid:
+        the inner expression is evaluated ONCE on its own S-step grid (a
+        nested RangeEvaluator extended back by R so the first outer
+        window is fully populated — full lookback/staleness semantics
+        apply to the inner instants, unlike the raw engine's documented
+        last-sample divergence), then each inner instant explodes to the
+        outer steps whose left-open window (t - R, t] contains it and
+        runs the shared per-(series?, step) aggregation (_windowed_agg).
+        No per-step re-execution of the inner query — PromQL engines
+        re-run the inner expr per step; here the grid is one dataframe.
+        Two keyed shuffles total (inner grid + outer window)."""
         r, s = sub.range_, sub.step
         if s <= 0:
             raise ValueError("subquery step must be positive")
@@ -407,7 +411,7 @@ class RangeEvaluator:
                 t = int(sub.at_ts)
             bare = replace(sub, at_ts=None, at_anchor=None)
             sub_eval = RangeEvaluator(self.conn, t, t, self.step, self.lookback)
-            child = sub_eval._over_time_subquery(replace(node, child=bare))
+            child = sub_eval._windowed_subquery(fn, bare, arg, family)
             has_sid = "stream_id" in child.df.columns
             out = child.df.select(
                 *(["stream_id"] if has_sid else []),
@@ -439,11 +443,10 @@ class RangeEvaluator:
         keep = (["stream_id"] if has_sid else []) + ["ts", "value"]
         exploded = self._explode_to_steps(df.select(*keep), r)
         part = (["stream_id"] if has_sid else []) + ["__step"]
-        agg, vt = PlanBuilder._over_time_agg(
-            fn, inner.value_type, node.arg,
-            approx=getattr(self.conn, "approx_aggregates", False),
+        out, vt = self._windowed_agg(
+            fn, family, arg, exploded, part, inner.value_type
         )
-        out = exploded.groupBy(*part).agg(agg.alias("value")).select(
+        out = out.select(
             *(["stream_id"] if has_sid else []),
             F.col("__step").alias("ts"),
             "value",
@@ -451,21 +454,38 @@ class RangeEvaluator:
         return Plan("vector", out, vt, streams=inner.streams)
 
     def _windowed(self, func: str, msel, arg, family: str = "range") -> Plan:
+        if isinstance(msel, ast.Subquery):
+            return self._windowed_subquery(func, msel, arg, family)
         if not isinstance(msel, ast.MatrixSelector):
             raise ValueError(
-                f"{func} requires a range vector m[RANGE] in query_range"
+                f"{func} requires a range vector m[RANGE] or a subquery "
+                "expr[RANGE:STEP] in query_range"
             )
         if msel.selector.at_ts is not None or msel.selector.at_anchor:
             return self._windowed_at(func, msel, arg, family)
         child, df = self._exploded(msel)
         part = ["stream_id", "__step"]
+        out, vt = self._windowed_agg(func, family, arg, df, part,
+                                     child.value_type)
+        out = out.select("stream_id", F.col("__step").alias("ts"), "value")
+        return Plan("vector", out, vt, streams=child.streams)
+
+    def _windowed_agg(
+        self, func: str, family: str, arg, df: DataFrame, part: list, vt_in
+    ) -> tuple:
+        """The per-(series?, step) window aggregation shared by the
+        matrix-selector path (_windowed) and the subquery path
+        (_windowed_subquery): `df` holds the exploded rows (one per
+        sample×containing-step, columns `part` + ts + value); every family
+        is ONE groupBy on `part` — the keyed-shuffle shape that
+        distributes at any scale. Returns (grouped frame with
+        part+value, value_type)."""
         if family == "over_time":
             agg, vt = PlanBuilder._over_time_agg(
-                func, child.value_type, arg,
+                func, vt_in, arg,
                 approx=getattr(self.conn, "approx_aggregates", False),
             )
-            out = df.groupBy(*part).agg(agg.alias("value"))
-            return self._finish_windowed(out, vt, child)
+            return df.groupBy(*part).agg(agg.alias("value")), vt
         if family == "holt":
             sf, tf = arg
             out = (
@@ -473,7 +493,7 @@ class RangeEvaluator:
                 .agg(PlanBuilder._holt_winters_value(sf, tf).alias("value"))
                 .where(F.col("value").isNotNull())
             )
-            return self._finish_windowed(out, VT_F64, child)
+            return out, VT_F64
         if family == "deriv":
             out = (
                 df.groupBy(*part)
@@ -484,7 +504,33 @@ class RangeEvaluator:
                 )
                 .where(F.col("value").isNotNull())
             )
-            return self._finish_windowed(out, VT_F64, child)
+            return out, VT_F64
+        if family == "predict":
+            # predict_linear(m[R], t) per step: least-squares fit over the
+            # window samples in absolute ts coordinates, evaluated at
+            # (step + t) — Prometheus funcPredictLinear with the grid step
+            # as the evaluation timestamp (promql/functions.go).
+            out = (
+                df.groupBy(*part)
+                .agg(
+                    F.regr_slope(
+                        F.col("value").cast("double"), F.col("ts").cast("double")
+                    ).alias("__m"),
+                    F.regr_intercept(
+                        F.col("value").cast("double"), F.col("ts").cast("double")
+                    ).alias("__b"),
+                )
+                .where(F.col("__m").isNotNull())
+                .select(
+                    *part,
+                    (
+                        F.col("__b")
+                        + F.col("__m")
+                        * (F.col("__step") + F.lit(float(arg))).cast("double")
+                    ).alias("value"),
+                )
+            )
+            return out, VT_F64
         w = Window.partitionBy(*part).orderBy("ts", "value")
         v = F.col("value").cast("double")
         prev = F.lag(v).over(w)
@@ -503,7 +549,7 @@ class RangeEvaluator:
                 out = pairs.groupBy(*part).agg(
                     F.max_by("__v", F.struct("ts", "value")).alias("value")
                 )
-                return self._finish_windowed(out, VT_F64, child)
+                return out, VT_F64
             flag = (
                 (v < prev) if func == "resets" else (v != prev)
             ).cast("long")
@@ -512,7 +558,7 @@ class RangeEvaluator:
                 .groupBy(*part)
                 .agg(F.sum("__f").alias("value"))
             )
-            return self._finish_windowed(out, VT_U64, child)
+            return out, VT_U64
         # range family: rate | increase | delta
         compat = getattr(self.conn, "compat_rate_last_first", False)
         if func in ("rate", "increase") and not compat:
@@ -548,15 +594,7 @@ class RangeEvaluator:
             value = F.col("__last") - F.col("__first")
         if func == "rate":
             value = value / (F.col("__t1") - F.col("__t0")).cast("double")
-        out = agg.select(*part, value.alias("value"))
-        return self._finish_windowed(out, VT_F64, child)
-
-    @staticmethod
-    def _finish_windowed(out: DataFrame, vt: str, child: Plan) -> Plan:
-        out = out.select(
-            "stream_id", F.col("__step").alias("ts"), "value"
-        )
-        return Plan("vector", out, vt, streams=child.streams)
+        return agg.select(*part, value.alias("value")), VT_F64
 
     # ------------------------------------------------------------ aggregate
     def _aggregate(self, node: ast.Aggregate) -> Plan:

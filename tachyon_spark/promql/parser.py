@@ -574,8 +574,11 @@ class Parser:
         self.expect("(")
         child = self.parse_or()
         self.expect(")")
-        if not isinstance(child, ast.MatrixSelector):
-            raise PromQLError(f"{func} requires a range vector argument like m[5m]")
+        if not isinstance(child, (ast.MatrixSelector, ast.Subquery)):
+            raise PromQLError(
+                f"{func} requires a range vector argument like m[5m] "
+                f"or a subquery like (a + b)[30m:5m]"
+            )
         return ast.RangeCountFunc(func, child)
 
     def parse_deriv_func(self):
@@ -583,8 +586,11 @@ class Parser:
         self.expect("(")
         child = self.parse_or()
         self.expect(")")
-        if not isinstance(child, ast.MatrixSelector):
-            raise PromQLError("deriv requires a range vector argument like m[5m]")
+        if not isinstance(child, (ast.MatrixSelector, ast.Subquery)):
+            raise PromQLError(
+                "deriv requires a range vector argument like m[5m] "
+                "or a subquery like (a + b)[30m:5m]"
+            )
         return ast.DerivFunc(child)
 
     def parse_predict_linear(self):
@@ -603,9 +609,10 @@ class Parser:
             )
         horizon = -float(tok.text) if neg else float(tok.text)
         self.expect(")")
-        if not isinstance(child, ast.MatrixSelector):
+        if not isinstance(child, (ast.MatrixSelector, ast.Subquery)):
             raise PromQLError(
-                "predict_linear requires a range vector argument like m[5m]"
+                "predict_linear requires a range vector argument like m[5m] "
+                "or a subquery like (a + b)[30m:5m]"
             )
         return ast.PredictLinearFunc(child, horizon)
 
@@ -623,9 +630,10 @@ class Parser:
                 )
             args.append(float(tok.text))
         self.expect(")")
-        if not isinstance(child, ast.MatrixSelector):
+        if not isinstance(child, (ast.MatrixSelector, ast.Subquery)):
             raise PromQLError(
-                f"{name} requires a range vector argument like m[5m]"
+                f"{name} requires a range vector argument like m[5m] "
+                f"or a subquery like (a + b)[30m:5m]"
             )
         sf, tf = args
         if not 0.0 < sf < 1.0:

@@ -454,3 +454,26 @@ def test_bare_vector_binary_on_grid(golden_db):
         "sum(vm_req) >= bool sum(vm_lim)", 0, 30, 10, lookback=10
     )
     assert set(v for _, v in qb.rows()) == {0.0}
+
+
+def test_sliding_predict_linear(golden_db):
+    """predict_linear(m[20], 10) on the grid (round 9): per sliding
+    left-open window (t-20, t], least-squares fit evaluated at
+    t + horizon. Windows with < 2 distinct ts drop (no slope)."""
+    q = golden_db.query_range(f"predict_linear({WEB}[20], 10)", 0, 100, 10)
+    got = dict(q.rows())
+    # t=30: (10,30] holds (23,45),(29,47): exact line, value at 40 =
+    # 45 + (40-23) * (2/6)
+    assert got[30] == pytest.approx(45 + (40 - 23) * (2 / 6))
+    # t=40: (20,40] holds x=[23,29,40], y=[45,47,23]; fit evaluated at 50
+    xs, ys = [23.0, 29.0, 40.0], [45.0, 47.0, 23.0]
+    mx, my = sum(xs) / 3, sum(ys) / 3
+    m = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert got[40] == pytest.approx((my - m * mx) + m * 50)
+    # single-sample windows dropped
+    assert set(got) == {30, 40}
+    # horizon 0 = the fitted value AT the step: consistent with deriv
+    q0 = golden_db.query_range(f"predict_linear({WEB}[20], 0)", 40, 40, 10)
+    assert dict(q0.rows())[40] == pytest.approx((my - m * mx) + m * 40)

@@ -260,3 +260,75 @@ def test_subquery_at_offset_rejected_raw(golden_db):
         golden_db.query("max_over_time(ints[40:20] @ 40)", 0, 100)
     with pytest.raises(ValueError, match="query_range only"):
         golden_db.query("max_over_time(ints[40:20] offset 10)", 0, 100)
+
+
+# ------------------------------------------- windowed funcs over subqueries
+def test_rate_family_over_subquery_raw(golden_db):
+    """rate/increase/delta over a SUBQUERY on the raw path (round 9):
+    `rate(ints[20:10])` — inner instants on the 10-grid, the same
+    reset-aware evaluation per outer 20-window as rate(m[20]).
+    ints sit exactly on the grid, so the subquery form must equal the
+    matrix-selector form."""
+    for fn in ("rate", "increase", "delta"):
+        sub = golden_db.query(f"{fn}(ints[20:10])", 0, 40).rows()
+        mat = golden_db.query(f"{fn}(ints[20])", 0, 40).rows()
+        assert sub == mat, fn
+    # [20,40) holds instants (20,4),(30,6): increase 2 over span 10
+    assert golden_db.query("rate(ints[20:10])", 0, 40).rows() == [(20, 0.2)]
+
+
+def test_count_family_over_subquery_raw(golden_db):
+    for fn in ("resets", "changes", "irate", "idelta"):
+        sub = golden_db.query(f"{fn}(ints[20:10])", 0, 40).rows()
+        mat = golden_db.query(f"{fn}(ints[20])", 0, 40).rows()
+        assert sub == mat, fn
+    got = dict(golden_db.query("changes(ints[20:10])", 0, 40).rows())
+    assert got == {0: 0, 20: 1, 40: 0}
+
+
+def test_deriv_predict_holt_over_subquery_raw(golden_db):
+    assert golden_db.query("deriv(ints[20:10])", 0, 40).rows() == [(20, 0.2)]
+    # window [20,40): exact line through (20,4),(30,6); predicted at
+    # 20 + 20 + 5 = 45 -> 0.2*45 + 0 = 9
+    got = golden_db.query("predict_linear(ints[20:10], 5)", 0, 40).rows()
+    assert got == [(20, 9.0)]
+    sub = golden_db.query("holt_winters(ints[40:10], 0.5, 0.5)", 0, 40).rows()
+    mat = golden_db.query("holt_winters(ints[40], 0.5, 0.5)", 0, 40).rows()
+    assert sub == mat and len(sub) >= 1
+
+
+def test_rate_family_over_subquery_grid(golden_db):
+    """The same surface in query_range: `rate(web[30:10])` — inner
+    instants on the 10-grid WITH lookback semantics, outer left-open
+    (t-30, t] windows. web: ts [23,29,40,51] v [45,47,23,48]; with
+    lookback=10 the inner instants are (30,47),(40,23),(50,23),(60,48)."""
+    q = golden_db.query_range("rate(http_requests_total{service=\"web\"}[30:10])",
+                              60, 60, 10, lookback=10)
+    # (30,60] holds instants 40,50,60 = 23,23,48: reset-aware increase 25
+    # over observed span 20 -> 1.25
+    assert q.rows() == [(60, 1.25)]
+    q = golden_db.query_range("resets(http_requests_total{service=\"web\"}[30:10])",
+                              60, 60, 10, lookback=10)
+    assert q.rows() == [(60, 0)]
+    q = golden_db.query_range("changes(http_requests_total{service=\"web\"}[30:10])",
+                              60, 60, 10, lookback=10)
+    assert q.rows() == [(60, 1)]
+    # deriv: least squares over (40,23),(50,23),(60,48) -> slope 1.25
+    q = golden_db.query_range("deriv(http_requests_total{service=\"web\"}[30:10])",
+                              60, 60, 10, lookback=10)
+    assert q.rows() == [(60, pytest.approx(1.25))]
+    # predict_linear: same fit, evaluated at step + horizon = 70
+    # intercept = 31.3333... - 1.25*50 = -31.1666...; value = 56.3333...
+    q = golden_db.query_range(
+        "predict_linear(http_requests_total{service=\"web\"}[30:10], 10)",
+        60, 60, 10, lookback=10)
+    assert q.rows() == [(60, pytest.approx(94 / 3 - 62.5 + 1.25 * 70))]
+
+
+def test_rate_over_subquery_grid_pinned(golden_db):
+    """`rate(expr[R:S] @ T)` on the grid: the subquery clock pins at T,
+    every step reports that single evaluation."""
+    pinned = golden_db.query_range(
+        "rate(http_requests_total{service=\"web\"}[30:10] @ 60)",
+        0, 20, 10, lookback=10)
+    assert sorted(pinned.rows()) == [(0, 1.25), (10, 1.25), (20, 1.25)]
