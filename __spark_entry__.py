@@ -1032,21 +1032,14 @@ def q_pack_sequences(spark, sf_dir):
     return out.orderBy("shard", "seq_id", "start_tok", "id")
 
 
-def q_query_range_subquery(spark, sf_dir):
-    """Subquery on the step grid end-to-end (plans/range_eval.
-    _over_time_subquery): `max_over_time(rate(m[1h])[6h:1h])` on a 3h
-    outer grid — the inner rate evaluates ONCE on its own 1h grid
-    (sliding left-open windows, reset-aware), each inner instant explodes
-    to the outer 6h windows containing it, and the max aggregates per
-    outer step. The oracle replays inner-grid rate + outer window max
-    straight from events."""
+def _click_stream_conn(spark, sf_dir):
+    """Shared engine fixture for the grid PromQL gates: the per-ms click
+    average series ingested as stream `m` (memoized per session+sf via
+    _memo_fixture — the database exists before the dashboard queries it)."""
     import os
     import tempfile
 
     from tachyon_spark.connection import Connection
-
-    w1h = 3600 * 1_000_000
-    w3h, w6h = 3 * w1h, 6 * w1h
 
     def build():
         ev = _read(spark, sf_dir, "events")
@@ -1070,7 +1063,21 @@ def q_query_range_subquery(spark, sf_dir):
         )
         return conn
 
-    conn = _memo_fixture(spark, sf_dir, "qr_subquery", build)
+    return _memo_fixture(spark, sf_dir, "qr_subquery", build)
+
+
+def q_query_range_subquery(spark, sf_dir):
+    """Subquery on the step grid end-to-end (plans/range_eval.
+    _windowed_subquery): `max_over_time(rate(m[1h])[6h:1h])` on a 3h
+    outer grid — the inner rate evaluates ONCE on its own 1h grid
+    (sliding left-open windows, reset-aware), each inner instant explodes
+    to the outer 6h windows containing it, and the max aggregates per
+    outer step. The oracle replays inner-grid rate + outer window max
+    straight from events."""
+    w1h = 3600 * 1_000_000
+    w3h, w6h = 3 * w1h, 6 * w1h
+
+    conn = _click_stream_conn(spark, sf_dir)
     out = conn.query_range(
         f"max_over_time(rate(m[{w1h}])[{w6h}:{w1h}])",
         T0_US + w6h, T1_US, w3h, lookback=w1h,
@@ -1079,6 +1086,65 @@ def q_query_range_subquery(spark, sf_dir):
         F.col("ts").alias("ts_us"),
         F.round(F.col("value") * 1_000_000, 9).alias("max_rate_per_sec"),
     )
+
+
+def q_predict_linear_grid(spark, sf_dir):
+    """predict_linear(m[6h], 2h) on a 3h step grid (round 9; plans/
+    range_eval._windowed_agg family 'predict'): per (series, step)
+    least-squares fit over the left-open trailing 6h window, evaluated at
+    step + 2h — regr_slope/regr_intercept are both mergeable aggregates,
+    so the whole step grid is ONE keyed shuffle. Rounded to 3 decimals:
+    the fit runs in absolute microsecond coordinates (~1.7e15), where
+    cross-engine summation order costs ~4e-9 absolute (measured at
+    sf0.01) — round(6) would sit inside the hash-flake band, round(3)
+    is five orders clear."""
+    w1h = 3600 * 1_000_000
+    w2h, w3h, w6h = 2 * w1h, 3 * w1h, 6 * w1h
+
+    conn = _click_stream_conn(spark, sf_dir)
+    out = conn.query_range(
+        f"predict_linear(m[{w6h}], {w2h})",
+        T0_US + w6h, T1_US, w3h, lookback=w1h,
+    ).df()
+    return out.select(
+        F.col("ts").alias("ts_us"),
+        F.round("value", 3).alias("predicted"),
+    )
+
+
+def q_subquery_windowed_grid(spark, sf_dir):
+    """rate/changes/deriv over a SUBQUERY on the step grid (round 9;
+    plans/range_eval._windowed_subquery -> shared _windowed_agg):
+    `rate(m[6h:1h])` — the inner lookback-latest instants on the 1h grid
+    evaluate ONCE, each instant explodes to the outer left-open 6h
+    windows containing it, and the per-(series, step) family aggregation
+    runs on that one exploded frame. Three arms share one fixture and
+    one inner-grid recipe; changes is integer-exact, rate is per-second
+    (x1e6, round 6), deriv per-hour (x3.6e9, round 4 — absolute-us
+    regression, same flake-band note as predict_linear_grid)."""
+    w1h = 3600 * 1_000_000
+    w3h, w6h = 3 * w1h, 6 * w1h
+
+    conn = _click_stream_conn(spark, sf_dir)
+    sub = f"m[{w6h}:{w1h}]"
+    args = (T0_US + w6h, T1_US, w3h)
+
+    r = conn.query_range(f"rate({sub})", *args, lookback=w1h).df().select(
+        F.lit("rate").alias("arm"),
+        F.col("ts").alias("ts_us"),
+        F.round(F.col("value") * 1_000_000, 6).alias("value"),
+    )
+    c = conn.query_range(f"changes({sub})", *args, lookback=w1h).df().select(
+        F.lit("changes").alias("arm"),
+        F.col("ts").alias("ts_us"),
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+    d = conn.query_range(f"deriv({sub})", *args, lookback=w1h).df().select(
+        F.lit("deriv").alias("arm"),
+        F.col("ts").alias("ts_us"),
+        F.round(F.col("value") * 3_600_000_000, 4).alias("value"),
+    )
+    return r.unionByName(c).unionByName(d)
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -3306,6 +3372,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_pinned_range": q_promql_pinned_range,
         "streaming_sessions": q_streaming_sessions,
         "query_range_compare": q_query_range_compare,
+        # round 9 (second session): windowed funcs over subqueries +
+        # predict_linear on the grid
+        "predict_linear_grid": q_predict_linear_grid,
+        "subquery_windowed_grid": q_subquery_windowed_grid,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -4595,6 +4665,81 @@ def oracle_sql() -> dict[str, str]:
             FROM og JOIN r
               ON r.g > og.step - 21600000000 AND r.g <= og.step
             GROUP BY 1
+        """,
+        "predict_linear_grid": f"""
+            -- least-squares replay per step: DuckDB regr_slope/
+            -- regr_intercept over the same left-open 6h window, evaluated
+            -- at step + 2h (round 3: absolute-us fit, see the query
+            -- docstring's flake-band note)
+            WITH s AS (
+              SELECT epoch_us(ts) AS t, avg(value) AS v FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            ),
+            steps AS (
+              SELECT unnest(generate_series(
+                {T0_US + 6 * 3600 * 1_000_000}, {T1_US}, 10800000000
+              )) AS step
+            ),
+            fit AS (
+              SELECT step, regr_slope(v, t) AS m, regr_intercept(v, t) AS b
+              FROM steps JOIN s
+                ON s.t > step - 21600000000 AND s.t <= step
+              GROUP BY 1
+            )
+            SELECT step AS ts_us,
+                   round(b + m * (step + 7200000000), 3) AS predicted
+            FROM fit WHERE m IS NOT NULL
+        """,
+        "subquery_windowed_grid": f"""
+            -- subquery replay: inner lookback-latest instants on the 1h
+            -- grid (closed [g-1h, g] lookback, latest by ts), then the
+            -- per-step outer-window family aggregations over instants in
+            -- (step-6h, step]
+            WITH s AS (
+              SELECT epoch_us(ts) AS t, avg(value) AS v FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            ),
+            ig AS (
+              SELECT unnest(generate_series({T0_US}, {T1_US}, 3600000000)) AS g
+            ),
+            inst AS (
+              SELECT g, max_by(v, t) AS v FROM ig JOIN s
+                ON s.t >= g - 3600000000 AND s.t <= g
+              GROUP BY 1
+            ),
+            steps AS (
+              SELECT unnest(generate_series(
+                {T0_US + 6 * 3600 * 1_000_000}, {T1_US}, 10800000000
+              )) AS step
+            ),
+            j AS (
+              SELECT step, g, v FROM steps JOIN inst
+                ON inst.g > step - 21600000000 AND inst.g <= step
+            ),
+            l AS (
+              SELECT step, g, v,
+                     lag(v) OVER (PARTITION BY step ORDER BY g, v) AS prev
+              FROM j
+            )
+            SELECT 'rate' AS arm, step AS ts_us,
+                   round(sum(CASE WHEN prev IS NULL THEN NULL
+                                  WHEN v >= prev THEN v - prev
+                                  ELSE v END)
+                         / (max(g) - min(g)) * 1000000, 6) AS value
+            FROM l GROUP BY 2 HAVING max(g) > min(g)
+            UNION ALL
+            SELECT 'changes', step,
+                   round(CAST(count(*) FILTER (
+                     prev IS NOT NULL AND v != prev
+                   ) AS DOUBLE), 6)
+            FROM l GROUP BY 2
+            UNION ALL
+            SELECT 'deriv', step, round(regr_slope(v, g) * 3600000000, 4)
+            FROM j GROUP BY 2 HAVING regr_slope(v, g) IS NOT NULL
         """,
         "chunk_documents": """
             -- slice-arithmetic replay: stride 56 (64 - 8 overlap),

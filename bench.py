@@ -312,6 +312,8 @@ def main():
         # round 9
         "promql_topk_without",
         "promql_pinned_range",
+        "predict_linear_grid",
+        "subquery_windowed_grid",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
