@@ -64,4 +64,15 @@ def py_arith(op: str, a: float, b: float) -> float:
         return a - b
     if op == "*":
         return a * b
+    if op == "^":
+        # Go math.Pow semantics (PromQL): NaN for negative base with
+        # fractional exponent, 0^0 = 1, signed Inf on overflow
+        try:
+            return math.pow(a, b)
+        except ValueError:
+            return NAN
+        except OverflowError:
+            return -INF if (a < 0 and b % 2 == 1) else INF
+    if op == "atan2":
+        return math.atan2(a, b)
     raise ValueError(f"unsupported arithmetic op {op!r}")

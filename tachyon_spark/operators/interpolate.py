@@ -51,6 +51,8 @@ _ARITH = {
     # IEEE zero-divisor semantics under ANSI mode — tachyon_spark/arith.py
     "/": ieee_div,
     "%": ieee_mod,
+    "^": lambda a, b: F.pow(a.cast("double"), b.cast("double")),
+    "atan2": lambda a, b: F.atan2(a.cast("double"), b.cast("double")),
 }
 
 
@@ -192,8 +194,9 @@ def interpolated_binop(
                           F.col("__cb_prev"), F.col("__cb_next"))
 
     result = _ARITH[op](va, vb)
-    # / and % are always f64 (lib.rs:306-362); others keep the promoted type.
-    if integer_result and op not in ("/", "%"):
+    # / % ^ atan2 are always f64 (lib.rs:306-362 for the first two;
+    # PromQL pow/atan2 are float); others keep the promoted type.
+    if integer_result and op not in ("/", "%", "^", "atan2"):
         result = result.cast("long")
     out_cols = (series_cols or []) + [ts_col]
     return out.select(*out_cols, result.alias(value_col)).orderBy(*out_cols)

@@ -86,6 +86,11 @@ _ARITH = {
     # semantics (±Inf/NaN) under Spark ANSI mode — see tachyon_spark/arith.py
     "/": ieee_div,
     "%": ieee_mod,
+    # ^ and atan2 (Prometheus's other binary operators) are always f64;
+    # java.lang.Math.pow/atan2 are IEEE-conformant under ANSI mode (no
+    # error paths), so no CASE guards needed
+    "^": lambda a, b: F.pow(a.cast("double"), b.cast("double")),
+    "atan2": lambda a, b: F.atan2(a.cast("double"), b.cast("double")),
 }
 _CMP = {
     "==": lambda a, b: a == b,

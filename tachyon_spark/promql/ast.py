@@ -305,7 +305,7 @@ class ClampFunc:
     args: tuple[float, ...]
 
 
-ARITH_OPS = frozenset({"+", "-", "*", "/", "%"})
+ARITH_OPS = frozenset({"+", "-", "*", "/", "%", "^", "atan2"})
 CMP_OPS = frozenset({"==", "!=", ">", "<", ">=", "<="})
 SET_OPS = frozenset({"and", "or", "unless"})  # extension (ts-key matching)
 AGG_FUNCS = frozenset(

@@ -29,7 +29,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>\d+(\.\d+)?([eE][+-]?\d+)?)
   | (?P<ident>[a-zA-Z_][a-zA-Z0-9_]*)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<op>=~|!~|==|!=|>=|<=|[><=+\-*/%(){},@\[\]:])
+  | (?P<op>=~|!~|==|!=|>=|<=|[><=+\-*/%^(){},@\[\]:])
     """,
     re.VERBOSE,
 )
@@ -44,7 +44,7 @@ _TOKEN_RE_COLON_IDENT = re.compile(
   | (?P<number>\d+(\.\d+)?([eE][+-]?\d+)?)
   | (?P<ident>[a-zA-Z_][a-zA-Z0-9_:]*)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<op>=~|!~|==|!=|>=|<=|[><=+\-*/%(){},@\[\]:])
+  | (?P<op>=~|!~|==|!=|>=|<=|[><=+\-*/%^(){},@\[\]:])
     """,
     re.VERBOSE,
 )
@@ -248,8 +248,10 @@ class Parser:
         return lhs
 
     def parse_mul(self):
+        # atan2 sits at the * / % precedence level (Prometheus grammar);
+        # it lexes as an ident but is unambiguous in operator position
         lhs = self.parse_unary()
-        while self.peek() and self.peek().text in ("*", "/", "%"):
+        while self.peek() and self.peek().text in ("*", "/", "%", "atan2"):
             op = self.next().text
             matching = self._parse_matching()
             rhs = self.parse_unary()
@@ -263,7 +265,19 @@ class Parser:
             if isinstance(child, ast.NumberLiteral):
                 return ast.NumberLiteral(-child.value)
             return ast.BinaryOp("*", ast.NumberLiteral(-1.0), child)
-        return self.parse_primary()
+        return self.parse_pow()
+
+    def parse_pow(self):
+        # ^ binds tighter than unary minus and is RIGHT-associative
+        # (Prometheus: -2^2 = -(2^2), 2^3^2 = 2^(3^2)); the rhs parses
+        # as unary so 2^-3 works
+        lhs = self.parse_primary()
+        if self.peek() and self.peek().text == "^":
+            self.next()
+            matching = self._parse_matching()
+            rhs = self.parse_unary()
+            return ast.BinaryOp("^", lhs, rhs, matching)
+        return lhs
 
     def parse_primary(self):
         tok = self.peek()

@@ -30,8 +30,9 @@ def promote(a: str, b: str) -> str:
 
 
 def result_type(op: str, a: str, b: str) -> str:
-    """Arithmetic result type: / and % are always f64, others promote."""
-    if op in ("/", "%"):
+    """Arithmetic result type: / % ^ atan2 are always f64, others
+    promote."""
+    if op in ("/", "%", "^", "atan2"):
         return VT_F64
     return promote(a, b)
 

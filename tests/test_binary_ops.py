@@ -153,3 +153,66 @@ def test_division_by_zero_is_ieee(golden_db):
     rows = dict(golden_db.query("ib / ia", 0, 50).rows())
     assert any(math.isinf(v) or math.isnan(v) for v in rows.values())
     assert all(v is not None for v in rows.values())
+
+
+# --- ^ and atan2 (Prometheus's other binary operators; round 9) -------------
+
+def test_pow_scalar_fold_and_precedence(fixture_b):
+    import math
+
+    # right-associative: 2^(3^2) = 512, not (2^3)^2 = 64
+    assert fixture_b.query("2 ^ 3 ^ 2", 0, 100).scalar() == 512.0
+    # ^ binds tighter than unary minus: -2^2 = -(2^2)
+    assert fixture_b.query("-2^2", 0, 100).scalar() == -4.0
+    assert fixture_b.query("2^-2", 0, 100).scalar() == 0.25
+    # ^ above * in precedence: 2 * 3 ^ 2 = 18
+    assert fixture_b.query("2 * 3 ^ 2", 0, 100).scalar() == 18.0
+    # IEEE corner cases (Go math.Pow): 0^0 = 1, neg base fractional -> NaN
+    assert fixture_b.query("0 ^ 0", 0, 100).scalar() == 1.0
+    assert math.isnan(fixture_b.query("(0 - 1) ^ 0.5", 0, 100).scalar())
+
+
+def test_atan2_scalar_fold(fixture_b):
+    import math
+
+    assert fixture_b.query("1 atan2 0", 0, 100).scalar() == pytest.approx(
+        math.pi / 2
+    )
+    assert fixture_b.query("0 atan2 0", 0, 100).scalar() == 0.0
+
+
+def test_vector_pow_scalar_always_f64(fixture_b):
+    # ints ^ 2 over [2,4,6,8] -> f64 (PromQL pow is float even for ints)
+    q = fixture_b.query("ints ^ 2", 0, 100)
+    assert vals(q) == pytest.approx([4.0, 16.0, 36.0, 64.0])
+    assert q.value_type == "f64"
+    # scalar on the left keeps written order: 2 ^ ints
+    q = fixture_b.query("2 ^ ints", 0, 100)
+    assert vals(q) == pytest.approx([4.0, 16.0, 64.0, 256.0])
+
+
+def test_vector_atan2_vector_and_scalar(fixture_b):
+    import math
+
+    q = fixture_b.query("ints atan2 uints", 0, 100)
+    assert vals(q) == pytest.approx(
+        [math.atan2(a, b) for a, b in zip([2, 4, 6, 8], [1, 2, 3, 4])]
+    )
+    assert q.value_type == "f64"
+    q = fixture_b.query("ints atan2 0", 0, 100)
+    assert vals(q) == pytest.approx([math.pi / 2] * 4)
+
+
+def test_pow_atan2_on_grid(golden_db):
+    import math
+
+    # ints on the grid: steps 10..40, lookback 10 -> 2,4,6,8
+    q = golden_db.query_range("ints ^ 2", 10, 40, 10, lookback=10)
+    assert [v for _, v in sorted(q.rows())] == pytest.approx(
+        [4.0, 16.0, 36.0, 64.0]
+    )
+    # default full-label-set matching: ints atan2 ints = pi/4 everywhere
+    q = golden_db.query_range("ints atan2 ints", 10, 40, 10, lookback=10)
+    assert [v for _, v in sorted(q.rows())] == pytest.approx(
+        [math.pi / 4] * 4
+    )
