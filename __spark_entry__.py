@@ -1147,6 +1147,28 @@ def q_subquery_windowed_grid(spark, sf_dir):
     return r.unionByName(c).unionByName(d)
 
 
+def q_pow_atan2_grid(spark, sf_dir):
+    """`m ^ 2 atan2 (m * 3 + 500)` on the step grid (round 9): the two
+    new Prometheus binary operators end-to-end through the engine —
+    ^ binds tighter than atan2, both sides derive from the same selector
+    and match one-to-one on full label sets (the grid's default vector
+    matching). JVM-side Math.pow/Math.atan2 vs DuckDB's libm; round(9)
+    on an atan2 output (|v| <= pi) leaves ~6 orders of margin over the
+    last-ulp class."""
+    w1h = 3600 * 1_000_000
+    w3h, w6h = 3 * w1h, 6 * w1h
+
+    conn = _click_stream_conn(spark, sf_dir)
+    out = conn.query_range(
+        "m ^ 2 atan2 (m * 3 + 500)",
+        T0_US + w6h, T1_US, w3h, lookback=w1h,
+    ).df()
+    return out.select(
+        F.col("ts").alias("ts_us"),
+        F.round("value", 9).alias("value"),
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding token-window chunking (functions/sampling.chunk_documents):
     chunk k covers tokens [k*56, k*56+64) (max 64 tokens, overlap 8) —
@@ -3376,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # predict_linear on the grid
         "predict_linear_grid": q_predict_linear_grid,
         "subquery_windowed_grid": q_subquery_windowed_grid,
+        "pow_atan2_grid": q_pow_atan2_grid,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -4665,6 +4688,29 @@ def oracle_sql() -> dict[str, str]:
             FROM og JOIN r
               ON r.g > og.step - 21600000000 AND r.g <= og.step
             GROUP BY 1
+        """,
+        "pow_atan2_grid": f"""
+            -- lookback-latest instant per step, then the same pow/atan2
+            -- (libm vs Math.pow/atan2; round 9 absorbs the last-ulp class)
+            WITH s AS (
+              SELECT epoch_us(ts) AS t, avg(value) AS v FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            ),
+            steps AS (
+              SELECT unnest(generate_series(
+                {T0_US + 6 * 3600 * 1_000_000}, {T1_US}, 10800000000
+              )) AS step
+            ),
+            inst AS (
+              SELECT step, max_by(v, t) AS v FROM steps JOIN s
+                ON s.t >= step - 3600000000 AND s.t <= step
+              GROUP BY 1
+            )
+            SELECT step AS ts_us,
+                   round(atan2(pow(v, 2), v * 3 + 500), 9) AS value
+            FROM inst
         """,
         "predict_linear_grid": f"""
             -- least-squares replay per step: DuckDB regr_slope/

@@ -314,6 +314,7 @@ def main():
         "promql_pinned_range",
         "predict_linear_grid",
         "subquery_windowed_grid",
+        "pow_atan2_grid",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
