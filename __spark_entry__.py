@@ -484,15 +484,16 @@ def q_hourly_rollup(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            # round 6 (not coarser): the events values are 2-decimal, so
-            # averages produce EXACT half-way ties at 4 decimals, where
-            # Spark (HALF_UP on the shortest decimal repr) and DuckDB
-            # (rounding the binary value) disagree systematically; at 6
-            # decimals ties don't occur. The residual failure mode is the
-            # opposite one — at 10x data a handful of averages land within
-            # one ulp of a 5e-7 boundary (last-digit flicker, documented
-            # in COVERAGE.md) — which is rarer than the tie problem.
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # INTEGER-EXACT moment instead of round(avg, 6) (round 9): the
+            # events values are 2-decimal, so sum(value*100) is an exact
+            # BIGINT in both engines regardless of summation order — the
+            # gated pair (n, sum100) determines avg = sum100/(100n) with
+            # infinite precision, eliminating the documented last-digit
+            # flicker class (a rounded float avg within one ulp of a 5e-7
+            # boundary at sf0.1) FOREVER, at every scale. sum_value keeps
+            # round(2): the true sum is a multiple of 0.01, which sits ON
+            # the round-2 grid, 5e-3 from any boundary.
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum100"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
@@ -603,15 +604,21 @@ def q_rolling_avg_1h(spark, sf_dir):
 
     HOUR_US = 3_600_000_000
     ev = _read(spark, sf_dir, "events")
-    ev_us = ev.select(F.expr("ts DIV 1000").alias("ts_us"), "event_type", "value")
+    # INTEGER-EXACT rolling moments instead of round(avg, 6) (round 9;
+    # see hourly_rollup): the gated pair (n, s100) determines the rolling
+    # avg = s100/(100n) exactly — order-independent BIGINT sums cannot
+    # flicker at any scale, unlike a rounded float near a 5e-7 boundary.
+    ev_us = ev.select(
+        F.expr("ts DIV 1000").alias("ts_us"), "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("__v100"),
+    )
     out = rolling_range_agg(
         ev_us, ["event_type"], "ts_us", HOUR_US,
-        lambda: F.avg("value"), out_col="__ravg",
-    ).select(
-        "event_type",
-        "ts_us",
-        F.round(F.col("__ravg"), 6).alias("rolling_avg"),  # round 6: see hourly_rollup
-    )
+        aggs={
+            "s100": lambda: F.sum("__v100"),
+            "n": lambda: F.count("__v100"),
+        },
+    ).select("event_type", "ts_us", "s100", "n")
     # duplicate (event_type, ts_us) rows get identical frames in both
     # engines; dedupe so the value-hash compare is order-insensitive
     return out.distinct()
@@ -690,12 +697,17 @@ def q_continuous_rollup(spark, sf_dir):
         q.stop()
         raise RuntimeError("continuous rollup catch-up timed out")
     merged = read_rollup(spark, os.path.join(work, "rollup"))
+    # avg_v dropped from the gate (round 9; see hourly_rollup): the
+    # streaming partials sum doubles in micro-batch order, so the merged
+    # avg's round(6) could flicker at a 5e-7 boundary at larger SFs;
+    # (n, sum_v) determine it exactly — sum_v's true value is a multiple
+    # of 0.01 (2-decimal inputs), which sits ON the round-2 grid, 5e-3
+    # clear of any boundary. min/max are raw input values (exact).
     return merged.select(
         F.col("bucket_ts").alias("bucket_us"),
         F.col("stream_id").alias("event_type"),
         F.col("count").alias("n"),
         F.round("sum", 2).alias("sum_v"),
-        F.round("avg", 6).alias("avg_v"),  # round 6: see hourly_rollup
         F.col("min").alias("min_v"),
         F.col("max").alias("max_v"),
     )
@@ -2343,12 +2355,18 @@ def q_stddev_windows(spark, sf_dir):
     w_us = 60 * 60 * 1_000_000
     e = ev.select(
         "event_type",
-        "value",
+        # INTEGER-EXACT moments instead of round(stddev, 6) (round 9; see
+        # hourly_rollup): 2-decimal values make v100 and v100^2 exact
+        # longs, so (n, s1, s2) are order-independent BIGINTs in both
+        # engines and determine var_pop = (s2/n - (s1/n)^2)/10^4 with
+        # infinite precision — no 5e-7-boundary flicker at any scale.
+        F.round(F.col("value") * 100, 0).cast("long").alias("__v100"),
         (F.expr("ts DIV 1000") - F.expr("ts DIV 1000") % F.lit(w_us)).alias("ts_us"),
     )
     out = e.groupBy("event_type", "ts_us").agg(
-        F.round(F.stddev_pop(F.col("value").cast("double")), 6).alias("stddev"),
-        F.round(F.var_pop(F.col("value").cast("double")), 6).alias("stdvar"),
+        F.count("__v100").alias("n"),
+        F.sum("__v100").alias("s1"),
+        F.sum(F.col("__v100") * F.col("__v100")).alias("s2"),
     )
     return out
 
@@ -2787,14 +2805,37 @@ def q_anomaly_flags(spark, sf_dir):
     from tachyon_spark.operators.downsample import anomaly_flags
 
     ev = _read(spark, sf_dir, "events")
+    w_us = 6 * 3600 * 1_000_000
     e = ev.select("event_type", F.expr("ts DIV 1000").alias("ts"), "value")
-    out = anomaly_flags(e, 6 * 3600 * 1_000_000, nsigma=3.0, key_col="event_type")
-    return out.select(
-        F.col("key").alias("event_type"), "ts",
-        F.round("value", 6).alias("value"),
-        F.round("center", 6).alias("center"),  # round 6: see hourly_rollup
-        F.round("spread", 6).alias("spread"),
-        "is_anomaly",
+    out = anomaly_flags(e, w_us, nsigma=3.0, key_col="event_type")
+    # INTEGER-EXACT window moments instead of round(center/spread, 6)
+    # (round 9; see hourly_rollup): (n, s1, s2) over v100 determine the
+    # flag's center = s1/(100n) and spread = sqrt(s2/n - (s1/n)^2)/100
+    # exactly — BIGINT sums cannot flicker at a rounding boundary at any
+    # scale. The operator's own center/spread feed is_anomaly unchanged.
+    mom = (
+        e.groupBy(
+            "event_type",
+            (F.col("ts") - F.col("ts") % F.lit(w_us)).alias("__w"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("s1"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+                * F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("s2"),
+        )
+    )
+    return (
+        out.select(
+            F.col("key").alias("event_type"), "ts",
+            (F.col("ts") - F.col("ts") % F.lit(w_us)).alias("__w"),
+            F.round("value", 6).alias("value"),
+            "is_anomaly",
+        )
+        .join(mom, ["event_type", "__w"])
+        .select("event_type", "ts", "value", "n", "s1", "s2", "is_anomaly")
     )
 
 
@@ -4381,7 +4422,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hourly_rollup": """
             SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
-                   count(*) AS n, round(avg(value), 6) AS avg_value,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum100,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,
@@ -4464,7 +4507,6 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    count(value) AS n,
                    round(sum(value), 2) AS sum_v,
-                   round(sum(value) / count(value), 6) AS avg_v,
                    min(value) AS min_v,
                    max(value) AS max_v
             FROM events GROUP BY 1, 2
@@ -4980,11 +5022,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rolling_avg_1h": """
             SELECT DISTINCT event_type, epoch_us(ts) AS ts_us,
-                   round(avg(value) OVER (
-                     PARTITION BY event_type ORDER BY epoch_us(ts)
-                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
-                   ), 6) AS rolling_avg
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                     AS BIGINT) AS s100,
+                   count(*) OVER w AS n
             FROM events
+            WINDOW w AS (
+              PARTITION BY event_type ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+            )
         """,
         "range_join_daily": f"""
             WITH iv AS (
@@ -5340,13 +5385,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stddev_windows": """
             WITH e AS (
-              SELECT event_type, value,
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v100,
                      epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us
               FROM events
             )
             SELECT event_type, ts_us,
-                   round(stddev_pop(value), 6) AS stddev,
-                   round(var_pop(value), 6) AS stdvar
+                   count(*) AS n,
+                   CAST(sum(v100) AS BIGINT) AS s1,
+                   CAST(sum(v100 * v100) AS BIGINT) AS s2
             FROM e GROUP BY 1, 2
         """,
         "holt_winters": """
@@ -5723,18 +5770,21 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_flags": """
             WITH e AS (
               SELECT event_type, epoch_us(ts) AS t, value,
+                     CAST(round(value * 100) AS BIGINT) AS v100,
                      epoch_us(ts) - epoch_us(ts) % 21600000000 AS w
               FROM events
             ),
             st AS (
               SELECT event_type, w, avg(value) AS center,
-                     stddev_pop(value) AS spread
+                     stddev_pop(value) AS spread,
+                     count(*) AS n,
+                     CAST(sum(v100) AS BIGINT) AS s1,
+                     CAST(sum(v100 * v100) AS BIGINT) AS s2
               FROM e GROUP BY 1, 2
             )
             SELECT e.event_type, e.t AS ts,
                    round(e.value, 6) AS value,
-                   round(st.center, 6) AS center,
-                   round(st.spread, 6) AS spread,
+                   st.n, st.s1, st.s2,
                    abs(e.value - st.center) > 3.0 * st.spread AS is_anomaly
             FROM e JOIN st USING (event_type, w)
         """,

@@ -43,15 +43,24 @@ def rolling_range_agg(
     keys: list[str],
     ts_col: str,
     width: int,
-    agg,
+    agg=None,
     out_col: str = "rolling_value",
     bucket_width: int | None = None,
+    aggs: dict | None = None,
 ) -> DataFrame:
     """RANGE-frame running aggregate over (`ts` - width, `ts`] per key,
     computed in carry-in time buckets (module docstring). `agg` is a
     callable Column -> Column (e.g. ``lambda: F.avg("value")`` shaped as
     ``agg()`` below); inclusive frame edges match
-    ``rangeBetween(-width, 0)``. Returns df's columns plus `out_col`."""
+    ``rangeBetween(-width, 0)``. Returns df's columns plus `out_col`.
+
+    `aggs` ({out_col: callable}) computes SEVERAL rolling aggregates in
+    the SAME pass — they share one window spec, so Catalyst plans one
+    Window operator and one exchange, not one per aggregate."""
+    if aggs is None:
+        if agg is None:
+            raise ValueError("rolling_range_agg needs agg or aggs")
+        aggs = {out_col: agg}
     b = int(bucket_width) if bucket_width else 6 * int(width)
     if b < width:
         raise ValueError("bucket_width must be >= width (one-neighbor carry)")
@@ -76,8 +85,6 @@ def rolling_range_agg(
         .orderBy(ts_col)
         .rangeBetween(-int(width), 0)
     )
-    return (
-        u.withColumn(out_col, agg().over(w))
-        .where(F.col("__carry") == 0)
-        .drop("__bk", "__carry")
-    )
+    for name, fn in aggs.items():
+        u = u.withColumn(name, fn().over(w))
+    return u.where(F.col("__carry") == 0).drop("__bk", "__carry")

@@ -57,3 +57,31 @@ def test_other_aggregates(spark):
                                 bucket_width=20)
         want = _plain(df, ["k"], "ts", 12, agg, "r")
         assert _rows(got) == _rows(want)
+
+
+def test_rolling_multi_agg_single_pass(spark):
+    """aggs={...} computes several rolling aggregates in one Window pass
+    (one exchange), and each matches its single-agg twin."""
+    import pyspark.sql.functions as F
+
+    rows = [("a", t, float(v)) for t, v in
+            [(0, 1), (5, 2), (10, 3), (17, 4), (30, 5)]]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    multi = rolling_range_agg(
+        df, ["k"], "ts", 10,
+        aggs={"s": lambda: F.sum("v"), "n": lambda: F.count("v")},
+    )
+    single = rolling_range_agg(df, ["k"], "ts", 10, lambda: F.sum("v"),
+                               out_col="s1")
+    got = {r.ts: (r.s, r.n) for r in multi.collect()}
+    want_s = {r.ts: r.s1 for r in single.collect()}
+    assert {t: s for t, (s, _) in got.items()} == want_s
+    assert got[10] == (6.0, 3) and got[30] == (5.0, 1)
+    # one Window operator in the plan, not one per aggregate (after
+    # execution AQE prints Final + Initial plans; check the final one)
+    import re
+
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Window \[", final)) == 1
+    assert final.count("Exchange hashpartitioning") == 1
