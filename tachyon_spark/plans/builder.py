@@ -786,6 +786,36 @@ class PlanBuilder:
             raise ValueError(
                 "absent_over_time requires an explicit query range"
             )
+        if isinstance(msel, ast.Subquery):
+            # absent_over_time(expr[R:S]) on the raw path: 1 per R-wide
+            # tumbling window holding no inner INSTANT (the subquery's
+            # S-grid, _subquery_inner — shared with every other windowed-
+            # over-subquery form)
+            try:
+                inner_plan, anchor = self._subquery_inner(msel)
+            except ValueError as e:
+                if "no streams matched" in str(e):
+                    n_win = max((self.end - self.start) // width + 1, 1)
+                    grid = self.conn.spark.range(n_win).select(
+                        (F.lit(self.start) + F.col("id") * F.lit(width))
+                        .alias("ts"),
+                        F.lit(1.0).alias("value"),
+                    )
+                    return Plan("vector", grid, VT_F64)
+                raise
+            a = F.lit(anchor)
+            win = (
+                (F.col("ts") - a) - (F.col("ts") - a) % F.lit(width) + a
+            ).alias("ts")
+            n_win = max((self.end - self.start) // width + 1, 1)
+            grid = self.conn.spark.range(n_win).select(
+                (F.lit(anchor) + F.col("id") * F.lit(width)).alias("ts"),
+                F.lit(1.0).alias("value"),
+            )
+            present = inner_plan.df.select(win).distinct()
+            return Plan(
+                "vector", grid.join(present, "ts", "left_anti"), VT_F64
+            )
         anchor = self._effective_start(msel.selector) or 0
         span = self.end - self.start
         n_win = max(span // width + 1, 1)

@@ -1121,6 +1121,39 @@ class RangeEvaluator:
             (F.lit(self.start) + F.col("id") * F.lit(self.step)).alias("ts"),
             F.lit(1.0).alias("value"),
         )
+        if isinstance(node.child, ast.Subquery):
+            # absent_over_time(expr[R:S]): absent when the window holds
+            # no inner INSTANT (Prometheus — inner instants, not raw
+            # samples; a step whose inner expression evaluates empty on
+            # the whole window is absent)
+            sub = node.child
+            if sub.step <= 0:
+                raise ValueError("subquery step must be positive")
+            if sub.at_ts is not None or sub.at_anchor:
+                raise ValueError(
+                    "@ modifiers on absent_over_time subqueries are not "
+                    "supported"
+                )
+            off = sub.offset or 0
+            back = (sub.range_ // sub.step) * sub.step
+            inner_eval = RangeEvaluator(
+                self.conn, self.start - back - off, self.end - off,
+                sub.step, self.lookback,
+            )
+            try:
+                inner = inner_eval._eval(sub.child)
+            except ValueError as e:
+                if "no streams matched" in str(e):
+                    return Plan("vector", grid, VT_F64)
+                raise
+            df_i = inner.df
+            if off:
+                df_i = df_i.withColumn("ts", F.col("ts") + F.lit(off))
+            exploded = self._explode_to_steps(
+                df_i.select("ts", "value"), sub.range_
+            )
+            present = exploded.select(F.col("__step").alias("ts")).distinct()
+            return Plan("vector", grid.join(present, "ts", "left_anti"), VT_F64)
         try:
             child, df = self._exploded(node.child)
         except ValueError as e:

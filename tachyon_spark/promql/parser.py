@@ -339,10 +339,11 @@ class Parser:
                 self.expect("(")
                 child = self.parse_or()
                 self.expect(")")
-                if not isinstance(child, ast.MatrixSelector):
+                if not isinstance(child, (ast.MatrixSelector, ast.Subquery)):
                     raise PromQLError(
                         "absent_over_time requires a range vector "
-                        "argument like m[5m]"
+                        "argument like m[5m] or a subquery like "
+                        "(a + b)[30m:5m]"
                     )
                 return ast.AbsentOverTime(child)
             if tok.text in ast.ABSENT_FUNCS:

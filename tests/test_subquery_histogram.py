@@ -332,3 +332,26 @@ def test_rate_over_subquery_grid_pinned(golden_db):
         "rate(http_requests_total{service=\"web\"}[30:10] @ 60)",
         0, 20, 10, lookback=10)
     assert sorted(pinned.rows()) == [(0, 1.25), (10, 1.25), (20, 1.25)]
+
+
+def test_absent_over_time_subquery_raw(golden_db):
+    """absent_over_time(expr[R:S]) raw path: 1 per tumbling window with
+    no inner instant. ints instants live at 10..40; windows 60/80/100
+    are empty."""
+    q = golden_db.query("absent_over_time(ints[20:10])", 0, 100)
+    assert q.rows() == [(60, 1.0), (80, 1.0), (100, 1.0)]
+    # fully-covered range -> empty result
+    assert golden_db.query("absent_over_time(ints[20:10])", 0, 40).rows() == []
+    # unknown metric inside the subquery -> 1 on every window
+    q = golden_db.query("absent_over_time(nope_metric[20:10])", 0, 40)
+    assert q.rows() == [(0, 1.0), (20, 1.0), (40, 1.0)]
+
+
+def test_absent_over_time_subquery_grid(golden_db):
+    """Grid form: 1 at steps whose (t-30, t] window holds no inner
+    10-grid instant. web instants (lookback 10) sit at 30/40/50/60."""
+    q = golden_db.query_range(
+        'absent_over_time(http_requests_total{service="web"}[30:10])',
+        0, 90, 30, lookback=10
+    )
+    assert sorted(q.rows()) == [(0, 1.0), (90, 1.0)]
