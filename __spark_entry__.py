@@ -1181,6 +1181,31 @@ def q_pow_atan2_grid(spark, sf_dir):
     )
 
 
+def q_alert_rule(spark, sf_dir):
+    """Prometheus alerting rule over historical data (Connection.
+    alert_rule -> operators/alerts.alert_state, round 9): `m > 50.0037
+    for 3h` on the 1h grid — comparison filters keep the steps where the
+    condition holds, gaps-and-islands assigns active_since per contiguous
+    run, firing once the run is 3h old. The threshold is chosen provably
+    ulp-safe: every true instant is avg = m/(100n) of 2-decimal values
+    (n <= a few clicks/ms), which sits >= 3.7e-6 from 50.0037, so the
+    stored-Spark vs recomputed-DuckDB last-ulp difference can never flip
+    the condition; the gate compares (ts, active_since, state) — the
+    float value itself is gated by the query_range gates."""
+    w1h = 3600 * 1_000_000
+    w3h = 3 * w1h
+
+    conn = _click_stream_conn(spark, sf_dir)
+    out = conn.alert_rule(
+        "m > 50.0037", T0_US, T1_US, w1h, for_=w3h, lookback=w1h
+    )
+    return out.select(
+        F.col("ts").alias("ts_us"),
+        F.col("active_since").alias("active_since_us"),
+        "state",
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding token-window chunking (functions/sampling.chunk_documents):
     chunk k covers tokens [k*56, k*56+64) (max 64 tokens, overlap 8) —
@@ -3440,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predict_linear_grid": q_predict_linear_grid,
         "subquery_windowed_grid": q_subquery_windowed_grid,
         "pow_atan2_grid": q_pow_atan2_grid,
+        "alert_rule": q_alert_rule,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -4730,6 +4756,40 @@ def oracle_sql() -> dict[str, str]:
             FROM og JOIN r
               ON r.g > og.step - 21600000000 AND r.g <= og.step
             GROUP BY 1
+        """,
+        "alert_rule": f"""
+            -- alert replay: lookback-latest instant per 1h step, filter
+            -- v > threshold, row_number gaps-and-islands, firing when the
+            -- island is >= 3h old
+            WITH s AS (
+              SELECT epoch_us(ts) AS t, avg(value) AS v FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            ),
+            steps AS (
+              SELECT unnest(generate_series({T0_US}, {T1_US}, 3600000000))
+                AS g
+            ),
+            inst AS (
+              SELECT g, max_by(v, t) AS v FROM steps JOIN s
+                ON s.t >= g - 3600000000 AND s.t <= g
+              GROUP BY 1
+            ),
+            hit AS (SELECT g FROM inst WHERE v > 50.0037),
+            isl AS (
+              SELECT g, g - 3600000000 * row_number() OVER (ORDER BY g)
+                AS island
+              FROM hit
+            ),
+            runs AS (
+              SELECT g, min(g) OVER (PARTITION BY island) AS active_since
+              FROM isl
+            )
+            SELECT g AS ts_us, active_since AS active_since_us,
+                   CASE WHEN g - active_since >= 10800000000
+                        THEN 'firing' ELSE 'pending' END AS state
+            FROM runs
         """,
         "pow_atan2_grid": f"""
             -- lookback-latest instant per step, then the same pow/atan2

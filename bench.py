@@ -315,6 +315,7 @@ def main():
         "predict_linear_grid",
         "subquery_windowed_grid",
         "pow_atan2_grid",
+        "alert_rule",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

@@ -473,6 +473,32 @@ class Connection:
         plan = RangeEvaluator(self, start, end, step, lb).build(expr)
         return Query(plan)
 
+    def alert_rule(
+        self,
+        promql: str,
+        start: int,
+        end: int,
+        step: int,
+        for_: int = 0,
+        lookback: int | None = None,
+    ):
+        """Prometheus-style ALERTING RULE over historical data: evaluate
+        `promql` on the step grid (a comparison like ``m > 100`` keeps
+        only the steps where the condition holds — PromQL filter
+        semantics) and annotate each present (series, step) with the
+        alert lifecycle: `active_since` (first step of the contiguous
+        run) and `state` ('pending' until the run is `for_` old, then
+        'firing' — Prometheus's `for:` hold duration). Returns a
+        DataFrame (series cols?, ts, value, active_since, state); steps
+        where the condition does not hold produce nothing, like the
+        ALERTS metric. The batch/backfill form of rule evaluation
+        ("when would this alert have fired?"); operators/alerts.py has
+        the plan shape."""
+        from tachyon_spark.operators.alerts import alert_state
+
+        df = self.query_range(promql, start, end, step, lookback).df()
+        return alert_state(df, step, for_)
+
     def record(
         self,
         name: str,

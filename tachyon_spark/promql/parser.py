@@ -259,6 +259,9 @@ class Parser:
         return lhs
 
     def parse_unary(self):
+        if self.at("+"):  # unary plus is identity (Prometheus)
+            self.next()
+            return self.parse_unary()
         if self.at("-"):
             self.next()
             child = self.parse_unary()
