@@ -68,9 +68,13 @@ class StreamInfo:
 
 
 def check_matcher_regexes(matchers) -> None:
-    """Regex matchers run on BOTH engines: Python ``re.search`` driver-side
-    (``resolve``) and Java regex via ``rlike`` in the distributed semi-join
-    path (``resolve_df``). The supported subset is their intersection —
+    """Regex matchers run on BOTH engines: Python ``re.fullmatch``
+    driver-side (``resolve``) and Java regex via anchored ``rlike`` in the
+    distributed semi-join path (``resolve_df``); both are FULLY ANCHORED
+    (Prometheus wraps every matcher regex in ``^(?:...)$`` —
+    prometheus/common labels.NewMatcher — so ``env=~"prod"`` matches only
+    exactly "prod", never "production").
+    The supported subset is their intersection —
     literals, character classes, alternation, anchors, greedy/lazy
     quantifiers, plain/non-capturing groups, inline ``(?i)`` flags, and
     lookaround. Python-only constructs would silently match different
@@ -97,10 +101,11 @@ def _matches(info: StreamInfo, matchers) -> bool:
             if val is not None and val == m.value:
                 return False
         elif m.op == "=~":
-            if val is None or not re.search(m.value, val):
+            # fullmatch == Prometheus's ^(?:...)$ anchoring
+            if val is None or not re.fullmatch(m.value, val):
                 return False
         elif m.op == "!~":
-            if val is not None and re.search(m.value, val):
+            if val is not None and re.fullmatch(m.value, val):
                 return False
         else:
             raise ValueError(f"bad matcher op {m.op!r}")
@@ -111,8 +116,9 @@ def matcher_predicate(matchers) -> Column:
     """The SAME matcher semantics as ``_matches``, as a Spark Column over the
     catalog schema — used by the distributed resolution path. A missing label
     satisfies ``!=`` and ``!~`` (Prometheus semantics); ``=~``/``!~`` are
-    unanchored searches, matching Python's ``re.search`` / Java's ``find``
-    via ``rlike``."""
+    FULLY ANCHORED (``^(?:...)$`` around the pattern, like Prometheus's
+    labels.NewMatcher) so the driver-side ``re.fullmatch`` and this
+    ``rlike`` agree."""
     pred = F.lit(True)
     for m in matchers:
         lab = F.col("labels").getItem(m.label)
@@ -121,9 +127,9 @@ def matcher_predicate(matchers) -> Column:
         elif m.op == "!=":
             cond = lab.isNull() | (lab != m.value)
         elif m.op == "=~":
-            cond = lab.rlike(m.value)
+            cond = lab.rlike("^(?:" + m.value + ")$")
         elif m.op == "!~":
-            cond = lab.isNull() | ~lab.rlike(m.value)
+            cond = lab.isNull() | ~lab.rlike("^(?:" + m.value + ")$")
         else:
             raise ValueError(f"bad matcher op {m.op!r}")
         pred = pred & cond

@@ -133,8 +133,8 @@ def test_resolve_df_matches_driver_resolution(spark, tmp_path):
     cases = [
         (Matcher("env", "=", "prod"),),
         (Matcher("env", "!=", "prod"),),  # missing label passes !=
-        (Matcher("env", "=~", "pro"),),  # unanchored search
-        (Matcher("env", "!~", "^d"),),
+        (Matcher("env", "=~", "pro.*"),),  # anchored: needs the full value
+        (Matcher("env", "!~", "d.*"),),
         (Matcher("env", "=", "prod"), Matcher("dc", "=", "a")),
     ]
     for matchers in cases:

@@ -46,3 +46,27 @@ def test_at_modifier_pins_start(golden_db):
     # offset adds to the @ anchor
     q2 = golden_db.query('http_requests_total{service="web"} @ 29 offset 11', None, 51)
     assert q2.rows() == [(40, 23), (51, 48)]
+
+
+def test_regex_matchers_fully_anchored(golden_db):
+    """Prometheus wraps every regex matcher in ^(?:...)$ (labels.
+    NewMatcher): service=~"web" must NOT match a hypothetical "webapp",
+    and a partial pattern matches nothing unless it covers the whole
+    value. Both resolution paths (driver re.fullmatch + distributed
+    anchored rlike) agree."""
+    # "we" is a substring of "web" but anchored it matches nothing
+    # (empty resolution raises, reference semantics)
+    with pytest.raises(ValueError, match="no streams matched"):
+        golden_db.query('http_requests_total{service=~"we"}', 0, 100)
+    # the full value matches
+    q = golden_db.query('http_requests_total{service=~"web"}', 23, 23)
+    assert len(q.rows()) == 1
+    # .* completes the partial pattern
+    q = golden_db.query('http_requests_total{service=~"we.*"}', 23, 23)
+    assert len(q.rows()) == 1
+    # negation: !~"web" excludes exactly web, keeps cool/mobile
+    q = golden_db.query('http_requests_total{service!~"web"}', 12, 12)
+    assert q.rows() == [(12, 1)]  # only cool has a sample at ts 12
+    # alternation anchors each alternative as a whole
+    q = golden_db.query('http_requests_total{service=~"web|mob"}', 23, 23)
+    assert len(q.rows()) == 1  # "mob" does not match "mobile"
