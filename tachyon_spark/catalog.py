@@ -93,7 +93,8 @@ def check_matcher_regexes(matchers) -> None:
 
 def _matches(info: StreamInfo, matchers) -> bool:
     for m in matchers:
-        val = info.labels.get(m.label)
+        # __name__ matches the metric name (Prometheus reserved label)
+        val = info.name if m.label == "__name__" else info.labels.get(m.label)
         if m.op == "=":
             if val != m.value:
                 return False
@@ -121,7 +122,11 @@ def matcher_predicate(matchers) -> Column:
     ``rlike`` agree."""
     pred = F.lit(True)
     for m in matchers:
-        lab = F.col("labels").getItem(m.label)
+        lab = (
+            F.col("name")
+            if m.label == "__name__"
+            else F.col("labels").getItem(m.label)
+        )
         if m.op == "=":
             cond = lab == m.value
         elif m.op == "!=":
@@ -330,11 +335,14 @@ class Catalog:
         for g in groups:
             check_matcher_regexes(g)
         self._load()
-        hits = [
-            s
-            for s in self._by_name.get(name, ())
-            if any(_matches(s, g) for g in groups)
-        ]
+        # empty name = bare matcher selector {__name__=~"..."}: the pool
+        # is every stream; matchers (usually on __name__) narrow it
+        pool = (
+            self._by_name.get(name, ())
+            if name
+            else [s for ss in self._by_name.values() for s in ss]
+        )
+        hits = [s for s in pool if any(_matches(s, g) for g in groups)]
         return sorted(hits, key=lambda s: s.stream_id)
 
     def resolve_df(self, name: str, matchers=(), or_groups=()) -> DataFrame:
@@ -347,4 +355,5 @@ class Catalog:
         for g in groups:
             check_matcher_regexes(g)
             pred = pred | matcher_predicate(g)
-        return self.df().where((F.col("name") == name) & pred)
+        name_pred = (F.col("name") == name) if name else F.lit(True)
+        return self.df().where(name_pred & pred)

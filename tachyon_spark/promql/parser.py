@@ -356,6 +356,10 @@ class Parser:
                 self.expect(")")
                 return ast.AbsentFunc(child)
             return self.parse_selector()
+        if tok.text == "{":
+            # bare matcher selector {__name__="m", job="x"} (Prometheus:
+            # a selector may omit the metric name when it has matchers)
+            return self.parse_selector(bare=True)
         raise PromQLError(f"unexpected token {tok.text!r} at {tok.pos} in {self.src!r}")
 
     def _duration(self, allow_zero: bool = False) -> int:
@@ -763,10 +767,16 @@ class Parser:
             by, without = self._parse_grouping(func)
         return ast.GetK(func, k, child, by, without)
 
-    def parse_selector(self):
-        name_tok = self.next()
-        if name_tok.kind != "ident" or name_tok.text in KEYWORDS:
-            raise PromQLError(f"expected metric name, got {name_tok.text!r}")
+    def parse_selector(self, bare: bool = False):
+        if bare:
+            name = ""
+        else:
+            name_tok = self.next()
+            if name_tok.kind != "ident" or name_tok.text in KEYWORDS:
+                raise PromQLError(
+                    f"expected metric name, got {name_tok.text!r}"
+                )
+            name = name_tok.text
         # matcher groups: ',' continues the current conjunction, 'or'
         # starts a new one ({a="x" or b="y"} — the reference's forked
         # promql-parser extension; a stream matches ANY group)
@@ -798,6 +808,10 @@ class Parser:
         else:
             matchers = tuple(groups[0])
             or_groups = ()
+        if bare and not matchers and not or_groups:
+            raise PromQLError(
+                "a bare selector {} needs at least one matcher"
+            )
         range_ = None
         step = None
         if self.at("["):
@@ -810,12 +824,14 @@ class Parser:
         at_ts, at_anchor, offset = self._parse_at_offset()
         if step is not None:
             # Prometheus: modifiers after `[R:S]` bind to the SUBQUERY
-            bare = ast.VectorSelector(
-                name_tok.text, matchers, None, None, 0, or_groups
+            inner_sel = ast.VectorSelector(
+                name, matchers, None, None, 0, or_groups
             )
-            return ast.Subquery(bare, range_, step, at_ts, at_anchor, offset)
+            return ast.Subquery(
+                inner_sel, range_, step, at_ts, at_anchor, offset
+            )
         sel = ast.VectorSelector(
-            name_tok.text, matchers, at_ts, at_anchor, offset, or_groups
+            name, matchers, at_ts, at_anchor, offset, or_groups
         )
         if range_ is not None:
             return ast.MatrixSelector(sel, range_)

@@ -70,3 +70,21 @@ def test_regex_matchers_fully_anchored(golden_db):
     # alternation anchors each alternative as a whole
     q = golden_db.query('http_requests_total{service=~"web|mob"}', 23, 23)
     assert len(q.rows()) == 1  # "mob" does not match "mobile"
+
+
+def test_name_matcher_and_bare_selector(golden_db):
+    """Prometheus reserved label __name__: `{__name__="m"}` is `m`, a
+    __name__ regex selects across metrics, and it composes with plain
+    matchers on a named selector."""
+    plain = golden_db.query("ints", 0, 100).rows()
+    assert golden_db.query('{__name__="ints"}', 0, 100).rows() == plain
+    # regex across metrics, anchored: "ints|uints" matches both streams
+    both = golden_db.query('{__name__=~"ints|uints"}', 10, 10).rows()
+    assert sorted(v for _, v in both) == [1, 2]  # ints 2, uints 1 at ts 10
+    # __name__ matcher on a NAMED selector must agree with the name
+    import pytest
+
+    with pytest.raises(ValueError, match="no streams matched"):
+        golden_db.query('ints{__name__="uints"}', 0, 100)
+    # and matches when consistent
+    assert golden_db.query('ints{__name__="ints"}', 0, 100).rows() == plain
