@@ -1206,6 +1206,77 @@ def q_alert_rule(spark, sf_dir):
     )
 
 
+def q_streaming_alert(spark, sf_dir):
+    """LIVE threshold alerting end-to-end (streaming/stateful.
+    streaming_alert over readStream, round 9): the per-(event_type, ts)
+    max-value series split into 3 time-ordered parquet drops (one per
+    micro-batch, maxFilesPerTrigger=1); runs of consecutive samples
+    > 50.0037 are pending from their first sample, firing once 120 s
+    old, with one resolved transition row when a run ends — active_since
+    SURVIVES the drop boundaries via the state store, which is what this
+    gate grades. The oracle is the batch lag/run-id replay over the same
+    samples (max(value) per ts is an exact double in both engines; the
+    threshold is the alert_rule ulp-safe one, and 2-decimal raw values
+    sit >= 0.0037 from it)."""
+    import os
+    import tempfile
+    import time
+
+    from tachyon_spark.streaming.stateful import streaming_alert
+
+    w2m = 120 * 1_000_000
+    ev = _read(spark, sf_dir, "events")
+    rows = (
+        ev.where(F.col("ts").between(T0_US * 1000, T1_US * 1000))
+        .groupBy("event_type", F.expr("ts DIV 1000").alias("ts"))
+        .agg(F.max("value").alias("value"))
+    )
+    lo, hi = T0_US, T1_US
+    span = hi - lo + 1
+    work = tempfile.mkdtemp(prefix="ty_salert_")
+    src_dir = os.path.join(work, "drops")
+    os.makedirs(src_dir)
+    base = time.time() - 1000
+    for k in range(3):
+        t_lo = lo + k * span // 3
+        t_hi = lo + (k + 1) * span // 3
+        part = rows.where(
+            (F.col("ts") >= t_lo) & (F.col("ts") < t_hi)
+        ).coalesce(1)
+        drop_dir = os.path.join(work, f"stage{k}")
+        part.write.mode("overwrite").parquet(drop_dir)
+        files = [f for f in os.listdir(drop_dir) if f.endswith(".parquet")]
+        dst = os.path.join(src_dir, f"drop-{k}.parquet")
+        os.rename(os.path.join(drop_dir, files[0]), dst)
+        os.utime(dst, (base + k * 10, base + k * 10))
+    stream = (
+        spark.readStream.schema("event_type string, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = os.path.join(work, "out")
+    q = (
+        streaming_alert(stream, threshold=50.0037, for_=w2m,
+                        key_col="event_type")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming alert catch-up timed out")
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        F.col("stream_id").alias("event_type"),
+        F.col("ts").alias("ts_us"),
+        "value",
+        F.col("active_since").alias("active_since_us"),
+        "state",
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding token-window chunking (functions/sampling.chunk_documents):
     chunk k covers tokens [k*56, k*56+64) (max 64 tokens, overlap 8) —
@@ -3466,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subquery_windowed_grid": q_subquery_windowed_grid,
         "pow_atan2_grid": q_pow_atan2_grid,
         "alert_rule": q_alert_rule,
+        "streaming_alert": q_streaming_alert,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -4756,6 +4828,44 @@ def oracle_sql() -> dict[str, str]:
             FROM og JOIN r
               ON r.g > og.step - 21600000000 AND r.g <= og.step
             GROUP BY 1
+        """,
+        "streaming_alert": f"""
+            -- batch replay of the live alert lifecycle: per-(type, ts)
+            -- max-value samples, lag/run-id gaps-and-islands, pending ->
+            -- firing at 120 s, one resolved row per run end
+            WITH s AS (
+              SELECT event_type, epoch_us(ts) AS t, max(value) AS v
+              FROM events
+              WHERE epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1, 2
+            ),
+            f AS (
+              SELECT event_type, t, v, v > 50.0037 AS viol,
+                     coalesce(
+                       lag(v > 50.0037) OVER (
+                         PARTITION BY event_type ORDER BY t
+                       ), FALSE
+                     ) AS pviol
+              FROM s
+            ),
+            r AS (
+              SELECT *, sum(CASE WHEN viol AND NOT pviol THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY event_type ORDER BY t) AS run_id
+              FROM f
+            ),
+            a AS (
+              SELECT *, min(t) FILTER (viol)
+                       OVER (PARTITION BY event_type, run_id) AS active_since
+              FROM r
+            )
+            SELECT event_type, t AS ts_us, v AS value,
+                   active_since AS active_since_us,
+                   CASE WHEN viol AND t - active_since >= 120000000
+                          THEN 'firing'
+                        WHEN viol THEN 'pending'
+                        ELSE 'resolved' END AS state
+            FROM a
+            WHERE viol OR pviol
         """,
         "alert_rule": f"""
             -- alert replay: lookback-latest instant per 1h step, filter

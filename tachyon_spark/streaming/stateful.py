@@ -362,3 +362,108 @@ def streaming_dedup(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# ------------------------------------------------------------ live alerting
+
+ALERT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("active_since", T.LongType(), True),
+        T.StructField("state", T.StringType(), False),
+    ]
+)
+
+ALERT_STATE_SCHEMA = T.StructType(
+    [T.StructField("active_since", T.LongType(), True)]
+)
+
+
+def _alert_update(threshold: float, for_: int, idle_timeout_ms: int | None = None):
+    def fn(
+        key: Tuple[str],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_ms and state.hasTimedOut:
+            state.remove()
+            return
+        (active_since,) = state.get if state.exists else (None,)
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            ts_o, v_o, since_o, st_o = [], [], [], []
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                ts, v = int(ts), float(v)
+                if v > threshold:
+                    if active_since is None:
+                        active_since = ts
+                    ts_o.append(ts)
+                    v_o.append(v)
+                    since_o.append(active_since)
+                    st_o.append(
+                        "firing" if ts - active_since >= for_ else "pending"
+                    )
+                else:
+                    if active_since is not None:
+                        # run just ended: one resolved transition row
+                        ts_o.append(ts)
+                        v_o.append(v)
+                        since_o.append(active_since)
+                        st_o.append("resolved")
+                    active_since = None
+            if ts_o:
+                yield pd.DataFrame(
+                    {
+                        "stream_id": [key[0]] * len(ts_o),
+                        "ts": ts_o,
+                        "value": v_o,
+                        "active_since": pd.array(since_o, dtype="Int64"),
+                        "state": st_o,
+                    }
+                )
+        state.update((active_since,))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+
+    return fn
+
+
+def streaming_alert(
+    stream: DataFrame,
+    threshold: float,
+    for_: int = 0,
+    key_col: str = "stream_id",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """LIVE threshold alerting with Prometheus's hold-duration lifecycle:
+    per key, a run of consecutive samples with value > threshold is
+    `pending` from its first sample's ts (active_since) and `firing` once
+    ts - active_since >= for_; the first non-violating sample after an
+    active run emits one `resolved` transition row and resets the run.
+    The streaming complement of the batch/backfill Connection.alert_rule
+    (operators/alerts.py): there the condition evaluates on a step grid,
+    here at ARRIVAL time on raw samples — a run survives micro-batch
+    boundaries because active_since lives in the state store (O(1) per
+    key: one long). Samples sort by ts within each batch; across batches
+    the per-key arrival order must be ts-monotone (the append-ingest
+    contract, same as streaming_ewma)."""
+    keyed = stream.select(
+        F.col(key_col).cast("string").alias("stream_id"),
+        F.col("ts").cast("long").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return keyed.groupBy("stream_id").applyInPandasWithState(
+        _alert_update(float(threshold), int(for_), idle_timeout_ms),
+        outputStructType=ALERT_OUTPUT_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -162,3 +162,86 @@ def test_streaming_dedup_state_across_batches(spark, tmp_path):
         3: (True, 1), 4: (False, None),
         5: (True, 2), 6: (True, 1), 7: (False, None),
     }
+
+
+def test_streaming_alert_run_spans_batches(spark, tmp_path):
+    """A violating run split across micro-batches must keep its
+    active_since (state store) so the hold duration elapses across the
+    boundary: pending in batch 1, firing in batch 2, resolved in batch 3."""
+    import os
+    import time
+
+    from tachyon_spark.streaming.stateful import streaming_alert
+
+    drops = [
+        [("a", 10, 50.0), ("a", 20, 60.0)],              # run starts at 10
+        [("a", 30, 70.0), ("b", 30, 5.0)],               # 30-10 >= 20: firing
+        [("a", 40, 1.0), ("a", 50, 90.0)],               # resolved, new run
+    ]
+    src = tmp_path / "drops"
+    src.mkdir()
+    base = time.time() - 100
+    for k, rows in enumerate(drops):
+        df = spark.createDataFrame(
+            rows, "stream_id string, ts long, value double"
+        ).coalesce(1)
+        stage = tmp_path / f"stage{k}"
+        df.write.mode("overwrite").parquet(str(stage))
+        f = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = src / f"drop-{k}.parquet"
+        os.rename(stage / f, dst)
+        os.utime(dst, (base + k * 10, base + k * 10))
+    stream = (
+        spark.readStream.schema("stream_id string, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_alert(stream, threshold=40.0, for_=20)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r.stream_id, r.ts): (r.active_since, r.state)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        ("a", 10): (10, "pending"),
+        ("a", 20): (10, "pending"),       # 20 - 10 < 20
+        ("a", 30): (10, "firing"),        # held 20 across the batch gap
+        ("a", 40): (10, "resolved"),      # run ends, one transition row
+        ("a", 50): (50, "pending"),       # fresh run, new active_since
+    }
+    # "b" never violates and never had a run: no rows at all
+    assert not [k for k in got if k[0] == "b"]
+
+
+def test_streaming_alert_for_zero(spark, tmp_path):
+    """for_=0 fires on the first violating sample."""
+    from tachyon_spark.streaming.stateful import streaming_alert
+
+    df = spark.createDataFrame(
+        [("a", 1, 99.0)], "stream_id string, ts long, value double"
+    )
+    src = tmp_path / "one"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "stream_id string, ts long, value double"
+    ).parquet(str(src))
+    out_dir = str(tmp_path / "out0")
+    q = (
+        streaming_alert(stream, threshold=40.0)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck0"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    [r] = spark.read.parquet(out_dir).collect()
+    assert (r.ts, r.active_since, r.state) == (1, 1, "firing")
