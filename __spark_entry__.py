@@ -3538,6 +3538,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pow_atan2_grid": q_pow_atan2_grid,
         "alert_rule": q_alert_rule,
         "streaming_alert": q_streaming_alert,
+        # round 9 (third session): these five gates switched to
+        # integer-exact moment oracles — fresh driver proof needed
+        "hourly_rollup": q_hourly_rollup,
+        "rolling_avg_1h": q_rolling_avg_1h,
+        "stddev_windows": q_stddev_windows,
+        "anomaly_flags": q_anomaly_flags,
+        "continuous_rollup": q_continuous_rollup,
         "selector_scan": q_selector_scan,
         "agg_sum": q_agg_sum,
         "agg_count": q_agg_count,
@@ -3559,13 +3566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_brands_by_revenue": q_top_brands_by_revenue,
         "value_histogram": q_value_histogram,
         "user_sessions": q_user_sessions,
-        "hourly_rollup": q_hourly_rollup,
         "tumbling_window_stats": q_tumbling_window_stats,
         "sliding_window_stats": q_sliding_window_stats,
         "session_window_stats": q_session_window_stats,
         "asof_join_events": q_asof_join_events,
         "range_join_daily": q_range_join_daily,
-        "rolling_avg_1h": q_rolling_avg_1h,
         "rate_per_type": q_rate_per_type,
         "rate_windows": q_rate_windows,
         "rate_counter_aware": q_rate_counter_aware,
@@ -3582,7 +3587,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_resets": q_counter_resets,
         "deriv_windows": q_deriv_windows,
         "irate_windows": q_irate_windows,
-        "continuous_rollup": q_continuous_rollup,
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
         "ewma_final": q_ewma_final,
@@ -3626,7 +3630,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "global_shuffle": q_global_shuffle,
         "predict_linear": q_predict_linear,
-        "stddev_windows": q_stddev_windows,
         "holt_winters": q_holt_winters,
         "strip_dup_spans": q_strip_dup_spans,
         "media_spectral": q_media_spectral,
@@ -3638,7 +3641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "pipeline_end_to_end": q_pipeline_end_to_end,
         "m4_downsample": q_m4_downsample,
-        "anomaly_flags": q_anomaly_flags,
         "bigram_logprob": q_bigram_logprob,
         "semantic_decontaminate": q_semantic_decontaminate,
         "media_phash": q_media_phash,
