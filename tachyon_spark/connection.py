@@ -205,23 +205,35 @@ class Connection:
     # metadata, the same altitude the label machinery already lives at;
     # 10^5+-series catalogs go through catalog.df() distributed instead.
 
-    def label_names(self) -> list[str]:
-        """All label names in use, plus '__name__', sorted."""
+    def _match_streams(self, match: str | None):
+        """The stream pool for a metadata query: every stream, or — with
+        a `match` selector (Prometheus's match[] parameter on /labels and
+        /label/<n>/values) — only the streams it resolves to."""
+        if match is None:
+            return self.catalog.all_streams()
+        expr = parse(match)
+        if not isinstance(expr, VectorSelector):
+            raise ValueError(
+                f"match must be a vector selector, got {type(expr).__name__}"
+            )
+        return self.catalog.resolve(expr.name, expr.matchers, expr.or_groups)
+
+    def label_names(self, match: str | None = None) -> list[str]:
+        """All label names in use, plus '__name__', sorted; `match`
+        restricts to the streams a selector resolves to (match[])."""
         names = {"__name__"}
-        for s in self.catalog.all_streams():
+        for s in self._match_streams(match):
             names.update(s.labels)
         return sorted(names)
 
-    def label_values(self, label: str) -> list[str]:
-        """Distinct values of a label ('__name__' = metric names), sorted."""
+    def label_values(self, label: str, match: str | None = None) -> list[str]:
+        """Distinct values of a label ('__name__' = metric names), sorted;
+        `match` restricts to the streams a selector resolves to."""
+        pool = self._match_streams(match)
         if label == "__name__":
-            return sorted({s.name for s in self.catalog.all_streams()})
+            return sorted({s.name for s in pool})
         return sorted(
-            {
-                s.labels[label]
-                for s in self.catalog.all_streams()
-                if label in s.labels
-            }
+            {s.labels[label] for s in pool if label in s.labels}
         )
 
     def tsdb_status(self, top: int = 10) -> dict:

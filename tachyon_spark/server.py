@@ -183,10 +183,17 @@ class _Handler(BaseHTTPRequestHandler):
             # {path} -> labels; {path, label} -> values; {path, selector}
             # -> full matching label sets
             if self.path == "/labels":
-                self._json(200, {"labels": conn.label_names()})
+                self._json(
+                    200, {"labels": conn.label_names(req.get("match"))}
+                )
                 return
             if self.path == "/label_values":
-                self._json(200, {"values": conn.label_values(req["label"])})
+                self._json(
+                    200,
+                    {"values": conn.label_values(
+                        req["label"], req.get("match")
+                    )},
+                )
                 return
             if self.path == "/series":
                 self._json(200, {"series": conn.series(req["selector"])})

@@ -207,6 +207,10 @@ def test_metadata_api_and_endpoints(tmp_path, spark):
     assert conn.label_values("nope") == []
     got = conn.series('reqs{service=~"w.*"}')
     assert got == [{"__name__": "reqs", "service": "web", "tier": "gold"}]
+    # match[] filtering (round 9): restrict the pool to a selector
+    assert conn.label_names(match="errs") == ["__name__", "service"]
+    assert conn.label_values("service", match='reqs{tier="gold"}') == ["web"]
+    assert conn.label_values("__name__", match='{service="db"}') == ["reqs"]
 
     import tachyon_spark.server as srv_mod
     from tachyon_spark.server import serve
@@ -229,6 +233,12 @@ def test_metadata_api_and_endpoints(tmp_path, spark):
             "__name__", "service", "tier"]
         assert post("/label_values", {"path": db, "label": "service"})[
             "values"] == ["db", "web"]
+        assert post("/labels", {"path": db, "match": "errs"})["labels"] == [
+            "__name__", "service"]
+        assert post(
+            "/label_values",
+            {"path": db, "label": "service", "match": 'reqs{tier="gold"}'},
+        )["values"] == ["web"]
         assert post("/series", {"path": db, "selector": "reqs"})["series"] == [
             {"__name__": "reqs", "service": "db"},
             {"__name__": "reqs", "service": "web", "tier": "gold"},
