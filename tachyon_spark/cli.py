@@ -87,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--lookback", type=int, default=None)
     sp.add_argument("--chart", action="store_true")
 
+    sp = sub.add_parser("alerts")
+    sp.add_argument("promql")
+    sp.add_argument("--start", type=int, required=True)
+    sp.add_argument("--end", type=int, required=True)
+    sp.add_argument("--step", type=int, required=True)
+    sp.add_argument("--for", dest="for_", type=int, default=0)
+    sp.add_argument("--lookback", type=int, default=None)
+
     sp = sub.add_parser("record")
     sp.add_argument("name")
     sp.add_argument("promql")
@@ -168,6 +176,15 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for r in rows:
                 print(r)
+    elif args.cmd == "alerts":
+        # alerting-rule backfill: when would `expr for: <d>` have fired?
+        out = conn.alert_rule(
+            args.promql, args.start, args.end, args.step,
+            for_=args.for_, lookback=args.lookback,
+        )
+        cols = out.columns
+        for r in out.orderBy(*[c for c in cols if c != "value"]).collect():
+            print(tuple(r))
     elif args.cmd == "record":
         ids = conn.record(
             args.name, args.promql, args.start, args.end,

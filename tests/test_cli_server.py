@@ -261,6 +261,23 @@ def test_cli_metadata_verbs(tmp_path, capsys):
         "__name__": "m", "service": "web"}
 
 
+def test_cli_alerts_verb(tmp_path, capsys):
+    db = str(tmp_path / "clialert")
+    cli_main([db, "create-stream", "m", "f64"])
+    for ts, v in [(10, 50.0), (20, 60.0), (30, 70.0), (40, 1.0)]:
+        cli_main([db, "insert", "m", str(ts), str(v)])
+    capsys.readouterr()
+    assert cli_main([
+        db, "alerts", "m > 40", "--start", "0", "--end", "40",
+        "--step", "10", "--for", "20", "--lookback", "10",
+    ]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    # run 10..30: pending, pending, firing (30 - 10 >= 20); 40 inactive
+    states = [line.split(",")[-1].strip(" ')") for line in lines]
+    assert states == ["'pending'", "'pending'", "'firing'"] or [
+        s.strip("'") for s in states] == ["pending", "pending", "firing"]
+
+
 def test_prometheus_api_endpoints(tmp_path, spark):
     """/api/v1/query(_range): Prometheus response envelope — per-series
     matrix with label sets, grouped instants as vectors, scalars, and the
