@@ -89,7 +89,7 @@ def test_parser_raises_only_controlled_errors():
     from tachyon_spark.promql.parser import PromQLError, parse
 
     rng = random.Random(5)
-    alphabet = string.ascii_lowercase + '(){}[]"\',=!~@: .0123456789+-*/%_'
+    alphabet = string.ascii_lowercase + '(){}[]"\',=!~@: .0123456789+-*/%^_'
     for _ in range(4000):
         s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 25)))
         try:
@@ -103,6 +103,8 @@ def test_parser_raises_only_controlled_errors():
         "topk", "bottomk", "sum", "quantile", "count_values", "limitk",
         "limit_ratio", "by", "without", "offset", "or", "(", ")", ",",
         "(job)", "(a,b)", "m", "5", "0.9", '"v"', "@", "0", "-", "[5m]",
+        "^", "atan2", "+", "{", "}", "__name__", "=~", '"a|b"',
+        "[30m:5m]", "rate", "predict_linear", "absent_over_time",
     ]
     for _ in range(2000):
         s = " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))

@@ -52,25 +52,44 @@ scalar_strategy = st.one_of(
 ).filter(lambda s: abs(s) > 1e-6)
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-@given(points=points_strategy, scalar=scalar_strategy, op=st.sampled_from("+-*/%"))
+@settings(max_examples=16, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    points=points_strategy,
+    scalar=scalar_strategy,
+    op=st.sampled_from(["+", "-", "*", "/", "%", "^", "atan2"]),
+)
 def test_vector_scalar_arith_model(prop_db, points, scalar, op):
     sel = _mk_stream(prop_db, "i64", points)
     q = prop_db.query(f"{sel} {op} {scalar}", 0, 20_000)
     got = q.rows()
+
+    def _pow(a, b):
+        try:
+            return math.pow(a, b)
+        except ValueError:  # neg base, fractional exponent -> NaN
+            return float("nan")
+        except OverflowError:  # Java Math.pow returns signed Inf
+            neg = a < 0 and float(b).is_integer() and int(b) % 2 == 1
+            return float("-inf") if neg else float("inf")
+
     py = {
         "+": lambda a, b: a + b,
         "-": lambda a, b: a - b,
         "*": lambda a, b: a * b,
         "/": lambda a, b: a / b,
         "%": lambda a, b: math.fmod(a, b),  # f64 modulo (lib.rs:335-362)
+        "^": _pow,
+        "atan2": math.atan2,
     }[op]
     # number literals are f64 -> result is f64 (planner.rs:140-143)
     expected = [(ts, py(float(v), float(scalar))) for ts, v in points]
     assert len(got) == len(expected)
     for (gts, gv), (ets, ev) in zip(got, expected):
         assert gts == ets
-        assert gv == pytest.approx(ev, rel=1e-9, abs=1e-9)
+        if isinstance(ev, float) and math.isnan(ev):
+            assert gv is None or math.isnan(gv)
+        else:
+            assert gv == pytest.approx(ev, rel=1e-9, abs=1e-9)
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
