@@ -101,6 +101,30 @@ class _Handler(BaseHTTPRequestHandler):
                      "error": str(exc)},
                 )
             return
+        if parsed.path in ("/labels", "/label_values", "/series"):
+            # GET forms of the metadata endpoints (what Prometheus
+            # clients issue; POST JSON remains for parity with the rest)
+            req = dict(parse_qsl(parsed.query))
+            try:
+                conn = _get_connection(req["path"])
+                if parsed.path == "/labels":
+                    self._json(
+                        200, {"labels": conn.label_names(req.get("match"))}
+                    )
+                elif parsed.path == "/label_values":
+                    self._json(
+                        200,
+                        {"values": conn.label_values(
+                            req["label"], req.get("match")
+                        )},
+                    )
+                else:
+                    self._json(
+                        200, {"series": conn.series(req["selector"])}
+                    )
+            except Exception as exc:
+                self._json(400, {"error": str(exc)})
+            return
         if parsed.path in ("/api/v1/query", "/api/v1/query_range"):
             req = dict(parse_qsl(parsed.query))
             for k in ("start", "end", "step", "lookback"):

@@ -239,6 +239,23 @@ def test_metadata_api_and_endpoints(tmp_path, spark):
             "/label_values",
             {"path": db, "label": "service", "match": 'reqs{tier="gold"}'},
         )["values"] == ["web"]
+        # GET forms (the shape Prometheus clients issue)
+        from urllib.parse import quote
+
+        def get(endpoint, **params):
+            qs = "&".join(f"{k}={quote(v)}" for k, v in params.items())
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{endpoint}?{qs}"
+            ) as r:
+                return json.load(r)
+
+        assert get("/labels", path=db)["labels"] == [
+            "__name__", "service", "tier"]
+        assert get("/label_values", path=db, label="service",
+                   match="errs")["values"] == ["web"]
+        assert get("/series", path=db,
+                   selector='{__name__="errs"}')["series"] == [
+            {"__name__": "errs", "service": "web"}]
         assert post("/series", {"path": db, "selector": "reqs"})["series"] == [
             {"__name__": "reqs", "service": "db"},
             {"__name__": "reqs", "service": "web", "tier": "gold"},
