@@ -209,8 +209,11 @@ REFERENCE_REJECTS = [
     ("-m", "extension"),
     # planner.rs:146-154: string literals: parse error both engines
     ('"just a string"', "parse-error"),
-    # planner.rs:190-193: selector without a metric name: parse error
-    ('{service="web"}', "parse-error"),
+    # planner.rs:190-193: selector without a metric name — the reference
+    # rejects, but Prometheus ACCEPTS bare matcher selectors, so since
+    # round 9 this is our extension ({} with no matcher stays an error)
+    ('{service="web"}', "extension"),
+    ("{}", "parse-error"),
     # planner.rs:77-79: topk without its k param: syntax error
     ("topk(5)", "parse-error"),
 ]
