@@ -62,3 +62,28 @@ def test_alert_rule_end_to_end(golden_db):
     # threshold nothing exceeds -> no alerts at all
     none = golden_db.alert_rule(f"{WEB} > 1000", 0, 100, 10, lookback=100)
     assert none.count() == 0
+
+
+def test_alert_rule_grouped_expression(spark, tmp_path):
+    """Alerting on an aggregation: `sum by (service) (m) > 50 for 20` —
+    each group is its own alert series (alert_state keys on the group
+    columns automatically)."""
+    import tachyon_spark as ty
+
+    conn = ty.Connection(str(tmp_path / "db"), spark)
+    for svc, pts in (("web", [(10, 60.0), (20, 70.0), (30, 80.0)]),
+                     ("db", [(10, 1.0), (20, 2.0), (30, 3.0)])):
+        conn.create_stream(f'm{{service="{svc}"}}', "f64")
+        ins = conn.prepare_insert(f'm{{service="{svc}"}}')
+        for t, v in pts:
+            ins.insert(t, v)
+        ins.flush()
+    out = conn.alert_rule(
+        "sum by (service) (m) > 50", 0, 30, 10, for_=20, lookback=10
+    )
+    rows = {(r.service, r.ts): r.state for r in out.collect()}
+    assert rows == {
+        ("web", 10): "pending",
+        ("web", 20): "pending",
+        ("web", 30): "firing",
+    }
