@@ -93,6 +93,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--end", type=int, required=True)
     sp.add_argument("--step", type=int, required=True)
     sp.add_argument("--for", dest="for_", type=int, default=0)
+    sp.add_argument("--keep-firing-for", dest="keep_firing_for",
+                    type=int, default=0)
     sp.add_argument("--lookback", type=int, default=None)
 
     sp = sub.add_parser("record")
@@ -181,6 +183,7 @@ def main(argv: list[str] | None = None) -> int:
         out = conn.alert_rule(
             args.promql, args.start, args.end, args.step,
             for_=args.for_, lookback=args.lookback,
+            keep_firing_for=args.keep_firing_for,
         )
         cols = out.columns
         for r in out.orderBy(*[c for c in cols if c != "value"]).collect():

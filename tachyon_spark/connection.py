@@ -493,6 +493,7 @@ class Connection:
         step: int,
         for_: int = 0,
         lookback: int | None = None,
+        keep_firing_for: int = 0,
     ):
         """Prometheus-style ALERTING RULE over historical data: evaluate
         `promql` on the step grid (a comparison like ``m > 100`` keeps
@@ -509,7 +510,7 @@ class Connection:
         from tachyon_spark.operators.alerts import alert_state
 
         df = self.query_range(promql, start, end, step, lookback).df()
-        return alert_state(df, step, for_)
+        return alert_state(df, step, for_, keep_firing_for=keep_firing_for)
 
     def record(
         self,

@@ -40,21 +40,40 @@ def alert_state(
     for_: int = 0,
     ts_col: str = "ts",
     series_cols: list[str] | None = None,
+    keep_firing_for: int = 0,
 ) -> DataFrame:
     """Annotate present (series, step) rows with the Prometheus alert
     lifecycle: `active_since` (first step of the contiguous run) and
     `state` ('pending' until the run is >= for_ old, then 'firing').
     Rows absent from `df` are inactive — they produce nothing, like the
-    ALERTS metric."""
+    ALERTS metric.
+
+    `keep_firing_for` (Prometheus 2.42 `keep_firing_for:`): a FIRING
+    alert survives a gap of absent steps as long as each absent step is
+    within that duration of the last true evaluation — the next true
+    step continues the SAME incident (active_since preserved) when
+    ts - prev_ts <= keep_firing_for + step and the run had already
+    reached firing. Pending runs never bridge (Prometheus resets them
+    immediately). The bridged lifecycle is a sequential recurrence per
+    series, so it runs as an Arrow-batched applyInPandas fold — bounded
+    by the step grid's rows per series, the same in-memory contract as
+    holt_winters; keep_firing_for=0 keeps the all-vectorized two-window
+    path."""
     if step <= 0:
         raise ValueError("alert_state step must be positive")
     if for_ < 0:
         raise ValueError("alert_state for_ must be >= 0")
+    if keep_firing_for < 0:
+        raise ValueError("alert_state keep_firing_for must be >= 0")
     sc = (
         series_cols
         if series_cols is not None
         else [c for c in df.columns if c not in (ts_col, "value")]
     )
+    if keep_firing_for:
+        return _alert_state_bridged(
+            df, step, for_, keep_firing_for, ts_col, sc
+        )
     w = Window.partitionBy(*sc).orderBy(ts_col) if sc else (
         Window.orderBy(ts_col)
     )
@@ -77,3 +96,58 @@ def alert_state(
         .otherwise(F.lit("pending"))
         .alias("state"),
     )
+
+
+def _alert_state_bridged(
+    df: DataFrame,
+    step: int,
+    for_: int,
+    keep: int,
+    ts_col: str,
+    sc: list[str],
+) -> DataFrame:
+    """keep_firing_for lifecycle (sequential per series): incidents merge
+    across a gap when the run had reached firing and every absent step in
+    the gap stayed within `keep` of the last true step."""
+    import pandas as pd
+
+    out_fields = [f"{c} string" for c in sc] + [
+        f"{ts_col} long", "value double", "active_since long",
+        "state string",
+    ]
+    schema = ", ".join(out_fields)
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        active_since = None
+        last_true = None
+        firing = False
+        since_o, st_o = [], []
+        for ts in pdf[ts_col]:
+            ts = int(ts)
+            if last_true is not None:
+                gap_bridged = firing and ts - last_true <= keep + step
+                contiguous = ts - last_true == step
+                if not (contiguous or gap_bridged):
+                    active_since, firing = None, False
+            if active_since is None:
+                active_since = ts
+            if ts - active_since >= for_:
+                firing = True
+            since_o.append(active_since)
+            st_o.append("firing" if firing else "pending")
+            last_true = ts
+        out = pdf[sc + [ts_col, "value"]].copy()
+        out["active_since"] = pd.array(since_o, dtype="Int64")
+        out["state"] = st_o
+        return out
+
+    base = df.select(*sc, ts_col, F.col("value").cast("double"))
+    if not sc:
+        base = base.withColumn("__k", F.lit("_"))
+        out = base.groupBy("__k").applyInPandas(
+            lambda p: fold(p.drop(columns="__k")).assign(__k="_"),
+            schema="__k string, " + schema,
+        )
+        return out.drop("__k")
+    return base.groupBy(*sc).applyInPandas(fold, schema)

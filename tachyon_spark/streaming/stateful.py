@@ -377,11 +377,20 @@ ALERT_OUTPUT_SCHEMA = T.StructType(
 )
 
 ALERT_STATE_SCHEMA = T.StructType(
-    [T.StructField("active_since", T.LongType(), True)]
+    [
+        T.StructField("active_since", T.LongType(), True),
+        T.StructField("last_true", T.LongType(), True),
+        T.StructField("firing", T.BooleanType(), True),
+    ]
 )
 
 
-def _alert_update(threshold: float, for_: int, idle_timeout_ms: int | None = None):
+def _alert_update(
+    threshold: float,
+    for_: int,
+    keep: int = 0,
+    idle_timeout_ms: int | None = None,
+):
     def fn(
         key: Tuple[str],
         pdf_iter: Iterator[pd.DataFrame],
@@ -390,7 +399,10 @@ def _alert_update(threshold: float, for_: int, idle_timeout_ms: int | None = Non
         if idle_timeout_ms and state.hasTimedOut:
             state.remove()
             return
-        (active_since,) = state.get if state.exists else (None,)
+        active_since, last_true, firing = (
+            state.get if state.exists else (None, None, False)
+        )
+        firing = bool(firing)
         chunks = list(pdf_iter)
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
@@ -401,20 +413,35 @@ def _alert_update(threshold: float, for_: int, idle_timeout_ms: int | None = Non
                 if v > threshold:
                     if active_since is None:
                         active_since = ts
+                    if ts - active_since >= for_:
+                        firing = True
+                    last_true = ts
                     ts_o.append(ts)
                     v_o.append(v)
                     since_o.append(active_since)
-                    st_o.append(
-                        "firing" if ts - active_since >= for_ else "pending"
-                    )
+                    st_o.append("firing" if firing else "pending")
                 else:
                     if active_since is not None:
+                        if (
+                            firing
+                            and keep
+                            and last_true is not None
+                            and ts - last_true <= keep
+                        ):
+                            # keep_firing_for: a firing alert rides out
+                            # false evaluations within `keep` of the last
+                            # true one — same incident, still firing
+                            ts_o.append(ts)
+                            v_o.append(v)
+                            since_o.append(active_since)
+                            st_o.append("firing")
+                            continue
                         # run just ended: one resolved transition row
                         ts_o.append(ts)
                         v_o.append(v)
                         since_o.append(active_since)
                         st_o.append("resolved")
-                    active_since = None
+                    active_since, last_true, firing = None, None, False
             if ts_o:
                 yield pd.DataFrame(
                     {
@@ -425,7 +452,7 @@ def _alert_update(threshold: float, for_: int, idle_timeout_ms: int | None = Non
                         "state": st_o,
                     }
                 )
-        state.update((active_since,))
+        state.update((active_since, last_true, bool(firing)))
         if idle_timeout_ms:
             state.setTimeoutDuration(idle_timeout_ms)
 
@@ -438,6 +465,7 @@ def streaming_alert(
     for_: int = 0,
     key_col: str = "stream_id",
     idle_timeout_ms: int | None = None,
+    keep_firing_for: int = 0,
 ) -> DataFrame:
     """LIVE threshold alerting with Prometheus's hold-duration lifecycle:
     per key, a run of consecutive samples with value > threshold is
@@ -457,7 +485,10 @@ def streaming_alert(
         F.col("value").cast("double").alias("value"),
     )
     return keyed.groupBy("stream_id").applyInPandasWithState(
-        _alert_update(float(threshold), int(for_), idle_timeout_ms),
+        _alert_update(
+            float(threshold), int(for_), int(keep_firing_for),
+            idle_timeout_ms,
+        ),
         outputStructType=ALERT_OUTPUT_SCHEMA,
         stateStructType=ALERT_STATE_SCHEMA,
         outputMode="append",

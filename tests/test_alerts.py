@@ -87,3 +87,42 @@ def test_alert_rule_grouped_expression(spark, tmp_path):
         ("web", 20): "pending",
         ("web", 30): "firing",
     }
+
+
+def test_alert_state_keep_firing_for(spark):
+    """keep_firing_for bridges gaps only for runs that reached firing:
+    the same incident continues (active_since preserved); pending runs
+    reset immediately on any gap."""
+    from tachyon_spark.operators.alerts import alert_state
+
+    # step 10, for_=20, keep=20: run A 10..40 fires at 30; gap 50-60
+    # (absent), back at 70 -> 70-40=30 <= keep+step: SAME incident.
+    # Run B 200 (single, pending), gap, 230: pending never bridges.
+    rows = [("s", t, 1.0) for t in [10, 20, 30, 40, 70, 200, 230]]
+    df = spark.createDataFrame(rows, ["stream_id", "ts", "value"])
+    out = {
+        r.ts: (r.active_since, r.state)
+        for r in alert_state(df, step=10, for_=20,
+                             keep_firing_for=20).collect()
+    }
+    assert out[30] == (10, "firing")
+    assert out[40] == (10, "firing")
+    assert out[70] == (10, "firing")   # bridged: incident identity kept
+    assert out[200] == (200, "pending")
+    assert out[230] == (230, "pending")  # pending did NOT bridge
+    # beyond keep: 70 -> 110 is 40 > keep+step=30: new incident
+    rows2 = [("s", t, 1.0) for t in [10, 20, 30, 70]]
+    df2 = spark.createDataFrame(rows2, ["stream_id", "ts", "value"])
+    out2 = {
+        r.ts: (r.active_since, r.state)
+        for r in alert_state(df2, step=10, for_=20,
+                             keep_firing_for=20).collect()
+    }
+    assert out2[30] == (10, "firing")
+    assert out2[70] == (70, "pending")  # 70-30=40 > 30: fresh incident
+    # keep=0 path equals the vectorized islands
+    base = {
+        r.ts: (r.active_since, r.state)
+        for r in alert_state(df, step=10, for_=20).collect()
+    }
+    assert base[70] == (70, "pending")

@@ -245,3 +245,44 @@ def test_streaming_alert_for_zero(spark, tmp_path):
     assert q.awaitTermination(300)
     [r] = spark.read.parquet(out_dir).collect()
     assert (r.ts, r.active_since, r.state) == (1, 1, "firing")
+
+
+def test_streaming_alert_keep_firing_for(spark, tmp_path):
+    """A firing alert rides out false evaluations within keep_firing_for
+    of the last true one (same incident, rows stay 'firing'); beyond it,
+    one resolved row."""
+    from tachyon_spark.streaming.stateful import streaming_alert
+
+    rows = [
+        ("a", 10, 99.0), ("a", 20, 99.0),      # fires at 20 (for_=10)
+        ("a", 25, 1.0),                        # within keep=10 of 20
+        ("a", 28, 99.0),                       # same incident continues
+        ("a", 50, 1.0),                        # 50-28=22 > keep: resolved
+    ]
+    df = spark.createDataFrame(rows, "stream_id string, ts long, value double")
+    src = tmp_path / "k"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "stream_id string, ts long, value double"
+    ).parquet(str(src))
+    out_dir = str(tmp_path / "outk")
+    q = (
+        streaming_alert(stream, threshold=40.0, for_=10, keep_firing_for=10)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r.ts: (r.active_since, r.state)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        10: (10, "pending"),
+        20: (10, "firing"),
+        25: (10, "firing"),   # bridged false evaluation
+        28: (10, "firing"),   # incident identity preserved
+        50: (10, "resolved"),
+    }
