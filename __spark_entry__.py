@@ -1277,6 +1277,64 @@ def q_streaming_alert(spark, sf_dir):
     )
 
 
+def q_rate_extrapolated(spark, sf_dir):
+    """Prometheus extrapolated rate end-to-end (round 9;
+    plans/range_eval._extrapolate behind Connection(
+    prometheus_extrapolation=True)): `rate(m[6h])` / `increase(m[6h])`
+    on the 3h grid with promql/functions.go extrapolatedRate semantics —
+    edge gaps under 1.1x the average sample spacing extrapolate fully,
+    larger ones as half a spacing, counters clamp at the zero crossing,
+    and rate divides by the FULL 6h window. The oracle replays the whole
+    algorithm in SQL from the same samples."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+
+    w1h = 3600 * 1_000_000
+    w3h, w6h = 3 * w1h, 6 * w1h
+
+    def build():
+        ev = _read(spark, sf_dir, "events")
+        series = (
+            ev.where(
+                (F.col("event_type") == "click")
+                & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+            )
+            .groupBy(F.expr("ts DIV 1000").alias("ts"))
+            .agg(F.avg("value").alias("value"))
+        )
+        work = tempfile.mkdtemp(prefix="ty_qrx_")
+        conn = Connection(
+            os.path.join(work, "db"), spark, prometheus_extrapolation=True
+        )
+        conn.create_stream("m", "f64")
+        sid = conn.get_all_streams()[0].stream_id
+        conn.bulk_load(
+            series.select(
+                F.lit(sid).alias("stream_id"), "ts", "value",
+                F.lit(None).cast("long").alias("value_int"),
+            )
+        )
+        return conn
+
+    conn = _memo_fixture(spark, sf_dir, "qr_extrap", build)
+    args = (T0_US + w6h, T1_US, w3h)
+    r = conn.query_range(f"rate(m[{w6h}])", *args, lookback=w1h).df().select(
+        F.lit("rate").alias("arm"),
+        F.col("ts").alias("ts_us"),
+        F.round(F.col("value") * 1_000_000, 9).alias("value"),
+    )
+    i = conn.query_range(
+        f"increase(m[{w6h}])", *args, lookback=w1h
+    ).df().select(
+        F.lit("increase").alias("arm"),
+        F.col("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+    )
+    return r.unionByName(i)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding token-window chunking (functions/sampling.chunk_documents):
     chunk k covers tokens [k*56, k*56+64) (max 64 tokens, overlap 8) —
@@ -3538,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pow_atan2_grid": q_pow_atan2_grid,
         "alert_rule": q_alert_rule,
         "streaming_alert": q_streaming_alert,
+        "rate_extrapolated": q_rate_extrapolated,
         # round 9 (third session): these five gates switched to
         # integer-exact moment oracles — fresh driver proof needed
         "hourly_rollup": q_hourly_rollup,
@@ -4830,6 +4889,65 @@ def oracle_sql() -> dict[str, str]:
             FROM og JOIN r
               ON r.g > og.step - 21600000000 AND r.g <= og.step
             GROUP BY 1
+        """,
+        "rate_extrapolated": f"""
+            -- full extrapolatedRate replay: reset-aware increase over the
+            -- sampled interval, edge-gap extrapolation with the 1.1x
+            -- threshold, counter zero-crossing clamp, rate over the FULL
+            -- 6h window
+            WITH s AS (
+              SELECT epoch_us(ts) AS t, avg(value) AS v FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            ),
+            steps AS (
+              SELECT unnest(generate_series(
+                {T0_US + 6 * 3600 * 1_000_000}, {T1_US}, 10800000000
+              )) AS step
+            ),
+            w AS (
+              SELECT step, t, v,
+                     lag(v) OVER (PARTITION BY step ORDER BY t, v) AS prev
+              FROM steps JOIN s
+                ON s.t > step - 21600000000 AND s.t <= step
+            ),
+            a AS (
+              SELECT step,
+                     sum(CASE WHEN prev IS NULL THEN NULL
+                              WHEN v >= prev THEN v - prev
+                              ELSE v END) AS inc,
+                     min(t) AS t0, max(t) AS t1, count(*) AS n,
+                     arg_min(v, t) AS f
+              FROM w GROUP BY 1 HAVING max(t) > min(t)
+            ),
+            e AS (
+              SELECT step, inc, n, f,
+                     CAST(t0 - (step - 21600000000) AS DOUBLE) AS ds0,
+                     CAST(step - t1 AS DOUBLE) AS de0,
+                     CAST(t1 - t0 AS DOUBLE) AS si,
+                     CAST(t1 - t0 AS DOUBLE) / (n - 1) AS avgd
+              FROM a
+            ),
+            c AS (
+              SELECT *, CASE WHEN inc > 0 AND f >= 0
+                              AND si * (f / inc) < ds0
+                         THEN si * (f / inc) ELSE ds0 END AS ds1
+              FROM e
+            ),
+            x AS (
+              SELECT step,
+                     inc * (si
+                       + CASE WHEN ds1 >= avgd * 1.1
+                              THEN avgd / 2 ELSE ds1 END
+                       + CASE WHEN de0 >= avgd * 1.1
+                              THEN avgd / 2 ELSE de0 END) / si AS xinc
+              FROM c
+            )
+            SELECT 'rate' AS arm, step AS ts_us,
+                   round(xinc / 21600000000 * 1000000, 9) AS value FROM x
+            UNION ALL
+            SELECT 'increase', step, round(xinc, 6) FROM x
         """,
         "streaming_alert": f"""
             -- batch replay of the live alert lifecycle: per-(type, ts)

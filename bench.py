@@ -316,6 +316,7 @@ def main():
         "subquery_windowed_grid",
         "pow_atan2_grid",
         "alert_rule",
+        "rate_extrapolated",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

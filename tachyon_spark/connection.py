@@ -93,6 +93,7 @@ class Connection:
         stream_buckets: int | None = None,
         compat_rate_last_first: bool = False,
         approx_aggregates: bool = False,
+        prometheus_extrapolation: bool = False,
     ):
         """time_bucket: optional bucket width in ts units (e.g. 86_400_000 for
         daily buckets of ms timestamps). When set, samples are additionally
@@ -112,6 +113,17 @@ class Connection:
         compat_rate_last_first: evaluate rate()/increase()/irate() as plain
         last-first (the pre-round-4 behavior, NOT counter-reset-aware) for
         result migration. Session behavior, not persisted.
+
+        prometheus_extrapolation: query_range's rate()/increase()/delta()
+        use Prometheus's boundary extrapolation (promql/functions.go
+        extrapolatedRate): the sampled-interval result scales out to the
+        window edges unless the edge gap exceeds 1.1x the average sample
+        spacing (then half a spacing), counters clamp extrapolation at
+        the zero crossing, and rate divides by the FULL window. Default
+        off: the documented native semantics (increase = reset-adjusted
+        sum over observed samples, rate = increase / observed span) stay
+        the oracle-gated baseline. Session behavior, not persisted; raw
+        (non-grid) evaluation is unaffected.
 
         approx_aggregates: quantile()/quantile_over_time() compile to
         approx_percentile (mergeable Greenwald-Khanna sketch, rank error
@@ -133,6 +145,7 @@ class Connection:
         )
         self.compat_scalar_swap = compat_scalar_swap
         self.compat_rate_last_first = compat_rate_last_first
+        self.prometheus_extrapolation = prometheus_extrapolation
         self.approx_aggregates = approx_aggregates
         self.isin_threshold = ISIN_THRESHOLD
         self._recover_partial_delete()

@@ -444,7 +444,7 @@ class RangeEvaluator:
         exploded = self._explode_to_steps(df.select(*keep), r)
         part = (["stream_id"] if has_sid else []) + ["__step"]
         out, vt = self._windowed_agg(
-            fn, family, arg, exploded, part, inner.value_type
+            fn, family, arg, exploded, part, inner.value_type, r
         )
         out = out.select(
             *(["stream_id"] if has_sid else []),
@@ -466,12 +466,13 @@ class RangeEvaluator:
         child, df = self._exploded(msel)
         part = ["stream_id", "__step"]
         out, vt = self._windowed_agg(func, family, arg, df, part,
-                                     child.value_type)
+                                     child.value_type, msel.range_)
         out = out.select("stream_id", F.col("__step").alias("ts"), "value")
         return Plan("vector", out, vt, streams=child.streams)
 
     def _windowed_agg(
-        self, func: str, family: str, arg, df: DataFrame, part: list, vt_in
+        self, func: str, family: str, arg, df: DataFrame, part: list, vt_in,
+        rng: int = 0,
     ) -> tuple:
         """The per-(series?, step) window aggregation shared by the
         matrix-selector path (_windowed) and the subquery path
@@ -561,21 +562,28 @@ class RangeEvaluator:
             return out, VT_U64
         # range family: rate | increase | delta
         compat = getattr(self.conn, "compat_rate_last_first", False)
+        extrap = getattr(self.conn, "prometheus_extrapolation", False)
         if func in ("rate", "increase") and not compat:
             adj = F.when(prev.isNull(), F.lit(None)).when(
                 v >= prev, v - prev
             ).otherwise(v)
             agg = (
-                df.select(*part, "ts", adj.alias("__d"))
+                df.select(*part, "ts", "value", adj.alias("__d"))
                 .groupBy(*part)
                 .agg(
                     F.sum("__d").alias("__inc"),
                     F.min("ts").alias("__t0"),
                     F.max("ts").alias("__t1"),
+                    F.count("value").alias("__n"),
+                    F.min_by("value", F.struct("ts", "value"))
+                    .cast("double")
+                    .alias("__first"),
                 )
                 .where(F.col("__t1") > F.col("__t0"))
             )
             value = F.col("__inc")
+            if extrap and rng:
+                value = self._extrapolate(value, rng, is_counter=True)
         else:
             agg = (
                 df.groupBy(*part)
@@ -588,13 +596,49 @@ class RangeEvaluator:
                     .alias("__last"),
                     F.min("ts").alias("__t0"),
                     F.max("ts").alias("__t1"),
+                    F.count("value").alias("__n"),
                 )
                 .where(F.col("__t1") > F.col("__t0"))
             )
             value = F.col("__last") - F.col("__first")
+            if extrap and rng and func == "delta" and not compat:
+                value = self._extrapolate(value, rng, is_counter=False)
         if func == "rate":
-            value = value / (F.col("__t1") - F.col("__t0")).cast("double")
+            if extrap and rng and not compat:
+                # Prometheus rate: extrapolated increase over the FULL
+                # window, not the observed span
+                value = value / F.lit(float(rng))
+            else:
+                value = value / (
+                    F.col("__t1") - F.col("__t0")
+                ).cast("double")
         return agg.select(*part, value.alias("value")), VT_F64
+
+    @staticmethod
+    def _extrapolate(value, rng: int, is_counter: bool):
+        """Prometheus's extrapolatedRate boundary correction
+        (promql/functions.go): scale the sampled-interval result out to
+        the window edges — each edge gap counts fully when it is under
+        1.1x the average sample spacing, else as half a spacing; counter
+        results additionally clamp the start-side extrapolation at the
+        counter's zero crossing. Pure column arithmetic over the window
+        aggregates (__t0/__t1/__n/__first + the step); whole-stage
+        codegen, no extra pass."""
+        range_start = F.col("__step") - F.lit(rng)
+        ds = (F.col("__t0") - range_start).cast("double")
+        de = (F.col("__step") - F.col("__t1")).cast("double")
+        si = (F.col("__t1") - F.col("__t0")).cast("double")
+        avg_d = si / (F.col("__n") - F.lit(1)).cast("double")
+        if is_counter:
+            dz = F.when(
+                (value > 0) & (F.col("__first") >= 0),
+                si * (F.col("__first") / value),
+            )
+            ds = F.when(dz.isNotNull() & (dz < ds), dz).otherwise(ds)
+        thr = avg_d * F.lit(1.1)
+        ds = F.when(ds >= thr, avg_d / F.lit(2.0)).otherwise(ds)
+        de = F.when(de >= thr, avg_d / F.lit(2.0)).otherwise(de)
+        return value * (si + ds + de) / si
 
     # ------------------------------------------------------------ aggregate
     def _aggregate(self, node: ast.Aggregate) -> Plan:

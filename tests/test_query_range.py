@@ -477,3 +477,58 @@ def test_sliding_predict_linear(golden_db):
     # horizon 0 = the fitted value AT the step: consistent with deriv
     q0 = golden_db.query_range(f"predict_linear({WEB}[20], 0)", 40, 40, 10)
     assert dict(q0.rows())[40] == pytest.approx((my - m * mx) + m * 40)
+
+
+def test_prometheus_extrapolated_rate(spark, tmp_path):
+    """Connection(prometheus_extrapolation=True): rate/increase/delta on
+    the grid use Prometheus's extrapolatedRate (promql/functions.go) —
+    scale to the window edges, 1.1x-average-spacing threshold, counter
+    zero-crossing clamp, rate over the FULL window."""
+    import tachyon_spark as ty
+
+    conn = ty.Connection(
+        str(tmp_path / "xdb"), spark, prometheus_extrapolation=True
+    )
+    conn.create_stream("m", "f64")
+    ins = conn.prepare_insert("m")
+    for t, v in [(23, 45.0), (29, 47.0), (40, 23.0)]:
+        ins.insert(t, v)
+    ins.flush()
+    # window (20, 40]: t0=23 t1=40 n=3 first=45, reset-adjusted inc=25;
+    # ds=3 de=0 si=17 avg=8.5 thr=9.35 -> no caps, no zero clamp
+    # increase = 25 * (17+3+0)/17; rate divides by the FULL window (20)
+    q = conn.query_range("increase(m[20])", 40, 40, 10, lookback=10)
+    assert q.rows()[0][1] == pytest.approx(25 * 20 / 17)
+    q = conn.query_range("rate(m[20])", 40, 40, 10, lookback=10)
+    assert q.rows()[0][1] == pytest.approx(25 * 20 / 17 / 20)
+
+    # zero-crossing clamp: counter starts near 0 -> the start-side
+    # extrapolation stops at the zero crossing, so increase = inc + first
+    conn.create_stream("z", "f64")
+    ins = conn.prepare_insert("z")
+    for t, v in [(21, 0.5), (30, 10.0), (40, 20.0)]:
+        ins.insert(t, v)
+    ins.flush()
+    q = conn.query_range("increase(z[20])", 40, 40, 10, lookback=10)
+    assert q.rows()[0][1] == pytest.approx(20.0)
+
+    # edge gap beyond the 1.1x threshold counts as half a spacing:
+    # samples at 39, 40 in window (20, 40]: ds=19 >> thr -> avg/2 = 0.5
+    conn.create_stream("g", "f64")
+    ins = conn.prepare_insert("g")
+    for t, v in [(39, 5.0), (40, 7.0)]:
+        ins.insert(t, v)
+    ins.flush()
+    q = conn.query_range("delta(g[20])", 40, 40, 10, lookback=10)
+    # delta (gauge): 2 * (1 + 0.5 + 0)/1 = 3 (no zero clamp)
+    assert q.rows()[0][1] == pytest.approx(3.0)
+
+    # default connection keeps the native semantics
+    base = ty.Connection(str(tmp_path / "bdb"), spark)
+    base.create_stream("m", "f64")
+    ins = base.prepare_insert("m")
+    for t, v in [(23, 45.0), (29, 47.0), (40, 23.0)]:
+        ins.insert(t, v)
+    ins.flush()
+    q = base.query_range("increase(m[20])", 40, 40, 10, lookback=10)
+    assert q.rows()[0][1] == pytest.approx(25.0)
