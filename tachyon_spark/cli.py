@@ -122,6 +122,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("label")
     sp = sub.add_parser("series")
     sp.add_argument("selector")
+    sp.add_argument("--start", type=int, default=None)
+    sp.add_argument("--end", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -203,7 +205,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "series":
         import json as _json
 
-        for s in conn.series(args.selector):
+        for s in conn.series(args.selector, args.start, args.end):
             print(_json.dumps(s, sort_keys=True))
     elif args.cmd == "check-stream-exists":
         # tachyon_cli/src/main.rs:66-102

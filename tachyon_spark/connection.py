@@ -281,11 +281,20 @@ class Connection:
             ],
         }
 
-    def series(self, selector: str) -> list[dict[str, str]]:
+    def series(
+        self,
+        selector: str,
+        start: int | None = None,
+        end: int | None = None,
+    ) -> list[dict[str, str]]:
         """Full label sets of the streams matching a selector, each
         including the synthetic '__name__', sorted for determinism.
         Unlike stream creation, any matcher op is allowed here (=, !=,
-        =~, !~ — the query-side resolve semantics)."""
+        =~, !~ — the query-side resolve semantics). `start`/`end`
+        (Prometheus /api/v1/series parity) keep only streams that have
+        at least one sample in the window — a pruned distinct-ids scan
+        over the matched streams' partitions, output bounded by the
+        matched series count."""
         from tachyon_spark.catalog import check_matcher_regexes
 
         expr = parse(selector)
@@ -296,6 +305,29 @@ class Connection:
         for g in expr.or_groups or (expr.matchers,):
             check_matcher_regexes(g)
         rows = self.catalog.resolve(expr.name, expr.matchers, expr.or_groups)
+        if rows and (start is not None or end is not None):
+            from tachyon_spark.operators.select import select_range
+
+            ids = [r.stream_id for r in rows]
+            n_sb = self.stream_buckets or 0
+            buckets = None
+            if n_sb:
+                bset = {stream_bucket_py(i, n_sb) for i in ids}
+                if len(bset) < n_sb:
+                    buckets = sorted(bset)
+            scan = select_range(
+                self.samples_df(),
+                ids,
+                start,
+                end,
+                time_bucket=self.time_bucket,
+                stream_buckets=buckets,
+            )
+            present = {
+                x.stream_id
+                for x in scan.select("stream_id").distinct().collect()
+            }
+            rows = [r for r in rows if r.stream_id in present]
         out = [{"__name__": r.name, **r.labels} for r in rows]
         return sorted(out, key=lambda d: sorted(d.items()))
 

@@ -119,8 +119,11 @@ class _Handler(BaseHTTPRequestHandler):
                         )},
                     )
                 else:
+                    st = int(req["start"]) if "start" in req else None
+                    en = int(req["end"]) if "end" in req else None
                     self._json(
-                        200, {"series": conn.series(req["selector"])}
+                        200,
+                        {"series": conn.series(req["selector"], st, en)},
                     )
             except Exception as exc:
                 self._json(400, {"error": str(exc)})
@@ -220,7 +223,12 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 return
             if self.path == "/series":
-                self._json(200, {"series": conn.series(req["selector"])})
+                self._json(
+                    200,
+                    {"series": conn.series(
+                        req["selector"], req.get("start"), req.get("end")
+                    )},
+                )
                 return
             if self.path in ("/api/v1/query", "/api/v1/query_range"):
                 self._handle_api(req)

@@ -207,6 +207,15 @@ def test_metadata_api_and_endpoints(tmp_path, spark):
     assert conn.label_values("nope") == []
     got = conn.series('reqs{service=~"w.*"}')
     assert got == [{"__name__": "reqs", "service": "web", "tier": "gold"}]
+    # series start/end (Prometheus parity): only streams WITH samples in
+    # the window survive
+    ins = conn.prepare_insert('reqs{service="web"}')
+    ins.insert(50, 1.0)
+    ins.flush()
+    assert conn.series("reqs", 0, 100) == [
+        {"__name__": "reqs", "service": "web", "tier": "gold"}]
+    assert conn.series("reqs", 200, 300) == []
+    assert len(conn.series("reqs")) == 2  # no window: catalog-only
     # match[] filtering (round 9): restrict the pool to a selector
     assert conn.label_names(match="errs") == ["__name__", "service"]
     assert conn.label_values("service", match='reqs{tier="gold"}') == ["web"]
@@ -256,6 +265,14 @@ def test_metadata_api_and_endpoints(tmp_path, spark):
         assert get("/series", path=db,
                    selector='{__name__="errs"}')["series"] == [
             {"__name__": "errs", "service": "web"}]
+        # start/end filtering (Prometheus /api/v1/series parity): only
+        # the stream with samples in the window survives; a disjoint
+        # window empties the result
+        assert get("/series", path=db, selector="reqs",
+                   start="0", end="100")["series"] == [
+            {"__name__": "reqs", "service": "web", "tier": "gold"}]
+        assert get("/series", path=db, selector="reqs",
+                   start="200", end="300")["series"] == []
         assert post("/series", {"path": db, "selector": "reqs"})["series"] == [
             {"__name__": "reqs", "service": "db"},
             {"__name__": "reqs", "service": "web", "tier": "gold"},
