@@ -1335,6 +1335,19 @@ def q_rate_extrapolated(spark, sf_dir):
     return r.unionByName(i)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix (functions/dedup.source_overlap,
+    round 9): distinct 4-gram sets per source, pair-joined on the gram —
+    shared counts + containment fractions + Jaccard per source pair.
+    The oracle replays the distinct-gram sets on STRINGS (the engine
+    joins xxhash64 longs; the counts agree unless 64-bit grams collide,
+    the dedup-family precedent)."""
+    from tachyon_spark.functions.dedup import source_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    return source_overlap(docs, n=4)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding token-window chunking (functions/sampling.chunk_documents):
     chunk k covers tokens [k*56, k*56+64) (max 64 tokens, overlap 8) —
@@ -3597,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_rule": q_alert_rule,
         "streaming_alert": q_streaming_alert,
         "rate_extrapolated": q_rate_extrapolated,
+        "source_overlap": q_source_overlap,
         # round 9 (third session): these five gates switched to
         # integer-exact moment oracles — fresh driver proof needed
         "hourly_rollup": q_hourly_rollup,
@@ -4889,6 +4903,42 @@ def oracle_sql() -> dict[str, str]:
             FROM og JOIN r
               ON r.g > og.step - 21600000000 AND r.g <= og.step
             GROUP BY 1
+        """,
+        "source_overlap": """
+            -- distinct 4-gram sets per source on strings, pair join,
+            -- containment + jaccard (integer ratios: bit-identical
+            -- doubles in both engines)
+            WITH t AS (
+              SELECT source, string_split(text, ' ') AS w FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT source,
+                     array_to_string(w[i : i + 3], ' ') AS gram
+              FROM (
+                SELECT source, w,
+                       unnest(generate_series(1, len(w) - 3)) AS i
+                FROM t WHERE len(w) >= 4
+              )
+            ),
+            per AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+            pairs AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     count(*) AS shared
+              FROM g a JOIN g b
+                ON a.gram = b.gram AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, shared,
+                   pa.n_grams AS grams_a, pb.n_grams AS grams_b,
+                   round(shared / CAST(pa.n_grams AS DOUBLE), 6)
+                     AS containment_a,
+                   round(shared / CAST(pb.n_grams AS DOUBLE), 6)
+                     AS containment_b,
+                   round(shared / CAST(pa.n_grams + pb.n_grams - shared
+                     AS DOUBLE), 6) AS jaccard
+            FROM pairs
+            JOIN per pa ON pa.source = source_a
+            JOIN per pb ON pb.source = source_b
         """,
         "rate_extrapolated": f"""
             -- full extrapolatedRate replay: reset-aware increase over the

@@ -317,6 +317,7 @@ def main():
         "pow_atan2_grid",
         "alert_rule",
         "rate_extrapolated",
+        "source_overlap",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

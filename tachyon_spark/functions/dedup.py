@@ -843,3 +843,58 @@ def hamming_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return _attach_stats(out, max_bucket, dropped)
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 4,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, the
+    number of DISTINCT word n-grams they share, each side's containment
+    fraction (shared / that source's distinct grams) and the Jaccard —
+    the first report a curator reads before mixing corpora ("is src3
+    just src1 re-crawled?").
+
+    Plan shape at scale: distinct (source, gram) pairs first (ONE
+    exchange keyed on the gram after the per-source distinct), grams
+    hashed to 64-bit longs so the equi-join shuffles longs, not strings.
+    The self-join fan-out per gram is bounded by the SOURCE count (tens),
+    never the corpus: a gram shared by k sources contributes k(k-1)/2
+    pair rows — with 20 sources that is <= 190 — so no hot-key cap is
+    needed (contrast minhash_lsh_pairs, where buckets hold DOCUMENTS).
+    Output is one row per source pair: O(sources^2)."""
+    g = (
+        shingles(docs, id_col=source_col, text_col=text_col, n=n)
+        .select(F.col("id").alias("src"), F.xxhash64("shingle").alias("g"))
+        .distinct()
+    )
+    per = g.groupBy("src").agg(F.count("*").alias("n_grams"))
+    a = g.select(F.col("src").alias("source_a"), "g")
+    b = g.select(F.col("src").alias("source_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    pa = per.select(F.col("src").alias("source_a"), F.col("n_grams").alias("grams_a"))
+    pb = per.select(F.col("src").alias("source_b"), F.col("n_grams").alias("grams_b"))
+    sh = F.col("shared").cast("double")
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            "grams_a",
+            "grams_b",
+            F.round(sh / F.col("grams_a"), 6).alias("containment_a"),
+            F.round(sh / F.col("grams_b"), 6).alias("containment_b"),
+            F.round(
+                sh / (F.col("grams_a") + F.col("grams_b") - sh), 6
+            ).alias("jaccard"),
+        )
+    )

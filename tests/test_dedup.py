@@ -576,3 +576,27 @@ def test_knn_graph_deterministic_and_k_bound(spark):
 
     with pytest.raises(ValueError):
         knn_graph(df, k=0)
+
+
+def test_source_overlap_matrix(spark):
+    """source_overlap: distinct n-gram sets per source, shared counts,
+    containment fractions and Jaccard per pair."""
+    from tachyon_spark.functions.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "w x y z p q"),      # grams(3): wxy xyz yzp zpq
+            (2, "b", "w x y z"),          # grams: wxy xyz
+            (3, "c", "p p p p"),          # grams: ppp (distinct)
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = {(r.source_a, r.source_b): r for r in
+           source_overlap(docs, n=3).collect()}
+    ab = out[("a", "b")]
+    assert (ab.shared, ab.grams_a, ab.grams_b) == (2, 4, 2)
+    assert ab.containment_b == 1.0      # b's grams all appear in a
+    assert ab.containment_a == 0.5
+    assert ab.jaccard == 0.5            # 2 / (4 + 2 - 2)
+    # disjoint pair emits nothing
+    assert ("a", "c") not in out and ("b", "c") not in out
