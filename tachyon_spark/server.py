@@ -196,7 +196,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         if self.path not in (
-            "/query", "/query_range", "/record",
+            "/query", "/query_range", "/record", "/alerts",
             "/labels", "/label_values", "/series",
             "/api/v1/query", "/api/v1/query_range",
         ):
@@ -232,6 +232,28 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if self.path in ("/api/v1/query", "/api/v1/query_range"):
                 self._handle_api(req)
+                return
+            if self.path == "/alerts":
+                # alerting-rule backfill: {path, query, start, end, step
+                # [, for, keep_firing_for, lookback]} -> lifecycle rows
+                out = conn.alert_rule(
+                    req["query"],
+                    req["start"],
+                    req["end"],
+                    req["step"],
+                    for_=req.get("for", 0),
+                    lookback=req.get("lookback"),
+                    keep_firing_for=req.get("keep_firing_for", 0),
+                )
+                cols = out.columns
+                rows = out.orderBy(
+                    *[c for c in cols if c != "value"]
+                ).collect()
+                self._json(
+                    200,
+                    {"columns": cols,
+                     "alerts": [list(r) for r in rows]},
+                )
                 return
             if self.path == "/record":
                 # recording rule: {path, name, query, start, end[, step,

@@ -312,6 +312,42 @@ def test_cli_alerts_verb(tmp_path, capsys):
         s.strip("'") for s in states] == ["pending", "pending", "firing"]
 
 
+def test_alerts_endpoint(tmp_path, spark):
+    """POST /alerts: the alerting-rule backfill over HTTP."""
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "alertdb")
+    conn = Connection(db, spark)
+    conn.create_stream("m", "f64")
+    ins = conn.prepare_insert("m")
+    for ts, v in [(10, 50.0), (20, 60.0), (30, 70.0), (40, 1.0)]:
+        ins.insert(ts, v)
+    ins.flush()
+
+    import tachyon_spark.server as srv_mod
+    from tachyon_spark.server import serve
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/alerts",
+            data=json.dumps({
+                "path": db, "query": "m > 40", "start": 0, "end": 40,
+                "step": 10, "for": 20, "lookback": 10,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            got = json.load(r)
+        states = [row[-1] for row in got["alerts"]]
+        assert states == ["pending", "pending", "firing"]
+        assert "active_since" in got["columns"]
+    finally:
+        srv.shutdown()
+
+
 def test_prometheus_api_endpoints(tmp_path, spark):
     """/api/v1/query(_range): Prometheus response envelope — per-series
     matrix with label sets, grouped instants as vectors, scalars, and the
