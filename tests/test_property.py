@@ -504,3 +504,42 @@ def test_calendar_col_matches_python_datetime(spark, epochs):
     for r in got:
         for f in funcs:
             assert r[f] == PlanBuilder._calendar_py(f, r["v"]), (f, r["v"])
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    steps=st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=20),
+    for_=st.sampled_from([0, 10, 30]),
+    keep=st.sampled_from([0, 10, 25]),
+)
+def test_alert_state_model(spark, steps, for_, keep):
+    """alert_state vs a direct Python simulation of the Prometheus
+    lifecycle over arbitrary present-step sets — both the vectorized
+    islands path (keep=0) and the bridged fold."""
+    from tachyon_spark.operators.alerts import alert_state
+
+    STEP = 10
+    ts_list = sorted(t * STEP for t in steps)
+    df = spark.createDataFrame(
+        [("s", t, 1.0) for t in ts_list], ["stream_id", "ts", "value"]
+    )
+    got = {
+        r.ts: (r.active_since, r.state)
+        for r in alert_state(df, step=STEP, for_=for_,
+                             keep_firing_for=keep).collect()
+    }
+    # direct simulation
+    active_since, last, firing = None, None, False
+    want = {}
+    for ts in ts_list:
+        if last is not None:
+            bridged = keep and firing and ts - last <= keep + STEP
+            if ts - last != STEP and not bridged:
+                active_since, firing = None, False
+        if active_since is None:
+            active_since = ts
+        if ts - active_since >= for_:
+            firing = True
+        want[ts] = (active_since, "firing" if firing else "pending")
+        last = ts
+    assert got == want
