@@ -66,7 +66,8 @@ def _eval_ts(plan, ns_clock: bool):
 
 
 def prometheus_data(
-    query, ns_clock: bool = True, max_points: int | None = DEFAULT_MAX_POINTS
+    query, ns_clock: bool = True, max_points: int | None = DEFAULT_MAX_POINTS,
+    instant: bool = False,
 ) -> dict:
     """The "data" object for a Query result: matrix for multi-instant
     vectors (per-series when stream identity survived the plan, one
@@ -102,6 +103,14 @@ def prometheus_data(
             series.setdefault(r.stream_id, []).append(
                 [_fmt_ts(r.ts, ns_clock), _fmt_val(r.value)]
             )
+        if instant:
+            # one-step grid evaluation: Prometheus instant VECTOR shape
+            result = [
+                {"metric": labels.get(sid, {}), "value": vals[-1]}
+                for sid, vals in series.items()
+            ]
+            result.sort(key=lambda x: sorted(x["metric"].items()))
+            return {"resultType": "vector", "result": result}
         result = [
             {"metric": labels.get(sid, {}), "values": vals}
             for sid, vals in series.items()
@@ -124,6 +133,17 @@ def prometheus_data(
             # catalog left-join) — sort None-safe and, like Prometheus,
             # OMIT absent labels from the metric instead of rendering 'None'
             none_safe = lambda k: [(c, "" if v is None else str(v)) for c, v in k]
+            if instant:
+                result = [
+                    {
+                        "metric": {c: str(v) for c, v in k if v is not None},
+                        "value": vals[-1],
+                    }
+                    for k, vals in sorted(
+                        series.items(), key=lambda kv: none_safe(kv[0])
+                    )
+                ]
+                return {"resultType": "vector", "result": result}
             result = [
                 {
                     "metric": {c: str(v) for c, v in k if v is not None},
@@ -149,6 +169,21 @@ def prometheus_data(
         }
     # derived vector without series identity: one anonymous series
     rows = _bounded_collect(query.df(), max_points)
+    if instant:
+        return {
+            "resultType": "vector",
+            "result": [
+                {
+                    "metric": {},
+                    "value": [
+                        _fmt_ts(rows[-1].ts, ns_clock),
+                        _fmt_val(rows[-1].value),
+                    ],
+                }
+            ]
+            if rows
+            else [],
+        }
     return {
         "resultType": "matrix",
         "result": [
@@ -165,11 +200,12 @@ def prometheus_data(
 
 
 def prometheus_envelope(
-    query, ns_clock: bool = True, max_points: int | None = DEFAULT_MAX_POINTS
+    query, ns_clock: bool = True, max_points: int | None = DEFAULT_MAX_POINTS,
+    instant: bool = False,
 ) -> dict:
     return {
         "status": "success",
-        "data": prometheus_data(query, ns_clock, max_points),
+        "data": prometheus_data(query, ns_clock, max_points, instant),
     }
 
 

@@ -130,7 +130,7 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if parsed.path in ("/api/v1/query", "/api/v1/query_range"):
             req = dict(parse_qsl(parsed.query))
-            for k in ("start", "end", "step", "lookback"):
+            for k in ("start", "end", "step", "lookback", "time"):
                 if k in req:
                     req[k] = int(req[k])
             if "ns_clock" in req:
@@ -152,11 +152,36 @@ class _Handler(BaseHTTPRequestHandler):
 
         try:
             conn = _get_connection(req["path"])
+            instant = False
             if self.path.endswith("query_range"):
                 q = conn.query_range(
                     req["query"], req["start"], req["end"], req["step"],
                     req.get("lookback"),
                 )
+            elif "time" in req:
+                # Prometheus instant query: `time=T` evaluates at T with
+                # lookback semantics. A bare m[R] is the raw-sample
+                # export (matrix of samples in (T-R, T], what Grafana's
+                # query inspector issues); anything else is a one-step
+                # grid evaluation rendered as an instant VECTOR.
+                from tachyon_spark.plans.builder import PlanBuilder
+                from tachyon_spark.promql import ast as _ast
+                from tachyon_spark.promql import parse as _parse
+
+                t = int(req["time"])
+                expr = _parse(req["query"])
+                if isinstance(expr, _ast.MatrixSelector):
+                    from tachyon_spark.connection import Query as _Q
+
+                    plan = PlanBuilder(
+                        conn, t - expr.range_ + 1, t
+                    ).build(expr.selector)
+                    q = _Q(plan)
+                else:
+                    q = conn.query_range(
+                        req["query"], t, t, 1, req.get("lookback")
+                    )
+                    instant = True
             else:
                 q = conn.query(req["query"], req.get("start"), req.get("end"))
             # max_points: clients may LOWER the serving cap, never raise or
@@ -176,7 +201,9 @@ class _Handler(BaseHTTPRequestHandler):
                 cap = min(cap, DEFAULT_MAX_POINTS)
             self._json(
                 200,
-                prometheus_envelope(q, req.get("ns_clock", True), cap),
+                prometheus_envelope(
+                    q, req.get("ns_clock", True), cap, instant
+                ),
             )
         except TooManyPoints as exc:
             # Prometheus returns 422 "execution" when a query trips

@@ -312,6 +312,56 @@ def test_cli_alerts_verb(tmp_path, capsys):
         s.strip("'") for s in states] == ["pending", "pending", "firing"]
 
 
+def test_instant_query_time_param(tmp_path, spark):
+    """/api/v1/query?time=T: true Prometheus instant semantics — a
+    one-step grid evaluation rendered as resultType 'vector', and a bare
+    m[R] becomes the raw-sample matrix export (T-R, T]."""
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "instdb")
+    conn = Connection(db, spark)
+    for svc, pts in (("web", [(10, 1.0), (20, 2.0)]), ("db", [(10, 5.0)])):
+        conn.create_stream(f'reqs{{service="{svc}"}}', "f64")
+        ins = conn.prepare_insert(f'reqs{{service="{svc}"}}')
+        for ts, v in pts:
+            ins.insert(ts, v)
+        ins.flush()
+
+    import tachyon_spark.server as srv_mod
+    from tachyon_spark.server import serve
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+
+    def get(**params):
+        from urllib.parse import quote
+
+        qs = "&".join(f"{k}={quote(str(v))}" for k, v in params.items())
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v1/query?{qs}"
+        ) as r:
+            return json.load(r)
+
+    try:
+        # instant vector at T=25 (lookback 10 covers the ts-20 sample of
+        # web but not db's ts-10): one series, value 2
+        got = get(path=db, query="reqs", time=25, lookback=10,
+                  ns_clock=0)["data"]
+        assert got["resultType"] == "vector"
+        assert len(got["result"]) == 1
+        assert got["result"][0]["metric"]["service"] == "web"
+        assert got["result"][0]["value"] == [25, "2.0"]
+        # raw-sample matrix export: reqs[20] at T=25 -> samples in (5, 25]
+        got = get(path=db, query="reqs[20]", time=25, ns_clock=0)["data"]
+        assert got["resultType"] == "matrix"
+        by_svc = {r["metric"]["service"]: r["values"] for r in got["result"]}
+        assert by_svc["web"] == [[10, "1.0"], [20, "2.0"]]
+        assert by_svc["db"] == [[10, "5.0"]]
+    finally:
+        srv.shutdown()
+
+
 def test_alerts_endpoint(tmp_path, spark):
     """POST /alerts: the alerting-rule backfill over HTTP."""
     from tachyon_spark.connection import Connection
