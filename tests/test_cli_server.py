@@ -352,6 +352,12 @@ def test_instant_query_time_param(tmp_path, spark):
         assert len(got["result"]) == 1
         assert got["result"][0]["metric"]["service"] == "web"
         assert got["result"][0]["value"] == [25, "2.0"]
+        # grouped instant: sum by (service) at T=25 -> vector of groups
+        got = get(path=db, query="sum by (service) (reqs)", time=25,
+                  lookback=10, ns_clock=0)["data"]
+        assert got["resultType"] == "vector"
+        assert [(r["metric"], r["value"]) for r in got["result"]] == [
+            ({"service": "web"}, [25, "2.0"])]
         # raw-sample matrix export: reqs[20] at T=25 -> samples in (5, 25]
         got = get(path=db, query="reqs[20]", time=25, ns_clock=0)["data"]
         assert got["resultType"] == "matrix"
