@@ -4,7 +4,9 @@ Matches the surface the reference's planner accepts
 (tachyon_core/src/query/planner.rs:234-261): vector selectors with matchers,
 @/offset modifiers, number literals, + - * / %, comparison filters,
 sum/count/avg/min/max/topk/bottomk, parens — plus our extensions: `by (label)`
-grouping on aggregates and != / =~ / !~ matchers.
+grouping on aggregates, != / =~ / !~ matchers, ^ / atan2, __name__ matchers,
+bare {matcher} selectors, and the windowed-function/subquery surface the
+class docstrings below describe.
 """
 
 from __future__ import annotations

@@ -3,12 +3,17 @@
 The reference delegates to a PromQL parser submodule and then rejects
 everything outside its subset (query/planner.rs:125-232). We parse exactly the
 accepted subset directly, with standard PromQL precedence:
-    * / %   (highest)
+    ^                 (highest; right-associative, binds tighter than unary -)
+    unary + -
+    * / % atan2
     + -
-    == != > < >= <=   (lowest)
+    == != > < >= <=
+    and unless
+    or                (lowest)
 
 Extensions beyond the reference: `by (l1, l2)` on aggregates, !=/=~/!~
-matchers, unary minus on number literals.
+matchers (fully anchored like Prometheus), unary +/-, ^/atan2, __name__
+matchers and bare {matcher} selectors.
 """
 
 from __future__ import annotations
