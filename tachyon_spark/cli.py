@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--step", type=int, required=True)
     sp.add_argument("--lookback", type=int, default=None)
     sp.add_argument("--chart", action="store_true")
+    sp.add_argument(
+        "--explain", action="store_true",
+        help="print the physical plan instead of results",
+    )
 
     sp = sub.add_parser("alerts")
     sp.add_argument("promql")
@@ -174,6 +178,9 @@ def main(argv: list[str] | None = None) -> int:
         q = conn.query_range(
             args.promql, args.start, args.end, args.step, args.lookback
         )
+        if args.explain:
+            q.explain("formatted")
+            return 0
         rows = q.rows()
         if args.chart and q.return_type == "vector":
             print(_ascii_chart(rows))
