@@ -77,6 +77,20 @@ def prometheus_data(
     (None disables the guard) — the serving path collects driver-side, and
     the cap keeps a high-cardinality grid query from OOMing the server."""
     plan = query.plan
+    if plan.kind == "topk":
+        # GetK declares ReturnType::Scalar in the reference but yields k
+        # VALUES; Prometheus's topk is an instant vector. Render every
+        # value at the evaluation ts (series identity does not survive
+        # the reference's concat-at-scan semantics, so metrics are empty)
+        # instead of silently collapsing to the first value.
+        rows = _bounded_collect(query.df(), max_points)
+        t = _eval_ts(plan, ns_clock)
+        return {
+            "resultType": "vector",
+            "result": [
+                {"metric": {}, "value": [t, _fmt_val(r[0])]} for r in rows
+            ],
+        }
     if plan.return_type == "scalar":
         v = query.scalar()
         return {

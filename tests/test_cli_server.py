@@ -656,3 +656,23 @@ def test_prometheus_api_grouped_grid_matrix(tmp_path, spark):
     by = {s["metric"]["service"]: s["values"] for s in data["result"]}
     assert by["db"] == [[10, "5.0"], [20, "5.0"], [30, "5.0"]]
     assert by["web"] == [[10, "1.0"], [20, "2.0"], [30, "2.0"]]
+
+
+def test_api_topk_renders_all_values(tmp_path, spark):
+    """Raw-path topk(k, m) through the Prometheus envelope yields a
+    VECTOR with k entries at the eval ts — it used to collapse to a
+    single scalar (the reference's ReturnType::Scalar declaration leaked
+    into the response shape)."""
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.promapi import prometheus_envelope
+
+    conn = Connection(str(tmp_path / "tkdb"), spark)
+    conn.create_stream("m", "f64")
+    ins = conn.prepare_insert("m")
+    for t, v in [(10, 1.0), (20, 5.0), (30, 3.0)]:
+        ins.insert(t, v)
+    ins.flush()
+    got = prometheus_envelope(conn.query("topk(2, m)", 0, 100),
+                              ns_clock=False)["data"]
+    assert got["resultType"] == "vector"
+    assert [r["value"][1] for r in got["result"]] == ["5.0", "3.0"]
