@@ -771,7 +771,12 @@ class Query:
             return int(v) if isinstance(v, decimal.Decimal) else v
 
         if self.plan.return_type == "vector":
-            return [(r.ts, py(r.value)) for r in self.df().collect()]
+            df = self.df()
+            if "ts" not in df.columns:
+                # grouped instants without a time axis (count_values,
+                # raw-path `sum by (...)`): (group keys..., value) tuples
+                return [tuple(py(v) for v in r) for r in df.collect()]
+            return [(r.ts, py(r.value)) for r in df.collect()]
         return [py(r.value) for r in self.df().collect()]
 
     def scalar(self):

@@ -748,9 +748,25 @@ class PlanBuilder:
                     "function's tumbling grid IS the step grid"
                 )
             return self.build(inner), self._effective_start(msel.selector) or 0
-        raise ValueError(
-            f"unsupported subquery inner expression: {type(inner).__name__}"
+        # generic inner expression — `(a + b)[R:S]`, `abs(a)[R:S]`, ... :
+        # evaluate raw (interpolating joins and all), then snap to the
+        # step grid: the NEWEST derived row per (series?, step window) —
+        # the same latest-per-step contract the plain-selector form uses
+        child = self.build(inner)
+        if child.kind != "vector":
+            raise ValueError(
+                "subquery inner expression must evaluate to a vector, got "
+                f"{type(inner).__name__} -> {child.kind}"
+            )
+        anchor = self.start or 0
+        step = F.lit(sub.step)
+        a = F.lit(anchor)
+        win = ((F.col("ts") - a) - (F.col("ts") - a) % step + a).alias("ts")
+        keys = [F.col("stream_id")] if "stream_id" in child.df.columns else []
+        out = child.df.groupBy(*keys, win).agg(
+            F.max_by("value", F.struct("ts", "value")).alias("value")
         )
+        return Plan("vector", out, child.value_type), anchor
 
     def _over_time_subquery(self, fn: str, sub: ast.Subquery, arg) -> Plan:
         """`max_over_time(rate(m[5m])[30m:5m])`: the inner expression's step

@@ -412,9 +412,9 @@ class RangeEvaluator:
             bare = replace(sub, at_ts=None, at_anchor=None)
             sub_eval = RangeEvaluator(self.conn, t, t, self.step, self.lookback)
             child = sub_eval._windowed_subquery(fn, bare, arg, family)
-            has_sid = "stream_id" in child.df.columns
+            keys = [c for c in child.df.columns if c not in ("ts", "value")]
             out = child.df.select(
-                *(["stream_id"] if has_sid else []),
+                *keys,
                 F.explode(
                     F.sequence(
                         F.lit(self.start), F.lit(self.end), F.lit(self.step)
@@ -422,35 +422,48 @@ class RangeEvaluator:
                 ).alias("ts"),
                 "value",
             )
-            return Plan("vector", out, child.value_type, streams=child.streams)
+            return Plan(
+                child.kind, out, child.value_type,
+                group_cols=child.group_cols, streams=child.streams,
+            )
         off = sub.offset or 0
         back = (r // s) * s  # inner grid stays aligned with `start`
         inner_eval = RangeEvaluator(
             self.conn, self.start - back - off, self.end - off, s, self.lookback
         )
         inner = inner_eval._eval(sub.child)
-        if inner.kind != "vector":
+        # the inner series identity: stream_id for selector-derived
+        # vectors, the match/group key columns for grouped results (e.g.
+        # `(a + b)[R:S]` under default full-label matching, or
+        # `sum by (l) (...)[R:S]`) — any instant frame with a ts axis is
+        # a valid subquery inner
+        if inner.kind == "vector":
+            keys = ["stream_id"] if "stream_id" in inner.df.columns else []
+        elif inner.kind == "grouped" and "ts" in inner.df.columns:
+            keys = [c for c in inner.group_cols if c != "ts"]
+        else:
             raise ValueError(
-                "query_range subquery inner expression must evaluate to a "
-                "plain vector (selectors, windowed functions, arithmetic)"
+                "query_range subquery inner expression must evaluate to "
+                "per-instant rows (selectors, windowed functions, "
+                "arithmetic, grouped aggregates)"
             )
         df = inner.df
         if off:
             # the subquery clock shifted back by `offset`; restore the
             # outer step clock on the inner instants (same move as _scan)
             df = df.withColumn("ts", F.col("ts") + F.lit(off))
-        has_sid = "stream_id" in df.columns
-        keep = (["stream_id"] if has_sid else []) + ["ts", "value"]
+        keep = keys + ["ts", "value"]
         exploded = self._explode_to_steps(df.select(*keep), r)
-        part = (["stream_id"] if has_sid else []) + ["__step"]
+        part = keys + ["__step"]
         out, vt = self._windowed_agg(
             fn, family, arg, exploded, part, inner.value_type, r
         )
-        out = out.select(
-            *(["stream_id"] if has_sid else []),
-            F.col("__step").alias("ts"),
-            "value",
-        )
+        out = out.select(*keys, F.col("__step").alias("ts"), "value")
+        if inner.kind == "grouped":
+            return Plan(
+                "grouped", out, vt, group_cols=(*keys, "ts"),
+                streams=inner.streams,
+            )
         return Plan("vector", out, vt, streams=inner.streams)
 
     def _windowed(self, func: str, msel, arg, family: str = "range") -> Plan:

@@ -355,3 +355,43 @@ def test_absent_over_time_subquery_grid(golden_db):
         0, 90, 30, lookback=10
     )
     assert sorted(q.rows()) == [(0, 1.0), (90, 1.0)]
+
+
+def test_subquery_over_arithmetic_raw(golden_db):
+    """`(a + b)[R:S]` — the classic Prometheus subquery shape: the inner
+    expression evaluates RAW (interpolating join), snaps to the S-grid
+    (newest derived row per step window), then the outer windowed
+    function runs. ints+uints at ts 10..40 = [3, 6, 9, 12]."""
+    q = golden_db.query("max_over_time((ints + uints)[20:10])", 0, 40)
+    assert q.rows() == [(0, 3), (20, 9), (40, 12)]
+    q = golden_db.query("deriv((ints * 2)[20:10])", 0, 40)
+    # [20,40): (20,8),(30,12) -> slope 0.4
+    assert q.rows() == [(20, pytest.approx(0.4))]
+    # a scalar-returning inner is rejected with a clear error
+    with pytest.raises(ValueError, match="vector"):
+        golden_db.query("max_over_time((sum(ints))[20:10])", 0, 40)
+
+
+def test_subquery_over_arithmetic_grid(golden_db):
+    """Grid form: inner (a + b) evaluates per inner step with default
+    full-label matching; the outer window aggregates per (match key,
+    step)."""
+    # fixture labels differ (t="i" vs t="u"), so PromQL one-to-one
+    # matching needs ignoring(t) — default matching correctly finds no
+    # groups (pinned below)
+    q = golden_db.query_range(
+        "max_over_time((ints + ignoring(t) uints)[20:10])",
+        20, 40, 10, lookback=10,
+    )
+    rows = {r.ts: r.value for r in q.df().collect()}
+    assert rows == {20: 6.0, 30: 9.0, 40: 12.0}
+    q = golden_db.query_range(
+        "rate((ints + ignoring(t) uints)[30:10])", 40, 40, 10, lookback=10
+    )
+    # (10,40]: instants 20,30,40 = 6,9,12 -> inc 6 over span 20
+    [r] = q.df().collect()
+    assert r.value == pytest.approx(0.3)
+    with pytest.raises(ValueError, match="no matching label groups"):
+        golden_db.query_range(
+            "max_over_time((ints + uints)[20:10])", 20, 40, 10, lookback=10
+        ).df().collect()
