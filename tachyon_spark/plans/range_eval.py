@@ -1256,6 +1256,36 @@ class RangeEvaluator:
             raise ValueError("query_range topk/bottomk k must be a literal")
         k = int(k_plan.literal)
         child = self._eval(node.child)
+        if child.kind == "grouped" and "ts" in child.df.columns:
+            # derived instant vectors keyed by match/group columns
+            # (`topk(2, a + b)`, `topk(2, sum by (l) (...))`): per-step
+            # rank over those rows — PromQL's topk works on any instant
+            # vector, so grouped results qualify
+            if node.by or node.without:
+                raise ValueError(
+                    "topk/bottomk by/without needs a label-carrying "
+                    "selector vector (the input is already grouped)"
+                )
+            if k <= 0:
+                return Plan(
+                    "grouped", child.df.limit(0), child.value_type,
+                    group_cols=child.group_cols,
+                )
+            keys = [c for c in child.df.columns if c not in ("ts", "value")]
+            value = F.col("value")
+            w = Window.partitionBy("ts").orderBy(
+                value.desc() if node.func == "topk" else value.asc(),
+                *[F.col(c) for c in keys],  # deterministic tie-break
+            )
+            out = (
+                child.df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= k)
+                .drop("__rn")
+            )
+            return Plan(
+                "grouped", out, child.value_type,
+                group_cols=child.group_cols,
+            )
         if child.kind != "vector":
             raise ValueError("topk/bottomk requires a vector input")
         if node.by or node.without:

@@ -532,3 +532,20 @@ def test_prometheus_extrapolated_rate(spark, tmp_path):
     ins.flush()
     q = base.query_range("increase(m[20])", 40, 40, 10, lookback=10)
     assert q.rows()[0][1] == pytest.approx(25.0)
+
+
+def test_topk_over_derived_vector_on_grid(golden_db):
+    """topk over a default-matched binop (`topk(1, a + ignoring(t) b)`):
+    PromQL's topk ranks any instant vector, so grouped derived results
+    qualify — per-step rank, series key kept."""
+    q = golden_db.query_range(
+        "topk(1, ints + ignoring(t) uints)", 20, 40, 10, lookback=10
+    )
+    rows = {r.ts: r.value for r in q.df().collect()}
+    assert rows == {20: 6.0, 30: 9.0, 40: 12.0}
+    cols = q.df().columns
+    assert "ts" in cols and "value" in cols and len(cols) >= 3  # key kept
+    # k <= 0 -> empty, like the selector form
+    assert golden_db.query_range(
+        "topk(0, ints + ignoring(t) uints)", 20, 40, 10, lookback=10
+    ).df().count() == 0
