@@ -3574,66 +3574,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Staleness-first rotation (VERDICT r9 item 1): the driver gates the
     # FIRST 50 entries each round. Ordered by last driver-gated round
-    # ascending — token_counts_by_source leads (its only driver row ever is
-    # the r01 FAIL), then the r01/r03 seventeen, then the r04 block; the
-    # r06/r08-gated queries trail. Regenerate next round from the
-    # CORRECTNESS_r0*.json history (tools/rotate_registry.py).
+    # ascending (never-passed queries lead their round) so no entry's latest
+    # driver row goes stale. Regenerate each round with
+    # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
-        "token_counts_by_source": q_token_counts_by_source,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_count_bpe": q_token_count_bpe,
-        "doc_fingerprint": q_doc_fingerprint,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "media_features": q_media_features,
-        "media_frames": q_media_frames,
-        "media_resize": q_media_resize,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "decontaminate": q_decontaminate,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
-        "text_stats": q_text_stats,
-        # round 9: or-matcher disjunction gate (VERDICT r9 item 6)
-        "selector_scan_or": q_selector_scan_or,
-        "promql_topk_without": q_promql_topk_without,
-        "promql_pinned_range": q_promql_pinned_range,
-        "streaming_sessions": q_streaming_sessions,
-        "query_range_compare": q_query_range_compare,
-        # round 9 (second session): windowed funcs over subqueries +
-        # predict_linear on the grid
-        "predict_linear_grid": q_predict_linear_grid,
-        "subquery_windowed_grid": q_subquery_windowed_grid,
-        "pow_atan2_grid": q_pow_atan2_grid,
-        "alert_rule": q_alert_rule,
-        "streaming_alert": q_streaming_alert,
-        "rate_extrapolated": q_rate_extrapolated,
-        "source_overlap": q_source_overlap,
-        # round 9 (third session): these five gates switched to
-        # integer-exact moment oracles — fresh driver proof needed
-        "hourly_rollup": q_hourly_rollup,
-        "rolling_avg_1h": q_rolling_avg_1h,
-        "stddev_windows": q_stddev_windows,
-        "anomaly_flags": q_anomaly_flags,
-        "continuous_rollup": q_continuous_rollup,
-        "selector_scan": q_selector_scan,
-        "agg_sum": q_agg_sum,
-        "agg_count": q_agg_count,
-        "agg_avg": q_agg_avg,
-        "agg_min": q_agg_min,
-        "agg_max": q_agg_max,
-        "agg_stats": q_agg_stats,
-        "topk_values": q_topk_values,
-        "bottomk_values": q_bottomk_values,
-        "vector_scalar_arith": q_vector_scalar_arith,
-        "comparison_filter": q_comparison_filter,
-        "interp_add": q_interp_add,
-        "interp_add_grouped": q_interp_add_grouped,
-        "scalar_arithmetic": q_scalar_arithmetic,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
         "suppliers_by_region": q_suppliers_by_region,
         "top_brands_by_revenue": q_top_brands_by_revenue,
@@ -3722,6 +3666,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "cusum_drift": q_cusum_drift,
+        "token_counts_by_source": q_token_counts_by_source,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count_bpe": q_token_count_bpe,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "media_resize": q_media_resize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "decontaminate": q_decontaminate,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "text_stats": q_text_stats,
+        "selector_scan_or": q_selector_scan_or,
+        "promql_topk_without": q_promql_topk_without,
+        "promql_pinned_range": q_promql_pinned_range,
+        "streaming_sessions": q_streaming_sessions,
+        "query_range_compare": q_query_range_compare,
+        "predict_linear_grid": q_predict_linear_grid,
+        "subquery_windowed_grid": q_subquery_windowed_grid,
+        "pow_atan2_grid": q_pow_atan2_grid,
+        "alert_rule": q_alert_rule,
+        "streaming_alert": q_streaming_alert,
+        "rate_extrapolated": q_rate_extrapolated,
+        "source_overlap": q_source_overlap,
+        "hourly_rollup": q_hourly_rollup,
+        "rolling_avg_1h": q_rolling_avg_1h,
+        "stddev_windows": q_stddev_windows,
+        "anomaly_flags": q_anomaly_flags,
+        "continuous_rollup": q_continuous_rollup,
+        "selector_scan": q_selector_scan,
+        "agg_sum": q_agg_sum,
+        "agg_count": q_agg_count,
+        "agg_avg": q_agg_avg,
+        "agg_min": q_agg_min,
+        "agg_max": q_agg_max,
+        "agg_stats": q_agg_stats,
+        "topk_values": q_topk_values,
+        "bottomk_values": q_bottomk_values,
+        "vector_scalar_arith": q_vector_scalar_arith,
+        "comparison_filter": q_comparison_filter,
+        "interp_add": q_interp_add,
+        "interp_add_grouped": q_interp_add_grouped,
+        "scalar_arithmetic": q_scalar_arithmetic,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "revenue_by_nation": q_revenue_by_nation,
     }
 
 # ---------------------------------------------------------------- oracle SQL
@@ -4979,17 +4973,19 @@ def oracle_sql() -> dict[str, str]:
                      CAST(t1 - t0 AS DOUBLE) / (n - 1) AS avgd
               FROM a
             ),
+            -- v2.53+ clamp order: threshold clamp FIRST, then the
+            -- counter zero-crossing minimum on the clamped value
             c AS (
-              SELECT *, CASE WHEN inc > 0 AND f >= 0
-                              AND si * (f / inc) < ds0
-                         THEN si * (f / inc) ELSE ds0 END AS ds1
+              SELECT *, CASE WHEN ds0 >= avgd * 1.1
+                         THEN avgd / 2 ELSE ds0 END AS ds1
               FROM e
             ),
             x AS (
               SELECT step,
                      inc * (si
-                       + CASE WHEN ds1 >= avgd * 1.1
-                              THEN avgd / 2 ELSE ds1 END
+                       + CASE WHEN inc > 0 AND f >= 0
+                              AND si * (f / inc) < ds1
+                         THEN si * (f / inc) ELSE ds1 END
                        + CASE WHEN de0 >= avgd * 1.1
                               THEN avgd / 2 ELSE de0 END) / si AS xinc
               FROM c

@@ -66,7 +66,14 @@ def py_arith(op: str, a: float, b: float) -> float:
         return a * b
     if op == "^":
         # Go math.Pow semantics (PromQL): NaN for negative base with
-        # fractional exponent, 0^0 = 1, signed Inf on overflow
+        # fractional exponent, 0^0 = 1, signed Inf on overflow.
+        # CPython raises ValueError for 0^negative where Go (and
+        # Spark's F.pow, i.e. java.lang.Math.pow) returns Inf — the
+        # sign follows the base's sign for odd-integer exponents
+        if a == 0 and b < 0:
+            neg_zero = math.copysign(1.0, a) < 0
+            odd_int = b == int(b) and int(b) % 2 != 0
+            return -INF if (neg_zero and odd_int) else INF
         try:
             return math.pow(a, b)
         except ValueError:

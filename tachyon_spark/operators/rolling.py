@@ -64,7 +64,13 @@ def rolling_range_agg(
     b = int(bucket_width) if bucket_width else 6 * int(width)
     if b < width:
         raise ValueError("bucket_width must be >= width (one-neighbor carry)")
-    bucket = (F.col(ts_col) / F.lit(b)).cast("long")
+    # exact integer floor-division: long/long `/` in Spark is a double
+    # divide, which loses precision past 2^53 (nanosecond epochs) and
+    # truncates toward zero for negative ts; ts - pmod(ts, b) is the
+    # exact multiple of b at-or-below ts, and `div` on it is exact
+    bucket = F.expr(
+        f"(`{ts_col}` - pmod(`{ts_col}`, {b})) div {b}"
+    )
     # ONE scan: each row explodes to its main (bucket, carry=0) slot plus,
     # when it sits in the bucket's final `width`, a (bucket+1, carry=1)
     # slot — a union of two scans would read the input twice

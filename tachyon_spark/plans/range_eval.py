@@ -642,14 +642,19 @@ class RangeEvaluator:
         de = (F.col("__step") - F.col("__t1")).cast("double")
         si = (F.col("__t1") - F.col("__t0")).cast("double")
         avg_d = si / (F.col("__n") - F.lit(1)).cast("double")
+        thr = avg_d * F.lit(1.1)
+        # current extrapolatedRate (promql/functions.go, PR #13725,
+        # v2.53+): the start gap is clamped to avg/2 at the threshold
+        # FIRST, and the counter zero-crossing minimum applies to the
+        # already-clamped value — the two orders diverge when ds >= thr
+        # and the zero crossing lands between avg/2 and 1.1*avg
+        ds = F.when(ds >= thr, avg_d / F.lit(2.0)).otherwise(ds)
         if is_counter:
             dz = F.when(
                 (value > 0) & (F.col("__first") >= 0),
                 si * (F.col("__first") / value),
             )
             ds = F.when(dz.isNotNull() & (dz < ds), dz).otherwise(ds)
-        thr = avg_d * F.lit(1.1)
-        ds = F.when(ds >= thr, avg_d / F.lit(2.0)).otherwise(ds)
         de = F.when(de >= thr, avg_d / F.lit(2.0)).otherwise(de)
         return value * (si + ds + de) / si
 
@@ -1203,6 +1208,16 @@ class RangeEvaluator:
                 if "no streams matched" in str(e):
                     return Plan("vector", grid, VT_F64)
                 raise
+            if (
+                inner.kind not in ("vector", "grouped")
+                or inner.df is None
+                or "ts" not in inner.df.columns
+            ):
+                raise ValueError(
+                    "query_range subquery inner expression must evaluate to "
+                    "an instant vector (absent_over_time over a scalar "
+                    "subquery is not supported)"
+                )
             df_i = inner.df
             if off:
                 df_i = df_i.withColumn("ts", F.col("ts") + F.lit(off))

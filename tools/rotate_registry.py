@@ -42,6 +42,23 @@ def main() -> int:
         src,
         re.S,
     )
+    if m is None:
+        print(
+            "rotate_registry: could not locate queries() return dict in "
+            f"{REGISTRY} — function layout changed; update the pattern",
+            file=sys.stderr,
+        )
+        return 1
+    # only the dict entries are rewritten; any preamble between the def
+    # line and `return {` (docstring, comments, code) is preserved
+    # verbatim except the rotation comment block, which is refreshed
+    preamble = m.group(2)
+    stripped = re.sub(
+        r"(?:    # Staleness-first rotation.*?\n)?    return \{\n$",
+        "",
+        preamble,
+        flags=re.S,
+    )
     entries = re.findall(r'"([a-z0-9_]+)": (q_[a-z0-9_]+),', m.group(3))
     order = {k: i for i, (k, _) in enumerate(entries)}
     entries.sort(
@@ -53,7 +70,12 @@ def main() -> int:
             print(f"{last.get(k, 0):>2} {'pass' if passed.get(k) else 'FAIL/new'} {k}")
         return 0
 
-    newbody = DOC + "".join(f'        "{k}": {fn},\n' for k, fn in entries) + "    }\n"
+    newbody = (
+        stripped
+        + DOC
+        + "".join(f'        "{k}": {fn},\n' for k, fn in entries)
+        + "    }\n"
+    )
     open(REGISTRY, "w").write(src[: m.start(2)] + newbody + src[m.end(4) :])
     print(f"rotated {len(entries)} entries; window head: "
           f"{[k for k, _ in entries[:5]]}")
