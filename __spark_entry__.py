@@ -1206,6 +1206,40 @@ def q_alert_rule(spark, sf_dir):
     )
 
 
+def q_alert_keep_firing(spark, sf_dir):
+    """`keep_firing_for` bridged alert lifecycle (operators/alerts.
+    _alert_state_bridged, round 10 — the only r9 code path with no
+    oracle proof): two arms of the same rule `m > 50.0037` on the 1h
+    grid. Arm `bridge3h` (for=1h, keep_firing_for=3h) exercises
+    firing-gated bridging — a FIRING run survives gaps up to keep+step
+    and the next hit continues the SAME incident (active_since
+    preserved), while pending runs reset immediately. Arm `keep0`
+    (for=0, keep_firing_for=2h) fires instantly so every small gap
+    bridges — measured: bridges occur at sf0.001 AND sf0.01, so the
+    sequential Arrow fold is hash-gated with real bridge events at
+    every driver scale. The oracle replays the fold at ISLAND
+    granularity with a recursive CTE: within an incident firing is
+    monotone (ts - active_since only grows), so per-row state is pure
+    arithmetic once each island's incident start is chained."""
+    w1h = 3600 * 1_000_000
+
+    conn = _click_stream_conn(spark, sf_dir)
+
+    def arm(name, for_us, keep_us):
+        out = conn.alert_rule(
+            "m > 50.0037", T0_US, T1_US, w1h,
+            for_=for_us, keep_firing_for=keep_us, lookback=w1h,
+        )
+        return out.select(
+            F.lit(name).alias("arm"),
+            F.col("ts").alias("ts_us"),
+            F.col("active_since").alias("active_since_us"),
+            "state",
+        )
+
+    return arm("bridge3h", w1h, 3 * w1h).unionAll(arm("keep0", 0, 2 * w1h))
+
+
 def q_streaming_alert(spark, sf_dir):
     """LIVE threshold alerting end-to-end (streaming/stateful.
     streaming_alert over readStream, round 9): the per-(event_type, ts)
@@ -3578,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row goes stale. Regenerate each round with
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
+        "alert_keep_firing": q_alert_keep_firing,
         "top_customers": q_top_customers,
         "suppliers_by_region": q_suppliers_by_region,
         "top_brands_by_revenue": q_top_brands_by_revenue,
@@ -5066,6 +5101,65 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN g - active_since >= 10800000000
                         THEN 'firing' ELSE 'pending' END AS state
             FROM runs
+        """,
+        "alert_keep_firing": f"""
+            -- keep_firing_for replay at island granularity: within an
+            -- incident firing is monotone (ts - active_since only
+            -- grows), so a gap bridges iff the chained incident had
+            -- fired by the island's last hit (last_g - inc_start >=
+            -- for) and the gap fits keep + step; a recursive CTE
+            -- chains inc_start island-by-island, then per-row state is
+            -- plain arithmetic
+            WITH RECURSIVE s AS (
+              SELECT epoch_us(ts) AS t, avg(value) AS v FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            ),
+            steps AS (
+              SELECT unnest(generate_series({T0_US}, {T1_US}, 3600000000))
+                AS g
+            ),
+            inst AS (
+              SELECT g, max_by(v, t) AS v FROM steps JOIN s
+                ON s.t >= g - 3600000000 AND s.t <= g
+              GROUP BY 1
+            ),
+            hit AS (SELECT g FROM inst WHERE v > 50.0037),
+            isl AS (
+              SELECT g, g - 3600000000 * row_number() OVER (ORDER BY g)
+                AS island
+              FROM hit
+            ),
+            islands AS (
+              SELECT island, min(g) AS first_g, max(g) AS last_g,
+                     row_number() OVER (ORDER BY min(g)) AS rn
+              FROM isl GROUP BY island
+            ),
+            params AS (
+              SELECT * FROM (VALUES
+                ('bridge3h', 3600000000, 10800000000),
+                ('keep0', 0, 7200000000)
+              ) p(arm, forus, keepus)
+            ),
+            chain AS (
+              SELECT p.arm, p.forus, p.keepus,
+                     i.rn, i.island, i.first_g, i.last_g,
+                     i.first_g AS inc_start
+              FROM islands i, params p WHERE i.rn = 1
+              UNION ALL
+              SELECT c.arm, c.forus, c.keepus,
+                     i.rn, i.island, i.first_g, i.last_g,
+                     CASE WHEN c.last_g - c.inc_start >= c.forus
+                               AND i.first_g - c.last_g
+                                   <= c.keepus + 3600000000
+                          THEN c.inc_start ELSE i.first_g END
+              FROM islands i JOIN chain c ON i.rn = c.rn + 1
+            )
+            SELECT c.arm, h.g AS ts_us, c.inc_start AS active_since_us,
+                   CASE WHEN h.g - c.inc_start >= c.forus
+                        THEN 'firing' ELSE 'pending' END AS state
+            FROM isl h JOIN chain c ON h.island = c.island
         """,
         "pow_atan2_grid": f"""
             -- lookback-latest instant per step, then the same pow/atan2

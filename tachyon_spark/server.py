@@ -262,7 +262,29 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if self.path == "/alerts":
                 # alerting-rule backfill: {path, query, start, end, step
-                # [, for, keep_firing_for, lookback]} -> lifecycle rows
+                # [, for, keep_firing_for, lookback, max_points]} ->
+                # lifecycle rows. Collected through the SAME serving cap
+                # as the /api/v1 paths (promapi.DEFAULT_MAX_POINTS) — a
+                # month-long backfill at 1-minute step over many firing
+                # series must not materialize unbounded on the driver
+                # inside the HTTP handler. orderBy + limit plans as
+                # TakeOrdered, so Spark stops at the cap. Clients may
+                # LOWER the cap, never raise it; past the cap the
+                # response carries the first `cap` rows plus
+                # truncated=true so backfill tooling can re-request a
+                # narrower window.
+                from tachyon_spark.promapi import DEFAULT_MAX_POINTS
+
+                mp = req.get("max_points")
+                if mp is None:
+                    cap = DEFAULT_MAX_POINTS
+                else:
+                    cap = int(mp)
+                    if cap <= 0:
+                        raise ValueError(
+                            "max_points must be a positive integer"
+                        )
+                    cap = min(cap, DEFAULT_MAX_POINTS)
                 out = conn.alert_rule(
                     req["query"],
                     req["start"],
@@ -275,11 +297,13 @@ class _Handler(BaseHTTPRequestHandler):
                 cols = out.columns
                 rows = out.orderBy(
                     *[c for c in cols if c != "value"]
-                ).collect()
+                ).limit(cap + 1).collect()
+                truncated = len(rows) > cap
                 self._json(
                     200,
                     {"columns": cols,
-                     "alerts": [list(r) for r in rows]},
+                     "alerts": [list(r) for r in rows[:cap]],
+                     "truncated": truncated},
                 )
                 return
             if self.path == "/record":

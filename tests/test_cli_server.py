@@ -400,6 +400,38 @@ def test_alerts_endpoint(tmp_path, spark):
         states = [row[-1] for row in got["alerts"]]
         assert states == ["pending", "pending", "firing"]
         assert "active_since" in got["columns"]
+        assert got["truncated"] is False
+
+        # serving cap: a backfill response larger than max_points comes
+        # back capped with truncated=true — the handler must never
+        # materialize an unbounded lifecycle frame on the driver
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/alerts",
+            data=json.dumps({
+                "path": db, "query": "m > 40", "start": 0, "end": 40,
+                "step": 10, "for": 20, "lookback": 10, "max_points": 2,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            got = json.load(r)
+        assert len(got["alerts"]) == 2
+        assert got["truncated"] is True
+
+        # clients may lower the cap, never disable it: 0 -> 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/alerts",
+            data=json.dumps({
+                "path": db, "query": "m > 40", "start": 0, "end": 40,
+                "step": 10, "max_points": 0,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, "max_points=0 must be rejected"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         srv.shutdown()
 
