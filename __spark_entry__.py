@@ -2015,6 +2015,54 @@ def q_promql_pinned_range(spark, sf_dir):
     )
 
 
+def q_modifier_matrix(spark, sf_dir):
+    """The PromQL modifier matrix on the step grid (round 10, VERDICT r9
+    item 7): @ x offset x subquery combinations, one arm each —
+    `subq_offset`: `avg_over_time(m[6h:1h] offset 3h)` (the subquery
+    clock shifts back 3h; inner 1h instants evaluate on the shifted
+    grid, range_eval._windowed_subquery:429); `subq_at`:
+    `max_over_time(m[6h:1h] @ T1)` (the subquery pins at T1 — one
+    single-window evaluation fanned across the grid, :400); `at_offset`:
+    `max_over_time(m[6h] @ T1 offset 3h)` (@ pins, offset composes
+    inside the pinned scan — raw samples in (T1-9h, T1-3h],
+    _windowed_at:346). The oracle replays each arm's window edges
+    directly; only the modifier arithmetic can disagree."""
+    w1h = 3600 * 1_000_000
+    w3h, w6h, w12h = 3 * w1h, 6 * w1h, 12 * w1h
+
+    conn = _click_stream_conn(spark, sf_dir)
+
+    def sel(df, arm):
+        return df.select(
+            F.lit(arm).alias("arm"),
+            F.col("ts").alias("ts_us"),
+            F.round("value", 6).alias("value"),
+        )
+
+    a = sel(
+        conn.query_range(
+            f"avg_over_time(m[{w6h}:{w1h}] offset {w3h})",
+            T0_US + 9 * w1h, T1_US, w3h, lookback=w1h,
+        ).df(),
+        "subq_offset",
+    )
+    b = sel(
+        conn.query_range(
+            f"max_over_time(m[{w6h}:{w1h}] @ {T1_US})",
+            T0_US, T1_US, w12h, lookback=w1h,
+        ).df(),
+        "subq_at",
+    )
+    c = sel(
+        conn.query_range(
+            f"max_over_time(m[{w6h}] @ {T1_US} offset {w3h})",
+            T0_US, T1_US, w12h, lookback=w1h,
+        ).df(),
+        "at_offset",
+    )
+    return a.unionByName(b).unionByName(c)
+
+
 def _subquery_fixture_build(spark, sf_dir):
     """Build closure for the shared 'promql_subquery' fixture db: the
     in-range click series (avg per distinct ts) ingested as stream m."""
@@ -3613,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
         "alert_keep_firing": q_alert_keep_firing,
+        "modifier_matrix": q_modifier_matrix,
         "top_customers": q_top_customers,
         "suppliers_by_region": q_suppliers_by_region,
         "top_brands_by_revenue": q_top_brands_by_revenue,
@@ -5101,6 +5150,64 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN g - active_since >= 10800000000
                         THEN 'firing' ELSE 'pending' END AS state
             FROM runs
+        """,
+        "modifier_matrix": f"""
+            -- modifier-matrix replay: subq_offset = inner 1h instants on
+            -- the 3h-shifted grid, restored to the outer clock, avg over
+            -- (step-6h, step]; subq_at = max over the pinned (T1-6h, T1]
+            -- instants fanned across the 12h grid; at_offset = max over
+            -- raw samples in (T1-9h, T1-3h], fanned
+            WITH s AS (
+              SELECT epoch_us(ts) AS t, avg(value) AS v FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            ),
+            ig1 AS (
+              SELECT unnest(generate_series(
+                {T0_US}, {T1_US - 3 * 3600 * 1_000_000}, 3600000000
+              )) AS g
+            ),
+            inst1 AS (
+              SELECT g + 10800000000 AS ts, max_by(v, t) AS v
+              FROM ig1 JOIN s ON s.t >= g - 3600000000 AND s.t <= g
+              GROUP BY 1
+            ),
+            steps1 AS (
+              SELECT unnest(generate_series(
+                {T0_US + 9 * 3600 * 1_000_000}, {T1_US}, 10800000000
+              )) AS step
+            ),
+            ig2 AS (
+              SELECT unnest(generate_series(
+                {T1_US - 6 * 3600 * 1_000_000}, {T1_US}, 3600000000
+              )) AS g
+            ),
+            inst2 AS (
+              SELECT g, max_by(v, t) AS v
+              FROM ig2 JOIN s ON s.t >= g - 3600000000 AND s.t <= g
+              GROUP BY 1
+            ),
+            fan AS (
+              SELECT unnest(generate_series({T0_US}, {T1_US}, 43200000000))
+                AS step
+            )
+            SELECT 'subq_offset' AS arm, step AS ts_us,
+                   round(avg(v), 6) AS value
+            FROM steps1 JOIN inst1
+              ON inst1.ts > step - 21600000000 AND inst1.ts <= step
+            GROUP BY 2
+            UNION ALL
+            SELECT 'subq_at', step, x.value FROM fan, (
+              SELECT round(max(v), 6) AS value FROM inst2
+              WHERE g > {T1_US - 6 * 3600 * 1_000_000}
+            ) x
+            UNION ALL
+            SELECT 'at_offset', step, y.value FROM fan, (
+              SELECT round(max(v), 6) AS value FROM s
+              WHERE t > {T1_US - 9 * 3600 * 1_000_000}
+                AND t <= {T1_US - 3 * 3600 * 1_000_000}
+            ) y
         """,
         "alert_keep_firing": f"""
             -- keep_firing_for replay at island granularity: within an
