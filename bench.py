@@ -318,6 +318,9 @@ def main():
         "alert_rule",
         "rate_extrapolated",
         "source_overlap",
+        # round 10
+        "alert_keep_firing",
+        "modifier_matrix",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
