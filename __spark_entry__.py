@@ -1240,6 +1240,139 @@ def q_alert_keep_firing(spark, sf_dir):
     return arm("bridge3h", w1h, 3 * w1h).unionAll(arm("keep0", 0, 2 * w1h))
 
 
+def _count_stream_conn(spark, sf_dir):
+    """Shared engine fixture for the exact-integer grid gates: hourly
+    event COUNTS ingested as streams — `c` (clicks only, one stream) and
+    `ce{et=...}` (one stream per event_type). Counts are integers both
+    engines compute identically from the same parquet, so order-of-max /
+    value-as-group-key semantics replay EXACTLY (no float-ulp hazard the
+    way avg-valued fixtures have)."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+
+    def build():
+        ev = _read(spark, sf_dir, "events")
+        hour_us = (
+            F.expr("ts DIV 3600000000000") * F.lit(3_600_000_000)
+        ).alias("ts")
+        in_range = ev.where(F.col("ts").between(T0_US * 1000, T1_US * 1000))
+        c = (
+            in_range.where(F.col("event_type") == "click")
+            .groupBy(hour_us)
+            .agg(F.count("*").cast("double").alias("value"))
+        )
+        ce = (
+            in_range.groupBy("event_type", hour_us)
+            .agg(F.count("*").cast("double").alias("value"))
+        )
+        ets = sorted(
+            r.event_type for r in ce.select("event_type").distinct().collect()
+        )
+        work = tempfile.mkdtemp(prefix="ty_cnt_")
+        conn = Connection(os.path.join(work, "db"), spark)
+        conn.create_stream("c", "f64")
+        c_sid = conn.get_all_streams()[0].stream_id
+        ids = conn.create_streams([(f'ce{{et="{e}"}}', "f64") for e in ets])
+        mapping = spark.createDataFrame(
+            list(zip(ets, ids)), "event_type string, stream_id string"
+        )
+        conn.bulk_load(
+            c.select(
+                F.lit(c_sid).alias("stream_id"), "ts", "value",
+                F.lit(None).cast("long").alias("value_int"),
+            ).unionByName(
+                ce.join(F.broadcast(mapping), "event_type").select(
+                    "stream_id", "ts", "value",
+                    F.lit(None).cast("long").alias("value_int"),
+                )
+            )
+        )
+        return conn
+
+    return _memo_fixture(spark, sf_dir, "count_streams", build)
+
+
+def q_over_time_extras(spark, sf_dir):
+    """The remaining *_over_time family members, oracle-gated (round 10):
+    last / present / ts_of_last / ts_of_max / ts_of_min over `c[6h]` on
+    the 3h grid (c = hourly click counts — exact integers, so the
+    ts_of_max/min value comparisons and their LATEST-ts tie rule
+    (builder._over_time_agg, Prometheus 3.x funcTsOfMaxOverTime: >=/<=
+    scans) replay exactly; the oracle takes max(t) among rows at the
+    window's extreme value)."""
+    w1h = 3600 * 1_000_000
+    w3h, w6h = 3 * w1h, 6 * w1h
+
+    conn = _count_stream_conn(spark, sf_dir)
+    args = (T0_US + w6h, T1_US, w3h)
+
+    def arm(expr, name):
+        return conn.query_range(expr, *args).df().select(
+            F.lit(name).alias("arm"),
+            F.col("ts").alias("ts_us"),
+            F.col("value").cast("double").alias("value"),
+        )
+
+    return (
+        arm(f"last_over_time(c[{w6h}])", "last")
+        .unionByName(arm(f"present_over_time(c[{w6h}])", "present"))
+        .unionByName(arm(f"ts_of_last_over_time(c[{w6h}])", "ts_of_last"))
+        .unionByName(arm(f"ts_of_max_over_time(c[{w6h}])", "ts_of_max"))
+        .unionByName(arm(f"ts_of_min_over_time(c[{w6h}])", "ts_of_min"))
+    )
+
+
+def q_count_values_grid(spark, sf_dir):
+    """count_values("cnt", ce) on the 6h grid (round 10;
+    range_eval._count_values): how many event_type series report each
+    distinct hourly-count value at each step — the value BECOMES a label
+    (stringified), series count per (value, step). Exact-integer counts
+    make the value-as-group-key replay safe across engines; the oracle
+    mirrors Spark's double->string rendering ('42.0')."""
+    w1h = 3600 * 1_000_000
+    w6h = 6 * w1h
+
+    conn = _count_stream_conn(spark, sf_dir)
+    out = conn.query_range(
+        'count_values("cnt", ce)', T0_US, T1_US, w6h, lookback=w1h
+    ).df()
+    return out.select(
+        "cnt",
+        F.col("ts").alias("ts_us"),
+        F.col("value").cast("long").alias("n_series"),
+    )
+
+
+def q_label_replace_grid(spark, sf_dir):
+    """label_replace + grouped aggregation on the grid (round 10;
+    range_eval._label_func -> _aggregate): `sum by (lab)
+    (label_replace(ce, "lab", "engage", "et", "click|view"))` — click
+    and view series MERGE under lab="engage", the non-matching trio
+    merges under lab="" (label_replace leaves dst untouched on no
+    match; absent labels render empty) — both the rewrite and the
+    real many-to-one regrouping are exercised. Exact-integer sums."""
+    w1h = 3600 * 1_000_000
+    w6h = 6 * w1h
+
+    conn = _count_stream_conn(spark, sf_dir)
+    out = conn.query_range(
+        'sum by (lab) (label_replace(ce, "lab", "engage", "et", '
+        '"click|view"))',
+        T0_US, T1_US, w6h, lookback=w1h,
+    ).df()
+    # the engine keeps an ABSENT grouping label as NULL; Prometheus's
+    # matching treats a missing label as "" (one merged group either
+    # way — the JSON rendering just omits it), so the gate coerces for
+    # the string compare
+    return out.select(
+        F.coalesce("lab", F.lit("")).alias("lab"),
+        F.col("ts").alias("ts_us"),
+        F.col("value").cast("double").alias("total"),
+    )
+
+
 def q_streaming_alert(spark, sf_dir):
     """LIVE threshold alerting end-to-end (streaming/stateful.
     streaming_alert over readStream, round 9): the per-(event_type, ts)
@@ -3661,6 +3794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
         "alert_keep_firing": q_alert_keep_firing,
+        "over_time_extras": q_over_time_extras,
+        "count_values_grid": q_count_values_grid,
+        "label_replace_grid": q_label_replace_grid,
         "modifier_matrix": q_modifier_matrix,
         "top_customers": q_top_customers,
         "suppliers_by_region": q_suppliers_by_region,
@@ -5150,6 +5286,101 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN g - active_since >= 10800000000
                         THEN 'firing' ELSE 'pending' END AS state
             FROM runs
+        """,
+        "over_time_extras": f"""
+            -- exact-integer hourly click counts; per-step left-open 6h
+            -- windows; ts_of_max/min resolve value ties to the LATEST
+            -- ts (max(t) among rows at the window extreme — Prometheus
+            -- funcTsOfMaxOverTime's >=/<= scan order)
+            WITH hc AS (
+              SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            ),
+            steps AS (
+              SELECT unnest(generate_series(
+                {T0_US + 6 * 3600 * 1_000_000}, {T1_US}, 10800000000
+              )) AS step
+            ),
+            j AS (
+              SELECT step, t, v FROM steps JOIN hc
+                ON hc.t > step - 21600000000 AND hc.t <= step
+            ),
+            w AS (
+              SELECT step, t, v,
+                     max(v) OVER (PARTITION BY step) AS vmax,
+                     min(v) OVER (PARTITION BY step) AS vmin
+              FROM j
+            )
+            SELECT 'last' AS arm, step AS ts_us, max_by(v, t) AS value
+            FROM j GROUP BY 2
+            UNION ALL
+            SELECT 'present', step, 1.0 FROM j GROUP BY 2
+            UNION ALL
+            SELECT 'ts_of_last', step, CAST(max(t) AS DOUBLE)
+            FROM j GROUP BY 2
+            UNION ALL
+            SELECT 'ts_of_max', step,
+                   CAST(max(CASE WHEN v = vmax THEN t END) AS DOUBLE)
+            FROM w GROUP BY 2
+            UNION ALL
+            SELECT 'ts_of_min', step,
+                   CAST(max(CASE WHEN v = vmin THEN t END) AS DOUBLE)
+            FROM w GROUP BY 2
+        """,
+        "count_values_grid": f"""
+            -- per-(event_type, hour) exact counts -> lookback-latest
+            -- instant per 6h step -> series count per distinct value;
+            -- CAST(double AS VARCHAR) mirrors Spark's '42.0' rendering
+            WITH he AS (
+              SELECT event_type AS et,
+                     (epoch_us(ts) // 3600000000) * 3600000000 AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events
+              WHERE epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1, 2
+            ),
+            steps AS (
+              SELECT unnest(generate_series({T0_US}, {T1_US}, 21600000000))
+                AS step
+            ),
+            inst AS (
+              SELECT step, et, max_by(v, t) AS v FROM steps JOIN he
+                ON he.t >= step - 3600000000 AND he.t <= step
+              GROUP BY 1, 2
+            )
+            SELECT CAST(v AS VARCHAR) AS cnt, step AS ts_us,
+                   count(*) AS n_series
+            FROM inst GROUP BY 1, 2
+        """,
+        "label_replace_grid": f"""
+            -- label_replace merge replay: click/view -> lab='engage',
+            -- the rest keep an absent dst (renders ''), summed per
+            -- (lab, step); exact-integer sums
+            WITH he AS (
+              SELECT event_type AS et,
+                     (epoch_us(ts) // 3600000000) * 3600000000 AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events
+              WHERE epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1, 2
+            ),
+            steps AS (
+              SELECT unnest(generate_series({T0_US}, {T1_US}, 21600000000))
+                AS step
+            ),
+            inst AS (
+              SELECT step, et, max_by(v, t) AS v FROM steps JOIN he
+                ON he.t >= step - 3600000000 AND he.t <= step
+              GROUP BY 1, 2
+            )
+            SELECT CASE WHEN et IN ('click', 'view') THEN 'engage'
+                        ELSE '' END AS lab,
+                   step AS ts_us, CAST(sum(v) AS DOUBLE) AS total
+            FROM inst GROUP BY 1, 2
         """,
         "modifier_matrix": f"""
             -- modifier-matrix replay: subq_offset = inner 1h instants on

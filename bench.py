@@ -321,6 +321,9 @@ def main():
         # round 10
         "alert_keep_firing",
         "modifier_matrix",
+        "over_time_extras",
+        "count_values_grid",
+        "label_replace_grid",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
