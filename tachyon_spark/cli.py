@@ -67,6 +67,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("selector")
     sp.add_argument("jsonl_path")
 
+    # scraped /metrics text (OpenMetrics exposition): selector-less —
+    # series identity comes from each line's name{labels}
+    sp = sub.add_parser("import-openmetrics")
+    sp.add_argument("path")
+    sp.add_argument("--native-units", action="store_true",
+                    help="timestamps are native integer units, not unix "
+                         "seconds")
+    sp.add_argument("--value-type", default="f64")
+
     sp = sub.add_parser("query")
     sp.add_argument("promql")
     sp.add_argument("--start", type=int, default=0)
@@ -157,6 +166,14 @@ def main(argv: list[str] | None = None) -> int:
         from tachyon_spark.sources import import_jsonl
 
         n = import_jsonl(conn, args.selector, args.jsonl_path)
+        print(f"imported {n} samples")
+    elif args.cmd == "import-openmetrics":
+        from tachyon_spark.sources.openmetrics import ingest_openmetrics
+
+        n = ingest_openmetrics(
+            conn, args.path, ns_clock=not args.native_units,
+            value_type=args.value_type,
+        )
         print(f"imported {n} samples")
     elif args.cmd == "query":
         q = conn.query(args.promql, args.start, args.end)

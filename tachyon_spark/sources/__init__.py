@@ -9,6 +9,10 @@ from tachyon_spark.sources.bucketed import (
     read_bucketed,
     write_bucketed,
 )
+from tachyon_spark.sources.openmetrics import (
+    ingest_openmetrics,
+    parse_openmetrics,
+)
 from tachyon_spark.sources.stats import samples_file_stats
 
 __all__ = [
@@ -16,6 +20,8 @@ __all__ = [
     "export_csv",
     "import_jsonl",
     "export_jsonl",
+    "ingest_openmetrics",
+    "parse_openmetrics",
     "samples_file_stats",
     "write_bucketed",
     "read_bucketed",

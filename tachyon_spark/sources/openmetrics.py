@@ -1,0 +1,194 @@
+"""OpenMetrics / Prometheus text-exposition INGEST.
+
+The inverse of `promapi.openmetrics_text` (the /metrics page): parse
+scraped exposition text into samples and append them through the same
+partitioned-parquet write path as programmatic ingest. The reference has
+no scrape-side connector at all (its only inputs are the FFI inserter and
+CSV, tachyon_cli/src/main.rs:247-296); this is the source format a
+Prometheus-ecosystem migration actually has on hand — federation dumps,
+`promtool tsdb dump`-style text, scraped /metrics snapshots.
+
+Parsing is ALL JVM-side column expressions (regexp_extract /
+regexp_extract_all / transform — no Python UDFs), so a directory of
+multi-GB scrape dumps parses in parallel at scan speed:
+
+  line     `name{k="v",...} value [timestamp]` (labels optional); `#`
+           comment lines and the `# EOF` terminator drop; HELP/TYPE
+           metadata lines drop (samples carry no type here — the stream's
+           declared value_type governs storage, as with CSV import).
+  labels   `(\\w+)="((?:[^"\\\\]|\\\\.)*)"` pairs — escaped `\\"`, `\\\\`
+           and `\\n` inside label values unescape exactly like
+           promapi._escape_label escapes them.
+  value    OpenMetrics floats incl. +Inf/-Inf/NaN spellings.
+  ts       unix seconds (float, `ns_clock=True`, scaled to native ns —
+           NOTE: a ns epoch exceeds 2^53, so second-precision text is
+           lossy below ~hundreds of ns; round-trips of native-unit
+           exposition use `ns_clock=False` which parses ts verbatim) or
+           native integer units (`ns_clock=False`). Lines without a
+           timestamp take `default_ts`.
+
+Series resolution (`ingest_openmetrics`) is metadata-altitude: the
+DISTINCT canonical series keys collect to the driver (bounded by series
+count, the catalog's own contract — samples never collect), missing
+streams register in ONE catalog batch (create_streams), and the samples
+join the id mapping via broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# one exposition sample line: name, optional {labels}, value, optional ts
+_LINE_RE = r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(\{.*\})?\s+(\S+)(?:\s+(\S+))?\s*$"
+_PAIR_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"'
+
+
+def _unescape(col):
+    # inverse of promapi._escape_label: \\n -> newline, \\" -> ",
+    # \\\\ -> \  (single regexp pass so escaped backslashes are not
+    # re-interpreted: replace pairs left-to-right via callback-free
+    # staged placeholders)
+    c = F.replace(col, F.lit("\\\\"), F.lit("\x00"))
+    c = F.replace(c, F.lit('\\"'), F.lit('"'))
+    c = F.replace(c, F.lit("\\n"), F.lit("\n"))
+    return F.replace(c, F.lit("\x00"), F.lit("\\"))
+
+
+def _num(col):
+    """OpenMetrics float spellings -> double (Spark's cast already
+    accepts Infinity/NaN; map the short Inf forms explicitly)."""
+    return (
+        F.when(col.isin("+Inf", "Inf"), F.lit(float("inf")))
+        .when(col == "-Inf", F.lit(float("-inf")))
+        .when(col == "NaN", F.lit(float("nan")))
+        .otherwise(col.cast("double"))
+    )
+
+
+def parse_openmetrics(
+    lines: DataFrame,
+    ns_clock: bool = True,
+    default_ts: int | None = None,
+) -> DataFrame:
+    """Parse a DataFrame of exposition text lines (column `value`, the
+    spark.read.text shape) into (name, labels: map<string,string>,
+    series_key, ts: long, value: double) rows. Malformed non-comment
+    lines raise (FAILFAST contract, like CSV import) — surfaced as an
+    ANSI cast error on the value column."""
+    ln = F.col("value")
+    rows = lines.where(
+        (F.length(F.trim(ln)) > 0) & ~F.trim(ln).startswith("#")
+    ).select(
+        F.regexp_extract(ln, _LINE_RE, 1).alias("name"),
+        F.regexp_extract(ln, _LINE_RE, 2).alias("__labels"),
+        F.regexp_extract(ln, _LINE_RE, 3).alias("__val"),
+        F.regexp_extract(ln, _LINE_RE, 4).alias("__ts"),
+        ln.alias("__line"),
+    )
+    bad = rows.where(F.col("name") == "")
+    # FAILFAST: one cheap existence probe (limit 1 -> at most one row to
+    # the driver), not a full-count pass
+    bad_row = bad.select("__line").limit(1).collect()
+    if bad_row:
+        raise ValueError(
+            f"unparseable OpenMetrics line: {bad_row[0][0]!r}"
+        )
+    pairs = F.regexp_extract_all(F.col("__labels"), F.lit(_PAIR_RE), 0)
+    labels = F.map_from_arrays(
+        F.transform(pairs, lambda p: F.regexp_extract(p, _PAIR_RE, 1)),
+        F.transform(pairs, lambda p: _unescape(F.regexp_extract(p, _PAIR_RE, 2))),
+    )
+    # canonical series identity: name{sorted k="v" pairs} — label order
+    # in the text must not matter
+    series_key = F.concat(
+        F.col("name"),
+        F.lit("{"),
+        F.array_join(F.sort_array(pairs), ","),
+        F.lit("}"),
+    )
+    raw_ts = F.when(F.col("__ts") == "", F.lit(None)).otherwise(
+        F.col("__ts")
+    )
+    if ns_clock:
+        ts = F.round(_num(raw_ts) * F.lit(1e9)).cast("long")
+    else:
+        ts = raw_ts.cast("long")
+    if default_ts is not None:
+        ts = F.coalesce(ts, F.lit(int(default_ts)))
+    return rows.select(
+        "name",
+        labels.alias("labels"),
+        series_key.alias("series_key"),
+        ts.alias("ts"),
+        _num(F.col("__val")).alias("value"),
+    )
+
+
+def ingest_openmetrics(
+    conn,
+    source: str | DataFrame,
+    ns_clock: bool = True,
+    default_ts: int | None = None,
+    value_type: str = "f64",
+) -> int:
+    """Ingest exposition text into `conn` — `source` is a path/glob for
+    spark.read.text (a literal text blob also works: newline content is
+    parallelized) or a pre-read lines DataFrame. Streams that don't
+    exist yet are registered (one catalog batch) with `value_type`.
+    Returns the number of samples appended."""
+    if isinstance(source, DataFrame):
+        lines = source
+    elif "\n" in source:
+        lines = conn.spark.createDataFrame(
+            [(l,) for l in source.split("\n")], "value string"
+        )
+    else:
+        lines = conn.spark.read.text(source)
+    parsed = parse_openmetrics(lines, ns_clock, default_ts).cache()
+    try:
+        # bounded metadata collect: distinct series, not samples
+        series = {
+            r["series_key"]: (r["name"], r["labels"])
+            for r in parsed.select("series_key", "name", "labels")
+            .dropDuplicates(["series_key"])
+            .collect()
+        }
+        existing = {}
+        for s in conn.get_all_streams():
+            key = (
+                s.name
+                + "{"
+                + ",".join(
+                    f'{k}="{_esc(v)}"' for k, v in sorted(s.labels.items())
+                )
+                + "}"
+            )
+            existing[key] = s.stream_id
+        missing = [k for k in series if k not in existing]
+        if missing:
+            ids = conn.catalog.create_streams(
+                [(series[k][0], dict(series[k][1]), value_type) for k in missing]
+            )
+            existing.update(zip(missing, ids))
+        mapping = conn.spark.createDataFrame(
+            [(k, sid) for k, sid in existing.items()],
+            "series_key string, stream_id string",
+        )
+        out = parsed.join(F.broadcast(mapping), "series_key").select(
+            "stream_id",
+            "ts",
+            "value",
+            F.lit(None).cast("long").alias("value_int"),
+        )
+        n = out.count()
+        conn.bulk_load(out)
+        return n
+    finally:
+        parsed.unpersist()
+
+
+def _esc(v: str) -> str:
+    from tachyon_spark.promapi import _escape_label
+
+    return _escape_label(str(v))

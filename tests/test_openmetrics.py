@@ -1,0 +1,159 @@
+"""OpenMetrics text-exposition ingest (sources/openmetrics.py).
+
+Round-trips against promapi.openmetrics_text (the /metrics exposition
+this engine already serves) and pins the parse grammar: labels with
+escaped quotes/backslashes/newlines, Inf/NaN value spellings, optional
+timestamps, comment/EOF handling, FAILFAST on malformed lines, and the
+label-order-insensitive series identity.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tachyon_spark.connection import Connection
+from tachyon_spark.promapi import openmetrics_text
+from tachyon_spark.sources.openmetrics import (
+    ingest_openmetrics,
+    parse_openmetrics,
+)
+
+
+def _lines(spark, text):
+    return spark.createDataFrame(
+        [(l,) for l in text.split("\n")], "value string"
+    )
+
+
+def test_parse_basic_and_labels(spark):
+    text = (
+        'http_requests_total{service="web",code="200"} 42 12\n'
+        "errors_total 3.5 13\n"
+        "# HELP http_requests_total whatever\n"
+        "# TYPE http_requests_total counter\n"
+        "# EOF\n"
+    )
+    out = parse_openmetrics(_lines(spark, text), ns_clock=False).collect()
+    by_name = {r["name"]: r for r in out}
+    assert len(out) == 2
+    r = by_name["http_requests_total"]
+    assert r["labels"] == {"service": "web", "code": "200"}
+    assert r["ts"] == 12 and r["value"] == 42.0
+    assert by_name["errors_total"]["labels"] == {}
+    assert by_name["errors_total"]["value"] == 3.5
+
+
+def test_parse_escapes_and_specials(spark):
+    text = (
+        'm{p="a\\"b",q="c\\\\d",r="e\\nf"} +Inf 1\n'
+        "n -Inf 2\n"
+        "o NaN 3\n"
+    )
+    out = {r["name"]: r for r in parse_openmetrics(
+        _lines(spark, text), ns_clock=False
+    ).collect()}
+    assert out["m"]["labels"] == {"p": 'a"b', "q": "c\\d", "r": "e\nf"}
+    assert out["m"]["value"] == float("inf")
+    assert out["n"]["value"] == float("-inf")
+    assert math.isnan(out["o"]["value"])
+
+
+def test_parse_missing_ts_takes_default(spark):
+    out = parse_openmetrics(
+        _lines(spark, "m 1.5\n"), ns_clock=False, default_ts=77
+    ).collect()
+    assert out[0]["ts"] == 77
+
+
+def test_parse_seconds_clock_scales_to_ns(spark):
+    out = parse_openmetrics(_lines(spark, "m 1 2.5\n")).collect()
+    assert out[0]["ts"] == 2_500_000_000
+
+
+def test_parse_failfast_on_garbage(spark):
+    with pytest.raises(ValueError, match="unparseable OpenMetrics line"):
+        parse_openmetrics(_lines(spark, "}}no{{ 1 2\n")).collect()
+
+
+def test_series_identity_ignores_label_order(spark):
+    text = 'm{a="1",b="2"} 1 1\nm{b="2",a="1"} 2 2\n'
+    out = parse_openmetrics(_lines(spark, text), ns_clock=False)
+    keys = [r["series_key"] for r in out.collect()]
+    assert keys[0] == keys[1]
+
+
+def test_ingest_creates_streams_and_appends(spark, tmp_path):
+    conn = Connection(str(tmp_path / "omdb"), spark)
+    text = (
+        'cpu{host="a"} 0.5 10\n'
+        'cpu{host="b"} 0.7 10\n'
+        'cpu{host="a"} 0.6 20\n'
+        "# EOF\n"
+    )
+    n = ingest_openmetrics(conn, text, ns_clock=False)
+    assert n == 3
+    assert conn.check_stream_exists('cpu{host="a"}')
+    rows = conn.query('cpu{host="a"}', 0, 100).rows()
+    assert rows == [(10, 0.5), (20, 0.6)]
+    # idempotent stream resolution: a second ingest appends to the SAME
+    # streams instead of duplicating the series
+    ingest_openmetrics(conn, 'cpu{host="a"} 0.9 30\n', ns_clock=False)
+    assert len(conn.get_all_streams()) == 2
+    assert conn.query('cpu{host="a"}', 0, 100).rows()[-1] == (30, 0.9)
+
+
+def test_roundtrip_with_exposition(spark, tmp_path):
+    """exposition -> ingest -> identical latest samples + labels (native
+    units both ways; the seconds clock is documented lossy at ns epoch
+    magnitudes)."""
+    src = Connection(str(tmp_path / "src"), spark)
+    for sel, pts in (
+        ('m{service="web",note="a\\"q"}', [(10, 1.5), (20, 2.5)]),
+        ('m{service="db"}', [(15, 7.0)]),
+        ("plain", [(11, 3.0)]),
+    ):
+        src.create_stream(sel, "f64")
+        ins = src.prepare_insert(sel)
+        for t, v in pts:
+            ins.insert(t, v)
+        ins.flush()
+    text = openmetrics_text(src, ns_clock=False)
+
+    dst = Connection(str(tmp_path / "dst"), spark)
+    n = ingest_openmetrics(dst, text, ns_clock=False)
+    assert n == 3  # exposition carries the LATEST sample per stream
+    assert dst.query('m{service="web"}', 0, 100).rows() == [(20, 2.5)]
+    assert dst.query('m{service="db"}', 0, 100).rows() == [(15, 7.0)]
+    assert dst.query("plain", 0, 100).rows() == [(11, 3.0)]
+    # label fidelity through escape/unescape
+    labs = {
+        tuple(sorted(s.labels.items()))
+        for s in dst.get_all_streams()
+        if s.name == "m"
+    }
+    assert ("note", 'a"q') in {kv for lab in labs for kv in lab}
+
+
+def test_ingest_from_path(spark, tmp_path):
+    p = tmp_path / "scrape.txt"
+    p.write_text('disk{host="a"} 9.5 5\n# EOF\n')
+    conn = Connection(str(tmp_path / "pdb"), spark)
+    n = ingest_openmetrics(conn, str(p), ns_clock=False)
+    assert n == 1
+    assert conn.query('disk{host="a"}', 0, 10).rows() == [(5, 9.5)]
+
+
+def test_cli_import_openmetrics(spark, tmp_path, capsys):
+    from tachyon_spark.cli import main as cli_main
+
+    p = tmp_path / "scrape.txt"
+    p.write_text('net{host="x"} 4.5 7\n# EOF\n')
+    db = str(tmp_path / "clidb")
+    assert cli_main(
+        [db, "import-openmetrics", str(p), "--native-units"]
+    ) == 0
+    assert "imported 1 samples" in capsys.readouterr().out
+    conn = Connection(db, spark)
+    assert conn.query('net{host="x"}', 0, 10).rows() == [(7, 4.5)]
