@@ -154,7 +154,9 @@ def ingest_openmetrics(
             .dropDuplicates(["series_key"])
             .collect()
         }
-        existing = {}
+        from tachyon_spark.types import is_integer
+
+        existing: dict[str, tuple[str, bool]] = {}
         for s in conn.get_all_streams():
             key = (
                 s.name
@@ -164,22 +166,36 @@ def ingest_openmetrics(
                 )
                 + "}"
             )
-            existing[key] = s.stream_id
+            # route each series to the column its DECLARED type stores
+            # in — pre-existing streams keep their own type; only newly
+            # registered ones take this call's value_type
+            existing[key] = (s.stream_id, is_integer(s.value_type))
         missing = [k for k in series if k not in existing]
         if missing:
             ids = conn.catalog.create_streams(
                 [(series[k][0], dict(series[k][1]), value_type) for k in missing]
             )
-            existing.update(zip(missing, ids))
+            existing.update(
+                (k, (sid, is_integer(value_type)))
+                for k, sid in zip(missing, ids)
+            )
         mapping = conn.spark.createDataFrame(
-            [(k, sid) for k, sid in existing.items()],
-            "series_key string, stream_id string",
+            [(k, sid, integer) for k, (sid, integer) in existing.items()],
+            "series_key string, stream_id string, __int boolean",
         )
-        out = parsed.join(F.broadcast(mapping), "series_key").select(
+        joined = parsed.join(F.broadcast(mapping), "series_key")
+        # integer streams store in value_int (the typed layout every
+        # reader resolves through value_column); exposition text parses
+        # as float — exact for integer magnitudes < 2^53
+        out = joined.select(
             "stream_id",
             "ts",
-            "value",
-            F.lit(None).cast("long").alias("value_int"),
+            F.when(F.col("__int"), F.lit(None).cast("double"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+            F.when(F.col("__int"), F.col("value").cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("value_int"),
         )
         n = out.count()
         conn.bulk_load(out)

@@ -157,3 +157,24 @@ def test_cli_import_openmetrics(spark, tmp_path, capsys):
     assert "imported 1 samples" in capsys.readouterr().out
     conn = Connection(db, spark)
     assert conn.query('net{host="x"}', 0, 10).rows() == [(7, 4.5)]
+
+
+def test_ingest_integer_stream_routes_value_int(spark, tmp_path):
+    """A pre-existing u64 stream ingests into value_int (the typed
+    layout readers resolve through value_column); a float stream in the
+    same batch keeps the double column — per-stream routing by DECLARED
+    type, not by the call's value_type parameter."""
+    conn = Connection(str(tmp_path / "intdb"), spark)
+    conn.create_stream('req{host="a"}', "u64")
+    text = 'req{host="a"} 41 9\ngauge{host="a"} 1.5 9\n'
+    n = ingest_openmetrics(conn, text, ns_clock=False)
+    assert n == 2
+    assert conn.query('req{host="a"}', 0, 10).rows() == [(9, 41)]
+    assert conn.query('gauge{host="a"}', 0, 10).rows() == [(9, 1.5)]
+    # the int sample landed in value_int, not value
+    import pyspark.sql.functions as F
+    sid = next(
+        s.stream_id for s in conn.get_all_streams() if s.name == "req"
+    )
+    r = conn.samples_df().where(F.col("stream_id") == sid).head()
+    assert r.value is None and r.value_int == 41
