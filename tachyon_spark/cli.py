@@ -118,6 +118,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--step", type=int, default=None)
     sp.add_argument("--lookback", type=int, default=None)
 
+    # targeted sample deletion (Prometheus delete_series semantics)
+    sp = sub.add_parser("delete-series")
+    sp.add_argument("selector")
+    sp.add_argument("--start", type=int)
+    sp.add_argument("--end", type=int)
+
     sp = sub.add_parser("check-stream-exists")
     sp.add_argument("selector")
 
@@ -231,6 +237,9 @@ def main(argv: list[str] | None = None) -> int:
 
         for s in conn.series(args.selector, args.start, args.end):
             print(_json.dumps(s, sort_keys=True))
+    elif args.cmd == "delete-series":
+        n = conn.delete_series(args.selector, args.start, args.end)
+        print(f"deleted {n} samples")
     elif args.cmd == "check-stream-exists":
         # tachyon_cli/src/main.rs:66-102
         if conn.check_stream_exists(args.selector):

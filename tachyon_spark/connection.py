@@ -384,6 +384,22 @@ class Connection:
         shutil.rmtree(os.path.join(self.db_dir, "_delete_tmp"), ignore_errors=True)
         return len(rows)
 
+    def delete_series(
+        self, selector: str, start: int | None = None,
+        end: int | None = None,
+    ) -> int:
+        """Prometheus /api/v1/admin/tsdb/delete_series: drop SAMPLES of
+        the matching streams within [start, end] (open-ended when None),
+        keeping the stream metadata registered — partial-range cleanups
+        (a bad scrape window, a GDPR removal) that delete_stream's
+        whole-series removal can't express. Partition-pruned rewrite;
+        maintenance.delete_samples has the plan shape. Returns samples
+        deleted."""
+        from tachyon_spark.maintenance import delete_samples
+
+        self._recover_partial_delete()
+        return delete_samples(self, selector, start, end)
+
     def _recover_partial_delete(self) -> None:
         """Crash recovery for delete_stream's bucket swap: the rewrite
         renames `stream_bucket=K` -> `stream_bucket=K.old` before swapping

@@ -226,6 +226,7 @@ class _Handler(BaseHTTPRequestHandler):
             "/query", "/query_range", "/record", "/alerts",
             "/labels", "/label_values", "/series",
             "/api/v1/query", "/api/v1/query_range",
+            "/api/v1/admin/tsdb/delete_series",
         ):
             self._json(404, {"error": "not found"})
             return
@@ -259,6 +260,15 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if self.path in ("/api/v1/query", "/api/v1/query_range"):
                 self._handle_api(req)
+                return
+            if self.path == "/api/v1/admin/tsdb/delete_series":
+                # Prometheus admin API: {path, match[, start, end]} ->
+                # targeted sample deletion (Prometheus replies 204; the
+                # deleted count is returned here for operability)
+                n = conn.delete_series(
+                    req["match"], req.get("start"), req.get("end")
+                )
+                self._json(200, {"status": "success", "deleted": n})
                 return
             if self.path == "/alerts":
                 # alerting-rule backfill: {path, query, start, end, step

@@ -708,3 +708,44 @@ def test_api_topk_renders_all_values(tmp_path, spark):
                               ns_clock=False)["data"]
     assert got["resultType"] == "vector"
     assert [r["value"][1] for r in got["result"]] == ["5.0", "3.0"]
+
+
+def test_delete_series_endpoint_and_cli(tmp_path, spark, capsys):
+    """POST /api/v1/admin/tsdb/delete_series + the delete-series CLI verb."""
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "deldb")
+    conn = Connection(db, spark)
+    conn.create_stream('m{host="a"}', "f64")
+    ins = conn.prepare_insert('m{host="a"}')
+    for t, v in [(10, 1.0), (20, 2.0), (30, 3.0)]:
+        ins.insert(t, v)
+    ins.flush()
+
+    import tachyon_spark.server as srv_mod
+    from tachyon_spark.server import serve
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/admin/tsdb/delete_series",
+            data=json.dumps({
+                "path": db, "match": 'm{host="a"}', "start": 15, "end": 25,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            got = json.load(r)
+        assert got == {"status": "success", "deleted": 1}
+        assert conn.query('m{host="a"}', 0, 100).rows() == [
+            (10, 1.0), (30, 3.0)]
+    finally:
+        srv.shutdown()
+
+    from tachyon_spark.cli import main as cli_main
+
+    assert cli_main([db, "delete-series", 'm{host="a"}', "--end", "10"]) == 0
+    assert "deleted 1 samples" in capsys.readouterr().out
+    assert conn.query('m{host="a"}', 0, 100).rows() == [(30, 3.0)]

@@ -96,3 +96,68 @@ def test_expire_hash_bucket_layout(spark, tmp_path):
         (DAY + 5, 1.0),
         (2 * DAY + 5, 2.0),
     ]
+
+
+def _two_streams(conn):
+    for sel, pts in (
+        ('d{k="a"}', [(10, 1.0), (20, 2.0), (30, 3.0)]),
+        ('d{k="b"}', [(10, 4.0), (20, 5.0)]),
+    ):
+        conn.create_stream(sel, "f64")
+        ins = conn.prepare_insert(sel)
+        for t, v in pts:
+            ins.insert(t, v)
+        ins.flush()
+
+
+def test_delete_series_range_and_matcher(spark, tmp_path):
+    """delete_series drops only the matched stream's samples inside the
+    range; metadata stays registered; other streams byte-identical."""
+    conn = Connection(str(tmp_path / "db"), spark)
+    _two_streams(conn)
+    n = conn.delete_series('d{k="a"}', start=15, end=25)
+    assert n == 1
+    assert conn.query('d{k="a"}', 0, 100).rows() == [(10, 1.0), (30, 3.0)]
+    assert conn.query('d{k="b"}', 0, 100).rows() == [(10, 4.0), (20, 5.0)]
+    assert conn.check_stream_exists('d{k="a"}')  # metadata survives
+    # open-ended: delete everything left of the matched stream
+    assert conn.delete_series('d{k="a"}') == 2
+    assert conn.query('d{k="a"}', 0, 100).rows() == []
+
+
+def test_delete_series_no_match_is_noop(spark, tmp_path):
+    conn = Connection(str(tmp_path / "db"), spark)
+    _two_streams(conn)
+    assert conn.delete_series('d{k="zzz"}') == 0
+    assert conn.delete_series('d{k="a"}', start=500, end=600) == 0
+    assert conn.query('d{k="a"}', 0, 100).rows() == [
+        (10, 1.0), (20, 2.0), (30, 3.0)]
+
+
+def test_delete_series_time_bucketed_prunes(spark, tmp_path):
+    """Time-bucketed layout: only overlapping ts_bucket subdirs rewrite;
+    a bucket outside the range keeps its exact files."""
+    conn = Connection(
+        str(tmp_path / "db"), spark, time_bucket=DAY, stream_buckets=0
+    )
+    conn.create_stream('t{k="1"}', "f64")
+    ins = conn.prepare_insert('t{k="1"}')
+    for i in range(3):
+        ins.insert(i * 10, float(i))         # bucket 0
+        ins.insert(DAY + i * 10, 10.0 + i)   # bucket 1
+    ins.flush()
+    sid = conn.get_all_streams()[0].stream_id
+    b0 = tmp_path / "db" / "samples" / f"stream_id={sid}" / "ts_bucket=0"
+    before = sorted(os.listdir(b0))
+    n = conn.delete_series('t{k="1"}', start=DAY, end=2 * DAY)
+    assert n == 3
+    assert sorted(os.listdir(b0)) == before  # bucket 0 untouched
+    assert conn.query('t{k="1"}', 0, 10 * DAY).rows() == [
+        (0, 0.0), (10, 1.0), (20, 2.0)]
+
+
+def test_delete_series_legacy_layout(spark, tmp_path):
+    conn = Connection(str(tmp_path / "db"), spark, stream_buckets=0)
+    _two_streams(conn)
+    assert conn.delete_series('d{k="b"}', end=10) == 1
+    assert conn.query('d{k="b"}', 0, 100).rows() == [(20, 5.0)]
