@@ -1373,6 +1373,81 @@ def q_label_replace_grid(spark, sf_dir):
     )
 
 
+def q_openmetrics_parse(spark, sf_dir):
+    """OpenMetrics exposition parsing at scan scale (round 10;
+    sources/openmetrics.parse_openmetrics — pure JVM regexp, no Python):
+    every in-range event renders to an exposition line
+    `ev{et="<type>"} <value> <ts_us>` and parses BACK through the
+    distributed parser; the gate compares the parsed (label, ts, value)
+    rows against the parquet originals read directly. Exact: Spark's
+    double->string rendering round-trips through cast (shortest-repr),
+    ts is integral, and the label is the raw event_type — any parser
+    defect (grammar, label extraction, numeric spellings) breaks the
+    hash."""
+    from tachyon_spark.sources.openmetrics import parse_openmetrics
+
+    ev = _read(spark, sf_dir, "events")
+    lines = ev.where(
+        F.col("ts").between(T0_US * 1000, T1_US * 1000)
+    ).select(
+        F.concat(
+            F.lit('ev{et="'), F.col("event_type"), F.lit('"} '),
+            F.col("value").cast("string"), F.lit(" "),
+            F.expr("ts DIV 1000").cast("string"),
+        ).alias("value")
+    )
+    parsed = parse_openmetrics(lines, ns_clock=False)
+    return parsed.select(
+        F.col("labels")["et"].alias("et"),
+        F.col("ts").alias("ts_us"),
+        "value",
+    )
+
+
+def q_delete_series_op(spark, sf_dir):
+    """delete_series end-to-end (round 10; maintenance.delete_samples
+    behind Connection.delete_series): a throwaway engine db ingests the
+    hourly click counts, deletes the [T0+50h, T0+99h] window of the
+    stream, and the gate reads back what SURVIVED — the oracle is the
+    same counts with a NOT BETWEEN filter. Exact integers; any
+    off-by-one in the range bounds, partition pruning, or the staged
+    swap breaks the hash. A fresh db per call keeps the op idempotent
+    for repeated bench/correctness runs (deletion mutates state, so no
+    memoized fixture)."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+
+    w1h = 3600 * 1_000_000
+    ev = _read(spark, sf_dir, "events")
+    hour_us = (
+        F.expr("ts DIV 3600000000000") * F.lit(3_600_000_000)
+    ).alias("ts")
+    counts = (
+        ev.where(
+            (F.col("event_type") == "click")
+            & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+        )
+        .groupBy(hour_us)
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    work = tempfile.mkdtemp(prefix="ty_del_")
+    conn = Connection(os.path.join(work, "db"), spark)
+    conn.create_stream("c", "f64")
+    sid = conn.get_all_streams()[0].stream_id
+    conn.bulk_load(
+        counts.select(
+            F.lit(sid).alias("stream_id"), "ts", "value",
+            F.lit(None).cast("long").alias("value_int"),
+        )
+    )
+    n = conn.delete_series("c", T0_US + 50 * w1h, T0_US + 99 * w1h)
+    assert n > 0, "delete window must overlap the fixture"
+    out = conn.query("c", T0_US, T1_US).df()
+    return out.select(F.col("ts").alias("ts_us"), "value")
+
+
 def q_streaming_alert(spark, sf_dir):
     """LIVE threshold alerting end-to-end (streaming/stateful.
     streaming_alert over readStream, round 9): the per-(event_type, ts)
@@ -3795,6 +3870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "alert_keep_firing": q_alert_keep_firing,
         "over_time_extras": q_over_time_extras,
+        "openmetrics_parse": q_openmetrics_parse,
+        "delete_series_op": q_delete_series_op,
         "count_values_grid": q_count_values_grid,
         "label_replace_grid": q_label_replace_grid,
         "modifier_matrix": q_modifier_matrix,
@@ -5286,6 +5363,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN g - active_since >= 10800000000
                         THEN 'firing' ELSE 'pending' END AS state
             FROM runs
+        """,
+        "openmetrics_parse": f"""
+            -- the parser gate's oracle is the parquet ORIGINALS: the
+            -- engine renders each event to an exposition line and
+            -- parses it back; a correct parser reproduces these rows
+            -- exactly (double->string->double round-trips, integral ts)
+            SELECT event_type AS et, epoch_us(ts) AS ts_us, value
+            FROM events
+            WHERE epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+        """,
+        "delete_series_op": f"""
+            -- survivors of the ranged delete: hourly click counts with
+            -- the [T0+50h, T0+99h] window removed (closed bounds, the
+            -- delete_series contract)
+            WITH hc AS (
+              SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            )
+            SELECT t AS ts_us, v AS value FROM hc
+            WHERE t NOT BETWEEN {T0_US + 50 * 3600 * 1_000_000}
+                            AND {T0_US + 99 * 3600 * 1_000_000}
         """,
         "over_time_extras": f"""
             -- exact-integer hourly click counts; per-step left-open 6h

@@ -324,6 +324,8 @@ def main():
         "over_time_extras",
         "count_values_grid",
         "label_replace_grid",
+        "openmetrics_parse",
+        "delete_series_op",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
