@@ -124,6 +124,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--start", type=int)
     sp.add_argument("--end", type=int)
 
+    sp = sub.add_parser("snapshot")
+    sp.add_argument("--name")
+
     sp = sub.add_parser("check-stream-exists")
     sp.add_argument("selector")
 
@@ -240,6 +243,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "delete-series":
         n = conn.delete_series(args.selector, args.start, args.end)
         print(f"deleted {n} samples")
+    elif args.cmd == "snapshot":
+        print(f"snapshot at {conn.snapshot(args.name)}")
     elif args.cmd == "check-stream-exists":
         # tachyon_cli/src/main.rs:66-102
         if conn.check_stream_exists(args.selector):

@@ -400,6 +400,42 @@ class Connection:
         self._recover_partial_delete()
         return delete_samples(self, selector, start, end)
 
+    def snapshot(self, name: str | None = None) -> str:
+        """Prometheus /api/v1/admin/tsdb/snapshot: copy the database's
+        current state (catalog + samples tree) under
+        `<db_dir>/snapshots/<name>`; the snapshot dir is itself a valid
+        database path — `Connection(snapshot_path)` (with the same
+        layout options: time_bucket / stream_buckets / u64_decimal are
+        constructor-time, not persisted) opens it read-ready, which is
+        the restore story. Single-machine form is a local file
+        copy (driver-side); on object storage the same layout copies
+        with the store's bulk tools — the snapshot is only directories
+        of immutable parquet + catalog fragments, no live state.
+        Returns the snapshot path."""
+        import shutil
+        import time as _time
+
+        self._recover_partial_delete()
+        if name is None:
+            name = _time.strftime("%Y%m%dT%H%M%S") + f"-{os.getpid()}"
+        if "/" in name or name.startswith("."):
+            raise ValueError("snapshot name must be a plain directory name")
+        dest = os.path.join(self.db_dir, "snapshots", name)
+        if os.path.exists(dest):
+            raise ValueError(f"snapshot {name!r} already exists")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        stage = dest + ".tmp"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        for part in ("catalog", "catalog.json", "samples"):
+            src = os.path.join(self.db_dir, part)
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(stage, part))
+            elif os.path.isfile(src):
+                shutil.copy2(src, os.path.join(stage, part))
+        os.replace(stage, dest)
+        return dest
+
     def _recover_partial_delete(self) -> None:
         """Crash recovery for delete_stream's bucket swap: the rewrite
         renames `stream_bucket=K` -> `stream_bucket=K.old` before swapping

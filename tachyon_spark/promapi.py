@@ -227,13 +227,20 @@ def _escape_label(v: str) -> str:
     return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
 
 
-def openmetrics_text(conn, start=None, end=None, ns_clock: bool = True) -> str:
+def openmetrics_text(
+    conn, start=None, end=None, ns_clock: bool = True, match=None
+) -> str:
     """OpenMetrics/Prometheus text exposition of the LATEST sample per
     stream (optionally within [start, end]) — the /metrics page, so a real
     Prometheus can scrape this engine's state. One distributed max_by per
     stream (map-side partial argmax, one exchange on stream_id); labels
     attach driver-side from the bounded catalog. Lines sorted for
     determinism; ends with the required # EOF.
+
+    `match` (a selector string or a list of them — Prometheus
+    federation's repeated match[] parameter) restricts the exposition to
+    the union of streams the selectors resolve to; the id set pushes
+    down to the scan (GET /federate serves this form).
 
     OpenMetrics timestamps are unix SECONDS; `ns_clock=True` (default)
     converts the engine's native ns clock, matching prometheus_data.
@@ -242,7 +249,20 @@ def openmetrics_text(conn, start=None, end=None, ns_clock: bool = True) -> str:
     either way (they filter the raw ts column)."""
     from pyspark.sql import functions as F
 
+    streams = conn.get_all_streams()
+    if match is not None:
+        matchers = [match] if isinstance(match, str) else list(match)
+        keep: dict[str, object] = {}
+        for m in matchers:
+            for s in conn._match_streams(m):
+                keep[s.stream_id] = s
+        streams = [keep[k] for k in sorted(keep)]
+        if not streams:
+            return "# EOF\n"
+
     df = conn.samples_df()
+    if match is not None:
+        df = df.where(F.col("stream_id").isin([s.stream_id for s in streams]))
     if start is not None:
         df = df.where(F.col("ts") >= int(start))
     if end is not None:
@@ -253,7 +273,7 @@ def openmetrics_text(conn, start=None, end=None, ns_clock: bool = True) -> str:
         for r in df.groupBy("stream_id").agg(F.max_by(pt, "ts").alias("p")).collect()
     }
     lines = []
-    for s in conn.get_all_streams():
+    for s in streams:
         p = latest.get(s.stream_id)
         if p is None:
             continue

@@ -18,6 +18,7 @@ engine is used as a library (Connection API) or through Spark SQL directly.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -56,6 +57,39 @@ class _Handler(BaseHTTPRequestHandler):
         from urllib.parse import parse_qsl, urlparse
 
         parsed = urlparse(self.path)
+        if parsed.path == "/federate":
+            # Prometheus federation: /federate?match[]=<selector>&... —
+            # the same latest-sample exposition, restricted to the union
+            # of the match[] selectors (required, like Prometheus)
+            pairs = parse_qsl(parsed.query)
+            req = dict(pairs)
+            matchers = [v for k, v in pairs if k in ("match[]", "match")]
+            try:
+                if not matchers:
+                    raise ValueError(
+                        "federation requires at least one match[] selector"
+                    )
+                from tachyon_spark.promapi import openmetrics_text
+
+                conn = _get_connection(req["path"])
+                start = int(req["start"]) if "start" in req else None
+                end = int(req["end"]) if "end" in req else None
+                ns_clock = req.get("ns_clock") not in ("0", "false", "")
+                body = openmetrics_text(
+                    conn, start, end, ns_clock=ns_clock, match=matchers
+                ).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "application/openmetrics-text; version=1.0.0; "
+                    "charset=utf-8",
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as exc:
+                self._json(400, {"error": str(exc)})
+            return
         if parsed.path == "/metrics":
             # OpenMetrics text exposition (promapi.openmetrics_text):
             # latest sample per stream, scrapeable by a real Prometheus
@@ -227,6 +261,7 @@ class _Handler(BaseHTTPRequestHandler):
             "/labels", "/label_values", "/series",
             "/api/v1/query", "/api/v1/query_range",
             "/api/v1/admin/tsdb/delete_series",
+            "/api/v1/admin/tsdb/snapshot",
         ):
             self._json(404, {"error": "not found"})
             return
@@ -269,6 +304,18 @@ class _Handler(BaseHTTPRequestHandler):
                     req["match"], req.get("start"), req.get("end")
                 )
                 self._json(200, {"status": "success", "deleted": n})
+                return
+            if self.path == "/api/v1/admin/tsdb/snapshot":
+                # Prometheus admin API: {path[, name]} -> snapshot dir
+                # (Prometheus returns {"name": ...}; the full path is
+                # included for operability)
+                dest = conn.snapshot(req.get("name"))
+                self._json(
+                    200,
+                    {"status": "success",
+                     "data": {"name": os.path.basename(dest),
+                              "path": dest}},
+                )
                 return
             if self.path == "/alerts":
                 # alerting-rule backfill: {path, query, start, end, step

@@ -749,3 +749,96 @@ def test_delete_series_endpoint_and_cli(tmp_path, spark, capsys):
     assert cli_main([db, "delete-series", 'm{host="a"}', "--end", "10"]) == 0
     assert "deleted 1 samples" in capsys.readouterr().out
     assert conn.query('m{host="a"}', 0, 100).rows() == [(30, 3.0)]
+
+
+def test_federate_endpoint(tmp_path, spark):
+    """GET /federate?match[]=...: the exposition restricted to the union
+    of the match selectors; match[] is required; ids push to the scan."""
+    from urllib.parse import quote
+
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.promapi import openmetrics_text
+
+    db = str(tmp_path / "feddb")
+    conn = Connection(db, spark)
+    for sel, pts in (('cpu{host="a"}', [(10, 1.5)]),
+                     ('cpu{host="b"}', [(15, 9.0)]),
+                     ('mem{host="a"}', [(20, 4.0)])):
+        conn.create_stream(sel, "f64")
+        ins = conn.prepare_insert(sel)
+        for t, v in pts:
+            ins.insert(t, v)
+        ins.flush()
+
+    # library form: single selector, list-of-selectors union
+    t1 = openmetrics_text(conn, ns_clock=False, match='cpu{host="a"}')
+    assert 'cpu{host="a"} 1.5 10' in t1 and "mem" not in t1
+    t2 = openmetrics_text(
+        conn, ns_clock=False, match=['cpu{host="a"}', "mem"]
+    )
+    assert 'cpu{host="a"}' in t2 and 'mem{host="a"}' in t2
+    assert 'cpu{host="b"}' not in t2
+    assert openmetrics_text(conn, ns_clock=False, match="nope") == "# EOF\n"
+
+    import tachyon_spark.server as srv_mod
+    from tachyon_spark.server import serve
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+    try:
+        url = (f"http://127.0.0.1:{port}/federate?path={quote(db)}"
+               f"&match[]={quote('cpu')}&ns_clock=0")
+        with urllib.request.urlopen(url) as r:
+            assert "openmetrics-text" in r.headers["Content-Type"]
+            body = r.read().decode()
+        assert 'cpu{host="a"} 1.5 10' in body
+        assert 'cpu{host="b"} 9.0 15' in body
+        assert "mem" not in body
+        # match[] required
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/federate?path={quote(db)}"
+            )
+            assert False, "missing match[] must 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_snapshot_endpoint_and_cli(tmp_path, spark, capsys):
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "snapwebdb")
+    conn = Connection(db, spark)
+    conn.create_stream("sm", "f64")
+    ins = conn.prepare_insert("sm")
+    ins.insert(10, 1.0)
+    ins.flush()
+
+    import tachyon_spark.server as srv_mod
+    from tachyon_spark.server import serve
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/admin/tsdb/snapshot",
+            data=json.dumps({"path": db, "name": "websnap"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            got = json.load(r)
+        assert got["status"] == "success"
+        assert got["data"]["name"] == "websnap"
+        restored = Connection(got["data"]["path"], spark)
+        assert restored.query("sm", 0, 100).rows() == [(10, 1.0)]
+    finally:
+        srv.shutdown()
+
+    from tachyon_spark.cli import main as cli_main
+
+    assert cli_main([db, "snapshot", "--name", "clisnap"]) == 0
+    assert "snapshot at" in capsys.readouterr().out

@@ -161,3 +161,38 @@ def test_delete_series_legacy_layout(spark, tmp_path):
     _two_streams(conn)
     assert conn.delete_series('d{k="b"}', end=10) == 1
     assert conn.query('d{k="b"}', 0, 100).rows() == [(20, 5.0)]
+
+
+def test_snapshot_restore_and_isolation(spark, tmp_path):
+    """snapshot copies a consistent db state; the snapshot path opens as
+    a database (the restore story) and is ISOLATED — later writes and
+    deletes in the source don't leak into it."""
+    db = str(tmp_path / "snapdb")
+    conn = Connection(db, spark)
+    conn.create_stream('s{k="1"}', "f64")
+    ins = conn.prepare_insert('s{k="1"}')
+    ins.insert(10, 1.0)
+    ins.insert(20, 2.0)
+    ins.flush()
+
+    dest = conn.snapshot("snap1")
+    assert os.path.isdir(dest)
+    # mutate the source AFTER the snapshot
+    ins = conn.prepare_insert('s{k="1"}')
+    ins.insert(30, 3.0)
+    ins.flush()
+    conn.delete_series('s{k="1"}', end=10)
+    assert conn.query('s{k="1"}', 0, 100).rows() == [(20, 2.0), (30, 3.0)]
+
+    restored = Connection(dest, spark)
+    assert restored.query('s{k="1"}', 0, 100).rows() == [(10, 1.0), (20, 2.0)]
+
+    # name hygiene + duplicate protection
+    with pytest.raises(ValueError, match="already exists"):
+        conn.snapshot("snap1")
+    with pytest.raises(ValueError, match="plain directory name"):
+        conn.snapshot("../evil")
+    # auto-named snapshots work and don't collide with data reads
+    auto = conn.snapshot()
+    assert os.path.isdir(auto)
+    assert conn.query('s{k="1"}', 0, 100).rows() == [(20, 2.0), (30, 3.0)]
