@@ -58,3 +58,47 @@ def start_stream_ingest(
 def stream_source(conn, source_dir: str, schema=None) -> DataFrame:
     """A streaming DataFrame over a drop directory (for windowed aggs)."""
     return conn.spark.readStream.schema(schema or SAMPLES_SCHEMA).parquet(source_dir)
+
+
+def start_openmetrics_ingest(
+    conn,
+    source_dir: str,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+    max_files_per_trigger: int = 100,
+    ns_clock: bool = True,
+    value_type: str = "f64",
+):
+    """LIVE scrape ingestion: tail `source_dir` for OpenMetrics text
+    drops (the files a scrape loop or federation pull writes) and ingest
+    each micro-batch through sources/openmetrics.ingest_openmetrics —
+    the same JVM-regexp parse, metadata-altitude series resolution
+    (new metrics appearing mid-stream register their streams in that
+    batch), and batch write path. Composition, not new machinery: the
+    foreachBatch contract (at-least-once on retry) and checkpointing
+    match start_stream_ingest. Returns the StreamingQuery."""
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        conn.db_dir, "_checkpoints", "openmetrics"
+    )
+    src = (
+        conn.spark.readStream.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+        .text(source_dir)
+    )
+
+    def _append(batch_df, _batch_id):
+        from tachyon_spark.sources.openmetrics import ingest_openmetrics
+
+        ingest_openmetrics(
+            conn, batch_df, ns_clock=ns_clock, value_type=value_type
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -178,3 +178,37 @@ def test_ingest_integer_stream_routes_value_int(spark, tmp_path):
     )
     r = conn.samples_df().where(F.col("stream_id") == sid).head()
     assert r.value is None and r.value_int == 41
+
+
+def test_streaming_openmetrics_ingest(spark, tmp_path):
+    """Live scrape-drop ingestion: two text drops through the streaming
+    reader; a metric first seen in drop 2 registers its stream
+    mid-stream; all samples land in the same queryable table."""
+    import os
+
+    from tachyon_spark.streaming.ingest import start_openmetrics_ingest
+
+    src_dir = tmp_path / "scrapes"
+    src_dir.mkdir()
+    (src_dir / "t1.txt").write_text(
+        'cpu{host="a"} 0.5 10\ncpu{host="a"} 0.6 20\n# EOF\n'
+    )
+    (src_dir / "t2.txt").write_text(
+        'cpu{host="a"} 0.7 30\nnew_metric 1.0 30\n# EOF\n'
+    )
+    conn = Connection(str(tmp_path / "sdb"), spark)
+    q = start_openmetrics_ingest(
+        conn, str(src_dir), trigger_once=True, max_files_per_trigger=1,
+        ns_clock=False,
+    )
+    q.awaitTermination(120)
+    assert conn.query('cpu{host="a"}', 0, 100).rows() == [
+        (10, 0.5), (20, 0.6), (30, 0.7)]
+    assert conn.query("new_metric", 0, 100).rows() == [(30, 1.0)]
+    # restart with no new files: checkpoint prevents re-ingestion
+    q2 = start_openmetrics_ingest(
+        conn, str(src_dir), trigger_once=True, ns_clock=False,
+    )
+    q2.awaitTermination(120)
+    assert conn.query('cpu{host="a"}', 0, 100).rows() == [
+        (10, 0.5), (20, 0.6), (30, 0.7)]
