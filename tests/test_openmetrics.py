@@ -212,3 +212,31 @@ def test_streaming_openmetrics_ingest(spark, tmp_path):
     q2.awaitTermination(120)
     assert conn.query('cpu{host="a"}', 0, 100).rows() == [
         (10, 0.5), (20, 0.6), (30, 0.7)]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_label_val = st.text(
+    alphabet=st.characters(
+        codec="ascii", min_codepoint=32, max_codepoint=126
+    ) | st.sampled_from(['"', "\\", "\n"]),
+    min_size=0, max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(_label_val, min_size=1, max_size=3, unique=True))
+def test_label_escape_roundtrip_property(spark, vals):
+    """Any ASCII label value (incl. quotes, backslashes, newlines)
+    survives _escape_label -> exposition line -> parse_openmetrics."""
+    from tachyon_spark.promapi import _escape_label
+
+    labels = {f"l{i}": v for i, v in enumerate(vals)}
+    body = ",".join(
+        f'{k}="{_escape_label(v)}"' for k, v in sorted(labels.items())
+    )
+    line = f"m{{{body}}} 1.5 7\n"
+    out = parse_openmetrics(_lines(spark, line), ns_clock=False).collect()
+    assert len(out) == 1
+    assert dict(out[0]["labels"]) == labels
