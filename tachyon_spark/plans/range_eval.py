@@ -1192,10 +1192,54 @@ class RangeEvaluator:
             if sub.step <= 0:
                 raise ValueError("subquery step must be positive")
             if sub.at_ts is not None or sub.at_anchor:
-                raise ValueError(
-                    "@ modifiers on absent_over_time subqueries are not "
-                    "supported"
+                # absent_over_time(expr[R:S] @ T): the subquery clock
+                # pins at T, so absence is a SINGLE pinned-window fact —
+                # 1 on the whole grid when (T-R, T] holds no inner
+                # instant, empty otherwise (the same one-eval-then-fan
+                # shape as _windowed_subquery's @ path; the presence
+                # probe is a bounded limit(1) check, not a collect)
+                if sub.at_anchor == "start":
+                    t = self.start
+                elif sub.at_anchor == "end":
+                    t = self.end
+                else:
+                    t = int(sub.at_ts)
+                off = sub.offset or 0
+                back = (sub.range_ // sub.step) * sub.step
+                inner_eval = RangeEvaluator(
+                    self.conn, t - back - off, t - off, sub.step,
+                    self.lookback,
                 )
+                try:
+                    inner = inner_eval._eval(sub.child)
+                except ValueError as e:
+                    if "no streams matched" in str(e):
+                        return Plan("vector", grid, VT_F64)
+                    raise
+                if (
+                    inner.kind not in ("vector", "grouped")
+                    or inner.df is None
+                    or "ts" not in inner.df.columns
+                ):
+                    raise ValueError(
+                        "query_range subquery inner expression must "
+                        "evaluate to an instant vector (absent_over_time "
+                        "over a scalar subquery is not supported)"
+                    )
+                df_i = inner.df
+                if off:
+                    df_i = df_i.withColumn("ts", F.col("ts") + F.lit(off))
+                present = (
+                    df_i.where(
+                        (F.col("ts") > t - sub.range_) & (F.col("ts") <= t)
+                    )
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+                if present:
+                    return Plan("vector", grid.limit(0), VT_F64)
+                return Plan("vector", grid, VT_F64)
             off = sub.offset or 0
             back = (sub.range_ // sub.step) * sub.step
             inner_eval = RangeEvaluator(

@@ -142,3 +142,35 @@ def test_absent_over_time_scalar_subquery_clear_error(golden_db):
         golden_db.query_range(
             "absent_over_time((2)[10:2])", 20, 40, 10
         ).rows()
+
+
+# --- 5. @ on absent_over_time subqueries (the last erroring @ position) ---
+
+def test_absent_over_time_subquery_at_modifier(golden_db):
+    """absent_over_time(expr[R:S] @ T): the pinned window decides
+    absence ONCE and the verdict fans across the grid — 1 everywhere
+    when (T-R, T] holds no inner instant, empty otherwise."""
+    # golden http_requests_total samples live in ts 12..67
+    # pinned at 40: window (20, 40] holds instants -> present -> empty
+    q = golden_db.query_range(
+        "absent_over_time(http_requests_total[20:5] @ 40)", 50, 70, 10
+    )
+    assert q.rows() == []
+    # pinned at 200: window (180, 200] empty (staleness: instants stop
+    # lookback past the last sample) -> 1 on every grid step
+    q = golden_db.query_range(
+        "absent_over_time(http_requests_total[20:5] @ 200)", 50, 70, 10,
+        lookback=10,
+    )
+    assert q.rows() == [(50, 1.0), (60, 1.0), (70, 1.0)]
+    # unknown metric with @: absent on the whole grid
+    q = golden_db.query_range(
+        "absent_over_time(nope_total[20:5] @ 40)", 50, 60, 10
+    )
+    assert q.rows() == [(50, 1.0), (60, 1.0)]
+    # @ end() anchor resolves to the query end
+    q = golden_db.query_range(
+        "absent_over_time(http_requests_total[20:5] @ end())", 50, 70, 10,
+        lookback=10,
+    )
+    assert q.rows() == []
