@@ -187,6 +187,13 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         # the composed pipeline DAG under 10x documents (VERDICT r5 item 7)
         "rollup_serve",
         "pipeline_end_to_end",
+        # round-10: exposition parse is pure scan-speed JVM regexp —
+        # should track the 10x row growth ~linearly (the other r10 gates'
+        # fixtures are per-ms-average/hourly-count grids that COLLAPSE
+        # under same-timestamp replication — same rationale as
+        # histogram_helpers above — and delete_series_op's fixture is
+        # grid-sized by construction)
+        "openmetrics_parse",
     ]
     entrymod._read(spark, rep, "events").count()  # warm listing
     out["full_scan_agg"] = timed(
