@@ -196,3 +196,23 @@ def test_snapshot_restore_and_isolation(spark, tmp_path):
     auto = conn.snapshot()
     assert os.path.isdir(auto)
     assert conn.query('s{k="1"}', 0, 100).rows() == [(20, 2.0), (30, 3.0)]
+
+
+def test_delete_series_hash_and_time_bucketed(spark, tmp_path):
+    """Combined layout (stream_bucket hash dirs + ts_bucket subdirs):
+    range delete prunes to overlapping ts_buckets inside the hash
+    bucket, keeps other streams in the same bucket intact."""
+    conn = Connection(str(tmp_path / "db"), spark, time_bucket=DAY)
+    for sel, base in (('h{k="a"}', 0.0), ('h{k="b"}', 100.0)):
+        conn.create_stream(sel, "f64")
+        ins = conn.prepare_insert(sel)
+        for i in range(2):
+            ins.insert(i * 10, base + i)          # day 0
+            ins.insert(DAY + i * 10, base + 10 + i)  # day 1
+        ins.flush()
+    n = conn.delete_series('h{k="a"}', start=DAY)
+    assert n == 2
+    assert conn.query('h{k="a"}', 0, 10 * DAY).rows() == [
+        (0, 0.0), (10, 1.0)]
+    assert conn.query('h{k="b"}', 0, 10 * DAY).rows() == [
+        (0, 100.0), (10, 101.0), (DAY, 110.0), (DAY + 10, 111.0)]
