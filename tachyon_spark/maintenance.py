@@ -79,28 +79,21 @@ def compact_partition(conn, part_dir: str, target_files: int = 1) -> int:
         src = part_dir if sub is None else os.path.join(part_dir, sub)
         df = conn.spark.read.parquet(src)
         tmp = os.path.join(stage_root, f"{base}.{i}")
-        old = os.path.join(stage_root, f"{base}.{i}.old")
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
         (
             df.repartition(target_files)
             .sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        # drop spark's _SUCCESS marker; partition dirs hold only data files
-        marker = os.path.join(tmp, "_SUCCESS")
-        if os.path.exists(marker):
-            os.remove(marker)
-        # Swap: old-aside -> new-in -> delete-old. Near-atomic: a reader
-        # racing the swap sees either the old or the new files, except in
-        # the brief window between the two renames where the partition dir
-        # is absent — a concurrent listing in that window should retry (or
-        # compact with readers quiesced). A crash leaves `old` on disk for
-        # manual recovery rather than losing the data.
-        os.replace(src, old)
-        os.replace(tmp, src)
-        shutil.rmtree(old)
+        # Swap (shared _swap_in): old-aside -> new-in -> delete-old.
+        # Near-atomic: a reader racing the swap sees either the old or
+        # the new files, except in the brief window between the two
+        # renames where the partition dir is absent — a concurrent
+        # listing in that window should retry (or compact with readers
+        # quiesced). A crash leaves `old` on disk for manual recovery
+        # rather than losing the data.
+        _swap_in(src, tmp, stage_root, f"{base}.{i}")
     shutil.rmtree(stage_root, ignore_errors=True)
     return n_before
 
