@@ -1448,6 +1448,65 @@ def q_delete_series_op(spark, sf_dir):
     return out.select(F.col("ts").alias("ts_us"), "value")
 
 
+def q_promql_misc(spark, sf_dir):
+    """The remaining ungated PromQL features, one exact arm each
+    (round 10; exact-integer ce/c fixtures): set operators on the grid
+    UNDER AGGREGATION — `sum by (et) (ce and/unless/or on(et) ...)`
+    exercises both range_eval._matched_set_op and the new
+    _aggregate_grouped composition (aggregations over already-grouped
+    instant vectors); `timestamp()` (each step
+    instant's value becomes the step ts — the documented grid form,
+    range_eval._clock_func:795); `vector(7)` (grid constant);
+    `absent(nope_metric)` (unknown metric -> 1 on the whole grid);
+    `quantile_over_time(0.5, c[6h])` (interpolated median over integer
+    counts — F.percentile and DuckDB quantile_cont share the (n-1)*phi
+    linear-interpolation formula, exact halves on integers)."""
+    w1h = 3600 * 1_000_000
+    w6h = 6 * w1h
+
+    conn = _count_stream_conn(spark, sf_dir)
+    args = (T0_US, T1_US, w6h)
+
+    def et_arm(expr, name):
+        df = conn.query_range(expr, *args, lookback=w1h).df()
+        return df.select(
+            F.lit(name).alias("arm"),
+            F.col("et").alias("et"),
+            F.col("ts").alias("ts_us"),
+            F.col("value").cast("double").alias("value"),
+        )
+
+    def bare_arm(expr, name):
+        df = conn.query_range(expr, *args, lookback=w1h).df()
+        return df.select(
+            F.lit(name).alias("arm"),
+            F.lit("").alias("et"),
+            F.col("ts").alias("ts_us"),
+            F.col("value").cast("double").alias("value"),
+        )
+
+    return (
+        et_arm('sum by (et) (ce and on(et) ce{et="click"})', "and")
+        .unionByName(
+            et_arm('sum by (et) (ce unless on(et) ce{et="click"})', "unless")
+        )
+        .unionByName(
+            et_arm(
+                'sum by (et) (ce{et="click"} or on(et) ce{et="view"})',
+                "or",
+            )
+        )
+        .unionByName(
+            et_arm('sum by (et) (timestamp(ce{et="click"}))', "timestamp")
+        )
+        .unionByName(bare_arm("vector(7)", "vector"))
+        .unionByName(bare_arm("absent(nope_metric)", "absent"))
+        .unionByName(
+            bare_arm(f"quantile_over_time(0.5, c[{w6h}])", "quantile")
+        )
+    )
+
+
 def q_streaming_alert(spark, sf_dir):
     """LIVE threshold alerting end-to-end (streaming/stateful.
     streaming_alert over readStream, round 9): the per-(event_type, ts)
@@ -3871,6 +3930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_keep_firing": q_alert_keep_firing,
         "over_time_extras": q_over_time_extras,
         "openmetrics_parse": q_openmetrics_parse,
+        "promql_misc": q_promql_misc,
         "delete_series_op": q_delete_series_op,
         "count_values_grid": q_count_values_grid,
         "label_replace_grid": q_label_replace_grid,
@@ -5363,6 +5423,52 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN g - active_since >= 10800000000
                         THEN 'firing' ELSE 'pending' END AS state
             FROM runs
+        """,
+        "promql_misc": f"""
+            -- shared per-(et, 6h-step) lookback-latest instants over the
+            -- exact-integer hourly counts, then one replay per arm; the
+            -- quantile arm windows the single click-count stream with
+            -- quantile_cont (same (n-1)*phi interpolation as
+            -- F.percentile — exact halves on integers)
+            WITH he AS (
+              SELECT event_type AS et,
+                     (epoch_us(ts) // 3600000000) * 3600000000 AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events
+              WHERE epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1, 2
+            ),
+            steps AS (
+              SELECT unnest(generate_series({T0_US}, {T1_US}, 21600000000))
+                AS step
+            ),
+            inst AS (
+              SELECT step, et, max_by(v, t) AS v FROM steps JOIN he
+                ON he.t >= step - 3600000000 AND he.t <= step
+              GROUP BY 1, 2
+            ),
+            hc AS (
+              SELECT t, v FROM he WHERE et = 'click'
+            )
+            SELECT 'and' AS arm, et, step AS ts_us, v AS value
+            FROM inst WHERE et = 'click'
+            UNION ALL
+            SELECT 'unless', et, step, v FROM inst WHERE et != 'click'
+            UNION ALL
+            SELECT 'or', et, step, v FROM inst
+            WHERE et IN ('click', 'view')
+            UNION ALL
+            SELECT 'timestamp', et, step, CAST(step AS DOUBLE)
+            FROM inst WHERE et = 'click'
+            UNION ALL
+            SELECT 'vector', '', step, 7.0 FROM steps
+            UNION ALL
+            SELECT 'absent', '', step, 1.0 FROM steps
+            UNION ALL
+            SELECT 'quantile', '', step, quantile_cont(v, 0.5)
+            FROM steps JOIN hc
+              ON hc.t > step - 21600000000 AND hc.t <= step
+            GROUP BY step
         """,
         "openmetrics_parse": f"""
             -- the parser gate's oracle is the parquet ORIGINALS: the

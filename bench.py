@@ -333,6 +333,7 @@ def main():
         "label_replace_grid",
         "openmetrics_parse",
         "delete_series_op",
+        "promql_misc",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

@@ -659,17 +659,61 @@ class RangeEvaluator:
         return value * (si + ds + de) / si
 
     # ------------------------------------------------------------ aggregate
+    @staticmethod
+    def _agg_result_type(func: str, child_vt):
+        if func in ("sum", "min", "max"):
+            return child_vt
+        if func == "count":
+            return VT_U64
+        return VT_F64
+
+    def _aggregate_grouped(self, node: ast.Aggregate, child: Plan) -> Plan:
+        """Aggregation over an ALREADY-GROUPED instant vector — a set-op
+        result (`sum by (et) (a unless on(et) b)`), a grouped binop, or
+        a nested aggregate (`max(sum by (l) (m))`). Prometheus
+        aggregations compose over any instant vector; here the child's
+        group columns ARE its label set, so by/without resolve against
+        them directly and the re-aggregation is one grouped_agg shuffle
+        on the (new key, ts)."""
+        from tachyon_spark.operators.aggregates import grouped_agg
+
+        vt = self._agg_result_type(node.func, child.value_type)
+        labels = [
+            c
+            for c in child.group_cols
+            if c != "ts" and c != "stream_id" and not c.startswith("__")
+        ]
+        if node.by:
+            missing = set(node.by) - set(labels)
+            if missing:
+                raise ValueError(
+                    f"grouping label(s) {sorted(missing)} not present in "
+                    f"the grouped input (carries {labels}; default-matched "
+                    "set operators key on full label sets — use "
+                    "on(...) matching to keep named labels)"
+                )
+            keys = list(node.by)
+        elif node.without:
+            keys = [c for c in labels if c not in set(node.without)]
+        else:
+            keys = []
+        approx = getattr(self.conn, "approx_aggregates", False)
+        out = grouped_agg(
+            child.df, node.func, keys + ["ts"], param=node.param,
+            approx=approx,
+        )
+        if keys:
+            return Plan("grouped", out, vt, group_cols=(*keys, "ts"))
+        return Plan("vector", out, vt)
+
     def _aggregate(self, node: ast.Aggregate) -> Plan:
         child = self._eval(node.child)
+        if child.kind == "grouped" and "ts" in child.group_cols:
+            return self._aggregate_grouped(node, child)
         if child.kind != "vector":
             raise ValueError("aggregate requires a vector input")
         func = node.func
-        if func in ("sum", "min", "max"):
-            vt = child.value_type
-        elif func == "count":
-            vt = VT_U64
-        else:
-            vt = VT_F64
+        vt = self._agg_result_type(func, child.value_type)
         from tachyon_spark.operators.aggregates import grouped_agg
 
         approx = getattr(self.conn, "approx_aggregates", False)

@@ -549,3 +549,37 @@ def test_topk_over_derived_vector_on_grid(golden_db):
     assert golden_db.query_range(
         "topk(0, ints + ignoring(t) uints)", 20, 40, 10, lookback=10
     ).df().count() == 0
+
+
+def test_aggregate_over_grouped_children_grid(golden_db):
+    """Round 10: aggregations compose over ALREADY-GROUPED instant
+    vectors (range_eval._aggregate_grouped) — set-op results, grouped
+    binops, nested aggregates."""
+    # sum by over an on()-matched set op: vm_req unless on(service)
+    # vm_lim drops (service, step) pairs where a limit instant exists
+    q = golden_db.query_range(
+        "sum by (service) (vm_req unless on(service) vm_lim)",
+        0, 30, 10, lookback=10,
+    )
+    got = sorted((r["service"], r["ts"], r["value"]) for r in q.df().collect())
+    # web limits cover steps 10-30; mobile limit (sample at 20) covers
+    # steps 20, 30 -> survivors: mobile@10
+    assert got == [("mobile", 10, 4.0)]
+    # nested aggregate: max over the per-service sums
+    q = golden_db.query_range(
+        "max(sum by (service) (vm_req))", 0, 30, 10, lookback=10
+    )
+    assert dict(q.rows()) == {10: 10.0, 20: 20.0, 30: 30.0}
+    # without-grouping over a grouped child drops the listed label
+    q = golden_db.query_range(
+        "sum without (service) (sum by (service) (vm_req))",
+        0, 30, 10, lookback=10,
+    )
+    assert dict(q.rows()) == {10: 14.0, 20: 28.0, 30: 42.0}
+    # default-matched set ops key on FULL label sets: clear error steers
+    # to on() matching
+    with pytest.raises(ValueError, match="use\\s+on"):
+        golden_db.query_range(
+            "sum by (service) (vm_req unless vm_lim)", 0, 30, 10,
+            lookback=10,
+        ).rows()
