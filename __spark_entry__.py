@@ -1504,6 +1504,25 @@ def q_promql_misc(spark, sf_dir):
         .unionByName(
             bare_arm(f"quantile_over_time(0.5, c[{w6h}])", "quantile")
         )
+        .unionByName(bare_arm("max(sum by (et) (ce))", "nested_grid"))
+        .unionByName(
+            # raw-mode nested aggregation (builder._aggregate grouped
+            # branch): collapses to ONE scalar — represented as a single
+            # (arm, '', 0, v) row
+            spark.createDataFrame(
+                [(
+                    "nested_raw",
+                    "",
+                    0,
+                    float(
+                        conn.query(
+                            "max(sum by (et) (ce))", T0_US, T1_US
+                        ).rows()[0]
+                    ),
+                )],
+                "arm string, et string, ts_us long, value double",
+            )
+        )
     )
 
 
@@ -5469,6 +5488,14 @@ def oracle_sql() -> dict[str, str]:
             FROM steps JOIN hc
               ON hc.t > step - 21600000000 AND hc.t <= step
             GROUP BY step
+            UNION ALL
+            SELECT 'nested_grid', '', step, max(v) FROM inst GROUP BY step
+            UNION ALL
+            SELECT 'nested_raw', '', 0, CAST(max(c) AS DOUBLE) FROM (
+              SELECT count(*) AS c FROM events
+              WHERE epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY event_type
+            )
         """,
         "openmetrics_parse": f"""
             -- the parser gate's oracle is the parquet ORIGINALS: the

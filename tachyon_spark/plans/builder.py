@@ -1816,8 +1816,6 @@ class PlanBuilder:
     # -------------------------------------------------------------- aggregate
     def _aggregate(self, node: ast.Aggregate) -> Plan:
         child = self.build(node.child)
-        if child.kind not in ("vector", "topk"):
-            raise ValueError("aggregate requires a vector input")
         func = node.func
         if func in ("sum", "min", "max"):
             vt = child.value_type
@@ -1825,6 +1823,49 @@ class PlanBuilder:
             vt = VT_U64
         else:  # avg
             vt = VT_F64
+        if child.kind == "grouped":
+            # composition over an already-grouped result (round 10,
+            # mirroring range_eval._aggregate_grouped): raw grouped aggs
+            # collapse the range per group, so re-aggregation runs over
+            # the GROUP ROWS — `max(sum by (s) (m))` is the max of the
+            # per-s sums (a scalar), `sum by (a) (... by (a,b) ...)`
+            # re-keys on the surviving labels
+            labels = [
+                c
+                for c in child.group_cols
+                if c not in ("ts", "series", "stream_id")
+                and not c.startswith("__")
+            ]
+            approx = getattr(self.conn, "approx_aggregates", False)
+            if node.by:
+                missing = set(node.by) - set(labels)
+                if missing:
+                    raise ValueError(
+                        f"grouping label(s) {sorted(missing)} not present "
+                        f"in the grouped input (carries {labels})"
+                    )
+                out = grouped_agg(
+                    child.df, func, list(node.by), param=node.param,
+                    approx=approx,
+                )
+                return Plan("grouped", out, vt, group_cols=tuple(node.by))
+            keys = (
+                [c for c in labels if c not in set(node.without)]
+                if node.without
+                else []
+            )
+            if keys:
+                out = grouped_agg(
+                    child.df, func, keys, param=node.param, approx=approx
+                )
+                return Plan("grouped", out, vt, group_cols=tuple(keys))
+            return Plan(
+                "scalar",
+                scalar_agg(child.df, func, param=node.param, approx=approx),
+                vt,
+            )
+        if child.kind not in ("vector", "topk"):
+            raise ValueError("aggregate requires a vector input")
 
         cdf = child.df
         if func == "avg":

@@ -246,3 +246,27 @@ def test_distinct_count_approx(spark):
     assert ev == {"a": 37, "b": 37}
     for g in ev:
         assert abs(av[g] - ev[g]) <= 2  # rsd-bounded
+
+
+def test_aggregate_over_grouped_children_raw(golden_db):
+    """Round 10: raw-mode aggregation composes over grouped results —
+    the grouped child collapses the range per group, so re-aggregation
+    runs over the group rows (builder._aggregate grouped branch)."""
+    # per-service sums of http_requests_total: web=163, cool=66, mobile=127
+    q = golden_db.query("max(sum by (service) (http_requests_total))", 0, 100)
+    assert q.rows() == [163]
+    q = golden_db.query(
+        "sum without (service) (sum by (service) (http_requests_total))",
+        0, 100,
+    )
+    assert q.rows() == [163 + 66 + 127]
+    q = golden_db.query(
+        "avg(sum by (service) (http_requests_total))", 0, 100
+    )
+    assert q.rows() == [(163 + 66 + 127) / 3]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not present"):
+        golden_db.query(
+            "sum by (nope) (sum by (service) (http_requests_total))", 0, 100
+        ).rows()
