@@ -583,3 +583,19 @@ def test_aggregate_over_grouped_children_grid(golden_db):
             "sum by (service) (vm_req unless vm_lim)", 0, 30, 10,
             lookback=10,
         ).rows()
+
+
+def test_param_aggregates_over_grouped_children_grid(golden_db):
+    """Parameterized/statistical aggregations compose over grouped
+    children too (same _aggregate_grouped path): quantile and stddev of
+    the per-service sums per step."""
+    q = golden_db.query_range(
+        "quantile(0.5, sum by (service) (vm_req))", 0, 30, 10, lookback=10
+    )
+    # per step the only series-sums are web/mobile: median = midpoint
+    assert dict(q.rows()) == {10: 7.0, 20: 14.0, 30: 21.0}
+    q = golden_db.query_range(
+        "stddev(sum by (service) (vm_req))", 0, 30, 10, lookback=10
+    )
+    # population stddev of {web, mobile} per step = |web-mobile|/2
+    assert dict(q.rows()) == {10: 3.0, 20: 6.0, 30: 9.0}
