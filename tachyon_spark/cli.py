@@ -14,6 +14,11 @@ Usage:
     python -m tachyon_spark.cli <db_dir> check-stream-exists '<selector>'
     python -m tachyon_spark.cli <db_dir> repl [--start N --end N --chart]
     python -m tachyon_spark.cli <db_dir> parse-headers
+
+Beyond the reference: import-jsonl, import-openmetrics (scraped
+/metrics text), query-range (step grids, --explain), record (recording
+rules), alerts (rule backfill), labels / label-values / series
+(metadata), delete-series (ranged sample deletion), snapshot.
 """
 
 from __future__ import annotations
