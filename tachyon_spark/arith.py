@@ -71,6 +71,9 @@ def py_arith(op: str, a: float, b: float) -> float:
         # Spark's F.pow, i.e. java.lang.Math.pow) returns Inf — the
         # sign follows the base's sign for odd-integer exponents
         if a == 0 and b < 0:
+            # int(-inf) raises OverflowError; Math.pow(0, -Inf) = +Inf
+            if math.isinf(b):
+                return INF
             neg_zero = math.copysign(1.0, a) < 0
             odd_int = b == int(b) and int(b) % 2 != 0
             return -INF if (neg_zero and odd_int) else INF

@@ -114,6 +114,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--keep-firing-for", dest="keep_firing_for",
                     type=int, default=0)
     sp.add_argument("--lookback", type=int, default=None)
+    sp.add_argument(
+        "--limit", type=int, default=None,
+        help="print at most N lifecycle rows (driver-bounded collect, "
+        "same idea as the server cap; a long backfill over many firing "
+        "series is unbounded otherwise)",
+    )
 
     sp = sub.add_parser("record")
     sp.add_argument("name")
@@ -226,8 +232,20 @@ def main(argv: list[str] | None = None) -> int:
             keep_firing_for=args.keep_firing_for,
         )
         cols = out.columns
-        for r in out.orderBy(*[c for c in cols if c != "value"]).collect():
-            print(tuple(r))
+        ordered = out.orderBy(*[c for c in cols if c != "value"])
+        if args.limit is not None:
+            if args.limit <= 0:
+                raise SystemExit("--limit must be a positive integer")
+            # limit+1 so truncation is visible; orderBy+limit plans as
+            # TakeOrdered — Spark stops producing rows at the cap
+            rows = ordered.limit(args.limit + 1).collect()
+            for r in rows[: args.limit]:
+                print(tuple(r))
+            if len(rows) > args.limit:
+                print(f"... (truncated at --limit {args.limit})")
+        else:
+            for r in ordered.collect():
+                print(tuple(r))
     elif args.cmd == "record":
         ids = conn.record(
             args.name, args.promql, args.start, args.end,

@@ -410,7 +410,12 @@ class Connection:
         the restore story. Single-machine form is a local file
         copy (driver-side); on object storage the same layout copies
         with the store's bulk tools — the snapshot is only directories
-        of immutable parquet + catalog fragments, no live state.
+        of immutable parquet + catalog fragments, no live WAL/heap
+        state. A CONCURRENT maintenance swap (delete_series / compact's
+        os.replace window) can momentarily hide a partition dir, so the
+        copy retries on FileNotFoundError; for a guaranteed-consistent
+        snapshot run it from the single writer (same discipline the
+        reference's file-lock enforces, lib.rs Connection::open).
         Returns the snapshot path."""
         import shutil
         import time as _time
@@ -429,10 +434,23 @@ class Connection:
         os.makedirs(stage)
         for part in ("catalog", "catalog.json", "samples"):
             src = os.path.join(self.db_dir, part)
-            if os.path.isdir(src):
-                shutil.copytree(src, os.path.join(stage, part))
-            elif os.path.isfile(src):
-                shutil.copy2(src, os.path.join(stage, part))
+            for attempt in range(3):
+                try:
+                    if os.path.isdir(src):
+                        out = os.path.join(stage, part)
+                        shutil.rmtree(out, ignore_errors=True)
+                        shutil.copytree(src, out)
+                    elif os.path.isfile(src):
+                        shutil.copy2(src, os.path.join(stage, part))
+                    break
+                except FileNotFoundError:
+                    # a concurrent compact/delete os.replace swap can
+                    # momentarily remove a partition dir — re-walk the
+                    # tree (bounded retries; torn trees are the caller's
+                    # risk per the single-writer note above)
+                    if attempt == 2:
+                        raise
+                    _time.sleep(0.05)
         os.replace(stage, dest)
         return dest
 

@@ -116,6 +116,14 @@ class Plan:
     # query evaluation instant (native ts units) — Prometheus instant
     # results carry [eval_ts, value]; Connection.query stamps this
     eval_ts: int | None = None
+    # for composite-keyed grouped plans (`without` grouping): the
+    # series-key -> remaining-labels map, computed driver-side when the
+    # key was built. Lets an OUTER aggregation decompose the opaque key
+    # and re-group correctly (`sum without (c) (sum without (b) (m))`
+    # must merge series differing only in c) instead of regrouping the
+    # composite unchanged. One entry per output group — bounded by the
+    # series count, never by data volume.
+    series_labels: tuple = ()
 
     @property
     def return_type(self) -> str:
@@ -1833,10 +1841,29 @@ class PlanBuilder:
             labels = [
                 c
                 for c in child.group_cols
-                if c not in ("ts", "series", "stream_id")
-                and not c.startswith("__")
+                if c not in ("ts", "stream_id") and not c.startswith("__")
             ]
             approx = getattr(self.conn, "approx_aggregates", False)
+            if "series" in labels and (node.by or node.without):
+                # composite-keyed child (a `without` grouping): decompose
+                # via the plan's series->labels map and re-key (ADVICE
+                # r11 medium — regrouping the composite unchanged fails
+                # to merge series differing only in the dropped labels;
+                # dropping it collapsed these shapes to a scalar).
+                if len(labels) > 1:
+                    raise ValueError(
+                        "cannot re-group a mixed composite/label-keyed "
+                        "result"
+                    )
+                df, keys, new_sl = self._rekey_series(child, node)
+                out = grouped_agg(
+                    df, func, keys, param=node.param, approx=approx
+                )
+                return Plan(
+                    "grouped", out, vt, group_cols=tuple(keys),
+                    series_labels=new_sl,
+                )
+            labels = [c for c in labels if c != "series"]
             if node.by:
                 missing = set(node.by) - set(labels)
                 if missing:
@@ -1882,41 +1909,106 @@ class PlanBuilder:
             out = grouped_agg(df, func, list(node.by), param=node.param, approx=approx)
             return Plan("grouped", out, vt, group_cols=tuple(node.by))
         if node.without:
-            df = self._attach_series_key(cdf, node.without, child.streams)
+            df, smap = self._attach_series_key(cdf, node.without, child.streams)
             out = grouped_agg(df, func, ["series"], param=node.param, approx=approx)
-            return Plan("grouped", out, vt, group_cols=("series",))
+            return Plan(
+                "grouped", out, vt, group_cols=("series",), series_labels=smap
+            )
         return Plan(
             "scalar", scalar_agg(cdf, func, param=node.param, approx=approx), vt
         )
 
+    @staticmethod
+    def _series_key_rows(
+        streams: tuple, drop: set
+    ) -> tuple[list, tuple]:
+        """Per-stream (stream_id, composite-series-key) rows plus the
+        series-key -> remaining-labels map (Plan.series_labels) that lets
+        an outer aggregation decompose the composite and re-key it."""
+        rows, smap = [], {}
+        for s in streams:
+            kept = tuple(
+                (k, v) for k, v in sorted(s.labels.items()) if k not in drop
+            )
+            key = ",".join(f"{k}={v}" for k, v in kept)
+            rows.append((s.stream_id, key))
+            smap.setdefault(key, kept)
+        return rows, tuple(smap.items())
+
+    def _rekey_series(
+        self, child: "Plan", node
+    ) -> tuple[DataFrame, list, tuple]:
+        """Outer by/without over a composite-series-keyed child (a
+        `without` grouping): decompose the opaque key via the plan's
+        series -> labels map (broadcast, one row per GROUP, never data-
+        sized) and re-key, so `sum without (c) (sum without (b) (m))`
+        merges series differing only in c instead of regrouping the
+        composite unchanged. Returns (df with new key cols, key col
+        names, new series_labels for further nesting)."""
+        smap = dict(child.series_labels)
+        if not smap:
+            raise ValueError(
+                "cannot re-group an opaque series-keyed result (no "
+                "series -> label map — histogram bucket composites and "
+                "similar); group the inner expression with by (...) "
+                "instead"
+            )
+        if node.by:
+            have: set = set()
+            for labs in smap.values():
+                have.update(k for k, _ in labs)
+            missing = set(node.by) - have
+            if missing:
+                raise ValueError(
+                    f"grouping label(s) {sorted(missing)} not present in "
+                    f"the grouped input (carries {sorted(have)})"
+                )
+            rows = [
+                (series,) + tuple(dict(labs).get(b) for b in node.by)
+                for series, labs in smap.items()
+            ]
+            schema = T.StructType(
+                [T.StructField("series", T.StringType(), False)]
+                + [T.StructField(b, T.StringType(), True) for b in node.by]
+            )
+            key_df = self.conn.spark.createDataFrame(rows, schema)
+            df = child.df.join(F.broadcast(key_df), "series").drop("series")
+            return df, list(node.by), ()
+        drop = set(node.without)
+        rows, new_map = [], {}
+        for series, labs in smap.items():
+            kept = tuple((k, v) for k, v in labs if k not in drop)
+            nk = ",".join(f"{k}={v}" for k, v in kept)
+            rows.append((series, nk))
+            new_map.setdefault(nk, kept)
+        key_df = self.conn.spark.createDataFrame(
+            rows, "series string, __series_out string"
+        )
+        df = (
+            child.df.join(F.broadcast(key_df), "series")
+            .drop("series")
+            .withColumnRenamed("__series_out", "series")
+        )
+        return df, ["series"], tuple(new_map.items())
+
     def _attach_series_key(
         self, cdf: DataFrame, without: tuple[str, ...], streams: tuple
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, tuple]:
         """`without (l1,..)` grouping key: group by every label EXCEPT the
         listed ones — per-series canonical remaining-label key computed
         driver-side from the plan's stream info, attached as one broadcast
-        map column named `series`."""
+        map column named `series`. Also returns the series -> labels map
+        for Plan.series_labels (outer re-grouping support)."""
         if "stream_id" not in cdf.columns or not streams:
             raise ValueError(
                 "grouped aggregation (without ...) requires a "
                 "label-carrying selector vector"
             )
-        drop = set(without)
-        rows = [
-            (
-                s.stream_id,
-                ",".join(
-                    f"{k}={v}"
-                    for k, v in sorted(s.labels.items())
-                    if k not in drop
-                ),
-            )
-            for s in streams
-        ]
+        rows, smap = self._series_key_rows(streams, set(without))
         key_df = self.conn.spark.createDataFrame(
             rows, "stream_id string, series string"
         )
-        return cdf.join(F.broadcast(key_df), "stream_id", "left")
+        return cdf.join(F.broadcast(key_df), "stream_id", "left"), smap
 
     def _grouping_cols(
         self, child: "Plan", by: tuple[str, ...], without: tuple[str, ...],
@@ -1928,10 +2020,8 @@ class PlanBuilder:
         if by:
             return self._attach_labels(child.df, by, child.streams), by
         if without:
-            return (
-                self._attach_series_key(child.df, without, child.streams),
-                ("series",),
-            )
+            df, _ = self._attach_series_key(child.df, without, child.streams)
+            return df, ("series",)
         return child.df, ()
 
     def _attach_labels(
@@ -1985,11 +2075,14 @@ class PlanBuilder:
                 df = self._attach_labels(child.df, node.by, child.streams)
                 cols = list(node.by)
             else:
-                df = self._attach_series_key(
+                df, smap = self._attach_series_key(
                     child.df, node.without, child.streams
                 )
                 cols = ["series"]
             out = grouped_top_k(df, k, cols, desc=node.func == "topk")
-            return Plan("grouped", out, child.value_type, group_cols=tuple(cols))
+            return Plan(
+                "grouped", out, child.value_type, group_cols=tuple(cols),
+                series_labels=smap if not node.by else (),
+            )
         fn = top_k if node.func == "topk" else bottom_k
         return Plan("topk", fn(child.df, k), child.value_type)

@@ -683,6 +683,25 @@ class RangeEvaluator:
             for c in child.group_cols
             if c != "ts" and c != "stream_id" and not c.startswith("__")
         ]
+        approx = getattr(self.conn, "approx_aggregates", False)
+        if "series" in labels and (node.by or node.without):
+            # composite-keyed child (a `without` grouping): decompose the
+            # opaque key via the plan's series->labels map and re-key —
+            # regrouping the composite unchanged would silently fail to
+            # merge series differing only in the outer-dropped labels
+            # (ADVICE r11 medium).
+            if len(labels) > 1:
+                raise ValueError(
+                    "cannot re-group a mixed composite/label-keyed result"
+                )
+            df, keys, new_sl = self._b._rekey_series(child, node)
+            out = grouped_agg(
+                df, node.func, keys + ["ts"], param=node.param, approx=approx
+            )
+            return Plan(
+                "grouped", out, vt, group_cols=(*keys, "ts"),
+                series_labels=new_sl,
+            )
         if node.by:
             missing = set(node.by) - set(labels)
             if missing:
@@ -697,7 +716,6 @@ class RangeEvaluator:
             keys = [c for c in labels if c not in set(node.without)]
         else:
             keys = []
-        approx = getattr(self.conn, "approx_aggregates", False)
         out = grouped_agg(
             child.df, node.func, keys + ["ts"], param=node.param,
             approx=approx,
@@ -725,31 +743,16 @@ class RangeEvaluator:
             )
             return Plan("grouped", out, vt, group_cols=tuple(node.by) + ("ts",))
         if node.without:
-            if "stream_id" not in cdf.columns or not child.streams:
-                raise ValueError(
-                    "grouped aggregation (without ...) requires a "
-                    "label-carrying selector vector"
-                )
-            drop = set(node.without)
-            rows = [
-                (
-                    s.stream_id,
-                    ",".join(
-                        f"{k}={v}"
-                        for k, v in sorted(s.labels.items())
-                        if k not in drop
-                    ),
-                )
-                for s in child.streams
-            ]
-            key_df = self.conn.spark.createDataFrame(
-                rows, "stream_id string, series string"
+            df, smap = self._b._attach_series_key(
+                cdf, node.without, child.streams
             )
-            df = cdf.join(F.broadcast(key_df), "stream_id", "left")
             out = grouped_agg(
                 df, func, ["series", "ts"], param=node.param, approx=approx
             )
-            return Plan("grouped", out, vt, group_cols=("series", "ts"))
+            return Plan(
+                "grouped", out, vt, group_cols=("series", "ts"),
+                series_labels=smap,
+            )
         # ungrouped: PER STEP (the per-instant semantics dashboards expect,
         # unlike the raw-sample engine's whole-range collapse)
         out = grouped_agg(cdf, func, ["ts"], param=node.param, approx=approx)
@@ -1399,7 +1402,7 @@ class RangeEvaluator:
                 df = self._b._attach_labels(child.df, node.by, child.streams)
                 cols = list(node.by)
             else:
-                df = self._b._attach_series_key(
+                df, smap = self._b._attach_series_key(
                     child.df, node.without, child.streams
                 )
                 cols = ["series"]
@@ -1407,7 +1410,8 @@ class RangeEvaluator:
                 df, k, [*cols, "ts"], desc=node.func == "topk"
             )
             return Plan(
-                "grouped", out, child.value_type, group_cols=(*cols, "ts")
+                "grouped", out, child.value_type, group_cols=(*cols, "ts"),
+                series_labels=smap if not node.by else (),
             )
         # per-INSTANT top-k (PromQL): rank window per step, one shuffle
         out = grouped_top_k(child.df, k, ["ts"], desc=node.func == "topk")

@@ -389,7 +389,28 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 q = conn.query(req["query"], req.get("start"), req.get("end"))
             if q.return_type == "vector":
-                rows = q.df().collect()
+                # same serving cap as /api/v1 and /alerts — this mirrors
+                # the reference's buffer-everything endpoint
+                # (tachyon_web_backend/src/main.rs:27-76) in SHAPE, but a
+                # year-long query_range over many series must not
+                # materialize unbounded on the driver inside the handler.
+                # Clients may lower the cap via max_points, never raise
+                # it; past the cap the response is a 400 TooManyPoints.
+                from tachyon_spark.promapi import (
+                    DEFAULT_MAX_POINTS, _bounded_collect,
+                )
+
+                mp = req.get("max_points")
+                if mp is None:
+                    cap = DEFAULT_MAX_POINTS
+                else:
+                    cap = int(mp)
+                    if cap <= 0:
+                        raise ValueError(
+                            "max_points must be a positive integer"
+                        )
+                    cap = min(cap, DEFAULT_MAX_POINTS)
+                rows = _bounded_collect(q.df(), cap)
                 payload = {
                     "value_type": q.value_type,
                     "timestamps": [r.ts for r in rows],

@@ -76,15 +76,20 @@ def parse_openmetrics(
     series_key, ts: long, value: double) rows. Malformed non-comment
     lines raise (FAILFAST contract, like CSV import) — surfaced as an
     ANSI cast error on the value column."""
-    ln = F.col("value")
+    raw = F.col("value")
+    # OpenMetrics exemplars (`name 1 2 # {trace_id="x"} 0.5 [ts]`) are
+    # valid exposition — strip the ` # {...}...` suffix (spec separator
+    # is " # ") rather than FAILFAST-aborting real scraped payloads;
+    # exemplar data itself is out of the sample model.
+    ln = F.regexp_replace(raw, r"\s+#\s+\{.*$", "")
     rows = lines.where(
-        (F.length(F.trim(ln)) > 0) & ~F.trim(ln).startswith("#")
+        (F.length(F.trim(raw)) > 0) & ~F.trim(raw).startswith("#")
     ).select(
         F.regexp_extract(ln, _LINE_RE, 1).alias("name"),
         F.regexp_extract(ln, _LINE_RE, 2).alias("__labels"),
         F.regexp_extract(ln, _LINE_RE, 3).alias("__val"),
         F.regexp_extract(ln, _LINE_RE, 4).alias("__ts"),
-        ln.alias("__line"),
+        raw.alias("__line"),
     )
     bad = rows.where(F.col("name") == "")
     # FAILFAST: one cheap existence probe (limit 1 -> at most one row to

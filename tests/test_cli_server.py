@@ -842,3 +842,70 @@ def test_snapshot_endpoint_and_cli(tmp_path, spark, capsys):
 
     assert cli_main([db, "snapshot", "--name", "clisnap"]) == 0
     assert "snapshot at" in capsys.readouterr().out
+
+
+def test_legacy_query_cap_and_cli_alert_limit(tmp_path, spark, capsys):
+    """Round 11: the legacy reference-shape POST /query_range handler is
+    backed by the SAME serving cap as /api/v1 (promapi._bounded_collect)
+    — the last unbounded driver collect in the serving surface — and the
+    CLI alerts verb takes --limit."""
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "legacycap")
+    conn = Connection(db, spark)
+    conn.create_stream("m", "f64")
+    ins = conn.prepare_insert("m")
+    for ts, v in [(10, 50.0), (20, 60.0), (30, 70.0), (40, 1.0)]:
+        ins.insert(ts, v)
+    ins.flush()
+
+    import tachyon_spark.server as srv_mod
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+
+    def post(payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query_range",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.load(r)
+
+    base = {"path": db, "query": "m", "start": 0, "end": 40, "step": 10,
+            "lookback": 10}
+    try:
+        got = post(base)
+        assert len(got["values"]) == 4
+        # result larger than the client-lowered cap -> 400 TooManyPoints,
+        # never an unbounded driver materialization
+        try:
+            post({**base, "max_points": 2})
+            assert False, "over-cap legacy query_range must 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "exceeds" in json.load(e)["error"]
+        # cap can be lowered, never disabled
+        try:
+            post({**base, "max_points": 0})
+            assert False, "max_points=0 must be rejected"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+
+    # CLI alerts --limit: bounded TakeOrdered collect + truncation marker
+    capsys.readouterr()
+    assert cli_main([
+        db, "alerts", "m > 40", "--start", "0", "--end", "40",
+        "--step", "10", "--for", "20", "--lookback", "10", "--limit", "2",
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3 and out[-1].startswith("... (truncated")
+    with pytest.raises(SystemExit):
+        cli_main([
+            db, "alerts", "m > 40", "--start", "0", "--end", "40",
+            "--step", "10", "--limit", "0",
+        ])
