@@ -3946,56 +3946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row goes stale. Regenerate each round with
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
-        "alert_keep_firing": q_alert_keep_firing,
-        "over_time_extras": q_over_time_extras,
-        "openmetrics_parse": q_openmetrics_parse,
-        "promql_misc": q_promql_misc,
-        "delete_series_op": q_delete_series_op,
-        "count_values_grid": q_count_values_grid,
-        "label_replace_grid": q_label_replace_grid,
-        "modifier_matrix": q_modifier_matrix,
-        "top_customers": q_top_customers,
-        "suppliers_by_region": q_suppliers_by_region,
-        "top_brands_by_revenue": q_top_brands_by_revenue,
-        "value_histogram": q_value_histogram,
-        "user_sessions": q_user_sessions,
-        "tumbling_window_stats": q_tumbling_window_stats,
-        "sliding_window_stats": q_sliding_window_stats,
-        "session_window_stats": q_session_window_stats,
-        "asof_join_events": q_asof_join_events,
-        "range_join_daily": q_range_join_daily,
-        "rate_per_type": q_rate_per_type,
-        "rate_windows": q_rate_windows,
-        "rate_counter_aware": q_rate_counter_aware,
-        "query_range_lookback": q_query_range_lookback,
-        "query_range_increase": q_query_range_increase,
-        "query_range_histogram": q_query_range_histogram,
-        "query_range_matching": q_query_range_matching,
-        "scrub_pii": q_scrub_pii,
-        "recording_rule": q_recording_rule,
-        "chunk_documents": q_chunk_documents,
-        "query_range_subquery": q_query_range_subquery,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "counter_resets": q_counter_resets,
-        "deriv_windows": q_deriv_windows,
-        "irate_windows": q_irate_windows,
-        "value_quantiles": q_value_quantiles,
-        "distinct_users": q_distinct_users,
-        "ewma_final": q_ewma_final,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
-        "pack_sequences": q_pack_sequences,
-        "gopher_quality": q_gopher_quality,
-        "token_entropy": q_token_entropy,
-        "absent_windows": q_absent_windows,
-        "cluster_balanced": q_cluster_balanced,
-        "calendar_fields": q_calendar_fields,
-        "mixture_resample": q_mixture_resample,
-        "quality_percentile": q_quality_percentile,
-        "top_ngrams": q_top_ngrams,
-        "vocab_stats": q_vocab_stats,
-        "knn_graph": q_knn_graph,
-        "ts_extrema_windows": q_ts_extrema_windows,
         "temperature_resample": q_temperature_resample,
         "corr_matrix": q_corr_matrix,
         "lttb_downsample": q_lttb_downsample,
@@ -4092,6 +4042,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_arithmetic": q_scalar_arithmetic,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "revenue_by_nation": q_revenue_by_nation,
+        "alert_keep_firing": q_alert_keep_firing,
+        "over_time_extras": q_over_time_extras,
+        "openmetrics_parse": q_openmetrics_parse,
+        "promql_misc": q_promql_misc,
+        "delete_series_op": q_delete_series_op,
+        "count_values_grid": q_count_values_grid,
+        "label_replace_grid": q_label_replace_grid,
+        "modifier_matrix": q_modifier_matrix,
+        "top_customers": q_top_customers,
+        "suppliers_by_region": q_suppliers_by_region,
+        "top_brands_by_revenue": q_top_brands_by_revenue,
+        "value_histogram": q_value_histogram,
+        "user_sessions": q_user_sessions,
+        "tumbling_window_stats": q_tumbling_window_stats,
+        "sliding_window_stats": q_sliding_window_stats,
+        "session_window_stats": q_session_window_stats,
+        "asof_join_events": q_asof_join_events,
+        "range_join_daily": q_range_join_daily,
+        "rate_per_type": q_rate_per_type,
+        "rate_windows": q_rate_windows,
+        "rate_counter_aware": q_rate_counter_aware,
+        "query_range_lookback": q_query_range_lookback,
+        "query_range_increase": q_query_range_increase,
+        "query_range_histogram": q_query_range_histogram,
+        "query_range_matching": q_query_range_matching,
+        "scrub_pii": q_scrub_pii,
+        "recording_rule": q_recording_rule,
+        "chunk_documents": q_chunk_documents,
+        "query_range_subquery": q_query_range_subquery,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "counter_resets": q_counter_resets,
+        "deriv_windows": q_deriv_windows,
+        "irate_windows": q_irate_windows,
+        "value_quantiles": q_value_quantiles,
+        "distinct_users": q_distinct_users,
+        "ewma_final": q_ewma_final,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "pack_sequences": q_pack_sequences,
+        "gopher_quality": q_gopher_quality,
+        "token_entropy": q_token_entropy,
+        "absent_windows": q_absent_windows,
+        "cluster_balanced": q_cluster_balanced,
+        "calendar_fields": q_calendar_fields,
+        "mixture_resample": q_mixture_resample,
+        "quality_percentile": q_quality_percentile,
+        "top_ngrams": q_top_ngrams,
+        "vocab_stats": q_vocab_stats,
+        "knn_graph": q_knn_graph,
+        "ts_extrema_windows": q_ts_extrema_windows,
     }
 
 # ---------------------------------------------------------------- oracle SQL

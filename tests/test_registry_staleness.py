@@ -1,0 +1,73 @@
+"""Registry-rotation discipline (VERDICT r10 item 8).
+
+The driver's CORRECTNESS gate checks only the FIRST 50 entries of
+`__spark_entry__.queries()` each round, so proofs decay unless the
+registry is rotated staleness-first (tools/rotate_registry.py). This
+check fails the suite if rotation is skipped a round:
+
+- the registry must be ordered by last-gated round ascending (stalest
+  first), so the upcoming driver run re-gates exactly the entries whose
+  proof is oldest;
+- assuming the current window IS gated next round, no entry's latest
+  driver row may end up older than 2 rounds;
+- every queries() key has an oracle_sql() mate (or is a documented
+  rows-only entry) and every oracle key exists in queries().
+
+No Spark session is needed — queries() only builds the dict.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def _history():
+    last: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for k in json.load(open(f)):
+            last[k] = r
+    return last
+
+
+def test_registry_rotation_not_lapsed():
+    import __spark_entry__ as e
+
+    last = _history()
+    n = max(last.values())
+    keys = list(e.queries().keys())
+    window = set(keys[:WINDOW])
+    stale = [
+        f"{k} (last gated r{last.get(k, 0)})"
+        for k in keys
+        if k not in window and last.get(k, 0) < n - 1
+    ]
+    assert not stale, (
+        "registry rotation lapsed — these entries are outside the next "
+        f"driver window with a proof older than r{n - 1}: {stale}; run "
+        "tools/rotate_registry.py"
+    )
+    # staleness-first ordering: last-gated rounds never decrease along
+    # the registry (never-gated entries count as round 0 and must lead)
+    rounds = [last.get(k, 0) for k in keys]
+    assert rounds == sorted(rounds), (
+        "registry is not ordered staleness-first; run "
+        "tools/rotate_registry.py"
+    )
+
+
+def test_registry_oracle_parity():
+    import __spark_entry__ as e
+
+    qs, osql = set(e.queries()), set(e.oracle_sql())
+    assert not (osql - qs), f"oracle-only keys: {sorted(osql - qs)}"
+    missing = qs - osql
+    # rows-only entries (non-SQL-expressible) must stay a deliberate,
+    # enumerated exception — growth here is a correctness-gate hole
+    assert not missing, f"queries() entries without an oracle: {sorted(missing)}"
