@@ -1597,6 +1597,101 @@ def q_streaming_alert(spark, sf_dir):
     )
 
 
+def q_attribution_join(spark, sf_dir):
+    """Streaming attribution join gate (streaming/joins.py::
+    stream_attribution_join — no reference analogue; the reference is a
+    single-threaded embedded engine, SURVEY §1): attribute each
+    purchase to the view events of the same user within 24 h, run as a
+    REAL stream-stream interval join (leftOuter) over 3 time-ordered
+    parquet drops with maxFilesPerTrigger=1, so the watermark advances
+    across micro-batches and unmatched impressions are emitted by
+    watermark-driven state EVICTION — the distributed semantics this
+    gate grades. End-of-query state is not flushed (Spark contract), so
+    the comparison is bounded to impressions whose outer result is
+    watermark-FINAL after the second drop: imp_ts <= lo + 2/3 span
+    - 24 h (within) - 12 h (watermark) - 72 h (drop-sparsity margin),
+    all integer-micros arithmetic the DuckDB oracle replays exactly.
+    The oracle is the identical batch interval join; lag_s divides
+    integer micros by 1e6 on both engines (same IEEE op, same result)."""
+    import os
+    import tempfile
+    import time as _t
+
+    from tachyon_spark.streaming.joins import stream_attribution_join
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_type",
+            "user_id",
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_ts"),
+        )
+    )
+    b = ev.agg(
+        F.min(F.unix_micros("event_ts")).alias("lo"),
+        F.max(F.unix_micros("event_ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = b.lo, b.hi
+    h_us = 3_600 * 1_000_000
+    cut = lo + (hi - lo) * 2 // 3 - (24 + 12 + 72) * h_us
+
+    work = tempfile.mkdtemp(prefix="ty_attr_")
+    src_dir = os.path.join(work, "drops")
+    os.makedirs(src_dir)
+    base = _t.time() - 1000
+    for k in range(3):
+        t_lo = lo + (hi - lo + 1) * k // 3
+        t_hi = lo + (hi - lo + 1) * (k + 1) // 3
+        part = ev.where(
+            (F.unix_micros("event_ts") >= t_lo)
+            & (F.unix_micros("event_ts") < t_hi)
+        ).coalesce(1)
+        drop_dir = os.path.join(work, f"stage{k}")
+        part.write.mode("overwrite").parquet(drop_dir)
+        files = [f for f in os.listdir(drop_dir) if f.endswith(".parquet")]
+        dst = os.path.join(src_dir, f"drop-{k}.parquet")
+        os.rename(os.path.join(drop_dir, files[0]), dst)
+        os.utime(dst, (base + k * 10, base + k * 10))
+
+    schema = "event_type string, user_id long, event_ts timestamp"
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    out = stream_attribution_join(
+        src().where(F.col("event_type") == "view").drop("event_type"),
+        src().where(F.col("event_type") == "purchase").drop("event_type"),
+        key_col="user_id",
+        ts_col="event_ts",
+        within="24 hours",
+        watermark="12 hours",
+        how="leftOuter",
+    )
+    out_dir = os.path.join(work, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("attribution join catch-up timed out")
+    res = spark.read.parquet(out_dir)
+    return res.where(F.unix_micros("imp_ts") <= cut).select(
+        "user_id",
+        F.unix_micros("imp_ts").alias("imp_ts_us"),
+        F.unix_micros("conv_ts").alias("conv_ts_us"),
+        "lag_s",
+    )
+
+
 def q_rate_extrapolated(spark, sf_dir):
     """Prometheus extrapolated rate end-to-end (round 9;
     plans/range_eval._extrapolate behind Connection(
@@ -3946,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row goes stale. Regenerate each round with
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
+        "attribution_join": q_attribution_join,
         "temperature_resample": q_temperature_resample,
         "corr_matrix": q_corr_matrix,
         "lttb_downsample": q_lttb_downsample,
@@ -4792,6 +4888,28 @@ def oracle_sql() -> dict[str, str]:
         "selector_scan": (
             f"SELECT epoch_us(ts) AS ts_us, value FROM events WHERE {_CLICK_RANGE}"
         ),
+        "attribution_join": """
+            WITH ev AS (
+              SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+              WHERE event_type IN ('view', 'purchase')
+            ), b AS (
+              SELECT min(t) AS lo, max(t) AS hi FROM ev
+            ), cut AS (
+              SELECT lo + (hi - lo) * 2 // 3
+                     - (24 + 12 + 72) * 3600000000 AS c
+              FROM b
+            )
+            SELECT i.user_id,
+                   i.t AS imp_ts_us,
+                   c.t AS conv_ts_us,
+                   c.t / 1000000.0 - i.t / 1000000.0 AS lag_s
+            FROM (SELECT * FROM ev WHERE event_type = 'view') i
+            LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') c
+              ON i.user_id = c.user_id
+             AND c.t >= i.t
+             AND c.t <= i.t + 24 * 3600000000
+            WHERE i.t <= (SELECT c FROM cut)
+        """,
         "promql_topk_without": f"""
             WITH s AS (
               SELECT event_type, user_id, epoch_us(ts) AS t,
