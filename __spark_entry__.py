@@ -1485,45 +1485,56 @@ def q_promql_misc(spark, sf_dir):
             F.col("value").cast("double").alias("value"),
         )
 
-    return (
-        et_arm('sum by (et) (ce and on(et) ce{et="click"})', "and")
-        .unionByName(
-            et_arm('sum by (et) (ce unless on(et) ce{et="click"})', "unless")
+    def nested_raw_arm():
+        # raw-mode nested aggregation (builder._aggregate grouped
+        # branch): collapses to ONE scalar — represented as a single
+        # (arm, '', 0, v) row
+        return spark.createDataFrame(
+            [(
+                "nested_raw",
+                "",
+                0,
+                float(
+                    conn.query(
+                        "max(sum by (et) (ce))", T0_US, T1_US
+                    ).rows()[0]
+                ),
+            )],
+            "arm string, et string, ts_us long, value double",
         )
-        .unionByName(
-            et_arm(
-                'sum by (et) (ce{et="click"} or on(et) ce{et="view"})',
-                "or",
-            )
-        )
-        .unionByName(
-            et_arm('sum by (et) (timestamp(ce{et="click"}))', "timestamp")
-        )
-        .unionByName(bare_arm("vector(7)", "vector"))
-        .unionByName(bare_arm("absent(nope_metric)", "absent"))
-        .unionByName(
-            bare_arm(f"quantile_over_time(0.5, c[{w6h}])", "quantile")
-        )
-        .unionByName(bare_arm("max(sum by (et) (ce))", "nested_grid"))
-        .unionByName(
-            # raw-mode nested aggregation (builder._aggregate grouped
-            # branch): collapses to ONE scalar — represented as a single
-            # (arm, '', 0, v) row
-            spark.createDataFrame(
-                [(
-                    "nested_raw",
-                    "",
-                    0,
-                    float(
-                        conn.query(
-                            "max(sum by (et) (ce))", T0_US, T1_US
-                        ).rows()[0]
-                    ),
-                )],
-                "arm string, et string, ts_us long, value double",
-            )
-        )
-    )
+
+    # nine sequential per-arm job floors dominated the wall — plan
+    # construction runs driver-side metadata jobs, and the union action
+    # chains ~20 tiny exchanges (VERDICT r10 plan audit: no data-sized
+    # exchange anywhere). Spark schedules independent jobs submitted
+    # from threads concurrently, so each arm is BUILT AND EVALUATED in
+    # a pool (eager localCheckpoint — the arm results are a few hundred
+    # rows by construction, bounded by the fixture's series x steps),
+    # and the returned union is a trivial scan of the checkpointed
+    # partitions. Wall = slowest single arm, not the sum of nine.
+    from concurrent.futures import ThreadPoolExecutor
+
+    arms = [
+        lambda: et_arm('sum by (et) (ce and on(et) ce{et="click"})', "and"),
+        lambda: et_arm(
+            'sum by (et) (ce unless on(et) ce{et="click"})', "unless"
+        ),
+        lambda: et_arm(
+            'sum by (et) (ce{et="click"} or on(et) ce{et="view"})', "or"
+        ),
+        lambda: et_arm('sum by (et) (timestamp(ce{et="click"}))', "timestamp"),
+        lambda: bare_arm("vector(7)", "vector"),
+        lambda: bare_arm("absent(nope_metric)", "absent"),
+        lambda: bare_arm(f"quantile_over_time(0.5, c[{w6h}])", "quantile"),
+        lambda: bare_arm("max(sum by (et) (ce))", "nested_grid"),
+        nested_raw_arm,
+    ]
+    with ThreadPoolExecutor(max_workers=len(arms)) as ex:
+        dfs = list(ex.map(lambda a: a().localCheckpoint(eager=True), arms))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def q_streaming_alert(spark, sf_dir):
@@ -2589,20 +2600,19 @@ def q_histogram_helpers(spark, sf_dir):
     conn = _memo_fixture(
         spark, sf_dir, "promql_histogram", _histogram_fixture_build(spark, sf_dir)
     )
-    parts = []
-    for tag, promql in (
+    def raw_arm(tag, promql):
+        return conn.query(promql, T0_US, T1_US).df().select(
+            F.lit(tag).alias("stat"),
+            F.col("ts").alias("ts_us"),
+            F.round("value", 6).alias("value"),
+        )
+
+    raw_specs = [
         ("count", "histogram_count(hqm)"),
         ("sum", "histogram_sum(hqm)"),
         ("avg", "histogram_avg(hqm)"),
         ("frac_2_10", "histogram_fraction(2, 10, hqm)"),
-    ):
-        parts.append(
-            conn.query(promql, T0_US, T1_US).df().select(
-                F.lit(tag).alias("stat"),
-                F.col("ts").alias("ts_us"),
-                F.round("value", 6).alias("value"),
-            )
-        )
+    ]
     # grid-mode helpers (round 9): the same numbers through query_range —
     # the 6h step grid is aligned to the fixture's 6h bucket windows, so
     # every step's lookback-latest instant IS the window sample and the
@@ -2612,11 +2622,9 @@ def q_histogram_helpers(spark, sf_dir):
     # count_grid uses the GROUPED child form (`sum by (le)`) to gate the
     # dashboard-canonical path.
     w6h = 6 * 3600 * 1_000_000
-    for tag, promql in (
-        ("count_grid", "histogram_count(sum by (le) (hqm))"),
-        ("frac_2_10_grid", "histogram_fraction(2, 10, hqm)"),
-    ):
-        parts.append(
+
+    def grid_arm(tag, promql):
+        return (
             conn.query_range(promql, T0_US, T1_US - w6h, w6h, lookback=w6h)
             .df()
             .select(
@@ -2624,6 +2632,23 @@ def q_histogram_helpers(spark, sf_dir):
                 F.col("ts").alias("ts_us"),
                 F.round("value", 6).alias("value"),
             )
+        )
+
+    grid_specs = [
+        ("count_grid", "histogram_count(sum by (le) (hqm))"),
+        ("frac_2_10_grid", "histogram_fraction(2, 10, hqm)"),
+    ]
+    # build AND evaluate the six arms concurrently (eager
+    # localCheckpoint; same rationale and bounded-size argument as
+    # q_promql_misc) — wall = slowest arm, not the sum of six
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = [lambda t=t, p=p: raw_arm(t, p) for t, p in raw_specs] + [
+        lambda t=t, p=p: grid_arm(t, p) for t, p in grid_specs
+    ]
+    with ThreadPoolExecutor(max_workers=len(builders)) as ex:
+        parts = list(
+            ex.map(lambda b: b().localCheckpoint(eager=True), builders)
         )
     out = parts[0]
     for pdf in parts[1:]:
