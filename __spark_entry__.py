@@ -2417,8 +2417,12 @@ def q_modifier_matrix(spark, sf_dir):
     single-window evaluation fanned across the grid, :400); `at_offset`:
     `max_over_time(m[6h] @ T1 offset 3h)` (@ pins, offset composes
     inside the pinned scan — raw samples in (T1-9h, T1-3h],
-    _windowed_at:346). The oracle replays each arm's window edges
-    directly; only the modifier arithmetic can disagree."""
+    _windowed_at:346); `absent_at_empty`/`absent_at_present` (round 11,
+    VERDICT r10 item 6): `absent_over_time(m[6h] @ T)` — the LAST @
+    position (range selector under absent in query_range), pinned
+    presence probe then whole-grid 1s or empty. The oracle replays each
+    arm's window edges directly; only the modifier arithmetic can
+    disagree."""
     w1h = 3600 * 1_000_000
     w3h, w6h, w12h = 3 * w1h, 6 * w1h, 12 * w1h
 
@@ -2452,7 +2456,23 @@ def q_modifier_matrix(spark, sf_dir):
         ).df(),
         "at_offset",
     )
-    return a.unionByName(b).unionByName(c)
+    d = sel(
+        conn.query_range(
+            f"absent_over_time(m[{w6h}] @ {T0_US - w12h})",
+            T0_US, T1_US, w12h, lookback=w1h,
+        ).df(),
+        "absent_at_empty",
+    )
+    e = sel(
+        conn.query_range(
+            f"absent_over_time(m[{w6h}] @ {T1_US})",
+            T0_US, T1_US, w12h, lookback=w1h,
+        ).df(),
+        "absent_at_present",
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    )
 
 
 def _subquery_fixture_build(spark, sf_dir):
@@ -5817,6 +5837,21 @@ def oracle_sql() -> dict[str, str]:
               WHERE t > {T1_US - 9 * 3600 * 1_000_000}
                 AND t <= {T1_US - 3 * 3600 * 1_000_000}
             ) y
+            UNION ALL
+            -- absent_over_time(m[6h] @ T): 1 on the whole grid iff the
+            -- pinned window (T-6h, T] holds no sample
+            SELECT 'absent_at_empty', step, 1.0 FROM fan
+            WHERE NOT EXISTS (
+              SELECT 1 FROM s
+              WHERE t > {T0_US - 18 * 3600 * 1_000_000}
+                AND t <= {T0_US - 12 * 3600 * 1_000_000}
+            )
+            UNION ALL
+            SELECT 'absent_at_present', step, 1.0 FROM fan
+            WHERE NOT EXISTS (
+              SELECT 1 FROM s
+              WHERE t > {T1_US - 6 * 3600 * 1_000_000} AND t <= {T1_US}
+            )
         """,
         "alert_keep_firing": f"""
             -- keep_firing_for replay at island granularity: within an

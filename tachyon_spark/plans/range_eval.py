@@ -1317,6 +1317,38 @@ class RangeEvaluator:
             )
             present = exploded.select(F.col("__step").alias("ts")).distinct()
             return Plan("vector", grid.join(present, "ts", "left_anti"), VT_F64)
+        msel = node.child
+        if msel.selector.at_ts is not None or msel.selector.at_anchor:
+            # absent_over_time(m[R] @ T): the window pins at (T-R, T] —
+            # the last @ position (range selectors in query_range,
+            # VERDICT r10 item 6). One single-step evaluation at T; the
+            # presence probe is a bounded limit(1), then 1 on the whole
+            # grid or empty (same one-eval-then-fan shape as
+            # _windowed_at).
+            sel = msel.selector
+            if sel.at_anchor == "start":
+                t = self.start
+            elif sel.at_anchor == "end":
+                t = self.end
+            else:
+                t = int(sel.at_ts)
+            bare = ast.MatrixSelector(
+                ast.VectorSelector(
+                    sel.name, sel.matchers, offset=sel.offset,
+                    or_groups=sel.or_groups,
+                ),
+                msel.range_,
+            )
+            sub = RangeEvaluator(self.conn, t, t, self.step, self.lookback)
+            try:
+                _, df = sub._exploded(bare)
+            except ValueError as e:
+                if "no streams matched" in str(e):
+                    return Plan("vector", grid, VT_F64)
+                raise
+            if df.limit(1).count() > 0:
+                return Plan("vector", grid.limit(0), VT_F64)
+            return Plan("vector", grid, VT_F64)
         try:
             child, df = self._exploded(node.child)
         except ValueError as e:

@@ -337,6 +337,40 @@ def test_absent_over_time_on_grid(golden_db):
     assert sorted(t for t, _ in q.rows()) == [0, 10, 20, 30]
 
 
+def test_absent_over_time_at_pinned_range(golden_db):
+    """`absent_over_time(m[R] @ T)` — @ on a range selector under absent
+    was the last unsupported modifier position in query_range (round 11,
+    VERDICT r10 item 6). The window pins at (T-R, T]: one presence fact
+    fans across the grid."""
+    # (20, 40] holds web samples at 23,29,40 -> present -> empty result
+    q = golden_db.query_range(f"absent_over_time({WEB}[20] @ 40)", 0, 30, 10)
+    assert q.rows() == []
+    # (80, 100] holds nothing -> 1 on every step
+    q = golden_db.query_range(f"absent_over_time({WEB}[20] @ 100)", 0, 30, 10)
+    assert q.rows() == [(0, 1.0), (10, 1.0), (20, 1.0), (30, 1.0)]
+    # @ end() anchors at the grid end; (10, 30] has samples 23,29
+    q = golden_db.query_range(
+        f"absent_over_time({WEB}[20] @ end())", 0, 30, 10
+    )
+    assert q.rows() == []
+    # @ start() anchors at the grid start; (-20, 0] is empty
+    q = golden_db.query_range(
+        f"absent_over_time({WEB}[20] @ start())", 0, 30, 10
+    )
+    assert q.rows() == [(0, 1.0), (10, 1.0), (20, 1.0), (30, 1.0)]
+    # offset composes inside the pinned window: (0, 20] via @40 offset 20
+    # holds nothing (first web sample is 23)
+    q = golden_db.query_range(
+        f"absent_over_time({WEB}[20] @ 40 offset 20)", 0, 30, 10
+    )
+    assert q.rows() == [(0, 1.0), (10, 1.0), (20, 1.0), (30, 1.0)]
+    # unknown metric under @: still 1 across the whole grid
+    q = golden_db.query_range(
+        "absent_over_time(nope_metric[20] @ 40)", 0, 30, 10
+    )
+    assert sorted(t for t, _ in q.rows()) == [0, 10, 20, 30]
+
+
 def test_at_modifier_pins_instant_on_grid(golden_db):
     # @29 pins evaluation at ts 29 (value 47): every step reports it
     q = golden_db.query_range(f"{WEB} @ 29", 0, 30, 10, lookback=10)
