@@ -52,6 +52,7 @@ DEFAULT = [
     "user_sessions",
     "subquery_span",
     "grouped_range_df",
+    "maintenance",
 ]
 
 # tables + id columns each registry query needs replicated
@@ -170,6 +171,105 @@ def probe_grouped_range_df(spark, rep_dir: str) -> tuple[float, float]:
     return walls[0], walls[1]
 
 
+def probe_maintenance(spark, factor: int) -> None:
+    """delete_samples / compact_partition scale shape (VERDICT r10 item
+    4): a stream-bucketed + time-bucketed throwaway db at D days vs
+    D*min(factor,20) days (the table grows with the factor), with a
+    FIXED one-stream one-day range delete. The designed 100 TB shape is:
+    delete wall tracks the MATCHED partitions (one hash bucket x one
+    ts_bucket here — flat as the table grows), every untouched partition
+    stays byte-identical (sha1 over all parquet files before/after; no
+    rewrite I/O outside the match), and compaction wall tracks only the
+    partition being compacted (grows with its data — by design)."""
+    import hashlib
+
+    from tachyon_spark import maintenance as M
+    from tachyon_spark.connection import Connection, stream_bucket_py
+
+    f = min(factor, 20)
+    day = 86_400 * 1_000_000
+    streams, per_day = 64, 288  # one sample / 5 min / stream
+
+    def build(days: int):
+        work = tempfile.mkdtemp(prefix="ty_maint_probe_")
+        conn = Connection(
+            os.path.join(work, "db"), spark,
+            time_bucket=day, stream_buckets=8,
+        )
+        for i in range(streams):
+            conn.create_stream(f'pm{{job="j{i}"}}', "f64")
+        ids = [s.stream_id for s in conn.get_all_streams()]
+        n = days * per_day * streams
+        step = day // per_day
+        df = spark.range(n).coalesce(8).select(
+            F.element_at(
+                F.array(*[F.lit(s) for s in ids]),
+                (F.col("id") % streams + 1).cast("int"),
+            ).alias("stream_id"),
+            ((F.col("id") / streams).cast("long") * step).alias("ts"),
+            (F.col("id") % 97).cast("double").alias("value"),
+            F.lit(None).cast("long").alias("value_int"),
+        )
+        conn.bulk_load(df)
+        return work, conn, ids
+
+    def snap(root):
+        out = {}
+        for dp, _, fs in os.walk(root):
+            for fn in fs:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(dp, fn)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, root)] = hashlib.sha1(
+                            fh.read()
+                        ).hexdigest()
+        return out
+
+    results = []
+    for days in (3, 3 * f):
+        work, conn, ids = build(days)
+        before = snap(conn.samples_path)
+        sid = next(
+            s.stream_id
+            for s in conn.get_all_streams()
+            if s.labels.get("job") == "j3"
+        )
+        lo, hi = day, 2 * day - 1  # exactly the second day
+        t0 = time.time()
+        deleted = M.delete_samples(conn, 'pm{job="j3"}', lo, hi)
+        wall = time.time() - t0
+        after = snap(conn.samples_path)
+        b = stream_bucket_py(sid, conn.stream_buckets)
+        allowed = os.path.join(f"stream_bucket={b}", f"ts_bucket={lo // day}")
+        changed = (
+            {k for k in before if after.get(k) != before[k]}
+            | (set(after) - set(before))
+        )
+        stray = sorted(c for c in changed if not c.startswith(allowed))
+        other = next(
+            d for d in M._top_level_partitions(conn)
+            if d != f"stream_bucket={b}"
+        )
+        t0 = time.time()
+        M.compact_partition(conn, os.path.join(conn.samples_path, other))
+        cwall = time.time() - t0
+        results.append(
+            (days, deleted, wall, len(before), stray, cwall)
+        )
+        shutil.rmtree(work, ignore_errors=True)
+    (d0, n0, w0, f0, s0, c0), (d1, n1, w1, f1, s1, c1) = results
+    assert not s0 and not s1, f"untouched partitions changed: {s0 or s1}"
+    print(
+        f"{'maintenance_delete':<24} {w0:>8.2f} {w1:>6.2f} "
+        f"{w1 / max(w0, 1e-9):>6.1f}x  (days {d0}->{d1}, deleted "
+        f"{n0}/{n1}, 0 untouched-file changes of {f0}/{f1})"
+    )
+    print(
+        f"{'maintenance_compact':<24} {c0:>8.2f} {c1:>6.2f} "
+        f"{c1 / max(c0, 1e-9):>6.1f}x  (one bucket; its data grows {f}x)"
+    )
+
+
 def main() -> int:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     names = sys.argv[2].split(",") if len(sys.argv) > 2 else DEFAULT
@@ -214,6 +314,8 @@ def main() -> int:
                   f"{x / max(b, 1e-9):>6.1f}x  (factor {g_factor})")
             if grep != rep:
                 shutil.rmtree(grep, ignore_errors=True)
+        if "maintenance" in names:
+            probe_maintenance(spark, factor)
     finally:
         shutil.rmtree(rep, ignore_errors=True)
     return 0
