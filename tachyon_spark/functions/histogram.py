@@ -34,12 +34,15 @@ def parse_le(col):
 def le_series_frame(spark, streams):
     """Broadcastable (stream_id, __le, __series) frame for le-labeled bucket
     streams: __le is the parsed upper bound (+Inf -> infinity) and __series
-    the canonical remaining-label key. Returns (frame, multi) where multi
-    says whether more than one non-le label set exists (i.e. the quantile
-    must group per series, not just per timestamp). Shared by the raw-sample
-    and query_range histogram_quantile paths."""
+    the canonical remaining-label key. Returns (frame, multi, series_labels)
+    where multi says whether more than one non-le label set exists (i.e. the
+    quantile must group per series, not just per timestamp) and
+    series_labels is the series-key -> remaining-labels map
+    (Plan.series_labels — lets an outer by/without aggregation re-key the
+    composite instead of raising). Shared by the raw-sample and query_range
+    histogram_quantile paths."""
     les = {}
-    series_keys = set()
+    smap = {}
     for s in streams:
         if "le" not in s.labels:
             raise ValueError(
@@ -47,13 +50,14 @@ def le_series_frame(spark, streams):
             )
         le = INF if s.labels["le"] == "+Inf" else float(s.labels["le"])
         rest = tuple(sorted((k, v) for k, v in s.labels.items() if k != "le"))
-        les[s.stream_id] = (le, ",".join(f"{k}={v}" for k, v in rest))
-        series_keys.add(rest)
+        key = ",".join(f"{k}={v}" for k, v in rest)
+        les[s.stream_id] = (le, key)
+        smap.setdefault(key, rest)
     frame = spark.createDataFrame(
         [(sid, le, grp) for sid, (le, grp) in les.items()],
         "stream_id string, __le double, __series string",
     )
-    return frame, len(series_keys) > 1
+    return frame, len(smap) > 1, tuple(smap.items())
 
 
 def _bucket_arrays(

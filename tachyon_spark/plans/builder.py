@@ -905,14 +905,17 @@ class PlanBuilder:
         engine's aggregates collapse time."""
         from tachyon_spark.functions.histogram import bucket_quantile
 
-        out, multi = self._le_bucket_eval(
+        out, multi, smap = self._le_bucket_eval(
             node.child, "histogram_quantile",
             lambda df, group_cols: bucket_quantile(
                 df, node.phi, group_cols, le_col="__le"
             ),
         )
         if multi:
-            return Plan("grouped", out, VT_F64, group_cols=("series", "ts"))
+            return Plan(
+                "grouped", out, VT_F64, group_cols=("series", "ts"),
+                series_labels=smap,
+            )
         return Plan("vector", out, VT_F64)
 
     def _le_bucket_eval(self, child_expr, fname: str, apply):
@@ -920,7 +923,7 @@ class PlanBuilder:
         resolve the child to le-labeled bucket streams, broadcast-join the
         (stream_id -> le, series) frame, and run `apply(df, group_cols)`
         per timestamp (and per remaining-label series when more than one
-        exists). Returns (df, multi)."""
+        exists). Returns (df, multi, series_labels)."""
         from tachyon_spark.functions.histogram import le_series_frame
 
         child = self.build(child_expr)
@@ -931,13 +934,13 @@ class PlanBuilder:
                 "(aggregate inputs are a query_range shape — raw aggregates "
                 "collapse time)"
             )
-        le_map, multi = le_series_frame(self.conn.spark, child.streams)
+        le_map, multi, smap = le_series_frame(self.conn.spark, child.streams)
         df = child.df.join(F.broadcast(le_map), "stream_id")
         group_cols = (["__series"] if multi else []) + ["ts"]
         out = apply(df, group_cols)
         if multi:
             out = out.withColumnRenamed("__series", "series")
-        return out, multi
+        return out, multi, smap
 
     def _histogram_agg(self, node: ast.HistogramAgg) -> Plan:
         """histogram_count/sum/avg(buckets): Prometheus 3.x classic-
@@ -947,14 +950,17 @@ class PlanBuilder:
         (functions/histogram.bucket_agg)."""
         from tachyon_spark.functions.histogram import bucket_agg
 
-        out, multi = self._le_bucket_eval(
+        out, multi, smap = self._le_bucket_eval(
             node.child, f"histogram_{node.op}",
             lambda df, group_cols: bucket_agg(
                 df, node.op, group_cols, le_col="__le"
             ),
         )
         if multi:
-            return Plan("grouped", out, VT_F64, group_cols=("series", "ts"))
+            return Plan(
+                "grouped", out, VT_F64, group_cols=("series", "ts"),
+                series_labels=smap,
+            )
         return Plan("vector", out, VT_F64)
 
     def _histogram_fraction(self, node: ast.HistogramFraction) -> Plan:
@@ -962,14 +968,17 @@ class PlanBuilder:
         observation fraction (functions/histogram.bucket_fraction)."""
         from tachyon_spark.functions.histogram import bucket_fraction
 
-        out, multi = self._le_bucket_eval(
+        out, multi, smap = self._le_bucket_eval(
             node.child, "histogram_fraction",
             lambda df, group_cols: bucket_fraction(
                 df, node.lo, node.hi, group_cols, le_col="__le"
             ),
         )
         if multi:
-            return Plan("grouped", out, VT_F64, group_cols=("series", "ts"))
+            return Plan(
+                "grouped", out, VT_F64, group_cols=("series", "ts"),
+                series_labels=smap,
+            )
         return Plan("vector", out, VT_F64)
 
     def _deriv_func(self, node: ast.DerivFunc) -> Plan:

@@ -1150,13 +1150,18 @@ class RangeEvaluator:
                 return Plan("vector", out, VT_F64)
             return Plan("grouped", out, VT_F64, group_cols=tuple(rest))
         if child.kind == "vector" and child.streams:
-            le_map, multi = le_series_frame(self.conn.spark, child.streams)
+            le_map, multi, smap = le_series_frame(
+                self.conn.spark, child.streams
+            )
             df = child.df.join(F.broadcast(le_map), "stream_id")
             group_cols = (["__series"] if multi else []) + ["ts"]
             out = apply(df, group_cols)
             if multi:
                 out = out.withColumnRenamed("__series", "series")
-                return Plan("grouped", out, VT_F64, group_cols=("series", "ts"))
+                return Plan(
+                    "grouped", out, VT_F64, group_cols=("series", "ts"),
+                    series_labels=smap,
+                )
             return Plan("vector", out, VT_F64)
         raise ValueError(
             f"{fname} in query_range needs le-labeled bucket "

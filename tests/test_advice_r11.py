@@ -99,18 +99,28 @@ def test_by_over_without_raw(nested_db):
     ).rows() == [15.0]
 
 
-def test_opaque_composite_without_label_map_raises(nested_db):
-    # histogram bucket composites carry no series -> label map; re-keying
-    # them must fail loudly, not regroup silently (pre-fix behavior)
+def test_aggregate_over_histogram_quantile_rekeys(nested_db):
+    # histogram bucket composites carry the series -> label map too
+    # (le_series_frame), so outer by/without over histogram_quantile
+    # re-keys instead of raising (and never silently regroups).
+    # svc=a: buckets {le1: 1, +Inf: 2} -> q0.5 = 1.0
+    # svc=b: buckets {le1: 3, +Inf: 3} -> q0.5 = 0.5
     make_stream(nested_db, 'hm{le="1",svc="a"}', "u64", [(10, 1)])
     make_stream(nested_db, 'hm{le="+Inf",svc="a"}', "u64", [(10, 2)])
     make_stream(nested_db, 'hm{le="1",svc="b"}', "u64", [(10, 3)])
     make_stream(nested_db, 'hm{le="+Inf",svc="b"}', "u64", [(10, 3)])
-    with pytest.raises(ValueError, match="opaque"):
-        nested_db.query_range(
-            "sum without (svc) (histogram_quantile(0.5, hm))",
-            10, 10, 10, lookback=10,
-        ).rows()
+    q = nested_db.query_range(
+        "sum without (svc) (histogram_quantile(0.5, hm))",
+        10, 10, 10, lookback=10,
+    )
+    got = {(r.series, r.ts): r.value for r in q.df().collect()}
+    assert got == {("", 10): 1.5}
+    q = nested_db.query_range(
+        "max by (svc) (histogram_quantile(0.5, hm))",
+        10, 10, 10, lookback=10,
+    )
+    got = {(r.svc, r.ts): r.value for r in q.df().collect()}
+    assert got == {("a", 10): 1.0, ("b", 10): 0.5}
 
 
 # --- 2. pow(0, -Inf) -------------------------------------------------------
