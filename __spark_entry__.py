@@ -2372,6 +2372,52 @@ def q_promql_grouped_range(spark, sf_dir):
     )
 
 
+def q_nested_without(spark, sf_dir):
+    """Nested without-composition on the grid — the round-11 ADVICE
+    medium fix, driver-gated: composite-keyed grouped children decompose
+    through Plan.series_labels + PlanBuilder._rekey_series (broadcast
+    re-key, one row per GROUP) instead of regrouping the opaque key
+    unchanged (which silently failed to merge) or collapsing to a
+    scalar. Three arms over the shared gm{user,et} fixture: `merge_et` =
+    max without (et) (sum without (user) (gm)) — the outer drop MERGES
+    the two et composites per step; `total` = sum without (user) (sum
+    without (et) (gm)) — per-user partials re-merge to the grand
+    per-step total; `by_et` = avg by (et) (sum without (user) (gm)) —
+    by-over-composite resolves to the real label column."""
+    w12h = 12 * 3600 * 1_000_000
+    w6h = 6 * 3600 * 1_000_000
+    conn = _memo_fixture(
+        spark, sf_dir, "grouped_range",
+        _grouped_range_fixture_build(spark, sf_dir),
+    )
+    args = (T0_US, T1_US, w12h)
+
+    def arm(expr, name, key_col):
+        df = conn.query_range(expr, *args, lookback=w6h).df()
+        return df.select(
+            F.lit(name).alias("arm"),
+            F.col(key_col).alias("key"),
+            F.col("ts").alias("ts_us"),
+            F.round("value", 6).alias("value"),
+        )
+
+    return (
+        arm(
+            "max without (et) (sum without (user) (gm))",
+            "merge_et", "series",
+        )
+        .unionByName(
+            arm(
+                "sum without (user) (sum without (et) (gm))",
+                "total", "series",
+            )
+        )
+        .unionByName(
+            arm("avg by (et) (sum without (user) (gm))", "by_et", "et")
+        )
+    )
+
+
 def q_promql_topk_without(spark, sf_dir):
     """`topk without (user) (1, gm)` end-to-end (round 9: without grouping
     on GetK — plans/builder._getk series-key path): over the per-(user,
@@ -4087,6 +4133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
         "attribution_join": q_attribution_join,
+        "nested_without": q_nested_without,
         "temperature_resample": q_temperature_resample,
         "corr_matrix": q_corr_matrix,
         "lttb_downsample": q_lttb_downsample,
@@ -4954,6 +5001,48 @@ def oracle_sql() -> dict[str, str]:
              AND c.t >= i.t
              AND c.t <= i.t + 24 * 3600000000
             WHERE i.t <= (SELECT c FROM cut)
+        """,
+        "nested_without": f"""
+            -- nested without-composition replay: per-(et, user) instants
+            -- on the 12h grid, inner sums per et (drop user) / per user
+            -- (drop et), then the outer merge per step
+            WITH s AS (
+              SELECT event_type, user_id, epoch_us(ts) AS t,
+                     avg(value) AS value
+              FROM events
+              WHERE event_type IN ('click', 'view')
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT event_type, user_id,
+                     unnest(generate_series({T0_US}, {T1_US}, 43200000000))
+                       AS g
+              FROM (SELECT DISTINCT event_type, user_id FROM s)
+            ),
+            r AS (
+              SELECT grid.event_type, grid.user_id, grid.g,
+                     max_by(s.value, s.t) AS v
+              FROM grid JOIN s
+                ON s.event_type = grid.event_type
+               AND s.user_id = grid.user_id
+               AND s.t <= grid.g AND s.t >= grid.g - 21600000000
+              GROUP BY 1, 2, 3
+            ),
+            su AS (
+              SELECT event_type, g, sum(v) AS v FROM r GROUP BY 1, 2
+            ),
+            se AS (
+              SELECT user_id, g, sum(v) AS v FROM r GROUP BY 1, 2
+            )
+            SELECT 'merge_et' AS arm, '' AS key, g AS ts_us,
+                   round(max(v), 6) AS value
+            FROM su GROUP BY 3
+            UNION ALL
+            SELECT 'total', '', g, round(sum(v), 6) FROM se GROUP BY 3
+            UNION ALL
+            SELECT 'by_et', event_type, g, round(avg(v), 6)
+            FROM su GROUP BY 2, 3
         """,
         "promql_topk_without": f"""
             WITH s AS (

@@ -334,6 +334,8 @@ def main():
         "openmetrics_parse",
         "delete_series_op",
         "promql_misc",
+        # round 11
+        "nested_without",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
