@@ -2418,6 +2418,22 @@ def q_nested_without(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (functions/retrieval.py::bm25_topk, round
+    11 — beyond-reference; the lexical counterpart to the embedding ANN
+    suite): top-15 documents for the query {hash, join, merge} with the
+    classic Robertson idf/tf normalization. Scale shape: per-term df
+    only for the QUERY terms (broadcast), corpus scalars as a broadcast
+    1-row crossJoin, one groupBy(doc_id) over the term-filtered token
+    stream, TakeOrdered top-k. Scores round to 6 decimals BEFORE the
+    ordering so the cut is reproducible across engines and summation
+    orders (ties break by doc_id in both)."""
+    from tachyon_spark.functions.retrieval import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["hash", "join", "merge"], k=15)
+
+
 def q_promql_topk_without(spark, sf_dir):
     """`topk without (user) (1, gm)` end-to-end (round 9: without grouping
     on GetK — plans/builder._getk series-key path): over the per-(user,
@@ -4134,6 +4150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "attribution_join": q_attribution_join,
         "nested_without": q_nested_without,
+        "bm25_topk": q_bm25_topk,
         "temperature_resample": q_temperature_resample,
         "corr_matrix": q_corr_matrix,
         "lttb_downsample": q_lttb_downsample,
@@ -5043,6 +5060,42 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'by_et', event_type, g, round(avg(v), 6)
             FROM su GROUP BY 2, 3
+        """,
+        "bm25_topk": """
+            -- BM25 replay: Robertson idf over query-term dfs, per-doc
+            -- tf normalization by dl/avgdl; round-6 BEFORE ordering so
+            -- the top-k cut matches the engine's (ties break by doc_id)
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split(lower(text), ' '), t -> t != ''
+                     )) AS tok
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM toks
+              WHERE tok IN ('hash', 'join', 'merge') GROUP BY 1, 2
+            ),
+            dfq AS (
+              SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+            ),
+            sc AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+                     ), 6) AS score
+              FROM tf
+              JOIN dfq USING (tok)
+              JOIN dl USING (doc_id)
+              CROSS JOIN st
+              GROUP BY 1
+            )
+            SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 15
         """,
         "promql_topk_without": f"""
             WITH s AS (

@@ -336,6 +336,7 @@ def main():
         "promql_misc",
         # round 11
         "nested_without",
+        "bm25_topk",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

@@ -1,0 +1,68 @@
+"""BM25 lexical retrieval (functions/retrieval.py, round 11)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tachyon_spark.functions.retrieval import bm25_topk
+
+
+def _bm25(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "hash join hash probe build"),
+        (2, "sort merge join spill"),
+        (3, "scan filter project scan"),
+        (4, "hash HASH hash aggregate"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_scores_and_order(corpus):
+    out = bm25_topk(corpus, ["hash"], k=10).collect()
+    # df(hash)=2 (docs 1 and 4 — case-folded), N=4, avgdl=4.25
+    exp1 = _bm25(2, 2, 4, 5, 4.25)
+    exp4 = _bm25(3, 2, 4, 4, 4.25)
+    got = {r.doc_id: r.score for r in out}
+    assert list(got) == [4, 1]  # doc 4 has higher tf and shorter dl
+    assert got[1] == pytest.approx(round(exp1, 6), abs=1e-6)
+    assert got[4] == pytest.approx(round(exp4, 6), abs=1e-6)
+
+
+def test_bm25_multi_term_sums_and_k_cut(corpus):
+    out = bm25_topk(corpus, ["hash", "join"], k=2).collect()
+    # docs 1 (hash+join), 4 (hash), 2 (join) all score; k=2 keeps the top
+    assert len(out) == 2
+    assert out[0].score >= out[1].score
+    assert out[0].doc_id == 1  # both terms hit doc 1
+    # uppercase query terms fold to the same result
+    up = bm25_topk(corpus, ["HASH", "Join"], k=2).collect()
+    assert [(r.doc_id, r.score) for r in up] == [
+        (r.doc_id, r.score) for r in out
+    ]
+
+
+def test_bm25_requires_terms(corpus):
+    with pytest.raises(ValueError, match="query term"):
+        bm25_topk(corpus, [])
+
+
+def test_bm25_plan_is_take_ordered(corpus):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bm25_topk(corpus, ["hash"], k=3).explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""
+    )
