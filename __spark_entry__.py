@@ -2401,21 +2401,25 @@ def q_nested_without(spark, sf_dir):
             F.round("value", 6).alias("value"),
         )
 
-    return (
-        arm(
-            "max without (et) (sum without (user) (gm))",
-            "merge_et", "series",
-        )
-        .unionByName(
-            arm(
-                "sum without (user) (sum without (et) (gm))",
-                "total", "series",
+    # same concurrent-arm shape as q_promql_misc: three independent grid
+    # evaluations, built and evaluated in a pool (bounded arm results)
+    from concurrent.futures import ThreadPoolExecutor
+
+    specs = [
+        ("max without (et) (sum without (user) (gm))", "merge_et", "series"),
+        ("sum without (user) (sum without (et) (gm))", "total", "series"),
+        ("avg by (et) (sum without (user) (gm))", "by_et", "et"),
+    ]
+    with ThreadPoolExecutor(max_workers=len(specs)) as ex:
+        dfs = list(
+            ex.map(
+                lambda s: arm(*s).localCheckpoint(eager=True), specs
             )
         )
-        .unionByName(
-            arm("avg by (et) (sum without (user) (gm))", "by_et", "et")
-        )
-    )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def q_bm25_topk(spark, sf_dir):
