@@ -45,16 +45,28 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("bm25_topk requires at least one query term")
     terms = sorted({t.lower() for t in query_terms})
-    toks = docs.select(
+    # doc length as a NARROW column expression — the full token stream
+    # never shuffles (only query-term hits below reach an exchange)
+    dl = docs.select(
         id_col,
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
-    ).where(F.col("tok") != "")
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("__dl"))
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " "),
+                lambda t: t != "",
+            )
+        ).alias("__dl"),
+    )
     stats = dl.agg(
         F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
     )
     tf = (
-        toks.where(F.col("tok").isin(terms))
+        docs.select(
+            id_col,
+            F.explode(
+                F.split(F.lower(F.col(text_col)), " ")
+            ).alias("tok"),
+        )
+        .where(F.col("tok").isin(terms))
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("__tf"))
     )
