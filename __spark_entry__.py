@@ -1448,6 +1448,51 @@ def q_delete_series_op(spark, sf_dir):
     return out.select(F.col("ts").alias("ts_us"), "value")
 
 
+def q_snapshot_restore(spark, sf_dir):
+    """snapshot end-to-end (round 11; Connection.snapshot — VERDICT r10
+    noted it was pytest-only): a throwaway engine db ingests the hourly
+    click counts, deletes a window (so the snapshot captures a
+    maintenance-swapped tree, the non-trivial case), snapshots, and the
+    gate queries the RE-OPENED SNAPSHOT — a fresh Connection on the
+    snapshot path, proving the copied tree is a valid database. The
+    oracle is the surviving counts straight from events; any partition
+    the copy tears or drops breaks the hash. Exact integers."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+
+    w1h = 3600 * 1_000_000
+    ev = _read(spark, sf_dir, "events")
+    hour_us = (
+        F.expr("ts DIV 3600000000000") * F.lit(3_600_000_000)
+    ).alias("ts")
+    counts = (
+        ev.where(
+            (F.col("event_type") == "click")
+            & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+        )
+        .groupBy(hour_us)
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    work = tempfile.mkdtemp(prefix="ty_snap_")
+    conn = Connection(os.path.join(work, "db"), spark)
+    conn.create_stream("c", "f64")
+    sid = conn.get_all_streams()[0].stream_id
+    conn.bulk_load(
+        counts.select(
+            F.lit(sid).alias("stream_id"), "ts", "value",
+            F.lit(None).cast("long").alias("value_int"),
+        )
+    )
+    n = conn.delete_series("c", T0_US + 50 * w1h, T0_US + 99 * w1h)
+    assert n > 0, "delete window must overlap the fixture"
+    dest = conn.snapshot("gate")
+    restored = Connection(dest, spark)
+    out = restored.query("c", T0_US, T1_US).df()
+    return out.select(F.col("ts").alias("ts_us"), "value")
+
+
 def q_promql_misc(spark, sf_dir):
     """The remaining ungated PromQL features, one exact arm each
     (round 10; exact-integer ce/c fixtures): set operators on the grid
@@ -4155,6 +4200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_join": q_attribution_join,
         "nested_without": q_nested_without,
         "bm25_topk": q_bm25_topk,
+        "snapshot_restore": q_snapshot_restore,
         "temperature_resample": q_temperature_resample,
         "corr_matrix": q_corr_matrix,
         "lttb_downsample": q_lttb_downsample,
@@ -5814,6 +5860,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS et, epoch_us(ts) AS ts_us, value
             FROM events
             WHERE epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+        """,
+        "snapshot_restore": f"""
+            -- the re-opened snapshot must serve exactly the survivors of
+            -- the pre-snapshot ranged delete (same replay as
+            -- delete_series_op — the snapshot adds the copy+reopen hop)
+            WITH hc AS (
+              SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            )
+            SELECT t AS ts_us, v AS value FROM hc
+            WHERE t NOT BETWEEN {T0_US + 50 * 3600 * 1_000_000}
+                            AND {T0_US + 99 * 3600 * 1_000_000}
         """,
         "delete_series_op": f"""
             -- survivors of the ranged delete: hourly click counts with
