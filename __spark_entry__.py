@@ -1383,6 +1383,10 @@ def q_openmetrics_parse(spark, sf_dir):
     double->string rendering round-trips through cast (shortest-repr),
     ts is integral, and the label is the raw event_type — any parser
     defect (grammar, label extraction, numeric spellings) breaks the
+    hash. Round 11: click lines carry an OpenMetrics exemplar suffix
+    (` # {{...}} 0.5`) the parser must STRIP (ADVICE r11 — real scraped
+    exposition includes exemplars); the oracle reads the parquet
+    originals, so an unstripped or over-stripped suffix breaks the
     hash."""
     from tachyon_spark.sources.openmetrics import parse_openmetrics
 
@@ -1394,6 +1398,10 @@ def q_openmetrics_parse(spark, sf_dir):
             F.lit('ev{et="'), F.col("event_type"), F.lit('"} '),
             F.col("value").cast("string"), F.lit(" "),
             F.expr("ts DIV 1000").cast("string"),
+            F.when(
+                F.col("event_type") == "click",
+                F.lit(' # {trace_id="t"} 0.5'),
+            ).otherwise(F.lit("")),
         ).alias("value")
     )
     parsed = parse_openmetrics(lines, ns_clock=False)
