@@ -543,3 +543,94 @@ def test_alert_state_model(spark, steps, for_, keep):
         want[ts] = (active_since, "firing" if firing else "pending")
         last = ts
     assert got == want
+
+
+# ---- nested without/by composition vs a pure-Python model (round 11) ----
+
+_label_val = st.sampled_from(["p", "q"])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    labelings=st.lists(
+        st.tuples(_label_val, _label_val, _label_val),
+        min_size=2, max_size=5, unique=True,
+    ),
+    values=st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=5, max_size=5
+    ),
+    inner_drop=st.sampled_from(["a", "b", "c"]),
+    outer=st.sampled_from(
+        ["without:a", "without:b", "without:c", "by:a", "by:b", "by:c"]
+    ),
+    funcs=st.tuples(
+        st.sampled_from(["sum", "min", "max"]),
+        st.sampled_from(["sum", "min", "max"]),
+    ),
+)
+def test_nested_without_matches_python_model(
+    prop_db, labelings, values, inner_drop, outer, funcs
+):
+    """f2 <outer> (f1 without (inner_drop) (m)) over one instant ==
+    the same two-stage fold in plain Python over the label dicts —
+    the composite decompose/re-key (PlanBuilder._rekey_series) must
+    agree with direct label-set grouping for every clause combination."""
+    import collections
+
+    _counter[0] += 1
+    name = f"nw{_counter[0]}"
+    streams = []
+    for i, (a, b, c) in enumerate(labelings):
+        sel = f'{name}{{a="{a}",b="{b}",c="{c}"}}'
+        prop_db.create_stream(sel, "i64")
+        ins = prop_db.prepare_insert(sel)
+        ins.insert(10, values[i % len(values)])
+        ins.flush()
+        streams.append(({"a": a, "b": b, "c": c},
+                        values[i % len(values)]))
+    f1, f2 = funcs
+    mode, olabel = outer.split(":")
+    expr = (
+        f"{f2} {mode} ({olabel}) "
+        f"({f1} without ({inner_drop}) ({name}))"
+    )
+    if mode == "by" and olabel == inner_drop:
+        # the inner without dropped the label; by() over it must raise
+        # the same not-present error as real-label grouped children
+        with pytest.raises(ValueError, match="not present"):
+            prop_db.query_range(expr, 10, 10, 10, lookback=10).rows()
+        return
+    q = prop_db.query_range(expr, 10, 10, 10, lookback=10)
+    rows = q.df().collect()
+
+    # python model: group by remaining labels, fold f1; re-group, fold f2
+    fold = {"sum": sum, "min": min, "max": max}
+    g1 = collections.defaultdict(list)
+    for labs, v in streams:
+        key = tuple(
+            (k, labs[k]) for k in sorted(labs) if k != inner_drop
+        )
+        g1[key].append(v)
+    stage1 = {k: fold[f1](vs) for k, vs in g1.items()}
+    g2 = collections.defaultdict(list)
+    for key, v in stage1.items():
+        labs = dict(key)
+        if mode == "by":
+            k2 = (labs.get(olabel),)
+        else:
+            k2 = tuple(
+                (k, lv) for k, lv in key if k != olabel
+            )
+        g2[k2].append(v)
+    expect = {k: float(fold[f2](vs)) for k, vs in g2.items()}
+
+    got = {}
+    for r in rows:
+        if mode == "by":
+            got[(r[olabel],)] = float(r.value)
+        else:
+            key = tuple(
+                tuple(p.split("=", 1)) for p in r.series.split(",") if p
+            )
+            got[key] = float(r.value)
+    assert got == expect
