@@ -3798,7 +3798,14 @@ def _memo_fixture(spark, sf_dir, tag, build):
     Correctness runs call each query once and are unaffected."""
     key = (id(spark), sf_dir, tag)
     if key not in _FIXTURE_MEMO:
-        _FIXTURE_MEMO[key] = build()
+        conn = build()
+        # round 11: pin the (tiny, write-once) fixture db's samples in
+        # executor memory — Spark's CacheManager plan-matching turns
+        # every gate's scan of it into an InMemoryTableScan; any
+        # mutation auto-invalidates (Connection.cache_samples)
+        if hasattr(conn, "cache_samples"):
+            conn.cache_samples()
+        _FIXTURE_MEMO[key] = conn
     return _FIXTURE_MEMO[key]
 
 

@@ -338,6 +338,7 @@ class Connection:
         Returns the number of streams deleted."""
         import shutil
 
+        self.uncache_samples()
         self._recover_partial_delete()
         sel = self._parse_selector(selector)
         rows = self.catalog.resolve(sel.name, sel.matchers)
@@ -492,9 +493,39 @@ class Connection:
             raise ValueError(f"selector must resolve to exactly 1 stream, got {len(rows)}")
         return Inserter(self, rows[0].stream_id, rows[0].value_type)
 
+    def cache_samples(self) -> None:
+        """Pin the samples relation in executor memory. Spark's
+        CacheManager matches by logical plan, so EVERY subsequent scan of
+        the samples tree — any query path — becomes an InMemoryTableScan:
+        the opt-in hot cache for repeated-query serving over a bounded
+        dataset (a dashboard db, a continuous-rollup output, a recent
+        hot-bucket snapshot opened as its own Connection). Every samples
+        MUTATION on this Connection (ingest, delete, compaction,
+        retention) invalidates it automatically — a cached relation pins
+        a file list, and serving pre-mutation data would be a stale
+        read; re-call cache_samples() after bulk maintenance if the hot
+        set should stay pinned. At 100 TB you cache a rollup or hot
+        subset, not the raw tree: the budget is executor storage memory
+        and Spark spills/evicts per its MEMORY_AND_DISK policy."""
+        self.uncache_samples()
+        df = self.samples_df()
+        self._samples_cache = df.cache()
+        self._samples_cache.count()  # materialize eagerly
+
+    def uncache_samples(self) -> None:
+        """Drop the cache_samples() pin (no-op when not cached). Called
+        automatically by every samples-mutating operation."""
+        cached = getattr(self, "_samples_cache", None)
+        if cached is not None:
+            try:
+                cached.unpersist()
+            finally:
+                self._samples_cache = None
+
     def _write_samples(self, df: DataFrame, single_stream: bool = False) -> None:
         # One stream's buffer fits one task; bulk loads shuffle by partition
         # dir so each directory is written by one task (big files, sorted).
+        self.uncache_samples()
         if self.stream_buckets:
             df = df.withColumn("stream_bucket", stream_bucket_col(self.stream_buckets))
             part_cols = ["stream_bucket"]

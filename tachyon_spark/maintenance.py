@@ -58,6 +58,7 @@ def compact_partition(conn, part_dir: str, target_files: int = 1) -> int:
     """Rewrite one top-level samples partition into `target_files` sorted
     files (per ts_bucket subdirectory when time-bucketed). Returns the
     number of parquet files before the rewrite."""
+    conn.uncache_samples()
     if not os.path.isdir(part_dir):
         return 0
     n_before = sum(
@@ -146,6 +147,7 @@ def delete_samples(
     Stream metadata stays registered (an empty series is queryable as
     empty, like Prometheus until the next head GC). Returns the number
     of samples deleted."""
+    conn.uncache_samples()
     sel = conn._parse_selector(selector)
     infos = conn.catalog.resolve(sel.name, sel.matchers, getattr(sel, "or_groups", ()))
     ids = sorted(s.stream_id for s in infos)
@@ -216,6 +218,7 @@ def expire_before(conn, cutoff_ts: int) -> int:
     no sample at/after the cutoff is ever removed. Returns dropped dirs."""
     if not conn.time_bucket:
         raise ValueError("retention requires a time-bucketed layout (Connection(time_bucket=N))")
+    conn.uncache_samples()
     cutoff_bucket = cutoff_ts // conn.time_bucket  # buckets < this are fully below
     dropped = 0
     for part in _top_level_partitions(conn):

@@ -216,3 +216,39 @@ def test_delete_series_hash_and_time_bucketed(spark, tmp_path):
         (0, 0.0), (10, 1.0)]
     assert conn.query('h{k="b"}', 0, 10 * DAY).rows() == [
         (0, 100.0), (10, 101.0), (DAY, 110.0), (DAY + 10, 111.0)]
+
+
+def test_cache_samples_invalidation(db, spark):
+    """cache_samples pins the samples relation (InMemoryTableScan in
+    subsequent query plans); EVERY samples mutation — ingest, ranged
+    delete, stream delete — invalidates it, so no query ever serves
+    pre-mutation data (round 11)."""
+    import contextlib
+    import io
+
+    from tests.conftest import make_stream
+
+    make_stream(db, "hot", "f64", [(10, 1.0), (20, 2.0)])
+    db.cache_samples()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        db.query("hot", 0, 100).df().explain("formatted")
+    assert "InMemoryTableScan" in buf.getvalue()
+    # ingest invalidates: new sample must be visible
+    ins = db.prepare_insert("hot")
+    ins.insert(30, 3.0)
+    ins.flush()
+    assert db.query("hot", 0, 100).rows() == [(10, 1.0), (20, 2.0), (30, 3.0)]
+    # ranged delete invalidates
+    db.cache_samples()
+    assert db.delete_series("hot", 20, 20) == 1
+    assert db.query("hot", 0, 100).rows() == [(10, 1.0), (30, 3.0)]
+    # stream delete invalidates
+    db.cache_samples()
+    assert db.delete_stream("hot") == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="[Nn]o streams matched"):
+        db.query("hot", 0, 100).rows()
+    # after invalidation the plan is back to the parquet scan
+    db.uncache_samples()  # idempotent no-op
