@@ -178,3 +178,19 @@ def test_snapshot_roundtrip_after_retry_wrapper(db, spark, tmp_path):
 
     c2 = Connection(dest, spark)
     assert c2.query("snap_m", 0, 10).rows() == [(1, 1.0), (2, 2.0)]
+
+
+def test_aggregate_over_topk_without_rekeys(nested_db):
+    # grouped topk threads the series -> label map too, so an outer
+    # aggregation over `topk without (...)` re-keys instead of raising
+    # (raw mode: the topk rows collapse per outer group)
+    make_stream(nested_db, 'tv{service="web",host="a"}', "f64",
+                [(10, 1.0), (20, 2.0)])
+    make_stream(nested_db, 'tv{service="web",host="b"}', "f64", [(10, 3.0)])
+    make_stream(nested_db, 'tv{service="api",host="a"}', "f64", [(10, 5.0)])
+    q = nested_db.query(
+        "sum without (host) (topk without (service) (1, tv))", 0, 100
+    )
+    got = {r.series: r.value for r in q.df().collect()}
+    # per-host best: a -> 5.0 (api), b -> 3.0; outer merge drops host
+    assert got == {"": 8.0}
