@@ -1501,6 +1501,60 @@ def q_snapshot_restore(spark, sf_dir):
     return out.select(F.col("ts").alias("ts_us"), "value")
 
 
+def q_maintenance_lifecycle(spark, sf_dir):
+    """Compaction + retention end-to-end (round 11; maintenance.
+    compact_all / expire_before — the last two maintenance ops without a
+    driver gate): a throwaway TIME-BUCKETED db ingests the hourly click
+    counts in three separate bulk loads (many small files per
+    partition), compacts every partition (must preserve data exactly),
+    then retention-drops the ts_bucket days fully below T0+240h
+    (metadata-only rmdir — T0 is midnight-aligned so the cutoff is a
+    bucket boundary). The gate reads back what survived; the oracle is
+    the hourly counts at/after the cutoff. Any compaction data loss,
+    re-sort corruption, or retention off-by-one-bucket breaks the
+    hash."""
+    import os
+    import tempfile
+
+    from tachyon_spark import maintenance as M
+    from tachyon_spark.connection import Connection
+
+    w1h = 3600 * 1_000_000
+    day_us = 24 * w1h
+    ev = _read(spark, sf_dir, "events")
+    hour_us = (
+        F.expr("ts DIV 3600000000000") * F.lit(3_600_000_000)
+    ).alias("ts")
+    counts = (
+        ev.where(
+            (F.col("event_type") == "click")
+            & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+        )
+        .groupBy(hour_us)
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    work = tempfile.mkdtemp(prefix="ty_maintlc_")
+    conn = Connection(os.path.join(work, "db"), spark, time_bucket=day_us)
+    conn.create_stream("c", "f64")
+    sid = conn.get_all_streams()[0].stream_id
+    rows = counts.select(
+        F.lit(sid).alias("stream_id"), "ts", "value",
+        F.lit(None).cast("long").alias("value_int"),
+    )
+    # three loads -> several files per (bucket, day) partition
+    span = (T1_US - T0_US) // 3
+    for k in range(3):
+        lo, hi = T0_US + k * span, T0_US + (k + 1) * span
+        conn.bulk_load(rows.where((F.col("ts") >= lo) & (F.col("ts") < hi)))
+    conn.bulk_load(rows.where(F.col("ts") >= T0_US + 3 * span))
+    before = M.compact_all(conn)
+    assert sum(before.values()) > len(before), "fixture must be fragmented"
+    dropped = M.expire_before(conn, T0_US + 240 * w1h)
+    assert dropped > 0, "retention must drop full days below the cutoff"
+    out = conn.query("c", T0_US, T1_US).df()
+    return out.select(F.col("ts").alias("ts_us"), "value")
+
+
 def q_promql_misc(spark, sf_dir):
     """The remaining ungated PromQL features, one exact arm each
     (round 10; exact-integer ce/c fixtures): set operators on the grid
@@ -4216,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_without": q_nested_without,
         "bm25_topk": q_bm25_topk,
         "snapshot_restore": q_snapshot_restore,
+        "maintenance_lifecycle": q_maintenance_lifecycle,
         "temperature_resample": q_temperature_resample,
         "corr_matrix": q_corr_matrix,
         "lttb_downsample": q_lttb_downsample,
@@ -5875,6 +5930,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS et, epoch_us(ts) AS ts_us, value
             FROM events
             WHERE epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+        """,
+        "maintenance_lifecycle": f"""
+            -- compaction preserves data exactly; retention drops whole
+            -- day buckets strictly below the midnight-aligned cutoff
+            WITH hc AS (
+              SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            )
+            SELECT t AS ts_us, v AS value FROM hc
+            WHERE t >= {T0_US + 240 * 3600 * 1_000_000}
         """,
         "snapshot_restore": f"""
             -- the re-opened snapshot must serve exactly the survivors of
