@@ -26,6 +26,18 @@ DOC = """    # Staleness-first rotation (VERDICT r9 item 1): the driver gates th
 """
 
 
+def _regate(src: str) -> dict[str, int]:
+    """Parse the module-level REGATE marker dict (gate-semantics changes
+    that void older driver rows) without importing pyspark."""
+    m = re.search(r"^REGATE: dict\[str, int\] = \{(.*?)^\}", src, re.S | re.M)
+    if m is None:
+        return {}
+    return {
+        k: int(r)
+        for k, r in re.findall(r'"([a-z0-9_]+)": (\d+),', m.group(1))
+    }
+
+
 def main() -> int:
     last: dict[str, int] = {}
     passed: dict[str, bool] = {}
@@ -36,6 +48,11 @@ def main() -> int:
             passed[k] = bool(v.get("hash_match") or v.get("rows_match"))
 
     src = open(REGISTRY).read()
+    # a gate whose semantics changed after round R is unproven by rows <= R
+    for k, r in _regate(src).items():
+        if last.get(k, 0) <= r:
+            last.pop(k, None)
+            passed.pop(k, None)
     m = re.search(
         r"(def queries\(\) -> dict\[str, Callable\[\[SparkSession, str\], "
         r"DataFrame\]\]:\n)(.*?\n    return \{\n)(.*?)(\n    \}\n)",
