@@ -433,6 +433,25 @@ class Connection:
         stage = dest + ".tmp"
         shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage)
+        def _copy_tree(src: str, out: str) -> None:
+            # file-by-file walk instead of shutil.copytree: copytree
+            # aggregates per-file failures into shutil.Error, which would
+            # slip past the FileNotFoundError retry below. os.walk's
+            # default is to SKIP unreadable dirs silently (a torn
+            # snapshot, no retry) — onerror re-raises instead.
+            def _raise(e: OSError) -> None:
+                raise e
+
+            os.makedirs(out, exist_ok=True)
+            for root, dirs, files in os.walk(src, onerror=_raise):
+                base = os.path.join(out, os.path.relpath(root, src))
+                for d in dirs:
+                    os.makedirs(os.path.join(base, d), exist_ok=True)
+                for f in files:
+                    shutil.copy2(
+                        os.path.join(root, f), os.path.join(base, f)
+                    )
+
         for part in ("catalog", "catalog.json", "samples"):
             src = os.path.join(self.db_dir, part)
             for attempt in range(3):
@@ -440,7 +459,7 @@ class Connection:
                     if os.path.isdir(src):
                         out = os.path.join(stage, part)
                         shutil.rmtree(out, ignore_errors=True)
-                        shutil.copytree(src, out)
+                        _copy_tree(src, out)
                     elif os.path.isfile(src):
                         shutil.copy2(src, os.path.join(stage, part))
                     break

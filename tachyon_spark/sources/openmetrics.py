@@ -42,6 +42,15 @@ from pyspark.sql import functions as F
 # one exposition sample line: name, optional {labels}, value, optional ts
 _LINE_RE = r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(\{.*\})?\s+(\S+)(?:\s+(\S+))?\s*$"
 _PAIR_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"'
+# exemplar suffix detector: group 1 is a COMPLETE sample (name, optional
+# QUOTE-AWARE label block — ' # {' inside a label value is legal exposition
+# and must not look like an exemplar separator — value, optional ts)
+# followed by the ' # {...}' exemplar. No match -> the line has no exemplar.
+_EXEMPLAR_RE = (
+    r'^([a-zA-Z_:][a-zA-Z0-9_:]*'
+    r'(?:\{(?:[^"]|"(?:[^"\\]|\\.)*")*\})?'
+    r'\s+\S+(?:\s+\S+)?)\s+#\s+\{.*$'
+)
 
 
 def _unescape(col):
@@ -80,8 +89,12 @@ def parse_openmetrics(
     # OpenMetrics exemplars (`name 1 2 # {trace_id="x"} 0.5 [ts]`) are
     # valid exposition — strip the ` # {...}...` suffix (spec separator
     # is " # ") rather than FAILFAST-aborting real scraped payloads;
-    # exemplar data itself is out of the sample model.
-    ln = F.regexp_replace(raw, r"\s+#\s+\{.*$", "")
+    # exemplar data itself is out of the sample model. The strip is
+    # quote-aware: it fires only when a COMPLETE sample precedes the
+    # separator, so a label value legally containing ' # {' (only \\, ",
+    # \n need escaping in exposition) is left intact.
+    sample = F.regexp_extract(raw, _EXEMPLAR_RE, 1)
+    ln = F.when(sample != "", sample).otherwise(raw)
     rows = lines.where(
         (F.length(F.trim(raw)) > 0) & ~F.trim(raw).startswith("#")
     ).select(
