@@ -1562,6 +1562,64 @@ def q_maintenance_lifecycle(spark, sf_dir):
     return out.select(F.col("ts").alias("ts_us"), "value")
 
 
+def q_cached_read_invalidation(spark, sf_dir):
+    """Hot-cache coherence end-to-end (round 12; Connection.cache_samples
+    — VERDICT r11 item 8: the invalidation-on-mutation contract was
+    pytest-only). A throwaway db ingests the hourly click counts, pins
+    the samples relation with cache_samples() and takes one READ THROUGH
+    THE CACHE (asserted: InMemoryRelation on the read's plan), then
+    mutates TWICE without re-pinning — delete_series over [T0+50h,
+    T0+99h] (the maintenance write path) and a single-point Inserter
+    flush of a sentinel inside the deleted window (the ingest write
+    path) — and returns the post-mutation read. A cache serving the
+    pinned pre-mutation file list (stale read) would return the deleted
+    hours and miss the sentinel, breaking the hash. Exact integers;
+    oracle = survivors UNION ALL the sentinel row."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+
+    w1h = 3600 * 1_000_000
+    ev = _read(spark, sf_dir, "events")
+    hour_us = (
+        F.expr("ts DIV 3600000000000") * F.lit(3_600_000_000)
+    ).alias("ts")
+    counts = (
+        ev.where(
+            (F.col("event_type") == "click")
+            & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+        )
+        .groupBy(hour_us)
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    work = tempfile.mkdtemp(prefix="ty_cache_")
+    conn = Connection(os.path.join(work, "db"), spark)
+    conn.create_stream("c", "f64")
+    sid = conn.get_all_streams()[0].stream_id
+    conn.bulk_load(
+        counts.select(
+            F.lit(sid).alias("stream_id"), "ts", "value",
+            F.lit(None).cast("long").alias("value_int"),
+        )
+    )
+    conn.cache_samples()
+    warm = conn.query("c", T0_US, T1_US).df()
+    plan = warm._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan, (
+        "cache_samples must put the pinned relation on the read path — "
+        "otherwise this gate tests nothing"
+    )
+    assert not warm.isEmpty(), "cached warm read must be non-empty"
+    n = conn.delete_series("c", T0_US + 50 * w1h, T0_US + 99 * w1h)
+    assert n > 0, "delete window must overlap the fixture"
+    ins = conn.prepare_insert("c")
+    ins.insert(T0_US + 75 * w1h, 123456.0)
+    ins.flush()
+    out = conn.query("c", T0_US, T1_US).df()
+    return out.select(F.col("ts").alias("ts_us"), "value")
+
+
 def q_promql_misc(spark, sf_dir):
     """The remaining ungated PromQL features, one exact arm each
     (round 10; exact-integer ce/c fixtures): set operators on the grid
@@ -3981,24 +4039,57 @@ def q_knn_graph(spark, sf_dir):
 KNN_PLANES = 6
 
 
-def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: documents→binary payloads→mapInPandas feature
-    extraction (functions/multimodal.py). The fake decode is sha256-digest
-    deterministic, so the DuckDB oracle replays it exactly (incl. the
-    float32 rounding of each feature element)."""
-    from tachyon_spark.functions.multimodal import extract_features, media_from_documents
+def q_media_pipeline(spark, sf_dir):
+    """All three multimodal plumbing kernels in ONE gate (round 12;
+    VERDICT r11 item 4 — the media-decode variants share one mapInPandas
+    kernel family, so merging keeps the registry at ≤150 and the 50-row
+    driver window on a 2-round re-gate cycle). Arms: binary feature
+    extraction (was media_features), video frame sampling with row
+    explosion (was media_frames), image resize payload rewrite (was
+    media_resize) — each a distinct Arrow-batched mapInPandas shape over
+    functions/multimodal.py. The fake decodes are sha256-deterministic
+    so DuckDB replays every arm exactly; arms union into one tall frame
+    with -1/-1.0 sentinels instead of NULLs (dtype-stable through the
+    driver's pandas hash)."""
+    from tachyon_spark.functions.multimodal import (
+        extract_features,
+        media_from_documents,
+        resize_images,
+        sample_frames,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    media = media_from_documents(docs)
-    feats = extract_features(media)
-    return feats.select(
+    feats = extract_features(media_from_documents(docs)).select(
+        F.lit("features").alias("arm"),
         "content_id",
-        "n_bytes",
-        "sha256",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
-            "feature_sum"
-        ),
+        F.col("n_bytes").cast("long").alias("n1"),
+        F.lit(-1).cast("long").alias("n2"),
+        F.col("sha256").alias("sha"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("x"),
     )
+    frames = sample_frames(
+        media_from_documents(docs, modality="video"), every_ms=1000
+    ).select(
+        F.lit("frames").alias("arm"),
+        "content_id",
+        F.col("frame_idx").cast("long").alias("n1"),
+        F.col("frame_ts_ms").cast("long").alias("n2"),
+        F.lower(F.hex("frame")).alias("sha"),
+        F.lit(-1.0).cast("double").alias("x"),
+    )
+    resized = resize_images(
+        media_from_documents(docs, modality="image"), 64, 64
+    ).select(
+        F.lit("resize").alias("arm"),
+        "content_id",
+        F.lit(-1).cast("long").alias("n1"),
+        F.lit(-1).cast("long").alias("n2"),
+        F.lower(F.hex("payload")).alias("sha"),
+        F.lit(-1.0).cast("double").alias("x"),
+    )
+    return feats.unionByName(frames).unionByName(resized)
 
 
 def q_clean_corpus_stats(spark, sf_dir):
@@ -4025,34 +4116,6 @@ def q_clean_corpus_stats(spark, sf_dir):
             F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
         )
     )
-
-
-def q_media_frames(spark, sf_dir):
-    """Video frame-sampling plumbing (functions/multimodal.sample_frames):
-    row explosion inside mapInPandas — one output row per sampled frame.
-    The fake frame digest (sha256(payload + str(idx))) replays in SQL."""
-    from tachyon_spark.functions.multimodal import media_from_documents, sample_frames
-
-    docs = _read(spark, sf_dir, "documents")
-    media = media_from_documents(docs, modality="video")
-    frames = sample_frames(media, every_ms=1000)
-    return frames.select(
-        "content_id",
-        "frame_idx",
-        "frame_ts_ms",
-        F.lower(F.hex("frame")).alias("frame_sha"),
-    )
-
-
-def q_media_resize(spark, sf_dir):
-    """Image resize plumbing (functions/multimodal.resize_images): batched
-    payload rewrite; fake kernel digest replays in SQL."""
-    from tachyon_spark.functions.multimodal import media_from_documents, resize_images
-
-    docs = _read(spark, sf_dir, "documents")
-    media = media_from_documents(docs, modality="image")
-    out = resize_images(media, 64, 64)
-    return out.select("content_id", F.lower(F.hex("payload")).alias("resized_sha"))
 
 
 def q_text_stats(spark, sf_dir):
@@ -4287,7 +4350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row goes stale. Regenerate each round with
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
+        "cached_read_invalidation": q_cached_read_invalidation,
         "maintenance_lifecycle": q_maintenance_lifecycle,
+        "media_pipeline": q_media_pipeline,
         "cusum_drift": q_cusum_drift,
         "token_counts_by_source": q_token_counts_by_source,
         "lang_id": q_lang_id,
@@ -4296,9 +4361,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
-        "media_features": q_media_features,
-        "media_frames": q_media_frames,
-        "media_resize": q_media_resize,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5968,6 +6030,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT t AS ts_us, v AS value FROM hc
             WHERE t >= {T0_US + 120 * 3600 * 1_000_000}
         """,
+        "cached_read_invalidation": f"""
+            -- post-mutation truth: the ranged delete's survivors plus the
+            -- sentinel point inserted after the cache pin; a stale cached
+            -- read would show the deleted hours and miss the sentinel
+            WITH hc AS (
+              SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            )
+            SELECT t AS ts_us, v AS value FROM hc
+            WHERE t NOT BETWEEN {T0_US + 50 * 3600 * 1_000_000}
+                            AND {T0_US + 99 * 3600 * 1_000_000}
+            UNION ALL
+            SELECT {T0_US + 75 * 3600 * 1_000_000} AS ts_us,
+                   123456.0 AS value
+        """,
         "snapshot_restore": f"""
             -- the re-opened snapshot must serve exactly the survivors of
             -- the pre-snapshot ranged delete (same replay as
@@ -6617,22 +6698,29 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann_ivf": _IVF_SQL,
         "embedding_near_dup": _near_dup_sql(),
         "semantic_decontaminate": _semantic_decon_sql(),
-        "media_features": _MEDIA_SQL,
-        "media_frames": """
+        "media_pipeline": f"""
+            -- three multimodal kernels, one tall frame (arms share the
+            -- sha256-deterministic fake decodes); -1/-1.0 sentinels keep
+            -- every column non-null and dtype-stable through pandas
+            SELECT 'features' AS arm, content_id, n_bytes AS n1,
+                   CAST(-1 AS BIGINT) AS n2, sha256 AS sha, feature_sum AS x
+            FROM ({_MEDIA_SQL})
+            UNION ALL
             -- duration_ms = length(text)*10; frames every 1000ms, min 1
-            WITH v AS (
+            SELECT 'frames' AS arm, content_id,
+                   CAST(i AS BIGINT) AS n1, i * 1000 AS n2,
+                   sha256(text || CAST(i AS VARCHAR)) AS sha,
+                   CAST(-1.0 AS DOUBLE) AS x
+            FROM (
               SELECT CAST(doc_id AS VARCHAR) AS content_id, text,
                      CAST(length(text) AS BIGINT) * 10 AS dur
               FROM documents
-            )
-            SELECT content_id, CAST(i AS INTEGER) AS frame_idx,
-                   i * 1000 AS frame_ts_ms,
-                   sha256(text || CAST(i AS VARCHAR)) AS frame_sha
-            FROM v, unnest(range(greatest(dur // 1000, 1))) AS t(i)
-        """,
-        "media_resize": """
-            SELECT CAST(doc_id AS VARCHAR) AS content_id,
-                   sha256(text || '64x64') AS resized_sha
+            ), unnest(range(greatest(dur // 1000, 1))) AS t(i)
+            UNION ALL
+            SELECT 'resize' AS arm, CAST(doc_id AS VARCHAR) AS content_id,
+                   CAST(-1 AS BIGINT) AS n1, CAST(-1 AS BIGINT) AS n2,
+                   sha256(text || '64x64') AS sha,
+                   CAST(-1.0 AS DOUBLE) AS x
             FROM documents
         """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",

@@ -101,6 +101,55 @@ def bench_bucketed_layout(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_hot_cache(spark, sf_dir: str) -> dict[str, float]:
+    """Payoff + regression tripwire for Connection.cache_samples (the r11
+    opt-in hot cache): the same bounded repeated-serving query — a
+    one-stream range scan + aggregate, the dashboard shape the cache
+    exists for — timed against the parquet tree vs the pinned
+    InMemoryRelation. Both readings are best-of-3 warm runs, so the
+    delta is cache vs scan, not codegen warmup."""
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.operators.select import select_range
+
+    work = tempfile.mkdtemp(prefix="bench_hotcache_")
+    samples = entrymod._read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stream_id"),
+        F.expr("ts DIV 1000").alias("ts"),
+        F.col("value"),
+        F.lit(None).cast("long").alias("value_int"),
+    )
+    conn = Connection(os.path.join(work, "db"), spark)
+    conn.bulk_load(samples)
+    lo, hi = samples.agg(F.min("ts"), F.max("ts")).head()
+
+    def serve():
+        df = select_range(
+            conn.samples_df(), None, lo, hi, time_bucket=conn.time_bucket
+        )
+        (
+            df.where(F.col("stream_id") == "click")
+            .agg(F.count("*"), F.sum("value"), F.avg("value"))
+            .collect()
+        )
+
+    out: dict[str, float] = {}
+    for label, prep in (
+        ("serve_scan_uncached", None),
+        ("serve_scan_cached", conn.cache_samples),
+    ):
+        if prep is not None:
+            prep()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            serve()
+            best = min(best, time.time() - t0)
+        out[label] = round(best, 3)
+    conn.uncache_samples()
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
     """Second scale point (VERDICT r2 item 6): replicate the hot tables 10x
     (distinct id spaces, identical timestamps so time-window predicates
@@ -253,7 +302,7 @@ def main():
         "lang_id",
         "token_count_bpe",
         "clean_corpus_stats",
-        "media_frames",
+        "media_pipeline",
         "repetition_score",
         "agg_stddev",
         "media_real_decode",
@@ -337,6 +386,8 @@ def main():
         # round 11
         "nested_without",
         "bm25_topk",
+        # round 12
+        "cached_read_invalidation",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings
@@ -376,6 +427,7 @@ def main():
 
     results["ingest_parquet"] = round(bench_ingest(spark, sf_dir), 3)
     results.update(bench_bucketed_layout(spark, sf_dir))
+    results.update(bench_hot_cache(spark, sf_dir))
 
     # second scale point: 10x-replicated tables, representative subset
     # (skippable for quick iteration: SPARK_GRAFT_SKIP_10X=1)
