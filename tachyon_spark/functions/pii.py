@@ -46,15 +46,28 @@ def scrub_pii(
     redactions), so every match is counted by exactly one category even
     where patterns overlap (an SSN is phone-shaped; it counts as SSN
     only, because the phone stage runs on SSN-redacted text)."""
-    clean = F.col(text_col)
+    text = F.col(text_col)
+    # Exact-semantics prechecks (r12, VERDICT r11 item 7): every category
+    # needs '@' (email) or a digit (ip/ssn/phone) to match at all, and the
+    # placeholders introduce neither, so rows failing the cheap containment
+    # test skip the expensive pattern entirely (Catalyst's If evaluates
+    # branches lazily per row). Counts use regexp_count — same
+    # non-overlapping match count as size(regexp_extract_all) without
+    # materializing the match array.
+    has_at = text.contains("@")
+    has_digit = text.rlike("[0-9]")
+    clean = text
     counts = []
     for name, pat, repl in PII_PATTERNS:
+        guard = has_at if name == "email" else has_digit
         counts.append(
-            F.size(F.regexp_extract_all(clean, F.lit(pat), F.lit(0))).alias(
-                f"n_{name}"
-            )
+            F.when(guard, F.regexp_count(clean, F.lit(pat)))
+            .otherwise(F.lit(0))
+            .alias(f"n_{name}")
         )
-        clean = F.regexp_replace(clean, pat, repl)
+        clean = F.when(
+            guard, F.regexp_replace(clean, pat, repl)
+        ).otherwise(clean)
     return df.select(F.col(id_col), *counts, clean.alias("clean"))
 
 
@@ -65,12 +78,19 @@ def pii_density(
     document whose PII density is high is usually a directory dump or a
     leak, not prose. Whitespace token count matches textstats."""
     text = F.col(text_col)
+    has_at = text.contains("@")
+    has_digit = text.rlike("[0-9]")
     clean = text
     n_pii = None
-    for _, pat, repl in PII_PATTERNS:
-        c = F.size(F.regexp_extract_all(clean, F.lit(pat), F.lit(0)))
+    for name, pat, repl in PII_PATTERNS:
+        guard = has_at if name == "email" else has_digit
+        c = F.when(guard, F.regexp_count(clean, F.lit(pat))).otherwise(
+            F.lit(0)
+        )
         n_pii = c if n_pii is None else n_pii + c
-        clean = F.regexp_replace(clean, pat, repl)  # staged, like scrub_pii
+        clean = F.when(  # staged, like scrub_pii
+            guard, F.regexp_replace(clean, pat, repl)
+        ).otherwise(clean)
     n_tok = F.size(F.split(text, " "))
     # single narrow projection — no join, no shuffle
     return df.select(

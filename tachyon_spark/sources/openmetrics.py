@@ -83,8 +83,13 @@ def parse_openmetrics(
     """Parse a DataFrame of exposition text lines (column `value`, the
     spark.read.text shape) into (name, labels: map<string,string>,
     series_key, ts: long, value: double) rows. Malformed non-comment
-    lines raise (FAILFAST contract, like CSV import) — surfaced as an
-    ANSI cast error on the value column."""
+    lines raise (FAILFAST contract, like CSV import) — surfaced AT THE
+    FIRST ACTION as a raise_error on the name column (carrying the
+    offending line) or an ANSI cast error on the value column. The check
+    rides the parse expression itself (r12): the old eager existence
+    probe was a second full parse pass of every healthy file — the
+    module's whole point is parsing multi-GB scrape dumps at scan speed,
+    once."""
     raw = F.col("value")
     # OpenMetrics exemplars (`name 1 2 # {trace_id="x"} 0.5 [ts]`) are
     # valid exposition — strip the ` # {...}...` suffix (spec separator
@@ -95,23 +100,23 @@ def parse_openmetrics(
     # \n need escaping in exposition) is left intact.
     sample = F.regexp_extract(raw, _EXEMPLAR_RE, 1)
     ln = F.when(sample != "", sample).otherwise(raw)
+    name_raw = F.regexp_extract(ln, _LINE_RE, 1)
+    # FAILFAST without a probe pass: an empty extract on a non-comment
+    # line raises in-expression, naming the offending line
+    name_checked = F.when(name_raw != "", name_raw).otherwise(
+        F.raise_error(
+            F.concat(F.lit("unparseable OpenMetrics line: "), raw)
+        )
+    )
     rows = lines.where(
         (F.length(F.trim(raw)) > 0) & ~F.trim(raw).startswith("#")
     ).select(
-        F.regexp_extract(ln, _LINE_RE, 1).alias("name"),
+        name_checked.alias("name"),
         F.regexp_extract(ln, _LINE_RE, 2).alias("__labels"),
         F.regexp_extract(ln, _LINE_RE, 3).alias("__val"),
         F.regexp_extract(ln, _LINE_RE, 4).alias("__ts"),
         raw.alias("__line"),
     )
-    bad = rows.where(F.col("name") == "")
-    # FAILFAST: one cheap existence probe (limit 1 -> at most one row to
-    # the driver), not a full-count pass
-    bad_row = bad.select("__line").limit(1).collect()
-    if bad_row:
-        raise ValueError(
-            f"unparseable OpenMetrics line: {bad_row[0][0]!r}"
-        )
     pairs = F.regexp_extract_all(F.col("__labels"), F.lit(_PAIR_RE), 0)
     labels = F.map_from_arrays(
         F.transform(pairs, lambda p: F.regexp_extract(p, _PAIR_RE, 1)),
@@ -165,13 +170,22 @@ def ingest_openmetrics(
         lines = conn.spark.read.text(source)
     parsed = parse_openmetrics(lines, ns_clock, default_ts).cache()
     try:
-        # bounded metadata collect: distinct series, not samples
-        series = {
-            r["series_key"]: (r["name"], r["labels"])
-            for r in parsed.select("series_key", "name", "labels")
-            .dropDuplicates(["series_key"])
-            .collect()
-        }
+        # bounded metadata collect: distinct series, not samples. This is
+        # the first action, so the parser's in-expression FAILFAST fires
+        # here — translate it back to the documented ValueError.
+        try:
+            series = {
+                r["series_key"]: (r["name"], r["labels"])
+                for r in parsed.select("series_key", "name", "labels")
+                .dropDuplicates(["series_key"])
+                .collect()
+            }
+        except Exception as e:
+            msg = str(e)
+            if "unparseable OpenMetrics line" in msg:
+                start = msg.index("unparseable OpenMetrics line")
+                raise ValueError(msg[start:].splitlines()[0]) from None
+            raise
         from tachyon_spark.types import is_integer
 
         existing: dict[str, tuple[str, bool]] = {}

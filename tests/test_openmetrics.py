@@ -73,8 +73,16 @@ def test_parse_seconds_clock_scales_to_ns(spark):
 
 
 def test_parse_failfast_on_garbage(spark):
-    with pytest.raises(ValueError, match="unparseable OpenMetrics line"):
+    # the check rides the parse expression (no probe pass), so a direct
+    # collect surfaces Spark's raise_error exception at action time
+    with pytest.raises(Exception, match="unparseable OpenMetrics line"):
         parse_openmetrics(_lines(spark, "}}no{{ 1 2\n")).collect()
+
+
+def test_ingest_failfast_raises_valueerror(db):
+    # the ingest path keeps the documented ValueError contract
+    with pytest.raises(ValueError, match="unparseable OpenMetrics line"):
+        ingest_openmetrics(db, "}}no{{ 1 2\nok_metric 1 2\n", ns_clock=False)
 
 
 def test_series_identity_ignores_label_order(spark):
