@@ -53,10 +53,16 @@ def test_registry_rotation_not_lapsed():
     window = set(keys[:WINDOW])
     # the achievable bound: with staleness-first rotation every round, an
     # entry re-gates every ceil(N/50) rounds, so an entry outside the
-    # UPCOMING window may be at most cycle-1 rounds old (with 150 entries
-    # that is 2 rounds; growing the registry stretches it — the check
-    # tracks the bound instead of hard-coding it so adding queries can
-    # never make the invariant unsatisfiable)
+    # UPCOMING window may be at most cycle-1 rounds old. POLICY
+    # (COVERAGE.md "Staleness-bound policy"): the registry is held at
+    # <=150 entries so the bound stays at 2 rounds; growth above 150
+    # requires merging near-duplicate gates first. The check still
+    # computes the bound from N so a deliberate policy change can't make
+    # the invariant unsatisfiable.
+    assert len(keys) <= 150, (
+        f"registry has {len(keys)} entries — policy caps it at 150 "
+        "(merge near-duplicate gates; see COVERAGE.md staleness policy)"
+    )
     cycle = max(2, math.ceil(len(keys) / WINDOW))
     floor_round = n - (cycle - 1)
     stale = [
