@@ -56,13 +56,16 @@ def scrub_pii(
     # materializing the match array.
     has_at = text.contains("@")
     has_digit = text.rlike("[0-9]")
+    # NULL text keeps NULL counts (matching size(regexp_extract_all(NULL))
+    # and the oracle's len(regexp_extract_all(NULL)) — both NULL)
+    zero = F.when(text.isNull(), F.lit(None).cast("int")).otherwise(F.lit(0))
     clean = text
     counts = []
     for name, pat, repl in PII_PATTERNS:
         guard = has_at if name == "email" else has_digit
         counts.append(
             F.when(guard, F.regexp_count(clean, F.lit(pat)))
-            .otherwise(F.lit(0))
+            .otherwise(zero)
             .alias(f"n_{name}")
         )
         clean = F.when(
@@ -80,13 +83,12 @@ def pii_density(
     text = F.col(text_col)
     has_at = text.contains("@")
     has_digit = text.rlike("[0-9]")
+    zero = F.when(text.isNull(), F.lit(None).cast("int")).otherwise(F.lit(0))
     clean = text
     n_pii = None
     for name, pat, repl in PII_PATTERNS:
         guard = has_at if name == "email" else has_digit
-        c = F.when(guard, F.regexp_count(clean, F.lit(pat))).otherwise(
-            F.lit(0)
-        )
+        c = F.when(guard, F.regexp_count(clean, F.lit(pat))).otherwise(zero)
         n_pii = c if n_pii is None else n_pii + c
         clean = F.when(  # staged, like scrub_pii
             guard, F.regexp_replace(clean, pat, repl)

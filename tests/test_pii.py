@@ -49,3 +49,20 @@ def test_density(corpus):
 def test_plan_is_narrow(corpus):
     plan = scrub_pii(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection, no shuffle
+
+
+def test_guards_preserve_null_and_tricky_rows(spark):
+    # the r12 containment prechecks must not change semantics: NULL text
+    # keeps NULL counts/clean (size(regexp_extract_all(NULL)) is NULL),
+    # digit-bearing text with no PII still counts 0, and '@' with no
+    # valid email counts 0 but still runs the pattern
+    rows = [(1, None), (2, "version 2 of chapter 7"), (3, "not@anemail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["n_email"] is None and out[1]["clean"] is None
+    assert out[1]["n_phone"] is None
+    assert out[2]["n_phone"] == 0 and out[2]["clean"] == "version 2 of chapter 7"
+    assert out[3]["n_email"] == 0  # no TLD -> pattern ran, no match
+    d = {r["doc_id"]: r for r in pii_density(df).collect()}
+    assert d[1]["n_pii"] is None
+    assert d[2]["n_pii"] == 0
