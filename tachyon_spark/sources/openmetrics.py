@@ -46,9 +46,13 @@ _PAIR_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"'
 # QUOTE-AWARE label block — ' # {' inside a label value is legal exposition
 # and must not look like an exemplar separator — value, optional ts)
 # followed by the ' # {...}' exemplar. No match -> the line has no exemplar.
+# The block's unquoted char class excludes '}' as well as '"': legal
+# exposition has no unquoted '}' inside the block except the terminator,
+# and the exclusion makes the block end deterministic (single linear scan,
+# no O(n^2) backtracking over '}'-dense adversarial lines).
 _EXEMPLAR_RE = (
     r'^([a-zA-Z_:][a-zA-Z0-9_:]*'
-    r'(?:\{(?:[^"]|"(?:[^"\\]|\\.)*")*\})?'
+    r'(?:\{(?:[^"}]|"(?:[^"\\]|\\.)*")*\})?'
     r'\s+\S+(?:\s+\S+)?)\s+#\s+\{.*$'
 )
 
