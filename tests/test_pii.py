@@ -52,10 +52,10 @@ def test_plan_is_narrow(corpus):
 
 
 def test_guards_preserve_null_and_tricky_rows(spark):
-    # the r12 containment prechecks must not change semantics: NULL text
-    # keeps NULL counts/clean (size(regexp_extract_all(NULL)) is NULL),
-    # digit-bearing text with no PII still counts 0, and '@' with no
-    # valid email counts 0 but still runs the pattern
+    # edge semantics pinned through the r12 regexp_count rewrite: NULL
+    # text keeps NULL counts/clean (regexp_count(NULL) is NULL, matching
+    # the old size(regexp_extract_all(NULL))), digit-bearing text with no
+    # PII counts 0, and '@' with no valid email counts 0
     rows = [(1, None), (2, "version 2 of chapter 7"), (3, "not@anemail")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
