@@ -2026,8 +2026,10 @@ def q_scrub_pii(spark, sf_dir):
     injected into each document from its doc_id (an email, an IP, an SSN
     on every third doc), then scrub_pii counts per category on the
     progressively-redacted text and replaces matches with typed
-    placeholders — all JVM regexp expressions, one narrow projection,
-    zero shuffles. The oracle runs the IDENTICAL pattern strings
+    placeholders — all JVM regexp expressions, one narrow projection
+    (plus spread()'s small-file repartition so the regex CPU uses every
+    core; a no-op at real scan widths). The oracle runs the IDENTICAL
+    pattern strings
     (imported from the same module constant — they cannot drift) through
     DuckDB's RE2 and compares counts plus md5 of the fully redacted
     text, so both engines must agree on every match boundary."""

@@ -7,7 +7,8 @@ report per-document match counts so the pipeline can drop or audit
 PII-dense documents.
 
 Everything is JVM-side `regexp_replace` / `regexp_count` — no UDFs,
-narrow projections over the scan (zero shuffles, composes with predicate
+narrow projections over the scan (the only exchange is spread()'s
+small-file-input repartition, a no-op at real scan widths; composes with predicate
 pushdown; at 100 TB this runs at scan speed). The patterns deliberately
 use the regex subset shared by Java (Spark), RE2, and PCRE — no
 lookarounds, no backreferences — so the same pattern strings replay
@@ -46,6 +47,11 @@ def scrub_pii(
     redactions), so every match is counted by exactly one category even
     where patterns overlap (an SSN is phone-shaped; it counts as SSN
     only, because the phone stage runs on SSN-redacted text)."""
+    # Eight regex passes per row is the dominant cost — a small-file
+    # corpus must not serialize them on one core (spread() is a no-op at
+    # real scan widths; r12 measured 3.0 s -> 0.6 s on the 10x-replicated
+    # single-file bench table).
+    #
     # Counts use regexp_count — same non-overlapping match count as
     # size(regexp_extract_all) without materializing the match array;
     # NULL text propagates NULL counts/clean exactly as before.
@@ -58,6 +64,9 @@ def scrub_pii(
     # unconditional chain is CSE-shared across all five output columns).
     # A regex scan over guaranteed-miss prose is already near-linear, so
     # the unconditional form wins on both corpus shapes.
+    from tachyon_spark.functions.util import spread
+
+    df = spread(df)
     clean = F.col(text_col)
     counts = []
     for name, pat, repl in PII_PATTERNS:
@@ -72,6 +81,9 @@ def pii_density(
     """(id, n_pii, n_tok, pii_per_100_tok) — the drop/keep signal: a
     document whose PII density is high is usually a directory dump or a
     leak, not prose. Whitespace token count matches textstats."""
+    from tachyon_spark.functions.util import spread
+
+    df = spread(df)
     text = F.col(text_col)
     clean = text
     n_pii = None

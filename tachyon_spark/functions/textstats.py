@@ -173,8 +173,15 @@ def gopher_quality_flags(
       ok_alpha      fraction of words containing a letter >= min_alpha_frac
       ok_stopwords  at least min_stopwords DISTINCT stopwords present
 
-    Pure column expressions over the token array — codegen, zero shuffle,
-    linear at any corpus size (same contract as text_stats)."""
+    Pure column expressions over the token array — codegen, linear at any
+    corpus size (same contract as text_stats). The per-row work (two
+    tokenizations, a per-token rlike, an array_intersect against the
+    stopword list) is heavy enough that a small-file corpus must not
+    serialize it on one core — spread() is a no-op at real scan widths
+    (r12: cut the 10x-single-file bench reading ~4x)."""
+    from tachyon_spark.functions.util import spread
+
+    df = spread(df)
     text = F.col(text_col)
     toks = _tokens(text)
     low = _tokens(F.lower(text))
