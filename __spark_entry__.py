@@ -1410,7 +1410,13 @@ def q_openmetrics_parse(spark, sf_dir):
             ).otherwise(F.lit("")),
         ).alias("value")
     )
-    parsed = parse_openmetrics(lines, ns_clock=False)
+    # the parser is partition-parallel (real scrape dumps split by line /
+    # by file); this fixture's lines inherit the narrow parquet scan's
+    # 1-2 splits, which would serialize the regex CPU — spread is a no-op
+    # at real scan widths (r12: 3.1 s -> ~0.5 s on the 10x table)
+    from tachyon_spark.functions.util import spread
+
+    parsed = parse_openmetrics(spread(lines), ns_clock=False)
     return parsed.select(
         F.col("labels")["et"].alias("et"),
         F.col("ts").alias("ts_us"),
