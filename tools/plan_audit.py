@@ -52,6 +52,10 @@ def audit(name: str, df) -> list[str]:
         re.findall(r"Arguments: hashpartitioning|\bExchange hashpartitioning", plan)
     )
     n_range = len(re.findall(r"Arguments: rangepartitioning", plan))
+    # spread()/repartition(n) exchanges: real shuffles, counted separately
+    # so the reader can tell a keyed exchange from a parallelism respread
+    # (r12 honesty fix — these were previously not counted at all)
+    n_rr = len(re.findall(r"Arguments: RoundRobinPartitioning", plan))
     n_single = len(
         re.findall(r"Arguments: SinglePartition|\bExchange SinglePartition", plan)
     )
@@ -61,6 +65,7 @@ def audit(name: str, df) -> list[str]:
     cart = "CartesianProduct" in plan
     lines.append(
         f"shuffles={n_exch} range_shuffles={n_range} "
+        f"roundrobin_shuffles={n_rr} "
         f"single_partition_exchanges={n_single} "
         f"broadcasts={n_bcast} "
         f"python_row_udfs={n_pyudf} arrow_kernels={n_arrow}"
