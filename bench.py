@@ -243,6 +243,12 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         # histogram_helpers above — and delete_series_op's fixture is
         # grid-sized by construction)
         "openmetrics_parse",
+        # round-12: the newest document-table ops under 10x data — BM25's
+        # query-term filter admits ~10x the hits (broadcast dfs stay term-
+        # count-sized) and the merged media gate's three Arrow kernels are
+        # per-row linear
+        "bm25_topk",
+        "media_pipeline",
     ]
     entrymod._read(spark, rep, "events").count()  # warm listing
     out["full_scan_agg"] = timed(
