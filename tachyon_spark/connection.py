@@ -553,7 +553,15 @@ class Connection:
         if self.time_bucket:
             df = df.withColumn("ts_bucket", F.expr(f"ts DIV {self.time_bucket}"))
             part_cols.append("ts_bucket")
-        df = df.coalesce(1) if single_stream else df.repartition(*part_cols)
+        # single_stream buffers are driver-built (Inserter.flush), so the
+        # source is a parallelized local collection with defaultParallelism
+        # slices; repartition(1) evaluates those slices in PARALLEL before
+        # the 1-file write, where coalesce(1) chained all of them into one
+        # task and paid the per-slice Python-RDD evaluation cost serially
+        # (measured r12: ~4 s per 1-row flush -> ~0.4 s). The shuffle moves
+        # only the flush buffer, which is driver-memory-bounded by
+        # construction.
+        df = df.repartition(1) if single_stream else df.repartition(*part_cols)
         # Bucketed dirs hold many streams: cluster row groups by stream so
         # Parquet min/max stats on stream_id prune single-stream reads.
         sort_cols = ["stream_id", "ts"] if self.stream_buckets else ["ts"]
