@@ -2282,9 +2282,12 @@ def q_streaming_sessions(spark, sf_dir):
         os.utime(dst, (base + k * 10, base + k * 10))
     # sentinel: one far-future row pushes the watermark past every real
     # session's close so append mode emits them all
+    # repartition(1), not coalesce(1): a parallelized local collection has
+    # defaultParallelism slices and coalesce chains their per-slice
+    # evaluation into one serial task (~4 s; same fix as Inserter.flush)
     sentinel = spark.createDataFrame(
         [(-1, hi + 30 * 86_400_000_000, 0.0)], "user_id long, ts long, value double"
-    ).coalesce(1)
+    ).repartition(1)
     sdir = os.path.join(work, "sentinel")
     sentinel.write.mode("overwrite").parquet(sdir)
     sfile = [f for f in os.listdir(sdir) if f.endswith(".parquet")][0]
