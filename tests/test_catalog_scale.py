@@ -46,7 +46,9 @@ def test_100k_stream_create_and_resolve_fast(spark, tmp_path):
     sub_s = time.monotonic() - t0
     assert len(sub) == 25_000
     # generous CI bounds; the real guard is the complexity class
-    assert create_s < 10, f"bulk create took {create_s:.2f}s"
+    # (measured ~6s alone on local[32]; 20s absorbs a co-scheduled suite —
+    # an O(n) regression to per-stream file writes would be minutes)
+    assert create_s < 20, f"bulk create took {create_s:.2f}s"
     assert full_s < 5, f"cold resolve took {full_s:.2f}s"
     assert sub_s < 1, f"warm matcher resolve took {sub_s:.2f}s"
 
