@@ -1,0 +1,130 @@
+"""Classical seasonal decomposition (additive moving-average method) —
+the `seasonal_decompose` every TSDB analytics layer ships (Timescale's
+toolkit, statsmodels' seasonal_decompose): split a regular series into
+trend + seasonal + remainder.
+
+Method (the textbook one, chosen because every step replays EXACTLY in
+ANSI SQL, so the driver's DuckDB oracle can hash-gate it):
+
+- trend: centered moving average over one period. For even periods the
+  standard 2xM MA — the average of the two M-wide windows offset by one
+  ([-M/2, M/2-1] and [-M/2+1, M/2]) — computed as (sum1 + sum2) / (2*M).
+  NULL where either window is not fully populated (series edges).
+- seasonal: the per-phase mean of the detrended series (phase = index
+  mod period), computed over rows where trend exists. UNCENTERED — the
+  seasonal component carries its own level instead of subtracting the
+  grand mean (documented divergence from statsmodels, which centers;
+  centering subtracts an order-of-summation-dependent float that would
+  poison exact cross-engine comparison for zero analytical gain here).
+- remainder: value - trend - seasonal (NULL at the edges with trend).
+
+Exactness: with integer-valued inputs every sum above is exact in
+doubles (< 2^53), group-sum order cannot perturb it, and each component
+is ONE division of identical exact operands — so Spark and any other
+IEEE-754 engine produce bit-identical doubles. Float inputs are fine
+too; only the cross-engine bit-exactness guarantee needs integers.
+
+Scale shape: two window sums over (group, ts) — one shuffle to
+partition by group (bounded state per partition, no unbounded window:
+frames are ROWS BETWEEN +-period), one grouped agg for the seasonal
+means (period-sized — tiny), one broadcast-sized join back. Works on
+any number of series in one pass via `group_cols`.
+
+Reference parity: the reference engine has no decomposition surface;
+this extends the analytics set (SURVEY.md beyond-reference operators),
+same family as operators/downsample.py (lttb/m4) and holt_winters.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["seasonal_decompose"]
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Decompose a regular series into (trend, seasonal, remainder).
+
+    Expects one row per (group, ts) on a regular grid (use the rollup /
+    downsample operators to regularize first); `period` is the season
+    length in ROWS (24 for hourly data with daily seasonality). Returns
+    the input keys plus value, phase, trend, seasonal, remainder; trend
+    and remainder are NULL within period/2 rows of each series edge.
+
+    Partitioning: the window partitions by `group_cols` — decomposition
+    of MANY series in one pass is the scale shape. With no groups the
+    single series sorts in one task, which is fine exactly because one
+    regular series is grid-sized by construction (regularize/downsample
+    first; a 10-year hourly series is 87k rows).
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    g = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*g).orderBy(ts_col)
+    half = period // 2
+    y = F.col(value_col).cast("double")
+
+    # The trend numerator (a window sum of inputs, scaled by the window
+    # count) is kept as a SCALED column so the seasonal means can sum it
+    # exactly: with integer-valued inputs `den*y - num` is integer-valued,
+    # its group sum is order-independent in doubles, and each output
+    # component is one division of exact operands — bit-identical in any
+    # IEEE-754 engine regardless of summation order.
+    if period % 2 == 0:
+        # 2xM centered MA: average of the two M-windows straddling center
+        w1 = w.rowsBetween(-half, half - 1)
+        w2 = w.rowsBetween(-half + 1, half)
+        full = (F.count(y).over(w1) == period) & (
+            F.count(y).over(w2) == period
+        )
+        num = F.when(full, F.sum(y).over(w1) + F.sum(y).over(w2))
+        den = 2 * period
+    else:
+        wc = w.rowsBetween(-half, half)
+        num = F.when(F.count(y).over(wc) == period, F.sum(y).over(wc))
+        den = period
+
+    # phase from the row's rank within its series, so irregular ts units
+    # (us, ms, datetime) all work; the grid regularity contract makes
+    # rank mod period == time-of-season
+    phase = (F.row_number().over(w) - 1) % period
+    base = df.select(
+        *group_cols,
+        F.col(ts_col).alias(ts_col),
+        y.alias("value"),
+        phase.alias("phase"),
+        num.alias("__num"),
+    )
+    # detrended, scaled by den: integer-valued whenever the input is
+    detr = base.withColumn(
+        "__detr_num", F.col("value") * F.lit(float(den)) - F.col("__num")
+    )
+    seas = (
+        detr.where(F.col("__num").isNotNull())
+        .groupBy(*group_cols, "phase")
+        .agg(
+            (
+                F.sum("__detr_num")
+                / (F.count("__detr_num") * F.lit(float(den)))
+            ).alias("seasonal"),
+        )
+    )
+    trend = F.col("__num") / F.lit(float(den))
+    out = detr.join(seas, [*group_cols, "phase"], "left").select(
+        *group_cols,
+        ts_col,
+        "value",
+        "phase",
+        trend.alias("trend"),
+        "seasonal",
+        (F.col("value") - trend - F.col("seasonal")).alias("remainder"),
+    )
+    return out

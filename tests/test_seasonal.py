@@ -1,0 +1,116 @@
+"""Seasonal decomposition (operators/seasonal.py): pinned against a
+pure-Python model of the textbook 2xM / M moving-average method, plus
+the structural invariants (reconstruction, edge NULLs, per-phase
+constancy of the seasonal component, multi-group independence)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tachyon_spark.operators.seasonal import seasonal_decompose
+
+
+def _model(values, period):
+    """(trend, seasonal, remainder) lists — the same arithmetic the
+    operator promises (uncentered per-phase means of detrended)."""
+    n = len(values)
+    half = period // 2
+    den = 2 * period if period % 2 == 0 else period
+    num = [None] * n
+    for i in range(n):
+        if period % 2 == 0:
+            if i - half >= 0 and i + half <= n - 1:
+                num[i] = sum(values[i - half:i + half]) + sum(
+                    values[i - half + 1:i + half + 1]
+                )
+        else:
+            if i - half >= 0 and i + half <= n - 1:
+                num[i] = sum(values[i - half:i + half + 1])
+    seas = {}
+    for p in range(period):
+        pts = [values[i] * den - num[i] for i in range(p, n, period)
+               if num[i] is not None]
+        if pts:
+            seas[p] = sum(pts) / (len(pts) * den)
+    trend = [None if v is None else v / den for v in num]
+    out_seas = [seas.get(i % period) for i in range(n)]
+    rem = [
+        None if trend[i] is None or out_seas[i] is None
+        else values[i] - trend[i] - out_seas[i]
+        for i in range(n)
+    ]
+    return trend, out_seas, rem
+
+
+@pytest.mark.parametrize("period", [4, 5, 24])
+def test_matches_python_model(spark, period):
+    n = 6 * period
+    values = [((i * 7) % 13) + 3 * math.sin(0)  # deterministic ints
+              + ((i // period) % 4) for i in range(n)]
+    values = [float(int(v)) for v in values]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "ts long, value double"
+    )
+    out = {
+        r["ts"]: r
+        for r in seasonal_decompose(df, "ts", "value", period).collect()
+    }
+    trend, seas, rem = _model(values, period)
+    for i in range(n):
+        r = out[i]
+        assert r["phase"] == i % period
+        for col, exp in (("trend", trend[i]), ("seasonal", seas[i]),
+                         ("remainder", rem[i])):
+            if exp is None:
+                assert r[col] is None, (i, col)
+            else:
+                assert r[col] == pytest.approx(exp, abs=1e-12), (i, col)
+
+
+def test_reconstruction_and_edges(spark):
+    period = 6
+    n = 5 * period
+    df = spark.createDataFrame(
+        [(i, float((i % period) * 10 + i // period)) for i in range(n)],
+        "ts long, value double",
+    )
+    rows = seasonal_decompose(df, "ts", "value", period).collect()
+    half = period // 2
+    for r in sorted(rows, key=lambda r: r["ts"]):
+        i = r["ts"]
+        if i < half or i > n - 1 - half:
+            assert r["trend"] is None and r["remainder"] is None
+        else:
+            assert r["value"] == pytest.approx(
+                r["trend"] + r["seasonal"] + r["remainder"], abs=1e-9
+            )
+    # seasonal is a pure function of phase
+    by_phase = {}
+    for r in rows:
+        if r["seasonal"] is not None:
+            by_phase.setdefault(r["phase"], set()).add(r["seasonal"])
+    assert all(len(v) == 1 for v in by_phase.values())
+
+
+def test_groups_decompose_independently(spark):
+    period = 4
+    rows = [("a", i, float(i % period)) for i in range(16)] + [
+        ("b", i, float(100 + (i % period) * 5)) for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts long, value double")
+    out = seasonal_decompose(df, "ts", "value", period, group_cols=["g"])
+    got = {(r["g"], r["ts"]): r for r in out.collect()}
+    # constant-per-phase series: trend is the flat mean, remainder 0
+    a_mid = got[("a", 8)]
+    assert a_mid["trend"] == pytest.approx(1.5)
+    assert a_mid["remainder"] == pytest.approx(0.0, abs=1e-12)
+    b_mid = got[("b", 8)]
+    assert b_mid["trend"] == pytest.approx(100 + 1.5 * 5)
+    assert b_mid["remainder"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_period_validation(spark):
+    df = spark.createDataFrame([(0, 1.0)], "ts long, value double")
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, "ts", "value", 1)
