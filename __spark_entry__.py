@@ -4348,6 +4348,123 @@ def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def q_media_decode_suite(spark, sf_dir):
+    """All three REAL-decode media gates in ONE entry (round 12 second
+    merge, same staleness-policy rationale as media_pipeline: the PNG /
+    APNG / WAV arms share the codecs.py + mapInPandas kernel family, and
+    the registry is capped at 150). Every arm still runs its full
+    pipeline — PNG inflate/unfilter channel means (was media_real_decode),
+    APNG container walk + per-frame re-decode (was media_video_decode),
+    RIFF/PCM parse amplitude stats (was media_wav_decode) — reshaped into
+    one tall frame with -1/-1.0 sentinels (dtype-stable through the
+    driver's pandas hash). The oracles recompute every number straight
+    from the text bytes, so only real lossless decodes agree."""
+    png = q_media_real_decode(spark, sf_dir).select(
+        F.lit("png").alias("arm"),
+        "doc_id",
+        F.lit(-1).cast("long").alias("n1"),
+        F.lit(-1).cast("long").alias("n2"),
+        F.col("mean_r").alias("x1"),
+        F.col("mean_g").alias("x2"),
+        F.col("mean_b").alias("x3"),
+    )
+    apng = q_media_video_decode(spark, sf_dir).select(
+        F.lit("apng").alias("arm"),
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("n1"),
+        F.col("frame_ts_ms").cast("long").alias("n2"),
+        F.col("mean_px").alias("x1"),
+        F.lit(-1.0).alias("x2"),
+        F.lit(-1.0).alias("x3"),
+    )
+    wav = q_media_wav_decode(spark, sf_dir).select(
+        F.lit("wav").alias("arm"),
+        "doc_id",
+        F.lit(-1).cast("long").alias("n1"),
+        F.lit(-1).cast("long").alias("n2"),
+        F.col("mean_amp").alias("x1"),
+        F.col("rms").alias("x2"),
+        F.col("peak").alias("x3"),
+    )
+    return png.unionByName(apng).unionByName(wav)
+
+
+def q_fuzzy_join_lev(spark, sf_dir):
+    """Fuzzy record linkage within Levenshtein distance 1
+    (functions/linkage.fuzzy_join, new round 12): every document gets a
+    near-unique key (16 text chars + '-' + doc_id), the right side is a
+    DETERMINISTICALLY perturbed copy (doc_id%3==0: delete the char at
+    1-based position doc_id%7+1; ==1: overwrite position doc_id%11+1
+    with 'q'; ==2: unchanged), and the engine joins the sides with the
+    deletion-neighborhood (FastSS) blocking + exact verify. The oracle
+    finds the truth with a DIFFERENT complete blocking — the k=1
+    prefix-8 OR suffix-8 pigeonhole (one edit cannot touch both ends of
+    a >=17-char key) — so the hash match proves FULL RECALL of the
+    neighborhood scheme against an independent exact method, plus exact
+    distances. Both schemes are bucketed equi-joins, never all-pairs."""
+    from tachyon_spark.functions.linkage import fuzzy_join
+
+    docs = _read(spark, sf_dir, "documents")
+    big = 1 << 20
+    key = F.concat(
+        F.substring(F.lower("text"), 1, 16),
+        F.lit("-"),
+        F.col("doc_id").cast("string"),
+    )
+    left = docs.select(F.col("doc_id").alias("left_id"), key.alias("key"))
+    p_del = (F.col("doc_id") % 7 + 1).cast("int")
+    p_sub = (F.col("doc_id") % 11 + 1).cast("int")
+    perturbed = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.substring(key, F.lit(1), p_del - 1),
+                key.substr(p_del + 1, F.lit(big)),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.substring(key, F.lit(1), p_sub - 1),
+                F.lit("q"),
+                key.substr(p_sub + 1, F.lit(big)),
+            ),
+        )
+        .otherwise(key)
+    )
+    right = docs.select(
+        F.col("doc_id").alias("right_id"), perturbed.alias("key")
+    )
+    return fuzzy_join(left, right, "key", k=1, method="neighborhood")
+
+
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical seasonal decomposition (operators/seasonal.py, new round
+    12): hourly click counts decompose into 2x24 centered-MA trend,
+    uncentered per-phase seasonal means, remainder. EXACT cross-engine by
+    construction: integer inputs keep every window/group sum
+    order-independent in doubles and each component is one division of
+    identical operands (see the operator docstring), so the gate runs
+    UNROUNDED. Phase is row-rank mod period (ROW frames, like the
+    oracle's window functions), so sparse hours replay identically on
+    both sides."""
+    from tachyon_spark.operators.seasonal import seasonal_decompose
+
+    ev = _read(spark, sf_dir, "events")
+    hour_us = (
+        F.expr("ts DIV 3600000000000") * F.lit(3_600_000_000)
+    ).alias("ts_us")
+    counts = (
+        ev.where(
+            (F.col("event_type") == "click")
+            & F.col("ts").between(T0_US * 1000, T1_US * 1000)
+        )
+        .groupBy(hour_us)
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    return seasonal_decompose(counts, "ts_us", "value", 24)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4381,6 +4498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cached_read_invalidation": q_cached_read_invalidation,
         "maintenance_lifecycle": q_maintenance_lifecycle,
         "media_pipeline": q_media_pipeline,
+        "media_decode_suite": q_media_decode_suite,
+        "fuzzy_join_lev": q_fuzzy_join_lev,
+        "seasonal_decompose": q_seasonal_decompose,
         "cusum_drift": q_cusum_drift,
         "token_counts_by_source": q_token_counts_by_source,
         "lang_id": q_lang_id,
@@ -4498,13 +4618,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_matching": q_vector_matching,
         "promql_subquery": q_promql_subquery,
         "promql_histogram": q_promql_histogram,
-        "media_real_decode": q_media_real_decode,
-        "media_video_decode": q_media_video_decode,
         "streaming_ewma": q_streaming_ewma,
         "repetition_score": q_repetition_score,
         "agg_stddev": q_agg_stddev,
         "topk_per_group": q_topk_per_group,
-        "media_wav_decode": q_media_wav_decode,
         "dup_span_stats": q_dup_span_stats,
         "semdedup": q_semdedup,
         "domain_cap": q_domain_cap,
@@ -5403,42 +5520,129 @@ def oracle_sql() -> dict[str, str]:
         "promql_histogram": _PROMQL_HISTOGRAM_SQL.format(
             t0=T0_US, t1=T1_US, w6h=6 * 3600 * 1_000_000
         ),
-        "media_real_decode": """
-            WITH s AS (
-              SELECT doc_id, rpad(substr(text, 1, 48), 48, ' ') AS s
-              FROM documents
-            ),
-            b AS (
-              SELECT doc_id, i, unicode(substr(s, i, 1)) AS v
-              FROM s, unnest(generate_series(1, 48)) AS t(i)
-            )
+        "media_decode_suite": """
+            -- every arm recomputed straight from the text bytes; only
+            -- real lossless decodes (PNG inflate/unfilter, APNG container
+            -- walk + per-frame re-decode, RIFF/PCM parse) agree.
             -- ::REAL::DOUBLE replays the engine's float32 feature storage
-            -- so 6-decimal rounding agrees bit-for-bit
-            SELECT doc_id,
-              round((avg(CASE WHEN (i-1)%3=0 THEN v END)/255.0)::REAL::DOUBLE, 6) AS mean_r,
-              round((avg(CASE WHEN (i-1)%3=1 THEN v END)/255.0)::REAL::DOUBLE, 6) AS mean_g,
-              round((avg(CASE WHEN (i-1)%3=2 THEN v END)/255.0)::REAL::DOUBLE, 6) AS mean_b
-            FROM b GROUP BY doc_id
-        """,
-        "media_video_decode": """
-            -- per-frame pixel means recomputed straight from the text
-            -- bytes; only a lossless APNG encode->parse->decode chain
-            -- on the Spark side can agree
-            WITH s AS (
+            WITH s48 AS (
               SELECT doc_id, rpad(substr(text, 1, 48), 48, ' ') AS s
               FROM documents
             ),
-            b AS (
+            s64 AS (
+              SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s
+              FROM documents
+            ),
+            png_b AS (
+              SELECT doc_id, i, unicode(substr(s, i, 1)) AS v
+              FROM s48, unnest(generate_series(1, 48)) AS t(i)
+            ),
+            apng_b AS (
               SELECT doc_id, f, i, unicode(substr(s, f * 16 + i, 1)) AS v
-              FROM s,
+              FROM s48,
                    unnest(generate_series(0, 2)) AS tf(f),
                    unnest(generate_series(1, 16)) AS ti(i)
+            ),
+            wav_b AS (
+              SELECT doc_id, (unicode(substr(s, i, 1)) - 64) * 256 AS v
+              FROM s64, unnest(generate_series(1, 64)) AS t(i)
             )
-            SELECT doc_id,
-                   CAST(f AS INT) AS frame_idx,
-                   CAST(f * 100 AS BIGINT) AS frame_ts_ms,
-                   round(avg(v) / 255.0, 6) AS mean_px
-            FROM b GROUP BY doc_id, f
+            SELECT 'png' AS arm, doc_id,
+              -1::BIGINT AS n1, -1::BIGINT AS n2,
+              round((avg(CASE WHEN (i-1)%3=0 THEN v END)/255.0)::REAL::DOUBLE, 6) AS x1,
+              round((avg(CASE WHEN (i-1)%3=1 THEN v END)/255.0)::REAL::DOUBLE, 6) AS x2,
+              round((avg(CASE WHEN (i-1)%3=2 THEN v END)/255.0)::REAL::DOUBLE, 6) AS x3
+            FROM png_b GROUP BY doc_id
+            UNION ALL
+            SELECT 'apng', doc_id,
+              CAST(f AS BIGINT), CAST(f * 100 AS BIGINT),
+              round(avg(v) / 255.0, 6), -1.0, -1.0
+            FROM apng_b GROUP BY doc_id, f
+            UNION ALL
+            SELECT 'wav', doc_id, -1::BIGINT, -1::BIGINT,
+              round((avg(v) / 32768.0)::REAL::DOUBLE, 6),
+              round((sqrt(avg(v * v)) / 32768.0)::REAL::DOUBLE, 6),
+              round((max(abs(v)) / 32768.0)::REAL::DOUBLE, 6)
+            FROM wav_b GROUP BY doc_id
+        """,
+        "fuzzy_join_lev": """
+            -- truth via the INDEPENDENT complete blocking (prefix-8 OR
+            -- suffix-8 pigeonhole: one edit cannot touch both ends of a
+            -- >=17-char key) + exact levenshtein — proves the engine's
+            -- deletion-neighborhood scheme has full recall and exact
+            -- distances
+            WITH lk AS (
+              SELECT doc_id AS left_id,
+                     substr(lower(text), 1, 16) || '-' || doc_id AS key
+              FROM documents
+            ),
+            rk AS (
+              SELECT left_id AS right_id,
+                CASE CAST(left_id % 3 AS INT)
+                  WHEN 0 THEN substr(key, 1, CAST(left_id % 7 AS INT))
+                              || substr(key, CAST(left_id % 7 AS INT) + 2)
+                  WHEN 1 THEN substr(key, 1, CAST(left_id % 11 AS INT))
+                              || 'q'
+                              || substr(key, CAST(left_id % 11 AS INT) + 2)
+                  ELSE key
+                END AS key
+              FROM lk
+            ),
+            cand AS (
+              SELECT l.left_id, r.right_id, l.key AS a, r.key AS b
+              FROM lk l JOIN rk r
+                ON substr(l.key, 1, 8) = substr(r.key, 1, 8)
+              UNION
+              SELECT l.left_id, r.right_id, l.key, r.key
+              FROM lk l JOIN rk r
+                ON substr(l.key, length(l.key) - 7)
+                 = substr(r.key, length(r.key) - 7)
+            )
+            SELECT DISTINCT left_id, right_id,
+                   CAST(levenshtein(a, b) AS INT) AS dist
+            FROM cand WHERE levenshtein(a, b) <= 1
+        """,
+        "seasonal_decompose": f"""
+            -- replays the operator's ROW-frame math exactly: integer
+            -- inputs keep every window/group sum order-independent, and
+            -- each component is one division of identical operands —
+            -- bit-identical unrounded doubles (operators/seasonal.py)
+            WITH c AS (
+              SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us,
+                     count(*)::DOUBLE AS v
+              FROM events
+              WHERE event_type = 'click'
+                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1
+            ),
+            w AS (
+              SELECT ts_us, v,
+                row_number() OVER (ORDER BY ts_us) - 1 AS rn,
+                sum(v) OVER (ORDER BY ts_us
+                  ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS s1,
+                count(v) OVER (ORDER BY ts_us
+                  ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS c1,
+                sum(v) OVER (ORDER BY ts_us
+                  ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS s2,
+                count(v) OVER (ORDER BY ts_us
+                  ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS c2
+              FROM c
+            ),
+            d AS (
+              SELECT ts_us, v, CAST(rn % 24 AS INT) AS phase,
+                     CASE WHEN c1 = 24 AND c2 = 24 THEN s1 + s2 END AS num
+              FROM w
+            ),
+            s AS (
+              SELECT phase,
+                     sum(v * 48.0 - num) / (count(*) * 48.0) AS seasonal
+              FROM d WHERE num IS NOT NULL GROUP BY phase
+            )
+            SELECT d.ts_us, d.v AS value, d.phase,
+                   d.num / 48.0 AS trend,
+                   s.seasonal,
+                   d.v - d.num / 48.0 - s.seasonal AS remainder
+            FROM d LEFT JOIN s USING (phase)
         """,
         "scalar_arithmetic": (
             "SELECT round((sum(value) / count(value)) * 2.0 + 1.0, 6) AS value "
@@ -6674,24 +6878,6 @@ def oracle_sql() -> dict[str, str]:
                                      (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma,
                    count(*) AS n_seen
             FROM events GROUP BY event_type
-        """,
-        "media_wav_decode": """
-            -- recompute PCM stats straight from the text bytes; the engine
-            -- side must round-trip them through a real RIFF/PCM decode.
-            -- ::REAL::DOUBLE replays float32 feature storage
-            WITH s AS (
-              SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s
-              FROM documents
-            ),
-            b AS (
-              SELECT doc_id, (unicode(substr(s, i, 1)) - 64) * 256 AS v
-              FROM s, unnest(generate_series(1, 64)) AS t(i)
-            )
-            SELECT doc_id,
-              round((avg(v) / 32768.0)::REAL::DOUBLE, 6) AS mean_amp,
-              round((sqrt(avg(v * v)) / 32768.0)::REAL::DOUBLE, 6) AS rms,
-              round((max(abs(v)) / 32768.0)::REAL::DOUBLE, 6) AS peak
-            FROM b GROUP BY doc_id
         """,
         "topk_per_group": """
             SELECT event_type, value FROM (
