@@ -4465,6 +4465,61 @@ def q_seasonal_decompose(spark, sf_dir):
     return seasonal_decompose(counts, "ts_us", "value", 24)
 
 
+def q_media_dsp(spark, sf_dir):
+    """The two DSP media gates in ONE entry (round 12 third merge, same
+    staleness-policy rationale: both are naive-transform kernels over
+    codecs.py-decoded payloads, and the registry is capped at 150).
+    Arms: WAV -> DFT power spectrum -> centroid/log-power/dominant bin
+    (was media_spectral) and PNG -> grayscale -> 2-D DCT -> 15-bit
+    perceptual hash (was media_phash; image_near_dup still exercises the
+    same kernel). Oracles replay every transform term-by-term from the
+    text bytes."""
+    spec = q_media_spectral(spark, sf_dir).select(
+        F.lit("spectral").alias("arm"),
+        "doc_id",
+        F.col("sample_rate").cast("long").alias("n1"),
+        F.col("dominant_bin").cast("long").alias("n2"),
+        F.lit(-1).cast("long").alias("n3"),
+        F.col("spectral_centroid").alias("x1"),
+        F.col("log_power").alias("x2"),
+    )
+    ph = q_media_phash(spark, sf_dir).select(
+        F.lit("phash").alias("arm"),
+        "doc_id",
+        F.col("width").cast("long").alias("n1"),
+        F.col("height").cast("long").alias("n2"),
+        F.col("phash").cast("long").alias("n3"),
+        F.col("gray_mean").alias("x1"),
+        F.lit(-1.0).alias("x2"),
+    )
+    return spec.unionByName(ph)
+
+
+def q_acf_lags(spark, sf_dir):
+    """Autocorrelation function (operators/acf.py, new round 12): per
+    event_type, the hourly count series' ACF for lags 1..48 — the
+    seasonality diagnostic (a daily cycle shows as a lag-24 peak). EXACT
+    cross-engine like seasonal_decompose: the estimator is algebraically
+    expanded so every aggregate is an order-independent integer sum and
+    the output is ONE division of identical operands — the gate compares
+    UNROUNDED doubles. Lags are row-ranked (ROW semantics, like the
+    oracle's row_number), so sparse hours replay identically."""
+    from tachyon_spark.operators.acf import autocorrelation
+
+    ev = _read(spark, sf_dir, "events")
+    hour_us = (
+        F.expr("ts DIV 3600000000000") * F.lit(3_600_000_000)
+    ).alias("ts_us")
+    counts = (
+        ev.where(F.col("ts").between(T0_US * 1000, T1_US * 1000))
+        .groupBy("event_type", hour_us)
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    return autocorrelation(
+        counts, "ts_us", "value", 48, group_cols=["event_type"]
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4501,6 +4556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_suite": q_media_decode_suite,
         "fuzzy_join_lev": q_fuzzy_join_lev,
         "seasonal_decompose": q_seasonal_decompose,
+        "media_dsp": q_media_dsp,
+        "acf_lags": q_acf_lags,
         "cusum_drift": q_cusum_drift,
         "token_counts_by_source": q_token_counts_by_source,
         "lang_id": q_lang_id,
@@ -4629,7 +4686,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predict_linear": q_predict_linear,
         "holt_winters": q_holt_winters,
         "strip_dup_spans": q_strip_dup_spans,
-        "media_spectral": q_media_spectral,
         "mad_windows": q_mad_windows,
         "asof_forward_nearest": q_asof_forward_nearest,
         "streaming_dedup": q_streaming_dedup,
@@ -4640,7 +4696,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample": q_m4_downsample,
         "bigram_logprob": q_bigram_logprob,
         "semantic_decontaminate": q_semantic_decontaminate,
-        "media_phash": q_media_phash,
         "table_profile": q_table_profile,
         "image_near_dup": q_image_near_dup,
         "funnel": q_funnel,
@@ -7295,11 +7350,13 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(a.clean_text, '')) AS clean_md5
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
-        "media_spectral": """
-            -- term-by-term DFT replay straight from the text bytes: the
-            -- engine must really decode the WAV it encoded AND apply the
-            -- same naive transform. Angles are 2*pi()*(k*t)/64 with k*t
-            -- exact and a power-of-two divide -> bitwise-identical angles.
+        "media_dsp": """
+            -- both DSP arms replayed term-by-term straight from the text
+            -- bytes: DFT angles are 2*pi()*(k*t)/64 and DCT angles
+            -- pi*((2x+1)*u)/16 — integer numerators + power-of-two
+            -- divides -> bitwise-identical angles; phash rounds the DCT
+            -- coefficients BEFORE median/threshold to kill sum-order
+            -- noise (same construction as the pre-merge gates)
             WITH s AS (
               SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS s
               FROM documents
@@ -7322,13 +7379,63 @@ def oracle_sql() -> dict[str, str]:
                       WHERE s2.doc_id = spec.doc_id
                       ORDER BY p DESC, k LIMIT 1) AS dom
               FROM spec GROUP BY doc_id
+            ),
+            s192 AS (
+              SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, (i - 1) // 24 AS y, ((i - 1) % 24) // 3 AS x,
+                     unicode(substr(s, i, 1)) AS v
+              FROM s192, unnest(generate_series(1, 192)) AS u(i)
+            ),
+            gray AS (
+              SELECT doc_id, y, x, avg(v) AS g
+              FROM px GROUP BY doc_id, y, x
+            ),
+            dct AS (
+              SELECT doc_id, uu.u, vv.v,
+                     round(sum(g * cos(pi() * ((2 * y + 1) * uu.u) / 16.0)
+                                 * cos(pi() * ((2 * x + 1) * vv.v) / 16.0)), 6)
+                       AS cf
+              FROM gray,
+                   unnest(generate_series(0, 3)) AS uu(u),
+                   unnest(generate_series(0, 3)) AS vv(v)
+              GROUP BY doc_id, uu.u, vv.v
+            ),
+            band AS (
+              SELECT doc_id, u * 4 + v AS idx, cf
+              FROM dct WHERE NOT (u = 0 AND v = 0)
+            ),
+            med AS (
+              SELECT doc_id, (list_sort(list(cf)))[8] AS med
+              FROM band GROUP BY doc_id
+            ),
+            bits AS (
+              SELECT b.doc_id,
+                     CAST(sum(CASE WHEN b.cf > m.med
+                              THEN CAST(1 AS BIGINT) << (b.idx - 1)
+                              ELSE 0 END) AS BIGINT) AS phash
+              FROM band b JOIN med m USING (doc_id)
+              GROUP BY b.doc_id
+            ),
+            gm AS (
+              SELECT doc_id, round(avg(g), 6) AS gray_mean
+              FROM gray GROUP BY doc_id
             )
-            SELECT doc_id, 16000 AS sample_rate,
+            SELECT 'spectral' AS arm, doc_id,
+                   16000::BIGINT AS n1,
+                   CAST(CASE WHEN tot < 1e-6 THEN 0 ELSE dom END AS BIGINT)
+                     AS n2,
+                   -1::BIGINT AS n3,
                    round(CASE WHEN tot < 1e-6 THEN 0.0 ELSE kp / tot END, 6)
-                     AS spectral_centroid,
-                   round(log10(tot + 1.0), 6) AS log_power,
-                   CASE WHEN tot < 1e-6 THEN 0 ELSE dom END AS dominant_bin
+                     AS x1,
+                   round(log10(tot + 1.0), 6) AS x2
             FROM agg
+            UNION ALL
+            SELECT 'phash', b.doc_id, 8::BIGINT, 8::BIGINT, b.phash,
+                   gm.gray_mean, -1.0
+            FROM bits b JOIN gm USING (doc_id)
         """,
         "mad_windows": """
             WITH e AS (
@@ -7615,55 +7722,48 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN v
             GROUP BY p.doc_id
         """,
-        "media_phash": """
-            WITH s AS (
-              SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS s
-              FROM documents
+        "acf_lags": f"""
+            -- replays the expanded product-moment estimator with the
+            -- SAME association order as operators/acf.py: every
+            -- aggregate is an order-independent integer sum, the output
+            -- is one division of identical operands — unrounded doubles
+            WITH c AS (
+              SELECT event_type,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us,
+                     count(*)::DOUBLE AS v
+              FROM events
+              WHERE epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1, 2
             ),
-            px AS (
-              SELECT doc_id, (i - 1) // 24 AS y, ((i - 1) % 24) // 3 AS x,
-                     unicode(substr(s, i, 1)) AS v
-              FROM s, unnest(generate_series(1, 192)) AS u(i)
+            r AS (
+              SELECT event_type, v,
+                     row_number() OVER (
+                       PARTITION BY event_type ORDER BY ts_us) AS rn
+              FROM c
             ),
-            gray AS (
-              SELECT doc_id, y, x, avg(v) AS g
-              FROM px GROUP BY doc_id, y, x
+            sc AS (
+              SELECT event_type, count(*) AS n, sum(v) AS s,
+                     sum(v * v) AS q
+              FROM r GROUP BY event_type
             ),
-            dct AS (
-              -- angles pi*((2x+1)*u)/16: integer numerator + power-of-two
-              -- divide -> bitwise-identical to the engine's numpy angles;
-              -- round 6 BEFORE median/threshold kills sum-order noise
-              SELECT doc_id, uu.u, vv.v,
-                     round(sum(g * cos(pi() * ((2 * y + 1) * uu.u) / 16.0)
-                                 * cos(pi() * ((2 * x + 1) * vv.v) / 16.0)), 6)
-                       AS cf
-              FROM gray,
-                   unnest(generate_series(0, 3)) AS uu(u),
-                   unnest(generate_series(0, 3)) AS vv(v)
-              GROUP BY doc_id, uu.u, vv.v
+            p AS (
+              SELECT a.event_type, lg.lag, a.v AS y1, b.v AS y2
+              FROM r a
+              CROSS JOIN unnest(generate_series(1, 48)) AS lg(lag)
+              JOIN r b ON b.event_type = a.event_type
+                      AND b.rn = a.rn + lg.lag
             ),
-            band AS (
-              SELECT doc_id, u * 4 + v AS idx, cf
-              FROM dct WHERE NOT (u = 0 AND v = 0)
-            ),
-            med AS (
-              SELECT doc_id, (list_sort(list(cf)))[8] AS med
-              FROM band GROUP BY doc_id
-            ),
-            bits AS (
-              SELECT b.doc_id,
-                     CAST(sum(CASE WHEN b.cf > m.med
-                              THEN CAST(1 AS BIGINT) << (b.idx - 1)
-                              ELSE 0 END) AS BIGINT) AS phash
-              FROM band b JOIN med m USING (doc_id)
-              GROUP BY b.doc_id
-            ),
-            gm AS (
-              SELECT doc_id, round(avg(g), 6) AS gray_mean
-              FROM gray GROUP BY doc_id
+            pl AS (
+              SELECT event_type, lag, sum(y1 * y2) AS a, sum(y1) AS b,
+                     sum(y2) AS cc, count(*) AS n_pairs
+              FROM p GROUP BY event_type, lag
             )
-            SELECT b.doc_id, 8 AS width, 8 AS height, b.phash, gm.gray_mean
-            FROM bits b JOIN gm USING (doc_id)
+            SELECT pl.event_type, CAST(pl.lag AS INT) AS lag,
+                   pl.n_pairs,
+                   (n * n * a - n * s * (b + cc) + (n - lag) * s * s)
+                   / (n * n * q - n * s * s) AS acf
+            FROM pl JOIN sc USING (event_type)
+            WHERE (n * n * q - n * s * s) != 0
         """,
         "table_profile": """
             WITH e AS (

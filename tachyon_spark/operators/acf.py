@@ -1,0 +1,110 @@
+"""Autocorrelation function (ACF) over regular series — the classic
+seasonality/lag-structure diagnostic every TS analytics layer ships
+(statsmodels acf, Timescale toolkit): for each lag k, the correlation of
+the series with itself shifted by k rows.
+
+Estimator: the standard non-circular product-moment form
+
+    r_k = sum_{t<=n-k} (y_t - m)(y_{t+k} - m) / sum_t (y_t - m)^2
+
+with m the series mean — but ALGEBRAICALLY EXPANDED so no intermediate
+ever rounds: with integer-valued inputs, A_k = sum y_t*y_{t+k},
+B_k = sum_{t<=n-k} y_t, C_k = sum_{t>k} y_t, S = sum y, Q = sum y^2 are
+all exact in doubles, and
+
+    r_k = (n^2*A_k - n*S*(B_k + C_k) + (n-k)*S^2) / (n^2*Q - n*S^2)
+
+is ONE division of two exactly-representable products-of-integers (safe
+while the scaled terms stay under 2^53 — n^2*Q for a 10k-row series of
+1e4-scale values is ~1e16, inside the window; document inputs
+accordingly). Any IEEE-754 engine computes the identical double — the
+property the DuckDB hash gate exploits (same construction as
+operators/seasonal.py).
+
+Scale shape: one row_number window per series (partitioned by
+group_cols), one explode by max_lag, one hash equi-join on
+(group, rn + lag) = (group, rn) — linear-in-data x max_lag rows through
+a single keyed shuffle — then a grouped agg per (group, lag) and a
+broadcast join of the per-group scalars. No self-crossjoin, no
+collect.
+
+Reference parity: the reference engine has no correlation surface; this
+extends the beyond-reference analytics set (SURVEY.md), next to
+seasonal_decompose and holt_winters.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["autocorrelation"]
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group ACF for lags 1..max_lag. Expects one row per
+    (group, ts) on a regular grid; returns (group_cols..., lag, n_pairs,
+    acf) where n_pairs = n - lag is the overlap count (rows with
+    n_pairs <= 0 are omitted, as is a zero-variance denominator)."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    g = list(group_cols)
+    w = Window.partitionBy(*[F.col(c) for c in g]).orderBy(ts_col)
+    y = F.col(value_col).cast("double")
+    base = df.select(
+        *g, y.alias("__y"), (F.row_number().over(w)).alias("__rn")
+    )
+
+    scalars = base.groupBy(*g).agg(
+        F.count("__y").alias("__n"),
+        F.sum("__y").alias("__s"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__q"),
+    )
+
+    lags = base.select(
+        *g,
+        "__y",
+        "__rn",
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+    )
+    right = base.select(
+        *[F.col(c).alias(f"__r_{c}") for c in g],
+        F.col("__y").alias("__y2"),
+        F.col("__rn").alias("__rn2"),
+    )
+    cond = [lags[c] == right[f"__r_{c}"] for c in g] + [
+        (lags["__rn"] + lags["lag"]) == right["__rn2"]
+    ]
+    pairs = lags.join(right, cond).select(
+        *g, "lag", "__y", "__y2"
+    )
+    per_lag = pairs.groupBy(*g, "lag").agg(
+        F.sum(F.col("__y") * F.col("__y2")).alias("__a"),
+        F.sum("__y").alias("__b"),
+        F.sum("__y2").alias("__c"),
+        F.count("__y").alias("n_pairs"),
+    )
+    n, s, q = F.col("__n"), F.col("__s"), F.col("__q")
+    num = (
+        n * n * F.col("__a")
+        - n * s * (F.col("__b") + F.col("__c"))
+        + (n - F.col("lag")) * s * s
+    )
+    den = n * n * q - n * s * s
+    return (
+        per_lag.join(F.broadcast(scalars), g if g else None)
+        if g
+        else per_lag.crossJoin(F.broadcast(scalars))
+    ).where(den != 0).select(
+        *g,
+        "lag",
+        "n_pairs",
+        (num / den).alias("acf"),
+    )
