@@ -285,9 +285,16 @@ def main() -> int:
     # not the plan under test)
     g_factor = min(factor, 10)
     try:
-        # every DEFAULT registry query reads events only; extend here if
-        # the probe list grows to document/embedding queries
-        need = {"events"}
+        # most registry queries read events; document-table probes
+        # declare their table here (r12: the fuzzy join replicates
+        # documents — the offset doc_ids keep keys distinct, so the true
+        # pair set grows ~linearly and the ratio measures the variant
+        # equi-join, not duplication density)
+        doc_queries = {"fuzzy_join_lev"}
+        need = {"events"} | (
+            {"documents"} if any(n in doc_queries for n in registry)
+            else set()
+        )
         t0 = time.time()
         replicate(spark, rep, factor, sorted(need))
         print(f"replicated {sorted(need)} {factor}x in "
