@@ -4401,10 +4401,15 @@ def q_fuzzy_join_lev(spark, sf_dir):
     prefix-8 OR suffix-8 pigeonhole (one edit cannot touch both ends of
     a >=17-char key) — so the hash match proves FULL RECALL of the
     neighborhood scheme against an independent exact method, plus exact
-    distances. Both schemes are bucketed equi-joins, never all-pairs."""
+    distances. Both schemes are bucketed equi-joins, never all-pairs.
+    spread() re-splits the single-file fixture scan so the variant
+    explode + join use every core — a no-op at real scan widths (r12:
+    the bench's unsplit 10x replica serialized the explode, 11.9x; the
+    32-split probe replica showed the true ratio, 1.4x)."""
     from tachyon_spark.functions.linkage import fuzzy_join
+    from tachyon_spark.functions.util import spread
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = spread(_read(spark, sf_dir, "documents"))
     big = 1 << 20
     key = F.concat(
         F.substring(F.lower("text"), 1, 16),
