@@ -4501,15 +4501,18 @@ def q_media_dsp(spark, sf_dir):
 
 
 def q_acf_lags(spark, sf_dir):
-    """Autocorrelation function (operators/acf.py, new round 12): per
-    event_type, the hourly count series' ACF for lags 1..48 — the
-    seasonality diagnostic (a daily cycle shows as a lag-24 peak). EXACT
-    cross-engine like seasonal_decompose: the estimator is algebraically
-    expanded so every aggregate is an order-independent integer sum and
-    the output is ONE division of identical operands — the gate compares
-    UNROUNDED doubles. Lags are row-ranked (ROW semantics, like the
-    oracle's row_number), so sparse hours replay identically."""
-    from tachyon_spark.operators.acf import autocorrelation
+    """Auto- AND cross-correlation (operators/acf.py, new round 12). ACF
+    arms: per event_type, the hourly count series' ACF for lags 1..48 —
+    the seasonality diagnostic (a daily cycle shows as a lag-24 peak).
+    CCF arm (series 'click~view'): ccf(k) = corr(click_t, view_{t+k})
+    for k in -48..48 over the ts-aligned hourly counts — the lead/lag
+    diagnostic; lag 0 is plain Pearson. EXACT cross-engine like
+    seasonal_decompose: both estimators are algebraically expanded so
+    every aggregate is an order-independent integer sum and every
+    composition (including the ccf sqrt) is deterministic — the gate
+    compares UNROUNDED doubles. Lags are row-ranked (ROW semantics, like
+    the oracle's row_number), so sparse hours replay identically."""
+    from tachyon_spark.operators.acf import autocorrelation, cross_correlation
 
     ev = _read(spark, sf_dir, "events")
     hour_us = (
@@ -4520,9 +4523,29 @@ def q_acf_lags(spark, sf_dir):
         .groupBy("event_type", hour_us)
         .agg(F.count("*").cast("double").alias("value"))
     )
-    return autocorrelation(
+    acf_part = autocorrelation(
         counts, "ts_us", "value", 48, group_cols=["event_type"]
+    ).select(
+        F.col("event_type").alias("series"),
+        "lag",
+        "n_pairs",
+        F.col("acf").alias("value"),
     )
+    clicks = counts.where(F.col("event_type") == "click").select(
+        "ts_us", "value"
+    )
+    views = counts.where(F.col("event_type") == "view").select(
+        "ts_us", "value"
+    )
+    ccf_part = cross_correlation(
+        clicks, views, "ts_us", "value", 48
+    ).select(
+        F.lit("click~view").alias("series"),
+        "lag",
+        "n_pairs",
+        F.col("ccf").alias("value"),
+    )
+    return acf_part.unionByName(ccf_part)
 
 
 # --------------------------------------------------------------------------
@@ -7762,13 +7785,45 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type, lag, sum(y1 * y2) AS a, sum(y1) AS b,
                      sum(y2) AS cc, count(*) AS n_pairs
               FROM p GROUP BY event_type, lag
+            ),
+            al AS (
+              SELECT x.v AS xv, y.v AS yv,
+                     row_number() OVER (ORDER BY x.ts_us) AS rn
+              FROM (SELECT ts_us, v FROM c WHERE event_type = 'click') x
+              JOIN (SELECT ts_us, v FROM c WHERE event_type = 'view') y
+                USING (ts_us)
+            ),
+            sc2 AS (
+              SELECT count(*) AS n, sum(xv) AS sx, sum(yv) AS sy,
+                     sum(xv * xv) AS qx, sum(yv * yv) AS qy
+              FROM al
+            ),
+            p2 AS (
+              SELECT lg.lag, a.xv AS x1, b.yv AS y2
+              FROM al a
+              CROSS JOIN unnest(generate_series(-48, 48)) AS lg(lag)
+              JOIN al b ON b.rn = a.rn + lg.lag
+            ),
+            pl2 AS (
+              SELECT lag, sum(x1 * y2) AS a, sum(x1) AS b,
+                     sum(y2) AS cc, count(*) AS n_pairs
+              FROM p2 GROUP BY lag
             )
-            SELECT pl.event_type, CAST(pl.lag AS INT) AS lag,
+            SELECT pl.event_type AS series, CAST(pl.lag AS INT) AS lag,
                    pl.n_pairs,
                    (n * n * a - n * s * (b + cc) + (n - lag) * s * s)
-                   / (n * n * q - n * s * s) AS acf
+                   / (n * n * q - n * s * s) AS value
             FROM pl JOIN sc USING (event_type)
             WHERE (n * n * q - n * s * s) != 0
+            UNION ALL
+            SELECT 'click~view' AS series, CAST(pl2.lag AS INT) AS lag,
+                   pl2.n_pairs,
+                   (n * n * a - n * sx * cc - n * sy * b
+                      + (n - abs(pl2.lag)) * sx * sy)
+                   / (n * sqrt((n * qx - sx * sx) * (n * qy - sy * sy)))
+                     AS value
+            FROM pl2, sc2
+            WHERE (n * qx - sx * sx) != 0 AND (n * qy - sy * sy) != 0
         """,
         "table_profile": """
             WITH e AS (

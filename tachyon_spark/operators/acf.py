@@ -39,7 +39,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["autocorrelation"]
+__all__ = ["autocorrelation", "cross_correlation"]
 
 
 def autocorrelation(
@@ -108,3 +108,101 @@ def autocorrelation(
         "n_pairs",
         (num / den).alias("acf"),
     )
+
+
+def cross_correlation(
+    x: DataFrame,
+    y: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group cross-correlation ccf(k) = corr(x_t, y_{t+k}) for
+    k in -max_lag..+max_lag — the lead/lag diagnostic between two
+    series (does x lead y?); lag 0 is the plain Pearson correlation.
+
+    The two frames align by an inner join on (group, ts) first (both
+    must be regular on a shared grid), then lags are ROW shifts within
+    the aligned sequence. Same exactness construction as
+    `autocorrelation`: with the overlap sums A_k = sum x_t*y_{t+k},
+    B_k = sum x_t, C_k = sum y_{t+k} and full-series S/Q sums,
+
+        ccf_k = (n^2*A_k - n*Sx*C_k - n*Sy*B_k + (n-|k|)*Sx*Sy)
+                / (n * sqrt((n*Qx - Sx^2) * (n*Qy - Sy^2)))
+
+    — every aggregate an order-independent integer sum (integer-valued
+    inputs), every composition a fixed association order, sqrt correctly
+    rounded: any IEEE-754 engine computes the identical double even
+    where an intermediate product rounds. Returns (group_cols..., lag,
+    n_pairs, ccf); zero-variance sides are omitted.
+
+    Scale shape mirrors autocorrelation: one aligned join, one
+    row_number window per group, one equi-join on (group, rn + lag) —
+    rows x (2*max_lag + 1) through keyed shuffles, never all-pairs."""
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    g = list(group_cols)
+    aligned = (
+        x.select(*g, ts_col, F.col(value_col).cast("double").alias("__x"))
+        .join(
+            y.select(
+                *g, ts_col, F.col(value_col).cast("double").alias("__y")
+            ),
+            [*g, ts_col],
+        )
+    )
+    w = Window.partitionBy(*[F.col(c) for c in g]).orderBy(ts_col)
+    base = aligned.select(
+        *g, "__x", "__y", F.row_number().over(w).alias("__rn")
+    )
+    scalars = base.groupBy(*g).agg(
+        F.count("__x").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__qx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__qy"),
+    )
+    lags = base.select(
+        *g,
+        F.col("__x").alias("__x1"),
+        "__rn",
+        F.explode(
+            F.sequence(F.lit(-max_lag), F.lit(max_lag))
+        ).alias("lag"),
+    )
+    right = base.select(
+        *[F.col(c).alias(f"__r_{c}") for c in g],
+        F.col("__y").alias("__y2"),
+        F.col("__rn").alias("__rn2"),
+    )
+    cond = [lags[c] == right[f"__r_{c}"] for c in g] + [
+        (lags["__rn"] + lags["lag"]) == right["__rn2"]
+    ]
+    per_lag = (
+        lags.join(right, cond)
+        .groupBy(*g, "lag")
+        .agg(
+            F.sum(F.col("__x1") * F.col("__y2")).alias("__a"),
+            F.sum("__x1").alias("__b"),
+            F.sum("__y2").alias("__c"),
+            F.count("__x1").alias("n_pairs"),
+        )
+    )
+    n = F.col("__n")
+    sx, sy, qx, qy = (F.col(c) for c in ("__sx", "__sy", "__qx", "__qy"))
+    num = (
+        n * n * F.col("__a")
+        - n * sx * F.col("__c")
+        - n * sy * F.col("__b")
+        + (n - F.abs(F.col("lag"))) * sx * sy
+    )
+    den = n * F.sqrt((n * qx - sx * sx) * (n * qy - sy * sy))
+    joined = (
+        per_lag.join(F.broadcast(scalars), g)
+        if g
+        else per_lag.crossJoin(F.broadcast(scalars))
+    )
+    return joined.where(
+        ((n * qx - sx * sx) != 0) & ((n * qy - sy * sy) != 0)
+    ).select(*g, "lag", "n_pairs", (num / den).alias("ccf"))

@@ -78,3 +78,73 @@ def test_max_lag_validation(spark):
     df = spark.createDataFrame([(0, 1.0)], "ts long, value double")
     with pytest.raises(ValueError, match="max_lag"):
         autocorrelation(df, "ts", "value", 0)
+
+
+# --- cross-correlation -------------------------------------------------------
+
+def _ccf(xs, ys, max_lag):
+    """Direct product-moment ccf(k) = corr(x_t, y_{t+k}) — unexpanded."""
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    import math
+
+    den = math.sqrt(
+        sum((v - mx) ** 2 for v in xs) * sum((v - my) ** 2 for v in ys)
+    )
+    out = {}
+    for k in range(-max_lag, max_lag + 1):
+        if abs(k) >= n or den == 0:
+            continue
+        if k >= 0:
+            num = sum((xs[t] - mx) * (ys[t + k] - my) for t in range(n - k))
+        else:
+            num = sum(
+                (xs[t] - mx) * (ys[t + k] - my) for t in range(-k, n)
+            )
+        out[k] = num / den
+    return out
+
+
+def test_ccf_matches_python_model_and_detects_lead(spark):
+    from tachyon_spark.operators.acf import cross_correlation
+
+    # y is x delayed by 3 rows (plus deterministic jitter): the ccf must
+    # peak at lag +3 (x leads y), and every lag must match the model
+    xs = [float((i * 5) % 17 + (i % 8)) for i in range(80)]
+    ys = [0.0, 0.0, 0.0] + xs[:-3]
+    ys = [v + (i % 2) for i, v in enumerate(ys)]
+    xdf = spark.createDataFrame(list(enumerate(xs)), "ts long, value double")
+    ydf = spark.createDataFrame(list(enumerate(ys)), "ts long, value double")
+    got = {
+        r["lag"]: (r["n_pairs"], r["ccf"])
+        for r in cross_correlation(xdf, ydf, "ts", "value", 6).collect()
+    }
+    exp = _ccf(xs, ys, 6)
+    assert set(got) == set(exp)
+    for k, e in exp.items():
+        n_pairs, c = got[k]
+        assert n_pairs == len(xs) - abs(k), k
+        assert c == pytest.approx(e, abs=1e-9), k
+    assert max(exp, key=lambda k: got[k][1]) == 3
+    # lag 0 is plain Pearson correlation
+    assert got[0][1] == pytest.approx(exp[0], abs=1e-12)
+
+
+def test_ccf_groups_align_on_ts(spark):
+    from tachyon_spark.operators.acf import cross_correlation
+
+    # group "a" has a missing ts in y — alignment drops it on both sides
+    xr = [("a", i, float(i % 3)) for i in range(12)]
+    yr = [("a", i, float((i + 1) % 3)) for i in range(12) if i != 5]
+    xdf = spark.createDataFrame(xr, "g string, ts long, value double")
+    ydf = spark.createDataFrame(yr, "g string, ts long, value double")
+    out = cross_correlation(
+        xdf, ydf, "ts", "value", 2, group_cols=["g"]
+    ).collect()
+    by_lag = {r["lag"]: r for r in out}
+    assert by_lag[0]["n_pairs"] == 11  # aligned length, not len(x)
+    xs = [float(i % 3) for i in range(12) if i != 5]
+    ys = [float((i + 1) % 3) for i in range(12) if i != 5]
+    exp = _ccf(xs, ys, 2)
+    for k, e in exp.items():
+        assert by_lag[k]["ccf"] == pytest.approx(e, abs=1e-9), k
