@@ -4440,7 +4440,16 @@ def q_fuzzy_join_lev(spark, sf_dir):
     right = docs.select(
         F.col("doc_id").alias("right_id"), perturbed.alias("key")
     )
-    return fuzzy_join(left, right, "key", k=1, method="neighborhood")
+    # BOTH engine blockings run as arms — each must independently
+    # reproduce the oracle's pigeonhole truth (two complete schemes,
+    # one exact method, three-way agreement)
+    out = None
+    for method in ("neighborhood", "segment"):
+        part = fuzzy_join(left, right, "key", k=1, method=method).select(
+            F.lit(method).alias("method"), "left_id", "right_id", "dist"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def q_seasonal_decompose(spark, sf_dir):
@@ -5681,9 +5690,15 @@ def oracle_sql() -> dict[str, str]:
                 ON substr(l.key, length(l.key) - 7)
                  = substr(r.key, length(r.key) - 7)
             )
-            SELECT DISTINCT left_id, right_id,
-                   CAST(levenshtein(a, b) AS INT) AS dist
-            FROM cand WHERE levenshtein(a, b) <= 1
+            SELECT m.method, t.left_id, t.right_id, t.dist
+            FROM (
+              SELECT DISTINCT left_id, right_id,
+                     CAST(levenshtein(a, b) AS INT) AS dist
+              FROM cand WHERE levenshtein(a, b) <= 1
+            ) t
+            CROSS JOIN (
+              SELECT unnest(['neighborhood', 'segment']) AS method
+            ) m
         """,
         "seasonal_decompose": f"""
             -- replays the operator's ROW-frame math exactly: integer
