@@ -58,7 +58,9 @@ def autocorrelation(
     g = list(group_cols)
     w = Window.partitionBy(*[F.col(c) for c in g]).orderBy(ts_col)
     y = F.col(value_col).cast("double")
-    base = df.select(
+    # NULL values would desync n from the sums (row_number counts the
+    # row, sum skips it) — drop them before ranking
+    base = df.where(y.isNotNull()).select(
         *g, y.alias("__y"), (F.row_number().over(w)).alias("__rn")
     )
 
@@ -153,9 +155,11 @@ def cross_correlation(
         )
     )
     w = Window.partitionBy(*[F.col(c) for c in g]).orderBy(ts_col)
-    base = aligned.select(
-        *g, "__x", "__y", F.row_number().over(w).alias("__rn")
-    )
+    # same NULL discipline as autocorrelation: a NULL on either side
+    # would desync n from the sums
+    base = aligned.where(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    ).select(*g, "__x", "__y", F.row_number().over(w).alias("__rn"))
     scalars = base.groupBy(*g).agg(
         F.count("__x").alias("__n"),
         F.sum("__x").alias("__sx"),

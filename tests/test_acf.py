@@ -148,3 +148,19 @@ def test_ccf_groups_align_on_ts(spark):
     exp = _ccf(xs, ys, 2)
     for k, e in exp.items():
         assert by_lag[k]["ccf"] == pytest.approx(e, abs=1e-9), k
+
+
+def test_null_values_are_dropped_before_ranking(spark):
+    # a NULL value must not occupy a rank slot (it would desync n from
+    # the sums) — the series behaves as if the row were absent
+    vals = [float((i * 3) % 7) for i in range(20)]
+    with_null = [(i, v) for i, v in enumerate(vals)] + [(99, None)]
+    df = spark.createDataFrame(with_null, "ts long, value double")
+    clean = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "ts long, value double"
+    )
+    got = {r["lag"]: r["acf"]
+           for r in autocorrelation(df, "ts", "value", 4).collect()}
+    exp = {r["lag"]: r["acf"]
+           for r in autocorrelation(clean, "ts", "value", 4).collect()}
+    assert got == exp
