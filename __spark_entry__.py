@@ -4454,14 +4454,17 @@ def q_fuzzy_join_lev(spark, sf_dir):
 
 def q_seasonal_decompose(spark, sf_dir):
     """Classical seasonal decomposition (operators/seasonal.py, new round
-    12): hourly click counts decompose into 2x24 centered-MA trend,
-    uncentered per-phase seasonal means, remainder. EXACT cross-engine by
-    construction: integer inputs keep every window/group sum
-    order-independent in doubles and each component is one division of
-    identical operands (see the operator docstring), so the gate runs
-    UNROUNDED. Phase is row-rank mod period (ROW frames, like the
-    oracle's window functions), so sparse hours replay identically on
-    both sides."""
+    12): EVERY event_type's hourly count series decomposes in ONE pass
+    (group_cols — the many-series scale shape: the trend window
+    partitions by series, the seasonal means key on (series, phase), so
+    the driver hash proves the grouped path, not just one series) into
+    2x24 centered-MA trend, uncentered per-phase seasonal means,
+    remainder. EXACT cross-engine by construction: integer inputs keep
+    every window/group sum order-independent in doubles and each
+    component is one division of identical operands (see the operator
+    docstring), so the gate runs UNROUNDED. Phase is per-series row-rank
+    mod period (ROW frames, like the oracle's PARTITIONed window
+    functions), so sparse hours replay identically on both sides."""
     from tachyon_spark.operators.seasonal import seasonal_decompose
 
     ev = _read(spark, sf_dir, "events")
@@ -4469,14 +4472,13 @@ def q_seasonal_decompose(spark, sf_dir):
         F.expr("ts DIV 3600000000000") * F.lit(3_600_000_000)
     ).alias("ts_us")
     counts = (
-        ev.where(
-            (F.col("event_type") == "click")
-            & F.col("ts").between(T0_US * 1000, T1_US * 1000)
-        )
-        .groupBy(hour_us)
+        ev.where(F.col("ts").between(T0_US * 1000, T1_US * 1000))
+        .groupBy("event_type", hour_us)
         .agg(F.count("*").cast("double").alias("value"))
     )
-    return seasonal_decompose(counts, "ts_us", "value", 24)
+    return seasonal_decompose(
+        counts, "ts_us", "value", 24, group_cols=["event_type"]
+    )
 
 
 def q_media_dsp(spark, sf_dir):
@@ -5706,41 +5708,42 @@ def oracle_sql() -> dict[str, str]:
             -- each component is one division of identical operands —
             -- bit-identical unrounded doubles (operators/seasonal.py)
             WITH c AS (
-              SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us,
+              SELECT event_type,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us,
                      count(*)::DOUBLE AS v
               FROM events
-              WHERE event_type = 'click'
-                AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
-              GROUP BY 1
+              WHERE epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1, 2
             ),
             w AS (
-              SELECT ts_us, v,
-                row_number() OVER (ORDER BY ts_us) - 1 AS rn,
-                sum(v) OVER (ORDER BY ts_us
+              SELECT event_type, ts_us, v,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY ts_us) - 1 AS rn,
+                sum(v) OVER (PARTITION BY event_type ORDER BY ts_us
                   ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS s1,
-                count(v) OVER (ORDER BY ts_us
+                count(v) OVER (PARTITION BY event_type ORDER BY ts_us
                   ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS c1,
-                sum(v) OVER (ORDER BY ts_us
+                sum(v) OVER (PARTITION BY event_type ORDER BY ts_us
                   ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS s2,
-                count(v) OVER (ORDER BY ts_us
+                count(v) OVER (PARTITION BY event_type ORDER BY ts_us
                   ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS c2
               FROM c
             ),
             d AS (
-              SELECT ts_us, v, CAST(rn % 24 AS INT) AS phase,
+              SELECT event_type, ts_us, v, CAST(rn % 24 AS INT) AS phase,
                      CASE WHEN c1 = 24 AND c2 = 24 THEN s1 + s2 END AS num
               FROM w
             ),
             s AS (
-              SELECT phase,
+              SELECT event_type, phase,
                      sum(v * 48.0 - num) / (count(*) * 48.0) AS seasonal
-              FROM d WHERE num IS NOT NULL GROUP BY phase
+              FROM d WHERE num IS NOT NULL GROUP BY event_type, phase
             )
-            SELECT d.ts_us, d.v AS value, d.phase,
+            SELECT d.event_type, d.ts_us, d.v AS value, d.phase,
                    d.num / 48.0 AS trend,
                    s.seasonal,
                    d.v - d.num / 48.0 - s.seasonal AS remainder
-            FROM d LEFT JOIN s USING (phase)
+            FROM d LEFT JOIN s USING (event_type, phase)
         """,
         "scalar_arithmetic": (
             "SELECT round((sum(value) / count(value)) * 2.0 + 1.0, 6) AS value "
