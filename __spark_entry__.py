@@ -4589,56 +4589,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row goes stale. Regenerate each round with
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
-        "cached_read_invalidation": q_cached_read_invalidation,
-        "maintenance_lifecycle": q_maintenance_lifecycle,
-        "media_pipeline": q_media_pipeline,
-        "media_decode_suite": q_media_decode_suite,
-        "fuzzy_join_lev": q_fuzzy_join_lev,
-        "seasonal_decompose": q_seasonal_decompose,
-        "media_dsp": q_media_dsp,
-        "acf_lags": q_acf_lags,
-        "cusum_drift": q_cusum_drift,
-        "token_counts_by_source": q_token_counts_by_source,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_count_bpe": q_token_count_bpe,
-        "doc_fingerprint": q_doc_fingerprint,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "decontaminate": q_decontaminate,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
-        "text_stats": q_text_stats,
-        "selector_scan_or": q_selector_scan_or,
-        "promql_topk_without": q_promql_topk_without,
-        "promql_pinned_range": q_promql_pinned_range,
-        "streaming_sessions": q_streaming_sessions,
-        "query_range_compare": q_query_range_compare,
-        "predict_linear_grid": q_predict_linear_grid,
-        "subquery_windowed_grid": q_subquery_windowed_grid,
-        "pow_atan2_grid": q_pow_atan2_grid,
-        "alert_rule": q_alert_rule,
-        "streaming_alert": q_streaming_alert,
-        "rate_extrapolated": q_rate_extrapolated,
-        "source_overlap": q_source_overlap,
-        "hourly_rollup": q_hourly_rollup,
-        "rolling_avg_1h": q_rolling_avg_1h,
-        "stddev_windows": q_stddev_windows,
-        "anomaly_flags": q_anomaly_flags,
-        "continuous_rollup": q_continuous_rollup,
-        "selector_scan": q_selector_scan,
-        "agg_sum": q_agg_sum,
-        "agg_count": q_agg_count,
-        "agg_avg": q_agg_avg,
-        "agg_min": q_agg_min,
-        "agg_max": q_agg_max,
-        "agg_stats": q_agg_stats,
-        "topk_values": q_topk_values,
-        "bottomk_values": q_bottomk_values,
-        "vector_scalar_arith": q_vector_scalar_arith,
         "comparison_filter": q_comparison_filter,
         "interp_add": q_interp_add,
         "interp_add_grouped": q_interp_add_grouped,
@@ -4739,6 +4689,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "cached_read_invalidation": q_cached_read_invalidation,
+        "maintenance_lifecycle": q_maintenance_lifecycle,
+        "media_pipeline": q_media_pipeline,
+        "media_decode_suite": q_media_decode_suite,
+        "fuzzy_join_lev": q_fuzzy_join_lev,
+        "seasonal_decompose": q_seasonal_decompose,
+        "media_dsp": q_media_dsp,
+        "acf_lags": q_acf_lags,
+        "cusum_drift": q_cusum_drift,
+        "token_counts_by_source": q_token_counts_by_source,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count_bpe": q_token_count_bpe,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "decontaminate": q_decontaminate,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "text_stats": q_text_stats,
+        "selector_scan_or": q_selector_scan_or,
+        "promql_topk_without": q_promql_topk_without,
+        "promql_pinned_range": q_promql_pinned_range,
+        "streaming_sessions": q_streaming_sessions,
+        "query_range_compare": q_query_range_compare,
+        "predict_linear_grid": q_predict_linear_grid,
+        "subquery_windowed_grid": q_subquery_windowed_grid,
+        "pow_atan2_grid": q_pow_atan2_grid,
+        "alert_rule": q_alert_rule,
+        "streaming_alert": q_streaming_alert,
+        "rate_extrapolated": q_rate_extrapolated,
+        "source_overlap": q_source_overlap,
+        "hourly_rollup": q_hourly_rollup,
+        "rolling_avg_1h": q_rolling_avg_1h,
+        "stddev_windows": q_stddev_windows,
+        "anomaly_flags": q_anomaly_flags,
+        "continuous_rollup": q_continuous_rollup,
+        "selector_scan": q_selector_scan,
+        "agg_sum": q_agg_sum,
+        "agg_count": q_agg_count,
+        "agg_avg": q_agg_avg,
+        "agg_min": q_agg_min,
+        "agg_max": q_agg_max,
+        "agg_stats": q_agg_stats,
+        "topk_values": q_topk_values,
+        "bottomk_values": q_bottomk_values,
+        "vector_scalar_arith": q_vector_scalar_arith,
     }
 
 # ---------------------------------------------------------------- oracle SQL

@@ -65,6 +65,21 @@ def test_registry_rotation_not_lapsed():
     )
     cycle = max(2, math.ceil(len(keys) / WINDOW))
     floor_round = n - (cycle - 1)
+    # Freshly-gated window (ADVICE r11 / VERDICT r12 item 1): when the
+    # driver's CORRECTNESS file for round n has just landed, keys[:50]
+    # all carry round n and the literal ordering is temporarily violated
+    # by design — rotation is *pending*, not lapsed. In that state,
+    # validate the PENDING rotation instead: simulate stalest-first
+    # reordering and require nothing outside the simulated next window
+    # to be older than the bound. If rotation is then skipped a round,
+    # the un-rotated tail keeps aging and this same simulated check
+    # fires at n+1 (the r10 crowd drops below the rising floor), so a
+    # skipped rotation is still caught — just one round later, on the
+    # tree where it is actually a lapse.
+    window_fresh = all(last.get(k, 0) == n for k in keys[:WINDOW])
+    if window_fresh:
+        simulated = sorted(keys, key=lambda k: last.get(k, 0))
+        window = set(simulated[:WINDOW])
     stale = [
         f"{k} (last gated r{last.get(k, 0)})"
         for k in keys
@@ -76,9 +91,11 @@ def test_registry_rotation_not_lapsed():
         "run tools/rotate_registry.py"
     )
     # staleness-first ordering: last-gated rounds never decrease along
-    # the registry (never-gated entries count as round 0 and must lead)
+    # the registry (never-gated entries count as round 0 and must lead).
+    # A freshly-gated window is exempt (rotation pending, validated via
+    # the simulation above).
     rounds = [last.get(k, 0) for k in keys]
-    assert rounds == sorted(rounds), (
+    assert window_fresh or rounds == sorted(rounds), (
         "registry is not ordered staleness-first; run "
         "tools/rotate_registry.py"
     )
