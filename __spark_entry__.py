@@ -4395,21 +4395,35 @@ def q_fuzzy_join_lev(spark, sf_dir):
     near-unique key (16 text chars + '-' + doc_id), the right side is a
     DETERMINISTICALLY perturbed copy (doc_id%3==0: delete the char at
     1-based position doc_id%7+1; ==1: overwrite position doc_id%11+1
-    with 'q'; ==2: unchanged), and the engine joins the sides with the
-    deletion-neighborhood (FastSS) blocking + exact verify. The oracle
-    finds the truth with a DIFFERENT complete blocking — the k=1
-    prefix-8 OR suffix-8 pigeonhole (one edit cannot touch both ends of
-    a >=17-char key) — so the hash match proves FULL RECALL of the
-    neighborhood scheme against an independent exact method, plus exact
-    distances. Both schemes are bucketed equi-joins, never all-pairs.
-    spread() re-splits the single-file fixture scan so the variant
-    explode + join use every core — a no-op at real scan widths (r12:
-    the bench's unsplit 10x replica serialized the explode, 11.9x; the
+    with 'q'; ==2: unchanged), and the engine joins the sides with
+    THREE independent complete blockings (r13, VERDICT r12 item 6) —
+    the deletion-neighborhood (FastSS), the generalized PassJoin
+    segment pigeonhole (per-row k+1 even segments + substring shift
+    window), and the fixed-width prefix/suffix pigeonhole with
+    caller-supplied m=8 — each followed by an exact levenshtein verify.
+    The oracle finds the truth with the prefix-8 OR suffix-8 scheme in
+    DuckDB, so the hash match proves FULL RECALL of all three engine
+    schemes against an independent exact method, plus exact distances
+    (four-way agreement). The oracle's m=8 is complete only when every
+    key is >= 16 chars (ADVICE r12): the gate ASSERTS
+    min(length(text)) >= 16 on the fixture instead of assuming it.
+    All schemes are bucketed equi-joins, never all-pairs. spread()
+    re-splits the single-file fixture scan so the variant explode +
+    join use every core — a no-op at real scan widths (r12: the
+    bench's unsplit 10x replica serialized the explode, 11.9x; the
     32-split probe replica showed the true ratio, 1.4x)."""
     from tachyon_spark.functions.linkage import fuzzy_join
     from tachyon_spark.functions.util import spread
 
     docs = spread(_read(spark, sf_dir, "documents"))
+    # keys are substr(lower(text), 1, 16) || '-' || doc_id: the oracle's
+    # prefix-8/suffix-8 completeness needs len(key) >= 16, so check the
+    # text floor on the fixture (one tiny agg on a gate-sized input)
+    min_text = docs.select(F.min(F.length("text"))).first()[0]
+    assert min_text is not None and min_text >= 16, (
+        f"fixture text min length {min_text} < 16 — the oracle's "
+        "prefix-8/suffix-8 blocking would be under-complete"
+    )
     big = 1 << 20
     key = F.concat(
         F.substring(F.lower("text"), 1, 16),
@@ -4440,12 +4454,20 @@ def q_fuzzy_join_lev(spark, sf_dir):
     right = docs.select(
         F.col("doc_id").alias("right_id"), perturbed.alias("key")
     )
-    # BOTH engine blockings run as arms — each must independently
-    # reproduce the oracle's pigeonhole truth (two complete schemes,
-    # one exact method, three-way agreement)
+    # ALL THREE engine blockings run as arms — each must independently
+    # reproduce the oracle's pigeonhole truth (three complete schemes,
+    # one exact method, four-way agreement). prefix_suffix takes m=8
+    # explicitly (stays lazy; matches the oracle's buckets exactly —
+    # the min-length assert above guards the shared precondition)
     out = None
-    for method in ("neighborhood", "segment"):
-        part = fuzzy_join(left, right, "key", k=1, method=method).select(
+    for method, kw in (
+        ("neighborhood", {}),
+        ("segment", {}),
+        ("prefix_suffix", {"m": 8}),
+    ):
+        part = fuzzy_join(
+            left, right, "key", k=1, method=method, **kw
+        ).select(
             F.lit(method).alias("method"), "left_id", "right_id", "dist"
         )
         out = part if out is None else out.unionByName(part)
@@ -4574,6 +4596,10 @@ REGATE: dict[str, int] = {
     # r12: cutoff moved from T0+240h (vacuous — 0=0 hash) to T0+120h; the
     # r11 green row proved nothing about data preservation (VERDICT r11 #1)
     "maintenance_lifecycle": 11,
+    # r13: gate grew a third arm (prefix_suffix m=8) and the segment arm
+    # became the generalized PassJoin — the r12 two-arm row no longer
+    # proves the current semantics (VERDICT r12 item 6)
+    "fuzzy_join_lev": 12,
 }
 
 
@@ -4589,6 +4615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row goes stale. Regenerate each round with
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
+        "fuzzy_join_lev": q_fuzzy_join_lev,
         "comparison_filter": q_comparison_filter,
         "interp_add": q_interp_add,
         "interp_add_grouped": q_interp_add_grouped,
@@ -4693,7 +4720,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintenance_lifecycle": q_maintenance_lifecycle,
         "media_pipeline": q_media_pipeline,
         "media_decode_suite": q_media_decode_suite,
-        "fuzzy_join_lev": q_fuzzy_join_lev,
         "seasonal_decompose": q_seasonal_decompose,
         "media_dsp": q_media_dsp,
         "acf_lags": q_acf_lags,
@@ -5699,7 +5725,9 @@ def oracle_sql() -> dict[str, str]:
               FROM cand WHERE levenshtein(a, b) <= 1
             ) t
             CROSS JOIN (
-              SELECT unnest(['neighborhood', 'segment']) AS method
+              SELECT unnest(
+                ['neighborhood', 'segment', 'prefix_suffix']
+              ) AS method
             ) m
         """,
         "seasonal_decompose": f"""

@@ -54,7 +54,9 @@ def sides(spark):
     return left, right, ldf, rdf
 
 
-@pytest.mark.parametrize("method", ["neighborhood", "segment"])
+@pytest.mark.parametrize(
+    "method", ["neighborhood", "segment", "prefix_suffix"]
+)
 def test_full_recall_and_exact_distances_k1(spark, sides, method):
     left, right, ldf, rdf = sides
     got = sorted(
@@ -64,15 +66,33 @@ def test_full_recall_and_exact_distances_k1(spark, sides, method):
     assert got == _truth(left, right, 1)
 
 
-def test_neighborhood_k2_complete(spark, sides):
+@pytest.mark.parametrize("method", ["neighborhood", "segment"])
+def test_k2_three_way_agreement(spark, sides, method):
+    # VERDICT r12 item 6: both k=2-capable blockings must independently
+    # reproduce the brute-force truth — three-way agreement at k=2
     left, right, ldf, rdf = sides
     got = sorted(
         tuple(r)
-        for r in fuzzy_join(
-            ldf, rdf, "key", k=2, method="neighborhood"
-        ).collect()
+        for r in fuzzy_join(ldf, rdf, "key", k=2, method=method).collect()
     )
     assert got == _truth(left, right, 2)
+
+
+def test_segment_short_right_keys_complete(spark):
+    # right keys shorter than k+1 chars are unsegmentable — the short
+    # deletion-neighborhood arm must still find their pairs
+    left = [(1, "ab"), (2, "a"), (3, "abcd"), (4, "xy")]
+    right = [(11, "b"), (12, "a"), (13, "ab"), (14, "abc")]
+    ldf = spark.createDataFrame(left, "left_id long, key string")
+    rdf = spark.createDataFrame(right, "right_id long, key string")
+    for k in (1, 2):
+        got = sorted(
+            tuple(r)
+            for r in fuzzy_join(
+                ldf, rdf, "key", k=k, method="segment"
+            ).collect()
+        )
+        assert got == _truth(left, right, k), f"k={k}"
 
 
 def test_null_and_empty_keys_never_match(spark):
@@ -89,14 +109,43 @@ def test_null_and_empty_keys_never_match(spark):
     assert sorted(tuple(r) for r in got) == [(3, 7, 0)]
 
 
-def test_segment_rejects_k2_and_short_keys(spark):
+def test_prefix_suffix_rejects_k2_and_short_keys(spark):
     df = spark.createDataFrame([(1, "ab")], "left_id long, key string")
     r = spark.createDataFrame([(2, "ab")], "right_id long, key string")
     with pytest.raises(ValueError, match="k=1 only"):
-        fuzzy_join(df, r, "key", k=2, method="segment")
+        fuzzy_join(df, r, "key", k=2, method="prefix_suffix")
     short = spark.createDataFrame([(1, "a")], "left_id long, key string")
     with pytest.raises(ValueError, match=">= 2 chars"):
-        fuzzy_join(short, r, "key", k=1, method="segment")
+        fuzzy_join(short, r, "key", k=1, method="prefix_suffix")
+
+
+def test_prefix_suffix_empty_side_returns_empty(spark):
+    # ADVICE r12: an empty side (or all-NULL keys) must yield an empty
+    # typed frame, not ValueError from the corpus-min derivation
+    df = spark.createDataFrame([(1, "abcd")], "left_id long, key string")
+    empty = spark.createDataFrame([], "right_id long, key string")
+    out = fuzzy_join(df, empty, "key", k=1, method="prefix_suffix")
+    assert out.columns == ["left_id", "right_id", "dist"]
+    assert out.count() == 0
+    nulls = spark.createDataFrame(
+        [(9, None)], "right_id long, key string"
+    )
+    assert fuzzy_join(
+        df, nulls, "key", k=1, method="prefix_suffix"
+    ).count() == 0
+
+
+def test_prefix_suffix_caller_supplied_m_stays_lazy(spark):
+    ldf = spark.createDataFrame(
+        [(1, "abcdefgh")], "left_id long, key string"
+    )
+    rdf = spark.createDataFrame(
+        [(2, "abcdefgx")], "right_id long, key string"
+    )
+    got = fuzzy_join(
+        ldf, rdf, "key", k=1, method="prefix_suffix", m=4
+    ).collect()
+    assert [tuple(r) for r in got] == [(1, 2, 1)]
 
 
 def test_deletion_variants_shape(spark):

@@ -64,23 +64,27 @@ def test_neighborhood_matches_bruteforce(spark, left, right, k):
 
 
 @settings(
-    max_examples=8,
+    max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(
     left=st.lists(
-        st.text(alphabet="ab", min_size=2, max_size=6),
+        st.text(alphabet="ab", min_size=1, max_size=7),
         min_size=1,
         max_size=10,
     ),
     right=st.lists(
-        st.text(alphabet="ab", min_size=2, max_size=6),
+        st.text(alphabet="ab", min_size=1, max_size=7),
         min_size=1,
         max_size=10,
     ),
+    k=st.integers(min_value=0, max_value=2),
 )
-def test_segment_matches_bruteforce_k1(spark, left, right):
+def test_segment_matches_bruteforce(spark, left, right, k):
+    # PassJoin generalization (r13): any k, per-row segment widths,
+    # short-right-key arm — min_size=1 deliberately exercises keys the
+    # pigeonhole cannot segment
     ldf = spark.createDataFrame(
         list(enumerate(left)), "left_id long, key string"
     )
@@ -91,13 +95,13 @@ def test_segment_matches_bruteforce_k1(spark, left, right):
     got = sorted(
         tuple(r)
         for r in fuzzy_join(
-            ldf, rdf, "key", k=1, method="segment"
+            ldf, rdf, "key", k=k, method="segment"
         ).collect()
     )
     truth = sorted(
         (i, 100 + j, _lev(a, b))
         for i, a in enumerate(left)
         for j, b in enumerate(right)
-        if _lev(a, b) <= 1
+        if _lev(a, b) <= k
     )
     assert got == truth
