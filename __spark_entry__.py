@@ -4481,12 +4481,17 @@ def q_seasonal_decompose(spark, sf_dir):
     partitions by series, the seasonal means key on (series, phase), so
     the driver hash proves the grouped path, not just one series) into
     2x24 centered-MA trend, uncentered per-phase seasonal means,
-    remainder. EXACT cross-engine by construction: integer inputs keep
-    every window/group sum order-independent in doubles and each
-    component is one division of identical operands (see the operator
-    docstring), so the gate runs UNROUNDED. Phase is per-series row-rank
-    mod period (ROW frames, like the oracle's PARTITIONed window
-    functions), so sparse hours replay identically on both sides."""
+    remainder. TWO arms (r13, VERDICT r12 item 7): method='mean' is the
+    classical per-phase mean; method='median' is the robust STL-style
+    per-phase MEDIAN of the detrended series (same trend). EXACT
+    cross-engine by construction: integer inputs keep every window/group
+    sum order-independent in doubles, each component is one division of
+    identical operands, and the even-count median is one addition + one
+    division of exact operands — Spark and DuckDB medians agree
+    bit-for-bit there (see the operator docstring), so the gate runs
+    UNROUNDED. Phase is per-series row-rank mod period (ROW frames, like
+    the oracle's PARTITIONed window functions), so sparse hours replay
+    identically on both sides."""
     from tachyon_spark.operators.seasonal import seasonal_decompose
 
     ev = _read(spark, sf_dir, "events")
@@ -4498,9 +4503,14 @@ def q_seasonal_decompose(spark, sf_dir):
         .groupBy("event_type", hour_us)
         .agg(F.count("*").cast("double").alias("value"))
     )
-    return seasonal_decompose(
-        counts, "ts_us", "value", 24, group_cols=["event_type"]
-    )
+    out = None
+    for method, robust in (("mean", False), ("median", True)):
+        part = seasonal_decompose(
+            counts, "ts_us", "value", 24, group_cols=["event_type"],
+            robust=robust,
+        ).select(F.lit(method).alias("method"), "*")
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def q_media_dsp(spark, sf_dir):
@@ -4600,6 +4610,8 @@ REGATE: dict[str, int] = {
     # became the generalized PassJoin — the r12 two-arm row no longer
     # proves the current semantics (VERDICT r12 item 6)
     "fuzzy_join_lev": 12,
+    # r13: gate grew the robust per-phase-median arm (VERDICT r12 item 7)
+    "seasonal_decompose": 12,
 }
 
 
@@ -4616,6 +4628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
         "fuzzy_join_lev": q_fuzzy_join_lev,
+        "seasonal_decompose": q_seasonal_decompose,
         "comparison_filter": q_comparison_filter,
         "interp_add": q_interp_add,
         "interp_add_grouped": q_interp_add_grouped,
@@ -4720,7 +4733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintenance_lifecycle": q_maintenance_lifecycle,
         "media_pipeline": q_media_pipeline,
         "media_decode_suite": q_media_decode_suite,
-        "seasonal_decompose": q_seasonal_decompose,
         "media_dsp": q_media_dsp,
         "acf_lags": q_acf_lags,
         "cusum_drift": q_cusum_drift,
@@ -5764,14 +5776,21 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT event_type, phase,
-                     sum(v * 48.0 - num) / (count(*) * 48.0) AS seasonal
+                     sum(v * 48.0 - num) / (count(*) * 48.0) AS seasonal,
+                     median(v * 48.0 - num) / 48.0 AS seasonal_med
               FROM d WHERE num IS NOT NULL GROUP BY event_type, phase
+            ),
+            m AS (
+              SELECT unnest(['mean', 'median']) AS method
             )
-            SELECT d.event_type, d.ts_us, d.v AS value, d.phase,
+            SELECT m.method, d.event_type, d.ts_us, d.v AS value, d.phase,
                    d.num / 48.0 AS trend,
-                   s.seasonal,
-                   d.v - d.num / 48.0 - s.seasonal AS remainder
-            FROM d LEFT JOIN s USING (event_type, phase)
+                   CASE m.method WHEN 'mean' THEN s.seasonal
+                     ELSE s.seasonal_med END AS seasonal,
+                   d.v - d.num / 48.0
+                     - CASE m.method WHEN 'mean' THEN s.seasonal
+                         ELSE s.seasonal_med END AS remainder
+            FROM d LEFT JOIN s USING (event_type, phase) CROSS JOIN m
         """,
         "scalar_arithmetic": (
             "SELECT round((sum(value) / count(value)) * 2.0 + 1.0, 6) AS value "

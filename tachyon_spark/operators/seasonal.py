@@ -50,6 +50,7 @@ def seasonal_decompose(
     value_col: str,
     period: int,
     group_cols: Sequence[str] = (),
+    robust: bool = False,
 ) -> DataFrame:
     """Decompose a regular series into (trend, seasonal, remainder).
 
@@ -59,6 +60,16 @@ def seasonal_decompose(
     the input keys plus value, phase, trend, seasonal, remainder; trend
     and remainder are NULL within period/2 rows of each series edge.
 
+    `robust=True` replaces the per-phase MEAN of the detrended series
+    with the per-phase MEDIAN (STL-style outlier resistance for the
+    seasonal component: one spiked observation no longer drags its
+    whole phase). The trend stays the centered MA — the textbook robust
+    variant (full STL re-weights the trend with LOESS, which has no
+    exact SQL replay; documented divergence). Still exact cross-engine
+    on integer-valued inputs: the median of an odd count is an element,
+    of an even count one addition + one division of exact operands —
+    Spark's `median` and DuckDB's `median` agree bit-for-bit there.
+
     Partitioning: the window partitions by `group_cols` — decomposition
     of MANY series in one pass is the scale shape. With no groups the
     single series sorts in one task, which is fine exactly because one
@@ -67,6 +78,17 @@ def seasonal_decompose(
     """
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period}")
+    # fixed output names + internals must not be shadowed by input keys
+    # (a group column literally named 'value' would silently collide —
+    # ADVICE r12); value_col itself is fine, it BECOMES 'value'
+    reserved = {"value", "phase", "trend", "seasonal", "remainder",
+                "__num", "__detr_num"}
+    clash = sorted(({ts_col, *group_cols}) & reserved)
+    if clash:
+        raise ValueError(
+            f"ts_col/group_cols collide with output/internal names: "
+            f"{clash} — rename the input columns"
+        )
     g = [F.col(c) for c in group_cols]
     w = Window.partitionBy(*g).orderBy(ts_col)
     half = period // 2
@@ -107,15 +129,20 @@ def seasonal_decompose(
     detr = base.withColumn(
         "__detr_num", F.col("value") * F.lit(float(den)) - F.col("__num")
     )
+    # per-phase center of the detrended series: mean (classical) or
+    # median (robust) — both one division of exact operands on
+    # integer-valued inputs (median of an even count adds one exact
+    # addition), so both replay bit-identically cross-engine
+    if robust:
+        center = F.median("__detr_num") / F.lit(float(den))
+    else:
+        center = F.sum("__detr_num") / (
+            F.count("__detr_num") * F.lit(float(den))
+        )
     seas = (
         detr.where(F.col("__num").isNotNull())
         .groupBy(*group_cols, "phase")
-        .agg(
-            (
-                F.sum("__detr_num")
-                / (F.count("__detr_num") * F.lit(float(den)))
-            ).alias("seasonal"),
-        )
+        .agg(center.alias("seasonal"))
     )
     trend = F.col("__num") / F.lit(float(den))
     out = detr.join(seas, [*group_cols, "phase"], "left").select(
