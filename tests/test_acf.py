@@ -5,6 +5,7 @@ structural checks: periodic series peak at the period, multi-group
 independence, zero-variance and short-series edge handling."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from tachyon_spark.operators.acf import autocorrelation
 
@@ -164,3 +165,61 @@ def test_null_values_are_dropped_before_ranking(spark):
     exp = {r["lag"]: r["acf"]
            for r in autocorrelation(clean, "ts", "value", 4).collect()}
     assert got == exp
+
+
+def test_ungrouped_matches_grouped_constant(spark):
+    # VERDICT r12 item 2: the ungrouped path routes through the
+    # distributed global rank — results must be identical to a
+    # constant-group run (which uses the plain window path)
+    df = spark.createDataFrame(
+        [(i, float((i * 5) % 11)) for i in range(500)],
+        "ts long, value double",
+    )
+    ung = {r["lag"]: (r["n_pairs"], r["acf"])
+           for r in autocorrelation(df, "ts", "value", 6).collect()}
+    grp = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in autocorrelation(
+            df.withColumn("g", F.lit(1)), "ts", "value", 6,
+            group_cols=["g"],
+        ).collect()
+    }
+    assert ung == grp
+
+
+def test_ungrouped_plan_has_no_data_sized_one_task_sort(spark):
+    # the only SinglePartition exchanges allowed are the offsets frame
+    # (one row per shuffle partition) and the 1-row scalars broadcast;
+    # the series itself must go through a range partition
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("ts"),
+        (F.col("id") % 17).cast("double").alias("value"),
+    )
+    out = autocorrelation(df, "ts", "value", 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(ts" in plan
+    # every rank window partitions by __pid — the data is never sorted
+    # in one task
+    ranks = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert ranks and all("__pid" in ln for ln in ranks), plan
+    # the only SinglePartition exchanges are the two offsets frames
+    # (one row per shuffle partition; base feeds two join branches) and
+    # the 1-row scalars aggregate
+    single = [ln for ln in plan.splitlines()
+              if "Exchange SinglePartition" in ln]
+    assert len(single) <= 3, plan
+
+
+def test_column_name_collisions_raise(spark):
+    from tachyon_spark.operators.acf import cross_correlation
+
+    df = spark.createDataFrame(
+        [("x", 0, 1.0)], "lag string, ts long, value double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        autocorrelation(df, "ts", "value", 2, group_cols=["lag"])
+    df2 = spark.createDataFrame([(0, 1.0)], "__rn long, value double")
+    with pytest.raises(ValueError, match="collide"):
+        autocorrelation(df2, "__rn", "value", 2)
+    with pytest.raises(ValueError, match="collide"):
+        cross_correlation(df, df, "ts", "value", 2, group_cols=["lag"])
