@@ -3988,18 +3988,48 @@ def q_embedding_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def _recall_guard(out, brute_ids, floor, what):
+    """Shared ANN quality-floor arm (r13, VERDICT r12 item 4): recall@k
+    of the approximate top-k against the brute-force truth, ASSERTED
+    in-gate (quality collapse fails the gate outright, not just the
+    hash) and appended as a constant column so the driver hash also pins
+    the measured value. One bounded action: the join of two <=k-row
+    frames."""
+    hits = out.select("vec_id").join(brute_ids, "vec_id").count()
+    recall = hits / 20.0  # fixed k: a short result is a recall loss too
+    assert recall >= floor, (
+        f"{what} recall@20 = {recall:.3f} < floor {floor} — bucketing "
+        "quality collapsed (random-data expectation documented in-gate)"
+    )
+    # raw hits/20.0 — the identical IEEE division the oracle performs
+    return out.withColumn("recall", F.lit(recall))
+
+
 def q_embedding_ann_lsh(spark, sf_dir):
     """Approximate NN: random-hyperplane LSH bucket probe (similarity.py).
     The hyperplanes are deterministic (seeded LCG), so the whole pipeline —
     bucket assignment, probe, exact rescoring — is reproduced by the DuckDB
-    oracle with the same plane constants inlined."""
-    from tachyon_spark.functions.similarity import lsh_cosine_topk
+    oracle with the same plane constants inlined. r13 quality arm: recall@20
+    vs the brute-force truth is asserted >= 0.45 in-gate and emitted as a
+    hashed column. The floor is honest for the DIRECTION-UNIFORM synthetic
+    fixture: 8 OR-ed 4-plane tables measure 0.6-0.7 there (clusterable real
+    embeddings sit far higher — pytest pins those floors on structured
+    vectors, tests/test_dedup.py); a collapsed bucketing would score
+    ~k/n = 0.03."""
+    from tachyon_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        lsh_cosine_topk,
+    )
 
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
     others = emb.where(F.col("vec_id") != 0)
     out = lsh_cosine_topk(others, qvec, k=20, planes=LSH_PLANES, tables=LSH_TABLES)
-    return out.select("vec_id", F.round("score", 6).alias("score"))
+    brute = brute_force_cosine_topk(others, qvec, k=20).select("vec_id")
+    return _recall_guard(
+        out.select("vec_id", F.round("score", 6).alias("score")),
+        brute, 0.45, "lsh",
+    )
 
 
 IVF_CENTROIDS = 8
@@ -4015,8 +4045,16 @@ def q_embedding_ann_ivf(spark, sf_dir):
     (the 8 vectors with lowest md5(vec_id) — reproducible in SQL) so the
     oracle can replay assignment + probe exactly; the k-means trainer
     (train_ivf_centroids) remains the production path, recall-gated in
-    tests/test_dedup.py."""
-    from tachyon_spark.functions.similarity import ivf_cosine_topk
+    tests/test_dedup.py. r13 quality arm: recall@20 vs the brute-force
+    truth is asserted >= 0.25 in-gate and emitted as a hashed column. The
+    floor is honest for the DIRECTION-UNIFORM synthetic fixture: probing
+    nprobe=2 of 8 cells on unclustered vectors measures 0.35-0.4 there
+    (structured embeddings sit far higher — pytest pins those floors);
+    a collapsed assignment would score ~k/n = 0.03."""
+    from tachyon_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
 
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
@@ -4030,7 +4068,11 @@ def q_embedding_ann_ivf(spark, sf_dir):
     )  # bounded: IVF_CENTROIDS rows
     cents = [[float(x) for x in r.embedding] for r in seed_rows]
     out = ivf_cosine_topk(others, qvec, cents, k=20, nprobe=2)
-    return out.select("vec_id", F.round("score", 6).alias("score"))
+    brute = brute_force_cosine_topk(others, qvec, k=20).select("vec_id")
+    return _recall_guard(
+        out.select("vec_id", F.round("score", 6).alias("score")),
+        brute, 0.25, "ivf",
+    )
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -4612,6 +4654,10 @@ REGATE: dict[str, int] = {
     "fuzzy_join_lev": 12,
     # r13: gate grew the robust per-phase-median arm (VERDICT r12 item 7)
     "seasonal_decompose": 12,
+    # r13: gates grew the recall@20-vs-brute-force quality arm with an
+    # in-gate floor assert (VERDICT r12 item 4)
+    "embedding_ann_ivf": 12,
+    "embedding_ann_lsh": 12,
 }
 
 
@@ -4629,6 +4675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fuzzy_join_lev": q_fuzzy_join_lev,
         "seasonal_decompose": q_seasonal_decompose,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
         "comparison_filter": q_comparison_filter,
         "interp_add": q_interp_add,
         "interp_add_grouped": q_interp_add_grouped,
@@ -4672,7 +4720,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
         "ewma_final": q_ewma_final,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
         "pack_sequences": q_pack_sequences,
         "gopher_quality": q_gopher_quality,
         "token_entropy": q_token_entropy,
@@ -4741,7 +4788,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count_bpe": q_token_count_bpe,
         "doc_fingerprint": q_doc_fingerprint,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -5234,9 +5280,27 @@ scored AS (
   SELECT v.vec_id,
          sum(v.x * q.x) / (sqrt(sum(v.x * v.x)) * sqrt(sum(q.x * q.x))) AS score
   FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id
-)
-SELECT vec_id, round(score, 6) AS score
-FROM scored ORDER BY score DESC, vec_id LIMIT 20
+),
+res AS (
+  SELECT vec_id, round(score, 6) AS score
+  FROM scored ORDER BY score DESC, vec_id LIMIT 20
+),
+-- r13 quality arm (VERDICT r12 item 4): recall@20 vs the brute-force
+-- truth, same construction as the embedding_cosine_topk oracle
+vall AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings WHERE vec_id != 0
+),
+bsc AS (
+  SELECT vall.vec_id,
+         sum(vall.x * q.x)
+         / (sqrt(sum(vall.x * vall.x)) * sqrt(sum(q.x * q.x))) AS score
+  FROM vall JOIN q ON vall.i = q.i GROUP BY vall.vec_id
+),
+brute AS (SELECT vec_id FROM bsc ORDER BY score DESC, vec_id LIMIT 20),
+r AS (SELECT count(*) / 20.0 AS recall FROM res JOIN brute USING (vec_id))
+SELECT res.vec_id, res.score, r.recall FROM res CROSS JOIN r
 """
 
 
@@ -5380,9 +5444,23 @@ scored AS (
   SELECT v.vec_id,
          sum(v.x * q.x) / (sqrt(sum(v.x * v.x)) * sqrt(sum(q.x * q.x))) AS score
   FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id
-)
-SELECT vec_id, round(score, 6) AS score
-FROM scored ORDER BY score DESC, vec_id LIMIT 20
+),
+res AS (
+  SELECT vec_id, round(score, 6) AS score
+  FROM scored ORDER BY score DESC, vec_id LIMIT 20
+),
+-- r13 quality arm (VERDICT r12 item 4): recall@20 vs the brute-force
+-- truth, same construction as the embedding_cosine_topk oracle (the
+-- IVF ve CTE already unnests every vector incl. the query)
+bsc AS (
+  SELECT ve.vec_id,
+         sum(ve.x * q.x)
+         / (sqrt(sum(ve.x * ve.x)) * sqrt(sum(q.x * q.x))) AS score
+  FROM ve JOIN q ON ve.i = q.i WHERE ve.vec_id != 0 GROUP BY ve.vec_id
+),
+brute AS (SELECT vec_id FROM bsc ORDER BY score DESC, vec_id LIMIT 20),
+r AS (SELECT count(*) / 20.0 AS recall FROM res JOIN brute USING (vec_id))
+SELECT res.vec_id, res.score, r.recall FROM res CROSS JOIN r
 """
 
 
