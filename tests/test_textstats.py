@@ -88,6 +88,9 @@ def test_corpus_top_ngrams_counts_and_ties(spark):
     # unigrams and short-doc guard
     uni = dict((r["ngram"], r["n"]) for r in corpus_top_ngrams(df, n=1, top=10).collect())
     assert uni["a"] == 3 and uni["b"] == 3
+    # the general indexed-concat path (n != 2, r13)
+    tri = dict((r["ngram"], r["n"]) for r in corpus_top_ngrams(df, n=3, top=10).collect())
+    assert tri == {"a b a": 1, "b a b": 1, "a b c": 1, "a b x": 1}
     import pytest
 
     with pytest.raises(ValueError):

@@ -290,7 +290,10 @@ def main() -> int:
         # documents — the offset doc_ids keep keys distinct, so the true
         # pair set grows ~linearly and the ratio measures the variant
         # equi-join, not duplication density)
-        doc_queries = {"fuzzy_join_lev"}
+        doc_queries = {
+            "fuzzy_join_lev", "top_ngrams", "repetition_score",
+            "scrub_pii", "text_stats", "quality_score", "lang_id",
+        }
         need = {"events"} | (
             {"documents"} if any(n in doc_queries for n in registry)
             else set()
