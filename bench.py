@@ -107,20 +107,36 @@ def bench_hot_cache(spark, sf_dir: str) -> dict[str, float]:
     one-stream range scan + aggregate, the dashboard shape the cache
     exists for — timed against the parquet tree vs the pinned
     InMemoryRelation. Both readings are best-of-3 warm runs, so the
-    delta is cache vs scan, not codegen warmup."""
+    delta is cache vs scan, not codegen warmup.
+
+    r13 (VERDICT r12 item 3): the hot set is the events table replicated
+    10x with span-shifted timestamps — at plain sf0.1 the fixture was so
+    small (0.09 s scans) the cache could show nothing and the tripwire
+    could not catch a payoff regression. Keys carry the _10x suffix so
+    round-over-round comparisons do not read the size change as a
+    regression."""
     from tachyon_spark.connection import Connection
     from tachyon_spark.operators.select import select_range
 
     work = tempfile.mkdtemp(prefix="bench_hotcache_")
-    samples = entrymod._read(spark, sf_dir, "events").select(
+    ev = entrymod._read(spark, sf_dir, "events")
+    lo0, hi0 = ev.agg(F.min("ts"), F.max("ts")).head()
+    span = (hi0 - lo0) + 1
+    ten = F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("__k")
+    samples = ev.select(
         F.col("event_type").alias("stream_id"),
-        F.expr("ts DIV 1000").alias("ts"),
+        F.col("ts"),
         F.col("value"),
+        ten,
+    ).select(
+        "stream_id",
+        F.expr(f"(ts + __k * {span}L) DIV 1000").alias("ts"),
+        "value",
         F.lit(None).cast("long").alias("value_int"),
     )
     conn = Connection(os.path.join(work, "db"), spark)
     conn.bulk_load(samples)
-    lo, hi = samples.agg(F.min("ts"), F.max("ts")).head()
+    lo, hi = lo0 // 1000, (hi0 + 9 * span) // 1000
 
     def serve():
         df = select_range(
@@ -134,8 +150,8 @@ def bench_hot_cache(spark, sf_dir: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
     for label, prep in (
-        ("serve_scan_uncached", None),
-        ("serve_scan_cached", conn.cache_samples),
+        ("serve_scan_uncached_10x", None),
+        ("serve_scan_cached_10x", conn.cache_samples),
     ):
         if prep is not None:
             prep()
