@@ -3146,16 +3146,40 @@ def q_unigram_logprob(spark, sf_dir):
 DUP_SPAN_K = 8
 
 
-def q_dup_span_stats(spark, sf_dir):
-    """Exact duplicated-substring statistics (functions/dedup.
-    dup_span_stats): Lee et al. arXiv:2107.06499's ExactSubstr pass as a
-    k-gram interval union — per-doc count of tokens covered by an 8-gram
-    that recurs in >= 2 distinct documents. One gram-hash shuffle
-    (distinct-doc count), a linear LEFT SEMI mark join, and one doc-keyed
-    gaps-and-islands pass; no suffix array, no pair blowup."""
-    from tachyon_spark.functions.dedup import dup_span_stats
+def q_dup_spans_suite(spark, sf_dir):
+    """Both ExactSubstr-span gates in ONE entry (r13 merge under the
+    150-entry staleness policy, freeing a slot for hybrid_search_rrf —
+    same rationale as the r12 media merges: the two arms share the
+    entire gram-hash -> duplicated-set -> islands machinery and diverge
+    only at the last projection). Arm 'stats' = dup_span_stats (Lee et
+    al. arXiv:2107.06499's ExactSubstr pass as a k-gram interval union:
+    per-doc count of tokens covered by an 8-gram recurring in >= 2
+    distinct documents; one gram-hash shuffle, a linear LEFT SEMI mark
+    join, one doc-keyed gaps-and-islands pass — no suffix array, no
+    pair blowup). Arm 'strip' = strip_dup_spans (the removal
+    composition: cut every duplicated span, ship md5(clean_text)).
+    Sentinels -1.0/'-' keep the union dtype-stable through the driver's
+    pandas hash."""
+    from tachyon_spark.functions.dedup import dup_span_stats, strip_dup_spans
 
-    return dup_span_stats(_read(spark, sf_dir, "documents"), k=DUP_SPAN_K)
+    docs = _read(spark, sf_dir, "documents")
+    stats = dup_span_stats(docs, k=DUP_SPAN_K).select(
+        F.lit("stats").alias("arm"),
+        "doc_id",
+        "n_tokens",
+        F.col("dup_tokens").alias("n"),
+        F.col("dup_ratio").alias("x"),
+        F.lit("-").alias("s"),
+    )
+    strip = strip_dup_spans(docs, k=DUP_SPAN_K).select(
+        F.lit("strip").alias("arm"),
+        "doc_id",
+        "n_tokens",
+        F.col("n_kept").alias("n"),
+        F.lit(-1.0).alias("x"),
+        F.md5("clean_text").alias("s"),
+    )
+    return stats.unionByName(strip)
 
 
 
@@ -3441,19 +3465,31 @@ def q_holt_winters(spark, sf_dir):
 
 
 
-def q_strip_dup_spans(spark, sf_dir):
-    """The removal composition of dup_span_stats (functions/dedup.
-    strip_dup_spans): cut every cross-document duplicated 8-gram span out
-    of every document and ship the cleaned text (md5-compared). Same
-    three keyed shuffles as dup_span_stats plus one doc-keyed island
-    join; the per-token coverage check is an array `exists` against the
-    per-doc interval list, in codegen."""
-    from tachyon_spark.functions.dedup import strip_dup_spans
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval (r13, beyond-reference): BM25 lexical top-50
+    (retrieval.bm25_topk, query {hash, join, merge}) fused with the
+    embedding-cosine semantic top-50 for query vector 0 (vec_id aligns
+    with doc_id in the fixtures) by reciprocal-rank fusion
+    (retrieval.rrf_fuse, c=60 — Cormack et al. SIGIR 2009), top-15. The
+    fusion is exact cross-engine: ranks tie-break by id on pre-rounded
+    retriever scores, each contribution is one correctly-rounded
+    division, and the two-term sum has a fixed order — the oracle
+    replays ranks + fusion bit-for-bit. Scale shape: both retrievers
+    are gated TakeOrdered top-k plans; the fuse operates on
+    candidate-list-sized frames (set by k, not the corpus)."""
+    from tachyon_spark.functions.retrieval import bm25_topk, rrf_fuse
+    from tachyon_spark.functions.similarity import brute_force_cosine_topk
 
-    out = strip_dup_spans(_read(spark, sf_dir, "documents"), k=DUP_SPAN_K)
-    return out.select(
-        "doc_id", "n_tokens", "n_kept", F.md5("clean_text").alias("clean_md5")
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
+    lex = bm25_topk(docs, ["hash", "join", "merge"], k=50)
+    sem = brute_force_cosine_topk(
+        emb.where(F.col("vec_id") != 0), qvec, k=50
+    ).select(
+        F.col("vec_id").alias("doc_id"), F.round("score", 6).alias("score")
     )
+    return rrf_fuse([lex, sem], k=15, c=60)
 
 
 
@@ -4677,6 +4713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "dup_spans_suite": q_dup_spans_suite,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         "comparison_filter": q_comparison_filter,
         "interp_add": q_interp_add,
         "interp_add_grouped": q_interp_add_grouped,
@@ -4755,13 +4793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": q_repetition_score,
         "agg_stddev": q_agg_stddev,
         "topk_per_group": q_topk_per_group,
-        "dup_span_stats": q_dup_span_stats,
         "semdedup": q_semdedup,
         "domain_cap": q_domain_cap,
         "global_shuffle": q_global_shuffle,
         "predict_linear": q_predict_linear,
         "holt_winters": q_holt_winters,
-        "strip_dup_spans": q_strip_dup_spans,
         "mad_windows": q_mad_windows,
         "asof_forward_nearest": q_asof_forward_nearest,
         "streaming_dedup": q_streaming_dedup,
@@ -7229,7 +7265,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM clus)
         """,
-        "dup_span_stats": f"""
+        "dup_spans_suite": f"""
+            -- r13 merge: both ExactSubstr arms share every CTE up to
+            -- the islands; they diverge only at the final projection
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents
             ), pos AS (
@@ -7255,21 +7293,47 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, pos,
                      sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos)
                        AS isl
-              FROM isl
+            FROM isl
             ), per_isl AS (
-              SELECT doc_id, isl,
-                     max(pos) + {DUP_SPAN_K} - 1 - min(pos) + 1 AS span
+              SELECT doc_id, isl, min(pos) AS s,
+                     max(pos) + {DUP_SPAN_K} - 1 AS e
               FROM isl2 GROUP BY doc_id, isl
             ), per_doc AS (
-              SELECT doc_id, sum(span) AS dup_tokens
+              SELECT doc_id, sum(e - s + 1) AS dup_tokens
               FROM per_isl GROUP BY doc_id
+            ), tok AS (
+              SELECT doc_id, generate_subscripts(t, 1) AS pos,
+                     unnest(t) AS tok
+              FROM toks
+            ), kept AS (
+              SELECT k.doc_id, k.pos, k.tok FROM tok k
+              WHERE NOT EXISTS (SELECT 1 FROM per_isl p
+                                WHERE p.doc_id = k.doc_id
+                                  AND k.pos BETWEEN p.s AND p.e)
+            ), agg AS (
+              -- list_sort AFTER aggregation (duckdb 1.0 ignores the
+              -- aggregate-level ORDER BY under parallel aggregation)
+              SELECT doc_id,
+                     array_to_string(list_transform(
+                       list_sort(list({{'p': pos, 't': tok}})),
+                       x -> x.t), ' ') AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
             )
-            SELECT d.doc_id,
+            SELECT 'stats' AS arm, d.doc_id,
                    len(string_split(d.text, ' ')) AS n_tokens,
-                   CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS n,
                    coalesce(p.dup_tokens, 0) / len(string_split(d.text, ' '))
-                     AS dup_ratio
+                     AS x,
+                   '-' AS s
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            UNION ALL
+            SELECT 'strip', d.doc_id,
+                   len(string_split(d.text, ' ')),
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT),
+                   -1.0,
+                   md5(coalesce(a.clean_text, ''))
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "semdedup": f"""
             WITH cents AS (
@@ -7465,61 +7529,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, ts_us, round(cur, 6) AS hw
             FROM rec WHERE i = n AND n >= 2
         """,
-        "strip_dup_spans": f"""
+        "hybrid_search_rrf": """
+            -- RRF fusion replay: BM25 top-50 ranks + cosine top-50
+            -- ranks (both tie-break by id on round-6 scores), each
+            -- contribution one correctly-rounded division, two-term sum
+            -- in fixed order — bit-identical to the engine
             WITH toks AS (
-              SELECT doc_id, string_split(text, ' ') AS t FROM documents
-            ), pos AS (
-              SELECT doc_id, i AS pos,
-                     array_to_string(t[i:i+{DUP_SPAN_K}-1], ' ') AS gram
-              FROM toks, UNNEST(range(1, len(t) - {DUP_SPAN_K} + 2)) AS u(i)
-              WHERE len(t) >= {DUP_SPAN_K}
-            ), dup AS (
-              SELECT gram FROM pos
-              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
-            ), marked AS (
-              SELECT p.doc_id, p.pos FROM pos p
-              WHERE p.gram IN (SELECT gram FROM dup)
-            ), isl AS (
-              SELECT doc_id, pos,
-                CASE WHEN max(pos + {DUP_SPAN_K} - 1) OVER w IS NULL
-                       OR pos > max(pos + {DUP_SPAN_K} - 1) OVER w
-                     THEN 1 ELSE 0 END AS new_isl
-              FROM marked
-              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-            ), isl2 AS (
-              SELECT doc_id, pos,
-                     sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos)
-                       AS isl
-              FROM isl
-            ), per_isl AS (
-              SELECT doc_id, isl, min(pos) AS s,
-                     max(pos) + {DUP_SPAN_K} - 1 AS e
-              FROM isl2 GROUP BY doc_id, isl
-            ), tok AS (
-              SELECT doc_id, generate_subscripts(t, 1) AS pos,
-                     unnest(t) AS tok
-              FROM toks
-            ), kept AS (
-              SELECT k.doc_id, k.pos, k.tok FROM tok k
-              WHERE NOT EXISTS (SELECT 1 FROM per_isl p
-                                WHERE p.doc_id = k.doc_id
-                                  AND k.pos BETWEEN p.s AND p.e)
-            ), agg AS (
-              -- list_sort AFTER aggregation (duckdb 1.0 ignores the
-              -- aggregate-level ORDER BY under parallel aggregation)
               SELECT doc_id,
-                     array_to_string(list_transform(
-                       list_sort(list({{'p': pos, 't': tok}})),
-                       x -> x.t), ' ') AS clean_text,
-                     count(*) AS n_kept
-              FROM kept GROUP BY doc_id
+                     unnest(list_filter(
+                       string_split(lower(text), ' '), t -> t != ''
+                     )) AS tok
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM toks
+              WHERE tok IN ('hash', 'join', 'merge') GROUP BY 1, 2
+            ),
+            dfq AS (
+              SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+            ),
+            lex AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+                     ), 6) AS score
+              FROM tf
+              JOIN dfq USING (tok)
+              JOIN dl USING (doc_id)
+              CROSS JOIN st
+              GROUP BY 1
+              ORDER BY score DESC, doc_id LIMIT 50
+            ),
+            q AS (
+              SELECT i, x FROM (
+                SELECT unnest(embedding::DOUBLE[]) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings WHERE vec_id = 0
+              )
+            ),
+            v AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding::DOUBLE[]) AS x
+              FROM embeddings WHERE vec_id != 0
+            ),
+            sem AS (
+              SELECT vec_id AS doc_id,
+                     round(sum(v.x * q.x)
+                       / (sqrt(sum(v.x * v.x)) * sqrt(sum(q.x * q.x))),
+                       6) AS score
+              FROM v JOIN q ON v.i = q.i
+              GROUP BY vec_id
+              ORDER BY score DESC, doc_id LIMIT 50
+            ),
+            lr AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY score DESC, doc_id) AS r
+              FROM lex
+            ),
+            sr AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY score DESC, doc_id) AS r
+              FROM sem
+            ),
+            fused AS (
+              SELECT doc_id,
+                     coalesce(1.0 / (60 + lr.r), 0)
+                     + coalesce(1.0 / (60 + sr.r), 0) AS rrf
+              FROM lr FULL OUTER JOIN sr USING (doc_id)
             )
-            SELECT d.doc_id,
-                   len(string_split(d.text, ' ')) AS n_tokens,
-                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
-                   md5(coalesce(a.clean_text, '')) AS clean_md5
-            FROM documents d LEFT JOIN agg a USING (doc_id)
+            SELECT doc_id, round(rrf, 6) AS rrf
+            FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
         """,
         "media_dsp": """
             -- both DSP arms replayed term-by-term straight from the text

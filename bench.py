@@ -238,7 +238,7 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         # measured r9: 240 rows and ~5 s at both scales) — the
         # data-proportional rollup ingest is memoized fixture scaffolding,
         # scale-covered by multires_rollup/ingest_parquet)
-        "dup_span_stats",
+        "dup_spans_suite",
         # dedup-aware split: inherits the LSH+clusters machinery, healthy
         # sub-linear (measured r9: 6.7 s -> 17.3 s under 10x data)
         "leakage_safe_split",
@@ -357,8 +357,7 @@ def main():
         "chunk_documents",
         "recording_rule",
         "unigram_logprob",
-        "dup_span_stats",
-        "strip_dup_spans",
+        "dup_spans_suite",
         "semdedup",
         "domain_cap",
         "global_shuffle",
@@ -427,6 +426,8 @@ def main():
         "fuzzy_join_lev",
         "seasonal_decompose",
         "acf_lags",
+        # round 13
+        "hybrid_search_rrf",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

@@ -93,3 +93,51 @@ def bm25_topk(
         .agg(F.round(F.sum("__s"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), id_col).limit(int(k))
+
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N ranked candidate lists — the standard hybrid-retrieval combiner
+    (BM25 lexical + embedding-cosine semantic being the classic pair):
+
+        rrf(d) = sum_i 1 / (c + rank_i(d))
+
+    with rank_i the 1-based position of d in list i (absent -> no
+    contribution). Returns (id_col, rrf) ordered by (rrf desc, id),
+    top-k.
+
+    PRECONDITION / scale shape: the inputs are ALREADY bounded top-k
+    candidate lists (the output of bm25_topk / *_cosine_topk — tens to
+    thousands of rows), so the per-list rank window and the full-outer
+    fuse join run on frames whose size is set by the retrievers' k, not
+    by the corpus. Ranks tie-break by id on BOTH engines (scores are
+    pre-rounded by the retrievers), contributions 1/(c+rank) are single
+    correctly-rounded divisions added in fixed left-to-right list order
+    — bit-identical in any IEEE-754 engine, so the fusion replays
+    exactly in the DuckDB oracle."""
+    if not ranked:
+        raise ValueError("rrf_fuse requires at least one ranked list")
+    if c < 1:
+        raise ValueError(f"c must be >= 1, got {c}")
+    from pyspark.sql import Window
+
+    fused = None
+    for i, df in enumerate(ranked):
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        r = df.select(
+            id_col, F.row_number().over(w).alias(f"__r{i}")
+        )
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    score = F.lit(0.0)
+    for i in range(len(ranked)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+    out = fused.select(id_col, F.round(score, 6).alias("rrf"))
+    return out.orderBy(F.desc("rrf"), id_col).limit(int(k))

@@ -66,3 +66,46 @@ def test_bm25_plan_is_take_ordered(corpus):
     assert "CartesianProduct" not in plan.replace(
         "BroadcastNestedLoopJoin", ""
     )
+
+
+def test_rrf_fuse_matches_python_model(spark):
+    from tachyon_spark.functions.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 9.5), (2, 7.0), (3, 5.0), (4, 5.0)],
+        "doc_id long, score double",
+    )
+    sem = spark.createDataFrame(
+        [(3, 0.9), (5, 0.8), (2, 0.7)], "doc_id long, score double"
+    )
+    got = [(r["doc_id"], r["rrf"])
+           for r in rrf_fuse([lex, sem], k=10, c=60).collect()]
+    # python model: ranks tie-break by id
+    lr = {1: 1, 2: 2, 3: 3, 4: 4}  # (5.0, 3) before (5.0, 4)
+    sr = {3: 1, 5: 2, 2: 3}
+    exp = {}
+    for d in {1, 2, 3, 4, 5}:
+        s = 0.0
+        if d in lr:
+            s += 1.0 / (60 + lr[d])
+        if d in sr:
+            s += 1.0 / (60 + sr[d])
+        exp[d] = round(s, 6)
+    exp_order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == [(d, s) for d, s in exp_order]
+
+
+def test_rrf_fuse_single_list_and_validation(spark):
+    import pytest
+
+    from tachyon_spark.functions.retrieval import rrf_fuse
+
+    lst = spark.createDataFrame(
+        [(7, 1.0), (8, 0.5)], "doc_id long, score double"
+    )
+    got = [(r["doc_id"], r["rrf"]) for r in rrf_fuse([lst], k=1).collect()]
+    assert got == [(7, round(1.0 / 61, 6))]
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="c must"):
+        rrf_fuse([lst], c=0)
