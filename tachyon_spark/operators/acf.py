@@ -43,7 +43,11 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["autocorrelation", "cross_correlation"]
+__all__ = [
+    "autocorrelation",
+    "cross_correlation",
+    "partial_autocorrelation",
+]
 
 
 def _check_names(ts_col, group_cols, out_cols):
@@ -283,3 +287,78 @@ def cross_correlation(
     return joined.where(
         ((n * qx - sx * sx) != 0) & ((n * qy - sy * sy) != 0)
     ).select(*g, "lag", "n_pairs", (num / den).alias("ccf"))
+
+
+def partial_autocorrelation(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group PACF for lags 1..max_lag via the Durbin-Levinson
+    recursion over the ACF (the standard AR-order diagnostic: PACF cuts
+    off after lag p for an AR(p) process, where the ACF only decays).
+    Returns (group_cols..., lag, pacf); lags whose ACF is unavailable
+    (n_pairs <= 0 or zero variance) are omitted, and the recursion stops
+    at the first gap so every reported value is well-defined.
+
+    Scale shape: the heavy lifting is `autocorrelation` (distributed —
+    keyed windows/joins, see module docstring); the recursion itself
+    runs per group over AT MOST max_lag rows inside ONE Arrow-batched
+    applyInPandas (sequential by construction — each phi_{k,k} depends
+    on all previous levels — so a per-group kernel over a
+    max_lag-bounded frame is the correct distribution: millions of
+    series parallelize across groups, never within one).
+    """
+    import pandas as pd
+
+    acf_df = autocorrelation(df, ts_col, value_col, max_lag, group_cols)
+    g = list(group_cols)
+    if not g:
+        acf_df = acf_df.withColumn("__g", F.lit(1))
+        g = ["__g"]
+
+    out_fields = ", ".join(
+        f"`{c}` {t}"
+        for c, t in zip(
+            g, (dict(acf_df.dtypes)[c] for c in g)
+        )
+    )
+    schema = f"{out_fields}, lag int, pacf double"
+
+    def _durbin_levinson(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("lag")
+        keys = {c: pdf.iloc[0][c] for c in g}
+        rho = {int(r.lag): float(r.acf) for r in pdf.itertuples()}
+        out_lag, out_pacf = [], []
+        phi: dict[int, float] = {}
+        for k in range(1, max_lag + 1):
+            if k not in rho:
+                break  # first gap ends the recursion
+            if k == 1:
+                pkk = rho[1]
+            else:
+                num = rho[k] - sum(
+                    phi[j] * rho[k - j] for j in range(1, k)
+                )
+                den = 1.0 - sum(phi[j] * rho[j] for j in range(1, k))
+                if den == 0.0:
+                    break
+                pkk = num / den
+            new_phi = {
+                j: phi[j] - pkk * phi[k - j] for j in range(1, k)
+            }
+            new_phi[k] = pkk
+            phi = new_phi
+            out_lag.append(k)
+            out_pacf.append(pkk)
+        data = {c: [keys[c]] * len(out_lag) for c in g}
+        data["lag"] = out_lag
+        data["pacf"] = out_pacf
+        return pd.DataFrame(data)
+
+    out = acf_df.groupBy(*g).applyInPandas(_durbin_levinson, schema)
+    if group_cols:
+        return out
+    return out.drop("__g")

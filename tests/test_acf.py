@@ -223,3 +223,87 @@ def test_column_name_collisions_raise(spark):
         autocorrelation(df2, "__rn", "value", 2)
     with pytest.raises(ValueError, match="collide"):
         cross_correlation(df, df, "ts", "value", 2, group_cols=["lag"])
+
+
+def _py_pacf(rho, max_lag):
+    # Durbin-Levinson truth model (rho: dict lag -> acf)
+    phi, out = {}, {}
+    for k in range(1, max_lag + 1):
+        if k not in rho:
+            break
+        if k == 1:
+            pkk = rho[1]
+        else:
+            num = rho[k] - sum(phi[j] * rho[k - j] for j in range(1, k))
+            den = 1.0 - sum(phi[j] * rho[j] for j in range(1, k))
+            if den == 0.0:
+                break
+            pkk = num / den
+        phi = {j: phi[j] - pkk * phi[k - j] for j in range(1, k)}
+        phi[k] = pkk
+        out[k] = pkk
+    return out
+
+
+def test_pacf_matches_durbin_levinson_model(spark):
+    from tachyon_spark.operators.acf import partial_autocorrelation
+
+    vals = [float((i * 5 + (i * i) % 7) % 11) for i in range(120)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "ts long, value double"
+    )
+    rho = {r["lag"]: r["acf"]
+           for r in autocorrelation(df, "ts", "value", 8).collect()}
+    exp = _py_pacf(rho, 8)
+    got = {r["lag"]: r["pacf"]
+           for r in partial_autocorrelation(
+               df, "ts", "value", 8).collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-12), k
+
+
+def test_pacf_ar1_cuts_off_after_lag1(spark):
+    from tachyon_spark.operators.acf import partial_autocorrelation
+
+    # deterministic AR(1) series: y_t = 0.7*y_{t-1} + seeded white noise
+    import random
+
+    rng = random.Random(42)
+    y, vals = 0.0, []
+    for _ in range(400):
+        y = 0.7 * y + rng.uniform(-0.5, 0.5)
+        vals.append(y)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "ts long, value double"
+    )
+    got = {r["lag"]: r["pacf"]
+           for r in partial_autocorrelation(
+               df, "ts", "value", 5).collect()}
+    assert got[1] > 0.5  # strong AR(1) signal
+    for k in (2, 3, 4, 5):  # the AR-order cutoff property
+        assert abs(got[k]) < 0.2, (k, got[k])
+
+
+def test_pacf_grouped_runs_per_series(spark):
+    from tachyon_spark.operators.acf import partial_autocorrelation
+
+    rows = [("a", i, float(i % 4)) for i in range(40)] + [
+        ("b", i, float((i * 3) % 7)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts long, value double")
+    out = partial_autocorrelation(
+        df, "ts", "value", 3, group_cols=["g"]
+    ).collect()
+    per_g = {}
+    for r in out:
+        per_g.setdefault(r["g"], {})[r["lag"]] = r["pacf"]
+    for gname in ("a", "b"):
+        rho = {
+            r["lag"]: r["acf"]
+            for r in autocorrelation(
+                df.where(F.col("g") == gname), "ts", "value", 3
+            ).collect()
+        }
+        exp = _py_pacf(rho, 3)
+        assert per_g[gname] == pytest.approx(exp, abs=1e-12), gname
