@@ -179,3 +179,62 @@ def test_output_name_collision_raises(spark):
     df2 = spark.createDataFrame([(0, 1.0)], "trend long, v double")
     with pytest.raises(ValueError, match="collide"):
         seasonal_decompose(df2, "trend", "v", 4)
+
+
+def test_seasonal_strength_separates_seasonal_from_noise(spark):
+    from tachyon_spark.operators.seasonal import seasonal_strength
+
+    import random
+
+    rng = random.Random(7)
+    period, n = 12, 240
+    rows = []
+    for i in range(n):
+        rows.append(("seasonal", i, float((i % period) * 10 + rng.uniform(-1, 1))))
+        rows.append(("noise", i, float(rng.uniform(0, 100))))
+    df = spark.createDataFrame(rows, "g string, ts long, value double")
+    got = {
+        r["g"]: (r["n"], r["strength"])
+        for r in seasonal_strength(
+            df, "ts", "value", period, group_cols=["g"]
+        ).collect()
+    }
+    # edges trimmed by the MA trend: n = total - 2*(period/2)
+    assert got["seasonal"][0] == n - period
+    assert got["seasonal"][1] > 0.95
+    assert got["noise"][1] < 0.5
+
+
+def test_seasonal_strength_constant_series_is_null(spark):
+    from tachyon_spark.operators.seasonal import seasonal_strength
+
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(48)], "ts long, value double"
+    )
+    rows = seasonal_strength(df, "ts", "value", 12).collect()
+    assert len(rows) == 1 and rows[0]["strength"] is None
+
+
+def test_seasonal_strength_matches_python_model(spark):
+    from tachyon_spark.operators.seasonal import seasonal_strength
+
+    period, n = 6, 90
+    vals = [float((i % period) * 3 + (i * 7) % 5) for i in range(n)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "ts long, value double"
+    )
+    dec = {r["ts"]: r for r in seasonal_decompose(
+        df, "ts", "value", period).collect()}
+    rem = [dec[i]["remainder"] for i in range(n)
+           if dec[i]["remainder"] is not None]
+    det = [dec[i]["seasonal"] + dec[i]["remainder"] for i in range(n)
+           if dec[i]["remainder"] is not None]
+
+    def _varp(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+
+    exp = max(0.0, 1.0 - _varp(rem) / _varp(det))
+    got = seasonal_strength(df, "ts", "value", period).collect()[0]
+    assert got["n"] == len(rem)
+    assert got["strength"] == pytest.approx(exp, abs=1e-9)
