@@ -5,6 +5,12 @@ from tachyon_spark.operators.asof import asof_join
 from tachyon_spark.operators.select import select_range
 from tachyon_spark.operators.downsample import anomaly_flags, cusum_drift, m4_downsample
 from tachyon_spark.operators.funnel import cohort_retention, funnel
+from tachyon_spark.operators.seasonal import seasonal_decompose, seasonal_strength
+from tachyon_spark.operators.acf import (
+    autocorrelation,
+    cross_correlation,
+    partial_autocorrelation,
+)
 
 __all__ = [
     "scalar_agg",
@@ -19,4 +25,9 @@ __all__ = [
     "funnel",
     "cohort_retention",
     "cusum_drift",
+    "seasonal_decompose",
+    "seasonal_strength",
+    "autocorrelation",
+    "cross_correlation",
+    "partial_autocorrelation",
 ]
