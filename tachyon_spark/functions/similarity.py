@@ -745,3 +745,125 @@ def knn_graph(
     from tachyon_spark.functions.dedup import _attach_stats
 
     return _attach_stats(out, max_bucket, dropped)
+
+
+# ------------------------------------------------------------------ PCA
+def embedding_pca(
+    df: DataFrame,
+    dim_out: int,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit PCA over an embedding column — the production precursor to
+    the ANN paths (similarity search at 100 TB projects 768-dim vectors
+    to 32-64 dims BEFORE IVF/LSH; recall barely moves, probe cost drops
+    by the dim ratio).
+
+    Distribution: ONE mapInPandas pass emits per-Arrow-batch partial
+    moments (count, sum vector, flattened X'X) — a handful of rows — and
+    the driver combines them and eigendecomposes the dim x dim
+    covariance with numpy (a 64x64 or 768x768 solve: microseconds; the
+    DATA never leaves the executors, only the moment rows do, bounded by
+    the batch count). Returns (mean, components, explained) where
+    `components` is dim_out rows of dim floats (orthonormal, descending
+    eigenvalue) and `explained` the variance-explained ratios.
+
+    NULL/malformed rows (wrong length) are skipped. Deterministic up to
+    eigenvector sign; signs are CANONICALIZED (first nonzero coordinate
+    positive) so repeated fits replay exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim_out < 1:
+        raise ValueError(f"dim_out must be >= 1, got {dim_out}")
+    if dim is None:
+        row = df.select(vec_col).where(F.col(vec_col).isNotNull()).head()
+        if row is None:
+            raise ValueError("embedding_pca: no non-null vectors")
+        dim = len(row[0])
+    if dim_out > dim:
+        raise ValueError(f"dim_out {dim_out} > input dim {dim}")
+    d = dim
+
+    def partial_moments(batches):
+        for pdf in batches:
+            vs = [
+                v for v in pdf[vec_col]
+                if v is not None and len(v) == d
+            ]
+            if not vs:
+                continue
+            x = np.asarray(vs, dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [int(x.shape[0])],
+                    "s": [x.sum(axis=0).tolist()],
+                    "xx": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(
+            partial_moments, "n long, s array<double>, xx array<double>"
+        )
+        .collect()
+    )  # bounded: one row per Arrow batch, not per data row
+    if not parts:
+        raise ValueError("embedding_pca: no non-null vectors")
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    xx = np.sum(
+        [np.asarray(p["xx"]).reshape(d, d) for p in parts], axis=0
+    )
+    mean = s / n
+    cov = xx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:dim_out]
+    comps = evecs[:, order].T  # dim_out x dim
+    # canonical sign: first coordinate with |.| > tiny is positive
+    for i in range(comps.shape[0]):
+        nz = np.nonzero(np.abs(comps[i]) > 1e-12)[0]
+        if len(nz) and comps[i, nz[0]] < 0:
+            comps[i] = -comps[i]
+    total = float(np.clip(evals.sum(), 1e-300, None))
+    explained = [float(max(evals[j], 0.0) / total) for j in order]
+    return mean.tolist(), comps.tolist(), explained
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "embedding_pca",
+) -> DataFrame:
+    """Project the embedding column onto fitted PCA components:
+    out = components @ (x - mean). One Arrow-batched pandas_udf doing a
+    numpy matmul per batch — shuffle-free, linear, the components ride
+    along as broadcast-sized literals. Output is array<double> of
+    len(components); NULL/short rows project to NULL."""
+    import numpy as np
+    import pandas as pd
+
+    mu = np.asarray(mean, dtype=np.float64)
+    w = np.asarray(components, dtype=np.float64)
+    d = mu.shape[0]
+
+    def project(col):
+        out = []
+        for v in col:
+            if v is None or len(v) != d:
+                out.append(None)
+            else:
+                out.append(
+                    (w @ (np.asarray(v, dtype=np.float64) - mu)).tolist()
+                )
+        return pd.Series(out)
+
+    # plain function + explicit wrap: deferred-import type hints would
+    # stringify and pandas_udf rejects them (same pattern as
+    # ivf_assign_arrow above)
+    project_udf = F.pandas_udf(project, "array<double>")
+    return df.withColumn(out_col, project_udf(F.col(vec_col)))

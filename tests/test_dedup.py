@@ -600,3 +600,88 @@ def test_source_overlap_matrix(spark):
     assert ab.jaccard == 0.5            # 2 / (4 + 2 - 2)
     # disjoint pair emits nothing
     assert ("a", "c") not in out and ("b", "c") not in out
+
+
+def test_embedding_pca_recovers_principal_direction(spark):
+    import math
+    import random
+
+    from tachyon_spark.functions.similarity import embedding_pca
+
+    rng = random.Random(3)
+    axis = [1.0 / math.sqrt(2), 1.0 / math.sqrt(2), 0.0, 0.0]
+    rows = []
+    for i in range(300):
+        t = rng.uniform(-10, 10)
+        noise = [rng.gauss(0, 0.05) for _ in range(4)]
+        rows.append((i, [t * a + e for a, e in zip(axis, noise)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mean, comps, explained = embedding_pca(df, 2, dim=4)
+    # first component aligns with the planted axis
+    dot = abs(sum(a * c for a, c in zip(axis, comps[0])))
+    assert dot > 0.999
+    # descending, normalized variance-explained; dominant first
+    assert explained[0] > 0.99 and explained[0] >= explained[1] >= 0
+    # orthonormal components
+    n0 = sum(c * c for c in comps[0])
+    n1 = sum(c * c for c in comps[1])
+    x01 = sum(a * b for a, b in zip(comps[0], comps[1]))
+    assert abs(n0 - 1) < 1e-9 and abs(n1 - 1) < 1e-9 and abs(x01) < 1e-9
+
+
+def test_pca_project_matches_numpy_and_handles_nulls(spark):
+    import numpy as np
+
+    from tachyon_spark.functions.similarity import (
+        embedding_pca,
+        pca_project,
+    )
+
+    rows = [(i, [float((i * j) % 5) for j in range(1, 7)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mean, comps, _ = embedding_pca(df, 3, dim=6)
+    out = {
+        r["vec_id"]: r["p"]
+        for r in pca_project(
+            df, mean, comps, out_col="p"
+        ).select("vec_id", "p").collect()
+    }
+    w, mu = np.asarray(comps), np.asarray(mean)
+    for i, v in rows:
+        exp = w @ (np.asarray(v) - mu)
+        assert np.allclose(out[i], exp, atol=1e-12), i
+    # NULL and wrong-length rows project to NULL
+    bad = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = pca_project(bad, mean, comps, out_col="p").select("p").collect()
+    assert [r["p"] for r in got] == [None, None]
+
+
+def test_pca_then_ann_keeps_recall_on_fixture(spark):
+    import numpy as np
+
+    from tachyon_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        embedding_pca,
+        pca_project,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    mean, comps, _ = embedding_pca(emb, 32, dim=64)
+    proj = pca_project(emb, mean, comps, out_col="p").select(
+        "vec_id", F.col("p").alias("embedding")
+    )
+    qfull = [float(x) for x in emb.where(F.col("vec_id") == 0).head()[1]]
+    qproj = (np.asarray(comps) @ (np.asarray(qfull) - np.asarray(mean))).tolist()
+    full = {r["vec_id"] for r in brute_force_cosine_topk(
+        emb.where(F.col("vec_id") != 0), qfull, k=20).collect()}
+    half = {r["vec_id"] for r in brute_force_cosine_topk(
+        proj.where(F.col("vec_id") != 0), qproj, k=20).collect()}
+    # the 32-dim projection of direction-uniform 64-dim vectors keeps
+    # over half the true top-20 (a collapsed projection would keep ~1)
+    assert len(full & half) >= 10, len(full & half)
