@@ -292,12 +292,15 @@ def main() -> int:
         # equi-join, not duplication density)
         doc_queries = {
             "fuzzy_join_lev", "top_ngrams", "repetition_score",
+            "dup_spans_suite", "hybrid_search_rrf",
             "scrub_pii", "text_stats", "quality_score", "lang_id",
         }
-        need = {"events"} | (
-            {"documents"} if any(n in doc_queries for n in registry)
-            else set()
-        )
+        emb_queries = {"hybrid_search_rrf"}
+        need = {"events"}
+        if any(n in doc_queries for n in registry):
+            need.add("documents")
+        if any(n in emb_queries for n in registry):
+            need.add("embeddings")
         t0 = time.time()
         replicate(spark, rep, factor, sorted(need))
         print(f"replicated {sorted(need)} {factor}x in "
