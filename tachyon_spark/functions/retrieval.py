@@ -112,7 +112,9 @@ def rrf_fuse(
     contribution). Returns (id_col, rrf) ordered by (rrf desc, id),
     top-k.
 
-    PRECONDITION / scale shape: the inputs are ALREADY bounded top-k
+    PRECONDITIONS: ids are unique within each list (true of any top-k
+    retriever output; duplicate ids would cross-multiply through the
+    fuse join), and the inputs are ALREADY bounded top-k
     candidate lists (the output of bm25_topk / *_cosine_topk — tens to
     thousands of rows), so the per-list rank window and the full-outer
     fuse join run on frames whose size is set by the retrievers' k, not

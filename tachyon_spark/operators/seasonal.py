@@ -182,6 +182,12 @@ def seasonal_strength(
     grouped aggregate per series. Population variance on both terms, so
     the ratio is scale-free and n cancels.
     """
+    clash = sorted({ts_col, *group_cols} & {"n", "strength"})
+    if clash:
+        raise ValueError(
+            f"ts_col/group_cols collide with output names: {clash} — "
+            "rename the input columns"
+        )
     dec = seasonal_decompose(
         df, ts_col, value_col, period, group_cols, robust=robust
     )

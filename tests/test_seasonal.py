@@ -238,3 +238,13 @@ def test_seasonal_strength_matches_python_model(spark):
     got = seasonal_strength(df, "ts", "value", period).collect()[0]
     assert got["n"] == len(rem)
     assert got["strength"] == pytest.approx(exp, abs=1e-9)
+
+
+def test_seasonal_strength_collision_raises(spark):
+    from tachyon_spark.operators.seasonal import seasonal_strength
+
+    df = spark.createDataFrame(
+        [("x", 0, 1.0)], "n string, ts long, v double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        seasonal_strength(df, "ts", "v", 4, group_cols=["n"])
