@@ -3478,16 +3478,28 @@ def q_hybrid_search_rrf(spark, sf_dir):
     are gated TakeOrdered top-k plans; the fuse operates on
     candidate-list-sized frames (set by k, not the corpus)."""
     from tachyon_spark.functions.retrieval import bm25_topk, rrf_fuse
-    from tachyon_spark.functions.similarity import brute_force_cosine_topk
-
     docs = _read(spark, sf_dir, "documents")
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
     lex = bm25_topk(docs, ["hash", "join", "merge"], k=50)
-    sem = brute_force_cosine_topk(
-        emb.where(F.col("vec_id") != 0), qvec, k=50
-    ).select(
-        F.col("vec_id").alias("doc_id"), F.round("score", 6).alias("score")
+    # the semantic cut must happen on ROUND-6 scores (like bm25_topk's)
+    # so the top-50 membership can't flip on an unrounded last-ulp tie
+    # at the boundary — brute_force_cosine_topk cuts unrounded, and the
+    # DuckDB oracle's alias-bound ORDER BY uses the rounded value
+    # (r13 review finding)
+    from tachyon_spark.functions.similarity import cosine
+
+    v = F.col("embedding").cast("array<double>")
+    sem = (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(v, F.lit(qvec).cast("array<double>")), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
     )
     return rrf_fuse([lex, sem], k=15, c=60)
 
@@ -4024,20 +4036,21 @@ def q_embedding_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
-def _recall_guard(out, brute_ids, floor, what):
+def _recall_guard(out, brute_ids, floor, what, k):
     """Shared ANN quality-floor arm (r13, VERDICT r12 item 4): recall@k
     of the approximate top-k against the brute-force truth, ASSERTED
     in-gate (quality collapse fails the gate outright, not just the
     hash) and appended as a constant column so the driver hash also pins
     the measured value. One bounded action: the join of two <=k-row
-    frames."""
+    frames. `k` is the REQUESTED k (a short result is a recall loss
+    too) and must match what both retrievers were asked for."""
     hits = out.select("vec_id").join(brute_ids, "vec_id").count()
-    recall = hits / 20.0  # fixed k: a short result is a recall loss too
+    recall = hits / float(k)
     assert recall >= floor, (
-        f"{what} recall@20 = {recall:.3f} < floor {floor} — bucketing "
+        f"{what} recall@{k} = {recall:.3f} < floor {floor} — bucketing "
         "quality collapsed (random-data expectation documented in-gate)"
     )
-    # raw hits/20.0 — the identical IEEE division the oracle performs
+    # raw hits/k — the identical IEEE division the oracle performs
     return out.withColumn("recall", F.lit(recall))
 
 
@@ -4064,7 +4077,7 @@ def q_embedding_ann_lsh(spark, sf_dir):
     brute = brute_force_cosine_topk(others, qvec, k=20).select("vec_id")
     return _recall_guard(
         out.select("vec_id", F.round("score", 6).alias("score")),
-        brute, 0.45, "lsh",
+        brute, 0.45, "lsh", k=20,
     )
 
 
@@ -4107,7 +4120,7 @@ def q_embedding_ann_ivf(spark, sf_dir):
     brute = brute_force_cosine_topk(others, qvec, k=20).select("vec_id")
     return _recall_guard(
         out.select("vec_id", F.round("score", 6).alias("score")),
-        brute, 0.25, "ivf",
+        brute, 0.25, "ivf", k=20,
     )
 
 

@@ -27,10 +27,11 @@ group_cols), one explode by max_lag, one hash equi-join on
 a single keyed shuffle — then a grouped agg per (group, lag) and a
 broadcast join of the per-group scalars. No self-crossjoin, no
 collect. UNGROUPED inputs do NOT fall back to a one-task global sort
-(VERDICT r12 item 2): the global rank comes from a range partition +
-per-partition local row_number + broadcast-joined cumulative offsets —
-the only single-partition exchange is the offsets frame, one row per
-shuffle partition (cluster-config-sized, never data-sized).
+(VERDICT r12 item 2): the global rank comes from a deterministic
+value-bucket partition + per-bucket local row_number + broadcast-joined
+cumulative offsets — the only single-partition exchanges are 1-row
+stats/scalar aggregates and the offsets frame, one row per bucket
+(config-sized, never data-sized).
 
 Reference parity: the reference engine has no correlation surface; this
 extends the beyond-reference analytics set (SURVEY.md), next to
@@ -66,20 +67,54 @@ def _check_names(ts_col, group_cols, out_cols):
 
 
 def _global_rank(df: DataFrame, ts_col: str) -> DataFrame:
-    """Distributed global row_number over `ts_col` (1-based, ascending),
-    as column `__rn` — WITHOUT the one-task global sort an empty window
-    partition list would produce (VERDICT r12 item 2; same motivation as
-    interpolate.py's bucket + carry-in).
+    """Distributed global row_number over `ts_col` (1-based, ascending,
+    numeric ts), as column `__rn` — WITHOUT the one-task global sort an
+    empty window partition list would produce (VERDICT r12 item 2; same
+    motivation as interpolate.py's bucket + carry-in).
 
-    Range-partition by ts (non-overlapping ordered key ranges), take a
-    per-partition local row_number, then add each partition's cumulative
-    predecessor count via a broadcast join. The offsets frame is one row
-    per shuffle partition — its single-partition window is
-    cluster-config-sized, never data-sized. Fully lazy: no driver
-    collect; the range exchange is computed once and reused by both
-    branches (ReusedExchange)."""
-    part = df.repartitionByRange(F.col(ts_col).asc()).withColumn(
-        "__pid", F.spark_partition_id()
+    Bucket by VALUE (equal-width over [min, max], floor of an affine
+    map — monotone in ts), take a per-bucket local row_number, then add
+    each bucket's cumulative predecessor count via a broadcast join.
+    The offsets frame is one row per bucket — its single-partition
+    window is config-sized (spark.sql.shuffle.partitions), never
+    data-sized. Fully lazy: no driver collect.
+
+    Why value buckets and not repartitionByRange + spark_partition_id
+    (r13 review finding): the window branch and the offsets branch must
+    observe the SAME partition assignment, and exchange reuse /
+    identical AQE coalescing across two readers of one shuffle is an
+    optimizer behavior, not a guarantee (RangePartitioner even seeds
+    its boundary sample by RDD id, so two *recomputed* exchanges may
+    not agree). The bucket id here is a pure deterministic function of
+    (ts, min, max) — min/max are order-independent aggregates, so every
+    branch computes the identical assignment even with reuse disabled.
+    Trade: equal-width buckets balance perfectly on regular time grids
+    (this module's contract) but can skew on pathological ts
+    distributions — a parallelism cost, never a correctness one. A
+    single-distinct-ts input degenerates to one bucket (not a series).
+    """
+    nbuckets = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    stats = df.agg(
+        F.min(ts_col).cast("double").alias("__lo"),
+        F.max(ts_col).cast("double").alias("__hi"),
+    )
+    width = F.col("__hi") - F.col("__lo") + F.lit(1.0)
+    part = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__pid",
+            F.least(
+                F.lit(nbuckets - 1),
+                F.floor(
+                    (F.col(ts_col).cast("double") - F.col("__lo"))
+                    / width
+                    * nbuckets
+                ).cast("int"),
+            ),
+        )
+        .drop("__lo", "__hi")
     )
     wloc = Window.partitionBy("__pid").orderBy(ts_col)
     local = part.withColumn("__lrn", F.row_number().over(wloc))
@@ -313,6 +348,10 @@ def partial_autocorrelation(
     """
     import pandas as pd
 
+    # autocorrelation's guard covers lag/n_pairs/acf; this operator also
+    # emits 'pacf' (a group column named 'pacf' would be overwritten by
+    # the recursion's output dict — r13 review finding)
+    _check_names(ts_col, list(group_cols), {"lag", "n_pairs", "acf", "pacf"})
     acf_df = autocorrelation(df, ts_col, value_col, max_lag, group_cols)
     g = list(group_cols)
     if not g:

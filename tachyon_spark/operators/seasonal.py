@@ -81,9 +81,14 @@ def seasonal_decompose(
     # fixed output names + internals must not be shadowed by input keys
     # (a group column literally named 'value' would silently collide —
     # ADVICE r12); value_col itself is fine, it BECOMES 'value'
-    reserved = {"value", "phase", "trend", "seasonal", "remainder",
-                "__num", "__detr_num"}
-    clash = sorted(({ts_col, *group_cols}) & reserved)
+    reserved = {"value", "phase", "trend", "seasonal", "remainder"}
+    # any __-prefixed input collides with internals here and in
+    # compositions (seasonal_strength's __vr/__vd) — reject the prefix
+    # wholesale, same policy as acf._check_names (r13 review finding)
+    clash = sorted(
+        c for c in {ts_col, *group_cols}
+        if c in reserved or c.startswith("__")
+    )
     if clash:
         raise ValueError(
             f"ts_col/group_cols collide with output/internal names: "

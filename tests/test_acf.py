@@ -197,17 +197,27 @@ def test_ungrouped_plan_has_no_data_sized_one_task_sort(spark):
     )
     out = autocorrelation(df, "ts", "value", 3)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning(ts" in plan
-    # every rank window partitions by __pid — the data is never sorted
-    # in one task
+    # the series shuffles by the deterministic value bucket, and every
+    # rank window partitions by it — the data is never sorted in one
+    # task
+    assert "hashpartitioning(__pid" in plan
     ranks = [ln for ln in plan.splitlines() if "row_number()" in ln]
     assert ranks and all("__pid" in ln for ln in ranks), plan
-    # the only SinglePartition exchanges are the two offsets frames
-    # (one row per shuffle partition; base feeds two join branches) and
-    # the 1-row scalars aggregate
-    single = [ln for ln in plan.splitlines()
-              if "Exchange SinglePartition" in ln]
-    assert len(single) <= 3, plan
+    # every SinglePartition exchange must feed from a bounded frame:
+    # either a scalar aggregate (keys=[] — min/max stats, per-series
+    # scalars: 1 row) or the bucket-count offsets (keys=[__pid] —
+    # config-sized). A data-sized single-partition exchange would have
+    # neither shape below it.
+    import re
+
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        below = "\n".join(lines[i + 1:i + 4])
+        assert re.search(
+            r"HashAggregate\(keys=\[(\]|__pid)", below
+        ), f"unbounded single-partition exchange:\n{ln}\n{below}"
 
 
 def test_column_name_collisions_raise(spark):
@@ -307,3 +317,13 @@ def test_pacf_grouped_runs_per_series(spark):
         }
         exp = _py_pacf(rho, 3)
         assert per_g[gname] == pytest.approx(exp, abs=1e-12), gname
+
+
+def test_pacf_group_named_pacf_raises(spark):
+    from tachyon_spark.operators.acf import partial_autocorrelation
+
+    df = spark.createDataFrame(
+        [("x", 0, 1.0)], "pacf string, ts long, value double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        partial_autocorrelation(df, "ts", "value", 2, group_cols=["pacf"])

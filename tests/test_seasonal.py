@@ -248,3 +248,15 @@ def test_seasonal_strength_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         seasonal_strength(df, "ts", "v", 4, group_cols=["n"])
+
+
+def test_dunder_input_columns_raise(spark):
+    from tachyon_spark.operators.seasonal import seasonal_strength
+
+    df = spark.createDataFrame(
+        [("x", 0, 1.0)], "__vr string, ts long, v double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        seasonal_decompose(df, "ts", "v", 4, group_cols=["__vr"])
+    with pytest.raises(ValueError, match="collide"):
+        seasonal_strength(df, "ts", "v", 4, group_cols=["__vr"])
