@@ -78,6 +78,19 @@ def test_registry_rotation_not_lapsed():
     # tree where it is actually a lapse.
     window_fresh = all(last.get(k, 0) == n for k in keys[:WINDOW])
     if window_fresh:
+        # the exemption covers ONE pending rotation, not a skipped one:
+        # if these same keys were also the round-(n-1) window, the
+        # registry was gated twice without rotating — fail immediately
+        # instead of letting the tail age a third round (r13 review
+        # finding on the original simulate-only version)
+        prev = os.path.join(REPO, f"CORRECTNESS_r{n - 1:02d}.json")
+        if os.path.exists(prev):
+            prev_keys = set(json.load(open(prev)))
+            assert prev_keys != set(keys[:WINDOW]), (
+                f"rotation skipped: keys[:{WINDOW}] were the driver "
+                f"window in BOTH r{n - 1} and r{n}; run "
+                "tools/rotate_registry.py"
+            )
         simulated = sorted(keys, key=lambda k: last.get(k, 0))
         window = set(simulated[:WINDOW])
     stale = [
