@@ -105,3 +105,45 @@ def test_segment_matches_bruteforce(spark, left, right, k):
         if _lev(a, b) <= k
     )
     assert got == truth
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    left=st.lists(
+        st.text(alphabet="abc", min_size=3, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    right=st.lists(
+        st.text(alphabet="abc", min_size=3, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_segment_k2_longer_strings(spark, left, right):
+    # stresses the PassJoin shift-window math where segment widths vary
+    # (base/rem split) and lengths differ by up to k on both sides
+    ldf = spark.createDataFrame(
+        list(enumerate(left)), "left_id long, key string"
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, w) for i, w in enumerate(right)],
+        "right_id long, key string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in fuzzy_join(
+            ldf, rdf, "key", k=2, method="segment"
+        ).collect()
+    )
+    truth = sorted(
+        (i, 100 + j, _lev(a, b))
+        for i, a in enumerate(left)
+        for j, b in enumerate(right)
+        if _lev(a, b) <= 2
+    )
+    assert got == truth

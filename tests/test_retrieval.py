@@ -109,3 +109,41 @@ def test_rrf_fuse_single_list_and_validation(spark):
         rrf_fuse([])
     with pytest.raises(ValueError, match="c must"):
         rrf_fuse([lst], c=0)
+
+
+def test_rrf_fuse_fuzz_matches_python_model(spark):
+    # deterministic pseudo-random lists with deliberate score ties —
+    # rank tie-break by id must match the model in every case
+    import random
+
+    from tachyon_spark.functions.retrieval import rrf_fuse
+
+    rng = random.Random(11)
+    for trial in range(4):
+        nlists = rng.randint(1, 3)
+        lists = []
+        for _ in range(nlists):
+            ids = rng.sample(range(30), rng.randint(1, 12))
+            lists.append(
+                [(i, float(rng.randint(0, 5))) for i in ids]  # many ties
+            )
+        dfs = [
+            spark.createDataFrame(rows, "doc_id long, score double")
+            for rows in lists
+        ]
+        got = [(r["doc_id"], r["rrf"])
+               for r in rrf_fuse(dfs, k=50, c=60).collect()]
+        ranks = []
+        for rows in lists:
+            order = sorted(rows, key=lambda t: (-t[1], t[0]))
+            ranks.append({d: i + 1 for i, (d, _) in enumerate(order)})
+        all_ids = set().union(*[set(r) for r in ranks])
+        exp = {}
+        for d in all_ids:
+            s = 0.0
+            for r in ranks:
+                if d in r:
+                    s += 1.0 / (60 + r[d])
+            exp[d] = round(s, 6)
+        exp_order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got == exp_order, trial
