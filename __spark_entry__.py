@@ -3312,6 +3312,66 @@ def q_predict_linear(spark, sf_dir):
     )
 
 
+def q_predict_linear_suite(spark, sf_dir):
+    """Both predict_linear gates in ONE entry (r13 merge under the
+    150-entry staleness policy, freeing a slot for gapfill_methods —
+    same least-squares function family: arm 'instant' is the per-(series,
+    hour-window) mirror, arm 'grid' the range_eval 'predict' step-grid
+    form; both are mergeable regr_slope/regr_intercept aggregates in one
+    keyed shuffle each. Arms keep their original rounding contracts
+    (round-6 window-relative vs round-3 absolute-us — see the arm
+    docstrings)."""
+    inst = q_predict_linear(spark, sf_dir).select(
+        F.lit("instant").alias("arm"), "event_type", "ts_us", "predicted"
+    )
+    grid = q_predict_linear_grid(spark, sf_dir).select(
+        F.lit("grid").alias("arm"),
+        F.lit("-").alias("event_type"),
+        "ts_us",
+        "predicted",
+    )
+    return inst.unionByName(grid)
+
+
+def q_gapfill_methods(spark, sf_dir):
+    """Grid gap-filling (operators/gapfill.py, NEW r13 — TimescaleDB's
+    time_bucket_gapfill + locf + interpolate surface): the per-event_type
+    10-minute COUNT series (sparse by construction: ~5% of buckets
+    populated at sf0.001, ~37% at sf0.01) fills its per-group [min, max]
+    grid under THREE methods as arms — locf (leading holes NULL), linear
+    (TimescaleDB interpolate: edge holes NULL), value(0). EXACT
+    cross-engine: integer-valued counts carry exactly, and the linear
+    fill is prev + (next-prev) * ((ts-pt)/(nt-pt)) — fixed-order exact
+    operands, identical doubles in any IEEE-754 engine, so the gate runs
+    UNROUNDED. Scale shape: two-level chunked grid explode (never a
+    span-sized array in one row), one (group, ts) join, running-state
+    fill windows keyed by group; off-grid timestamps raise rather than
+    silently drop."""
+    from tachyon_spark.operators.gapfill import gapfill
+
+    step = 600_000_000
+    ev = _read(spark, sf_dir, "events")
+    t = F.expr("ts DIV 1000")
+    counts = (
+        ev.where(F.col("ts").between(T0_US * 1000, T1_US * 1000))
+        .groupBy(
+            "event_type", (t - t % F.lit(step)).alias("ts_us")
+        )
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    out = None
+    for method in ("locf", "linear", "value"):
+        part = gapfill(
+            counts, "ts_us", "v", step, group_cols=["event_type"],
+            method=method, fill_value=0.0,
+        ).select(
+            F.lit(method).alias("method"),
+            "event_type", "ts_us", "value", "filled",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_stddev_windows(spark, sf_dir):
     """PromQL stddev_over_time(m[1h]) mirror (plans/builder._over_time_agg
     'stddev'): population stddev per (series, window) — mergeable
@@ -4728,6 +4788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "dup_spans_suite": q_dup_spans_suite,
         "hybrid_search_rrf": q_hybrid_search_rrf,
+        "predict_linear_suite": q_predict_linear_suite,
+        "gapfill_methods": q_gapfill_methods,
         "comparison_filter": q_comparison_filter,
         "interp_add": q_interp_add,
         "interp_add_grouped": q_interp_add_grouped,
@@ -4809,7 +4871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "domain_cap": q_domain_cap,
         "global_shuffle": q_global_shuffle,
-        "predict_linear": q_predict_linear,
         "holt_winters": q_holt_winters,
         "mad_windows": q_mad_windows,
         "asof_forward_nearest": q_asof_forward_nearest,
@@ -4850,7 +4911,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_pinned_range": q_promql_pinned_range,
         "streaming_sessions": q_streaming_sessions,
         "query_range_compare": q_query_range_compare,
-        "predict_linear_grid": q_predict_linear_grid,
         "subquery_windowed_grid": q_subquery_windowed_grid,
         "pow_atan2_grid": q_pow_atan2_grid,
         "alert_rule": q_alert_rule,
@@ -6838,12 +6898,17 @@ def oracle_sql() -> dict[str, str]:
                    round(atan2(pow(v, 2), v * 3 + 500), 9) AS value
             FROM inst
         """,
-        "predict_linear_grid": f"""
-            -- least-squares replay per step: DuckDB regr_slope/
-            -- regr_intercept over the same left-open 6h window, evaluated
-            -- at step + 2h (round 3: absolute-us fit, see the query
-            -- docstring's flake-band note)
-            WITH s AS (
+        "predict_linear_suite": f"""
+            -- r13 merge: the instant per-(series, hour-window) arm and
+            -- the step-grid arm share the least-squares replay; arms
+            -- keep their original rounding contracts (round-6
+            -- window-relative vs round-3 absolute-us flake-band note)
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) AS t, value,
+                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us
+              FROM events
+            ),
+            s AS (
               SELECT epoch_us(ts) AS t, avg(value) AS v FROM events
               WHERE event_type = 'click'
                 AND epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
@@ -6860,8 +6925,15 @@ def oracle_sql() -> dict[str, str]:
                 ON s.t > step - 21600000000 AND s.t <= step
               GROUP BY 1
             )
-            SELECT step AS ts_us,
-                   round(b + m * (step + 7200000000), 3) AS predicted
+            SELECT 'instant' AS arm, event_type, ts_us,
+                   round(regr_intercept(value, (t - ts_us) / 1e6)
+                         + regr_slope(value, (t - ts_us) / 1e6) * 4200.0, 6)
+                     AS predicted
+            FROM e GROUP BY 2, 3
+            HAVING regr_slope(value, (t - ts_us) / 1e6) IS NOT NULL
+            UNION ALL
+            SELECT 'grid', '-', step,
+                   round(b + m * (step + 7200000000), 3)
             FROM fit WHERE m IS NOT NULL
         """,
         "subquery_windowed_grid": f"""
@@ -7471,18 +7543,64 @@ def oracle_sql() -> dict[str, str]:
                        )) AS BIGINT), doc_id) AS pos
             FROM documents
         """,
-        "predict_linear": """
-            WITH e AS (
-              SELECT event_type, epoch_us(ts) AS t, value,
-                     epoch_us(ts) - epoch_us(ts) % 3600000000 AS ts_us
+        "gapfill_methods": f"""
+            -- grid gap-fill replay: per-group generate_series grid,
+            -- IGNORE NULLS window fills; integer-valued counts + the
+            -- fixed-order linear expression replay bit-identically
+            WITH c AS (
+              SELECT event_type,
+                     epoch_us(ts) - epoch_us(ts) % 600000000 AS ts_us,
+                     count(*)::DOUBLE AS v
               FROM events
+              WHERE epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+              GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT event_type, min(ts_us) AS lo, max(ts_us) AS hi
+              FROM c GROUP BY 1
+            ),
+            grid AS (
+              SELECT event_type,
+                     unnest(generate_series(lo, hi, 600000000)) AS ts_us
+              FROM b
+            ),
+            j AS (
+              SELECT g.event_type, g.ts_us, c.v
+              FROM grid g LEFT JOIN c
+                ON g.event_type = c.event_type AND g.ts_us = c.ts_us
+            ),
+            f AS (
+              SELECT event_type, ts_us, v,
+                last_value(v IGNORE NULLS) OVER
+                  (PARTITION BY event_type ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS locf,
+                last_value(v IGNORE NULLS) OVER wp AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN ts_us END
+                           IGNORE NULLS) OVER wp AS pt,
+                first_value(v IGNORE NULLS) OVER wf AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN ts_us END
+                            IGNORE NULLS) OVER wf AS nt
+              FROM j
+              WINDOW
+                wp AS (PARTITION BY event_type ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                wf AS (PARTITION BY event_type ORDER BY ts_us
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
             )
-            SELECT event_type, ts_us,
-                   round(regr_intercept(value, (t - ts_us) / 1e6)
-                         + regr_slope(value, (t - ts_us) / 1e6) * 4200.0, 6)
-                     AS predicted
-            FROM e GROUP BY 1, 2
-            HAVING regr_slope(value, (t - ts_us) / 1e6) IS NOT NULL
+            SELECT 'locf' AS method, event_type, ts_us,
+                   locf AS value, v IS NULL AS filled
+            FROM f
+            UNION ALL
+            SELECT 'linear', event_type, ts_us,
+                   coalesce(v, pv + (nv - pv)
+                     * ((ts_us - pt)::DOUBLE / (nt - pt)::DOUBLE)),
+                   v IS NULL
+            FROM f
+            UNION ALL
+            SELECT 'value', event_type, ts_us,
+                   coalesce(v, 0.0), v IS NULL
+            FROM f
         """,
         "stddev_windows": """
             WITH e AS (

@@ -362,7 +362,7 @@ def main():
         "domain_cap",
         "global_shuffle",
         "holt_winters",
-        "predict_linear",
+        "predict_linear_suite",
         "mad_windows",
         "asof_forward_nearest",
         "embedding_ann_quantized",
@@ -401,7 +401,6 @@ def main():
         # round 9
         "promql_topk_without",
         "promql_pinned_range",
-        "predict_linear_grid",
         "subquery_windowed_grid",
         "pow_atan2_grid",
         "alert_rule",
@@ -428,6 +427,7 @@ def main():
         "acf_lags",
         # round 13
         "hybrid_search_rrf",
+        "gapfill_methods",
     ]
 
     # warm the session (JVM/codegen/file listing) outside the timings

@@ -5,6 +5,7 @@ from tachyon_spark.operators.asof import asof_join
 from tachyon_spark.operators.select import select_range
 from tachyon_spark.operators.downsample import anomaly_flags, cusum_drift, m4_downsample
 from tachyon_spark.operators.funnel import cohort_retention, funnel
+from tachyon_spark.operators.gapfill import gapfill
 from tachyon_spark.operators.seasonal import seasonal_decompose, seasonal_strength
 from tachyon_spark.operators.acf import (
     autocorrelation,
@@ -25,6 +26,7 @@ __all__ = [
     "funnel",
     "cohort_retention",
     "cusum_drift",
+    "gapfill",
     "seasonal_decompose",
     "seasonal_strength",
     "autocorrelation",

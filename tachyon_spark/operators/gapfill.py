@@ -1,0 +1,182 @@
+"""Grid gap-filling — TimescaleDB's `time_bucket_gapfill` + `locf()` +
+`interpolate()` surface (the missing middle between the rollup
+operators, which only emit buckets WITH data, and the series analytics
+in operators/seasonal.py / operators/acf.py, whose contract REQUIRES
+one row per grid step): materialize every step of a regular grid per
+series and fill the holes.
+
+Methods:
+- "null":   emit the grid row with a NULL value (the gapfill identity —
+            downstream aggregates see the hole explicitly).
+- "locf":   last observation carried forward; leading holes stay NULL.
+- "linear": straight line between the surrounding observations; holes
+            before the first / after the last observation stay NULL
+            (TimescaleDB `interpolate()` semantics).
+- "value":  constant fill (the PromQL `vector(0)`-style default).
+
+Exactness: "linear" computes prev + (next - prev) * (ts - prev_ts) /
+(next_ts - prev_ts) — with integer-valued inputs every operand is exact
+and the composition order is fixed, so any IEEE-754 engine replays the
+identical double (same construction as operators/seasonal.py).
+
+Scale shape: grid generation is a TWO-LEVEL explode (coarse chunks of
+CHUNK steps, then the steps within a chunk), so a billion-step grid
+never materializes a billion-element array in one row — chunk rows
+spread across the cluster first. One (group, ts) left join puts the
+data on the grid; the fill windows partition by group and are either
+running-state (locf: last ignorenulls over the unbounded-preceding
+frame — constant memory per partition) or the symmetric
+unbounded-following first(). Ungrouped inputs fill ONE series whose
+grid is span/step-bounded by construction — same contract as
+seasonal_decompose. Off-grid input timestamps RAISE at execution (a
+silent drop through the grid join would corrupt downstream analytics).
+
+Reference parity: the reference engine has no gap-fill surface (its
+VectorToVectorNode interpolates only inside the binary-op align,
+execution/node/vector_to_vector.rs); this extends the beyond-reference
+analytics set next to seasonal/acf.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["gapfill"]
+
+_CHUNK = 8192  # grid steps materialized per exploded chunk row
+
+
+def gapfill(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    step: int,
+    group_cols: Sequence[str] = (),
+    method: str = "locf",
+    fill_value: float = 0.0,
+    start: int | None = None,
+    end: int | None = None,
+) -> DataFrame:
+    """Fill a per-group regular grid of `step`-spaced timestamps from
+    min(ts) to max(ts) per group (or the explicit [start, end] closed
+    range for every group — rows outside it are dropped first,
+    TimescaleDB semantics), carrying observed values and filling holes
+    per `method`. Input must have at most one row per (group, ts) with
+    ts on the grid (anchored at the group min, or at `start`);
+    off-grid timestamps raise at execution. Returns
+    (group_cols..., ts_col, value, filled) where `filled` marks
+    synthesized rows.
+    """
+    if step <= 0:
+        raise ValueError(f"step must be > 0, got {step}")
+    if method not in ("null", "locf", "linear", "value"):
+        raise ValueError(f"unknown method {method!r}")
+    if (start is None) != (end is None):
+        raise ValueError("start and end must be given together")
+    if start is not None and end < start:
+        raise ValueError(f"end {end} < start {start}")
+    reserved = {"value", "filled"}
+    clash = sorted(
+        c for c in {ts_col, *group_cols}
+        if c in reserved or c.startswith("__")
+    )
+    if clash:
+        raise ValueError(
+            f"ts_col/group_cols collide with output/internal names: "
+            f"{clash} — rename the input columns"
+        )
+    g = list(group_cols)
+
+    data = df.select(
+        *g,
+        F.col(ts_col).alias(ts_col),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    if start is not None:
+        data = data.where(F.col(ts_col).between(start, end))
+        bounds = (
+            data.select(*g).distinct()
+            if g
+            else data.sparkSession.range(1).select()
+        ).select(
+            *g, F.lit(start).alias("__lo"), F.lit(end).alias("__hi")
+        )
+    else:
+        bounds = data.groupBy(*g).agg(
+            F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+        )
+
+    # two-level grid explode: chunk rows first (a billion-step grid is
+    # ~122k chunk rows — distributable), then the steps inside a chunk;
+    # all bound arithmetic stays integral (DIV), no double rounding
+    chunks = bounds.select(
+        *g,
+        "__lo",
+        "__hi",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(f"(__hi - __lo) DIV {step} DIV {_CHUNK}"),
+            )
+        ).alias("__chunk"),
+    )
+    cstart = F.col("__lo") + F.col("__chunk") * F.lit(step * _CHUNK)
+    cend = F.least(F.col("__hi"), cstart + F.lit(step * (_CHUNK - 1)))
+    grid = chunks.select(
+        *g,
+        F.explode(F.sequence(cstart, cend, F.lit(step))).alias(ts_col),
+        F.lit(True).alias("__on_grid"),
+    )
+
+    # full join so an off-grid data timestamp surfaces as a row with no
+    # grid match — raised, never silently dropped
+    joined = grid.join(data, [*g, ts_col], "full").withColumn(
+        "__v",
+        F.when(
+            F.col("__on_grid").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("gapfill: timestamp not on the step grid: "),
+                    F.col(ts_col).cast("string"),
+                )
+            ),
+        ).otherwise(F.col("__v")),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in g]).orderBy(ts_col)
+    filled_flag = F.col("__v").isNull()
+    if method == "null":
+        value = F.col("__v")
+    elif method == "value":
+        value = F.coalesce(F.col("__v"), F.lit(float(fill_value)))
+    elif method == "locf":
+        value = F.last("__v", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:  # linear
+        prev_v = F.last("__v", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev_t = F.last(
+            F.when(F.col("__v").isNotNull(), F.col(ts_col)),
+            ignorenulls=True,
+        ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+        next_v = F.first("__v", ignorenulls=True).over(
+            w.rowsBetween(1, Window.unboundedFollowing)
+        )
+        next_t = F.first(
+            F.when(F.col("__v").isNotNull(), F.col(ts_col)),
+            ignorenulls=True,
+        ).over(w.rowsBetween(1, Window.unboundedFollowing))
+        interp = prev_v + (next_v - prev_v) * (
+            (F.col(ts_col) - prev_t).cast("double")
+            / (next_t - prev_t).cast("double")
+        )
+        value = F.coalesce(F.col("__v"), interp)
+    return joined.select(
+        *g,
+        ts_col,
+        value.alias("value"),
+        filled_flag.alias("filled"),
+    )

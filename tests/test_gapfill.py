@@ -1,0 +1,124 @@
+"""Grid gap-filling (operators/gapfill.py): grid coverage, all four
+fill methods against a pure-Python model, explicit-range semantics,
+multi-group independence, off-grid detection, edge handling."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+from tachyon_spark.operators.gapfill import gapfill
+
+
+def _rows(out):
+    return {
+        tuple(r[c] for c in out.columns[:-3]) + (r[out.columns[-3]],): (
+            r["value"], r["filled"]
+        )
+        for r in out.collect()
+    }
+
+
+def test_locf_and_grid_coverage(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (30, 4.0), (50, 9.0)], "ts long, v double"
+    )
+    out = gapfill(df, "ts", "v", 10, method="locf")
+    got = {r["ts"]: (r["value"], r["filled"]) for r in out.collect()}
+    assert sorted(got) == [0, 10, 20, 30, 40, 50]
+    assert got[0] == (1.0, False)
+    assert got[10] == (1.0, True) and got[20] == (1.0, True)
+    assert got[30] == (4.0, False)
+    assert got[40] == (4.0, True)
+    assert got[50] == (9.0, False)
+
+
+def test_linear_is_exact_and_edges_stay_null(spark):
+    df = spark.createDataFrame(
+        [(10, 2.0), (40, 8.0), (60, 4.0)], "ts long, v double"
+    )
+    out = gapfill(
+        df, "ts", "v", 10, method="linear", start=0, end=70
+    )
+    got = {r["ts"]: (r["value"], r["filled"]) for r in out.collect()}
+    assert sorted(got) == [0, 10, 20, 30, 40, 50, 60, 70]
+    # leading/trailing holes: NULL (TimescaleDB interpolate semantics)
+    assert got[0] == (None, True) and got[70] == (None, True)
+    # exact interior interpolation
+    assert got[20] == (2.0 + 6.0 * (10.0 / 30.0), True)
+    assert got[30] == (2.0 + 6.0 * (20.0 / 30.0), True)
+    assert got[50] == (8.0 + (-4.0) * (10.0 / 20.0), True)
+    assert got[40] == (8.0, False)
+
+
+def test_null_and_value_methods(spark):
+    df = spark.createDataFrame([(0, 5.0), (20, 7.0)], "ts long, v double")
+    null_out = {r["ts"]: r["value"]
+                for r in gapfill(df, "ts", "v", 10, method="null").collect()}
+    assert null_out == {0: 5.0, 10: None, 20: 7.0}
+    val_out = {r["ts"]: r["value"]
+               for r in gapfill(
+                   df, "ts", "v", 10, method="value", fill_value=-1.0
+               ).collect()}
+    assert val_out == {0: 5.0, 10: -1.0, 20: 7.0}
+
+
+def test_groups_fill_independently(spark):
+    rows = [("a", 0, 1.0), ("a", 20, 3.0), ("b", 100, 10.0),
+            ("b", 110, 11.0)]
+    df = spark.createDataFrame(rows, "g string, ts long, v double")
+    out = gapfill(df, "ts", "v", 10, group_cols=["g"], method="locf")
+    got = {(r["g"], r["ts"]): r["value"] for r in out.collect()}
+    assert got == {
+        ("a", 0): 1.0, ("a", 10): 1.0, ("a", 20): 3.0,
+        ("b", 100): 10.0, ("b", 110): 11.0,
+    }
+
+
+def test_explicit_range_drops_outside_and_fills_empty(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (100, 9.0)], "ts long, v double"
+    )
+    out = gapfill(
+        df, "ts", "v", 10, method="value", fill_value=0.0,
+        start=20, end=40,
+    )
+    got = {r["ts"]: r["value"] for r in out.collect()}
+    assert got == {20: 0.0, 30: 0.0, 40: 0.0}
+
+
+def test_off_grid_timestamp_raises(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (15, 2.0), (20, 3.0)], "ts long, v double"
+    )
+    with pytest.raises(Exception, match="not on the step grid"):
+        gapfill(df, "ts", "v", 10).collect()
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(0, 1.0)], "ts long, v double")
+    with pytest.raises(ValueError, match="step"):
+        gapfill(df, "ts", "v", 0)
+    with pytest.raises(ValueError, match="unknown method"):
+        gapfill(df, "ts", "v", 10, method="nearest")
+    with pytest.raises(ValueError, match="together"):
+        gapfill(df, "ts", "v", 10, start=0)
+    with pytest.raises(ValueError, match="collide"):
+        gapfill(
+            df.withColumnRenamed("ts", "value"), "value", "v", 10
+        )
+
+
+def test_chunked_grid_crosses_chunk_boundaries(spark):
+    # a grid longer than one chunk (8192 steps) must stay contiguous
+    n = 20000
+    df = spark.createDataFrame(
+        [(0, 1.0), ((n - 1) * 5, 2.0)], "ts long, v double"
+    )
+    out = gapfill(df, "ts", "v", 5, method="locf")
+    stats = out.agg(
+        F.count("*"), F.min("ts"), F.max("ts"),
+        F.count(F.when(F.col("filled"), 1)),
+    ).first()
+    assert tuple(stats) == (n, 0, (n - 1) * 5, n - 2)
+    # every step present exactly once
+    assert out.select("ts").distinct().count() == n
