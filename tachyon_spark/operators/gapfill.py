@@ -58,6 +58,7 @@ def gapfill(
     fill_value: float = 0.0,
     start: int | None = None,
     end: int | None = None,
+    max_carry: int | None = None,
 ) -> DataFrame:
     """Fill a per-group regular grid of `step`-spaced timestamps from
     min(ts) to max(ts) per group (or the explicit [start, end] closed
@@ -68,11 +69,19 @@ def gapfill(
     off-grid timestamps raise at execution. Returns
     (group_cols..., ts_col, value, filled) where `filled` marks
     synthesized rows.
+
+    `max_carry` (locf only): carry an observation across at most
+    `max_carry` grid STEPS — the PromQL-lookback-style staleness limit;
+    holes further from the last observation stay NULL.
     """
     if step <= 0:
         raise ValueError(f"step must be > 0, got {step}")
     if method not in ("null", "locf", "linear", "value"):
         raise ValueError(f"unknown method {method!r}")
+    if max_carry is not None and (method != "locf" or max_carry < 1):
+        raise ValueError(
+            "max_carry requires method='locf' and a value >= 1"
+        )
     if (start is None) != (end is None):
         raise ValueError("start and end must be given together")
     if start is not None and end < start:
@@ -151,8 +160,11 @@ def gapfill(
     elif method == "value":
         value = F.coalesce(F.col("__v"), F.lit(float(fill_value)))
     elif method == "locf":
+        lo_frame = (
+            Window.unboundedPreceding if max_carry is None else -max_carry
+        )
         value = F.last("__v", ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
+            w.rowsBetween(lo_frame, 0)
         )
     else:  # linear
         prev_v = F.last("__v", ignorenulls=True).over(

@@ -122,3 +122,18 @@ def test_chunked_grid_crosses_chunk_boundaries(spark):
     assert tuple(stats) == (n, 0, (n - 1) * 5, n - 2)
     # every step present exactly once
     assert out.select("ts").distinct().count() == n
+
+
+def test_locf_max_carry_limits_staleness(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (60, 7.0)], "ts long, v double"
+    )
+    out = gapfill(df, "ts", "v", 10, method="locf", max_carry=2)
+    got = {r["ts"]: r["value"] for r in out.collect()}
+    assert got == {
+        0: 1.0, 10: 1.0, 20: 1.0, 30: None, 40: None, 50: None, 60: 7.0,
+    }
+    with pytest.raises(ValueError, match="max_carry"):
+        gapfill(df, "ts", "v", 10, method="linear", max_carry=2)
+    with pytest.raises(ValueError, match="max_carry"):
+        gapfill(df, "ts", "v", 10, method="locf", max_carry=0)
