@@ -3358,6 +3358,10 @@ def q_gapfill_methods(spark, sf_dir):
             "event_type", (t - t % F.lit(step)).alias("ts_us")
         )
         .agg(F.count("*").cast("double").alias("v"))
+        # three fill arms reuse ONE scan+aggregate: exchange reuse
+        # across union branches is not guaranteed, and the counts frame
+        # is tiny (grid-bounded) — checkpoint it once (r13 review)
+        .localCheckpoint(eager=False)
     )
     out = None
     for method in ("locf", "linear", "value"):
@@ -3544,23 +3548,14 @@ def q_hybrid_search_rrf(spark, sf_dir):
     lex = bm25_topk(docs, ["hash", "join", "merge"], k=50)
     # the semantic cut must happen on ROUND-6 scores (like bm25_topk's)
     # so the top-50 membership can't flip on an unrounded last-ulp tie
-    # at the boundary — brute_force_cosine_topk cuts unrounded, and the
-    # DuckDB oracle's alias-bound ORDER BY uses the rounded value
-    # (r13 review finding)
-    from tachyon_spark.functions.similarity import cosine
+    # at the boundary, matching the DuckDB oracle's alias-bound ORDER BY
+    # on the rounded value (r13 review finding; round_digits is the
+    # library-level knob so every fusion caller gets the same contract)
+    from tachyon_spark.functions.similarity import brute_force_cosine_topk
 
-    v = F.col("embedding").cast("array<double>")
-    sem = (
-        emb.where(F.col("vec_id") != 0)
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                cosine(v, F.lit(qvec).cast("array<double>")), 6
-            ).alias("score"),
-        )
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(50)
-    )
+    sem = brute_force_cosine_topk(
+        emb.where(F.col("vec_id") != 0), qvec, k=50, round_digits=6
+    ).withColumnRenamed("vec_id", "doc_id")
     return rrf_fuse([lex, sem], k=15, c=60)
 
 

@@ -49,11 +49,21 @@ def brute_force_cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
-    """Exact top-k rows by cosine similarity to query_vec: (id, score)."""
+    """Exact top-k rows by cosine similarity to query_vec: (id, score).
+
+    `round_digits` rounds the score BEFORE the cut (ties then break by
+    id), making the top-k membership reproducible across engines and
+    summation orders at the rank-k boundary — the same contract
+    retrieval.bm25_topk ships; pass it whenever the candidate list
+    feeds a cross-engine comparison or a fusion (rrf_fuse)."""
     q = F.lit(query_vec).cast("array<double>")
     v = F.col(vec_col).cast("array<double>")
-    scored = df.select(F.col(id_col), cosine(v, q).alias("score"))
+    score = cosine(v, q)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    scored = df.select(F.col(id_col), score.alias("score"))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 

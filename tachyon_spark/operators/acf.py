@@ -93,9 +93,16 @@ def _global_rank(df: DataFrame, ts_col: str) -> DataFrame:
     distributions — a parallelism cost, never a correctness one. A
     single-distinct-ts input degenerates to one bucket (not a series).
     """
-    nbuckets = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    try:
+        nbuckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:  # e.g. "auto" under some AQE deployments
+        nbuckets = 200
+    # a NULL ts is not a series point: F.least() would skip the NULL
+    # bucket expression and dump the row in the LAST bucket while the
+    # in-bucket sort puts it first — silent rank corruption (r13 review)
+    df = df.where(F.col(ts_col).isNotNull())
     stats = df.agg(
         F.min(ts_col).cast("double").alias("__lo"),
         F.max(ts_col).cast("double").alias("__hi"),
@@ -156,7 +163,9 @@ def autocorrelation(
     # row, sum skips it) — drop them before ranking
     if g:
         w = Window.partitionBy(*[F.col(c) for c in g]).orderBy(ts_col)
-        base = df.where(y.isNotNull()).select(
+        base = df.where(
+            y.isNotNull() & F.col(ts_col).isNotNull()
+        ).select(
             *g, y.alias("__y"), (F.row_number().over(w)).alias("__rn")
         )
     else:
@@ -260,7 +269,9 @@ def cross_correlation(
     # same NULL discipline as autocorrelation: a NULL on either side
     # would desync n from the sums
     clean = aligned.where(
-        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+        F.col("__x").isNotNull()
+        & F.col("__y").isNotNull()
+        & F.col(ts_col).isNotNull()
     )
     if g:
         w = Window.partitionBy(*[F.col(c) for c in g]).orderBy(ts_col)

@@ -103,6 +103,23 @@ def gapfill(
         F.col(ts_col).alias(ts_col),
         F.col(value_col).cast("double").alias("__v"),
     )
+    # duplicate (group, ts) rows corrupt the one-row-per-grid-step
+    # contract as silently as off-grid timestamps would — enforce both
+    # the same way (the count window keys on (group, ts), the same
+    # partitioning the grid join needs anyway)
+    dup_w = Window.partitionBy(*[F.col(c) for c in g], ts_col)
+    data = data.withColumn(
+        "__v",
+        F.when(
+            F.count("*").over(dup_w) > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("gapfill: duplicate rows for timestamp: "),
+                    F.col(ts_col).cast("string"),
+                )
+            ),
+        ).otherwise(F.col("__v")),
+    )
     if start is not None:
         data = data.where(F.col(ts_col).between(start, end))
         bounds = (

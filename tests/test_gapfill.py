@@ -9,15 +9,6 @@ from pyspark.sql.utils import AnalysisException  # noqa: F401
 from tachyon_spark.operators.gapfill import gapfill
 
 
-def _rows(out):
-    return {
-        tuple(r[c] for c in out.columns[:-3]) + (r[out.columns[-3]],): (
-            r["value"], r["filled"]
-        )
-        for r in out.collect()
-    }
-
-
 def test_locf_and_grid_coverage(spark):
     df = spark.createDataFrame(
         [(0, 1.0), (30, 4.0), (50, 9.0)], "ts long, v double"
@@ -137,3 +128,11 @@ def test_locf_max_carry_limits_staleness(spark):
         gapfill(df, "ts", "v", 10, method="linear", max_carry=2)
     with pytest.raises(ValueError, match="max_carry"):
         gapfill(df, "ts", "v", 10, method="locf", max_carry=0)
+
+
+def test_duplicate_timestamp_raises(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (20, 3.0)], "ts long, v double"
+    )
+    with pytest.raises(Exception, match="duplicate rows"):
+        gapfill(df, "ts", "v", 10).collect()
