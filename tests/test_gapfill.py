@@ -136,3 +136,47 @@ def test_duplicate_timestamp_raises(spark):
     )
     with pytest.raises(Exception, match="duplicate rows"):
         gapfill(df, "ts", "v", 10).collect()
+
+
+def test_regularize_then_analyze_pipeline(spark):
+    """The end-to-end story the series analytics document: bucket an
+    irregular event stream, gapfill the holes, then decompose/correlate
+    on the now-regular grid — every stage a driver-gated operator."""
+    import math
+
+    from tachyon_spark.operators.acf import autocorrelation
+    from tachyon_spark.operators.seasonal import seasonal_decompose
+
+    # irregular raw points: a daily-periodic signal sampled patchily
+    period, days = 24, 12
+    raw = []
+    for h in range(period * days):
+        if (h * 7) % 11 == 3:
+            continue  # drop ~9% of hours -> holes
+        for k in range((h % 3) + 1):  # 1-3 events per surviving hour
+            raw.append((h * 3600 + k * 7, float(10 + 8 * math.sin(0)
+                                                + (h % period))))
+    df = spark.createDataFrame(raw, "ts long, v double")
+    hourly = df.groupBy(
+        (F.col("ts") - F.col("ts") % 3600).alias("hour")
+    ).agg(F.avg("v").alias("v"))
+    assert hourly.count() < period * days  # holes exist
+    filled = gapfill(hourly, "hour", "v", 3600, method="linear")
+    assert filled.count() == filled.select("hour").distinct().count()
+    # the filled series is regular: seasonal decomposition reconstructs
+    dec = seasonal_decompose(filled, "hour", "value", period)
+    mid = [r for r in dec.collect()
+           if r["trend"] is not None and r["value"] is not None]
+    assert len(mid) > period * (days - 2)
+    for r in mid:
+        assert r["value"] == pytest.approx(
+            r["trend"] + r["seasonal"] + r["remainder"], abs=1e-9
+        )
+    # and the ACF of the filled series peaks at the period
+    acf = {r["lag"]: r["acf"]
+           for r in autocorrelation(
+               filled.where(F.col("value").isNotNull()),
+               "hour", "value", period,
+           ).collect()}
+    assert acf[period] == max(acf.values())
+    assert acf[period] > 0.8
