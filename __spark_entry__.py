@@ -3747,10 +3747,12 @@ def q_embedding_ann_quantized(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
     others = emb.where(F.col("vec_id") != 0)
+    # final cut on round-6 rescored values (r13 flake-class closure;
+    # the stage-1 quantized cut was already exact by construction)
     out = quantized_cosine_topk(
-        others, qvec, k=ANN_Q_K, shortlist=ANN_Q_SHORTLIST
+        others, qvec, k=ANN_Q_K, shortlist=ANN_Q_SHORTLIST, round_digits=6
     )
-    return out.select("vec_id", F.round("score", 6).alias("score"))
+    return out.select("vec_id", "score")
 
 
 
@@ -4087,8 +4089,11 @@ def q_embedding_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
     others = emb.where(F.col("vec_id") != 0)
-    out = brute_force_cosine_topk(others, qvec, k=20)
-    return out.select("vec_id", F.round("score", 6).alias("score"))
+    # round-6 BEFORE the cut (r13: round_digits, VERDICT flake-class
+    # closure): the oracle's alias-bound ORDER BY also cuts rounded, so
+    # the rank-20 boundary can no longer flip on a last-ulp sum
+    out = brute_force_cosine_topk(others, qvec, k=20, round_digits=6)
+    return out.select("vec_id", "score")
 
 
 def _recall_guard(out, brute_ids, floor, what, k):
@@ -4128,11 +4133,17 @@ def q_embedding_ann_lsh(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head().embedding]
     others = emb.where(F.col("vec_id") != 0)
-    out = lsh_cosine_topk(others, qvec, k=20, planes=LSH_PLANES, tables=LSH_TABLES)
-    brute = brute_force_cosine_topk(others, qvec, k=20).select("vec_id")
+    # both cuts on round-6 scores (r13 flake-class closure; the oracle
+    # cuts on its rounded alias)
+    out = lsh_cosine_topk(
+        others, qvec, k=20, planes=LSH_PLANES, tables=LSH_TABLES,
+        round_digits=6,
+    )
+    brute = brute_force_cosine_topk(
+        others, qvec, k=20, round_digits=6
+    ).select("vec_id")
     return _recall_guard(
-        out.select("vec_id", F.round("score", 6).alias("score")),
-        brute, 0.45, "lsh", k=20,
+        out.select("vec_id", "score"), brute, 0.45, "lsh", k=20,
     )
 
 
@@ -4171,11 +4182,16 @@ def q_embedding_ann_ivf(spark, sf_dir):
         .collect()
     )  # bounded: IVF_CENTROIDS rows
     cents = [[float(x) for x in r.embedding] for r in seed_rows]
-    out = ivf_cosine_topk(others, qvec, cents, k=20, nprobe=2)
-    brute = brute_force_cosine_topk(others, qvec, k=20).select("vec_id")
+    # both cuts on round-6 scores (r13 flake-class closure; the oracle
+    # cuts on its rounded alias)
+    out = ivf_cosine_topk(
+        others, qvec, cents, k=20, nprobe=2, round_digits=6
+    )
+    brute = brute_force_cosine_topk(
+        others, qvec, k=20, round_digits=6
+    ).select("vec_id")
     return _recall_guard(
-        out.select("vec_id", F.round("score", 6).alias("score")),
-        brute, 0.25, "ivf", k=20,
+        out.select("vec_id", "score"), brute, 0.25, "ivf", k=20,
     )
 
 
@@ -4762,6 +4778,13 @@ REGATE: dict[str, int] = {
     # in-gate floor assert (VERDICT r12 item 4)
     "embedding_ann_ivf": 12,
     "embedding_ann_lsh": 12,
+    # r13 flake-class closure: the top-k cut now happens on round-6
+    # scores (round_digits), matching the oracles' alias-bound ORDER BY
+    # on the rounded value — the documented last-ulp rank-boundary
+    # hash-flake class for these gates is gone, and the r12 rows
+    # (unrounded cuts) no longer prove the semantics
+    "embedding_cosine_topk": 12,
+    "embedding_ann_quantized": 12,
 }
 
 
@@ -4785,6 +4808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "predict_linear_suite": q_predict_linear_suite,
         "gapfill_methods": q_gapfill_methods,
+        "embedding_ann_quantized": q_embedding_ann_quantized,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
         "comparison_filter": q_comparison_filter,
         "interp_add": q_interp_add,
         "interp_add_grouped": q_interp_add_grouped,
@@ -4870,7 +4895,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_windows": q_mad_windows,
         "asof_forward_nearest": q_asof_forward_nearest,
         "streaming_dedup": q_streaming_dedup,
-        "embedding_ann_quantized": q_embedding_ann_quantized,
         "weighted_sample": q_weighted_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pipeline_end_to_end": q_pipeline_end_to_end,
@@ -4899,7 +4923,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "decontaminate": q_decontaminate,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
         "text_stats": q_text_stats,
         "selector_scan_or": q_selector_scan_or,
         "promql_topk_without": q_promql_topk_without,

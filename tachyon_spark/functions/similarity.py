@@ -200,8 +200,10 @@ def ivf_cosine_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """IVF probe: score only vectors in the nprobe lists nearest the query.
+    `round_digits` cuts on pre-rounded scores (see brute_force_cosine_topk).
 
     At scale the assignment column is a partition/cluster key so the probe is
     a partition-pruned scan of nprobe/n_centroids of the data (see
@@ -216,7 +218,9 @@ def ivf_cosine_topk(
         "__list", ivf_assign_arrow(centroids)(F.col(vec_col).cast("array<double>"))
     )
     probed = assigned.where(F.col("__list").isin(probe_ids))
-    return brute_force_cosine_topk(probed, query_vec, k, id_col, vec_col)
+    return brute_force_cosine_topk(
+        probed, query_vec, k, id_col, vec_col, round_digits
+    )
 
 
 def _lsh_buckets_udf(all_planes, planes: int):
@@ -408,6 +412,7 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the union of the query's bucket across
     `tables` independent hash tables (table t uses seed+t).
@@ -427,7 +432,9 @@ def lsh_cosine_topk(
     q_buckets = [_query_bucket(query_vec, planes, seed + t) for t in range(tables)]
     mask = _lsh_probe_mask(all_planes, q_buckets, planes)
     probe = df.where(mask(F.col(vec_col)))
-    return brute_force_cosine_topk(probe, query_vec, k, id_col, vec_col)
+    return brute_force_cosine_topk(
+        probe, query_vec, k, id_col, vec_col, round_digits
+    )
 
 
 def semdedup(
@@ -558,6 +565,7 @@ def quantized_cosine_topk(
     shortlist: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Two-stage ANN via int8 quantization: (1) rank by the QUANTIZED
     dot product scale_a * scale_q * <qa, qq> — integer arithmetic over
@@ -590,9 +598,17 @@ def quantized_cosine_topk(
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
+    final_score = cosine(
+        F.col("__v"),
+        F.lit([float(x) for x in query_vec]).cast("array<double>"),
+    )
+    if round_digits is not None:
+        # cut on pre-rounded scores: reproducible rank-k boundary (the
+        # stage-1 quantized cut is already exact by construction)
+        final_score = F.round(final_score, round_digits)
     rescored = short.join(vecs, "id").select(
         "id",
-        cosine(F.col("__v"), F.lit([float(x) for x in query_vec]).cast("array<double>")).alias("score"),
+        final_score.alias("score"),
     )
     return (
         rescored.orderBy(F.col("score").desc(), F.col("id"))
