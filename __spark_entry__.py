@@ -1379,27 +1379,36 @@ def q_label_replace_grid(spark, sf_dir):
     )
 
 
-def q_openmetrics_parse(spark, sf_dir):
-    """OpenMetrics exposition parsing at scan scale (round 10;
-    sources/openmetrics.parse_openmetrics — pure JVM regexp, no Python):
-    every in-range event renders to an exposition line
-    `ev{et="<type>"} <value> <ts_us>` and parses BACK through the
-    distributed parser; the gate compares the parsed (label, ts, value)
+def q_wire_formats_parse(spark, sf_dir):
+    """BOTH text wire-format parsers in ONE entry (r13 merge under the
+    150-entry staleness policy: same render-and-parse-back family over
+    the same events rows; was `openmetrics_parse`). Every in-range event
+    renders to BOTH exposition syntaxes and parses BACK through the
+    distributed parsers; the gate compares the parsed (label, ts, value)
     rows against the parquet originals read directly. Exact: Spark's
     double->string rendering round-trips through cast (shortest-repr),
     ts is integral, and the label is the raw event_type — any parser
-    defect (grammar, label extraction, numeric spellings) breaks the
-    hash. Round 11: click lines carry an OpenMetrics exemplar suffix
-    (` # {{...}} 0.5`) the parser must STRIP (ADVICE r11 — real scraped
-    exposition includes exemplars); the oracle reads the parquet
-    originals, so an unstripped or over-stripped suffix breaks the
-    hash."""
+    defect (grammar, label extraction, numeric spellings, escape
+    handling) breaks the hash.
+
+    Arm 'openmetrics' (round 10): `ev{{et="<type>"}} <value> <ts_us>`;
+    click lines carry an exemplar suffix (` # {{...}} 0.5`) the parser
+    must STRIP (ADVICE r11 — real scraped exposition includes
+    exemplars). Arm 'line_protocol' (NEW r13,
+    sources/line_protocol.parse_line_protocol — pure JVM regexp like
+    its sibling): `ev,et=<type> value=<v>,note="c,1" <ts_us>` — the
+    constant quoted STRING field (comma inside quotes) rides every line
+    so the quote-aware field tokenizer is load-bearing, and the parser
+    must fan it out and the gate must drop it (ftype filter) without
+    disturbing the numeric field."""
+    from tachyon_spark.functions.util import spread
+    from tachyon_spark.sources.line_protocol import parse_line_protocol
     from tachyon_spark.sources.openmetrics import parse_openmetrics
 
-    ev = _read(spark, sf_dir, "events")
-    lines = ev.where(
+    ev = _read(spark, sf_dir, "events").where(
         F.col("ts").between(T0_US * 1000, T1_US * 1000)
-    ).select(
+    )
+    om_lines = ev.select(
         F.concat(
             F.lit('ev{et="'), F.col("event_type"), F.lit('"} '),
             F.col("value").cast("string"), F.lit(" "),
@@ -1410,18 +1419,35 @@ def q_openmetrics_parse(spark, sf_dir):
             ).otherwise(F.lit("")),
         ).alias("value")
     )
-    # the parser is partition-parallel (real scrape dumps split by line /
-    # by file); this fixture's lines inherit the narrow parquet scan's
-    # 1-2 splits, which would serialize the regex CPU — spread is a no-op
+    # the parsers are partition-parallel (real dumps split by line / by
+    # file); this fixture's lines inherit the narrow parquet scan's 1-2
+    # splits, which would serialize the regex CPU — spread is a no-op
     # at real scan widths (r12: 3.1 s -> ~0.5 s on the 10x table)
-    from tachyon_spark.functions.util import spread
-
-    parsed = parse_openmetrics(spread(lines), ns_clock=False)
-    return parsed.select(
+    om = parse_openmetrics(spread(om_lines), ns_clock=False).select(
+        F.lit("openmetrics").alias("arm"),
         F.col("labels")["et"].alias("et"),
         F.col("ts").alias("ts_us"),
         "value",
     )
+    lp_lines = ev.select(
+        F.concat(
+            F.lit("ev,et="), F.col("event_type"), F.lit(" value="),
+            F.col("value").cast("string"),
+            F.lit(',note="c,1" '),
+            F.expr("ts DIV 1000").cast("string"),
+        ).alias("value")
+    )
+    lp = (
+        parse_line_protocol(spread(lp_lines), precision="ns")
+        .where(F.col("ftype") != "string")
+        .select(
+            F.lit("line_protocol").alias("arm"),
+            F.col("tags")["et"].alias("et"),
+            F.col("ts").alias("ts_us"),
+            "value",
+        )
+    )
+    return om.unionByName(lp)
 
 
 def q_delete_series_op(spark, sf_dir):
@@ -4810,6 +4836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_methods": q_gapfill_methods,
         "embedding_ann_quantized": q_embedding_ann_quantized,
         "embedding_cosine_topk": q_embedding_cosine_topk,
+        "wire_formats_parse": q_wire_formats_parse,
         "comparison_filter": q_comparison_filter,
         "interp_add": q_interp_add,
         "interp_add_grouped": q_interp_add_grouped,
@@ -4818,7 +4845,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "alert_keep_firing": q_alert_keep_firing,
         "over_time_extras": q_over_time_extras,
-        "openmetrics_parse": q_openmetrics_parse,
         "promql_misc": q_promql_misc,
         "delete_series_op": q_delete_series_op,
         "count_values_grid": q_count_values_grid,
@@ -6590,14 +6616,18 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY event_type
             )
         """,
-        "openmetrics_parse": f"""
-            -- the parser gate's oracle is the parquet ORIGINALS: the
-            -- engine renders each event to an exposition line and
-            -- parses it back; a correct parser reproduces these rows
-            -- exactly (double->string->double round-trips, integral ts)
-            SELECT event_type AS et, epoch_us(ts) AS ts_us, value
-            FROM events
-            WHERE epoch_us(ts) BETWEEN {T0_US} AND {T1_US}
+        "wire_formats_parse": f"""
+            -- the parser gate's oracle is the parquet ORIGINALS twice
+            -- over: the engine renders each event to BOTH wire syntaxes
+            -- and parses each back; a correct parser pair reproduces
+            -- these rows exactly (double->string->double round-trips,
+            -- integral ts, exemplar strip, quote-aware field tokens)
+            SELECT m.arm, e.event_type AS et, epoch_us(e.ts) AS ts_us,
+                   e.value
+            FROM events e CROSS JOIN (
+              SELECT unnest(['openmetrics', 'line_protocol']) AS arm
+            ) m
+            WHERE epoch_us(e.ts) BETWEEN {T0_US} AND {T1_US}
         """,
         "maintenance_lifecycle": f"""
             -- compaction preserves data exactly; retention drops whole

@@ -258,7 +258,7 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         # under same-timestamp replication — same rationale as
         # histogram_helpers above — and delete_series_op's fixture is
         # grid-sized by construction)
-        "openmetrics_parse",
+        "wire_formats_parse",
         # round-12: the newest document-table ops under 10x data — BM25's
         # query-term filter admits ~10x the hits (broadcast dfs stay term-
         # count-sized) and the merged media gate's three Arrow kernels are
@@ -412,7 +412,7 @@ def main():
         "over_time_extras",
         "count_values_grid",
         "label_replace_grid",
-        "openmetrics_parse",
+        "wire_formats_parse",
         "delete_series_op",
         "promql_misc",
         # round 11

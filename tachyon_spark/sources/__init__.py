@@ -9,6 +9,10 @@ from tachyon_spark.sources.bucketed import (
     read_bucketed,
     write_bucketed,
 )
+from tachyon_spark.sources.line_protocol import (
+    ingest_line_protocol,
+    parse_line_protocol,
+)
 from tachyon_spark.sources.openmetrics import (
     ingest_openmetrics,
     parse_openmetrics,
@@ -21,6 +25,8 @@ __all__ = [
     "import_jsonl",
     "export_jsonl",
     "ingest_openmetrics",
+    "parse_line_protocol",
+    "ingest_line_protocol",
     "parse_openmetrics",
     "samples_file_stats",
     "write_bucketed",

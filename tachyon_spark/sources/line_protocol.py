@@ -1,0 +1,281 @@
+"""InfluxDB line-protocol INGEST — the other text wire format a TSDB
+migration actually has on hand (Telegraf outputs, `influx write` dumps,
+IoT gateways). Sibling of sources/openmetrics.py, same design rules:
+parsing is ALL JVM-side column expressions (regexp_extract /
+regexp_extract_all / transform — no Python UDFs), so a directory of
+multi-GB dumps parses in parallel at scan speed, and malformed lines
+FAILFAST in-expression at the first action (naming the offending line).
+
+Grammar (the protocol's documented v2 line syntax):
+
+    measurement[,tag_key=tag_val...] field_key=field_val[,...] [ts]
+
+- identifiers (measurement, tag keys/values, field keys) escape `,`,
+  `=` and space with a backslash; a backslash before anything else is
+  literal (the protocol defines no `\\\\` escape in identifiers).
+- field values: floats (`1.5`, `1e-3`), integers with `i` suffix
+  (`42i`), unsigned with `u` (`42u`), booleans
+  (`t/T/true/True/TRUE/f/F/false/False/FALSE`), and double-quoted
+  strings with `\\"` and `\\\\` escapes — quoted strings may contain
+  spaces and commas (the field tokenizer is quote-aware).
+- timestamp: optional signed integer, unit set by `precision`
+  ("ns" default, "us", "ms", "s") and scaled to nanoseconds (exact
+  integer multiply).
+- `#`-prefixed comment lines and blank lines drop.
+
+Series identity for ingest (`ingest_line_protocol`): the Telegraf /
+prometheus-exporter convention `measurement_field{tags}` — each field
+of a line fans out to its own stream, tags become labels. Numeric and
+boolean (1/0) fields ingest; string fields are metadata, not samples,
+and are skipped with their count reported.
+
+The reference engine ingests only via the FFI inserter and CSV
+(tachyon_cli/src/main.rs:247-296); this extends the source-format set
+beyond the reference next to OpenMetrics text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# one line: measurement[,tags] <space> fields [<space> ts]
+# section 1 stops at the first UNESCAPED space; the fields section is
+# quote-aware (strings may contain raw spaces/commas); ts is integral
+_LINE_RE = (
+    r"^((?:[^,\s\\]|\\.)+(?:,(?:[^,=\s\\]|\\.)+=(?:[^,=\s\\]|\\.)+)*)\s+"
+    r'((?:[^\s"\\]|\\.|"(?:[^"\\]|\\.)*")+)'
+    r"(?:\s+(-?\d+))?\s*$"
+)
+# measurement vs tag remainder (split at first unescaped comma)
+_MEAS_RE = r"^((?:[^,\\]|\\.)+)(?:,(.*))?$"
+# one tag pair inside the tag remainder
+_TAG_RE = r"((?:[^,=\\]|\\.)+)=((?:[^,=\\]|\\.)+)"
+# one field token: key=(quoted string | unquoted run); quote-awareness
+# keeps commas/spaces inside strings out of the token boundaries
+_FIELD_RE = r'((?:[^\s=,"\\]|\\.)+)=("(?:[^"\\]|\\.)*"|(?:[^,\s"\\]|\\.)+)'
+
+_PRECISION_NS = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
+
+
+def _unescape_ident(col):
+    # \, \= and backslash-space unescape; other backslashes are literal
+    return F.regexp_replace(col, r"\\([,= ])", "$1")
+
+
+def _unescape_string(col):
+    # strip the quotes, then \" and \\ unescape (string values DO
+    # define the backslash-backslash escape, unlike identifiers)
+    inner = F.regexp_replace(col, r'^"|"$', "")
+    return F.regexp_replace(inner, r"\\([\"\\])", "$1")
+
+
+def parse_line_protocol(
+    lines: DataFrame,
+    precision: str = "ns",
+    default_ts: int | None = None,
+) -> DataFrame:
+    """Parse a DataFrame of line-protocol text (column `value`, the
+    spark.read.text shape) into one row PER FIELD:
+    (measurement, tags: map<string,string>, field, series_key,
+    ftype: float|int|uint|bool|string, value: double,
+    value_str: string, ts: long ns). Malformed non-comment lines raise
+    at the first action (FAILFAST, in-expression — no extra probe pass);
+    unparseable numeric field values fail the ANSI cast the same way.
+    """
+    if precision not in _PRECISION_NS:
+        raise ValueError(
+            f"precision must be one of {sorted(_PRECISION_NS)}, "
+            f"got {precision!r}"
+        )
+    raw = F.col("value")
+    sect1 = F.regexp_extract(raw, _LINE_RE, 1)
+    checked = F.when(sect1 != "", sect1).otherwise(
+        F.raise_error(
+            F.concat(F.lit("unparseable line-protocol line: "), raw)
+        )
+    )
+    rows = lines.where(
+        (F.length(F.trim(raw)) > 0) & ~F.trim(raw).startswith("#")
+    ).select(
+        checked.alias("__s1"),
+        F.regexp_extract(raw, _LINE_RE, 2).alias("__fields"),
+        F.regexp_extract(raw, _LINE_RE, 3).alias("__ts"),
+        raw.alias("__line"),
+    )
+    measurement = _unescape_ident(
+        F.regexp_extract(F.col("__s1"), _MEAS_RE, 1)
+    )
+    tag_str = F.regexp_extract(F.col("__s1"), _MEAS_RE, 2)
+    tag_pairs = F.regexp_extract_all(tag_str, F.lit(_TAG_RE), 0)
+    tags = F.map_from_arrays(
+        F.transform(
+            tag_pairs,
+            lambda p: _unescape_ident(F.regexp_extract(p, _TAG_RE, 1)),
+        ),
+        F.transform(
+            tag_pairs,
+            lambda p: _unescape_ident(F.regexp_extract(p, _TAG_RE, 2)),
+        ),
+    )
+    # canonical label block from the SORTED raw pairs (tag order in the
+    # text must not matter), rendered k="v" like the catalog keys
+    label_block = F.array_join(
+        F.transform(
+            F.sort_array(tag_pairs),
+            lambda p: F.concat(
+                _unescape_ident(F.regexp_extract(p, _TAG_RE, 1)),
+                F.lit('="'),
+                _unescape_ident(F.regexp_extract(p, _TAG_RE, 2)),
+                F.lit('"'),
+            ),
+        ),
+        ",",
+    )
+    raw_ts = F.when(F.col("__ts") == "", F.lit(None)).otherwise(
+        F.col("__ts").cast("long") * F.lit(_PRECISION_NS[precision])
+    )
+    if default_ts is not None:
+        raw_ts = F.coalesce(raw_ts, F.lit(int(default_ts)))
+
+    fields = rows.select(
+        measurement.alias("measurement"),
+        tags.alias("tags"),
+        label_block.alias("__lb"),
+        raw_ts.alias("ts"),
+        F.explode(
+            F.regexp_extract_all(F.col("__fields"), F.lit(_FIELD_RE), 0)
+        ).alias("__f"),
+    )
+    key = _unescape_ident(F.regexp_extract(F.col("__f"), _FIELD_RE, 1))
+    val = F.regexp_extract(F.col("__f"), _FIELD_RE, 2)
+    is_str = val.startswith('"')
+    is_int = val.rlike(r"^-?\d+i$")
+    is_uint = val.rlike(r"^\d+u$")
+    is_bool = val.rlike(r"^(t|T|true|True|TRUE|f|F|false|False|FALSE)$")
+    ftype = (
+        F.when(is_str, F.lit("string"))
+        .when(is_int, F.lit("int"))
+        .when(is_uint, F.lit("uint"))
+        .when(is_bool, F.lit("bool"))
+        .otherwise(F.lit("float"))
+    )
+    value = (
+        F.when(is_str, F.lit(None).cast("double"))
+        .when(is_int | is_uint,
+              F.regexp_replace(val, r"[iu]$", "").cast("double"))
+        .when(is_bool, val.rlike("^(t|T|true|True|TRUE)$").cast("double"))
+        # ANSI cast: junk that matched none of the typed forms fails
+        # loudly here, carrying the text
+        .otherwise(val.cast("double"))
+    )
+    value_str = F.when(is_str, _unescape_string(val))
+    series_key = F.concat(
+        F.col("measurement"),
+        F.lit("_"),
+        key,
+        F.lit("{"),
+        F.col("__lb"),
+        F.lit("}"),
+    )
+    return fields.select(
+        "measurement",
+        "tags",
+        key.alias("field"),
+        series_key.alias("series_key"),
+        ftype.alias("ftype"),
+        value.alias("value"),
+        value_str.alias("value_str"),
+        "ts",
+    )
+
+
+def ingest_line_protocol(
+    conn,
+    source: str | DataFrame,
+    precision: str = "ns",
+    default_ts: int | None = None,
+    value_type: str = "f64",
+) -> tuple[int, int]:
+    """Ingest line-protocol text into `conn` — `source` is a path/glob
+    for spark.read.text, a literal text blob (newline content
+    parallelizes), or a pre-read lines DataFrame. Each numeric/bool
+    field fans out to stream `measurement_field{tags}`; streams that
+    don't exist yet are registered in ONE catalog batch with
+    `value_type`. String fields are metadata, not samples — skipped.
+    Returns (samples_appended, string_fields_skipped)."""
+    from tachyon_spark.types import is_integer
+
+    if isinstance(source, DataFrame):
+        lines = source
+    elif "\n" in source or " " in source:
+        # a space marks literal line-protocol text, never a path — every
+        # valid line has one between the tag set and the fields (so a
+        # ONE-line blob is recognized too)
+        lines = conn.spark.createDataFrame(
+            [(ln,) for ln in source.split("\n")], "value string"
+        )
+    else:
+        lines = conn.spark.read.text(source)
+    parsed = parse_line_protocol(lines, precision, default_ts).cache()
+    try:
+        skipped = parsed.where(F.col("ftype") == "string").count()
+        numeric = parsed.where(F.col("ftype") != "string")
+        # bounded metadata collect: distinct series, never samples
+        series = {
+            r["series_key"]: (
+                r["measurement"] + "_" + r["field"],
+                dict(r["tags"]),
+            )
+            for r in numeric.select(
+                "series_key", "measurement", "field", "tags"
+            )
+            .dropDuplicates(["series_key"])
+            .collect()
+        }
+        existing: dict[str, tuple[str, bool]] = {}
+        from tachyon_spark.sources.openmetrics import _esc
+
+        for s in conn.get_all_streams():
+            k = (
+                s.name
+                + "{"
+                + ",".join(
+                    f'{kk}="{_esc(vv)}"'
+                    for kk, vv in sorted(s.labels.items())
+                )
+                + "}"
+            )
+            existing[k] = (s.stream_id, is_integer(s.value_type))
+        missing = [k for k in series if k not in existing]
+        if missing:
+            ids = conn.catalog.create_streams(
+                [
+                    (series[k][0], dict(series[k][1]), value_type)
+                    for k in missing
+                ]
+            )
+            existing.update(
+                (k, (sid, is_integer(value_type)))
+                for k, sid in zip(missing, ids)
+            )
+        mapping = conn.spark.createDataFrame(
+            [(k, sid, integer) for k, (sid, integer) in existing.items()],
+            "series_key string, stream_id string, __int boolean",
+        )
+        joined = numeric.join(F.broadcast(mapping), "series_key")
+        out = joined.select(
+            "stream_id",
+            "ts",
+            F.when(F.col("__int"), F.lit(None).cast("double"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+            F.when(F.col("__int"), F.col("value").cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("value_int"),
+        )
+        n = out.count()
+        conn.bulk_load(out)
+        return n, skipped
+    finally:
+        parsed.unpersist()

@@ -1,0 +1,109 @@
+"""InfluxDB line-protocol source (sources/line_protocol.py): grammar
+coverage (escapes, quoted strings, all field types, precisions),
+FAILFAST on malformed lines, series fan-out, and end-to-end ingest
+through the Connection catalog + query path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tachyon_spark.sources.line_protocol import (
+    ingest_line_protocol,
+    parse_line_protocol,
+)
+
+
+def _parse(spark, lines, **kw):
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    return parse_line_protocol(df, **kw).collect()
+
+
+def test_grammar_field_types_and_escapes(spark):
+    rows = _parse(spark, [
+        'cpu,host=a,region=us\\ west usage=0.5,idle=99i,n=12u,'
+        'up=true,down=F,msg="hello, \\"world\\"" 1700000000000000000',
+    ])
+    by_field = {r["field"]: r for r in rows}
+    assert set(by_field) == {"usage", "idle", "n", "up", "down", "msg"}
+    r = by_field["usage"]
+    assert r["measurement"] == "cpu"
+    assert dict(r["tags"]) == {"host": "a", "region": "us west"}
+    assert (r["ftype"], r["value"]) == ("float", 0.5)
+    assert r["ts"] == 1700000000000000000
+    assert (by_field["idle"]["ftype"], by_field["idle"]["value"]) == ("int", 99.0)
+    assert (by_field["n"]["ftype"], by_field["n"]["value"]) == ("uint", 12.0)
+    assert (by_field["up"]["ftype"], by_field["up"]["value"]) == ("bool", 1.0)
+    assert (by_field["down"]["ftype"], by_field["down"]["value"]) == ("bool", 0.0)
+    m = by_field["msg"]
+    assert (m["ftype"], m["value"], m["value_str"]) == (
+        "string", None, 'hello, "world"'
+    )
+    # series key: measurement_field{sorted tags}
+    assert r["series_key"] == 'cpu_usage{host="a",region="us west"}'
+
+
+def test_tag_order_comments_blanks_and_default_ts(spark):
+    rows = _parse(spark, [
+        "m,b=2,a=1 x=1 7",
+        "m,a=1,b=2 x=2 8",
+        "# comment line",
+        "   ",
+        "m x=3",
+    ], default_ts=99)
+    keys = {r["ts"]: r["series_key"] for r in rows}
+    # sorted-tag canonicalization: both spellings -> one series key
+    assert keys[7] == keys[8] == 'm_x{a="1",b="2"}'
+    assert keys[99] == "m_x{}"
+    assert len(rows) == 3
+
+
+@pytest.mark.parametrize("precision,mult", [
+    ("ns", 1), ("us", 1_000), ("ms", 1_000_000), ("s", 1_000_000_000),
+])
+def test_precision_scaling(spark, precision, mult):
+    rows = _parse(spark, ["m x=1 123"], precision=precision)
+    assert rows[0]["ts"] == 123 * mult
+
+
+def test_malformed_line_raises_at_first_action(spark):
+    df = spark.createDataFrame(
+        [("cpu usage=1 1",), ("not a valid line at all",)],
+        "value string",
+    )
+    out = parse_line_protocol(df)
+    with pytest.raises(Exception, match="unparseable line-protocol"):
+        out.collect()
+    with pytest.raises(ValueError, match="precision"):
+        parse_line_protocol(df, precision="m")
+
+
+def test_escaped_measurement_and_field_key(spark):
+    rows = _parse(spark, ["my\\ meas,t\\=k=v\\,1 f\\ 1=2 5"])
+    r = rows[0]
+    assert r["measurement"] == "my meas"
+    assert dict(r["tags"]) == {"t=k": "v,1"}
+    assert r["field"] == "f 1"
+    assert r["value"] == 2.0
+
+
+def test_ingest_end_to_end(spark, tmp_path):
+    from tachyon_spark.connection import Connection
+
+    conn = Connection(str(tmp_path / "db"), spark)
+    text = "\n".join([
+        "cpu,host=a usage=1.5,idle=90i 1000",
+        "cpu,host=a usage=2.5,msg=\"skip me\" 2000",
+        "cpu,host=b usage=9.0 1000",
+    ])
+    n, skipped = ingest_line_protocol(conn, text, precision="ns")
+    assert (n, skipped) == (4, 1)
+    streams = {
+        s.name + str(sorted(s.labels.items())): s
+        for s in conn.get_all_streams()
+    }
+    assert len(streams) == 3  # cpu_usage{a}, cpu_idle{a}, cpu_usage{b}
+    rows = conn.query('cpu_usage{host="a"}', 0, 10_000).rows()
+    assert [(t, v) for t, v in rows] == [(1000, 1.5), (2000, 2.5)]
+    # re-ingest resolves the existing catalog entries (no duplicates)
+    n2, _ = ingest_line_protocol(conn, "cpu,host=b usage=4.0 3000")
+    assert n2 == 1
+    assert len(conn.get_all_streams()) == 3
