@@ -12,6 +12,7 @@ from tachyon_spark.sources.bucketed import (
 from tachyon_spark.sources.line_protocol import (
     ingest_line_protocol,
     parse_line_protocol,
+    render_line_protocol,
 )
 from tachyon_spark.sources.openmetrics import (
     ingest_openmetrics,
@@ -27,6 +28,7 @@ __all__ = [
     "ingest_openmetrics",
     "parse_line_protocol",
     "ingest_line_protocol",
+    "render_line_protocol",
     "parse_openmetrics",
     "samples_file_stats",
     "write_bucketed",

@@ -279,3 +279,57 @@ def ingest_line_protocol(
         return n, skipped
     finally:
         parsed.unpersist()
+
+
+def _esc_ident(col):
+    # escape , = and space in identifiers (the inverse of _unescape_ident)
+    return F.regexp_replace(col, r"([,= ])", r"\\$1")
+
+
+def render_line_protocol(
+    df: DataFrame,
+    measurement_col: str = "measurement",
+    tags_col: str | None = "tags",
+    field_col: str = "field",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Render rows to line-protocol text (one line per row, column
+    `value` — the spark.read.text shape, so the output round-trips
+    through parse_line_protocol): measurement/tag/field identifiers are
+    escaped, tags render in SORTED key order (canonical — tag order in
+    the text carries no meaning), numeric values render via Spark's
+    shortest-repr double cast (exact round-trip), ns timestamps append
+    verbatim. `tags_col=None` renders tagless lines. The write-side
+    complement of parse_line_protocol, as promapi.openmetrics_text is
+    to parse_openmetrics — fully distributed, one projection, no
+    shuffle."""
+    meas = _esc_ident(F.col(measurement_col))
+    if tags_col is not None:
+        keys = F.sort_array(F.map_keys(F.col(tags_col)))
+        tag_str = F.array_join(
+            F.transform(
+                keys,
+                lambda k: F.concat(
+                    _esc_ident(k),
+                    F.lit("="),
+                    _esc_ident(F.col(tags_col)[k]),
+                ),
+            ),
+            ",",
+        )
+        head = F.when(
+            F.size(keys) > 0, F.concat(meas, F.lit(","), tag_str)
+        ).otherwise(meas)
+    else:
+        head = meas
+    line = F.concat(
+        head,
+        F.lit(" "),
+        _esc_ident(F.col(field_col)),
+        F.lit("="),
+        F.col(value_col).cast("double").cast("string"),
+        F.lit(" "),
+        F.col(ts_col).cast("long").cast("string"),
+    )
+    return df.select(line.alias("value"))

@@ -107,3 +107,29 @@ def test_ingest_end_to_end(spark, tmp_path):
     n2, _ = ingest_line_protocol(conn, "cpu,host=b usage=4.0 3000")
     assert n2 == 1
     assert len(conn.get_all_streams()) == 3
+
+
+def test_render_round_trips_through_parse(spark):
+    from tachyon_spark.sources.line_protocol import render_line_protocol
+
+    rows = [
+        ("cpu load", {"host x": "a,b", "z=k": "v"}, "u 1", 0.125, 7),
+        ("mem", {}, "free", -3.5, 8),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "measurement string, tags map<string,string>, field string, "
+        "value double, ts long",
+    )
+    lines = render_line_protocol(df)
+    text = sorted(r["value"] for r in lines.collect())
+    assert text[0] == 'cpu\\ load,host\\ x=a\\,b,z\\=k=v u\\ 1=0.125 7'
+    assert text[1] == "mem free=-3.5 8"
+    back = {
+        (r["measurement"], r["field"]): r
+        for r in parse_line_protocol(lines).collect()
+    }
+    r = back[("cpu load", "u 1")]
+    assert dict(r["tags"]) == {"host x": "a,b", "z=k": "v"}
+    assert (r["value"], r["ts"]) == (0.125, 7)
+    assert back[("mem", "free")]["value"] == -3.5
