@@ -102,3 +102,52 @@ def start_openmetrics_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_line_protocol_ingest(
+    conn,
+    source_dir: str,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+    max_files_per_trigger: int = 100,
+    precision: str = "ns",
+    value_type: str = "f64",
+):
+    """LIVE line-protocol ingestion (r13): tail `source_dir` for
+    InfluxDB line-protocol text drops (Telegraf file output, `influx
+    write` dumps, IoT gateway batches) and ingest each micro-batch
+    through sources/line_protocol.ingest_line_protocol — the same
+    JVM-regexp parse, measurement_field{tags} fan-out,
+    metadata-altitude series resolution (new measurements appearing
+    mid-stream register their streams in that batch), and batch write
+    path. Composition, not new machinery: the foreachBatch contract
+    (at-least-once on retry) and checkpointing match
+    start_stream_ingest / start_openmetrics_ingest. Returns the
+    StreamingQuery."""
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        conn.db_dir, "_checkpoints", "line_protocol"
+    )
+    src = (
+        conn.spark.readStream.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+        .text(source_dir)
+    )
+
+    def _append(batch_df, _batch_id):
+        from tachyon_spark.sources.line_protocol import (
+            ingest_line_protocol,
+        )
+
+        ingest_line_protocol(
+            conn, batch_df, precision=precision, value_type=value_type
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -133,3 +133,34 @@ def test_render_round_trips_through_parse(spark):
     assert dict(r["tags"]) == {"host x": "a,b", "z=k": "v"}
     assert (r["value"], r["ts"]) == (0.125, 7)
     assert back[("mem", "free")]["value"] == -3.5
+
+
+def test_streaming_line_protocol_ingest(spark, tmp_path):
+    """Live drop ingestion: two line-protocol text drops through the
+    streaming reader; a measurement first seen in drop 2 registers its
+    streams mid-stream; the checkpoint prevents re-ingestion."""
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.streaming.ingest import start_line_protocol_ingest
+
+    src_dir = tmp_path / "drops"
+    src_dir.mkdir()
+    (src_dir / "t1.lp").write_text(
+        "cpu,host=a usage=0.5 10\ncpu,host=a usage=0.6 20\n"
+    )
+    (src_dir / "t2.lp").write_text(
+        "cpu,host=a usage=0.7 30\nmem free=12i 30\n"
+    )
+    conn = Connection(str(tmp_path / "lpdb"), spark)
+    q = start_line_protocol_ingest(
+        conn, str(src_dir), trigger_once=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert conn.query('cpu_usage{host="a"}', 0, 100).rows() == [
+        (10, 0.5), (20, 0.6), (30, 0.7)]
+    assert conn.query("mem_free", 0, 100).rows() == [(30, 12.0)]
+    q2 = start_line_protocol_ingest(
+        conn, str(src_dir), trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    assert conn.query('cpu_usage{host="a"}', 0, 100).rows() == [
+        (10, 0.5), (20, 0.6), (30, 0.7)]
