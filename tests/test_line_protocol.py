@@ -164,3 +164,48 @@ def test_streaming_line_protocol_ingest(spark, tmp_path):
     q2.awaitTermination(120)
     assert conn.query('cpu_usage{host="a"}', 0, 100).rows() == [
         (10, 0.5), (20, 0.6), (30, 0.7)]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ident = st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=33,
+                           max_codepoint=126) | st.just(" "),
+    min_size=1, max_size=10,
+).filter(lambda s: s.strip() == s and not s.startswith("#")
+         and "\\" not in s and '"' not in s)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    meas=_ident,
+    tags=st.dictionaries(_ident, _ident, max_size=3),
+    fields=st.dictionaries(_ident, st.floats(
+        allow_nan=False, allow_infinity=False, width=32,
+    ), min_size=1, max_size=3),
+    ts=st.integers(min_value=-10**15, max_value=10**15),
+)
+def test_render_parse_round_trip_fuzz(spark, meas, tags, fields, ts):
+    # arbitrary printable identifiers (incl. , = and interior spaces)
+    # must survive render -> parse exactly
+    rows = [(meas, tags, k, float(v), ts) for k, v in fields.items()]
+    df = spark.createDataFrame(
+        rows,
+        "measurement string, tags map<string,string>, field string, "
+        "value double, ts long",
+    )
+    from tachyon_spark.sources.line_protocol import render_line_protocol
+
+    back = parse_line_protocol(render_line_protocol(df)).collect()
+    got = {
+        (r["measurement"], tuple(sorted(r["tags"].items())),
+         r["field"]): (r["value"], r["ts"])
+        for r in back
+    }
+    exp = {
+        (meas, tuple(sorted(tags.items())), k): (float(v), ts)
+        for k, v in fields.items()
+    }
+    assert got == exp
