@@ -1400,9 +1400,14 @@ def q_wire_formats_parse(spark, sf_dir):
     constant quoted STRING field (comma inside quotes) rides every line
     so the quote-aware field tokenizer is load-bearing, and the parser
     must fan it out and the gate must drop it (ftype filter) without
-    disturbing the numeric field."""
+    disturbing the numeric field. Arm 'graphite' (NEW r13 second pass):
+    Graphite 1.1 tagged plaintext `ev;et=<type> <value> <ts>`
+    (parse_graphite, ts_unit="ns" so the integral ts rides verbatim)."""
     from tachyon_spark.functions.util import spread
-    from tachyon_spark.sources.line_protocol import parse_line_protocol
+    from tachyon_spark.sources.line_protocol import (
+        parse_graphite,
+        parse_line_protocol,
+    )
     from tachyon_spark.sources.openmetrics import parse_openmetrics
 
     ev = _read(spark, sf_dir, "events").where(
@@ -1447,7 +1452,20 @@ def q_wire_formats_parse(spark, sf_dir):
             "value",
         )
     )
-    return om.unionByName(lp)
+    gr_lines = ev.select(
+        F.concat(
+            F.lit("ev;et="), F.col("event_type"), F.lit(" "),
+            F.col("value").cast("string"), F.lit(" "),
+            F.expr("ts DIV 1000").cast("string"),
+        ).alias("value")
+    )
+    gr = parse_graphite(spread(gr_lines), ts_unit="ns").select(
+        F.lit("graphite").alias("arm"),
+        F.col("tags")["et"].alias("et"),
+        F.col("ts").alias("ts_us"),
+        "value",
+    )
+    return om.unionByName(lp).unionByName(gr)
 
 
 def q_delete_series_op(spark, sf_dir):
@@ -6625,7 +6643,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.arm, e.event_type AS et, epoch_us(e.ts) AS ts_us,
                    e.value
             FROM events e CROSS JOIN (
-              SELECT unnest(['openmetrics', 'line_protocol']) AS arm
+              SELECT unnest(
+                ['openmetrics', 'line_protocol', 'graphite']
+              ) AS arm
             ) m
             WHERE epoch_us(e.ts) BETWEEN {T0_US} AND {T1_US}
         """,

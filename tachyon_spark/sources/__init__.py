@@ -11,6 +11,7 @@ from tachyon_spark.sources.bucketed import (
 )
 from tachyon_spark.sources.line_protocol import (
     ingest_line_protocol,
+    parse_graphite,
     parse_line_protocol,
     render_line_protocol,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "parse_line_protocol",
     "ingest_line_protocol",
     "render_line_protocol",
+    "parse_graphite",
     "parse_openmetrics",
     "samples_file_stats",
     "write_bucketed",

@@ -333,3 +333,72 @@ def render_line_protocol(
         F.col(ts_col).cast("long").cast("string"),
     )
     return df.select(line.alias("value"))
+
+
+# ---------------------------------------------------------- graphite
+# Graphite plaintext: `metric.path[;tag=value...] <value> <unix_ts>` —
+# the third text wire format (carbon feeds, statsd repeaters). Tagged
+# metrics (Graphite 1.1 `;tag=value` suffixes) map to labels.
+_GRAPHITE_RE = (
+    r"^([^;\s]+)((?:;[^;=\s]+=[^;\s]*)*)\s+(\S+)\s+(-?\d+)\s*$"
+)
+_GTAG_RE = r";([^;=\s]+)=([^;\s]*)"
+
+
+def parse_graphite(
+    lines: DataFrame,
+    ts_unit: str = "s",
+) -> DataFrame:
+    """Parse Graphite plaintext lines (column `value`) into
+    (name, tags: map<string,string>, series_key, value: double,
+    ts: long ns). `ts_unit` is "s" (carbon's unix seconds, default) or
+    "ms"/"us"/"ns". Malformed non-comment lines FAILFAST in-expression
+    like the sibling parsers; `#` comments and blanks drop."""
+    unit_ns = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
+    if ts_unit not in unit_ns:
+        raise ValueError(
+            f"ts_unit must be one of {sorted(unit_ns)}, got {ts_unit!r}"
+        )
+    raw = F.col("value")
+    name = F.regexp_extract(raw, _GRAPHITE_RE, 1)
+    checked = F.when(name != "", name).otherwise(
+        F.raise_error(
+            F.concat(F.lit("unparseable graphite line: "), raw)
+        )
+    )
+    rows = lines.where(
+        (F.length(F.trim(raw)) > 0) & ~F.trim(raw).startswith("#")
+    ).select(
+        checked.alias("name"),
+        F.regexp_extract(raw, _GRAPHITE_RE, 2).alias("__tags"),
+        F.regexp_extract(raw, _GRAPHITE_RE, 3).alias("__val"),
+        F.regexp_extract(raw, _GRAPHITE_RE, 4).alias("__ts"),
+    )
+    pairs = F.regexp_extract_all(F.col("__tags"), F.lit(_GTAG_RE), 0)
+    tags = F.map_from_arrays(
+        F.transform(pairs, lambda p: F.regexp_extract(p, _GTAG_RE, 1)),
+        F.transform(pairs, lambda p: F.regexp_extract(p, _GTAG_RE, 2)),
+    )
+    label_block = F.array_join(
+        F.transform(
+            F.sort_array(pairs),
+            lambda p: F.concat(
+                F.regexp_extract(p, _GTAG_RE, 1),
+                F.lit('="'),
+                F.regexp_extract(p, _GTAG_RE, 2),
+                F.lit('"'),
+            ),
+        ),
+        ",",
+    )
+    series_key = F.concat(
+        F.col("name"), F.lit("{"), label_block, F.lit("}")
+    )
+    return rows.select(
+        "name",
+        tags.alias("tags"),
+        series_key.alias("series_key"),
+        # ANSI cast FAILFASTs junk values, carrying the text
+        F.col("__val").cast("double").alias("value"),
+        (F.col("__ts").cast("long") * F.lit(unit_ns[ts_unit])).alias("ts"),
+    )

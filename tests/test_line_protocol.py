@@ -209,3 +209,37 @@ def test_render_parse_round_trip_fuzz(spark, meas, tags, fields, ts):
         for k, v in fields.items()
     }
     assert got == exp
+
+
+def test_graphite_plaintext_and_tagged(spark):
+    from tachyon_spark.sources.line_protocol import parse_graphite
+
+    df = spark.createDataFrame([
+        ("servers.web1.cpu.load 0.75 1700000000",),
+        ("disk.used;host=web1;mount=/ 42 1700000001",),
+        ("# comment",),
+        ("   ",),
+    ], "value string")
+    rows = {r["name"]: r for r in parse_graphite(df).collect()}
+    r = rows["servers.web1.cpu.load"]
+    assert dict(r["tags"]) == {}
+    assert (r["value"], r["ts"]) == (0.75, 1700000000 * 10**9)
+    assert r["series_key"] == "servers.web1.cpu.load{}"
+    t = rows["disk.used"]
+    assert dict(t["tags"]) == {"host": "web1", "mount": "/"}
+    assert t["series_key"] == 'disk.used{host="web1",mount="/"}'
+    assert t["value"] == 42.0
+    # tag order canonicalizes
+    df2 = spark.createDataFrame([
+        ("m;b=2;a=1 1 5",), ("m;a=1;b=2 2 6",),
+    ], "value string")
+    keys = {r["ts"]: r["series_key"]
+            for r in parse_graphite(df2, ts_unit="ns").collect()}
+    assert keys[5] == keys[6] == 'm{a="1",b="2"}'
+    # malformed line FAILFASTs; bad unit validates
+    bad = spark.createDataFrame([("no_value_or_ts",)], "value string")
+    import pytest as _pt
+    with _pt.raises(Exception, match="unparseable graphite"):
+        parse_graphite(bad).collect()
+    with _pt.raises(ValueError, match="ts_unit"):
+        parse_graphite(df, ts_unit="h")
