@@ -1413,7 +1413,11 @@ def q_wire_formats_parse(spark, sf_dir):
     ev = _read(spark, sf_dir, "events").where(
         F.col("ts").between(T0_US * 1000, T1_US * 1000)
     )
-    om_lines = ev.select(
+    # ONE scan renders all three syntaxes (r13 review: three per-arm
+    # projections re-scanned the parquet three times); the rendered
+    # frame is checkpoint-pinned so each arm's parse reads the same
+    # materialized lines
+    rendered = ev.select(
         F.concat(
             F.lit('ev{et="'), F.col("event_type"), F.lit('"} '),
             F.col("value").cast("string"), F.lit(" "),
@@ -1422,8 +1426,20 @@ def q_wire_formats_parse(spark, sf_dir):
                 F.col("event_type") == "click",
                 F.lit(' # {trace_id="t"} 0.5'),
             ).otherwise(F.lit("")),
-        ).alias("value")
-    )
+        ).alias("om"),
+        F.concat(
+            F.lit("ev,et="), F.col("event_type"), F.lit(" value="),
+            F.col("value").cast("string"),
+            F.lit(',note="c,1" '),
+            F.expr("ts DIV 1000").cast("string"),
+        ).alias("lp"),
+        F.concat(
+            F.lit("ev;et="), F.col("event_type"), F.lit(" "),
+            F.col("value").cast("string"), F.lit(" "),
+            F.expr("ts DIV 1000").cast("string"),
+        ).alias("gr"),
+    ).localCheckpoint(eager=False)
+    om_lines = rendered.select(F.col("om").alias("value"))
     # the parsers are partition-parallel (real dumps split by line / by
     # file); this fixture's lines inherit the narrow parquet scan's 1-2
     # splits, which would serialize the regex CPU — spread is a no-op
@@ -1434,14 +1450,7 @@ def q_wire_formats_parse(spark, sf_dir):
         F.col("ts").alias("ts_us"),
         "value",
     )
-    lp_lines = ev.select(
-        F.concat(
-            F.lit("ev,et="), F.col("event_type"), F.lit(" value="),
-            F.col("value").cast("string"),
-            F.lit(',note="c,1" '),
-            F.expr("ts DIV 1000").cast("string"),
-        ).alias("value")
-    )
+    lp_lines = rendered.select(F.col("lp").alias("value"))
     lp = (
         parse_line_protocol(spread(lp_lines), precision="ns")
         .where(F.col("ftype") != "string")
@@ -1452,13 +1461,7 @@ def q_wire_formats_parse(spark, sf_dir):
             "value",
         )
     )
-    gr_lines = ev.select(
-        F.concat(
-            F.lit("ev;et="), F.col("event_type"), F.lit(" "),
-            F.col("value").cast("string"), F.lit(" "),
-            F.expr("ts DIV 1000").cast("string"),
-        ).alias("value")
-    )
+    gr_lines = rendered.select(F.col("gr").alias("value"))
     gr = parse_graphite(spread(gr_lines), ts_unit="ns").select(
         F.lit("graphite").alias("arm"),
         F.col("tags")["et"].alias("et"),

@@ -63,6 +63,13 @@ def _unescape_ident(col):
     return F.regexp_replace(col, r"\\([,= ])", "$1")
 
 
+def _esc_label(col):
+    # promapi._escape_label, column form: backslash, quote, newline
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', r'\\"')
+    return F.regexp_replace(out, "\n", r"\\n")
+
+
 def _unescape_string(col):
     # strip the quotes, then \" and \\ unescape (string values DO
     # define the backslash-backslash escape, unlike identifiers)
@@ -118,16 +125,29 @@ def parse_line_protocol(
             lambda p: _unescape_ident(F.regexp_extract(p, _TAG_RE, 2)),
         ),
     )
-    # canonical label block from the SORTED raw pairs (tag order in the
-    # text must not matter), rendered k="v" like the catalog keys
+    # canonical label block rendered EXACTLY like the catalog keys the
+    # ingest path compares against (r13 review): sorted by the UNESCAPED
+    # (key, value) pair — not by the raw "k=v" strings, whose '=' can
+    # reorder prefix keys — with values escaped the way
+    # promapi._escape_label renders them (backslash, quote, newline)
+    kv = F.sort_array(
+        F.transform(
+            tag_pairs,
+            lambda p: F.struct(
+                _unescape_ident(
+                    F.regexp_extract(p, _TAG_RE, 1)
+                ).alias("k"),
+                _unescape_ident(
+                    F.regexp_extract(p, _TAG_RE, 2)
+                ).alias("v"),
+            ),
+        )
+    )
     label_block = F.array_join(
         F.transform(
-            F.sort_array(tag_pairs),
-            lambda p: F.concat(
-                _unescape_ident(F.regexp_extract(p, _TAG_RE, 1)),
-                F.lit('="'),
-                _unescape_ident(F.regexp_extract(p, _TAG_RE, 2)),
-                F.lit('"'),
+            kv,
+            lambda s: F.concat(
+                s["k"], F.lit('="'), _esc_label(s["v"]), F.lit('"')
             ),
         ),
         ",",
@@ -138,14 +158,27 @@ def parse_line_protocol(
     if default_ts is not None:
         raw_ts = F.coalesce(raw_ts, F.lit(int(default_ts)))
 
+    tokens = F.regexp_extract_all(F.col("__fields"), F.lit(_FIELD_RE), 0)
+    # completeness: a comma-join of the matched tokens must reconstruct
+    # the section exactly — otherwise a malformed field (empty value,
+    # stray separator) was silently skipped by the tokenizer, which
+    # would contradict the FAILFAST contract (r13 review)
+    tokens_checked = F.when(
+        F.array_join(tokens, ",") == F.col("__fields"), tokens
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("unparseable line-protocol fields: "),
+                F.col("__line"),
+            )
+        )
+    )
     fields = rows.select(
         measurement.alias("measurement"),
         tags.alias("tags"),
         label_block.alias("__lb"),
         raw_ts.alias("ts"),
-        F.explode(
-            F.regexp_extract_all(F.col("__fields"), F.lit(_FIELD_RE), 0)
-        ).alias("__f"),
+        F.explode(tokens_checked).alias("__f"),
     )
     key = _unescape_ident(F.regexp_extract(F.col("__f"), _FIELD_RE, 1))
     val = F.regexp_extract(F.col("__f"), _FIELD_RE, 2)
@@ -170,6 +203,14 @@ def parse_line_protocol(
         .otherwise(val.cast("double"))
     )
     value_str = F.when(is_str, _unescape_string(val))
+    # i/u suffixes exist to carry FULL 64-bit integers — cast the
+    # suffix-stripped text straight to long (the double `value` column
+    # is convenience and loses precision past 2^53; typed ingest uses
+    # this column — r13 review)
+    value_int = F.when(
+        is_int | is_uint,
+        F.regexp_replace(val, r"[iu]$", "").cast("long"),
+    )
     series_key = F.concat(
         F.col("measurement"),
         F.lit("_"),
@@ -185,6 +226,7 @@ def parse_line_protocol(
         series_key.alias("series_key"),
         ftype.alias("ftype"),
         value.alias("value"),
+        value_int.alias("value_int"),
         value_str.alias("value_str"),
         "ts",
     )
@@ -196,6 +238,7 @@ def ingest_line_protocol(
     precision: str = "ns",
     default_ts: int | None = None,
     value_type: str = "f64",
+    literal: bool | None = None,
 ) -> tuple[int, int]:
     """Ingest line-protocol text into `conn` — `source` is a path/glob
     for spark.read.text, a literal text blob (newline content
@@ -208,10 +251,10 @@ def ingest_line_protocol(
 
     if isinstance(source, DataFrame):
         lines = source
-    elif "\n" in source or " " in source:
-        # a space marks literal line-protocol text, never a path — every
-        # valid line has one between the tag set and the fields (so a
-        # ONE-line blob is recognized too)
+    elif literal or (literal is None and "\n" in source):
+        # literal=None auto-detects by newline only; pass literal=True
+        # for a one-line blob (a bare space must NOT force literal mode
+        # — paths may contain spaces, r13 review)
         lines = conn.spark.createDataFrame(
             [(ln,) for ln in source.split("\n")], "value string"
         )
@@ -270,7 +313,15 @@ def ingest_line_protocol(
             F.when(F.col("__int"), F.lit(None).cast("double"))
             .otherwise(F.col("value"))
             .alias("value"),
-            F.when(F.col("__int"), F.col("value").cast("long"))
+            # i/u fields carry the text-exact long (full 64-bit range);
+            # float/bool values routed to an integer-typed stream fall
+            # back to the double cast
+            F.when(
+                F.col("__int"),
+                F.coalesce(
+                    F.col("value_int"), F.col("value").cast("long")
+                ),
+            )
             .otherwise(F.lit(None).cast("long"))
             .alias("value_int"),
         )
@@ -282,8 +333,21 @@ def ingest_line_protocol(
 
 
 def _esc_ident(col):
-    # escape , = and space in identifiers (the inverse of _unescape_ident)
-    return F.regexp_replace(col, r"([,= ])", r"\\$1")
+    # escape , = and space in identifiers (the inverse of
+    # _unescape_ident). The protocol defines NO escape for a backslash
+    # in identifiers, so one is unrepresentable — raise rather than
+    # emit a line the parser rejects (r13 review)
+    checked = F.when(
+        col.contains("\\"),
+        F.raise_error(
+            F.concat(
+                F.lit("line-protocol identifiers cannot contain a "
+                      "backslash: "),
+                col,
+            )
+        ),
+    ).otherwise(col)
+    return F.regexp_replace(checked, r"([,= ])", r"\\$1")
 
 
 def render_line_protocol(

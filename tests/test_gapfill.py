@@ -154,8 +154,11 @@ def test_regularize_then_analyze_pipeline(spark):
         if (h * 7) % 11 == 3:
             continue  # drop ~9% of hours -> holes
         for k in range((h % 3) + 1):  # 1-3 events per surviving hour
-            raw.append((h * 3600 + k * 7, float(10 + 8 * math.sin(0)
-                                                + (h % period))))
+            raw.append((
+                h * 3600 + k * 7,
+                float(10 + 8 * math.sin(2 * math.pi * h / period)
+                      + (h % period)),
+            ))
     df = spark.createDataFrame(raw, "ts long, v double")
     hourly = df.groupBy(
         (F.col("ts") - F.col("ts") % 3600).alias("hour")

@@ -243,3 +243,39 @@ def test_graphite_plaintext_and_tagged(spark):
         parse_graphite(bad).collect()
     with _pt.raises(ValueError, match="ts_unit"):
         parse_graphite(df, ts_unit="h")
+
+
+def test_review_fixes_keys_failfast_i64_render(spark, tmp_path):
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.sources.line_protocol import render_line_protocol
+
+    # (1) prefix-key tag ordering + special chars: re-ingest must NOT
+    # register duplicate streams
+    conn = Connection(str(tmp_path / "kdb"), spark)
+    line = 'm,host=a,host1=b x=1 5'
+    ingest_line_protocol(conn, line, literal=True)
+    ingest_line_protocol(conn, line, literal=True)
+    assert len(conn.get_all_streams()) == 1
+    # (2) a malformed field token FAILFASTs instead of dropping
+    bad = spark.createDataFrame([("m x=1,y= 5",)], "value string")
+    with pytest.raises(Exception, match="unparseable line-protocol fields"):
+        parse_line_protocol(bad).collect()
+    # (3) full-precision i64 survives the typed path
+    big = 9007199254740993  # 2^53 + 1
+    conn2 = Connection(str(tmp_path / "idb"), spark)
+    n, _ = ingest_line_protocol(
+        conn2, f"m x={big}i 5", value_type="i64", literal=True
+    )
+    assert n == 1
+    assert conn2.query("m_x", 0, 10).rows() == [(5, big)]
+    # (4) a backslash identifier raises at render (unrepresentable)
+    df = spark.createDataFrame(
+        [("m", {"t": "a\\"}, "f", 1.0, 7)],
+        "measurement string, tags map<string,string>, field string, "
+        "value double, ts long",
+    )
+    with pytest.raises(Exception, match="cannot contain a backslash"):
+        render_line_protocol(df).collect()
+    # (5) a path with a space is treated as a path (not literal text)
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not"):
+        ingest_line_protocol(conn2, str(tmp_path / "no such dir" / "x.lp"))
