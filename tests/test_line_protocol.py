@@ -103,8 +103,10 @@ def test_ingest_end_to_end(spark, tmp_path):
     assert len(streams) == 3  # cpu_usage{a}, cpu_idle{a}, cpu_usage{b}
     rows = conn.query('cpu_usage{host="a"}', 0, 10_000).rows()
     assert [(t, v) for t, v in rows] == [(1000, 1.5), (2000, 2.5)]
-    # re-ingest resolves the existing catalog entries (no duplicates)
-    n2, _ = ingest_line_protocol(conn, "cpu,host=b usage=4.0 3000")
+    # re-ingest resolves the existing catalog entries (no duplicates);
+    # a one-line blob has no newline so it needs an explicit literal=True
+    n2, _ = ingest_line_protocol(conn, "cpu,host=b usage=4.0 3000",
+                                 literal=True)
     assert n2 == 1
     assert len(conn.get_all_streams()) == 3
 
