@@ -277,6 +277,12 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
         # the subset's wall bounded.
         "fuzzy_join_lev",
         "seasonal_decompose",
+        # round-14: forward/nearest asof joined the subset when its
+        # unbounded-FOLLOWING frame was replaced by the DESC running
+        # frame (r13 VERDICT item 3) — the ratio now guards the O(n)
+        # window shape; the hot-key blowup case is covered separately
+        # by tools/scale_probe.py asof_hotkey
+        "asof_forward_nearest",
         # acf shares seasonal's rationale: the hourly grid collapses
         # under same-timestamp replication, so the ratio measures the
         # 10x-input aggregation feeding a constant-size lag join
@@ -299,6 +305,10 @@ def bench_scale10x(spark, sf_dir: str, qs, timed) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # ambient load BEFORE the Spark JVM exists: anything here is
+    # co-tenant work, the noise source that made r13's driver window
+    # read 1.13x on identical code (r13 VERDICT item 7)
+    ambient_load = os.getloadavg()
     spark = get_spark("tachyon_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -434,6 +444,7 @@ def main():
     entrymod._read(spark, sf_dir, "events").count()
 
     spreads: dict[str, float] = {}
+    loads: dict[str, float] = {}
 
     def timed(fn, name: str | None = None, runs: int = 3) -> float:
         """Steady-state wall: best of `runs` (the reference's Criterion
@@ -450,6 +461,9 @@ def main():
             ts.append(time.time() - t0)
         if name is not None:
             spreads[name] = round(max(ts) - min(ts), 3)
+            # 1-min loadavg right after the query: correlates per-key
+            # movers with host load spikes (r13 VERDICT item 7)
+            loads[name] = round(os.getloadavg()[0], 2)
         return round(min(ts), 3)
 
     results: dict[str, float] = {}
@@ -484,15 +498,32 @@ def main():
     # Totals and metadata go LAST so the captured tail always contains
     # them; the complete payload is also written to BENCH_FULL.json in the
     # repo so every per-query number stays readable.
+    # noise self-diagnosis (r13 VERDICT item 7): our own local[32] JVM
+    # drives load too, so co-tenant pressure is read from (a) the
+    # PRE-session ambient loadavg and (b) loadavg sustained well above
+    # the core count during the run. A flagged run means the 2x
+    # round-over-round criterion should be conditioned on a quieter
+    # re-run, not read as a code regression.
+    cpus = os.cpu_count() or 32
+    max_load = max(loads.values(), default=0.0)
+    noisy = ambient_load[0] > max(2.0, 0.1 * cpus) or max_load > 1.5 * cpus
     payload = {
         "queries": results,
         "queries_10x": queries_10x,
         "queries_spread": spreads,
+        "queries_load_1m": loads,
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "total_10x": round(sum(queries_10x.values()), 3),
         "sf": sf,
+        "load": {
+            "ambient_1m": round(ambient_load[0], 2),
+            "ambient_5m": round(ambient_load[1], 2),
+            "max_during_run_1m": round(max_load, 2),
+            "cpus": cpus,
+            "noisy": noisy,
+        },
         # round-over-round comparability: the runtime's fixed per-job
         # cost moved between rounds (pyspark 4.0 -> 4.1.2 measured
         # ~50-170 ms/job floor locally); compare totals only within

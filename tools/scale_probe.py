@@ -53,6 +53,8 @@ DEFAULT = [
     "subquery_span",
     "grouped_range_df",
     "maintenance",
+    "sparse_gapfill",
+    "asof_hotkey",
 ]
 
 # tables + id columns each registry query needs replicated
@@ -165,6 +167,70 @@ def probe_grouped_range_df(spark, rep_dir: str) -> tuple[float, float]:
                         "sum by (user) (gm)", E.T0_US, E.T1_US, w12h,
                         lookback=w6h,
                     ).df()
+                )
+            )
+        )
+    return walls[0], walls[1]
+
+
+def probe_sparse_gapfill(spark, factor: int) -> tuple[float, float]:
+    """gapfill(method='linear') on a SPARSE grid — long NULL runs between
+    observations, the shape that went quadratic under the old
+    [1, unboundedFollowing] next-neighbor frame (r13 VERDICT item 2: the
+    gated fixture's grid is dense, so 10x probes never saw the blowup).
+    1k observations over a grid that grows `factor`x: NULL runs grow
+    from ~1k to ~factor*1k steps; the DESC running frame must stay ~
+    linear in grid rows, not rows*run-length."""
+    from tachyon_spark.operators.gapfill import gapfill
+
+    step = 1_000
+    obs = 1_000
+    base_steps = 1_000_000
+    walls = []
+    for n_steps in (base_steps, base_steps * min(factor, 10)):
+        gap = n_steps // obs
+        df = spark.range(obs).select(
+            (F.col("id") * step * gap).alias("ts"),
+            F.col("id").cast("double").alias("v"),
+        )
+        walls.append(
+            timed(
+                lambda d=df: materialize(
+                    gapfill(d, "ts", "v", step, method="linear")
+                )
+            )
+        )
+    return walls[0], walls[1]
+
+
+def probe_asof_hotkey(spark, factor: int) -> tuple[float, float]:
+    """asof_join(direction='forward'/'nearest') with ONE hot `by` key —
+    the whole union lands in a single window partition, the shape that
+    went quadratic under the old [current, unboundedFollowing] frame
+    (r13 VERDICT item 3: asof_forward_nearest's gated fixture has many
+    keys, so nothing exercised a hot key). Interleaved left/right
+    timestamps so every left row has a distinct forward match; the DESC
+    running frame must stay ~linear in the hot key's row count."""
+    from tachyon_spark.operators.asof import asof_join
+
+    base_n = 200_000
+    walls = []
+    for n in (base_n, base_n * min(factor, 10)):
+        left = spark.range(n).select(
+            F.lit("hot").alias("k"),
+            (F.col("id") * 2).alias("ts"),
+            F.col("id").cast("double").alias("x"),
+        )
+        right = spark.range(n).select(
+            F.lit("hot").alias("k"),
+            (F.col("id") * 2 + 1).alias("ts"),
+            F.col("id").cast("double").alias("value"),
+        )
+        walls.append(
+            timed(
+                lambda l=left, r=right: materialize(
+                    asof_join(l, r, on="ts", by=["k"],
+                              direction="nearest")
                 )
             )
         )
@@ -327,6 +393,16 @@ def main() -> int:
                   f"{x / max(b, 1e-9):>6.1f}x  (factor {g_factor})")
             if grep != rep:
                 shutil.rmtree(grep, ignore_errors=True)
+        if "sparse_gapfill" in names:
+            b, x = probe_sparse_gapfill(spark, factor)
+            print(f"{'sparse_gapfill':<24} {b:>8.2f} {x:>6.2f} "
+                  f"{x / max(b, 1e-9):>6.1f}x  (grid steps x"
+                  f"{min(factor, 10)})")
+        if "asof_hotkey" in names:
+            b, x = probe_asof_hotkey(spark, factor)
+            print(f"{'asof_hotkey':<24} {b:>8.2f} {x:>6.2f} "
+                  f"{x / max(b, 1e-9):>6.1f}x  (hot-key rows x"
+                  f"{min(factor, 10)})")
         if "maintenance" in names:
             probe_maintenance(spark, factor)
     finally:
