@@ -1400,12 +1400,23 @@ def q_wire_formats_parse(spark, sf_dir):
     constant quoted STRING field (comma inside quotes) rides every line
     so the quote-aware field tokenizer is load-bearing, and the parser
     must fan it out and the gate must drop it (ftype filter) without
-    disturbing the numeric field. Arm 'graphite' (NEW r13 second pass):
-    Graphite 1.1 tagged plaintext `ev;et=<type> <value> <ts>`
-    (parse_graphite, ts_unit="ns" so the integral ts rides verbatim)."""
+    disturbing the numeric field. Arm 'graphite' (NEW r13 second pass;
+    r14 — REGATE — it now INGESTS, not just parses): Graphite 1.1
+    tagged plaintext `ev;et=<type> <value> <ts>` rides
+    sources/line_protocol.ingest_graphite into a throwaway engine db —
+    distributed catalog-join series resolution
+    (sources/series_resolve.py), stream-per-(name,tags) registration,
+    bulk_load — and the arm's rows READ BACK from the db's samples
+    joined with its catalog labels, so registration, the canonical
+    (k,v)-struct series keys, and the write path are all inside the
+    oracle hash."""
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
     from tachyon_spark.functions.util import spread
     from tachyon_spark.sources.line_protocol import (
-        parse_graphite,
+        ingest_graphite,
         parse_line_protocol,
     )
     from tachyon_spark.sources.openmetrics import parse_openmetrics
@@ -1461,10 +1472,19 @@ def q_wire_formats_parse(spark, sf_dir):
             "value",
         )
     )
+    # graphite: full ingest round-trip (fresh db per call — ingest
+    # mutates state, so no memoized fixture; same idempotence rationale
+    # as delete_series_op)
     gr_lines = rendered.select(F.col("gr").alias("value"))
-    gr = parse_graphite(spread(gr_lines), ts_unit="ns").select(
+    work = tempfile.mkdtemp(prefix="ty_gr_ingest_")
+    conn = Connection(os.path.join(work, "db"), spark)
+    ingest_graphite(conn, spread(gr_lines), ts_unit="ns")
+    labels = conn.catalog.df().select(
+        "stream_id", F.col("labels")["et"].alias("et")
+    )
+    gr = conn.samples_df().join(F.broadcast(labels), "stream_id").select(
         F.lit("graphite").alias("arm"),
-        F.col("tags")["et"].alias("et"),
+        "et",
         F.col("ts").alias("ts_us"),
         "value",
     )
@@ -4832,6 +4852,11 @@ REGATE: dict[str, int] = {
     # (unrounded cuts) no longer prove the semantics
     "embedding_cosine_topk": 12,
     "embedding_ann_quantized": 12,
+    # r14: the graphite arm went from parse-only to a full
+    # ingest-and-read-back round trip (ingest_graphite + catalog-join
+    # series resolution) — the r13 parse-only row no longer proves the
+    # current semantics (VERDICT r13 item 3)
+    "wire_formats_parse": 13,
 }
 
 

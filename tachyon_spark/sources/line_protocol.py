@@ -247,8 +247,6 @@ def ingest_line_protocol(
     don't exist yet are registered in ONE catalog batch with
     `value_type`. String fields are metadata, not samples — skipped.
     Returns (samples_appended, string_fields_skipped)."""
-    from tachyon_spark.types import is_integer
-
     if isinstance(source, DataFrame):
         lines = source
     elif literal or (literal is None and "\n" in source):
@@ -294,48 +292,25 @@ def ingest_line_protocol(
                     "and no default_ts given (first offending series: "
                     f"{no_ts[0][0]!r}) — pass default_ts=<ns epoch>"
                 )
-        # bounded metadata collect: distinct series, never samples
-        series = {
-            r["series_key"]: (
-                r["measurement"] + "_" + r["field"],
-                dict(r["tags"]),
-            )
-            for r in numeric.select(
-                "series_key", "measurement", "field", "tags"
+        # series resolution is a JOIN against the catalog parquet, not a
+        # full driver-side catalog collect (r13 VERDICT item 4): only
+        # genuinely NEW series visit the driver, and the mapping frame
+        # is semi-joined down to this batch's keys before broadcasting
+        from tachyon_spark.sources.series_resolve import (
+            resolve_series_mapping,
+        )
+
+        series_df = (
+            numeric.select(
+                "series_key",
+                F.concat(
+                    F.col("measurement"), F.lit("_"), F.col("field")
+                ).alias("name"),
+                F.col("tags").alias("labels"),
             )
             .dropDuplicates(["series_key"])
-            .collect()
-        }
-        existing: dict[str, tuple[str, bool]] = {}
-        from tachyon_spark.sources.openmetrics import _esc
-
-        for s in conn.get_all_streams():
-            k = (
-                s.name
-                + "{"
-                + ",".join(
-                    f'{kk}="{_esc(vv)}"'
-                    for kk, vv in sorted(s.labels.items())
-                )
-                + "}"
-            )
-            existing[k] = (s.stream_id, is_integer(s.value_type))
-        missing = [k for k in series if k not in existing]
-        if missing:
-            ids = conn.catalog.create_streams(
-                [
-                    (series[k][0], dict(series[k][1]), value_type)
-                    for k in missing
-                ]
-            )
-            existing.update(
-                (k, (sid, is_integer(value_type)))
-                for k, sid in zip(missing, ids)
-            )
-        mapping = conn.spark.createDataFrame(
-            [(k, sid, integer) for k, (sid, integer) in existing.items()],
-            "series_key string, stream_id string, __int boolean",
         )
+        mapping = resolve_series_mapping(conn, series_df, value_type)
         joined = numeric.join(F.broadcast(mapping), "series_key")
         out = joined.select(
             "stream_id",
@@ -473,14 +448,25 @@ def parse_graphite(
         F.transform(pairs, lambda p: F.regexp_extract(p, _GTAG_RE, 1)),
         F.transform(pairs, lambda p: F.regexp_extract(p, _GTAG_RE, 2)),
     )
+    # canonical label block: sort the extracted (key, value) STRUCTS and
+    # escape values via _esc_label, mirroring parse_line_protocol's r13
+    # fix — sorting the raw ";k=v" strings lets the '=' byte reorder
+    # prefix keys (e.g. 'a1' < 'a=' so 'a1' sorts before 'a'), diverging
+    # from the python sorted(labels.items()) the catalog keys use
+    kv = F.sort_array(
+        F.transform(
+            pairs,
+            lambda p: F.struct(
+                F.regexp_extract(p, _GTAG_RE, 1).alias("k"),
+                F.regexp_extract(p, _GTAG_RE, 2).alias("v"),
+            ),
+        )
+    )
     label_block = F.array_join(
         F.transform(
-            F.sort_array(pairs),
-            lambda p: F.concat(
-                F.regexp_extract(p, _GTAG_RE, 1),
-                F.lit('="'),
-                F.regexp_extract(p, _GTAG_RE, 2),
-                F.lit('"'),
+            kv,
+            lambda s: F.concat(
+                s["k"], F.lit('="'), _esc_label(s["v"]), F.lit('"')
             ),
         ),
         ",",
@@ -496,3 +482,65 @@ def parse_graphite(
         F.col("__val").cast("double").alias("value"),
         (F.col("__ts").cast("long") * F.lit(unit_ns[ts_unit])).alias("ts"),
     )
+
+
+def ingest_graphite(
+    conn,
+    source: str | DataFrame,
+    ts_unit: str = "s",
+    value_type: str = "f64",
+    literal: bool | None = None,
+) -> int:
+    """Ingest Graphite plaintext into `conn` (r14 — the parse-only gap
+    from r13: a carbon migration could parse but had to hand-wire the
+    catalog). `source` is a path/glob for spark.read.text, a literal
+    text blob, or a pre-read lines DataFrame; each metric path (+ 1.1
+    `;tag=value` labels) maps to stream `name{tags}`. Series
+    resolution, registration, and the sample join ride the same
+    distributed machinery as the two sibling ingests
+    (sources/series_resolve.py). Returns samples appended."""
+    from tachyon_spark.sources.series_resolve import (
+        resolve_series_mapping,
+    )
+    from tachyon_spark.types import is_integer
+
+    if isinstance(source, DataFrame):
+        lines = source
+    elif literal or (literal is None and "\n" in source):
+        lines = conn.spark.createDataFrame(
+            [(ln,) for ln in source.split("\n")], "value string"
+        )
+    else:
+        try:
+            lines = conn.spark.read.text(source)
+        except Exception as e:
+            import re
+
+            if re.match(r"^[^#\s/][^\s]*\s+\S+\s+-?\d+\s*$", source):
+                raise ValueError(
+                    "ingest_graphite: source does not exist as a path "
+                    "but looks like graphite plaintext — pass "
+                    f"literal=True for literal blobs: {source[:120]!r}"
+                ) from e
+            raise
+    parsed = parse_graphite(lines, ts_unit).cache()
+    try:
+        series_df = parsed.select(
+            "series_key", "name", F.col("tags").alias("labels")
+        ).dropDuplicates(["series_key"])
+        mapping = resolve_series_mapping(conn, series_df, value_type)
+        out = parsed.join(F.broadcast(mapping), "series_key").select(
+            "stream_id",
+            "ts",
+            F.when(F.col("__int"), F.lit(None).cast("double"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+            F.when(F.col("__int"), F.col("value").cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("value_int"),
+        )
+        n = out.count()
+        conn.bulk_load(out)
+        return n
+    finally:
+        parsed.unpersist()

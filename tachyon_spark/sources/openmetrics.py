@@ -27,11 +27,13 @@ multi-GB scrape dumps parses in parallel at scan speed:
            native integer units (`ns_clock=False`). Lines without a
            timestamp take `default_ts`.
 
-Series resolution (`ingest_openmetrics`) is metadata-altitude: the
-DISTINCT canonical series keys collect to the driver (bounded by series
-count, the catalog's own contract — samples never collect), missing
-streams register in ONE catalog batch (create_streams), and the samples
-join the id mapping via broadcast.
+Series resolution (`ingest_openmetrics`) is metadata-altitude and
+DISTRIBUTED (sources/series_resolve.py, r14): the batch's distinct
+canonical series keys JOIN the catalog parquet — only genuinely new
+series visit the driver (one create_streams fragment write, or the
+fully distributed register_streams_df past 50k new series) — and the
+samples join a mapping semi-joined down to the batch's own keys, so a
+10^7-stream catalog never collects or broadcasts whole.
 """
 
 from __future__ import annotations
@@ -126,12 +128,38 @@ def parse_openmetrics(
         F.transform(pairs, lambda p: F.regexp_extract(p, _PAIR_RE, 1)),
         F.transform(pairs, lambda p: _unescape(F.regexp_extract(p, _PAIR_RE, 2))),
     )
-    # canonical series identity: name{sorted k="v" pairs} — label order
-    # in the text must not matter
+    # canonical series identity: name{k="v",...} with entries sorted by
+    # the UNESCAPED (key, value) structs and values re-escaped the
+    # promapi way — label order in the text must not matter, and raw
+    # `k="v"` string sort would order a prefix key ('a') after its
+    # extension ('a1') via the '=' byte, diverging from the Python
+    # sorted(labels.items()) catalog keys (r14: same fix the
+    # line-protocol arm got in r13; also canonicalizes redundant
+    # text-side escapes like \t that _unescape leaves literal)
+    from tachyon_spark.sources.series_resolve import escape_label_col
+
+    kv = F.sort_array(
+        F.transform(
+            pairs,
+            lambda p: F.struct(
+                F.regexp_extract(p, _PAIR_RE, 1).alias("k"),
+                _unescape(F.regexp_extract(p, _PAIR_RE, 2)).alias("v"),
+            ),
+        )
+    )
     series_key = F.concat(
         F.col("name"),
         F.lit("{"),
-        F.array_join(F.sort_array(pairs), ","),
+        F.array_join(
+            F.transform(
+                kv,
+                lambda s: F.concat(
+                    s["k"], F.lit('="'), escape_label_col(s["v"]),
+                    F.lit('"'),
+                ),
+            ),
+            ",",
+        ),
         F.lit("}"),
     )
     raw_ts = F.when(F.col("__ts") == "", F.lit(None)).otherwise(
@@ -174,51 +202,30 @@ def ingest_openmetrics(
         lines = conn.spark.read.text(source)
     parsed = parse_openmetrics(lines, ns_clock, default_ts).cache()
     try:
-        # bounded metadata collect: distinct series, not samples. This is
-        # the first action, so the parser's in-expression FAILFAST fires
-        # here — translate it back to the documented ValueError.
+        # series resolution is a JOIN against the catalog parquet, not
+        # a full driver-side catalog collect (r13 VERDICT item 4): the
+        # batch's distinct series left-anti join the catalog, only NEW
+        # series visit the driver (bounded by this batch's novelty —
+        # pre-existing streams keep their own declared type), and the
+        # mapping is semi-joined down to the batch's keys before the
+        # broadcast. The resolve is the first action, so the parser's
+        # in-expression FAILFAST fires here — translate it back to the
+        # documented ValueError.
+        from tachyon_spark.sources.series_resolve import (
+            resolve_series_mapping,
+        )
+
+        series_df = parsed.select(
+            "series_key", "name", "labels"
+        ).dropDuplicates(["series_key"])
         try:
-            series = {
-                r["series_key"]: (r["name"], r["labels"])
-                for r in parsed.select("series_key", "name", "labels")
-                .dropDuplicates(["series_key"])
-                .collect()
-            }
+            mapping = resolve_series_mapping(conn, series_df, value_type)
         except Exception as e:
             msg = str(e)
             if "unparseable OpenMetrics line" in msg:
                 start = msg.index("unparseable OpenMetrics line")
                 raise ValueError(msg[start:].splitlines()[0]) from None
             raise
-        from tachyon_spark.types import is_integer
-
-        existing: dict[str, tuple[str, bool]] = {}
-        for s in conn.get_all_streams():
-            key = (
-                s.name
-                + "{"
-                + ",".join(
-                    f'{k}="{_esc(v)}"' for k, v in sorted(s.labels.items())
-                )
-                + "}"
-            )
-            # route each series to the column its DECLARED type stores
-            # in — pre-existing streams keep their own type; only newly
-            # registered ones take this call's value_type
-            existing[key] = (s.stream_id, is_integer(s.value_type))
-        missing = [k for k in series if k not in existing]
-        if missing:
-            ids = conn.catalog.create_streams(
-                [(series[k][0], dict(series[k][1]), value_type) for k in missing]
-            )
-            existing.update(
-                (k, (sid, is_integer(value_type)))
-                for k, sid in zip(missing, ids)
-            )
-        mapping = conn.spark.createDataFrame(
-            [(k, sid, integer) for k, (sid, integer) in existing.items()],
-            "series_key string, stream_id string, __int boolean",
-        )
         joined = parsed.join(F.broadcast(mapping), "series_key")
         # integer streams store in value_int (the typed layout every
         # reader resolves through value_column); exposition text parses
@@ -238,9 +245,3 @@ def ingest_openmetrics(
         return n
     finally:
         parsed.unpersist()
-
-
-def _esc(v: str) -> str:
-    from tachyon_spark.promapi import _escape_label
-
-    return _escape_label(str(v))
