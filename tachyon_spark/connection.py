@@ -642,6 +642,7 @@ class Connection:
         end: int,
         step: int,
         lookback: int | None = None,
+        fill: str | None = None,
     ) -> "Query":
         """Prometheus-style step-aligned evaluation: the expression at each
         step t in {start, start+step, ...} <= end, selectors resolving to
@@ -650,12 +651,21 @@ class Connection:
         style query_range) call; `query` keeps the reference's raw-sample
         semantics. lookback defaults to 5 minutes in ms units (300_000);
         pass the equivalent for your timestamp unit (e.g. 300_000_000_000
-        for ns). See plans/range_eval.py for the distributed plan shapes."""
+        for ns). See plans/range_eval.py for the distributed plan shapes.
+
+        `fill` (r14 — the Grafana-style gap-fill option, routed through
+        operators/gapfill.py): `null` | `previous` | `linear` |
+        `value:N` synthesizes the grid steps the staleness rule dropped,
+        per series/group; series with no resolved step stay absent."""
         from tachyon_spark.plans.range_eval import DEFAULT_LOOKBACK, RangeEvaluator
 
         expr = parse(promql)
         lb = DEFAULT_LOOKBACK if lookback is None else lookback
         plan = RangeEvaluator(self, start, end, step, lb).build(expr)
+        if fill is not None:
+            from tachyon_spark.operators.gapfill import fill_grid_plan
+
+            plan = fill_grid_plan(plan, fill, start, end, step)
         return Query(plan)
 
     def alert_rule(

@@ -44,7 +44,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["gapfill"]
+__all__ = ["fill_grid_plan", "gapfill", "parse_fill"]
 
 _CHUNK = 8192  # grid steps materialized per exploded chunk row
 
@@ -218,3 +218,59 @@ def gapfill(
         value.alias("value"),
         filled_flag.alias("filled"),
     )
+
+
+def parse_fill(fill: str) -> tuple[str, float]:
+    """Grafana-style fill option -> (gapfill method, fill_value):
+    `null` | `previous` (locf) | `linear` | `value:N`."""
+    if fill == "null":
+        return "null", 0.0
+    if fill in ("previous", "locf"):
+        return "locf", 0.0
+    if fill == "linear":
+        return "linear", 0.0
+    if fill.startswith("value:"):
+        try:
+            return "value", float(fill[len("value:"):])
+        except ValueError:
+            raise ValueError(f"bad fill value in {fill!r}") from None
+    raise ValueError(
+        f"unknown fill {fill!r} — use null|previous|linear|value:N"
+    )
+
+
+def fill_grid_plan(plan, fill: str, start: int, end: int, step: int):
+    """Route a query_range result Plan through `gapfill` (r14, VERDICT
+    r13 item 5 — the Grafana-style `fill=` option on
+    /api/v1/query_range): every series/group gets one row per grid step
+    in [start, end], holes filled per `fill`. Lookback interplay: steps
+    the evaluator resolved (sample within lookback) keep their values;
+    only steps BEYOND the lookback — the ones PromQL staleness dropped —
+    are synthesized. Series with no resolved step at all stay absent
+    (Prometheus omits empty series). Returns a new Plan of the same
+    kind; scalar/topk results reject (no step grid to fill)."""
+    from dataclasses import replace
+
+    method, fv = parse_fill(fill)
+    df = plan.df
+    if (
+        plan.return_type != "vector"
+        or df is None
+        or "ts" not in df.columns
+    ):
+        raise ValueError(
+            "fill applies to step-grid vector results (query_range)"
+        )
+    if plan.kind == "vector":
+        groups = ["stream_id"] if "stream_id" in df.columns else []
+    elif plan.kind == "grouped":
+        groups = [c for c in plan.group_cols if c != "ts"]
+    else:
+        raise ValueError(f"fill not applicable to {plan.kind} results")
+    last = start + ((end - start) // step) * step
+    filled = gapfill(
+        df, "ts", "value", step,
+        group_cols=groups, method=method, fill_value=fv,
+        start=start, end=last,
+    ).drop("filled")
+    return replace(plan, df=filled)

@@ -47,13 +47,17 @@ def _fmt_ts(t, ns_clock: bool):
     return t / 1e9 if ns_clock else t
 
 
-def _fmt_val(v) -> str:
+def _fmt_val(v):
     # Prometheus renders sample values as strings. Decimal (the u64-exact
     # DecimalType layout) normalizes through int exactly like Query.rows()
     # — str(Decimal) would render '1E+2'-style forms if an op ever shifts
     # the exponent, silently diverging between the two collection paths.
+    # None stays None (JSON null) — the fill=null grid rows (r14) carry
+    # explicit holes, the shape Grafana's datasource expects.
     import decimal
 
+    if v is None:
+        return None
     if isinstance(v, decimal.Decimal):
         return str(int(v))
     return repr(float(v)) if isinstance(v, float) else str(v)

@@ -188,9 +188,11 @@ class _Handler(BaseHTTPRequestHandler):
             conn = _get_connection(req["path"])
             instant = False
             if self.path.endswith("query_range"):
+                # fill=null|previous|linear|value:N (r14): Grafana-style
+                # gap filling of the step grid, operators/gapfill.py
                 q = conn.query_range(
                     req["query"], req["start"], req["end"], req["step"],
-                    req.get("lookback"),
+                    req.get("lookback"), fill=req.get("fill"),
                 )
             elif "time" in req:
                 # Prometheus instant query: `time=T` evaluates at T with
@@ -378,13 +380,14 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if self.path == "/query_range":
                 # the reference's request shape (main.rs:27-76) + step:
-                # {path, query, start, end, step[, lookback]}
+                # {path, query, start, end, step[, lookback, fill]}
                 q = conn.query_range(
                     req["query"],
                     req["start"],
                     req["end"],
                     req["step"],
                     req.get("lookback"),
+                    fill=req.get("fill"),
                 )
             else:
                 q = conn.query(req["query"], req.get("start"), req.get("end"))

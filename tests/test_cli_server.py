@@ -1,4 +1,5 @@
 import json
+import urllib.error
 import urllib.request
 
 import pytest
@@ -909,3 +910,88 @@ def test_legacy_query_cap_and_cli_alert_limit(tmp_path, spark, capsys):
             db, "alerts", "m > 40", "--start", "0", "--end", "40",
             "--step", "10", "--limit", "0",
         ])
+
+
+def test_http_query_range_fill_modes(tmp_path, spark):
+    """r14 (VERDICT r13 item 5): Grafana-style `fill=` on
+    /api/v1/query_range, including the lookback interplay — steps the
+    evaluator resolved via lookback keep their values; only the
+    staleness-dropped steps synthesize. Samples at ts 10 (1.0) and 50
+    (5.0), step 10, lookback 10: steps 20/60 resolve by LOOKBACK, steps
+    0/30/40/70 are holes for fill to handle."""
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "filldb")
+    conn = Connection(db, spark)
+    conn.create_stream("fm", "f64")
+    ins = conn.prepare_insert("fm")
+    ins.insert(10, 1.0)
+    ins.insert(50, 5.0)
+    ins.flush()
+
+    import tachyon_spark.server as srv_mod
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+    from urllib.parse import urlencode
+
+    def rng(**extra):
+        qs = urlencode({
+            "path": db, "query": "fm", "start": 0, "end": 70,
+            "step": 10, "lookback": 10, "ns_clock": 0, **extra,
+        })
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v1/query_range?{qs}"
+        ) as r:
+            body = json.load(r)
+        assert body["status"] == "success"
+        res = body["data"]["result"]
+        assert len(res) == 1
+        return {t: v for t, v in res[0]["values"]}
+
+    try:
+        # no fill: the staleness rule drops 0/30/40/70
+        assert rng() == {10: "1.0", 20: "1.0", 50: "5.0", 60: "5.0"}
+        grid = list(range(0, 80, 10))
+        null_fill = rng(fill="null")
+        assert sorted(null_fill) == grid
+        assert null_fill[30] is None and null_fill[0] is None
+        assert null_fill[20] == "1.0"  # lookback-resolved, NOT a fill
+        prev = rng(fill="previous")
+        assert prev == {
+            0: None, 10: "1.0", 20: "1.0", 30: "1.0", 40: "1.0",
+            50: "5.0", 60: "5.0", 70: "5.0",
+        }
+        lin = rng(fill="linear")
+        # linear interpolates between the RESOLVED neighbors 20 and 50
+        assert lin[30] == repr(1.0 + 4.0 * (10.0 / 30.0))
+        assert lin[40] == repr(1.0 + 4.0 * (20.0 / 30.0))
+        assert lin[0] is None and lin[70] is None  # outside observations
+        val = rng(fill="value:0")
+        assert val[30] == "0.0" and val[60] == "5.0"
+        # bad fill -> Prometheus bad_data envelope
+        qs = urlencode({
+            "path": db, "query": "fm", "start": 0, "end": 70,
+            "step": 10, "fill": "bogus",
+        })
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/v1/query_range?{qs}"
+            )
+        assert ei.value.code == 400
+        assert "fill" in json.load(ei.value)["error"]
+        # legacy POST /query_range carries fill too
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query_range",
+            data=json.dumps({
+                "path": db, "query": "fm", "start": 0, "end": 70,
+                "step": 10, "lookback": 10, "fill": "previous",
+            }).encode(),
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.load(r)
+        assert body["timestamps"] == grid
+        assert body["values"][3] == 1.0 and body["values"][0] is None
+    finally:
+        srv.shutdown()
