@@ -774,6 +774,14 @@ def knn_graph(
 
 
 # ------------------------------------------------------------------ PCA
+
+# PCA moments combine-level width: the driver collect is bounded by
+# this, not by the input partition count (a moments row is d + d^2
+# doubles — ~4.7 MB at d=768 — so 64 rows collect in ~300 MB worst-case
+# while 10^6 partition rows would not)
+_PCA_COMBINE_FANIN = 64
+
+
 def embedding_pca(
     df: DataFrame,
     dim_out: int,
@@ -785,14 +793,18 @@ def embedding_pca(
     to 32-64 dims BEFORE IVF/LSH; recall barely moves, probe cost drops
     by the dim ratio).
 
-    Distribution: ONE mapInPandas pass emits per-Arrow-batch partial
-    moments (count, sum vector, flattened X'X) — a handful of rows — and
-    the driver combines them and eigendecomposes the dim x dim
+    Distribution (r14, VERDICT r13 item 6 — treeAggregate shape): one
+    mapInPandas pass emits ONE partial-moments row per input PARTITION
+    (count, sum vector, flattened X'X — accumulated across the
+    partition's Arrow batches), a COMBINE level repartitions those rows
+    to <= _PCA_COMBINE_FANIN tasks and sums within each, and the driver
+    collects only the combined handful and eigendecomposes the dim x dim
     covariance with numpy (a 64x64 or 768x768 solve: microseconds; the
-    DATA never leaves the executors, only the moment rows do, bounded by
-    the batch count). Returns (mean, components, explained) where
-    `components` is dim_out rows of dim floats (orthonormal, descending
-    eigenvalue) and `explained` the variance-explained ratios.
+    DATA never leaves the executors, and the driver collect is
+    fanin-bounded — O(64) rows — instead of partition-count-sized).
+    Returns (mean, components, explained) where `components` is dim_out
+    rows of dim floats (orthonormal, descending eigenvalue) and
+    `explained` the variance-explained ratios.
 
     NULL/malformed rows (wrong length) are skipped. Deterministic up to
     eigenvector sign; signs are CANONICALIZED (first nonzero coordinate
@@ -813,6 +825,9 @@ def embedding_pca(
     d = dim
 
     def partial_moments(batches):
+        # ONE row per partition: batches accumulate locally so the
+        # combine level shuffles partition-count rows, never batch-count
+        n_acc, s_acc, xx_acc = 0, None, None
         for pdf in batches:
             vs = [
                 v for v in pdf[vec_col]
@@ -821,21 +836,44 @@ def embedding_pca(
             if not vs:
                 continue
             x = np.asarray(vs, dtype=np.float64)
+            n_acc += int(x.shape[0])
+            s_acc = x.sum(axis=0) + (0 if s_acc is None else s_acc)
+            xx_acc = x.T @ x + (0 if xx_acc is None else xx_acc)
+        if n_acc:
             yield pd.DataFrame(
                 {
-                    "n": [int(x.shape[0])],
-                    "s": [x.sum(axis=0).tolist()],
-                    "xx": [(x.T @ x).ravel().tolist()],
+                    "n": [n_acc],
+                    "s": [s_acc.tolist()],
+                    "xx": [xx_acc.ravel().tolist()],
                 }
             )
 
+    def combine_moments(batches):
+        n_acc, s_acc, xx_acc = 0, None, None
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                n_acc += int(r["n"])
+                s = np.asarray(r["s"], dtype=np.float64)
+                xx = np.asarray(r["xx"], dtype=np.float64)
+                s_acc = s + (0 if s_acc is None else s_acc)
+                xx_acc = xx + (0 if xx_acc is None else xx_acc)
+        if n_acc:
+            yield pd.DataFrame(
+                {
+                    "n": [n_acc],
+                    "s": [s_acc.tolist()],
+                    "xx": [xx_acc.tolist()],
+                }
+            )
+
+    schema = "n long, s array<double>, xx array<double>"
     parts = (
         df.select(vec_col)
-        .mapInPandas(
-            partial_moments, "n long, s array<double>, xx array<double>"
-        )
+        .mapInPandas(partial_moments, schema)
+        .repartition(_PCA_COMBINE_FANIN)
+        .mapInPandas(combine_moments, schema)
         .collect()
-    )  # bounded: one row per Arrow batch, not per data row
+    )  # fanin-bounded: <= _PCA_COMBINE_FANIN rows reach the driver
     if not parts:
         raise ValueError("embedding_pca: no non-null vectors")
     n = sum(p["n"] for p in parts)
