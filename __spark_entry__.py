@@ -4872,56 +4872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row goes stale. Regenerate each round with
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
-        "fuzzy_join_lev": q_fuzzy_join_lev,
-        "seasonal_decompose": q_seasonal_decompose,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "dup_spans_suite": q_dup_spans_suite,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
-        "predict_linear_suite": q_predict_linear_suite,
-        "gapfill_methods": q_gapfill_methods,
-        "embedding_ann_quantized": q_embedding_ann_quantized,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
         "wire_formats_parse": q_wire_formats_parse,
-        "comparison_filter": q_comparison_filter,
-        "interp_add": q_interp_add,
-        "interp_add_grouped": q_interp_add_grouped,
-        "scalar_arithmetic": q_scalar_arithmetic,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "revenue_by_nation": q_revenue_by_nation,
-        "alert_keep_firing": q_alert_keep_firing,
-        "over_time_extras": q_over_time_extras,
-        "promql_misc": q_promql_misc,
-        "delete_series_op": q_delete_series_op,
-        "count_values_grid": q_count_values_grid,
-        "label_replace_grid": q_label_replace_grid,
-        "modifier_matrix": q_modifier_matrix,
-        "top_customers": q_top_customers,
-        "suppliers_by_region": q_suppliers_by_region,
-        "top_brands_by_revenue": q_top_brands_by_revenue,
-        "value_histogram": q_value_histogram,
-        "user_sessions": q_user_sessions,
-        "tumbling_window_stats": q_tumbling_window_stats,
-        "sliding_window_stats": q_sliding_window_stats,
-        "session_window_stats": q_session_window_stats,
-        "asof_join_events": q_asof_join_events,
-        "range_join_daily": q_range_join_daily,
-        "rate_per_type": q_rate_per_type,
-        "rate_windows": q_rate_windows,
-        "rate_counter_aware": q_rate_counter_aware,
-        "query_range_lookback": q_query_range_lookback,
-        "query_range_increase": q_query_range_increase,
-        "query_range_histogram": q_query_range_histogram,
-        "query_range_matching": q_query_range_matching,
-        "scrub_pii": q_scrub_pii,
-        "recording_rule": q_recording_rule,
-        "chunk_documents": q_chunk_documents,
-        "query_range_subquery": q_query_range_subquery,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "counter_resets": q_counter_resets,
-        "deriv_windows": q_deriv_windows,
-        "irate_windows": q_irate_windows,
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
         "ewma_final": q_ewma_final,
@@ -5022,6 +4973,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_values": q_topk_values,
         "bottomk_values": q_bottomk_values,
         "vector_scalar_arith": q_vector_scalar_arith,
+        "fuzzy_join_lev": q_fuzzy_join_lev,
+        "seasonal_decompose": q_seasonal_decompose,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "dup_spans_suite": q_dup_spans_suite,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "predict_linear_suite": q_predict_linear_suite,
+        "gapfill_methods": q_gapfill_methods,
+        "embedding_ann_quantized": q_embedding_ann_quantized,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "comparison_filter": q_comparison_filter,
+        "interp_add": q_interp_add,
+        "interp_add_grouped": q_interp_add_grouped,
+        "scalar_arithmetic": q_scalar_arithmetic,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "revenue_by_nation": q_revenue_by_nation,
+        "alert_keep_firing": q_alert_keep_firing,
+        "over_time_extras": q_over_time_extras,
+        "promql_misc": q_promql_misc,
+        "delete_series_op": q_delete_series_op,
+        "count_values_grid": q_count_values_grid,
+        "label_replace_grid": q_label_replace_grid,
+        "modifier_matrix": q_modifier_matrix,
+        "top_customers": q_top_customers,
+        "suppliers_by_region": q_suppliers_by_region,
+        "top_brands_by_revenue": q_top_brands_by_revenue,
+        "value_histogram": q_value_histogram,
+        "user_sessions": q_user_sessions,
+        "tumbling_window_stats": q_tumbling_window_stats,
+        "sliding_window_stats": q_sliding_window_stats,
+        "session_window_stats": q_session_window_stats,
+        "asof_join_events": q_asof_join_events,
+        "range_join_daily": q_range_join_daily,
+        "rate_per_type": q_rate_per_type,
+        "rate_windows": q_rate_windows,
+        "rate_counter_aware": q_rate_counter_aware,
+        "query_range_lookback": q_query_range_lookback,
+        "query_range_increase": q_query_range_increase,
+        "query_range_histogram": q_query_range_histogram,
+        "query_range_matching": q_query_range_matching,
+        "scrub_pii": q_scrub_pii,
+        "recording_rule": q_recording_rule,
+        "chunk_documents": q_chunk_documents,
+        "query_range_subquery": q_query_range_subquery,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "counter_resets": q_counter_resets,
+        "deriv_windows": q_deriv_windows,
+        "irate_windows": q_irate_windows,
     }
 
 # ---------------------------------------------------------------- oracle SQL
