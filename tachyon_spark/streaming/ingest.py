@@ -151,3 +151,48 @@ def start_line_protocol_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_graphite_ingest(
+    conn,
+    source_dir: str,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+    max_files_per_trigger: int = 100,
+    ts_unit: str = "s",
+    value_type: str = "f64",
+):
+    """LIVE Graphite plaintext ingestion (r14): tail `source_dir` for
+    carbon-style text drops and ingest each micro-batch through
+    sources/line_protocol.ingest_graphite — the same JVM-regexp parse,
+    name{tags} series identity, distributed catalog-join resolution
+    (sources/series_resolve.py — per-batch cost is bounded by the
+    batch's own series, never the catalog size), and batch write path.
+    Completes the wire-format symmetry: all three text formats now have
+    parse + batch ingest + streaming drop-dir arms. Returns the
+    StreamingQuery."""
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        conn.db_dir, "_checkpoints", "graphite"
+    )
+    src = (
+        conn.spark.readStream.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+        .text(source_dir)
+    )
+
+    def _append(batch_df, _batch_id):
+        from tachyon_spark.sources.line_protocol import ingest_graphite
+
+        ingest_graphite(
+            conn, batch_df, ts_unit=ts_unit, value_type=value_type
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -289,6 +289,41 @@ def test_graphite_ingest_end_to_end(spark, tmp_path):
     assert conn2.query("c", 0, 100).rows() == [(10, 9)]
 
 
+def test_streaming_graphite_ingest(spark, tmp_path):
+    """r14: graphite drop-dir tail mirrors the line-protocol streaming
+    arm — two drops, a metric first seen in drop 2 registers
+    mid-stream, checkpoint prevents re-ingestion."""
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.streaming.ingest import start_graphite_ingest
+
+    src_dir = tmp_path / "gdrops"
+    src_dir.mkdir()
+    (src_dir / "t1.txt").write_text(
+        "servers.a.cpu 0.5 10\nservers.a.cpu 0.6 20\n"
+    )
+    (src_dir / "t2.txt").write_text(
+        "servers.a.cpu;dc=x 0.7 30\nmem.free 12 30\n"
+    )
+    conn = Connection(str(tmp_path / "gsdb"), spark)
+    q = start_graphite_ingest(
+        conn, str(src_dir), trigger_once=True, max_files_per_trigger=1,
+        ts_unit="ns",
+    )
+    q.awaitTermination(120)
+    assert sorted(conn.query('{__name__="servers.a.cpu"}', 0, 100
+                             ).rows()) == [(10, 0.5), (20, 0.6), (30, 0.7)]
+    assert conn.query('{__name__="servers.a.cpu",dc="x"}', 0, 100
+                      ).rows() == [(30, 0.7)]
+    assert conn.query('{__name__="mem.free"}', 0, 100).rows() == [
+        (30, 12.0)]
+    q2 = start_graphite_ingest(
+        conn, str(src_dir), trigger_once=True, ts_unit="ns",
+    )
+    q2.awaitTermination(120)
+    assert conn.query('{__name__="mem.free"}', 0, 100).rows() == [
+        (30, 12.0)]
+
+
 def test_review_fixes_keys_failfast_i64_render(spark, tmp_path):
     from tachyon_spark.connection import Connection
     from tachyon_spark.sources.line_protocol import render_line_protocol
