@@ -93,20 +93,30 @@ def check_matcher_regexes(matchers) -> None:
 
 def _matches(info: StreamInfo, matchers) -> bool:
     for m in matchers:
-        # __name__ matches the metric name (Prometheus reserved label)
-        val = info.name if m.label == "__name__" else info.labels.get(m.label)
+        # __name__ matches the metric name (Prometheus reserved label).
+        # A MISSING label is the empty string (Prometheus
+        # labels.Labels.Get, model/labels/labels.go) — so `{dc=""}`
+        # matches series WITHOUT dc, `{dc!="x"}` matches missing
+        # ("" != "x"), `=~".*"` matches missing, and `!~".*"` excludes
+        # it (r14 conformance fix; the old None-propagation agreed with
+        # Prometheus only for non-empty-matching patterns).
+        val = (
+            info.name
+            if m.label == "__name__"
+            else info.labels.get(m.label, "")
+        )
         if m.op == "=":
             if val != m.value:
                 return False
         elif m.op == "!=":
-            if val is not None and val == m.value:
+            if val == m.value:
                 return False
         elif m.op == "=~":
             # fullmatch == Prometheus's ^(?:...)$ anchoring
-            if val is None or not re.fullmatch(m.value, val):
+            if not re.fullmatch(m.value, val):
                 return False
         elif m.op == "!~":
-            if val is not None and re.fullmatch(m.value, val):
+            if re.fullmatch(m.value, val):
                 return False
         else:
             raise ValueError(f"bad matcher op {m.op!r}")
@@ -115,26 +125,30 @@ def _matches(info: StreamInfo, matchers) -> bool:
 
 def matcher_predicate(matchers) -> Column:
     """The SAME matcher semantics as ``_matches``, as a Spark Column over the
-    catalog schema — used by the distributed resolution path. A missing label
-    satisfies ``!=`` and ``!~`` (Prometheus semantics); ``=~``/``!~`` are
-    FULLY ANCHORED (``^(?:...)$`` around the pattern, like Prometheus's
-    labels.NewMatcher) so the driver-side ``re.fullmatch`` and this
-    ``rlike`` agree."""
+    catalog schema — used by the distributed resolution path. A MISSING
+    label is the empty string (Prometheus labels.Labels.Get — coalesce
+    to "" before comparing, r14), so both engines agree on the
+    empty-matcher family (``dc=""``, ``=~".*"``, ``!~".*"``);
+    ``=~``/``!~`` are FULLY ANCHORED (``^(?:...)$`` around the pattern,
+    like Prometheus's labels.NewMatcher) so the driver-side
+    ``re.fullmatch`` and this ``rlike`` agree."""
     pred = F.lit(True)
     for m in matchers:
         lab = (
             F.col("name")
             if m.label == "__name__"
-            else F.col("labels").getItem(m.label)
+            else F.coalesce(
+                F.col("labels").getItem(m.label), F.lit("")
+            )
         )
         if m.op == "=":
             cond = lab == m.value
         elif m.op == "!=":
-            cond = lab.isNull() | (lab != m.value)
+            cond = lab != m.value
         elif m.op == "=~":
             cond = lab.rlike("^(?:" + m.value + ")$")
         elif m.op == "!~":
-            cond = lab.isNull() | ~lab.rlike("^(?:" + m.value + ")$")
+            cond = ~lab.rlike("^(?:" + m.value + ")$")
         else:
             raise ValueError(f"bad matcher op {m.op!r}")
         pred = pred & cond

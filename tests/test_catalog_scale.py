@@ -138,6 +138,12 @@ def test_resolve_df_matches_driver_resolution(spark, tmp_path):
         (Matcher("env", "=~", "pro.*"),),  # anchored: needs the full value
         (Matcher("env", "!~", "d.*"),),
         (Matcher("env", "=", "prod"), Matcher("dc", "=", "a")),
+        # empty-matcher family (r14): a missing label is "" on BOTH paths
+        (Matcher("env", "=", ""),),
+        (Matcher("env", "!=", ""),),
+        (Matcher("env", "=~", ".*"),),
+        (Matcher("env", "=~", ".+"),),
+        (Matcher("env", "!~", ".*"),),
     ]
     for matchers in cases:
         driver = {s.stream_id for s in conn.catalog.resolve("m", matchers)}
@@ -146,6 +152,17 @@ def test_resolve_df_matches_driver_resolution(spark, tmp_path):
             for r in conn.catalog.resolve_df("m", matchers).select("stream_id").collect()
         }
         assert driver == dist, matchers
+    # Prometheus empty-matcher semantics pinned by COUNT (model/labels:
+    # a missing label reads as ""): {env=""} selects exactly the
+    # env-less stream, {env!=""} its complement, =~".*" everything,
+    # =~".+" only explicit values, !~".*" nothing
+    counts = {
+        ("=", ""): 1, ("!=", ""): 3, ("=~", ".*"): 4,
+        ("=~", ".+"): 3, ("!~", ".*"): 0,
+    }
+    for (op, v), n in counts.items():
+        got = conn.catalog.resolve("m", (Matcher("env", op, v),))
+        assert len(got) == n, (op, v, got)
 
 
 def test_bucketed_delete_with_time_buckets(spark, tmp_path):
