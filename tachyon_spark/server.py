@@ -135,6 +135,65 @@ class _Handler(BaseHTTPRequestHandler):
                      "error": str(exc)},
                 )
             return
+        if parsed.path == "/api/v1/labels" or parsed.path.startswith(
+            "/api/v1/label/"
+        ) or parsed.path == "/api/v1/series":
+            # the REAL Prometheus metadata endpoint paths + envelopes
+            # (r14): GET /api/v1/labels, /api/v1/label/<name>/values,
+            # /api/v1/series — repeated match[] params union their
+            # selectors' streams, exactly like Prometheus; /series
+            # REQUIRES at least one match[] (Prometheus does too).
+            import re as _re
+
+            pairs = parse_qsl(parsed.query)
+            req = dict(pairs)
+            matches = [v for k, v in pairs if k in ("match[]", "match")]
+            try:
+                conn = _get_connection(req["path"])
+                if parsed.path == "/api/v1/labels":
+                    if matches:
+                        names: set[str] = set()
+                        for m in matches:
+                            names.update(conn.label_names(m))
+                        data = sorted(names)
+                    else:
+                        data = conn.label_names()
+                elif parsed.path == "/api/v1/series":
+                    if not matches:
+                        raise ValueError(
+                            "series requires at least one match[] "
+                            "selector"
+                        )
+                    st = int(req["start"]) if "start" in req else None
+                    en = int(req["end"]) if "end" in req else None
+                    seen: dict[tuple, dict] = {}
+                    for m in matches:
+                        for lset in conn.series(m, st, en):
+                            seen[tuple(sorted(lset.items()))] = lset
+                    data = [seen[k] for k in sorted(seen)]
+                else:
+                    lm = _re.fullmatch(
+                        r"/api/v1/label/([^/]+)/values", parsed.path
+                    )
+                    if lm is None:
+                        self._json(404, {"error": "not found"})
+                        return
+                    label = lm.group(1)
+                    if matches:
+                        vals: set[str] = set()
+                        for m in matches:
+                            vals.update(conn.label_values(label, m))
+                        data = sorted(vals)
+                    else:
+                        data = conn.label_values(label)
+                self._json(200, {"status": "success", "data": data})
+            except Exception as exc:
+                self._json(
+                    400,
+                    {"status": "error", "errorType": "bad_data",
+                     "error": str(exc)},
+                )
+            return
         if parsed.path in ("/labels", "/label_values", "/series"):
             # GET forms of the metadata endpoints (what Prometheus
             # clients issue; POST JSON remains for parity with the rest)

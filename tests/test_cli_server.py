@@ -995,3 +995,78 @@ def test_http_query_range_fill_modes(tmp_path, spark):
         assert body["values"][3] == 1.0 and body["values"][0] is None
     finally:
         srv.shutdown()
+
+
+def test_http_api_v1_metadata_endpoints(tmp_path, spark):
+    """r14: the REAL Prometheus metadata paths — GET /api/v1/labels,
+    /api/v1/label/<name>/values, /api/v1/series — with the
+    {status, data} envelope and repeated match[] union semantics;
+    /series requires at least one match[]."""
+    from urllib.parse import urlencode
+
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "metadb")
+    conn = Connection(db, spark)
+    conn.create_streams([
+        ('m1{env="prod",dc="a"}', "f64"),
+        ('m1{env="dev"}', "f64"),
+        ('m2{region="eu"}', "f64"),
+    ])
+    ins = conn.prepare_insert('m1{env="prod",dc="a"}')
+    ins.insert(10, 1.0)
+    ins.flush()
+
+    import tachyon_spark.server as srv_mod
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+
+    def get(path, *pairs):
+        qs = urlencode([("path", db), *pairs])
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}?{qs}"
+        ) as r:
+            body = json.load(r)
+        assert body["status"] == "success"
+        return body["data"]
+
+    try:
+        assert get("/api/v1/labels") == [
+            "__name__", "dc", "env", "region"]
+        # match[] restricts; repeated match[] unions
+        assert get("/api/v1/labels", ("match[]", "m2")) == [
+            "__name__", "region"]
+        assert get(
+            "/api/v1/labels", ("match[]", "m2"), ("match[]", 'm1{env="dev"}')
+        ) == ["__name__", "env", "region"]
+        assert get("/api/v1/label/__name__/values") == ["m1", "m2"]
+        assert get("/api/v1/label/env/values") == ["dev", "prod"]
+        assert get(
+            "/api/v1/label/env/values", ("match[]", 'm1{dc="a"}')
+        ) == ["prod"]
+        series = get("/api/v1/series", ("match[]", "m1"))
+        assert series == [
+            {"__name__": "m1", "dc": "a", "env": "prod"},
+            {"__name__": "m1", "env": "dev"},
+        ]
+        both = get(
+            "/api/v1/series", ("match[]", "m1"), ("match[]", "m2"))
+        assert len(both) == 3
+        # start/end keep only streams with samples in the window
+        lively = get(
+            "/api/v1/series", ("match[]", "m1"),
+            ("start", "0"), ("end", "100"),
+        )
+        assert lively == [{"__name__": "m1", "dc": "a", "env": "prod"}]
+        # /series without match[] -> bad_data
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/v1/series?path="
+                + urllib.request.quote(db)
+            )
+        assert ei.value.code == 400
+        assert json.load(ei.value)["errorType"] == "bad_data"
+    finally:
+        srv.shutdown()
