@@ -183,3 +183,45 @@ def test_regularize_then_analyze_pipeline(spark):
            ).collect()}
     assert acf[period] == max(acf.values())
     assert acf[period] > 0.8
+
+
+def test_query_range_fill_grouped_and_vector(spark, tmp_path):
+    """r14 (fill_grid_plan): the Connection.query_range(fill=...) path
+    for BOTH plan kinds — per-stream vector and `sum by` grouped —
+    fills only the staleness-dropped steps; scalar results reject."""
+    from tachyon_spark.connection import Connection
+
+    conn = Connection(str(tmp_path / "fdb"), spark)
+    for k, pts in (("a", [(10, 1.0), (50, 5.0)]), ("b", [(30, 3.0)])):
+        conn.create_stream(f'gm{{k="{k}"}}', "f64")
+        ins = conn.prepare_insert(f'gm{{k="{k}"}}')
+        for t, v in pts:
+            ins.insert(t, v)
+        ins.flush()
+
+    # vector kind (per-stream grid)
+    q = conn.query_range('gm{k="a"}', 0, 70, 10, lookback=10,
+                         fill="previous")
+    assert q.rows() == [
+        (0, None), (10, 1.0), (20, 1.0), (30, 1.0), (40, 1.0),
+        (50, 5.0), (60, 5.0), (70, 5.0),
+    ]
+    # grouped kind (sum by (k)) — groups fill independently
+    g = conn.query_range("sum by (k) (gm)", 0, 70, 10, lookback=10,
+                         fill="value:0").df()
+    got = {(r["k"], r["ts"]): r["value"] for r in g.collect()}
+    assert got[("a", 0)] == 0.0 and got[("a", 30)] == 0.0
+    assert got[("a", 20)] == 1.0  # lookback-resolved, not filled
+    assert got[("b", 30)] == 3.0 and got[("b", 50)] == 0.0
+    assert len(got) == 16  # 2 groups x 8 steps
+    # linear on grouped
+    lin = conn.query_range('gm{k="a"}', 0, 70, 10, lookback=10,
+                           fill="linear").rows()
+    d = dict(lin)
+    assert d[30] == 1.0 + 4.0 * (10.0 / 30.0)
+    assert d[0] is None and d[70] is None
+    # ungrouped aggregate = anonymous grid vector: fill applies too
+    s = dict(conn.query_range("sum(gm)", 0, 70, 10, lookback=10,
+                              fill="value:0").rows())
+    assert s[0] == 0.0 and s[70] == 0.0  # no series resolves there
+    assert s[40] == 3.0  # b's sample rides lookback — not a fill
