@@ -186,20 +186,37 @@ def ingest_openmetrics(
     ns_clock: bool = True,
     default_ts: int | None = None,
     value_type: str = "f64",
+    literal: bool | None = None,
 ) -> int:
     """Ingest exposition text into `conn` — `source` is a path/glob for
-    spark.read.text (a literal text blob also works: newline content is
-    parallelized) or a pre-read lines DataFrame. Streams that don't
-    exist yet are registered (one catalog batch) with `value_type`.
-    Returns the number of samples appended."""
+    spark.read.text, a literal text blob (auto-detected by newline;
+    pass `literal=True` for a one-line blob), or a pre-read lines
+    DataFrame. Streams that don't exist yet are registered (one catalog
+    batch) with `value_type`. Returns the number of samples appended."""
     if isinstance(source, DataFrame):
         lines = source
-    elif "\n" in source:
+    elif literal or (literal is None and "\n" in source):
         lines = conn.spark.createDataFrame(
             [(l,) for l in source.split("\n")], "value string"
         )
     else:
-        lines = conn.spark.read.text(source)
+        try:
+            lines = conn.spark.read.text(source)
+        except Exception as e:
+            # a one-line exposition blob has no newline, so auto-detect
+            # routed it here as a path — same trap class as the r13
+            # line-protocol red; fail with guidance, not PATH_NOT_FOUND
+            import re
+
+            if re.match(
+                r"^[a-zA-Z_:][a-zA-Z0-9_:]*(\{.*\})?\s+\S+", source
+            ):
+                raise ValueError(
+                    "ingest_openmetrics: source does not exist as a "
+                    "path but looks like exposition text — pass "
+                    f"literal=True for literal blobs: {source[:120]!r}"
+                ) from e
+            raise
     parsed = parse_openmetrics(lines, ns_clock, default_ts).cache()
     try:
         # series resolution is a JOIN against the catalog parquet, not

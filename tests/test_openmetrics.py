@@ -248,3 +248,26 @@ def test_label_escape_roundtrip_property(spark, vals):
     out = parse_openmetrics(_lines(spark, line), ns_clock=False).collect()
     assert len(out) == 1
     assert dict(out[0]["labels"]) == labels
+
+
+def test_ingest_one_line_blob_guidance(spark, tmp_path):
+    """r14: a one-line exposition blob routed to the path branch fails
+    with 'pass literal=True' guidance (the r13 line-protocol red's
+    failure class), and literal=True ingests it."""
+    import pytest
+
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.sources.openmetrics import ingest_openmetrics
+
+    conn = Connection(str(tmp_path / "omdb"), spark)
+    with pytest.raises(ValueError, match="literal=True"):
+        ingest_openmetrics(conn, 'om_blob{k="1"} 2.5 10', ns_clock=False)
+    n = ingest_openmetrics(
+        conn, 'om_blob{k="1"} 2.5 10', ns_clock=False, literal=True
+    )
+    assert n == 1
+    assert conn.query('om_blob{k="1"}', 0, 100).rows() == [(10, 2.5)]
+    # a genuinely nonexistent path that does NOT look like exposition
+    # keeps the raw error
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not"):
+        ingest_openmetrics(conn, str(tmp_path / "nope" / "x.om"))
