@@ -81,6 +81,18 @@ def main(argv: list[str] | None = None) -> int:
                          "seconds")
     sp.add_argument("--value-type", default="f64")
 
+    sp = sub.add_parser("import-lp")
+    sp.add_argument("path")
+    sp.add_argument("--precision", default="ns",
+                    choices=["ns", "us", "ms", "s"])
+    sp.add_argument("--value-type", default="f64")
+
+    sp = sub.add_parser("import-graphite")
+    sp.add_argument("path")
+    sp.add_argument("--ts-unit", default="s",
+                    choices=["s", "ms", "us", "ns"])
+    sp.add_argument("--value-type", default="f64")
+
     sp = sub.add_parser("query")
     sp.add_argument("promql")
     sp.add_argument("--start", type=int, default=0)
@@ -99,6 +111,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--end", type=int, required=True)
     sp.add_argument("--step", type=int, required=True)
     sp.add_argument("--lookback", type=int, default=None)
+    sp.add_argument("--fill", default=None,
+                    help="gap-fill the grid: null|previous|linear|value:N")
     sp.add_argument("--chart", action="store_true")
     sp.add_argument(
         "--explain", action="store_true",
@@ -195,6 +209,24 @@ def main(argv: list[str] | None = None) -> int:
             value_type=args.value_type,
         )
         print(f"imported {n} samples")
+    elif args.cmd == "import-lp":
+        from tachyon_spark.sources.line_protocol import (
+            ingest_line_protocol,
+        )
+
+        n, skipped = ingest_line_protocol(
+            conn, args.path, precision=args.precision,
+            value_type=args.value_type,
+        )
+        print(f"imported {n} samples ({skipped} string fields skipped)")
+    elif args.cmd == "import-graphite":
+        from tachyon_spark.sources.line_protocol import ingest_graphite
+
+        n = ingest_graphite(
+            conn, args.path, ts_unit=args.ts_unit,
+            value_type=args.value_type,
+        )
+        print(f"imported {n} samples")
     elif args.cmd == "query":
         q = conn.query(args.promql, args.start, args.end)
         if args.explain:
@@ -213,7 +245,8 @@ def main(argv: list[str] | None = None) -> int:
                     print(r)
     elif args.cmd == "query-range":
         q = conn.query_range(
-            args.promql, args.start, args.end, args.step, args.lookback
+            args.promql, args.start, args.end, args.step, args.lookback,
+            fill=args.fill,
         )
         if args.explain:
             q.explain("formatted")

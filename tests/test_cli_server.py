@@ -1070,3 +1070,28 @@ def test_http_api_v1_metadata_endpoints(tmp_path, spark):
         assert json.load(ei.value)["errorType"] == "bad_data"
     finally:
         srv.shutdown()
+
+
+def test_cli_import_wire_formats_and_fill(tmp_path, spark, capsys):
+    """r14: import-lp / import-graphite CLI verbs and --fill on
+    query-range."""
+    db = str(tmp_path / "wiredb")
+    lp = tmp_path / "in.lp"
+    lp.write_text("cpu,host=a usage=1.5,msg=\"skip\" 10\n"
+                  "cpu,host=a usage=2.5 50\n")
+    assert cli_main([db, "import-lp", str(lp)]) == 0
+    gr = tmp_path / "in.gr"
+    gr.write_text("mem.free;host=a 12 10\n")
+    assert cli_main([db, "import-graphite", str(gr), "--ts-unit", "ns"]) == 0
+    assert cli_main([
+        db, "query-range", 'cpu_usage{host="a"}',
+        "--start", "0", "--end", "70", "--step", "10",
+        "--lookback", "10", "--fill", "previous",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "imported 2 samples (1 string fields skipped)" in out
+    assert "imported 1 samples" in out
+    assert "(0, None)" in out          # leading hole stays null
+    assert "(30, 1.5)" in out          # filled by previous
+    assert "(20, 1.5)" in out          # lookback-resolved
+    assert "(70, 2.5)" in out
