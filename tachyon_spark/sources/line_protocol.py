@@ -544,3 +544,69 @@ def ingest_graphite(
         return n
     finally:
         parsed.unpersist()
+
+
+def render_graphite(
+    df: DataFrame,
+    name_col: str = "name",
+    tags_col: str | None = "tags",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    ts_unit: str = "s",
+) -> DataFrame:
+    """Render rows to Graphite plaintext (one line per row, column
+    `value` — round-trips through parse_graphite): `name[;k=v...]
+    <value> <ts>`, tags in SORTED key order (canonical). Graphite's
+    grammar defines NO escaping, so a name/tag containing `;`, `=`,
+    whitespace or a `~` tag-key prefix is unrepresentable — raise
+    in-expression rather than emit a line the parser would mis-split
+    (same contract as render_line_protocol's backslash rule). `ts_unit`
+    converts the native-ns ts column for the output clock ("s" default,
+    carbon's unix seconds — integer DIV, exact)."""
+    unit_ns = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
+    if ts_unit not in unit_ns:
+        raise ValueError(
+            f"ts_unit must be one of {sorted(unit_ns)}, got {ts_unit!r}"
+        )
+
+    def _checked(col, what):
+        return F.when(
+            col.rlike(r"[;=\s]") | (col == ""),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"graphite {what} cannot be empty or contain "
+                        "';', '=' or whitespace (the protocol defines "
+                        "no escaping): "
+                    ),
+                    col,
+                )
+            ),
+        ).otherwise(col)
+
+    head = _checked(F.col(name_col), "metric path")
+    if tags_col is not None:
+        keys = F.sort_array(F.map_keys(F.col(tags_col)))
+        tag_str = F.array_join(
+            F.transform(
+                keys,
+                lambda k: F.concat(
+                    _checked(k, "tag key"),
+                    F.lit("="),
+                    _checked(F.col(tags_col)[k], "tag value"),
+                ),
+            ),
+            ";",
+        )
+        head = F.when(
+            F.size(keys) > 0, F.concat(head, F.lit(";"), tag_str)
+        ).otherwise(head)
+    line = F.concat(
+        head,
+        F.lit(" "),
+        F.col(value_col).cast("double").cast("string"),
+        F.lit(" "),
+        F.expr(f"CAST({ts_col} AS BIGINT) DIV {unit_ns[ts_unit]}")
+        .cast("string"),
+    )
+    return df.select(line.alias("value"))

@@ -358,3 +358,52 @@ def test_review_fixes_keys_failfast_i64_render(spark, tmp_path):
     # (5) a path with a space is treated as a path (not literal text)
     with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not"):
         ingest_line_protocol(conn2, str(tmp_path / "no such dir" / "x.lp"))
+
+
+def test_render_graphite_round_trips_and_rejects(spark):
+    """r14: render_graphite completes the third format's write side —
+    canonical sorted tags, exact value/ts round-trip through
+    parse_graphite, unrepresentable identifiers raise."""
+    from tachyon_spark.sources.line_protocol import (
+        parse_graphite,
+        render_graphite,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("servers.web1.load", {"dc": "eu", "az": "a"}, 0.125,
+             7_000_000_000),
+            ("mem.free", {}, -3.5, 8_000_000_000),
+        ],
+        "name string, tags map<string,string>, value double, ts long",
+    )
+    lines = sorted(
+        r["value"] for r in render_graphite(df, ts_unit="s").collect()
+    )
+    assert lines[0] == "mem.free -3.5 8"
+    assert lines[1] == "servers.web1.load;az=a;dc=eu 0.125 7"
+    back = {
+        r["name"]: r
+        for r in parse_graphite(
+            render_graphite(df, ts_unit="s"), ts_unit="s"
+        ).collect()
+    }
+    r = back["servers.web1.load"]
+    assert dict(r["tags"]) == {"dc": "eu", "az": "a"}
+    assert (r["value"], r["ts"]) == (0.125, 7_000_000_000)
+    assert back["mem.free"]["value"] == -3.5
+    # unrepresentable: the grammar has no escaping
+    bad = spark.createDataFrame(
+        [("a b", {}, 1.0, 0)],
+        "name string, tags map<string,string>, value double, ts long",
+    )
+    with pytest.raises(Exception, match="no escaping"):
+        render_graphite(bad).collect()
+    badtag = spark.createDataFrame(
+        [("m", {"k;x": "v"}, 1.0, 0)],
+        "name string, tags map<string,string>, value double, ts long",
+    )
+    with pytest.raises(Exception, match="no escaping"):
+        render_graphite(badtag).collect()
+    with pytest.raises(ValueError, match="ts_unit"):
+        render_graphite(df, ts_unit="h")
