@@ -4832,26 +4832,13 @@ def q_acf_lags(spark, sf_dir):
 # self-healing: once a newer round's row lands the entry counts normally, and
 # the stale marker can be dropped at the next cleanup.
 REGATE: dict[str, int] = {
-    # r12: cutoff moved from T0+240h (vacuous — 0=0 hash) to T0+120h; the
-    # r11 green row proved nothing about data preservation (VERDICT r11 #1)
-    "maintenance_lifecycle": 11,
-    # r13: gate grew a third arm (prefix_suffix m=8) and the segment arm
-    # became the generalized PassJoin — the r12 two-arm row no longer
-    # proves the current semantics (VERDICT r12 item 6)
-    "fuzzy_join_lev": 12,
-    # r13: gate grew the robust per-phase-median arm (VERDICT r12 item 7)
-    "seasonal_decompose": 12,
-    # r13: gates grew the recall@20-vs-brute-force quality arm with an
-    # in-gate floor assert (VERDICT r12 item 4)
-    "embedding_ann_ivf": 12,
-    "embedding_ann_lsh": 12,
-    # r13 flake-class closure: the top-k cut now happens on round-6
-    # scores (round_digits), matching the oracles' alias-bound ORDER BY
-    # on the rounded value — the documented last-ulp rank-boundary
-    # hash-flake class for these gates is gone, and the r12 rows
-    # (unrounded cuts) no longer prove the semantics
-    "embedding_cosine_topk": 12,
-    "embedding_ann_quantized": 12,
+    # r14 cleanup: the r12/r11 markers (maintenance_lifecycle,
+    # fuzzy_join_lev, seasonal_decompose, the four embedding gates) all
+    # self-healed — each gate's newest driver row now postdates its
+    # marker round (the six r13 rows are green; maintenance_lifecycle's
+    # r12 row postdates its r11 marker), so the markers are dropped per
+    # the documented lifecycle above.
+    #
     # r14: the graphite arm went from parse-only to a full
     # ingest-and-read-back round trip (ingest_graphite + catalog-join
     # series resolution) — the r13 parse-only row no longer proves the
