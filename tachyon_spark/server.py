@@ -328,7 +328,24 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(length) or b"{}")
+            body = self.rfile.read(length) or b"{}"
+            ctype = self.headers.get("Content-Type", "")
+            if "application/x-www-form-urlencoded" in ctype:
+                # the shape real Prometheus clients POST (r14): form
+                # params, numeric fields as strings — normalize to the
+                # same dict the JSON body produces
+                from urllib.parse import parse_qsl
+
+                req = dict(parse_qsl(body.decode()))
+                for k in ("start", "end", "step", "lookback", "time",
+                          "max_points", "for", "keep_firing_for"):
+                    if k in req:
+                        req[k] = int(req[k])
+                if "ns_clock" in req:
+                    req["ns_clock"] = req["ns_clock"] not in (
+                        "0", "false", "")
+            else:
+                req = json.loads(body)
             conn = _get_connection(req["path"])
             # Prometheus metadata API parity (beyond the reference):
             # {path} -> labels; {path, label} -> values; {path, selector}

@@ -1095,3 +1095,57 @@ def test_cli_import_wire_formats_and_fill(tmp_path, spark, capsys):
     assert "(30, 1.5)" in out          # filled by previous
     assert "(20, 1.5)" in out          # lookback-resolved
     assert "(70, 2.5)" in out
+
+
+def test_http_post_form_encoded(tmp_path, spark):
+    """r14: POST with application/x-www-form-urlencoded bodies — the
+    shape real Prometheus clients send to /api/v1/query(_range) —
+    normalizes to the same handling as JSON bodies."""
+    from urllib.parse import urlencode
+
+    from tachyon_spark.connection import Connection
+
+    db = str(tmp_path / "formdb")
+    conn = Connection(db, spark)
+    conn.create_stream("fq", "f64")
+    ins = conn.prepare_insert("fq")
+    ins.insert(10, 1.5)
+    ins.insert(20, 2.5)
+    ins.flush()
+
+    import tachyon_spark.server as srv_mod
+
+    srv_mod._connections[db] = conn
+    srv = serve(port=0)
+    port = srv.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/query_range",
+            data=urlencode({
+                "path": db, "query": "fq", "start": 0, "end": 30,
+                "step": 10, "lookback": 10, "ns_clock": "0",
+            }).encode(),
+            headers={
+                "Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.load(r)
+        assert body["status"] == "success"
+        vals = body["data"]["result"][0]["values"]
+        assert vals == [[10, "1.5"], [20, "2.5"], [30, "2.5"]]
+        # instant form: time= param
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/query",
+            data=urlencode({
+                "path": db, "query": "fq", "time": 25,
+                "lookback": 10, "ns_clock": "0",
+            }).encode(),
+            headers={
+                "Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.load(r)
+        assert body["data"]["resultType"] == "vector"
+        assert body["data"]["result"][0]["value"] == [25, "2.5"]
+    finally:
+        srv.shutdown()
