@@ -123,6 +123,40 @@ def _matches(info: StreamInfo, matchers) -> bool:
     return True
 
 
+def _matcher_matches_empty(m) -> bool:
+    """Would this matcher accept the empty string (= a missing label)?
+    Prometheus's promql parser requirement rides on this: a selector
+    with no metric name must contain at least one matcher that does NOT
+    match "" — otherwise it selects essentially every series."""
+    if m.op == "=":
+        return m.value == ""
+    if m.op == "!=":
+        return m.value != ""
+    if m.op == "=~":
+        return re.fullmatch(m.value, "") is not None
+    if m.op == "!~":
+        return re.fullmatch(m.value, "") is None
+    raise ValueError(f"bad matcher op {m.op!r}")
+
+
+def check_nonempty_selector(name: str, groups) -> None:
+    """Prometheus conformance (r14, promql/parser ast.go
+    VectorSelector checks): a nameless selector where EVERY matcher of
+    some conjunction matches the empty string would select every
+    series in the database — reject it up front, like Prometheus's
+    'vector selector must contain at least one non-empty matcher'.
+    Doubles as the accidental-full-catalog-scan guard at 10^7 series."""
+    if name:
+        return
+    for g in groups:
+        if not g or all(_matcher_matches_empty(m) for m in g):
+            raise ValueError(
+                "vector selector must contain at least one non-empty "
+                "matcher (a bare {dc=~\".*\"}-style selector matches "
+                "every series)"
+            )
+
+
 def matcher_predicate(matchers) -> Column:
     """The SAME matcher semantics as ``_matches``, as a Spark Column over the
     catalog schema — used by the distributed resolution path. A MISSING
@@ -348,6 +382,7 @@ class Catalog:
         groups = or_groups or (tuple(matchers),)
         for g in groups:
             check_matcher_regexes(g)
+        check_nonempty_selector(name, groups)
         self._load()
         # empty name = bare matcher selector {__name__=~"..."}: the pool
         # is every stream; matchers (usually on __name__) narrow it
@@ -365,6 +400,7 @@ class Catalog:
         The builder semi-joins samples against this frame when the match
         cardinality is too high for an IN-list literal."""
         groups = or_groups or (tuple(matchers),)
+        check_nonempty_selector(name, groups)
         pred = F.lit(False)
         for g in groups:
             check_matcher_regexes(g)

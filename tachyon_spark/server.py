@@ -329,11 +329,14 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length) or b"{}"
-            ctype = self.headers.get("Content-Type", "")
-            if "application/x-www-form-urlencoded" in ctype:
-                # the shape real Prometheus clients POST (r14): form
-                # params, numeric fields as strings — normalize to the
-                # same dict the JSON body produces
+            # JSON stays the native body shape; form-urlencoded (the
+            # shape real Prometheus clients POST, r14) is detected by
+            # BODY content, not Content-Type alone — urllib and friends
+            # default the header to form-urlencoded even for JSON
+            # payloads, so a JSON-looking body always parses as JSON
+            if body.lstrip()[:1] in (b"{", b"["):
+                req = json.loads(body)
+            else:
                 from urllib.parse import parse_qsl
 
                 req = dict(parse_qsl(body.decode()))
@@ -344,8 +347,6 @@ class _Handler(BaseHTTPRequestHandler):
                 if "ns_clock" in req:
                     req["ns_clock"] = req["ns_clock"] not in (
                         "0", "false", "")
-            else:
-                req = json.loads(body)
             conn = _get_connection(req["path"])
             # Prometheus metadata API parity (beyond the reference):
             # {path} -> labels; {path, label} -> values; {path, selector}

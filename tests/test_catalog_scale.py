@@ -329,3 +329,29 @@ def test_wide_selector_query_range_grid_is_distributed(spark, tmp_path):
     assert "stream_id IN" not in plan and ".isin(" not in plan
     # sample at 100 resolves at steps 100 and 110 (lookback 10), stale at 120
     assert df.count() == 2 * n
+
+
+def test_nameless_all_empty_matcher_selector_rejected(spark, tmp_path):
+    """r14 (Prometheus parser conformance + full-scan guard): a
+    nameless selector whose every matcher matches the empty string
+    would select every series — rejected on BOTH resolution paths,
+    while selectors with one non-empty matcher still resolve."""
+    from tachyon_spark.promql.ast import Matcher
+
+    conn = Connection(str(tmp_path / "db"), spark)
+    conn.create_stream('g1{env="prod"}', "f64")
+    for bad in [
+        (Matcher("env", "=~", ".*"),),
+        (Matcher("env", "!=", "x"),),
+        (Matcher("env", "=", ""),),
+        (),
+    ]:
+        with pytest.raises(ValueError, match="non-empty matcher"):
+            conn.catalog.resolve("", bad)
+        with pytest.raises(ValueError, match="non-empty matcher"):
+            conn.catalog.resolve_df("", bad)
+    # fine with a name, or with one non-empty matcher
+    assert len(conn.catalog.resolve("g1", (Matcher("env", "=~", ".*"),))) == 1
+    assert len(conn.catalog.resolve(
+        "", (Matcher("__name__", "=~", ".+"),))) == 1
+    assert conn.query('{__name__=~"g.+"}', 0, 100) is not None
