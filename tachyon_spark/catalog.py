@@ -400,10 +400,15 @@ class Catalog:
         The builder semi-joins samples against this frame when the match
         cardinality is too high for an IN-list literal."""
         groups = or_groups or (tuple(matchers),)
+        # regex validation FIRST, matching resolve(): a nameless selector
+        # with a bad regex must raise the documented ValueError, not an
+        # re.error out of check_nonempty_selector's empty-matcher probe
+        # (ADVICE r14 #2)
+        for g in groups:
+            check_matcher_regexes(g)
         check_nonempty_selector(name, groups)
         pred = F.lit(False)
         for g in groups:
-            check_matcher_regexes(g)
             pred = pred | matcher_predicate(g)
         name_pred = (F.col("name") == name) if name else F.lit(True)
         return self.df().where(name_pred & pred)

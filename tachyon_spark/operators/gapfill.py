@@ -158,8 +158,26 @@ def gapfill(
     )
 
     # full join so an off-grid data timestamp surfaces as a row with no
-    # grid match — raised, never silently dropped
-    joined = grid.join(data, [*g, ts_col], "full").withColumn(
+    # grid match — raised, never silently dropped. Group keys join
+    # null-SAFE: a grouped query_range over series missing the by-label
+    # carries NULL group values (plans/builder.py getItem), and a
+    # null-unsafe key would orphan every one of their data rows off the
+    # grid and trip the off-grid raise (ADVICE r14 #1).
+    ga, da = grid.alias("__gf_g"), data.alias("__gf_d")
+    cond = F.col(f"__gf_g.{ts_col}").eqNullSafe(F.col(f"__gf_d.{ts_col}"))
+    for c in g:
+        cond = cond & F.col(f"__gf_g.{c}").eqNullSafe(F.col(f"__gf_d.{c}"))
+    joined = ga.join(da, cond, "full").select(
+        *[
+            F.coalesce(F.col(f"__gf_g.{c}"), F.col(f"__gf_d.{c}")).alias(c)
+            for c in g
+        ],
+        F.coalesce(
+            F.col(f"__gf_g.{ts_col}"), F.col(f"__gf_d.{ts_col}")
+        ).alias(ts_col),
+        F.col("__gf_g.__on_grid").alias("__on_grid"),
+        F.col("__gf_d.__v").alias("__v"),
+    ).withColumn(
         "__v",
         F.when(
             F.col("__on_grid").isNull(),

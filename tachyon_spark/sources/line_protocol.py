@@ -480,6 +480,13 @@ def parse_graphite(
         series_key.alias("series_key"),
         # ANSI cast FAILFASTs junk values, carrying the text
         F.col("__val").cast("double").alias("value"),
+        # integer-literal values cast straight from TEXT (full 64-bit
+        # range — the double column loses precision past 2^53); NULL for
+        # fractional/scientific forms (ADVICE r14 #3)
+        F.when(
+            F.col("__val").rlike(r"^[+-]?[0-9]+$"),
+            F.col("__val").cast("long"),
+        ).alias("value_int"),
         (F.col("__ts").cast("long") * F.lit(unit_ns[ts_unit])).alias("ts"),
     )
 
@@ -528,6 +535,19 @@ def ingest_graphite(
         series_df = parsed.select(
             "series_key", "name", F.col("tags").alias("labels")
         ).dropDuplicates(["series_key"])
+        # materialize the WHOLE parse before the catalog mutates, so a
+        # malformed line in any partition fails the ingest atomically
+        # with the documented error instead of surfacing as a raw Spark
+        # error after registration (ADVICE r14 #4; same guarantee
+        # ingest_line_protocol gets from its skipped-count action)
+        try:
+            parsed.count()
+        except Exception as e:
+            msg = str(e)
+            if "unparseable graphite line" in msg:
+                start = msg.index("unparseable graphite line")
+                raise ValueError(msg[start:].splitlines()[0]) from None
+            raise
         mapping = resolve_series_mapping(conn, series_df, value_type)
         out = parsed.join(F.broadcast(mapping), "series_key").select(
             "stream_id",
@@ -535,7 +555,16 @@ def ingest_graphite(
             F.when(F.col("__int"), F.lit(None).cast("double"))
             .otherwise(F.col("value"))
             .alias("value"),
-            F.when(F.col("__int"), F.col("value").cast("long"))
+            # integer-literal text carries the exact long (full 64-bit
+            # range, no double round trip); fractional values routed to
+            # an integer-typed stream fall back to the double cast —
+            # the same contract as ingest_line_protocol (ADVICE r14 #3)
+            F.when(
+                F.col("__int"),
+                F.coalesce(
+                    F.col("value_int"), F.col("value").cast("long")
+                ),
+            )
             .otherwise(F.lit(None).cast("long"))
             .alias("value_int"),
         )

@@ -235,7 +235,14 @@ def ingest_openmetrics(
         series_df = parsed.select(
             "series_key", "name", "labels"
         ).dropDuplicates(["series_key"])
+        # materialize the WHOLE parse before any catalog mutation: the
+        # resolve's bounded take() may not scan every partition, and a
+        # malformed line surfacing later (out.count()) would raise a raw
+        # Spark error AFTER stream registration — a partially-applied
+        # ingest with an undocumented error type (ADVICE r14 #4). The
+        # cached count is the same work out.count() would do anyway.
         try:
+            parsed.count()
             mapping = resolve_series_mapping(conn, series_df, value_type)
         except Exception as e:
             msg = str(e)
