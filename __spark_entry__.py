@@ -4859,56 +4859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row goes stale. Regenerate each round with
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
-        "wire_formats_parse": q_wire_formats_parse,
-        "value_quantiles": q_value_quantiles,
-        "distinct_users": q_distinct_users,
-        "ewma_final": q_ewma_final,
-        "pack_sequences": q_pack_sequences,
-        "gopher_quality": q_gopher_quality,
-        "token_entropy": q_token_entropy,
-        "absent_windows": q_absent_windows,
-        "cluster_balanced": q_cluster_balanced,
-        "calendar_fields": q_calendar_fields,
-        "mixture_resample": q_mixture_resample,
-        "quality_percentile": q_quality_percentile,
-        "top_ngrams": q_top_ngrams,
-        "vocab_stats": q_vocab_stats,
-        "knn_graph": q_knn_graph,
-        "ts_extrema_windows": q_ts_extrema_windows,
-        "attribution_join": q_attribution_join,
-        "nested_without": q_nested_without,
-        "bm25_topk": q_bm25_topk,
-        "snapshot_restore": q_snapshot_restore,
-        "temperature_resample": q_temperature_resample,
-        "corr_matrix": q_corr_matrix,
-        "lttb_downsample": q_lttb_downsample,
-        "multires_rollup": q_multires_rollup,
-        "leakage_safe_split": q_leakage_safe_split,
-        "rollup_serve": q_rollup_serve,
-        "promql_grouped_range": q_promql_grouped_range,
-        "histogram_helpers": q_histogram_helpers,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "unigram_logprob": q_unigram_logprob,
-        "clean_corpus_stats": q_clean_corpus_stats,
-        "vector_matching": q_vector_matching,
-        "promql_subquery": q_promql_subquery,
-        "promql_histogram": q_promql_histogram,
-        "streaming_ewma": q_streaming_ewma,
-        "repetition_score": q_repetition_score,
-        "agg_stddev": q_agg_stddev,
-        "topk_per_group": q_topk_per_group,
-        "semdedup": q_semdedup,
-        "domain_cap": q_domain_cap,
-        "global_shuffle": q_global_shuffle,
-        "holt_winters": q_holt_winters,
-        "mad_windows": q_mad_windows,
-        "asof_forward_nearest": q_asof_forward_nearest,
-        "streaming_dedup": q_streaming_dedup,
-        "weighted_sample": q_weighted_sample,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "pipeline_end_to_end": q_pipeline_end_to_end,
-        "m4_downsample": q_m4_downsample,
         "bigram_logprob": q_bigram_logprob,
         "semantic_decontaminate": q_semantic_decontaminate,
         "table_profile": q_table_profile,
@@ -5009,6 +4959,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_resets": q_counter_resets,
         "deriv_windows": q_deriv_windows,
         "irate_windows": q_irate_windows,
+        "wire_formats_parse": q_wire_formats_parse,
+        "value_quantiles": q_value_quantiles,
+        "distinct_users": q_distinct_users,
+        "ewma_final": q_ewma_final,
+        "pack_sequences": q_pack_sequences,
+        "gopher_quality": q_gopher_quality,
+        "token_entropy": q_token_entropy,
+        "absent_windows": q_absent_windows,
+        "cluster_balanced": q_cluster_balanced,
+        "calendar_fields": q_calendar_fields,
+        "mixture_resample": q_mixture_resample,
+        "quality_percentile": q_quality_percentile,
+        "top_ngrams": q_top_ngrams,
+        "vocab_stats": q_vocab_stats,
+        "knn_graph": q_knn_graph,
+        "ts_extrema_windows": q_ts_extrema_windows,
+        "attribution_join": q_attribution_join,
+        "nested_without": q_nested_without,
+        "bm25_topk": q_bm25_topk,
+        "snapshot_restore": q_snapshot_restore,
+        "temperature_resample": q_temperature_resample,
+        "corr_matrix": q_corr_matrix,
+        "lttb_downsample": q_lttb_downsample,
+        "multires_rollup": q_multires_rollup,
+        "leakage_safe_split": q_leakage_safe_split,
+        "rollup_serve": q_rollup_serve,
+        "promql_grouped_range": q_promql_grouped_range,
+        "histogram_helpers": q_histogram_helpers,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "unigram_logprob": q_unigram_logprob,
+        "clean_corpus_stats": q_clean_corpus_stats,
+        "vector_matching": q_vector_matching,
+        "promql_subquery": q_promql_subquery,
+        "promql_histogram": q_promql_histogram,
+        "streaming_ewma": q_streaming_ewma,
+        "repetition_score": q_repetition_score,
+        "agg_stddev": q_agg_stddev,
+        "topk_per_group": q_topk_per_group,
+        "semdedup": q_semdedup,
+        "domain_cap": q_domain_cap,
+        "global_shuffle": q_global_shuffle,
+        "holt_winters": q_holt_winters,
+        "mad_windows": q_mad_windows,
+        "asof_forward_nearest": q_asof_forward_nearest,
+        "streaming_dedup": q_streaming_dedup,
+        "weighted_sample": q_weighted_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
+        "m4_downsample": q_m4_downsample,
     }
 
 # ---------------------------------------------------------------- oracle SQL
