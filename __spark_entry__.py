@@ -1449,6 +1449,11 @@ def q_wire_formats_parse(spark, sf_dir):
             F.col("value").cast("string"), F.lit(" "),
             F.expr("ts DIV 1000").cast("string"),
         ).alias("gr"),
+        # structured columns for the remote_write arm (binary protocol —
+        # rendered from typed columns, not text)
+        F.col("event_type").alias("rw_et"),
+        F.col("value").alias("rw_v"),
+        F.expr("ts DIV 1000").alias("rw_ts"),
     ).localCheckpoint(eager=False)
     om_lines = rendered.select(F.col("om").alias("value"))
     # the parsers are partition-parallel (real dumps split by line / by
@@ -1488,7 +1493,44 @@ def q_wire_formats_parse(spark, sf_dir):
         F.col("ts").alias("ts_us"),
         "value",
     )
-    return om.unionByName(lp).unionByName(gr)
+    # remote_write (NEW r15 — REGATE): the fourth wire protocol, and
+    # the first BINARY one — snappy-compressed protobuf WriteRequests
+    # (remote-write 1.0, hand-rolled codecs in sources/remote_write.py).
+    # Full exporter->receiver loop: render_remote_write packs the typed
+    # rows into per-batch blobs (distributed mapInPandas), a throwaway
+    # db ingests them through the SAME catalog-join series resolution,
+    # and the arm reads back samples x catalog labels — so both codec
+    # halves, the f64/int64 wire exactness, series registration, and
+    # the write path are all inside the oracle hash.
+    from tachyon_spark.sources.remote_write import (
+        ingest_remote_write,
+        render_remote_write,
+    )
+
+    rw_src = rendered.select(
+        F.lit("ev").alias("name"),
+        F.create_map(F.lit("et"), F.col("rw_et")).alias("labels"),
+        F.col("rw_v").alias("value"),
+        F.col("rw_ts").alias("ts"),
+    )
+    blobs = render_remote_write(spread(rw_src), ts_unit="ns")
+    work_rw = tempfile.mkdtemp(prefix="ty_rw_ingest_")
+    conn_rw = Connection(os.path.join(work_rw, "db"), spark)
+    ingest_remote_write(conn_rw, blobs, ts_unit="ns")
+    labels_rw = conn_rw.catalog.df().select(
+        "stream_id", F.col("labels")["et"].alias("et")
+    )
+    rw = (
+        conn_rw.samples_df()
+        .join(F.broadcast(labels_rw), "stream_id")
+        .select(
+            F.lit("remote_write").alias("arm"),
+            "et",
+            F.col("ts").alias("ts_us"),
+            "value",
+        )
+    )
+    return om.unionByName(lp).unionByName(gr).unionByName(rw)
 
 
 def q_delete_series_op(spark, sf_dir):
@@ -4839,11 +4881,12 @@ REGATE: dict[str, int] = {
     # r12 row postdates its r11 marker), so the markers are dropped per
     # the documented lifecycle above.
     #
-    # r14: the graphite arm went from parse-only to a full
-    # ingest-and-read-back round trip (ingest_graphite + catalog-join
-    # series resolution) — the r13 parse-only row no longer proves the
-    # current semantics (VERDICT r13 item 3)
-    "wire_formats_parse": 13,
+    # r15: a fourth arm joined the gate — remote_write (snappy+protobuf
+    # WriteRequest render -> ingest -> read-back, VERDICT r14 task 1) —
+    # so the r14 three-arm row no longer proves the current semantics.
+    # (The r14 graphite-ingest marker at 13 self-healed: the r14 driver
+    # row postdates it — superseded by this r15 marker.)
+    "wire_formats_parse": 14,
 }
 
 
@@ -4859,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row goes stale. Regenerate each round with
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
+        "wire_formats_parse": q_wire_formats_parse,
         "bigram_logprob": q_bigram_logprob,
         "semantic_decontaminate": q_semantic_decontaminate,
         "table_profile": q_table_profile,
@@ -4959,7 +5003,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_resets": q_counter_resets,
         "deriv_windows": q_deriv_windows,
         "irate_windows": q_irate_windows,
-        "wire_formats_parse": q_wire_formats_parse,
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
         "ewma_final": q_ewma_final,
@@ -6650,16 +6693,19 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "wire_formats_parse": f"""
-            -- the parser gate's oracle is the parquet ORIGINALS twice
-            -- over: the engine renders each event to BOTH wire syntaxes
-            -- and parses each back; a correct parser pair reproduces
+            -- the parser gate's oracle is the parquet ORIGINALS once
+            -- per arm: the engine renders each event to all FOUR wire
+            -- formats (three text + snappy-protobuf remote_write) and
+            -- parses/ingests each back; a correct codec pair reproduces
             -- these rows exactly (double->string->double round-trips,
-            -- integral ts, exemplar strip, quote-aware field tokens)
+            -- integral ts, exemplar strip, quote-aware field tokens,
+            -- f64-exact protobuf samples)
             SELECT m.arm, e.event_type AS et, epoch_us(e.ts) AS ts_us,
                    e.value
             FROM events e CROSS JOIN (
               SELECT unnest(
-                ['openmetrics', 'line_protocol', 'graphite']
+                ['openmetrics', 'line_protocol', 'graphite',
+                 'remote_write']
               ) AS arm
             ) m
             WHERE epoch_us(e.ts) BETWEEN {T0_US} AND {T1_US}

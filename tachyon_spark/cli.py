@@ -93,6 +93,14 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["s", "ms", "us", "ns"])
     sp.add_argument("--value-type", default="f64")
 
+    sp = sub.add_parser("import-remote-write")
+    sp.add_argument("path", help="WriteRequest blob file(s) (path/glob)")
+    sp.add_argument("--ts-unit", default="ms",
+                    choices=["s", "ms", "us", "ns"])
+    sp.add_argument("--value-type", default="f64")
+    sp.add_argument("--uncompressed", action="store_true",
+                    help="bodies are raw protobuf (no snappy)")
+
     sp = sub.add_parser("query")
     sp.add_argument("promql")
     sp.add_argument("--start", type=int, default=0)
@@ -225,6 +233,15 @@ def main(argv: list[str] | None = None) -> int:
         n = ingest_graphite(
             conn, args.path, ts_unit=args.ts_unit,
             value_type=args.value_type,
+        )
+        print(f"imported {n} samples")
+    elif args.cmd == "import-remote-write":
+        from tachyon_spark.sources.remote_write import ingest_remote_write
+
+        n = ingest_remote_write(
+            conn, args.path, ts_unit=args.ts_unit,
+            value_type=args.value_type,
+            compressed=not args.uncompressed,
         )
         print(f"imported {n} samples")
     elif args.cmd == "query":

@@ -317,6 +317,56 @@ class _Handler(BaseHTTPRequestHandler):
             )
 
     def do_POST(self):
+        from urllib.parse import parse_qs, urlparse
+
+        rw = urlparse(self.path)
+        if rw.path == "/api/v1/write":
+            # Prometheus remote_write receiver (r15): the body is a
+            # snappy-compressed protobuf WriteRequest (remote-write 1.0)
+            # — binary, so the db path and clock options ride the query
+            # string instead of the JSON-body convention. Decode runs
+            # DISTRIBUTED (sources/remote_write.parse_remote_write,
+            # mapInPandas); the handler only wraps the body bytes into a
+            # 1-row frame. Success replies 204 like Prometheus itself.
+            qs = {k: v[-1] for k, v in parse_qs(rw.query).items()}
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                if not qs.get("path"):
+                    self._json(400, {"error": "missing ?path= query param"})
+                    return
+                conn = _get_connection(qs["path"])
+                from tachyon_spark.sources.remote_write import (
+                    ingest_remote_write,
+                )
+
+                compressed = (
+                    self.headers.get("Content-Encoding", "snappy").lower()
+                    != "identity"
+                )
+                ingest_remote_write(
+                    conn,
+                    body,
+                    ts_unit=qs.get("ts_unit", "ms"),
+                    value_type=qs.get("value_type", "f64"),
+                    compressed=compressed,
+                )
+                self.send_response(204)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            except Exception as e:  # malformed body -> client error
+                msg = str(e)
+                code = (
+                    400
+                    if any(
+                        s in msg
+                        for s in ("snappy", "remote_write", "varint",
+                                  "ts_unit", "ValueError")
+                    )
+                    else 500
+                )
+                self._json(code, {"error": msg[:500]})
+            return
         if self.path not in (
             "/query", "/query_range", "/record", "/alerts",
             "/labels", "/label_values", "/series",

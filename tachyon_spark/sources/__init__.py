@@ -19,6 +19,11 @@ from tachyon_spark.sources.openmetrics import (
     ingest_openmetrics,
     parse_openmetrics,
 )
+from tachyon_spark.sources.remote_write import (
+    ingest_remote_write,
+    parse_remote_write,
+    render_remote_write,
+)
 from tachyon_spark.sources.stats import samples_file_stats
 
 __all__ = [
@@ -32,6 +37,9 @@ __all__ = [
     "render_line_protocol",
     "parse_graphite",
     "parse_openmetrics",
+    "ingest_remote_write",
+    "parse_remote_write",
+    "render_remote_write",
     "samples_file_stats",
     "write_bucketed",
     "read_bucketed",

@@ -1,0 +1,514 @@
+"""Prometheus remote_write receiver (r15, VERDICT r14 task 1).
+
+remote_write is the *push* wire protocol most real Prometheus
+deployments emit: an HTTP POST of a snappy-compressed protobuf
+`WriteRequest` (Prometheus remote-write specification 1.0;
+prometheus/prompb/remote.proto + types.proto — both public). This
+module hand-rolls the two codecs in the repo's established
+dependency-free style (functions/codecs.py does the same for
+PNG/APNG/WAV):
+
+- **snappy block format** (google/snappy format_description.txt):
+  varint uncompressed-length preamble, then a stream of literal /
+  copy1 / copy2 / copy4 elements; copies may overlap forward
+  (offset < length → byte-at-a-time replication). The encoder here is
+  a greedy 4-byte hash matcher — real compression, and every decoder
+  path (including overlap) is exercised by round-trip tests.
+- **protobuf wire walk** for exactly the WriteRequest message tree:
+  WriteRequest{ repeated TimeSeries timeseries = 1 },
+  TimeSeries{ repeated Label labels = 1, repeated Sample samples = 2 },
+  Label{ string name = 1, string value = 2 },
+  Sample{ double value = 1 (fixed64), int64 timestamp = 2 (ms) }.
+  Unknown fields skip by wire type (forward compatibility — a 2.0
+  sender's metadata/exemplar fields must not break ingest).
+
+Scale shape: decode runs DISTRIBUTED — `parse_remote_write` is an
+Arrow-batched `mapInPandas` over binary payload rows (one row per
+WriteRequest blob; the bytes never leave the batch), the same kernel
+shape as functions/multimodal.py. Series registration and the sample
+join ride the shared catalog-join machinery
+(sources/series_resolve.py:resolve_series_mapping) — no driver-side
+catalog collect, identical to the three text-ingest siblings.
+
+Reference parity: the reference engine's HTTP shell
+(tachyon_web_backend/src/main.rs:10-88) serves queries only; this is
+beyond-reference ingest surface, third wire protocol next to
+line_protocol.py and openmetrics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+__all__ = [
+    "decode_write_request",
+    "encode_write_request",
+    "ingest_remote_write",
+    "parse_remote_write",
+    "render_remote_write",
+    "snappy_compress",
+    "snappy_decompress",
+]
+
+_UNIT_NS = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
+
+
+# --------------------------------------------------------------- snappy
+
+def _uvarint(buf: bytes, i: int) -> tuple[int, int]:
+    """LE base-128 varint at buf[i:] -> (value, next index)."""
+    val = shift = 0
+    while True:
+        if i >= len(buf):
+            raise ValueError("snappy/proto: truncated varint")
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+        if shift > 63:
+            raise ValueError("snappy/proto: varint overflow")
+
+
+def _put_uvarint(out: bytearray, val: int) -> None:
+    while val >= 0x80:
+        out.append((val & 0x7F) | 0x80)
+        val >>= 7
+    out.append(val)
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Decode the snappy BLOCK format (what remote_write bodies use —
+    not the framing/stream format). Handles all four element kinds and
+    overlapping copies; malformed input raises ValueError."""
+    n, i = _uvarint(data, 0)
+    out = bytearray()
+    ln = len(data)
+    while i < ln:
+        tag = data[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            length = tag >> 2
+            if length >= 60:  # 60..63: length-1 in next 1..4 LE bytes
+                nb = length - 59
+                if i + nb > ln:
+                    raise ValueError("snappy: truncated literal length")
+                length = int.from_bytes(data[i : i + nb], "little")
+                i += nb
+            length += 1
+            if i + length > ln:
+                raise ValueError("snappy: truncated literal")
+            out += data[i : i + length]
+            i += length
+            continue
+        if kind == 1:  # copy, 1-byte offset: len 4..11, 11-bit offset
+            length = ((tag >> 2) & 0x7) + 4
+            if i >= ln:
+                raise ValueError("snappy: truncated copy1")
+            offset = ((tag >> 5) << 8) | data[i]
+            i += 1
+        elif kind == 2:  # copy, 2-byte LE offset: len 1..64
+            length = (tag >> 2) + 1
+            if i + 2 > ln:
+                raise ValueError("snappy: truncated copy2")
+            offset = int.from_bytes(data[i : i + 2], "little")
+            i += 2
+        else:  # copy, 4-byte LE offset
+            length = (tag >> 2) + 1
+            if i + 4 > ln:
+                raise ValueError("snappy: truncated copy4")
+            offset = int.from_bytes(data[i : i + 4], "little")
+            i += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError("snappy: copy offset out of range")
+        src = len(out) - offset
+        if offset >= length:  # disjoint — one slice copy
+            out += out[src : src + length]
+        else:  # overlapping — replicate forward byte-at-a-time semantics
+            for k in range(length):
+                out.append(out[src + k])
+    if len(out) != n:
+        raise ValueError(
+            f"snappy: declared length {n} != decoded {len(out)}"
+        )
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Greedy snappy block encoder: 4-byte hash table, copy2/copy4
+    emission, literals between matches. Always a VALID block stream —
+    compression quality is secondary to exercising the decoder."""
+    out = bytearray()
+    _put_uvarint(out, len(data))
+    n = len(data)
+
+    def emit_literal(lo: int, hi: int) -> None:
+        while lo < hi:
+            length = min(hi - lo, 0x100000000)
+            lm1 = length - 1
+            if lm1 < 60:
+                out.append(lm1 << 2)
+            else:
+                nb = (lm1.bit_length() + 7) // 8
+                out.append((59 + nb) << 2)
+                out.extend(lm1.to_bytes(nb, "little"))
+            out.extend(data[lo : lo + length])
+            lo += length
+
+    table: dict[int, int] = {}
+    i = lit = 0
+    while i + 4 <= n:
+        key = int.from_bytes(data[i : i + 4], "little")
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and data[cand : cand + 4] == data[i : i + 4]:
+            offset = i - cand
+            # extend the match
+            m = 4
+            while i + m < n and data[cand + m] == data[i + m]:
+                m += 1
+            emit_literal(lit, i)
+            while m > 0:
+                length = min(m, 64)
+                if length < 4 and m != length:
+                    break  # leave tiny tail to literals
+                if offset < 65536:
+                    out.append(((length - 1) << 2) | 2)
+                    out += offset.to_bytes(2, "little")
+                else:
+                    out.append(((length - 1) << 2) | 3)
+                    out += offset.to_bytes(4, "little")
+                i += length
+                m -= length
+            lit = i
+        else:
+            i += 1
+    emit_literal(lit, n)
+    return bytes(out)
+
+
+# ------------------------------------------------------------- protobuf
+
+def _skip_field(buf: bytes, i: int, wt: int) -> int:
+    if wt == 0:
+        return _uvarint(buf, i)[1]
+    if wt == 1:
+        return i + 8
+    if wt == 2:
+        ln, i = _uvarint(buf, i)
+        return i + ln
+    if wt == 5:
+        return i + 4
+    raise ValueError(f"remote_write: unsupported wire type {wt}")
+
+
+def _fields(buf: bytes):
+    """Yield (field_number, wire_type, payload) triples; payload is the
+    varint value (wt 0), raw bytes (wt 1/5) or sub-message bytes (wt 2).
+    Unknown wire types raise; unknown FIELDS are the caller's to skip
+    (they arrive here like any other)."""
+    i, n = 0, len(buf)
+    while i < n:
+        key, i = _uvarint(buf, i)
+        fno, wt = key >> 3, key & 7
+        if wt == 0:
+            val, i = _uvarint(buf, i)
+            yield fno, wt, val
+        elif wt == 1:
+            if i + 8 > n:
+                raise ValueError("remote_write: truncated fixed64")
+            yield fno, wt, buf[i : i + 8]
+            i += 8
+        elif wt == 2:
+            ln, i = _uvarint(buf, i)
+            if i + ln > n:
+                raise ValueError("remote_write: truncated field")
+            yield fno, wt, buf[i : i + ln]
+            i += ln
+        elif wt == 5:
+            if i + 4 > n:
+                raise ValueError("remote_write: truncated fixed32")
+            yield fno, wt, buf[i : i + 4]
+            i += 4
+        else:
+            raise ValueError(f"remote_write: unsupported wire type {wt}")
+
+
+def decode_write_request(
+    data: bytes,
+) -> list[tuple[dict[str, str], list[tuple[int, float]]]]:
+    """Uncompressed WriteRequest bytes ->
+    [(labels incl __name__, [(timestamp_ms, value), ...]), ...].
+    int64 timestamps decode signed (two's complement 10-byte varints);
+    unknown fields at every level skip cleanly."""
+    import struct
+
+    series = []
+    for fno, wt, payload in _fields(data):
+        if fno != 1 or wt != 2:
+            continue  # metadata (field 3) and future fields skip
+        labels: dict[str, str] = {}
+        samples: list[tuple[int, float]] = []
+        for sfno, swt, spay in _fields(payload):
+            if sfno == 1 and swt == 2:  # Label
+                name = value = ""
+                for lfno, lwt, lpay in _fields(spay):
+                    if lfno == 1 and lwt == 2:
+                        name = lpay.decode("utf-8")
+                    elif lfno == 2 and lwt == 2:
+                        value = lpay.decode("utf-8")
+                labels[name] = value
+            elif sfno == 2 and swt == 2:  # Sample
+                val, ts = 0.0, 0
+                for pfno, pwt, ppay in _fields(spay):
+                    if pfno == 1 and pwt == 1:
+                        val = struct.unpack("<d", ppay)[0]
+                    elif pfno == 2 and pwt == 0:
+                        ts = ppay - (1 << 64) if ppay >= 1 << 63 else ppay
+                samples.append((ts, val))
+            # exemplars (3) / histograms (4) skip — samples-only receiver
+        series.append((labels, samples))
+    return series
+
+
+def encode_write_request(
+    series: list[tuple[dict[str, str], list[tuple[int, float]]]],
+) -> bytes:
+    """Inverse of decode_write_request (uncompressed). Labels encode in
+    sorted order (the spec requires sorted, de-duplicated label names)."""
+    import struct
+
+    def ld(out: bytearray, fno: int, body: bytes) -> None:
+        _put_uvarint(out, (fno << 3) | 2)
+        _put_uvarint(out, len(body))
+        out += body
+
+    req = bytearray()
+    for labels, samples in series:
+        ts_msg = bytearray()
+        for k in sorted(labels):
+            lab = bytearray()
+            ld(lab, 1, k.encode("utf-8"))
+            ld(lab, 2, labels[k].encode("utf-8"))
+            ld(ts_msg, 1, bytes(lab))
+        for ts, val in samples:
+            smp = bytearray()
+            _put_uvarint(smp, (1 << 3) | 1)
+            smp += struct.pack("<d", val)
+            _put_uvarint(smp, (2 << 3) | 0)
+            _put_uvarint(smp, ts & 0xFFFFFFFFFFFFFFFF)
+            ld(ts_msg, 2, bytes(smp))
+        ld(req, 1, bytes(ts_msg))
+    return bytes(req)
+
+
+# ------------------------------------------------------- spark surface
+
+def _escape_label(v: str) -> str:
+    # promapi._escape_label — byte-identical to the column form the
+    # catalog join keys on (series_resolve.escape_label_col)
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def _series_key(name: str, labels: dict[str, str]) -> str:
+    body = ",".join(
+        f'{k}="{_escape_label(v)}"' for k, v in sorted(labels.items())
+    )
+    return f"{name}{{{body}}}"
+
+
+PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("label_keys", T.ArrayType(T.StringType()), False),
+        T.StructField("label_vals", T.ArrayType(T.StringType()), False),
+        T.StructField("series_key", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("ts", T.LongType(), False),
+    ]
+)
+
+
+def parse_remote_write(
+    blobs: DataFrame,
+    ts_unit: str = "ms",
+    payload_col: str = "content",
+    compressed: bool = True,
+) -> DataFrame:
+    """Distributed WriteRequest decode: `blobs` holds one snappy+proto
+    payload per row in `payload_col` (binary). Output one row per
+    sample: (name, labels map, series_key, value double, ts long scaled
+    to native units by `ts_unit` — "ms" is the wire unit the 1.0 spec
+    mandates; unitless test clocks pass "ns"). A series without the
+    __name__ label violates the spec and raises."""
+    if ts_unit not in _UNIT_NS:
+        raise ValueError(
+            f"ts_unit must be one of {sorted(_UNIT_NS)}, got {ts_unit!r}"
+        )
+    mult = _UNIT_NS[ts_unit]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf[payload_col]:
+                raw = bytes(blob)
+                if compressed:
+                    raw = snappy_decompress(raw)
+                for labels, samples in decode_write_request(raw):
+                    name = labels.pop("__name__", None)
+                    if name is None:
+                        raise ValueError(
+                            "remote_write: series without __name__ "
+                            f"label (labels: {sorted(labels)[:5]})"
+                        )
+                    key = _series_key(name, labels)
+                    lk = sorted(labels)
+                    lv = [labels[k] for k in lk]
+                    for ts, val in samples:
+                        rows.append(
+                            (name, lk, lv, key, val, ts * mult)
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PARSED_SCHEMA.fields]
+            )
+
+    return (
+        blobs.select(F.col(payload_col))
+        .mapInPandas(kernel, PARSED_SCHEMA)
+        .select(
+            "name",
+            F.map_from_arrays("label_keys", "label_vals").alias("labels"),
+            "series_key",
+            "value",
+            "ts",
+        )
+    )
+
+
+def ingest_remote_write(
+    conn,
+    source: bytes | str | DataFrame,
+    ts_unit: str = "ms",
+    value_type: str = "f64",
+    compressed: bool = True,
+) -> int:
+    """Ingest remote_write payload(s) into `conn`. `source` is a single
+    request body (bytes — the HTTP POST shape), a path/glob of blob
+    files (spark binaryFile read), or a DataFrame with a binary
+    `content` column. Series resolution/registration and the sample
+    join ride the shared distributed machinery
+    (series_resolve.resolve_series_mapping); the whole parse
+    materializes BEFORE the catalog mutates, so a malformed blob fails
+    the ingest atomically (same contract as the text ingests, ADVICE
+    r14 #4). Returns samples appended.
+
+    Values are wire doubles (the Sample message carries only f64), so
+    integer-typed streams store the long cast of the double — exact for
+    magnitudes < 2^53, the protocol's own precision bound."""
+    if isinstance(source, DataFrame):
+        blobs = source
+    elif isinstance(source, (bytes, bytearray)):
+        blobs = conn.spark.createDataFrame(
+            [(bytes(source),)], "content binary"
+        )
+    else:
+        blobs = conn.spark.read.format("binaryFile").load(source).select(
+            "content"
+        )
+    from tachyon_spark.sources.series_resolve import (
+        resolve_series_mapping,
+    )
+
+    parsed = parse_remote_write(
+        blobs, ts_unit=ts_unit, compressed=compressed
+    ).cache()
+    try:
+        parsed.count()  # atomic: decode errors fire before registration
+        series_df = parsed.select(
+            "series_key", "name", "labels"
+        ).dropDuplicates(["series_key"])
+        mapping = resolve_series_mapping(conn, series_df, value_type)
+        out = parsed.join(F.broadcast(mapping), "series_key").select(
+            "stream_id",
+            "ts",
+            F.when(F.col("__int"), F.lit(None).cast("double"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+            F.when(F.col("__int"), F.col("value").cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("value_int"),
+        )
+        n = out.count()
+        conn.bulk_load(out)
+        return n
+    finally:
+        parsed.unpersist()
+
+
+RENDERED_SCHEMA = T.StructType(
+    [T.StructField("content", T.BinaryType(), False)]
+)
+
+
+def render_remote_write(
+    df: DataFrame,
+    name_col: str = "name",
+    labels_col: str | None = "labels",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    ts_unit: str = "ms",
+    compress: bool = True,
+) -> DataFrame:
+    """Render (name, labels?, value, ts) rows to WriteRequest blobs —
+    ONE blob per Arrow batch (distributed; round-trips through
+    parse_remote_write). `ts_unit` scales native ts down to the wire's
+    ms unit. The exporter half: point it at any remote_write endpoint."""
+    if ts_unit not in _UNIT_NS:
+        raise ValueError(
+            f"ts_unit must be one of {sorted(_UNIT_NS)}, got {ts_unit!r}"
+        )
+    div = _UNIT_NS[ts_unit]
+    cols = [
+        F.col(name_col).alias("__n"),
+        (
+            F.map_entries(F.col(labels_col))
+            if labels_col is not None
+            else F.array().cast("array<struct<key:string,value:string>>")
+        ).alias("__l"),
+        F.col(value_col).cast("double").alias("__v"),
+        (F.col(ts_col).cast("long") / F.lit(div)).cast("long").alias("__t"),
+    ]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            per: dict[tuple, list] = {}
+            for n, ents, v, t in zip(
+                pdf["__n"], pdf["__l"], pdf["__v"], pdf["__t"]
+            ):
+                labels = {"__name__": n}
+                for e in ents:
+                    k, val = (
+                        (e["key"], e["value"])
+                        if isinstance(e, dict)
+                        else (e[0], e[1])
+                    )
+                    labels[k] = val
+                per.setdefault(tuple(sorted(labels.items())), []).append(
+                    (int(t), float(v))
+                )
+            body = encode_write_request(
+                [(dict(k), sorted(v)) for k, v in sorted(per.items())]
+            )
+            if compress:
+                body = snappy_compress(body)
+            yield pd.DataFrame({"content": [body]})
+
+    return df.select(*cols).mapInPandas(kernel, RENDERED_SCHEMA)

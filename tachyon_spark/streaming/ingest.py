@@ -196,3 +196,56 @@ def start_graphite_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_remote_write_ingest(
+    conn,
+    source_dir: str,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+    max_files_per_trigger: int = 100,
+    ts_unit: str = "ms",
+    value_type: str = "f64",
+    compressed: bool = True,
+):
+    """LIVE remote_write ingestion (r15): tail `source_dir` for dropped
+    WriteRequest blobs (one snappy+protobuf body per file — the shape a
+    dumb HTTP front or a replayed WAL produces) and ingest each
+    micro-batch through sources/remote_write.ingest_remote_write — the
+    same distributed mapInPandas decode, catalog-join series resolution
+    (new series appearing mid-stream register in that batch), and batch
+    write path as the HTTP endpoint. binaryFile streaming source +
+    the shared foreachBatch/checkpoint contract of the three text arms.
+    Returns the StreamingQuery."""
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        conn.db_dir, "_checkpoints", "remote_write"
+    )
+    src = (
+        conn.spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(source_dir)
+    )
+
+    def _append(batch_df, _batch_id):
+        from tachyon_spark.sources.remote_write import ingest_remote_write
+
+        ingest_remote_write(
+            conn,
+            batch_df.select("content"),
+            ts_unit=ts_unit,
+            value_type=value_type,
+            compressed=compressed,
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
