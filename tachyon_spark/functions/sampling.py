@@ -409,6 +409,17 @@ def mixture_resample(
     qdf = spark.createDataFrame(
         quotas, f"{group_col} string, __quota long"
     )
+    return _apply_quotas(df, qdf, group_col, key_col, salt)
+
+
+def _apply_quotas(
+    df: DataFrame, qdf: DataFrame, group_col: str, key_col: str, salt: str
+) -> DataFrame:
+    """Keep each group's `__quota` smallest md5(key||salt) rows — the
+    skew-safe two-phase selection shared by mixture_resample (dict-built
+    quota frame) and temperature_resample (fully in-plan quota frame):
+    a 32-way bucketed pre-cap bounds any single task, then the per-group
+    window applies the exact quota."""
     fanout = 32
     key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
     h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
@@ -449,20 +460,46 @@ def temperature_resample(
     Note on alpha: 0.5 (the common default) uses sqrt, which IEEE 754
     rounds exactly — any engine replaying the weights computes identical
     doubles; arbitrary alphas go through pow, whose last ulp is
-    library-dependent, so cross-engine replays should prefer 0.5."""
+    library-dependent, so cross-engine replays should prefer 0.5.
+
+    Scale shape (r15, VERDICT r14 item 3): unlike mixture_resample —
+    whose counts collect is bounded by the USER'S explicit target dict —
+    the temperature flatten ranges over every distinct domain, which at
+    the engine's high-cardinality posture must not become a
+    group-cardinality driver dict. So everything stays in-plan: counts
+    are a grouped frame, weight / share / feasible-N* are column
+    expressions with two 1-row aggregates cross-joined back (broadcast),
+    and the quota frame joins the selection machinery as a broadcast —
+    the driver never materializes a row per group. The floating-point
+    OPERATION ORDER (w = n^alpha; p = w / sum(w); N* = min floor(n/p);
+    quota = floor(N*·p)) is kept identical to the old driver-side math
+    and the gate's oracle SQL, so the selected sets replay exactly."""
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
-    }
-    if not counts:
-        return df.limit(0)
-    target = {d: float(n) ** alpha for d, n in counts.items()}
-    return mixture_resample(
-        df, target, group_col=group_col, key_col=key_col, salt=salt,
-        total=total,
+    cdf = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    n_d = F.col("__n").cast("double")
+    wcol = F.sqrt(n_d) if alpha == 0.5 else F.pow(n_d, F.lit(float(alpha)))
+    wdf = cdf.withColumn("__w", wcol)
+    sw = wdf.agg(F.sum("__w").alias("__sw"))  # 1 row
+    pdf = wdf.crossJoin(F.broadcast(sw)).withColumn(
+        "__p", F.col("__w") / F.col("__sw")
     )
+    feas = pdf.agg(
+        F.min(F.floor(F.col("__n") / F.col("__p")).cast("long")).alias(
+            "__feas"
+        )
+    )  # 1 row
+    if total is not None:
+        feas = feas.select(
+            F.least(F.col("__feas"), F.lit(int(total))).alias("__feas")
+        )
+    qdf = pdf.crossJoin(F.broadcast(feas)).select(
+        group_col,
+        F.floor(F.col("__feas") * F.col("__p")).cast("long").alias(
+            "__quota"
+        ),
+    )
+    return _apply_quotas(df, qdf, group_col, key_col, salt)
 
 
 def leakage_safe_split(

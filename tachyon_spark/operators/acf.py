@@ -66,7 +66,9 @@ def _check_names(ts_col, group_cols, out_cols):
         )
 
 
-def _global_rank(df: DataFrame, ts_col: str) -> DataFrame:
+def _global_rank(
+    df: DataFrame, ts_col: str, keep_pid: bool = False
+) -> DataFrame:
     """Distributed global row_number over `ts_col` (1-based, ascending,
     numeric ts), as column `__rn` — WITHOUT the one-task global sort an
     empty window partition list would produce (VERDICT r12 item 2; same
@@ -85,12 +87,20 @@ def _global_rank(df: DataFrame, ts_col: str) -> DataFrame:
     identical AQE coalescing across two readers of one shuffle is an
     optimizer behavior, not a guarantee (RangePartitioner even seeds
     its boundary sample by RDD id, so two *recomputed* exchanges may
-    not agree). The bucket id here is a pure deterministic function of
-    (ts, min, max) — min/max are order-independent aggregates, so every
-    branch computes the identical assignment even with reuse disabled.
-    Trade: equal-width buckets balance perfectly on regular time grids
-    (this module's contract) but can skew on pathological ts
-    distributions — a parallelism cost, never a correctness one. A
+    not agree). The cut points here are computed ONCE (one bounded
+    approxQuantile pass — a nbuckets-sized result, never data-sized)
+    and embedded as LITERALS, so every branch computes the identical
+    assignment even with reuse disabled.
+
+    r15 (VERDICT r14 item 6): the boundaries are QUANTILE-sampled, not
+    equal-width over [min, max] — equal-width balanced perfectly on
+    regular time grids but skewed badly on pathological ts
+    distributions (one dense cluster + one outlier put ~all rows in one
+    bucket: a parallelism cliff). Greenwald-Khanna quantile cuts bound
+    every bucket at ~(1/nbuckets ± eps) of the rows regardless of the
+    distribution; rows tied on a single heavy ts value still co-locate
+    (a global rank cannot split equal keys). Assignment is a JVM binary
+    search (ml.feature.Bucketizer) per row, monotone in ts. A
     single-distinct-ts input degenerates to one bucket (not a series).
     """
     try:
@@ -99,30 +109,32 @@ def _global_rank(df: DataFrame, ts_col: str) -> DataFrame:
         )
     except ValueError:  # e.g. "auto" under some AQE deployments
         nbuckets = 200
-    # a NULL ts is not a series point: F.least() would skip the NULL
-    # bucket expression and dump the row in the LAST bucket while the
-    # in-bucket sort puts it first — silent rank corruption (r13 review)
+    # a NULL ts is not a series point: a null bucket expression would
+    # dump the row in one bucket while the in-bucket sort puts it
+    # first — silent rank corruption (r13 review)
     df = df.where(F.col(ts_col).isNotNull())
-    stats = df.agg(
-        F.min(ts_col).cast("double").alias("__lo"),
-        F.max(ts_col).cast("double").alias("__hi"),
-    )
-    width = F.col("__hi") - F.col("__lo") + F.lit(1.0)
-    part = (
-        df.crossJoin(F.broadcast(stats))
-        .withColumn(
-            "__pid",
-            F.least(
-                F.lit(nbuckets - 1),
-                F.floor(
-                    (F.col(ts_col).cast("double") - F.col("__lo"))
-                    / width
-                    * nbuckets
-                ).cast("int"),
-            ),
+    probs = [i / nbuckets for i in range(1, nbuckets)]
+    cuts = df.select(
+        F.col(ts_col).cast("double").alias("__t")
+    ).stat.approxQuantile("__t", probs, 0.25 / nbuckets)
+    splits = sorted(set(cuts))
+    if splits:
+        from pyspark.ml.feature import Bucketizer
+
+        buck = Bucketizer(
+            splits=[float("-inf")] + splits + [float("inf")],
+            inputCol="__tq",
+            outputCol="__pid_d",
         )
-        .drop("__lo", "__hi")
-    )
+        part = (
+            buck.transform(
+                df.withColumn("__tq", F.col(ts_col).cast("double"))
+            )
+            .withColumn("__pid", F.col("__pid_d").cast("int"))
+            .drop("__tq", "__pid_d")
+        )
+    else:  # empty input or a single distinct ts
+        part = df.withColumn("__pid", F.lit(0))
     wloc = Window.partitionBy("__pid").orderBy(ts_col)
     local = part.withColumn("__lrn", F.row_number().over(wloc))
     woff = Window.orderBy("__pid").rowsBetween(
@@ -136,11 +148,14 @@ def _global_rank(df: DataFrame, ts_col: str) -> DataFrame:
             F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
         )
     )
-    return (
+    out = (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn("__rn", (F.col("__lrn") + F.col("__off")).cast("int"))
-        .drop("__pid", "__lrn", "__off")
+        .drop("__lrn", "__off")
     )
+    # __pid is internal; keep_pid exists so the balance tripwire test
+    # can observe the bucket sizes without re-deriving the cut points
+    return out if keep_pid else out.drop("__pid")
 
 
 def autocorrelation(

@@ -327,3 +327,32 @@ def test_pacf_group_named_pacf_raises(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         partial_autocorrelation(df, "ts", "value", 2, group_cols=["pacf"])
+
+
+def test_global_rank_quantile_buckets_balance_skew(spark):
+    """r15 (VERDICT r14 item 6): quantile-sampled cut points keep the
+    rank buckets balanced on a pathological ts distribution — 10k rows
+    clustered in [0, 10k) plus one outlier at 10^12 used to land ~all
+    rows in ONE equal-width bucket; GK cuts bound every bucket near
+    rows/nbuckets. Rank correctness is re-pinned alongside."""
+    from tachyon_spark.operators.acf import _global_rank
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    df = spark.range(10_000).select(F.col("id").alias("ts")).union(
+        spark.range(1).select(
+            (F.col("id") + 1_000_000_000_000).alias("ts")
+        )
+    )
+    ranked = _global_rank(df, "ts", keep_pid=True)
+    # correctness: rank == ts order
+    rows = ranked.orderBy("__rn").select("ts", "__rn").collect()
+    assert [r["__rn"] for r in rows] == list(range(1, 10_002))
+    assert [r["ts"] for r in rows] == sorted(r["ts"] for r in rows)
+    # balance: the largest bucket holds ~1/32 of the rows, not ~all
+    sizes = [
+        r.n
+        for r in ranked.groupBy("__pid").agg(
+            F.count("*").alias("n")
+        ).collect()
+    ]
+    assert max(sizes) < 10_001 * 0.15, sizes  # equal-width would be ~1.0

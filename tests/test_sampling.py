@@ -321,6 +321,32 @@ def test_temperature_resample_flattens(spark):
         temperature_resample(df, alpha=-0.1)
 
 
+def test_temperature_resample_quota_math_in_plan(spark):
+    """r15 (VERDICT r14 item 3): the temperature flatten ranges over
+    EVERY distinct domain, so its quota math must stay in-plan — no
+    group-cardinality driver collect + createDataFrame re-upload. The
+    tripwire is the physical plan: a driver-built quota frame shows up
+    as a LocalTableScan/parallelize source; the in-plan shape has none
+    (mixture_resample's user-dict-bounded LocalTableScan is exempt and
+    still allowed THERE). Also: empty input -> empty output, no raise."""
+    from tachyon_spark.functions.sampling import temperature_resample
+
+    # input built from spark.range (a pure in-plan source) so ANY
+    # LocalTableScan / ExistingRDD in the executed plan could only come
+    # from a driver-built quota frame
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % 50)).alias("source"),
+    )
+    out = temperature_resample(df, alpha=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan, plan
+    assert "Scan ExistingRDD" not in plan, plan
+    assert out.count() > 0
+    empty = df.limit(0)
+    assert temperature_resample(empty, alpha=0.5).count() == 0
+
+
 def test_leakage_safe_split_co_travels_clusters(spark):
     from tachyon_spark.functions.sampling import hash_split, leakage_safe_split
 

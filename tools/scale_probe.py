@@ -55,6 +55,8 @@ DEFAULT = [
     "maintenance",
     "sparse_gapfill",
     "asof_hotkey",
+    "temperature_groups",
+    "wire_ingest_churn",
 ]
 
 # tables + id columns each registry query needs replicated
@@ -336,6 +338,74 @@ def probe_maintenance(spark, factor: int) -> None:
     )
 
 
+def probe_temperature_groups(spark, factor: int) -> tuple[float, float]:
+    """temperature_resample under Nx GROUP CARDINALITY (VERDICT r14
+    item 3): the quota math is now fully in-plan (two 1-row aggregates
+    + a broadcast quota frame) — the driver must never hold a row per
+    group. 10k vs 10k*min(factor,10) distinct domains, ~8 rows each;
+    a group-cardinality driver collect would show super-linear wall and
+    driver-memory pressure here; the in-plan shape reads ~linear."""
+    from tachyon_spark.functions.sampling import temperature_resample
+
+    def run(groups: int) -> float:
+        df = (
+            spark.range(groups * 8)
+            .select(
+                F.concat(F.lit("d"), (F.col("id") % groups)).alias(
+                    "source"
+                ),
+                F.col("id").cast("string").alias("doc_id"),
+            )
+            .repartition(32)
+            .localCheckpoint()
+        )
+        return timed(
+            lambda: materialize(temperature_resample(df, alpha=0.5))
+        )
+
+    return run(10_000), run(10_000 * min(factor, 10))
+
+
+def probe_wire_ingest_churn(spark, factor: int) -> tuple[float, float]:
+    """Wire-format INGEST with series-registration churn (VERDICT r14
+    item 4): the parse paths are probed elsewhere; this drives the
+    ingest path end-to-end with >REG_COLLECT_MAX NEW series in ONE
+    batch — 500k+ line-protocol lines over 60k distinct series — so the
+    left-anti novelty resolution chooses the DISTRIBUTED
+    register_streams_df branch (series_resolve.py) and the catalog
+    mapping semi-join runs against a 60k-stream catalog. Baseline is
+    the same line count over 5k series (collect-branch registration);
+    ratio measures the registration machinery, not the parse."""
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.sources.line_protocol import ingest_line_protocol
+
+    def run(series: int, lines: int) -> float:
+        work = tempfile.mkdtemp(prefix="ty_ingest_churn_")
+        conn = Connection(os.path.join(work, "db"), spark)
+        txt = (
+            spark.range(lines)
+            .select(
+                F.concat(
+                    F.lit("m,host=h"), (F.col("id") % series),
+                    F.lit(" v="), (F.col("id") % 97).cast("string"),
+                    F.lit(" "), (F.col("id") * 1000).cast("string"),
+                ).alias("value")
+            )
+            .repartition(32)
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        n, _ = ingest_line_protocol(conn, txt, precision="ns")
+        wall = time.time() - t0
+        assert n == lines, f"ingested {n} != {lines}"
+        got = conn.catalog.df().count()
+        assert got == series, f"registered {got} != {series} streams"
+        shutil.rmtree(work, ignore_errors=True)
+        return wall
+
+    return run(5_000, 500_000), run(60_000, 500_000)
+
+
 def main() -> int:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     names = sys.argv[2].split(",") if len(sys.argv) > 2 else DEFAULT
@@ -403,6 +473,16 @@ def main() -> int:
             print(f"{'asof_hotkey':<24} {b:>8.2f} {x:>6.2f} "
                   f"{x / max(b, 1e-9):>6.1f}x  (hot-key rows x"
                   f"{min(factor, 10)})")
+        if "temperature_groups" in names:
+            b, x = probe_temperature_groups(spark, factor)
+            print(f"{'temperature_groups':<24} {b:>8.2f} {x:>6.2f} "
+                  f"{x / max(b, 1e-9):>6.1f}x  (groups x"
+                  f"{min(factor, 10)})")
+        if "wire_ingest_churn" in names:
+            b, x = probe_wire_ingest_churn(spark, factor)
+            print(f"{'wire_ingest_churn':<24} {b:>8.2f} {x:>6.2f} "
+                  f"{x / max(b, 1e-9):>6.1f}x  (new series 5k->60k, "
+                  f"500k lines, distributed-registration branch)")
         if "maintenance" in names:
             probe_maintenance(spark, factor)
     finally:
