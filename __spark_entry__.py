@@ -3537,24 +3537,25 @@ def q_multires_rollup(spark, sf_dir):
     multires_rollup): 1m + 1h buckets per event_type via GROUPING SETS —
     the Expand happens before the map-side partials, so ONE exchange
     serves both resolutions (the naive build pays one scan+shuffle per
-    resolution). Mergeable aggregates + round-6 avg."""
+    resolution). Mergeable aggregates + replayable round-6 avg.
+
+    r15 (REGATE, VERDICT r14 item 5): the avg column is now INSIDE the
+    gate — multires.round6_replayable rounds via floor(x*1e6+0.5)/1e6
+    (pure IEEE ops, bit-identical in any engine), closing the round-6
+    half-boundary exclusion (the sf0.1 bucket whose mean prints as
+    exactly 43.4728125: Spark's shortest-repr round() went up, DuckDB's
+    binary round went down; the floor form agrees everywhere)."""
     from tachyon_spark.operators.multires import multires_rollup
 
     ev = _read(spark, sf_dir, "events")
     e = ev.select(
         "event_type", F.expr("ts DIV 1000").alias("t_us"), "value"
     )
-    out = multires_rollup(
+    return multires_rollup(
         e,
         {"1m": 60_000_000, "1h": 3_600_000_000},
         key_col="event_type", ts_col="t_us", value_col="value",
     )
-    # gate on the MERGEABLE aggregates only: avg = sum/n is derivable, and
-    # one sf0.1 bucket's mean sits exactly on a round-6 half boundary
-    # (1391.13/32 = 43.4728125) where Spark's shortest-repr half-up and
-    # DuckDB's binary rounding systematically disagree — the documented
-    # round-6 tie case (COVERAGE.md), not a semantic divergence
-    return out.drop("avg")
 
 
 ROLLUP_ANCHOR_US = 900_000_000  # 15 min — deliberately off the hour grid
@@ -4887,6 +4888,10 @@ REGATE: dict[str, int] = {
     # (The r14 graphite-ingest marker at 13 self-healed: the r14 driver
     # row postdates it — superseded by this r15 marker.)
     "wire_formats_parse": 14,
+    # r15: the avg column joined the gate (round6_replayable closed the
+    # half-boundary exclusion, VERDICT r14 item 5) — rows gated on the
+    # avg-less frame no longer prove the current semantics
+    "multires_rollup": 14,
 }
 
 
@@ -4903,6 +4908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/rotate_registry.py from the CORRECTNESS_r0*.json history.
     return {
         "wire_formats_parse": q_wire_formats_parse,
+        "multires_rollup": q_multires_rollup,
         "bigram_logprob": q_bigram_logprob,
         "semantic_decontaminate": q_semantic_decontaminate,
         "table_profile": q_table_profile,
@@ -5025,7 +5031,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": q_temperature_resample,
         "corr_matrix": q_corr_matrix,
         "lttb_downsample": q_lttb_downsample,
-        "multires_rollup": q_multires_rollup,
         "leakage_safe_split": q_leakage_safe_split,
         "rollup_serve": q_rollup_serve,
         "promql_grouped_range": q_promql_grouped_range,
@@ -8666,7 +8671,14 @@ def oracle_sql() -> dict[str, str]:
                      AS resolution,
                    coalesce(b1m, b1h) AS bucket,
                    count(v) AS n, sum(v) AS sum, min(v) AS min,
-                   max(v) AS max
+                   max(v) AS max,
+                   -- round6_replayable: floor(x*1e6+0.5)/1e6 — the same
+                   -- IEEE ops the engine runs, so the avg hash-matches
+                   -- (r15: the old round(x, 6) half-boundary exclusion)
+                   CASE WHEN abs(sum(v) / count(v)) < 9000000000.0
+                        THEN floor(sum(v) / count(v) * 1000000.0 + 0.5)
+                             / 1000000.0
+                        ELSE sum(v) / count(v) END AS avg
             FROM e
             GROUP BY GROUPING SETS ((key, b1m), (key, b1h))
         """,

@@ -15,6 +15,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def round6_replayable(col):
+    """Round-6 that ANY IEEE-754 engine replays bit-identically (r15,
+    VERDICT r14 item 5): floor(x*1e6 + 0.5)/1e6 over doubles — plain
+    mult/add/floor/divide, each a correctly-rounded IEEE op on the same
+    inputs, so Spark and DuckDB (and anything else) produce the SAME
+    double. Spark's own round() does NOT have this property: it rounds
+    the SHORTEST DECIMAL REPR (BigDecimal.valueOf) half-up, so a value
+    printing as an exact half-boundary ("43.4728125") rounds UP while
+    an engine rounding the binary value (…12499999…) rounds DOWN — the
+    round-6 divergence class that kept multires_rollup's avg column out
+    of its oracle gate. Semantics: half-toward-+infinity on the binary
+    value. Magnitudes >= 2^53/1e6 pass through unchanged (double
+    granularity exceeds 1e-6 there; rounding is a no-op and the *1e6
+    scale could overflow the long floor)."""
+    scaled = (
+        F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(1e6)
+    )
+    return F.when(F.abs(col) < F.lit(9.0e9), scaled).otherwise(col)
+
+
 def multires_rollup(
     df: DataFrame,
     resolutions: dict[str, int],
@@ -26,7 +46,8 @@ def multires_rollup(
     """Roll `df` up at every named resolution at once. `resolutions` maps
     a label to its bucket width in ts units, e.g. {"1m": 60_000_000,
     "1h": 3_600_000_000}. Returns one row per (key, resolution, bucket)
-    with the mergeable aggregates (n, sum, min, max) plus a round-6 avg.
+    with the mergeable aggregates (n, sum, min, max) plus a round-6 avg
+    (round6_replayable — bit-identical in any IEEE engine).
 
     Shape: bucket columns are narrow projections; ONE hash exchange
     serves every resolution (grouping-set expansion happens before the
@@ -58,7 +79,7 @@ def multires_rollup(
         F.sum("__v").alias("sum"),
         F.min("__v").alias("min"),
         F.max("__v").alias("max"),
-        F.round(F.avg("__v"), 6).alias("avg"),
+        round6_replayable(F.avg("__v")).alias("avg"),
         # grouping() is only valid INSIDE the aggregate — materialize the
         # per-set indicators here for the labeling select below
         *[F.grouping(f"__b_{n}").alias(f"__g_{n}") for n in names],
@@ -131,7 +152,7 @@ def serve_from_rollup(
         F.max("max").alias("__max"),
     )
     value = {
-        "avg": F.round(F.col("__sum") / F.col("__n"), 6),
+        "avg": round6_replayable(F.col("__sum") / F.col("__n")),
         "sum": F.col("__sum"),
         "min": F.col("__min"),
         "max": F.col("__max"),

@@ -210,9 +210,11 @@ def test_serve_from_rollup_routes_and_merges_exactly(spark):
     roll = multires_rollup(raw, res)
     served = {(r["key"], r["bucket"]): r["value"]
               for r in serve_from_rollup(roll, res, 0, 199, 100).collect()}
+    from tachyon_spark.operators.multires import round6_replayable
+
     direct = {("a", b): v for b, v in raw.groupBy(
         (F.col("ts") - F.col("ts") % 100).alias("b")).agg(
-        F.round(F.avg("value"), 6).alias("v")).collect()}
+        round6_replayable(F.avg("value")).alias("v")).collect()}
     assert served == direct
     # sum/count merges are exact too
     got_n = {(r["key"], r["bucket"]): r["value"] for r in
