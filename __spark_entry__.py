@@ -3482,7 +3482,60 @@ def q_gapfill_methods(spark, sf_dir):
             "event_type", "ts_us", "value", "filled",
         )
         out = part if out is None else out.unionByName(part)
-    return out
+    # fill_lookback arm (NEW r15 — REGATE; VERDICT r14 item 7): the
+    # Connection.query_range(fill=...) COMPOSITION with lookback, via
+    # the Python API end-to-end — a throwaway db holds the hourly click
+    # counts of the first 48h; a 30-min-step grid with a 5-min lookback
+    # resolves only steps with a sample in [t-5m, t] (hourly samples ->
+    # the :30 steps and every empty hour are staleness holes), and
+    # fill="linear" synthesizes exactly those. The oracle replays the
+    # closed-interval lookback resolution and the same fixed-order
+    # interpolation; `filled` is derived by joining the UNfilled
+    # query_range result (the steps PromQL itself resolved).
+    import os
+    import tempfile
+
+    from tachyon_spark.connection import Connection
+
+    w1h = 3_600_000_000
+    end48 = T0_US + 48 * w1h
+    hour_us = (
+        F.expr("ts DIV 3600000000000") * F.lit(w1h)
+    ).alias("ts")
+    hc = (
+        ev.where(
+            (F.col("event_type") == "click")
+            & F.col("ts").between(T0_US * 1000, end48 * 1000)
+        )
+        .groupBy(hour_us)
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    work = tempfile.mkdtemp(prefix="ty_fill_lb_")
+    conn = Connection(os.path.join(work, "db"), spark)
+    conn.create_stream("c", "f64")
+    sid = conn.get_all_streams()[0].stream_id
+    conn.bulk_load(
+        hc.select(
+            F.lit(sid).alias("stream_id"), "ts", "value",
+            F.lit(None).cast("long").alias("value_int"),
+        )
+    )
+    qargs = dict(start=T0_US, end=end48, step=1_800_000_000,
+                 lookback=300_000_000)
+    resolved = conn.query_range("c", **qargs).df().select(
+        F.col("ts").alias("ts_us"), F.lit(False).alias("__res_hole")
+    )
+    filled_df = conn.query_range("c", fill="linear", **qargs).df().select(
+        F.col("ts").alias("ts_us"), "value"
+    )
+    lb = filled_df.join(F.broadcast(resolved), "ts_us", "left").select(
+        F.lit("fill_lookback").alias("method"),
+        F.lit("click").alias("event_type"),
+        "ts_us",
+        "value",
+        F.col("__res_hole").isNull().alias("filled"),
+    )
+    return out.unionByName(lb)
 
 
 def q_stddev_windows(spark, sf_dir):
@@ -4892,6 +4945,10 @@ REGATE: dict[str, int] = {
     # half-boundary exclusion, VERDICT r14 item 5) — rows gated on the
     # avg-less frame no longer prove the current semantics
     "multires_rollup": 14,
+    # r15: a fourth arm joined the gate — fill_lookback, the
+    # query_range(fill=...) x lookback composition via the Python API
+    # (VERDICT r14 item 7) — so three-arm rows no longer prove it
+    "gapfill_methods": 14,
 }
 
 
@@ -4909,6 +4966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wire_formats_parse": q_wire_formats_parse,
         "multires_rollup": q_multires_rollup,
+        "gapfill_methods": q_gapfill_methods,
         "bigram_logprob": q_bigram_logprob,
         "semantic_decontaminate": q_semantic_decontaminate,
         "table_profile": q_table_profile,
@@ -4967,7 +5025,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_suite": q_dup_spans_suite,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "predict_linear_suite": q_predict_linear_suite,
-        "gapfill_methods": q_gapfill_methods,
         "embedding_ann_quantized": q_embedding_ann_quantized,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "comparison_filter": q_comparison_filter,
@@ -7735,6 +7792,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value', event_type, ts_us,
                    coalesce(v, 0.0), v IS NULL
             FROM f
+            UNION ALL
+            -- fill_lookback (r15): query_range(fill=linear) x lookback
+            -- replay — hourly click counts of the first 48h, 30-min
+            -- steps, CLOSED-interval [t-5m, t] resolution (latest
+            -- sample wins), then the SAME fixed-order interpolation
+            -- over the resolved-step sequence
+            SELECT 'fill_lookback', 'click', st,
+                   CASE WHEN rv IS NOT NULL THEN rv
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN pv + (nv - pv)
+                             * ((st - pt)::DOUBLE / (nt - pt)::DOUBLE)
+                        ELSE NULL END,
+                   rv IS NULL
+            FROM (
+              SELECT st, rv,
+                last_value(rv IGNORE NULLS) OVER lbp AS pv,
+                last_value(CASE WHEN rv IS NOT NULL THEN st END
+                           IGNORE NULLS) OVER lbp AS pt,
+                first_value(rv IGNORE NULLS) OVER lbf AS nv,
+                first_value(CASE WHEN rv IS NOT NULL THEN st END
+                            IGNORE NULLS) OVER lbf AS nt
+              FROM (
+                SELECT st,
+                  (SELECT hb.v FROM (
+                     SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                              AS t,
+                            count(*)::DOUBLE AS v
+                     FROM events
+                     WHERE event_type = 'click'
+                       AND epoch_us(ts)
+                           BETWEEN {T0_US} AND {T0_US + 48 * 3600000000}
+                     GROUP BY 1
+                   ) hb
+                   WHERE hb.t <= st AND hb.t >= st - 300000000
+                   ORDER BY hb.t DESC LIMIT 1) AS rv
+                FROM (
+                  SELECT {T0_US} + 1800000000 * g AS st
+                  FROM generate_series(0, 96) AS s(g)
+                )
+              )
+              WINDOW
+                lbp AS (ORDER BY st
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                lbf AS (ORDER BY st
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+            )
         """,
         "stddev_windows": """
             WITH e AS (
