@@ -1530,7 +1530,49 @@ def q_wire_formats_parse(spark, sf_dir):
             "value",
         )
     )
-    return om.unionByName(lp).unionByName(gr).unionByName(rw)
+    # otlp (NEW r15 second wave — REGATE): the fifth wire format and
+    # second binary one — gzip'd protobuf ExportMetricsServiceRequests
+    # (opentelemetry-proto, hand-rolled codec in sources/otlp.py over
+    # the shared protobuf walker). Full exporter->receiver loop:
+    # render_otlp_metrics packs the typed rows into per-batch gauge
+    # blobs (distributed mapInPandas, gzip), a throwaway db ingests
+    # them through ingest_otlp — protobuf walk + Prometheus label
+    # translation + the SAME catalog-join series resolution — and the
+    # arm reads back samples x catalog labels, so both codec halves,
+    # gzip framing, the as_double channel, series registration, and
+    # the write path are all inside the oracle hash.
+    from tachyon_spark.sources.otlp import (
+        ingest_otlp,
+        render_otlp_metrics,
+    )
+
+    ot_src = rendered.select(
+        F.lit("ev").alias("name"),
+        F.create_map(F.lit("et"), F.col("rw_et")).alias("labels"),
+        F.col("rw_v").alias("value"),
+        F.col("rw_ts").alias("ts"),
+    )
+    ot_blobs = render_otlp_metrics(spread(ot_src), ts_unit="ns")
+    work_ot = tempfile.mkdtemp(prefix="ty_ot_ingest_")
+    conn_ot = Connection(os.path.join(work_ot, "db"), spark)
+    ingest_otlp(conn_ot, ot_blobs, ts_unit="ns")
+    labels_ot = conn_ot.catalog.df().select(
+        "stream_id", F.col("labels")["et"].alias("et")
+    )
+    ot = (
+        conn_ot.samples_df()
+        .join(F.broadcast(labels_ot), "stream_id")
+        .select(
+            F.lit("otlp").alias("arm"),
+            "et",
+            F.col("ts").alias("ts_us"),
+            "value",
+        )
+    )
+    return (
+        om.unionByName(lp).unionByName(gr).unionByName(rw)
+        .unionByName(ot)
+    )
 
 
 def q_delete_series_op(spark, sf_dir):
@@ -4935,9 +4977,11 @@ REGATE: dict[str, int] = {
     # r12 row postdates its r11 marker), so the markers are dropped per
     # the documented lifecycle above.
     #
-    # r15: a fourth arm joined the gate — remote_write (snappy+protobuf
-    # WriteRequest render -> ingest -> read-back, VERDICT r14 task 1) —
-    # so the r14 three-arm row no longer proves the current semantics.
+    # r15: a fourth AND fifth arm joined the gate — remote_write
+    # (snappy+protobuf WriteRequest render -> ingest -> read-back,
+    # VERDICT r14 task 1) and otlp (gzip+protobuf
+    # ExportMetricsServiceRequest, same loop, r15 second wave) — so the
+    # r14 three-arm row no longer proves the current semantics.
     # (The r14 graphite-ingest marker at 13 self-healed: the r14 driver
     # row postdates it — superseded by this r15 marker.)
     "wire_formats_parse": 14,
@@ -6756,18 +6800,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wire_formats_parse": f"""
             -- the parser gate's oracle is the parquet ORIGINALS once
-            -- per arm: the engine renders each event to all FOUR wire
-            -- formats (three text + snappy-protobuf remote_write) and
-            -- parses/ingests each back; a correct codec pair reproduces
-            -- these rows exactly (double->string->double round-trips,
-            -- integral ts, exemplar strip, quote-aware field tokens,
-            -- f64-exact protobuf samples)
+            -- per arm: the engine renders each event to all FIVE wire
+            -- formats (three text + snappy-protobuf remote_write +
+            -- gzip-protobuf OTLP) and parses/ingests each back; a
+            -- correct codec pair reproduces these rows exactly
+            -- (double->string->double round-trips, integral ts,
+            -- exemplar strip, quote-aware field tokens, f64-exact
+            -- protobuf samples)
             SELECT m.arm, e.event_type AS et, epoch_us(e.ts) AS ts_us,
                    e.value
             FROM events e CROSS JOIN (
               SELECT unnest(
                 ['openmetrics', 'line_protocol', 'graphite',
-                 'remote_write']
+                 'remote_write', 'otlp']
               ) AS arm
             ) m
             WHERE epoch_us(e.ts) BETWEEN {T0_US} AND {T1_US}

@@ -101,6 +101,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--uncompressed", action="store_true",
                     help="bodies are raw protobuf (no snappy)")
 
+    sp = sub.add_parser("import-otlp")
+    sp.add_argument(
+        "path",
+        help="ExportMetricsServiceRequest blob file(s) (path/glob; "
+             "gzip bodies self-identify)",
+    )
+    sp.add_argument("--ts-unit", default="ns",
+                    choices=["s", "ms", "us", "ns"])
+    sp.add_argument("--value-type", default="f64")
+
     sp = sub.add_parser("query")
     sp.add_argument("promql")
     sp.add_argument("--start", type=int, default=0)
@@ -242,6 +252,14 @@ def main(argv: list[str] | None = None) -> int:
             conn, args.path, ts_unit=args.ts_unit,
             value_type=args.value_type,
             compressed=not args.uncompressed,
+        )
+        print(f"imported {n} samples")
+    elif args.cmd == "import-otlp":
+        from tachyon_spark.sources.otlp import ingest_otlp
+
+        n = ingest_otlp(
+            conn, args.path, ts_unit=args.ts_unit,
+            value_type=args.value_type,
         )
         print(f"imported {n} samples")
     elif args.cmd == "query":

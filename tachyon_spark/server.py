@@ -367,6 +367,52 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 self._json(code, {"error": msg[:500]})
             return
+        if rw.path == "/v1/metrics":
+            # OTLP/HTTP metrics receiver (r15 second wave): the standard
+            # OTLP path; body is a protobuf ExportMetricsServiceRequest,
+            # optionally gzip (Content-Encoding) — decode + Prometheus
+            # translation run DISTRIBUTED (sources/otlp.parse_otlp_metrics,
+            # mapInPandas); the handler only wraps the body bytes.
+            # Success replies 200 with an empty
+            # ExportMetricsServiceResponse (zero-length protobuf), the
+            # OTLP/HTTP full-success shape.
+            qs = {k: v[-1] for k, v in parse_qs(rw.query).items()}
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                if not qs.get("path"):
+                    self._json(400, {"error": "missing ?path= query param"})
+                    return
+                conn = _get_connection(qs["path"])
+                from tachyon_spark.sources.otlp import ingest_otlp
+
+                enc = self.headers.get("Content-Encoding", "").lower()
+                ingest_otlp(
+                    conn,
+                    body,
+                    ts_unit=qs.get("ts_unit", "ns"),
+                    value_type=qs.get("value_type", "f64"),
+                    encoding="gzip" if enc == "gzip" else "auto",
+                )
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "application/x-protobuf"
+                )
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            except Exception as e:  # malformed body -> client error
+                msg = str(e)
+                code = (
+                    400
+                    if any(
+                        s in msg
+                        for s in ("otlp", "varint", "gzip", "ts_unit",
+                                  "truncated")
+                    )
+                    else 500
+                )
+                self._json(code, {"error": msg[:500]})
+            return
         if self.path not in (
             "/query", "/query_range", "/record", "/alerts",
             "/labels", "/label_values", "/series",

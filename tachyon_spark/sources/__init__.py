@@ -19,6 +19,11 @@ from tachyon_spark.sources.openmetrics import (
     ingest_openmetrics,
     parse_openmetrics,
 )
+from tachyon_spark.sources.otlp import (
+    ingest_otlp,
+    parse_otlp_metrics,
+    render_otlp_metrics,
+)
 from tachyon_spark.sources.remote_write import (
     ingest_remote_write,
     parse_remote_write,
@@ -37,6 +42,9 @@ __all__ = [
     "render_line_protocol",
     "parse_graphite",
     "parse_openmetrics",
+    "ingest_otlp",
+    "parse_otlp_metrics",
+    "render_otlp_metrics",
     "ingest_remote_write",
     "parse_remote_write",
     "render_remote_write",

@@ -249,3 +249,57 @@ def start_remote_write_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_otlp_ingest(
+    conn,
+    source_dir: str,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+    max_files_per_trigger: int = 100,
+    ts_unit: str = "ns",
+    value_type: str = "f64",
+    encoding: str = "auto",
+):
+    """LIVE OTLP metrics ingestion (r15 second wave): tail `source_dir`
+    for dropped ExportMetricsServiceRequest blobs (one protobuf body
+    per file, gzip self-identifying under encoding="auto" — the shape
+    an OTel Collector file exporter or a replayed HTTP log produces)
+    and ingest each micro-batch through sources/otlp.ingest_otlp — the
+    same distributed mapInPandas decode + Prometheus translation,
+    catalog-join series resolution, and batch write path as the
+    /v1/metrics endpoint. binaryFile streaming source + the shared
+    foreachBatch/checkpoint contract of the four sibling arms. Returns
+    the StreamingQuery."""
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        conn.db_dir, "_checkpoints", "otlp"
+    )
+    src = (
+        conn.spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(source_dir)
+    )
+
+    def _append(batch_df, _batch_id):
+        from tachyon_spark.sources.otlp import ingest_otlp
+
+        ingest_otlp(
+            conn,
+            batch_df.select("content"),
+            ts_unit=ts_unit,
+            value_type=value_type,
+            encoding=encoding,
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
