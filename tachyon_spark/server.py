@@ -367,6 +367,64 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 self._json(code, {"error": msg[:500]})
             return
+        if rw.path == "/api/v1/read":
+            # Prometheus remote_read server (r15 second wave): the
+            # serving complement of /api/v1/write — a Prometheus with a
+            # remote_read URL federates historical queries out of this
+            # engine. Body: snappy+proto ReadRequest; reply: snappy+
+            # proto ReadResponse (SAMPLES type). Selection runs the
+            # engine's own partition-pruned selector plan
+            # (sources/remote_read.serve_remote_read); the driver only
+            # materializes through the serving point cap.
+            qs = {k: v[-1] for k, v in parse_qs(rw.query).items()}
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                if not qs.get("path"):
+                    self._json(400, {"error": "missing ?path= query param"})
+                    return
+                conn = _get_connection(qs["path"])
+                from tachyon_spark.promapi import DEFAULT_MAX_POINTS
+                from tachyon_spark.sources.remote_read import (
+                    serve_remote_read,
+                )
+
+                compressed = (
+                    self.headers.get("Content-Encoding", "snappy").lower()
+                    != "identity"
+                )
+                resp = serve_remote_read(
+                    conn,
+                    body,
+                    ts_unit=qs.get("ts_unit", "ms"),
+                    compressed=compressed,
+                    max_points=int(
+                        qs.get("max_points", DEFAULT_MAX_POINTS)
+                    ),
+                )
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "application/x-protobuf"
+                )
+                if compressed:
+                    self.send_header("Content-Encoding", "snappy")
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+            except Exception as e:  # malformed body -> client error
+                msg = str(e)
+                code = (
+                    400
+                    if any(
+                        s in msg
+                        for s in ("snappy", "remote_read", "varint",
+                                  "ts_unit", "matcher", "selector",
+                                  "exceeds")
+                    )
+                    else 500
+                )
+                self._json(code, {"error": msg[:500]})
+            return
         if rw.path == "/v1/metrics":
             # OTLP/HTTP metrics receiver (r15 second wave): the standard
             # OTLP path; body is a protobuf ExportMetricsServiceRequest,

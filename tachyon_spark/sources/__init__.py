@@ -24,6 +24,7 @@ from tachyon_spark.sources.otlp import (
     parse_otlp_metrics,
     render_otlp_metrics,
 )
+from tachyon_spark.sources.remote_read import serve_remote_read
 from tachyon_spark.sources.remote_write import (
     ingest_remote_write,
     parse_remote_write,
@@ -48,6 +49,7 @@ __all__ = [
     "ingest_remote_write",
     "parse_remote_write",
     "render_remote_write",
+    "serve_remote_read",
     "samples_file_stats",
     "write_bucketed",
     "read_bucketed",
