@@ -100,6 +100,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--value-type", default="f64")
     sp.add_argument("--uncompressed", action="store_true",
                     help="bodies are raw protobuf (no snappy)")
+    sp.add_argument("--proto", default="1", choices=["1", "2"],
+                    help="remote-write message version (2 = "
+                         "io.prometheus.write.v2.Request)")
 
     sp = sub.add_parser("import-otlp")
     sp.add_argument(
@@ -252,6 +255,7 @@ def main(argv: list[str] | None = None) -> int:
             conn, args.path, ts_unit=args.ts_unit,
             value_type=args.value_type,
             compressed=not args.uncompressed,
+            proto=args.proto,
         )
         print(f"imported {n} samples")
     elif args.cmd == "import-otlp":

@@ -344,14 +344,39 @@ class _Handler(BaseHTTPRequestHandler):
                     self.headers.get("Content-Encoding", "snappy").lower()
                     != "identity"
                 )
-                ingest_remote_write(
+                # remote-write 2.0 negotiation (r15 second wave): the
+                # spec selects the message by the Content-Type proto=
+                # parameter, never by payload sniffing
+                ctype = self.headers.get("Content-Type", "").lower()
+                proto = (
+                    "2"
+                    if "proto=io.prometheus.write.v2.request" in ctype
+                    else "1"
+                )
+                n = ingest_remote_write(
                     conn,
                     body,
                     ts_unit=qs.get("ts_unit", "ms"),
                     value_type=qs.get("value_type", "f64"),
                     compressed=compressed,
+                    proto=proto,
                 )
                 self.send_response(204)
+                if proto == "2":
+                    # 2.0 REQUIRES written-stats headers (samples-only
+                    # receiver: histograms/exemplars are always 0)
+                    self.send_header(
+                        "X-Prometheus-Remote-Write-Samples-Written",
+                        str(n),
+                    )
+                    self.send_header(
+                        "X-Prometheus-Remote-Write-Histograms-Written",
+                        "0",
+                    )
+                    self.send_header(
+                        "X-Prometheus-Remote-Write-Exemplars-Written",
+                        "0",
+                    )
                 self.send_header("Content-Length", "0")
                 self.end_headers()
             except Exception as e:  # malformed body -> client error

@@ -42,7 +42,9 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 __all__ = [
     "decode_write_request",
+    "decode_write_request_v2",
     "encode_write_request",
+    "encode_write_request_v2",
     "ingest_remote_write",
     "parse_remote_write",
     "render_remote_write",
@@ -304,6 +306,132 @@ def encode_write_request(
     return bytes(req)
 
 
+# ------------------------------------------- remote-write 2.0 (v2)
+#
+# io.prometheus.write.v2.Request (remote-write specification 2.0,
+# prometheus/prompb/io/prometheus/write/v2/types.proto — public): the
+# successor wire format Prometheus negotiates via
+# `Content-Type: application/x-protobuf;proto=io.prometheus.write.v2.Request`.
+# Label strings are INTERNED in a request-wide symbol table and series
+# carry pairs of uint32 refs instead of Label submessages:
+#
+#   Request{ repeated string symbols = 4 (symbols[0] MUST be ""),
+#            repeated TimeSeries timeseries = 5 }
+#   TimeSeries{ repeated uint32 labels_refs = 1 (packed, pairs:
+#               name ref, value ref), repeated Sample samples = 2,
+#               histograms = 3, exemplars = 4, Metadata metadata = 5,
+#               int64 created_timestamp = 6 }
+#   Sample{ double value = 1, int64 timestamp = 2 (ms) }  (same as 1.0)
+#
+# Histograms/exemplars/metadata skip (samples-only receiver, like the
+# 1.0 path); unknown fields skip by wire type.
+
+def decode_write_request_v2(
+    data: bytes,
+) -> list[tuple[dict[str, str], list[tuple[int, float]]]]:
+    """v2 Request bytes -> the same shape decode_write_request returns.
+    Raises on out-of-range symbol refs, odd labels_refs arity, or a
+    non-empty symbol 0 (each a spec violation a receiver must reject
+    rather than misattribute samples to the wrong series)."""
+    import struct
+
+    symbols: list[str] = []
+    series_raw: list[bytes] = []
+    for fno, wt, payload in _fields(data):
+        if fno == 4 and wt == 2:
+            symbols.append(payload.decode("utf-8"))
+        elif fno == 5 and wt == 2:
+            series_raw.append(payload)
+    if series_raw and (not symbols or symbols[0] != ""):
+        raise ValueError(
+            "remote_write v2: symbols[0] must be the empty string"
+        )
+    out = []
+    for ts_pay in series_raw:
+        refs: list[int] = []
+        samples: list[tuple[int, float]] = []
+        for sfno, swt, spay in _fields(ts_pay):
+            if sfno == 1 and swt == 2:  # packed uint32 labels_refs
+                i = 0
+                while i < len(spay):
+                    v, i = _uvarint(spay, i)
+                    refs.append(v)
+            elif sfno == 1 and swt == 0:  # unpacked element
+                refs.append(spay)
+            elif sfno == 2 and swt == 2:  # Sample
+                val, ts = 0.0, 0
+                for pfno, pwt, ppay in _fields(spay):
+                    if pfno == 1 and pwt == 1:
+                        val = struct.unpack("<d", ppay)[0]
+                    elif pfno == 2 and pwt == 0:
+                        ts = ppay - (1 << 64) if ppay >= 1 << 63 else ppay
+                samples.append((ts, val))
+            # histograms (3) / exemplars (4) / metadata (5) /
+            # created_timestamp (6) skip
+        if len(refs) % 2:
+            raise ValueError(
+                "remote_write v2: labels_refs must hold (name, value) "
+                f"pairs, got {len(refs)} refs"
+            )
+        labels: dict[str, str] = {}
+        for j in range(0, len(refs), 2):
+            n, v = refs[j], refs[j + 1]
+            if n >= len(symbols) or v >= len(symbols):
+                raise ValueError(
+                    "remote_write v2: symbol ref out of range "
+                    f"({max(n, v)} >= {len(symbols)})"
+                )
+            labels[symbols[n]] = symbols[v]
+        out.append((labels, samples))
+    return out
+
+
+def encode_write_request_v2(
+    series: list[tuple[dict[str, str], list[tuple[int, float]]]],
+) -> bytes:
+    """Inverse of decode_write_request_v2: builds the interned symbol
+    table (symbols[0] = "" per spec, then first-use order) and packed
+    labels_refs pairs. The exporter half of the v2 fixtures."""
+    import struct
+
+    def ld(out: bytearray, fno: int, body: bytes) -> None:
+        _put_uvarint(out, (fno << 3) | 2)
+        _put_uvarint(out, len(body))
+        out += body
+
+    symbols: list[str] = [""]
+    interned: dict[str, int] = {"": 0}
+
+    def ref(s: str) -> int:
+        if s not in interned:
+            interned[s] = len(symbols)
+            symbols.append(s)
+        return interned[s]
+
+    ts_msgs = []
+    for labels, samples in series:
+        ts_msg = bytearray()
+        packed = bytearray()
+        for k in sorted(labels):
+            _put_uvarint(packed, ref(k))
+            _put_uvarint(packed, ref(labels[k]))
+        ld(ts_msg, 1, bytes(packed))
+        for ts, val in samples:
+            smp = bytearray()
+            _put_uvarint(smp, (1 << 3) | 1)
+            smp += struct.pack("<d", val)
+            _put_uvarint(smp, (2 << 3) | 0)
+            _put_uvarint(smp, ts & 0xFFFFFFFFFFFFFFFF)
+            ld(ts_msg, 2, bytes(smp))
+        ts_msgs.append(bytes(ts_msg))
+    req = bytearray()
+    for s in symbols:
+        ld(req, 4, s.encode("utf-8"))
+    for m in ts_msgs:
+        ld(req, 5, m)
+    return bytes(req)
+
+
 # ------------------------------------------------------- spark surface
 
 def _escape_label(v: str) -> str:
@@ -336,18 +464,28 @@ def parse_remote_write(
     ts_unit: str = "ms",
     payload_col: str = "content",
     compressed: bool = True,
+    proto: str = "1",
 ) -> DataFrame:
     """Distributed WriteRequest decode: `blobs` holds one snappy+proto
     payload per row in `payload_col` (binary). Output one row per
     sample: (name, labels map, series_key, value double, ts long scaled
     to native units by `ts_unit` — "ms" is the wire unit the 1.0 spec
     mandates; unitless test clocks pass "ns"). A series without the
-    __name__ label violates the spec and raises."""
+    __name__ label violates the spec and raises. `proto` selects the
+    message format: "1" = prompb.WriteRequest (remote-write 1.0), "2" =
+    io.prometheus.write.v2.Request (2.0, symbol-interned labels) — the
+    spec negotiates via Content-Type, never by sniffing, so there is
+    deliberately no "auto"."""
     if ts_unit not in _UNIT_NS:
         raise ValueError(
             f"ts_unit must be one of {sorted(_UNIT_NS)}, got {ts_unit!r}"
         )
+    if proto not in ("1", "2"):
+        raise ValueError(f"proto must be '1' or '2', got {proto!r}")
     mult = _UNIT_NS[ts_unit]
+    decoder = (
+        decode_write_request if proto == "1" else decode_write_request_v2
+    )
 
     def kernel(batches):
         import pandas as pd
@@ -358,7 +496,7 @@ def parse_remote_write(
                 raw = bytes(blob)
                 if compressed:
                     raw = snappy_decompress(raw)
-                for labels, samples in decode_write_request(raw):
+                for labels, samples in decoder(raw):
                     name = labels.pop("__name__", None)
                     if name is None:
                         raise ValueError(
@@ -395,6 +533,7 @@ def ingest_remote_write(
     ts_unit: str = "ms",
     value_type: str = "f64",
     compressed: bool = True,
+    proto: str = "1",
 ) -> int:
     """Ingest remote_write payload(s) into `conn`. `source` is a single
     request body (bytes — the HTTP POST shape), a path/glob of blob
@@ -408,7 +547,10 @@ def ingest_remote_write(
 
     Values are wire doubles (the Sample message carries only f64), so
     integer-typed streams store the long cast of the double — exact for
-    magnitudes < 2^53, the protocol's own precision bound."""
+    magnitudes < 2^53, the protocol's own precision bound. `proto` is
+    "1" (prompb.WriteRequest) or "2" (io.prometheus.write.v2.Request,
+    remote-write 2.0 — symbol-interned labels; the HTTP endpoint
+    negotiates it from Content-Type)."""
     if isinstance(source, DataFrame):
         blobs = source
     elif isinstance(source, (bytes, bytearray)):
@@ -424,7 +566,7 @@ def ingest_remote_write(
     )
 
     parsed = parse_remote_write(
-        blobs, ts_unit=ts_unit, compressed=compressed
+        blobs, ts_unit=ts_unit, compressed=compressed, proto=proto
     ).cache()
     try:
         parsed.count()  # atomic: decode errors fire before registration

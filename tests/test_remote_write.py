@@ -347,3 +347,140 @@ def test_cli_import_remote_write(spark, tmp_path):
     assert rc == 0
     conn = Connection(str(tmp_path / "clidb"), spark)
     assert conn.query("cli_rw", 0, 100).rows() == [(7, 2.5)]
+
+
+# ------------------------------------------- remote-write 2.0 (v2)
+
+def _hand_v2_request() -> bytes:
+    """io.prometheus.write.v2.Request built byte-by-byte: symbols
+    ["", "__name__", "up", "job", "api"], one TimeSeries with packed
+    labels_refs [1,2,3,4] and one sample (1.5 @ ts=7)."""
+    import struct
+
+    def ld(fno, body):
+        return bytes([fno << 3 | 2, len(body)]) + body
+
+    req = b"".join(
+        ld(4, s) for s in (b"", b"__name__", b"up", b"job", b"api")
+    )
+    smp = bytes([0x09]) + struct.pack("<d", 1.5) + bytes([0x10, 0x07])
+    ts_msg = ld(1, bytes([1, 2, 3, 4])) + ld(2, smp)
+    # metadata (field 5) present and skipped
+    ts_msg += ld(5, bytes([1 << 3 | 0, 1]))
+    return req + ld(5, ts_msg)
+
+
+def test_decode_v2_hand_built():
+    from tachyon_spark.sources.remote_write import decode_write_request_v2
+
+    assert decode_write_request_v2(_hand_v2_request()) == [
+        ({"__name__": "up", "job": "api"}, [(7, 1.5)])
+    ]
+
+
+def test_v2_round_trip():
+    from tachyon_spark.sources.remote_write import (
+        decode_write_request_v2,
+        encode_write_request_v2,
+    )
+
+    series = [
+        ({"__name__": "m", "dc": "x"}, [(-12345, 3.5), (0, -0.0)]),
+        ({"__name__": "m", "dc": "y"}, [(1 << 40, 7.0)]),  # dc interned once
+        ({"__name__": "n"}, [(5, 2.0)]),
+    ]
+    enc = encode_write_request_v2(series)
+    assert decode_write_request_v2(enc) == series
+    # interning actually dedups: "dc" and "m" appear once in the wire
+    assert enc.count(b"dc") == 1 and enc.count(b"\x01m") == 1
+
+
+def test_v2_spec_violations_raise():
+    from tachyon_spark.sources.remote_write import (
+        decode_write_request_v2,
+        encode_write_request_v2,
+    )
+
+    def ld(fno, body):
+        return bytes([fno << 3 | 2, len(body)]) + body
+
+    # symbols[0] not empty
+    bad0 = ld(4, b"x") + ld(5, ld(1, bytes([0, 0])))
+    with pytest.raises(ValueError, match="symbols\\[0\\]"):
+        decode_write_request_v2(bad0)
+    # odd labels_refs arity
+    odd = ld(4, b"") + ld(4, b"a") + ld(5, ld(1, bytes([1])))
+    with pytest.raises(ValueError, match="pairs"):
+        decode_write_request_v2(odd)
+    # ref out of range
+    oor = ld(4, b"") + ld(5, ld(1, bytes([0, 9])))
+    with pytest.raises(ValueError, match="out of range"):
+        decode_write_request_v2(oor)
+    # the 1.0 decoder is NOT an acceptable fallback for v2 bytes (the
+    # spec forbids sniffing): v2 payloads simply decode to zero series
+    # under the 1.0 walk, and parse_remote_write(proto=...) selects
+    assert decode_write_request(
+        encode_write_request_v2([({"__name__": "m"}, [(1, 1.0)])])
+    ) == []
+
+
+def test_ingest_v2_end_to_end(db):
+    from tachyon_spark.sources.remote_write import encode_write_request_v2
+
+    body = snappy_compress(
+        encode_write_request_v2(
+            [
+                ({"__name__": "rw2_cpu", "host": "a"},
+                 [(10, 0.5), (20, 0.7)]),
+                ({"__name__": "rw2_cpu", "host": "b"}, [(10, 1.0)]),
+            ]
+        )
+    )
+    n = ingest_remote_write(db, body, ts_unit="ns", proto="2")
+    assert n == 3
+    assert db.query('rw2_cpu{host="a"}', 0, 100).rows() == [
+        (10, 0.5), (20, 0.7)]
+
+
+def test_http_v2_content_type_negotiation(spark, tmp_path):
+    import threading
+    from urllib.request import Request, urlopen
+
+    from tachyon_spark.connection import Connection
+    from tachyon_spark import server as srv
+    from tachyon_spark.sources.remote_write import encode_write_request_v2
+
+    conn = Connection(str(tmp_path / "rw2db"), spark)
+    httpd = srv.serve(port=0)
+    try:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        body = snappy_compress(
+            encode_write_request_v2(
+                [({"__name__": "http_rw2"}, [(100, 3.5), (200, 4.5)])]
+            )
+        )
+        req = Request(
+            f"http://127.0.0.1:{port}/api/v1/write"
+            f"?path={tmp_path / 'rw2db'}&ts_unit=ns",
+            data=body,
+            headers={
+                "Content-Encoding": "snappy",
+                "Content-Type": "application/x-protobuf;"
+                "proto=io.prometheus.write.v2.Request",
+                "X-Prometheus-Remote-Write-Version": "2.0.0",
+            },
+            method="POST",
+        )
+        with urlopen(req, timeout=120) as resp:
+            assert resp.status == 204
+            # 2.0 REQUIRES the written-stats headers
+            assert resp.headers[
+                "X-Prometheus-Remote-Write-Samples-Written"] == "2"
+            assert resp.headers[
+                "X-Prometheus-Remote-Write-Histograms-Written"] == "0"
+        assert conn.query("http_rw2", 0, 1000).rows() == [
+            (100, 3.5), (200, 4.5)]
+    finally:
+        httpd.shutdown()
