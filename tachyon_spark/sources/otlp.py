@@ -35,9 +35,15 @@ _uvarint); only the message tree differs:
     AnyValue{ oneof: string=1, bool=2, int=3, double=4, array=5,
               kvlist=6, bytes=7 }
 
-Unknown fields at every level skip by wire type (exemplars, flags,
-exponential histograms, a newer sender's additions — forward
-compatibility, same contract as the remote_write decoder).
+Unknown fields at every level skip by wire type (exemplars, flags, a
+newer sender's additions — forward compatibility, same contract as the
+remote_write decoder). Exponential histograms (Metric field 10,
+base-2 buckets with zigzag sint32 scale/offsets and packed-uvarint
+counts) DECODE and translate to classic cumulative `le` series in
+ascending-upper-bound order (negative buckets, zero bucket at the
+zero_threshold, positive buckets, +Inf) — histogram_quantile over the
+result works unchanged; Prometheus's own OTLP endpoint maps these to
+native histograms, a classic-series engine keeps the classic shape.
 
 **Prometheus translation** (the public OTLP→Prometheus compatibility
 spec's data-model half):
@@ -89,6 +95,7 @@ from tachyon_spark.sources.remote_write import (
     _put_uvarint,
     _series_key,
     _UNIT_NS,
+    _uvarint,
 )
 
 # parse_remote_write's schema plus an EXACT int channel: OTLP number
@@ -235,6 +242,34 @@ def _number_point(
 _TEMPORALITY = {0: "unspecified", 1: "delta", 2: "cumulative"}
 
 
+def _zigzag(n: int) -> int:
+    """sint32/sint64 zigzag varint -> signed int."""
+    return (n >> 1) ^ -(n & 1)
+
+
+def _packed_uvarints(pay: bytes) -> list[int]:
+    """repeated uint64 (varint) in packed form."""
+    out, i = [], 0
+    while i < len(pay):
+        v, i = _uvarint(pay, i)
+        out.append(v)
+    return out
+
+
+def _exp_buckets(pay: bytes) -> tuple[int, list[int]]:
+    """ExponentialHistogramDataPoint.Buckets{ sint32 offset = 1,
+    repeated uint64 bucket_counts = 2 } -> (offset, counts)."""
+    offset, counts = 0, []
+    for fno, wt, p in _fields(pay):
+        if fno == 1 and wt == 0:
+            offset = _zigzag(p)
+        elif fno == 2 and wt == 2:
+            counts += _packed_uvarints(p)
+        elif fno == 2 and wt == 0:
+            counts.append(p)
+    return offset, counts
+
+
 def decode_export_metrics(
     data: bytes,
 ) -> list[tuple[str, dict[str, str], int, float | None, int | None]]:
@@ -278,6 +313,7 @@ def decode_export_metrics(
                 name = ""
                 gauge_pts: list[bytes] = []
                 hist_pts: list[bytes] = []
+                exp_pts: list[bytes] = []
                 summ_pts: list[bytes] = []
                 for mfno, mwt, mpay in _fields(metric):
                     if mfno == 1 and mwt == 2:
@@ -292,11 +328,15 @@ def decode_export_metrics(
                         for dfno, dwt, dpay in _fields(mpay):
                             if dfno == 1 and dwt == 2:
                                 hist_pts.append(dpay)
+                    elif mfno == 10 and mwt == 2:  # ExponentialHistogram
+                        for dfno, dwt, dpay in _fields(mpay):
+                            if dfno == 1 and dwt == 2:
+                                exp_pts.append(dpay)
                     elif mfno == 11 and mwt == 2:  # Summary
                         for dfno, dwt, dpay in _fields(mpay):
                             if dfno == 1 and dwt == 2:
                                 summ_pts.append(dpay)
-                    # description/unit (2/3), exp. histogram (10) skip
+                    # description/unit (2/3) skip
                 if not name:
                     raise ValueError("otlp: metric without a name")
                 for dpay in gauge_pts:
@@ -341,6 +381,87 @@ def decode_export_metrics(
                         emit(
                             f"{name}_bucket",
                             {**attrs, "le": repr(float(b))},
+                            ts, None, cum,
+                        )
+                    emit(
+                        f"{name}_bucket",
+                        {**attrs, "le": "+Inf"},
+                        ts, None, count,
+                    )
+                    if hsum is not None:
+                        emit(f"{name}_sum", dict(attrs), ts, hsum, None)
+                    emit(f"{name}_count", dict(attrs), ts, None, count)
+                for dpay in exp_pts:
+                    # exponential histogram -> classic cumulative `le`
+                    # series. Base-2 exponential buckets (base =
+                    # 2^(2^-scale)): positive bucket at index i covers
+                    # (base^i, base^(i+1)] so its le is base^(i+1);
+                    # negative bucket at index i covers
+                    # [-base^(i+1), -base^i) so its le is -base^i; the
+                    # zero bucket's le is the zero_threshold. Buckets
+                    # emit in ascending-le order (negatives from the
+                    # most negative index down, zero, positives up),
+                    # cumulated — histogram_quantile over the resulting
+                    # le series works unchanged. (Prometheus's own OTLP
+                    # endpoint converts these to native histograms; a
+                    # classic-series engine keeps the classic shape.)
+                    attrs = {}
+                    ts = count = zero_count = 0
+                    scale = 0
+                    hsum = None
+                    zero_thr = 0.0
+                    pos = neg = (0, [])
+                    for pfno, pwt, ppay in _fields(dpay):
+                        if pfno == 3 and pwt == 1:
+                            ts = struct.unpack("<Q", ppay)[0]
+                        elif pfno == 4 and pwt == 1:
+                            count = struct.unpack("<Q", ppay)[0]
+                        elif pfno == 5 and pwt == 1:
+                            hsum = struct.unpack("<d", ppay)[0]
+                        elif pfno == 6 and pwt == 0:
+                            scale = _zigzag(ppay)
+                        elif pfno == 7 and pwt == 1:
+                            zero_count = struct.unpack("<Q", ppay)[0]
+                        elif pfno == 8 and pwt == 2:
+                            pos = _exp_buckets(ppay)
+                        elif pfno == 9 and pwt == 2:
+                            neg = _exp_buckets(ppay)
+                        elif pfno == 14 and pwt == 1:
+                            zero_thr = struct.unpack("<d", ppay)[0]
+                        elif pfno == 1 and pwt == 2:
+                            key, val = "", ""
+                            for kf, kw, kp in _fields(ppay):
+                                if kf == 1 and kw == 2:
+                                    key = kp.decode("utf-8")
+                                elif kf == 2 and kw == 2:
+                                    val = _any_value(kp)
+                            attrs[key] = val
+                    inv_scale = 2.0 ** (-scale)
+
+                    def ub(index):  # base^index = 2^(index * 2^-scale)
+                        return 2.0 ** (index * inv_scale)
+
+                    ladder = []  # (le, count) ascending le
+                    n_off, n_counts = neg
+                    for i in range(len(n_counts) - 1, -1, -1):
+                        if n_counts[i]:
+                            ladder.append(
+                                (-ub(n_off + i), n_counts[i])
+                            )
+                    if zero_count:
+                        ladder.append((zero_thr, zero_count))
+                    p_off, p_counts = pos
+                    for i in range(len(p_counts)):
+                        if p_counts[i]:
+                            ladder.append(
+                                (ub(p_off + i + 1), p_counts[i])
+                            )
+                    cum = 0
+                    for le, c in ladder:
+                        cum += c
+                        emit(
+                            f"{name}_bucket",
+                            {**attrs, "le": repr(float(le))},
                             ts, None, cum,
                         )
                     emit(
@@ -445,6 +566,9 @@ def encode_export_metrics(
     - gauge/sum point:   (attrs, ts_ns, value)  — float stores
       as_double, int stores as_int (the oneof the decoder preserves)
     - histogram point:   (attrs, ts_ns, count, sum, bounds, bucket_counts)
+    - exponential_histogram point: (attrs, ts_ns, count, sum, scale,
+      zero_count, zero_threshold, (pos_offset, pos_counts),
+      (neg_offset, neg_counts))
     - summary point:     (attrs, ts_ns, count, sum, [(q, v), ...])
 
     Sums encode CUMULATIVE + monotonic (temporality=2, is_monotonic),
@@ -497,6 +621,39 @@ def encode_export_metrics(
                 _put_uvarint(body, (2 << 3) | 0)
                 _put_uvarint(body, 2)  # CUMULATIVE
                 _ld(m, 9, bytes(body))
+            elif kind == "exponential_histogram":
+                body = bytearray()
+                for (attrs, ts_ns, count, hsum, scale, zero_count,
+                     zero_thr, pos, neg) in points:
+                    p = bytearray()
+                    p += _enc_attrs(attrs, 1)
+                    _fixed64(p, 3, struct.pack("<Q", ts_ns))
+                    _fixed64(p, 4, struct.pack("<Q", count))
+                    _fixed64(p, 5, struct.pack("<d", hsum))
+                    _put_uvarint(p, (6 << 3) | 0)  # sint32 zigzag
+                    _put_uvarint(
+                        p,
+                        (scale << 1) if scale >= 0
+                        else ((-scale) << 1) - 1,
+                    )
+                    _fixed64(p, 7, struct.pack("<Q", zero_count))
+                    for fno, (off, counts) in ((8, pos), (9, neg)):
+                        b = bytearray()
+                        _put_uvarint(b, (1 << 3) | 0)
+                        _put_uvarint(
+                            b, (off << 1) if off >= 0
+                            else ((-off) << 1) - 1
+                        )
+                        packed = bytearray()
+                        for c in counts:
+                            _put_uvarint(packed, c)
+                        _ld(b, 2, bytes(packed))
+                        _ld(p, fno, bytes(b))
+                    _fixed64(p, 14, struct.pack("<d", zero_thr))
+                    _ld(body, 1, bytes(p))
+                _put_uvarint(body, (2 << 3) | 0)
+                _put_uvarint(body, 2)  # CUMULATIVE
+                _ld(m, 10, bytes(body))
             elif kind == "summary":
                 body = bytearray()
                 for attrs, ts_ns, count, ssum, quants in points:

@@ -401,3 +401,53 @@ def test_cli_import_otlp(spark, tmp_path):
 
     conn = Connection(str(tmp_path / "clidb"), spark)
     assert conn.query("cli_ot", 0, 100).rows() == [(7, 2.5)]
+
+
+# ------------------------------------- exponential histograms (r15)
+
+def test_exponential_histogram_translation():
+    # scale=0 (base 2): pos offset=1 -> (2,4](4,8] counts 3,2;
+    # neg offset=0 -> [-2,-1)[-4,-2) counts 1,1; zero bucket 4 @ 1e-9
+    req = encode_export_metrics(
+        [({}, [("eh", "exponential_histogram",
+                [({"r": "/x"}, 100, 11, 25.5, 0, 4, 1e-9,
+                  (1, [3, 2]), (0, [1, 1]))])])]
+    )
+    out = decode_export_metrics(req)
+    buckets = [(s[1]["le"], s[4]) for s in out if s[0] == "eh_bucket"]
+    # ascending le: most-negative first, zero bucket, positives, +Inf
+    assert buckets == [
+        ("-2.0", 1), ("-1.0", 2), ("1e-09", 6), ("4.0", 9),
+        ("8.0", 11), ("+Inf", 11),
+    ]
+    assert ("eh_sum", {"r": "/x"}, 100, 25.5, None) in out
+    assert ("eh_count", {"r": "/x"}, 100, None, 11) in out
+
+
+def test_exponential_histogram_negative_scale_and_offset():
+    # scale=-1 (base 4), offset=-2: bucket 0 covers (4^-2, 4^-1] ->
+    # le = 0.25; empty buckets skip but still cumulate correctly
+    req = encode_export_metrics(
+        [({}, [("eh2", "exponential_histogram",
+                [({}, 5, 7, 1.0, -1, 0, 0.0,
+                  (-2, [5, 0, 2]), (0, []))])])]
+    )
+    out = decode_export_metrics(req)
+    buckets = [(s[1]["le"], s[4]) for s in out if s[0] == "eh2_bucket"]
+    assert buckets == [("0.25", 5), ("4.0", 7), ("+Inf", 7)]
+
+
+def test_ingest_exponential_histogram(db):
+    req = encode_export_metrics(
+        [({}, [("ot_eh", "exponential_histogram",
+                [({}, 50, 5, 9.0, 0, 0, 0.0, (0, [3, 2]), (0, []))])])]
+    )
+    n = ingest_otlp(db, req, ts_unit="ns")
+    assert n == 5  # 2 buckets + Inf + sum + count
+    assert db.query('ot_eh_bucket{le="2.0"}', 0, 100).rows() == [
+        (50, 3.0)]
+    assert db.query('ot_eh_bucket{le="+Inf"}', 0, 100).rows() == [
+        (50, 5.0)]
+    # histogram_quantile over the translated le series works unchanged
+    q = db.query("histogram_quantile(0.5, ot_eh_bucket)", 0, 100)
+    assert len(q.rows()) == 1
