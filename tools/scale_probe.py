@@ -406,6 +406,47 @@ def probe_wire_ingest_churn(spark, factor: int) -> tuple[float, float]:
     return run(5_000, 500_000), run(60_000, 500_000)
 
 
+def probe_binary_wire_decode(spark, factor: int) -> tuple[float, float]:
+    """Binary wire-protocol decode under 10x sample volume (r15 second
+    wave): remote_write v1 + OTLP blobs rendered from a typed frame
+    (one blob per Arrow batch over 32 partitions — the real drop-dir /
+    HTTP-batch shape), then the full distributed parse timed blob ->
+    rows. Python-side codec work is the cost under test (the snappy/
+    protobuf walk is per-blob pandas code, parallel across blob rows);
+    the ratio shows it rides the 32 cores instead of a driver loop."""
+    from tachyon_spark.sources.otlp import parse_otlp_metrics, render_otlp_metrics
+    from tachyon_spark.sources.remote_write import (
+        parse_remote_write,
+        render_remote_write,
+    )
+
+    f = min(factor, 10)
+
+    def run(samples: int) -> float:
+        src = (
+            spark.range(samples)
+            .select(
+                F.lit("m").alias("name"),
+                F.create_map(
+                    F.lit("host"), F.concat(F.lit("h"), F.col("id") % 500)
+                ).alias("labels"),
+                (F.col("id") % 97).cast("double").alias("value"),
+                (F.col("id") * 1000).alias("ts"),
+            )
+            .repartition(32)
+        )
+        rw = render_remote_write(src, ts_unit="ns").localCheckpoint()
+        ot = render_otlp_metrics(src, ts_unit="ns").localCheckpoint()
+        t0 = time.time()
+        n1 = parse_remote_write(rw, ts_unit="ns").count()
+        n2 = parse_otlp_metrics(ot, ts_unit="ns").count()
+        wall = time.time() - t0
+        assert n1 == samples and n2 == samples, (n1, n2, samples)
+        return wall
+
+    return run(200_000), run(200_000 * f)
+
+
 def main() -> int:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     names = sys.argv[2].split(",") if len(sys.argv) > 2 else DEFAULT
@@ -483,6 +524,11 @@ def main() -> int:
             print(f"{'wire_ingest_churn':<24} {b:>8.2f} {x:>6.2f} "
                   f"{x / max(b, 1e-9):>6.1f}x  (new series 5k->60k, "
                   f"500k lines, distributed-registration branch)")
+        if "binary_wire_decode" in names:
+            b, x = probe_binary_wire_decode(spark, factor)
+            print(f"{'binary_wire_decode':<24} {b:>8.2f} {x:>6.2f} "
+                  f"{x / max(b, 1e-9):>6.1f}x  (rw+otlp samples x"
+                  f"{min(factor, 10)}, 32 blob partitions)")
         if "maintenance" in names:
             probe_maintenance(spark, factor)
     finally:
