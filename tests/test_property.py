@@ -634,3 +634,102 @@ def test_nested_without_matches_python_model(
             )
             got[key] = float(r.value)
     assert got == expect
+
+
+# ---------------------------------------------- wire codec round trips
+# (r15 second wave: the three hand-rolled binary protocols must be
+# lossless for every label alphabet / sample sign the wire admits —
+# pure-Python properties, no Spark session)
+
+label_names = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters='"\\\n'
+    ),
+    min_size=1,
+    max_size=12,
+)
+label_values = st.text(
+    alphabet=st.characters(codec="utf-8"), max_size=16
+)
+wire_samples = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**55), max_value=2**55),
+        st.floats(allow_nan=False, width=64),
+    ),
+    min_size=1,
+    max_size=5,
+)
+wire_series = st.lists(
+    st.tuples(
+        st.dictionaries(
+            label_names, label_values, min_size=1, max_size=4
+        ).map(lambda d: {**d, "__name__": "m"}),
+        wire_samples,
+    ),
+    min_size=1,
+    max_size=4,
+).map(
+    lambda ss: [(labels, sorted(set(pts))) for labels, pts in ss]
+)
+
+
+@settings(deadline=None, max_examples=60)
+@given(series=wire_series)
+def test_remote_write_v1_codec_roundtrip(series):
+    from tachyon_spark.sources.remote_write import (
+        decode_write_request,
+        encode_write_request,
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    blob = snappy_compress(encode_write_request(series))
+    got = decode_write_request(snappy_decompress(blob))
+    assert got == [(labels, pts) for labels, pts in series]
+
+
+@settings(deadline=None, max_examples=60)
+@given(series=wire_series)
+def test_remote_write_v2_codec_roundtrip(series):
+    from tachyon_spark.sources.remote_write import (
+        decode_write_request_v2,
+        encode_write_request_v2,
+    )
+
+    assert decode_write_request_v2(
+        encode_write_request_v2(series)
+    ) == series
+
+
+@settings(deadline=None, max_examples=60)
+@given(series=wire_series)
+def test_otlp_gauge_codec_roundtrip(series):
+    from tachyon_spark.sources.otlp import (
+        decode_export_metrics,
+        encode_export_metrics,
+    )
+
+    # OTLP timestamps are fixed64 unsigned — shift into range
+    metrics = [
+        (
+            labels["__name__"],
+            "gauge",
+            [
+                (
+                    {k: v for k, v in labels.items() if k != "__name__"},
+                    ts + 2**55,
+                    val,
+                )
+                for ts, val in pts
+            ],
+        )
+        for labels, pts in series
+    ]
+    out = decode_export_metrics(encode_export_metrics([({}, metrics)]))
+    expect = [
+        (name, attrs, ts, None if isinstance(v, int) else v,
+         v if isinstance(v, int) else None)
+        for name, _, pts in metrics
+        for attrs, ts, v in pts
+    ]
+    assert out == expect
