@@ -290,3 +290,37 @@ def openmetrics_text(
         ts = _fmt_ts(p["ts"], ns_clock)
         lines.append(f"{s.name}{body} {v} {ts}")
     return "\n".join(sorted(lines)) + "\n# EOF\n"
+
+
+def exemplars_envelope(
+    conn, query: str, start: int, end: int,
+    ns_clock: bool = True, max_points=DEFAULT_MAX_POINTS,
+):
+    """/api/v1/query_exemplars data payload: series matching the
+    selector, each with its stored exemplars in [start, end] — the
+    seriesLabels/exemplars shape Grafana's trace links consume. Rides
+    the selector-scoped store read (exemplars.query_exemplars) through
+    the serving point cap."""
+    from tachyon_spark.exemplars import query_exemplars
+
+    df = query_exemplars(conn, query, start, end).orderBy(
+        "stream_id", "ts"
+    )
+    rows = _bounded_collect(df, max_points)
+    by_series: dict = {}
+    for r in rows:
+        key = (r.name, tuple(sorted(r.labels.items())))
+        by_series.setdefault(key, []).append(
+            {
+                "labels": dict(r.ex_labels),
+                "value": _fmt_val(r.value),
+                "timestamp": _fmt_ts(r.ts, ns_clock),
+            }
+        )
+    return [
+        {
+            "seriesLabels": {"__name__": name, **dict(labels)},
+            "exemplars": exs,
+        }
+        for (name, labels), exs in sorted(by_series.items())
+    ]

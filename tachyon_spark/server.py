@@ -231,7 +231,52 @@ class _Handler(BaseHTTPRequestHandler):
             self.path = parsed.path
             self._handle_api(req)
             return
+        if parsed.path == "/api/v1/query_exemplars":
+            req = dict(parse_qsl(parsed.query))
+            for k in ("start", "end"):
+                if k in req:
+                    req[k] = int(req[k])
+            if "ns_clock" in req:
+                req["ns_clock"] = req["ns_clock"] not in ("0", "false", "")
+            self._handle_query_exemplars(req)
+            return
         self._json(404, {"error": "not found"})
+
+    def _handle_query_exemplars(self, req: dict) -> None:
+        """/api/v1/query_exemplars (r15 second wave): selector-scoped
+        exemplar read (tachyon_spark/exemplars.py), the endpoint
+        Grafana's datapoint-to-trace links call. Prometheus envelope:
+        data = [{seriesLabels, exemplars: [{labels, value,
+        timestamp}]}]."""
+        from tachyon_spark.promapi import (
+            DEFAULT_MAX_POINTS,
+            TooManyPoints,
+            exemplars_envelope,
+        )
+
+        try:
+            conn = _get_connection(req["path"])
+            data = exemplars_envelope(
+                conn, req["query"], int(req["start"]), int(req["end"]),
+                req.get("ns_clock", True),
+                min(
+                    int(req.get("max_points", DEFAULT_MAX_POINTS)),
+                    DEFAULT_MAX_POINTS,
+                ),
+            )
+            self._json(200, {"status": "success", "data": data})
+        except TooManyPoints as exc:
+            self._json(
+                422,
+                {"status": "error", "errorType": "execution",
+                 "error": str(exc)},
+            )
+        except Exception as exc:
+            self._json(
+                400,
+                {"status": "error", "errorType": "bad_data",
+                 "error": str(exc)},
+            )
 
     def _handle_api(self, req: dict) -> None:
         """Prometheus API response shape (promapi.py): what Grafana-style
@@ -361,6 +406,19 @@ class _Handler(BaseHTTPRequestHandler):
                     compressed=compressed,
                     proto=proto,
                 )
+                if qs.get("exemplars") not in (None, "0", "false"):
+                    # opt-in exemplar retention (?exemplars=1): second
+                    # decode pass AFTER the sample ingest registered
+                    # the series (tachyon_spark/exemplars.py)
+                    from tachyon_spark.exemplars import (
+                        extract_remote_write_exemplars,
+                    )
+
+                    extract_remote_write_exemplars(
+                        conn, body,
+                        ts_unit=qs.get("ts_unit", "ms"),
+                        compressed=compressed, proto=proto,
+                    )
                 self.send_response(204)
                 if proto == "2":
                     # 2.0 REQUIRES written-stats headers (samples-only
@@ -477,6 +535,16 @@ class _Handler(BaseHTTPRequestHandler):
                     value_type=qs.get("value_type", "f64"),
                     encoding="gzip" if enc == "gzip" else "auto",
                 )
+                if qs.get("exemplars") not in (None, "0", "false"):
+                    from tachyon_spark.exemplars import (
+                        extract_otlp_exemplars,
+                    )
+
+                    extract_otlp_exemplars(
+                        conn, body,
+                        ts_unit=qs.get("ts_unit", "ns"),
+                        encoding="gzip" if enc == "gzip" else "auto",
+                    )
                 self.send_response(200)
                 self.send_header(
                     "Content-Type", "application/x-protobuf"
@@ -500,6 +568,7 @@ class _Handler(BaseHTTPRequestHandler):
             "/query", "/query_range", "/record", "/alerts",
             "/labels", "/label_values", "/series",
             "/api/v1/query", "/api/v1/query_range",
+            "/api/v1/query_exemplars",
             "/api/v1/admin/tsdb/delete_series",
             "/api/v1/admin/tsdb/snapshot",
         ):
@@ -553,6 +622,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if self.path in ("/api/v1/query", "/api/v1/query_range"):
                 self._handle_api(req)
+                return
+            if self.path == "/api/v1/query_exemplars":
+                self._handle_query_exemplars(req)
                 return
             if self.path == "/api/v1/admin/tsdb/delete_series":
                 # Prometheus admin API: {path, match[, start, end]} ->

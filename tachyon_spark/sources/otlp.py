@@ -511,6 +511,124 @@ def decode_export_metrics(
     return out
 
 
+def _exemplar(pay: bytes) -> tuple[dict[str, str], int, float]:
+    """OTLP Exemplar{ filtered_attributes=7, time_unix_nano=2 fixed64,
+    as_double=3, span_id=4 bytes, trace_id=5 bytes, as_int=6 sfixed64 }
+    -> (labels incl trace_id/span_id hex, ts_ns, value)."""
+    labels: dict[str, str] = {}
+    ts = 0
+    val = 0.0
+    for fno, wt, p in _fields(pay):
+        if fno == 2 and wt == 1:
+            ts = struct.unpack("<Q", p)[0]
+        elif fno == 3 and wt == 1:
+            val = struct.unpack("<d", p)[0]
+        elif fno == 6 and wt == 1:
+            val = float(struct.unpack("<q", p)[0])
+        elif fno == 4 and wt == 2:
+            labels["span_id"] = p.hex()
+        elif fno == 5 and wt == 2:
+            labels["trace_id"] = p.hex()
+        elif fno == 7 and wt == 2:
+            key, v = "", ""
+            for kf, kw, kp in _fields(p):
+                if kf == 1 and kw == 2:
+                    key = kp.decode("utf-8")
+                elif kf == 2 and kw == 2:
+                    v = _any_value(kp)
+            labels[key] = v
+    return labels, ts, val
+
+
+def decode_export_metric_exemplars(
+    data: bytes,
+) -> list[tuple[str, dict[str, str], list[tuple[dict[str, str], int, float]]]]:
+    """ExportMetricsServiceRequest bytes -> [(series name, series
+    labels, [(exemplar labels incl trace_id/span_id, ts_ns, value)])]
+    for data points that carry exemplars. Number points attach to the
+    metric's own series; histogram points attach to the
+    `<name>_bucket` series whose `le` bound admits the exemplar value
+    (the classic-histogram convention Grafana's trace links expect).
+    Exponential-histogram exemplars are not extracted (their le ladder
+    is value-dependent; documented limitation)."""
+    out = []
+    for fno, wt, rm in _fields(data):
+        if fno != 1 or wt != 2:
+            continue
+        job = instance = namespace = None
+        scope_bufs: list[bytes] = []
+        for rfno, rwt, rpay in _fields(rm):
+            if rfno == 1 and rwt == 2:
+                res = _kv_attrs(rpay, 1)
+                job = res.get("service.name")
+                instance = res.get("service.instance.id")
+                namespace = res.get("service.namespace")
+            elif rfno == 2 and rwt == 2:
+                scope_bufs.append(rpay)
+        base: dict[str, str] = {}
+        if job is not None:
+            base["job"] = f"{namespace}/{job}" if namespace else job
+        if instance is not None:
+            base["instance"] = instance
+        for sm in scope_bufs:
+            for sfno, swt, metric in _fields(sm):
+                if sfno != 2 or swt != 2:
+                    continue
+                name = ""
+                number_pts: list[bytes] = []
+                hist_pts: list[bytes] = []
+                for mfno, mwt, mpay in _fields(metric):
+                    if mfno == 1 and mwt == 2:
+                        name = mpay.decode("utf-8")
+                    elif mfno in (5, 7) and mwt == 2:
+                        for dfno, dwt, dpay in _fields(mpay):
+                            if dfno == 1 and dwt == 2:
+                                number_pts.append(dpay)
+                    elif mfno == 9 and mwt == 2:
+                        for dfno, dwt, dpay in _fields(mpay):
+                            if dfno == 1 and dwt == 2:
+                                hist_pts.append(dpay)
+                for dpay in number_pts:
+                    attrs, _, _, _ = _number_point(dpay)
+                    exs = [
+                        _exemplar(p)
+                        for pf, pw, p in _fields(dpay)
+                        if pf == 5 and pw == 2
+                    ]
+                    if exs:
+                        out.append((name, {**base, **attrs}, exs))
+                for dpay in hist_pts:
+                    attrs: dict[str, str] = {}
+                    bounds: list[float] = []
+                    exs = []
+                    for pf, pw, p in _fields(dpay):
+                        if pf == 7 and pw in (1, 2):
+                            bounds += _packed_double(p, pw)
+                        elif pf == 8 and pw == 2:
+                            exs.append(_exemplar(p))
+                        elif pf == 9 and pw == 2:
+                            key, v = "", ""
+                            for kf, kw, kp in _fields(p):
+                                if kf == 1 and kw == 2:
+                                    key = kp.decode("utf-8")
+                                elif kf == 2 and kw == 2:
+                                    v = _any_value(kp)
+                            attrs[key] = v
+                    for ex_labels, ts, val in exs:
+                        le = next(
+                            (repr(float(b)) for b in bounds if val <= b),
+                            "+Inf",
+                        )
+                        out.append(
+                            (
+                                f"{name}_bucket",
+                                {**base, **attrs, "le": le},
+                                [(ex_labels, ts, val)],
+                            )
+                        )
+    return out
+
+
 # ------------------------------------------------------------- encode
 
 def _ld(out: bytearray, fno: int, body: bytes) -> None:

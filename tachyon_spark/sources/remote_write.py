@@ -306,6 +306,119 @@ def encode_write_request(
     return bytes(req)
 
 
+# ------------------------------------------------------- exemplars
+
+def decode_write_request_exemplars(
+    data: bytes,
+) -> list[tuple[dict[str, str], list[tuple[dict[str, str], int, float]]]]:
+    """WriteRequest bytes -> [(series labels incl __name__,
+    [(exemplar labels, timestamp_ms, value), ...])] for series that
+    carry exemplars (prompb.Exemplar: TimeSeries field 3 — the trace
+    breadcrumbs Grafana links from; labels are typically
+    trace_id/span_id). Series without exemplars are omitted."""
+    import struct
+
+    out = []
+    for fno, wt, payload in _fields(data):
+        if fno != 1 or wt != 2:
+            continue
+        labels: dict[str, str] = {}
+        exemplars: list[tuple[dict[str, str], int, float]] = []
+        for sfno, swt, spay in _fields(payload):
+            if sfno == 1 and swt == 2:  # Label
+                name = value = ""
+                for lfno, lwt, lpay in _fields(spay):
+                    if lfno == 1 and lwt == 2:
+                        name = lpay.decode("utf-8")
+                    elif lfno == 2 and lwt == 2:
+                        value = lpay.decode("utf-8")
+                labels[name] = value
+            elif sfno == 3 and swt == 2:  # Exemplar
+                ex_labels: dict[str, str] = {}
+                val, ts = 0.0, 0
+                for efno, ewt, epay in _fields(spay):
+                    if efno == 1 and ewt == 2:
+                        k = v = ""
+                        for lfno, lwt, lpay in _fields(epay):
+                            if lfno == 1 and lwt == 2:
+                                k = lpay.decode("utf-8")
+                            elif lfno == 2 and lwt == 2:
+                                v = lpay.decode("utf-8")
+                        ex_labels[k] = v
+                    elif efno == 2 and ewt == 1:
+                        val = struct.unpack("<d", epay)[0]
+                    elif efno == 3 and ewt == 0:
+                        ts = epay - (1 << 64) if epay >= 1 << 63 else epay
+                exemplars.append((ex_labels, ts, val))
+        if exemplars:
+            out.append((labels, exemplars))
+    return out
+
+
+def decode_write_request_exemplars_v2(
+    data: bytes,
+) -> list[tuple[dict[str, str], list[tuple[dict[str, str], int, float]]]]:
+    """v2 Request exemplars (TimeSeries field 4; labels are symbol-ref
+    pairs like the series labels). Same output shape as the v1 walk."""
+    import struct
+
+    symbols: list[str] = []
+    series_raw: list[bytes] = []
+    for fno, wt, payload in _fields(data):
+        if fno == 4 and wt == 2:
+            symbols.append(payload.decode("utf-8"))
+        elif fno == 5 and wt == 2:
+            series_raw.append(payload)
+
+    def refs_to_labels(refs: list[int]) -> dict[str, str]:
+        if len(refs) % 2:
+            raise ValueError(
+                "remote_write v2: labels_refs must hold pairs"
+            )
+        d = {}
+        for j in range(0, len(refs), 2):
+            n, v = refs[j], refs[j + 1]
+            if n >= len(symbols) or v >= len(symbols):
+                raise ValueError(
+                    "remote_write v2: symbol ref out of range"
+                )
+            d[symbols[n]] = symbols[v]
+        return d
+
+    def packed_refs(spay: bytes) -> list[int]:
+        refs, i = [], 0
+        while i < len(spay):
+            v, i = _uvarint(spay, i)
+            refs.append(v)
+        return refs
+
+    out = []
+    for ts_pay in series_raw:
+        refs: list[int] = []
+        exemplars: list[tuple[dict[str, str], int, float]] = []
+        for sfno, swt, spay in _fields(ts_pay):
+            if sfno == 1 and swt == 2:
+                refs += packed_refs(spay)
+            elif sfno == 1 and swt == 0:
+                refs.append(spay)
+            elif sfno == 4 and swt == 2:  # v2 Exemplar
+                ex_refs: list[int] = []
+                val, ts = 0.0, 0
+                for efno, ewt, epay in _fields(spay):
+                    if efno == 1 and ewt == 2:
+                        ex_refs += packed_refs(epay)
+                    elif efno == 1 and ewt == 0:
+                        ex_refs.append(epay)
+                    elif efno == 2 and ewt == 1:
+                        val = struct.unpack("<d", epay)[0]
+                    elif efno == 3 and ewt == 0:
+                        ts = epay - (1 << 64) if epay >= 1 << 63 else epay
+                exemplars.append((refs_to_labels(ex_refs), ts, val))
+        if exemplars:
+            out.append((refs_to_labels(refs), exemplars))
+    return out
+
+
 # ------------------------------------------- remote-write 2.0 (v2)
 #
 # io.prometheus.write.v2.Request (remote-write specification 2.0,
