@@ -572,12 +572,20 @@ PARSED_SCHEMA = T.StructType(
 )
 
 
+# Prometheus staleness marker: the quiet-NaN bit pattern
+# (value.go StaleNaN) a scraper writes when a series disappears —
+# semantically "series ended here", NOT a sample. Distinguishable from
+# real NaN data (0/0 arithmetic) only by exact bits.
+STALE_NAN_BITS = 0x7FF0000000000002
+
+
 def parse_remote_write(
     blobs: DataFrame,
     ts_unit: str = "ms",
     payload_col: str = "content",
     compressed: bool = True,
     proto: str = "1",
+    stale_markers: str = "drop",
 ) -> DataFrame:
     """Distributed WriteRequest decode: `blobs` holds one snappy+proto
     payload per row in `payload_col` (binary). Output one row per
@@ -588,17 +596,38 @@ def parse_remote_write(
     message format: "1" = prompb.WriteRequest (remote-write 1.0), "2" =
     io.prometheus.write.v2.Request (2.0, symbol-interned labels) — the
     spec negotiates via Content-Type, never by sniffing, so there is
-    deliberately no "auto"."""
+    deliberately no "auto".
+
+    `stale_markers`: Prometheus writes the StaleNaN bit pattern when a
+    scraped series disappears — a liveness delimiter, not data. "drop"
+    (default) removes them at decode (so queries never surface a NaN
+    that means "ended"; real NaN data like 0/0 passes through — the
+    distinction is the exact bit pattern); "keep" stores them verbatim
+    for stores that track liveness downstream."""
+    import struct as _struct
+
     if ts_unit not in _UNIT_NS:
         raise ValueError(
             f"ts_unit must be one of {sorted(_UNIT_NS)}, got {ts_unit!r}"
         )
     if proto not in ("1", "2"):
         raise ValueError(f"proto must be '1' or '2', got {proto!r}")
+    if stale_markers not in ("drop", "keep"):
+        raise ValueError(
+            f"stale_markers must be drop|keep, got {stale_markers!r}"
+        )
     mult = _UNIT_NS[ts_unit]
     decoder = (
         decode_write_request if proto == "1" else decode_write_request_v2
     )
+    drop_stale = stale_markers == "drop"
+
+    def _is_stale(v: float) -> bool:
+        return (
+            v != v
+            and _struct.unpack("<Q", _struct.pack("<d", v))[0]
+            == STALE_NAN_BITS
+        )
 
     def kernel(batches):
         import pandas as pd
@@ -616,6 +645,11 @@ def parse_remote_write(
                             "remote_write: series without __name__ "
                             f"label (labels: {sorted(labels)[:5]})"
                         )
+                    if drop_stale:
+                        samples = [
+                            (ts, v) for ts, v in samples
+                            if not _is_stale(v)
+                        ]
                     key = _series_key(name, labels)
                     lk = sorted(labels)
                     lv = [labels[k] for k in lk]
@@ -647,6 +681,7 @@ def ingest_remote_write(
     value_type: str = "f64",
     compressed: bool = True,
     proto: str = "1",
+    stale_markers: str = "drop",
 ) -> int:
     """Ingest remote_write payload(s) into `conn`. `source` is a single
     request body (bytes — the HTTP POST shape), a path/glob of blob
@@ -679,7 +714,8 @@ def ingest_remote_write(
     )
 
     parsed = parse_remote_write(
-        blobs, ts_unit=ts_unit, compressed=compressed, proto=proto
+        blobs, ts_unit=ts_unit, compressed=compressed, proto=proto,
+        stale_markers=stale_markers,
     ).cache()
     try:
         parsed.count()  # atomic: decode errors fire before registration

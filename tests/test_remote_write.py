@@ -484,3 +484,42 @@ def test_http_v2_content_type_negotiation(spark, tmp_path):
             (100, 3.5), (200, 4.5)]
     finally:
         httpd.shutdown()
+
+
+# --------------------------------------------------- staleness markers
+
+def test_stale_markers_dropped_by_default(db):
+    import struct as _s
+
+    from tachyon_spark.sources.remote_write import STALE_NAN_BITS
+
+    stale = _s.unpack("<d", _s.pack("<Q", STALE_NAN_BITS))[0]
+    real_nan = float("nan")
+    body = snappy_compress(
+        encode_write_request(
+            [({"__name__": "rw_stale"},
+              [(10, 1.0), (20, stale), (30, real_nan), (40, 2.0)])]
+        )
+    )
+    n = ingest_remote_write(db, body, ts_unit="ns")
+    # the marker (liveness delimiter) drops; REAL NaN data (0/0) stays
+    assert n == 3
+    rows = db.query("rw_stale", 0, 100).rows()
+    assert [t for t, _ in rows] == [10, 30, 40]
+    v = rows[1][1]  # real NaN survives ingest (rows() surfaces NaN as
+    # None via pandas' NaN->null normalization; either spelling is "not
+    # a number", and crucially the ROW is present where the marker's is
+    # not)
+    assert v is None or v != v
+    # keep mode stores the marker verbatim
+    n2 = ingest_remote_write(
+        db,
+        snappy_compress(
+            encode_write_request(
+                [({"__name__": "rw_stale2"}, [(5, stale)])]
+            )
+        ),
+        ts_unit="ns",
+        stale_markers="keep",
+    )
+    assert n2 == 1
