@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 __all__ = [
     "exemplars_df",
+    "extract_openmetrics_exemplars",
     "extract_otlp_exemplars",
     "extract_remote_write_exemplars",
     "query_exemplars",
@@ -257,3 +258,25 @@ def query_exemplars(
             "stream_id", "name", "labels", "ts", "value", "ex_labels"
         )
     )
+
+
+def extract_openmetrics_exemplars(
+    conn,
+    lines: DataFrame | str,
+    ns_clock: bool = True,
+) -> int:
+    """Decode + store exemplars from OpenMetrics exposition lines (the
+    ` # {trace_id="..."} v [ts]` suffixes the sample parser strips);
+    call AFTER ingest_openmetrics so the sample pass has registered the
+    series. `lines` is a text DataFrame (column `value`) or a path for
+    spark.read.text. Pure JVM-regex extraction
+    (sources/openmetrics.parse_openmetrics_exemplars) — no Python in
+    the scan."""
+    from tachyon_spark.sources.openmetrics import (
+        parse_openmetrics_exemplars,
+    )
+
+    if isinstance(lines, str):
+        lines = conn.spark.read.text(lines)
+    raw = parse_openmetrics_exemplars(lines, ns_clock=ns_clock)
+    return _resolve_and_store(conn, raw)

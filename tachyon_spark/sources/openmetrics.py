@@ -269,3 +269,97 @@ def ingest_openmetrics(
         return n
     finally:
         parsed.unpersist()
+
+
+# exemplar EXTRACTION (r15 second wave — the parse path above STRIPS
+# exemplars from the sample model; this complementary pass keeps them):
+# group 1 name, 2 label block, 3 sample value, 4 sample ts, 5 exemplar
+# label block body, 6 exemplar value, 7 exemplar ts. Same quote-aware
+# deterministic-scan shape as _EXEMPLAR_RE.
+_EXEMPLAR_FULL_RE = (
+    r'^([a-zA-Z_:][a-zA-Z0-9_:]*)'
+    r'(\{(?:[^"}]|"(?:[^"\\]|\\.)*")*\})?'
+    r'\s+(\S+)(?:\s+(\S+))?'
+    r'\s+#\s+\{((?:[^"}]|"(?:[^"\\]|\\.)*")*)\}'
+    r'\s+(\S+)(?:\s+(\S+))?\s*$'
+)
+
+
+def parse_openmetrics_exemplars(
+    lines: DataFrame, ns_clock: bool = True
+) -> DataFrame:
+    """The exemplar complement of parse_openmetrics: lines carrying a
+    ` # {labels} value [ts]` suffix (the OpenMetrics exemplar syntax)
+    -> (series_key, ts, value, ex_keys, ex_vals) rows, one per
+    exemplar. `ts` is the EXEMPLAR's own timestamp when present, else
+    the sample's (the attachment point); value is the exemplar value
+    (the traced observation). Pure JVM regex like the sample parser;
+    lines without exemplars simply don't match and drop out — this
+    pass never FAILFASTs (the sample parse is the syntax gate)."""
+    from tachyon_spark.sources.series_resolve import escape_label_col
+
+    raw = F.col("value")
+    m = lambda g: F.regexp_extract(raw, _EXEMPLAR_FULL_RE, g)  # noqa: E731
+    rows = lines.where(
+        F.regexp_extract(raw, _EXEMPLAR_FULL_RE, 1) != ""
+    ).select(
+        m(1).alias("name"), m(2).alias("__labels"),
+        m(4).alias("__sample_ts"), m(5).alias("__ex_labels"),
+        m(6).alias("__ex_val"), m(7).alias("__ex_ts"),
+    )
+    pairs = F.regexp_extract_all(F.col("__labels"), F.lit(_PAIR_RE), 0)
+    kv = F.sort_array(
+        F.transform(
+            pairs,
+            lambda p: F.struct(
+                F.regexp_extract(p, _PAIR_RE, 1).alias("k"),
+                _unescape(F.regexp_extract(p, _PAIR_RE, 2)).alias("v"),
+            ),
+        )
+    )
+    series_key = F.concat(
+        F.col("name"),
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                kv,
+                lambda s: F.concat(
+                    s["k"], F.lit('="'), escape_label_col(s["v"]),
+                    F.lit('"'),
+                ),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+    ex_pairs = F.regexp_extract_all(
+        F.col("__ex_labels"), F.lit(_PAIR_RE), 0
+    )
+    ex_kv = F.sort_array(
+        F.transform(
+            ex_pairs,
+            lambda p: F.struct(
+                F.regexp_extract(p, _PAIR_RE, 1).alias("k"),
+                _unescape(F.regexp_extract(p, _PAIR_RE, 2)).alias("v"),
+            ),
+        )
+    )
+    raw_ts = F.coalesce(
+        F.when(F.col("__ex_ts") == "", F.lit(None)).otherwise(
+            F.col("__ex_ts")
+        ),
+        F.when(F.col("__sample_ts") == "", F.lit(None)).otherwise(
+            F.col("__sample_ts")
+        ),
+    )
+    if ns_clock:
+        ts = F.round(_num(raw_ts) * F.lit(1e9)).cast("long")
+    else:
+        ts = raw_ts.cast("long")
+    return rows.select(
+        series_key.alias("series_key"),
+        ts.alias("ts"),
+        _num(F.col("__ex_val")).alias("value"),
+        F.transform(ex_kv, lambda s: s["k"]).alias("ex_keys"),
+        F.transform(ex_kv, lambda s: s["v"]).alias("ex_vals"),
+    )

@@ -225,3 +225,32 @@ def test_http_query_exemplars(spark, tmp_path):
         ]
     finally:
         httpd.shutdown()
+
+
+def test_openmetrics_exemplar_pipeline(db):
+    from tachyon_spark.exemplars import extract_openmetrics_exemplars
+    from tachyon_spark.sources.openmetrics import ingest_openmetrics
+
+    text = "\n".join(
+        [
+            'om_ex{h="a"} 1.5 10 # {trace_id="t1"} 0.25 11',
+            'om_ex{h="a"} 2.5 20 # {trace_id="t2"} 0.75',  # no ex ts ->
+            # attaches at the SAMPLE's timestamp
+            'om_ex{h="b"} 3.5 30',  # no exemplar at all
+        ]
+    )
+    ingest_openmetrics(db, text, ns_clock=False)
+    lines = db.spark.createDataFrame(
+        [(ln,) for ln in text.split("\n")], "value string"
+    )
+    n = extract_openmetrics_exemplars(db, lines, ns_clock=False)
+    assert n == 2
+    rows = {
+        r.ts: r
+        for r in query_exemplars(db, 'om_ex{h="a"}', 0, 100).collect()
+    }
+    assert rows[11].value == 0.25
+    assert rows[11].ex_labels == {"trace_id": "t1"}
+    assert rows[20].value == 0.75  # fell back to sample ts 20
+    # the h="b" series has no exemplars
+    assert query_exemplars(db, 'om_ex{h="b"}', 0, 100).count() == 0
