@@ -7,9 +7,13 @@ prompb.Exemplar, OTLP Exemplar with trace_id/span_id) and serves from
 datapoint-to-trace links call. This module is the engine's side of
 that loop:
 
-- a per-db `exemplars/` parquet store keyed by stream_id (the same
-  hash-bucket partitioning as the samples table when configured, so
-  selector reads prune identically);
+- a per-db `exemplars/` parquet store keyed by stream_id — FLAT (no
+  hash-bucket partitioning): exemplar volume is sampled by
+  construction (~one per series per scrape interval), so the store
+  stays a small fraction of the samples table and a selector read is
+  a ts-filtered scan + broadcast id join, cheap at any realistic
+  exemplar cardinality (bucketing can be added if a deployment ever
+  inverts that ratio);
 - `extract_remote_write_exemplars` / `extract_otlp_exemplars`:
   DISTRIBUTED decode of exemplars out of the same wire blobs the
   sample ingests consume (Arrow-batched mapInPandas; series
@@ -76,12 +80,20 @@ def exemplars_df(conn) -> DataFrame:
 
 
 def store_exemplars(conn, df: DataFrame) -> int:
-    """Append an EXEMPLAR_SCHEMA frame. Returns rows written."""
-    out = df.select(*EXEMPLAR_SCHEMA.fieldNames())
-    n = out.count()
-    if n:
-        out.repartition(1).write.mode("append").parquet(_store_path(conn))
-    return n
+    """Append an EXEMPLAR_SCHEMA frame. Returns rows written. The
+    frame is cached across the count + write pair so the upstream
+    decode/join plan executes once, not twice (the same double-action
+    contract the sample ingests honor)."""
+    out = df.select(*EXEMPLAR_SCHEMA.fieldNames()).cache()
+    try:
+        n = out.count()
+        if n:
+            out.repartition(1).write.mode("append").parquet(
+                _store_path(conn)
+            )
+        return n
+    finally:
+        out.unpersist()
 
 
 def _resolve_and_store(conn, raw: DataFrame) -> int:
@@ -264,19 +276,28 @@ def extract_openmetrics_exemplars(
     conn,
     lines: DataFrame | str,
     ns_clock: bool = True,
+    literal: bool | None = None,
 ) -> int:
     """Decode + store exemplars from OpenMetrics exposition lines (the
     ` # {trace_id="..."} v [ts]` suffixes the sample parser strips);
     call AFTER ingest_openmetrics so the sample pass has registered the
-    series. `lines` is a text DataFrame (column `value`) or a path for
-    spark.read.text. Pure JVM-regex extraction
-    (sources/openmetrics.parse_openmetrics_exemplars) — no Python in
-    the scan."""
+    series. `lines` is a text DataFrame (column `value`), a path for
+    spark.read.text, or a literal text blob — auto-detected by newline
+    exactly like ingest_openmetrics (pass `literal=True` for a
+    one-line blob; the r13 literal-vs-path trap class). Pure JVM-regex
+    extraction (sources/openmetrics.parse_openmetrics_exemplars) — no
+    Python in the scan."""
     from tachyon_spark.sources.openmetrics import (
         parse_openmetrics_exemplars,
     )
 
     if isinstance(lines, str):
-        lines = conn.spark.read.text(lines)
+        if literal or (literal is None and "\n" in lines):
+            lines = conn.spark.createDataFrame(
+                [(ln,) for ln in lines.split("\n") if ln.strip()],
+                "value string",
+            )
+        else:
+            lines = conn.spark.read.text(lines)
     raw = parse_openmetrics_exemplars(lines, ns_clock=ns_clock)
     return _resolve_and_store(conn, raw)

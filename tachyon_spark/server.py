@@ -406,23 +406,34 @@ class _Handler(BaseHTTPRequestHandler):
                     compressed=compressed,
                     proto=proto,
                 )
+                ex_written = 0
                 if qs.get("exemplars") not in (None, "0", "false"):
                     # opt-in exemplar retention (?exemplars=1): second
                     # decode pass AFTER the sample ingest registered
-                    # the series (tachyon_spark/exemplars.py)
+                    # the series (tachyon_spark/exemplars.py). Its OWN
+                    # try: the samples above are already durably
+                    # written, so an exemplar-store failure must NOT
+                    # turn this reply into an error — a spec-compliant
+                    # sender would retry and double-ingest every
+                    # sample. Exemplars are secondary; the written
+                    # count (0 on failure) tells the sender the truth.
                     from tachyon_spark.exemplars import (
                         extract_remote_write_exemplars,
                     )
 
-                    extract_remote_write_exemplars(
-                        conn, body,
-                        ts_unit=qs.get("ts_unit", "ms"),
-                        compressed=compressed, proto=proto,
-                    )
+                    try:
+                        ex_written = extract_remote_write_exemplars(
+                            conn, body,
+                            ts_unit=qs.get("ts_unit", "ms"),
+                            compressed=compressed, proto=proto,
+                        )
+                    except Exception:
+                        ex_written = 0
                 self.send_response(204)
                 if proto == "2":
                     # 2.0 REQUIRES written-stats headers (samples-only
-                    # receiver: histograms/exemplars are always 0)
+                    # receiver: histograms are always 0; exemplars
+                    # report what ?exemplars=1 actually stored)
                     self.send_header(
                         "X-Prometheus-Remote-Write-Samples-Written",
                         str(n),
@@ -433,7 +444,7 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                     self.send_header(
                         "X-Prometheus-Remote-Write-Exemplars-Written",
-                        "0",
+                        str(ex_written),
                     )
                 self.send_header("Content-Length", "0")
                 self.end_headers()
@@ -476,13 +487,16 @@ class _Handler(BaseHTTPRequestHandler):
                     self.headers.get("Content-Encoding", "snappy").lower()
                     != "identity"
                 )
+                # clients may LOWER the serving cap, never raise or
+                # disable it (same invariant as every other endpoint)
                 resp = serve_remote_read(
                     conn,
                     body,
                     ts_unit=qs.get("ts_unit", "ms"),
                     compressed=compressed,
-                    max_points=int(
-                        qs.get("max_points", DEFAULT_MAX_POINTS)
+                    max_points=min(
+                        int(qs.get("max_points", DEFAULT_MAX_POINTS)),
+                        DEFAULT_MAX_POINTS,
                     ),
                 )
                 self.send_response(200)
@@ -540,11 +554,17 @@ class _Handler(BaseHTTPRequestHandler):
                         extract_otlp_exemplars,
                     )
 
-                    extract_otlp_exemplars(
-                        conn, body,
-                        ts_unit=qs.get("ts_unit", "ns"),
-                        encoding="gzip" if enc == "gzip" else "auto",
-                    )
+                    # own try — the samples are already committed, an
+                    # exemplar failure must not trigger a sender retry
+                    # (which would double-ingest the batch)
+                    try:
+                        extract_otlp_exemplars(
+                            conn, body,
+                            ts_unit=qs.get("ts_unit", "ns"),
+                            encoding="gzip" if enc == "gzip" else "auto",
+                        )
+                    except Exception:
+                        pass
                 self.send_response(200)
                 self.send_header(
                     "Content-Type", "application/x-protobuf"

@@ -155,35 +155,38 @@ def _any_value(buf: bytes) -> str:
     return ""
 
 
+def _keyvalue(pay: bytes) -> tuple[str, str]:
+    """ONE KeyValue submessage -> (key, rendered value). The single
+    place the key=1/value=2 walk lives — every attribute site
+    (resource, point, exemplar, kvlist) goes through here."""
+    key = val = ""
+    for kfno, kwt, kpay in _fields(pay):
+        if kfno == 1 and kwt == 2:
+            key = kpay.decode("utf-8")
+        elif kfno == 2 and kwt == 2:
+            val = _any_value(kpay)
+    return key, val
+
+
 def _attributes(buf: bytes) -> dict[str, str]:
     """repeated KeyValue (the whole message body) -> {key: str value}."""
-    out: dict[str, str] = {}
-    for fno, wt, pay in _fields(buf):
-        if fno == 1 and wt == 2:  # KeyValue
-            key, val = "", ""
-            for kfno, kwt, kpay in _fields(pay):
-                if kfno == 1 and kwt == 2:
-                    key = kpay.decode("utf-8")
-                elif kfno == 2 and kwt == 2:
-                    val = _any_value(kpay)
-            out[key] = val
-    return out
+    return {
+        k: v
+        for fno, wt, pay in _fields(buf)
+        if fno == 1 and wt == 2
+        for k, v in (_keyvalue(pay),)
+    }
 
 
 def _kv_attrs(buf: bytes, field_no: int) -> dict[str, str]:
     """Collect `repeated KeyValue attributes = field_no` off a data
     point / resource message."""
-    out: dict[str, str] = {}
-    for fno, wt, pay in _fields(buf):
-        if fno == field_no and wt == 2:
-            key, val = "", ""
-            for kfno, kwt, kpay in _fields(pay):
-                if kfno == 1 and kwt == 2:
-                    key = kpay.decode("utf-8")
-                elif kfno == 2 and kwt == 2:
-                    val = _any_value(kpay)
-            out[key] = val
-    return out
+    return {
+        k: v
+        for fno, wt, pay in _fields(buf)
+        if fno == field_no and wt == 2
+        for k, v in (_keyvalue(pay),)
+    }
 
 
 def _packed_fixed64(pay: bytes, wt: int) -> list[int]:
@@ -228,12 +231,7 @@ def _number_point(
         elif fno == 6 and wt == 1:  # as_int (sfixed64)
             vi = struct.unpack("<q", p)[0]
         elif fno == 7 and wt == 2:  # attributes
-            key, val = "", ""
-            for kf, kw, kp in _fields(p):
-                if kf == 1 and kw == 2:
-                    key = kp.decode("utf-8")
-                elif kf == 2 and kw == 2:
-                    val = _any_value(kp)
+            key, val = _keyvalue(p)
             attrs[key] = val
         # start_time (2), exemplars (5), flags (8) skip
     return attrs, ts, vd, vi
@@ -362,12 +360,7 @@ def decode_export_metrics(
                         elif pfno == 7 and pwt in (1, 2):
                             bounds += _packed_double(ppay, pwt)
                         elif pfno == 9 and pwt == 2:
-                            key, val = "", ""
-                            for kf, kw, kp in _fields(ppay):
-                                if kf == 1 and kw == 2:
-                                    key = kp.decode("utf-8")
-                                elif kf == 2 and kw == 2:
-                                    val = _any_value(kp)
+                            key, val = _keyvalue(ppay)
                             attrs[key] = val
                     if bcounts and len(bcounts) != len(bounds) + 1:
                         raise ValueError(
@@ -429,12 +422,7 @@ def decode_export_metrics(
                         elif pfno == 14 and pwt == 1:
                             zero_thr = struct.unpack("<d", ppay)[0]
                         elif pfno == 1 and pwt == 2:
-                            key, val = "", ""
-                            for kf, kw, kp in _fields(ppay):
-                                if kf == 1 and kw == 2:
-                                    key = kp.decode("utf-8")
-                                elif kf == 2 and kw == 2:
-                                    val = _any_value(kp)
+                            key, val = _keyvalue(ppay)
                             attrs[key] = val
                     inv_scale = 2.0 ** (-scale)
 
@@ -493,12 +481,7 @@ def decode_export_metrics(
                                     v = struct.unpack("<d", qp)[0]
                             quants.append((q, v))
                         elif pfno == 7 and pwt == 2:
-                            key, val = "", ""
-                            for kf, kw, kp in _fields(ppay):
-                                if kf == 1 and kw == 2:
-                                    key = kp.decode("utf-8")
-                                elif kf == 2 and kw == 2:
-                                    val = _any_value(kp)
+                            key, val = _keyvalue(ppay)
                             attrs[key] = val
                     for q, v in quants:
                         emit(
@@ -530,12 +513,7 @@ def _exemplar(pay: bytes) -> tuple[dict[str, str], int, float]:
         elif fno == 5 and wt == 2:
             labels["trace_id"] = p.hex()
         elif fno == 7 and wt == 2:
-            key, v = "", ""
-            for kf, kw, kp in _fields(p):
-                if kf == 1 and kw == 2:
-                    key = kp.decode("utf-8")
-                elif kf == 2 and kw == 2:
-                    v = _any_value(kp)
+            key, v = _keyvalue(p)
             labels[key] = v
     return labels, ts, val
 
@@ -607,12 +585,7 @@ def decode_export_metric_exemplars(
                         elif pf == 8 and pw == 2:
                             exs.append(_exemplar(p))
                         elif pf == 9 and pw == 2:
-                            key, v = "", ""
-                            for kf, kw, kp in _fields(p):
-                                if kf == 1 and kw == 2:
-                                    key = kp.decode("utf-8")
-                                elif kf == 2 and kw == 2:
-                                    v = _any_value(kp)
+                            key, v = _keyvalue(p)
                             attrs[key] = v
                     for ex_labels, ts, val in exs:
                         le = next(
@@ -969,7 +942,9 @@ def render_otlp_metrics(
             else F.array().cast("array<struct<key:string,value:string>>")
         ).alias("__l"),
         F.col(value_col).cast("double").alias("__v"),
-        (F.col(ts_col).cast("long") / F.lit(div)).cast("long").alias("__t"),
+        # integer division — float division corrupts ns-scale epoch
+        # longs (> 2^53) through double rounding
+        F.expr(f"CAST({ts_col} AS BIGINT) DIV {div}").alias("__t"),
     ]
     from tachyon_spark.sources.remote_write import RENDERED_SCHEMA
 

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from tachyon_spark.sources.remote_write import (
     _fields,
     _put_uvarint,
+    _uvarint,
     decode_write_request,
     encode_write_request,
     snappy_compress,
@@ -76,14 +77,7 @@ def decode_read_request(
         elif fno == 2 and wt == 2:  # packed enum form
             i = 0
             while i < len(pay):
-                v, sh = 0, 0
-                while True:
-                    b = pay[i]
-                    i += 1
-                    v |= (b & 0x7F) << sh
-                    if b < 0x80:
-                        break
-                    sh += 7
+                v, i = _uvarint(pay, i)  # guarded: truncation raises
                 accepted.append(v)
         elif fno == 1 and wt == 2:  # Query
             start = end = 0
@@ -179,7 +173,10 @@ def _run_query(
     df = (
         plan.df.select(
             "stream_id",
-            (F.col("ts") / F.lit(mult)).cast("long").alias("ts_ms"),
+            # integer division — float division would round ns-scale
+            # epoch longs (> 2^53) through double and shift samples by
+            # a millisecond at the boundary
+            F.expr(f"CAST(ts AS BIGINT) DIV {mult}").alias("ts_ms"),
             F.col("value").cast("double").alias("value"),
         )
         .orderBy("stream_id", "ts_ms")

@@ -771,7 +771,9 @@ def render_remote_write(
             else F.array().cast("array<struct<key:string,value:string>>")
         ).alias("__l"),
         F.col(value_col).cast("double").alias("__v"),
-        (F.col(ts_col).cast("long") / F.lit(div)).cast("long").alias("__t"),
+        # integer division — float division corrupts ns-scale epoch
+        # longs (> 2^53) through double rounding
+        F.expr(f"CAST({ts_col} AS BIGINT) DIV {div}").alias("__t"),
     ]
 
     def kernel(batches):

@@ -240,3 +240,24 @@ def test_http_api_v1_read(spark, tmp_path):
         assert ei.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_serve_remote_read_ns_native_big_timestamps(db):
+    # real-epoch ns timestamps exceed 2^53: the ns->ms wire conversion
+    # must be integer division, not double division (which shifts
+    # boundary samples by a millisecond)
+    ts_ns = 1_700_000_000_001 * 1_000_000 + 999_999  # not /4-divisible
+    db.create_stream("rr_big", "f64")
+    ins = db.prepare_insert("rr_big")
+    ins.insert(ts_ns, 1.5)
+    ins.flush()
+    body = _request(
+        [(1_700_000_000_000, 1_700_000_000_002,
+          [(0, "__name__", "rr_big")])]
+    )
+    resp = decode_read_response(
+        snappy_decompress(serve_remote_read(db, body, ts_unit="ms"))
+    )
+    assert resp == [
+        [({"__name__": "rr_big"}, [(1_700_000_000_001, 1.5)])]
+    ]
