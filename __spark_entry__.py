@@ -1569,9 +1569,36 @@ def q_wire_formats_parse(spark, sf_dir):
             "value",
         )
     )
+    # remote_write_v2 (NEW r15 second wave — same REGATE marker): the
+    # sixth arm puts the remote-write 2.0 codec
+    # (io.prometheus.write.v2.Request — request-wide interned symbol
+    # table, packed labels_refs pairs) inside the oracle hash too:
+    # render(proto="2") -> snappy v2 blobs -> ingest(proto="2") through
+    # the same catalog-join resolution -> read-back. A symbol-table
+    # interning bug (wrong ref, off-by-one, missing "" sentinel) would
+    # misattribute samples across series and break the hash.
+    v2_blobs = render_remote_write(
+        spread(rw_src), ts_unit="ns", proto="2"
+    )
+    work_v2 = tempfile.mkdtemp(prefix="ty_rw2_ingest_")
+    conn_v2 = Connection(os.path.join(work_v2, "db"), spark)
+    ingest_remote_write(conn_v2, v2_blobs, ts_unit="ns", proto="2")
+    labels_v2 = conn_v2.catalog.df().select(
+        "stream_id", F.col("labels")["et"].alias("et")
+    )
+    v2 = (
+        conn_v2.samples_df()
+        .join(F.broadcast(labels_v2), "stream_id")
+        .select(
+            F.lit("remote_write_v2").alias("arm"),
+            "et",
+            F.col("ts").alias("ts_us"),
+            "value",
+        )
+    )
     return (
         om.unionByName(lp).unionByName(gr).unionByName(rw)
-        .unionByName(ot)
+        .unionByName(ot).unionByName(v2)
     )
 
 
@@ -4977,10 +5004,11 @@ REGATE: dict[str, int] = {
     # r12 row postdates its r11 marker), so the markers are dropped per
     # the documented lifecycle above.
     #
-    # r15: a fourth AND fifth arm joined the gate — remote_write
+    # r15: fourth, fifth AND sixth arms joined the gate — remote_write
     # (snappy+protobuf WriteRequest render -> ingest -> read-back,
-    # VERDICT r14 task 1) and otlp (gzip+protobuf
-    # ExportMetricsServiceRequest, same loop, r15 second wave) — so the
+    # VERDICT r14 task 1), otlp (gzip+protobuf
+    # ExportMetricsServiceRequest, same loop, r15 second wave), and
+    # remote_write_v2 (symbol-interned 2.0 Request, same loop) — so the
     # r14 three-arm row no longer proves the current semantics.
     # (The r14 graphite-ingest marker at 13 self-healed: the r14 driver
     # row postdates it — superseded by this r15 marker.)
@@ -6800,19 +6828,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wire_formats_parse": f"""
             -- the parser gate's oracle is the parquet ORIGINALS once
-            -- per arm: the engine renders each event to all FIVE wire
-            -- formats (three text + snappy-protobuf remote_write +
-            -- gzip-protobuf OTLP) and parses/ingests each back; a
-            -- correct codec pair reproduces these rows exactly
-            -- (double->string->double round-trips, integral ts,
-            -- exemplar strip, quote-aware field tokens, f64-exact
-            -- protobuf samples)
+            -- per arm: the engine renders each event to all SIX wire
+            -- forms (three text + snappy-protobuf remote_write 1.0 AND
+            -- symbol-interned 2.0 + gzip-protobuf OTLP) and
+            -- parses/ingests each back; a correct codec pair
+            -- reproduces these rows exactly (double->string->double
+            -- round-trips, integral ts, exemplar strip, quote-aware
+            -- field tokens, f64-exact protobuf samples, v2 symbol-ref
+            -- label attribution)
             SELECT m.arm, e.event_type AS et, epoch_us(e.ts) AS ts_us,
                    e.value
             FROM events e CROSS JOIN (
               SELECT unnest(
                 ['openmetrics', 'line_protocol', 'graphite',
-                 'remote_write', 'otlp']
+                 'remote_write', 'otlp', 'remote_write_v2']
               ) AS arm
             ) m
             WHERE epoch_us(e.ts) BETWEEN {T0_US} AND {T1_US}

@@ -753,15 +753,23 @@ def render_remote_write(
     ts_col: str = "ts",
     ts_unit: str = "ms",
     compress: bool = True,
+    proto: str = "1",
 ) -> DataFrame:
     """Render (name, labels?, value, ts) rows to WriteRequest blobs —
     ONE blob per Arrow batch (distributed; round-trips through
     parse_remote_write). `ts_unit` scales native ts down to the wire's
-    ms unit. The exporter half: point it at any remote_write endpoint."""
+    ms unit. `proto` "2" emits io.prometheus.write.v2.Request bodies
+    (symbol-interned). The exporter half: point it at any remote_write
+    endpoint."""
     if ts_unit not in _UNIT_NS:
         raise ValueError(
             f"ts_unit must be one of {sorted(_UNIT_NS)}, got {ts_unit!r}"
         )
+    if proto not in ("1", "2"):
+        raise ValueError(f"proto must be '1' or '2', got {proto!r}")
+    encoder = (
+        encode_write_request if proto == "1" else encode_write_request_v2
+    )
     div = _UNIT_NS[ts_unit]
     cols = [
         F.col(name_col).alias("__n"),
@@ -797,7 +805,7 @@ def render_remote_write(
                 per.setdefault(tuple(sorted(labels.items())), []).append(
                     (int(t), float(v))
                 )
-            body = encode_write_request(
+            body = encoder(
                 [(dict(k), sorted(v)) for k, v in sorted(per.items())]
             )
             if compress:

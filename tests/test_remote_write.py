@@ -523,3 +523,20 @@ def test_stale_markers_dropped_by_default(db):
         stale_markers="keep",
     )
     assert n2 == 1
+
+
+def test_render_parse_round_trip_v2(spark):
+    df = spark.createDataFrame(
+        [
+            ("cpu", {"host": "a", "dc": "x"}, 0.5, 10),
+            ("cpu", {"host": "b"}, 1.5, 20),
+        ],
+        "name string, labels map<string,string>, value double, ts long",
+    )
+    blobs = render_remote_write(df, ts_unit="ns", proto="2")
+    back = parse_remote_write(blobs, ts_unit="ns", proto="2").collect()
+    got = {(r.series_key, r.ts, r.value) for r in back}
+    assert got == {
+        ('cpu{dc="x",host="a"}', 10, 0.5),
+        ('cpu{host="b"}', 20, 1.5),
+    }
