@@ -192,6 +192,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("selector")
     sp.add_argument("--start", type=int, default=None)
     sp.add_argument("--end", type=int, default=None)
+    sp = sub.add_parser("query-exemplars")
+    sp.add_argument("selector")
+    sp.add_argument("--start", type=int, required=True)
+    sp.add_argument("--end", type=int, required=True)
 
     args = p.parse_args(argv)
 
@@ -335,6 +339,15 @@ def main(argv: list[str] | None = None) -> int:
 
         for s in conn.series(args.selector, args.start, args.end):
             print(_json.dumps(s, sort_keys=True))
+    elif args.cmd == "query-exemplars":
+        import json as _json
+
+        from tachyon_spark.promapi import exemplars_envelope
+
+        for entry in exemplars_envelope(
+            conn, args.selector, args.start, args.end, ns_clock=False
+        ):
+            print(_json.dumps(entry, sort_keys=True))
     elif args.cmd == "delete-series":
         n = conn.delete_series(args.selector, args.start, args.end)
         print(f"deleted {n} samples")

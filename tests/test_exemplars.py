@@ -254,3 +254,25 @@ def test_openmetrics_exemplar_pipeline(db):
     assert rows[20].value == 0.75  # fell back to sample ts 20
     # the h="b" series has no exemplars
     assert query_exemplars(db, 'om_ex{h="b"}', 0, 100).count() == 0
+
+
+def test_cli_query_exemplars(db, capsys):
+    import json
+
+    from tachyon_spark import cli
+
+    body = snappy_compress(_v1_with_exemplar())
+    ingest_remote_write(db, body, ts_unit="ns")
+    extract_remote_write_exemplars(db, body, ts_unit="ns")
+    rc = cli.main(
+        [db.db_dir, "query-exemplars", "up", "--start", "0",
+         "--end", "100"]
+    )
+    assert rc == 0
+    out = [json.loads(ln) for ln in
+           capsys.readouterr().out.strip().splitlines()]
+    assert out == [
+        {"seriesLabels": {"__name__": "up", "job": "api"},
+         "exemplars": [{"labels": {"trace_id": "abc"},
+                        "value": "7.5", "timestamp": 42}]}
+    ]
