@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 __all__ = [
     "decode_write_request",
+    "decode_write_request_histograms",
     "decode_write_request_v2",
     "encode_write_request",
     "encode_write_request_v2",
@@ -304,6 +305,264 @@ def encode_write_request(
             ld(ts_msg, 2, bytes(smp))
         ld(req, 1, bytes(ts_msg))
     return bytes(req)
+
+
+# ----------------------------------------- native histograms (r15)
+#
+# prompb.Histogram (types.proto) — Prometheus's sparse
+# exponential-bucket "native histogram", carried on TimeSeries field 4
+# (v1) / field 3 (v2). Base-2 buckets like OTLP's exponential
+# histograms but with a DIFFERENT indexing convention (positive bucket
+# index i covers (base^(i-1), base^i], so its le is base^i) and a
+# span+delta encoding:
+#
+#   Histogram{ oneof count: uint64 count_int=1 | double count_float=2;
+#              double sum=3; sint32 schema=4 (zigzag);
+#              double zero_threshold=5;
+#              oneof zero_count: uint64 int=6 | double float=7;
+#              repeated BucketSpan negative_spans=8;
+#              repeated sint64 negative_deltas=9 (packed, zigzag);
+#              repeated double negative_counts=10 (packed, float hist);
+#              repeated BucketSpan positive_spans=11;
+#              repeated sint64 positive_deltas=12;
+#              repeated double positive_counts=13;
+#              reset_hint=14; int64 timestamp=15 }
+#   BucketSpan{ sint32 offset=1 (zigzag; first span absolute, later
+#               spans are gaps from the previous span's end),
+#               uint32 length=2 }
+#
+# Integer histograms delta-encode counts (count_k = count_{k-1} +
+# delta_k); float histograms carry absolute counts. The decoder
+# flattens spans+counts to (absolute index, count) pairs and
+# translates to the classic ascending-le cumulative ladder the engine
+# stores (same shape as the OTLP exponential translation).
+
+def _zigzag64(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _packed_varints(pay: bytes) -> list[int]:
+    out, i = [], 0
+    while i < len(pay):
+        v, i = _uvarint(pay, i)
+        out.append(v)
+    return out
+
+
+def _bucket_spans(items: list[bytes]) -> list[tuple[int, int]]:
+    spans = []
+    for pay in items:
+        off = ln = 0
+        for fno, wt, p in _fields(pay):
+            if fno == 1 and wt == 0:
+                off = _zigzag64(p)
+            elif fno == 2 and wt == 0:
+                ln = p
+        spans.append((off, ln))
+    return spans
+
+
+def _span_buckets(
+    spans: list[tuple[int, int]],
+    deltas: list[int],
+    floats: list[float],
+) -> list[tuple[int, float]]:
+    """spans + (delta-encoded int counts | absolute float counts) ->
+    [(absolute bucket index, count)]."""
+    counts: list[float]
+    if floats:
+        counts = floats
+    else:
+        counts, run = [], 0
+        for d in deltas:
+            run += d
+            counts.append(run)
+    out = []
+    idx = 0
+    k = 0
+    first = True
+    for off, ln in spans:
+        idx = off if first else idx + off
+        first = False
+        for _ in range(ln):
+            if k < len(counts):
+                out.append((idx, counts[k]))
+            k += 1
+            idx += 1
+    if k != len(counts):
+        raise ValueError(
+            "remote_write: histogram span lengths disagree with "
+            f"bucket count ({k} vs {len(counts)})"
+        )
+    return out
+
+
+def _decode_native_histogram(pay: bytes):
+    """Histogram message -> (ts_ms, count, sum, ladder) where ladder is
+    the classic ascending-le cumulative [(le_float_or_inf, cum_count)]."""
+    import struct
+
+    count = 0.0
+    hsum = 0.0
+    schema = 0
+    zero_thr = 0.0
+    zero_count = 0.0
+    ts = 0
+    neg_spans_raw: list[bytes] = []
+    pos_spans_raw: list[bytes] = []
+    neg_deltas: list[int] = []
+    pos_deltas: list[int] = []
+    neg_floats: list[float] = []
+    pos_floats: list[float] = []
+
+    def _doubles(p: bytes, wt: int) -> list[float]:
+        if wt == 2:
+            return [
+                struct.unpack_from("<d", p, i)[0]
+                for i in range(0, len(p), 8)
+            ]
+        return [struct.unpack("<d", p)[0]]
+
+    for fno, wt, p in _fields(pay):
+        if fno == 1 and wt == 0:
+            count = float(p)
+        elif fno == 2 and wt == 1:
+            count = struct.unpack("<d", p)[0]
+        elif fno == 3 and wt == 1:
+            hsum = struct.unpack("<d", p)[0]
+        elif fno == 4 and wt == 0:
+            schema = _zigzag64(p)
+        elif fno == 5 and wt == 1:
+            zero_thr = struct.unpack("<d", p)[0]
+        elif fno == 6 and wt == 0:
+            zero_count = float(p)
+        elif fno == 7 and wt == 1:
+            zero_count = struct.unpack("<d", p)[0]
+        elif fno == 8 and wt == 2:
+            neg_spans_raw.append(p)
+        elif fno == 9 and wt in (0, 2):
+            neg_deltas += [
+                _zigzag64(v)
+                for v in (_packed_varints(p) if wt == 2 else [p])
+            ]
+        elif fno == 10 and wt in (1, 2):
+            neg_floats += _doubles(p, wt)
+        elif fno == 11 and wt == 2:
+            pos_spans_raw.append(p)
+        elif fno == 12 and wt in (0, 2):
+            pos_deltas += [
+                _zigzag64(v)
+                for v in (_packed_varints(p) if wt == 2 else [p])
+            ]
+        elif fno == 13 and wt in (1, 2):
+            pos_floats += _doubles(p, wt)
+        elif fno == 15 and wt == 0:
+            ts = p - (1 << 64) if p >= 1 << 63 else p
+        # reset_hint (14) and future fields skip
+    inv = 2.0 ** (-schema)
+
+    def ub(index: int) -> float:  # base^index
+        return 2.0 ** (index * inv)
+
+    neg = _span_buckets(
+        _bucket_spans(neg_spans_raw), neg_deltas, neg_floats
+    )
+    pos = _span_buckets(
+        _bucket_spans(pos_spans_raw), pos_deltas, pos_floats
+    )
+    ladder: list[tuple[float, float]] = []
+    # negative bucket index i covers [-base^i, -base^(i-1)) -> its le
+    # (largest admitted value) is -base^(i-1); ascending le = most
+    # negative (largest index) first
+    for idx, c in sorted(neg, key=lambda t: -t[0]):
+        if c:
+            ladder.append((-ub(idx - 1), c))
+    if zero_count:
+        ladder.append((zero_thr, zero_count))
+    # positive bucket index i covers (base^(i-1), base^i] -> le base^i
+    for idx, c in sorted(pos):
+        if c:
+            ladder.append((ub(idx), c))
+    cum = 0.0
+    out_ladder = []
+    for le, c in ladder:
+        cum += c
+        out_ladder.append((le, cum))
+    return ts, count, hsum, out_ladder
+
+
+def decode_write_request_histograms(
+    data: bytes, proto: str = "1"
+) -> list[
+    tuple[dict[str, str], list[tuple[int, float, float, list]]]
+]:
+    """WriteRequest/v2-Request bytes -> [(series labels incl __name__,
+    [(ts_ms, count, sum, ladder), ...])] for series carrying NATIVE
+    histograms (TimeSeries field 4 in v1, field 3 in v2). Series
+    without histograms are omitted. The ladder is the classic
+    ascending-le cumulative bucket list ready for `_bucket`/`_sum`/
+    `_count` series emission."""
+    if proto == "1":
+        series_iter = (
+            (payload, 4)
+            for fno, wt, payload in _fields(data)
+            if fno == 1 and wt == 2
+        )
+        out = []
+        for ts_pay, hist_field in series_iter:
+            labels: dict[str, str] = {}
+            hists = []
+            for sfno, swt, spay in _fields(ts_pay):
+                if sfno == 1 and swt == 2:
+                    name = value = ""
+                    for lfno, lwt, lpay in _fields(spay):
+                        if lfno == 1 and lwt == 2:
+                            name = lpay.decode("utf-8")
+                        elif lfno == 2 and lwt == 2:
+                            value = lpay.decode("utf-8")
+                    labels[name] = value
+                elif sfno == hist_field and swt == 2:
+                    hists.append(_decode_native_histogram(spay))
+            if hists:
+                out.append((labels, hists))
+        return out
+    # v2: symbol-table labels, histograms on field 3
+    symbols: list[str] = []
+    series_raw: list[bytes] = []
+    for fno, wt, payload in _fields(data):
+        if fno == 4 and wt == 2:
+            symbols.append(payload.decode("utf-8"))
+        elif fno == 5 and wt == 2:
+            series_raw.append(payload)
+    out = []
+    for ts_pay in series_raw:
+        refs: list[int] = []
+        hists = []
+        for sfno, swt, spay in _fields(ts_pay):
+            if sfno == 1 and swt == 2:
+                i = 0
+                while i < len(spay):
+                    v, i = _uvarint(spay, i)
+                    refs.append(v)
+            elif sfno == 1 and swt == 0:
+                refs.append(spay)
+            elif sfno == 3 and swt == 2:
+                hists.append(_decode_native_histogram(spay))
+        if hists:
+            if len(refs) % 2:
+                raise ValueError(
+                    "remote_write v2: labels_refs must hold pairs"
+                )
+            labels = {}
+            for j in range(0, len(refs), 2):
+                n, v = refs[j], refs[j + 1]
+                if n >= len(symbols) or v >= len(symbols):
+                    raise ValueError(
+                        "remote_write v2: symbol ref out of range"
+                    )
+                labels[symbols[n]] = symbols[v]
+            out.append((labels, hists))
+    return out
 
 
 # ------------------------------------------------------- exemplars
@@ -586,6 +845,7 @@ def parse_remote_write(
     compressed: bool = True,
     proto: str = "1",
     stale_markers: str = "drop",
+    native_histograms: str = "classic",
 ) -> DataFrame:
     """Distributed WriteRequest decode: `blobs` holds one snappy+proto
     payload per row in `payload_col` (binary). Output one row per
@@ -603,7 +863,14 @@ def parse_remote_write(
     (default) removes them at decode (so queries never surface a NaN
     that means "ended"; real NaN data like 0/0 passes through — the
     distinction is the exact bit pattern); "keep" stores them verbatim
-    for stores that track liveness downstream."""
+    for stores that track liveness downstream.
+
+    `native_histograms`: "classic" (default) translates native
+    (sparse exponential-bucket) histograms on the series into classic
+    `<name>_bucket{le=...}`/`_sum`/`_count` rows — the same
+    ascending-le cumulative translation the OTLP receiver applies, so
+    a native-histogram sender's data stays queryable with
+    histogram_quantile; "skip" ignores them (the pre-r15 behavior)."""
     import struct as _struct
 
     if ts_unit not in _UNIT_NS:
@@ -615,6 +882,11 @@ def parse_remote_write(
     if stale_markers not in ("drop", "keep"):
         raise ValueError(
             f"stale_markers must be drop|keep, got {stale_markers!r}"
+        )
+    if native_histograms not in ("classic", "skip"):
+        raise ValueError(
+            "native_histograms must be classic|skip, got "
+            f"{native_histograms!r}"
         )
     mult = _UNIT_NS[ts_unit]
     decoder = (
@@ -657,6 +929,42 @@ def parse_remote_write(
                         rows.append(
                             (name, lk, lv, key, val, ts * mult)
                         )
+                if native_histograms == "classic":
+                    for labels, hists in (
+                        decode_write_request_histograms(raw, proto)
+                    ):
+                        labels = dict(labels)
+                        name = labels.pop("__name__", None)
+                        if name is None:
+                            raise ValueError(
+                                "remote_write: histogram series "
+                                "without __name__ label"
+                            )
+
+                        def emit(n, extra, ts, v):
+                            lbs = dict(labels)
+                            lbs.update(extra)
+                            k2 = sorted(lbs)
+                            rows.append(
+                                (
+                                    n, k2, [lbs[x] for x in k2],
+                                    _series_key(n, lbs), v, ts * mult,
+                                )
+                            )
+
+                        for ts, count, hsum, ladder in hists:
+                            for le, cum in ladder:
+                                emit(
+                                    f"{name}_bucket",
+                                    {"le": repr(float(le))},
+                                    ts, cum,
+                                )
+                            emit(
+                                f"{name}_bucket", {"le": "+Inf"},
+                                ts, count,
+                            )
+                            emit(f"{name}_sum", {}, ts, hsum)
+                            emit(f"{name}_count", {}, ts, count)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in PARSED_SCHEMA.fields]
             )

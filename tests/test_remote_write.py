@@ -540,3 +540,90 @@ def test_render_parse_round_trip_v2(spark):
         ('cpu{dc="x",host="a"}', 10, 0.5),
         ('cpu{host="b"}', 20, 1.5),
     }
+
+
+# ------------------------------------------------- native histograms
+
+def _native_histogram_ts() -> bytes:
+    """TimeSeries{__name__=nh} with ONE native histogram: schema 0
+    (base 2), count=9, sum=5.5, zero_count=2 (thr 0), positive span
+    offset 0 len 2 with int deltas [3, 1] (counts 3, 4) @ ts=7."""
+    def ld(fno, body):
+        return bytes([fno << 3 | 2, len(body)]) + body
+
+    span = ld(11, bytes([1 << 3 | 0, 0, 2 << 3 | 0, 2]))
+    hist = (
+        bytes([1 << 3 | 0, 9])
+        + bytes([3 << 3 | 1]) + struct.pack("<d", 5.5)
+        + bytes([4 << 3 | 0, 0])
+        + bytes([6 << 3 | 0, 2])
+        + span
+        + ld(12, bytes([6, 2]))  # zigzag(3)=6, zigzag(1)=2
+        + bytes([15 << 3 | 0, 7])
+    )
+    lab = ld(1, ld(1, b"__name__") + ld(2, b"nh"))
+    return ld(1, lab + ld(4, hist))
+
+
+def test_decode_native_histograms():
+    from tachyon_spark.sources.remote_write import (
+        decode_write_request_histograms,
+    )
+
+    out = decode_write_request_histograms(_native_histogram_ts())
+    assert out == [
+        ({"__name__": "nh"},
+         # ladder: zero bucket (le=0.0, cum 2), idx0 -> le base^0=1.0
+         # cum 5, idx1 -> le base^1=2.0 cum 9
+         [(7, 9.0, 5.5, [(0.0, 2.0), (1.0, 5.0), (2.0, 9.0)])])
+    ]
+
+
+def test_ingest_native_histograms_classic(db):
+    body = snappy_compress(_native_histogram_ts())
+    n = ingest_remote_write(db, body, ts_unit="ns")
+    assert n == 6  # 3 ladder buckets + Inf + sum + count
+    assert db.query('nh_bucket{le="1.0"}', 0, 100).rows() == [(7, 5.0)]
+    assert db.query('nh_bucket{le="+Inf"}', 0, 100).rows() == [(7, 9.0)]
+    assert db.query("nh_sum", 0, 100).rows() == [(7, 5.5)]
+    assert db.query("nh_count", 0, 100).rows() == [(7, 9.0)]
+    # histogram_quantile works over the translated ladder
+    assert len(db.query(
+        "histogram_quantile(0.5, nh_bucket)", 0, 100).rows()) == 1
+    # skip mode: nothing but the (absent) plain samples
+    import tempfile, os
+    from tachyon_spark.connection import Connection
+
+    c2 = Connection(os.path.join(tempfile.mkdtemp(), "db"), db.spark)
+    from tachyon_spark.sources.remote_write import parse_remote_write
+
+    blobs = db.spark.createDataFrame([(body,)], "content binary")
+    assert parse_remote_write(
+        blobs, ts_unit="ns", native_histograms="skip"
+    ).count() == 0
+
+
+def test_decode_native_histograms_v2():
+    from tachyon_spark.sources.remote_write import (
+        decode_write_request_histograms,
+    )
+
+    def ld(fno, body):
+        return bytes([fno << 3 | 2, len(body)]) + body
+
+    # extract the Histogram bytes from the v1 fixture (field 4 of its
+    # TimeSeries) and re-wrap as a v2 Request (field 3 of v2 TimeSeries)
+    v1_ts = _native_histogram_ts()
+    # v1_ts = ld(1, lab + ld(4, hist)); peel two levels
+    inner = v1_ts[2:]
+    lab_len = inner[1]
+    hist = inner[2 + lab_len + 2:]
+    req = (
+        ld(4, b"") + ld(4, b"__name__") + ld(4, b"nh2")
+        + ld(5, ld(1, bytes([1, 2])) + ld(3, hist))
+    )
+    out = decode_write_request_histograms(req, proto="2")
+    assert out == [
+        ({"__name__": "nh2"},
+         [(7, 9.0, 5.5, [(0.0, 2.0), (1.0, 5.0), (2.0, 9.0)])])
+    ]
