@@ -207,6 +207,8 @@ def start_remote_write_ingest(
     ts_unit: str = "ms",
     value_type: str = "f64",
     compressed: bool = True,
+    proto: str = "1",
+    store_exemplars: bool = False,
 ):
     """LIVE remote_write ingestion (r15): tail `source_dir` for dropped
     WriteRequest blobs (one snappy+protobuf body per file — the shape a
@@ -216,7 +218,10 @@ def start_remote_write_ingest(
     (new series appearing mid-stream register in that batch), and batch
     write path as the HTTP endpoint. binaryFile streaming source +
     the shared foreachBatch/checkpoint contract of the three text arms.
-    Returns the StreamingQuery."""
+    `proto` "2" tails remote-write 2.0 bodies; `store_exemplars`
+    retains exemplars per batch (tachyon_spark/exemplars.py — its own
+    failure domain, like the HTTP ?exemplars=1 opt-in). Returns the
+    StreamingQuery."""
     checkpoint_dir = checkpoint_dir or os.path.join(
         conn.db_dir, "_checkpoints", "remote_write"
     )
@@ -233,13 +238,28 @@ def start_remote_write_ingest(
     def _append(batch_df, _batch_id):
         from tachyon_spark.sources.remote_write import ingest_remote_write
 
+        blobs = batch_df.select("content")
         ingest_remote_write(
             conn,
-            batch_df.select("content"),
+            blobs,
             ts_unit=ts_unit,
             value_type=value_type,
             compressed=compressed,
+            proto=proto,
         )
+        if store_exemplars:
+            from tachyon_spark.exemplars import (
+                extract_remote_write_exemplars,
+            )
+
+            try:  # samples are committed; exemplars must not re-fire
+                # the batch via a foreachBatch retry
+                extract_remote_write_exemplars(
+                    conn, blobs, ts_unit=ts_unit,
+                    compressed=compressed, proto=proto,
+                )
+            except Exception:
+                pass
 
     writer = (
         src.writeStream.foreachBatch(_append)

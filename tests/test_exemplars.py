@@ -276,3 +276,21 @@ def test_cli_query_exemplars(db, capsys):
          "exemplars": [{"labels": {"trace_id": "abc"},
                         "value": "7.5", "timestamp": 42}]}
     ]
+
+
+def test_streaming_remote_write_with_exemplars(spark, tmp_path):
+    from tachyon_spark.connection import Connection
+    from tachyon_spark.streaming.ingest import start_remote_write_ingest
+
+    src = tmp_path / "exdrops"
+    src.mkdir()
+    (src / "d1.pb").write_bytes(snappy_compress(_v1_with_exemplar()))
+    conn = Connection(str(tmp_path / "exsdb"), spark)
+    q = start_remote_write_ingest(
+        conn, str(src), trigger_once=True, ts_unit="ns",
+        store_exemplars=True,
+    )
+    q.awaitTermination(180)
+    assert conn.query('up{job="api"}', 0, 100).rows() == [(10, 1.0)]
+    rows = query_exemplars(conn, "up", 0, 100).collect()
+    assert len(rows) == 1 and rows[0].ex_labels == {"trace_id": "abc"}
