@@ -119,6 +119,25 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as exc:
                 self._json(400, {"error": str(exc)})
             return
+        if parsed.path == "/api/v1/status/buildinfo":
+            # Grafana probes this on datasource setup to pick its
+            # Prometheus feature set; answer with the envelope shape it
+            # expects. The version string advertises the 2.x API
+            # surface this shell implements (exemplars, remote read/
+            # write); application/engine identity is this package.
+            self._json(
+                200,
+                {"status": "success",
+                 "data": {
+                     "version": "2.54.0",
+                     "application": "tachyon-spark",
+                     "features": {
+                         "exemplar-storage": "true",
+                         "remote-write-receiver": "true",
+                     },
+                 }},
+            )
+            return
         if parsed.path == "/api/v1/status/tsdb":
             req = dict(parse_qsl(parsed.query))
             try:

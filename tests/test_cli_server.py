@@ -597,6 +597,13 @@ def test_tsdb_status(tmp_path, spark):
             body = json.load(r)
         assert body["status"] == "success"
         assert body["data"]["numSeries"] == 3
+        # Grafana's datasource probe (no ?path= needed — static)
+        url = f"http://127.0.0.1:{port}/api/v1/status/buildinfo"
+        with urllib.request.urlopen(url) as r:
+            info = json.load(r)
+        assert info["status"] == "success"
+        assert info["data"]["application"] == "tachyon-spark"
+        assert info["data"]["features"]["remote-write-receiver"] == "true"
     finally:
         srv.shutdown()
 
