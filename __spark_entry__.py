@@ -1426,9 +1426,16 @@ def q_wire_formats_parse(spark, sf_dir):
     )
     # ONE scan renders all three syntaxes (r13 review: three per-arm
     # projections re-scanned the parquet three times); the rendered
-    # frame is checkpoint-pinned so each arm's parse reads the same
-    # materialized lines
-    rendered = ev.select(
+    # frame is checkpoint-pinned (EAGER since r15: the four ingest arms
+    # below build concurrently, and the first touch must not race the
+    # lazy materialization) so each arm's parse reads the same
+    # materialized lines. spread() must run BEFORE the checkpoint: a
+    # checkpointed frame reports no inputFiles, so the per-arm spread
+    # calls downstream are no-ops on it, and the checkpoint would
+    # otherwise pin the narrow scan's 1-2 splits — serializing every
+    # arm's regex/codec CPU on one core (measured r15 at 10x: the lp
+    # parse arm alone read ~10 s on 2 partitions vs ~1.5 s spread)
+    rendered = spread(ev.select(
         F.concat(
             F.lit('ev{et="'), F.col("event_type"), F.lit('"} '),
             F.col("value").cast("string"), F.lit(" "),
@@ -1454,45 +1461,57 @@ def q_wire_formats_parse(spark, sf_dir):
         F.col("event_type").alias("rw_et"),
         F.col("value").alias("rw_v"),
         F.expr("ts DIV 1000").alias("rw_ts"),
-    ).localCheckpoint(eager=False)
-    om_lines = rendered.select(F.col("om").alias("value"))
+    )).localCheckpoint(eager=True)
     # the parsers are partition-parallel (real dumps split by line / by
     # file); this fixture's lines inherit the narrow parquet scan's 1-2
     # splits, which would serialize the regex CPU — spread is a no-op
     # at real scan widths (r12: 3.1 s -> ~0.5 s on the 10x table)
-    om = parse_openmetrics(spread(om_lines), ns_clock=False).select(
-        F.lit("openmetrics").alias("arm"),
-        F.col("labels")["et"].alias("et"),
-        F.col("ts").alias("ts_us"),
-        "value",
-    )
-    lp_lines = rendered.select(F.col("lp").alias("value"))
-    lp = (
-        parse_line_protocol(spread(lp_lines), precision="ns")
-        .where(F.col("ftype") != "string")
-        .select(
-            F.lit("line_protocol").alias("arm"),
-            F.col("tags")["et"].alias("et"),
+    def om_arm():
+        om_lines = rendered.select(F.col("om").alias("value"))
+        return parse_openmetrics(spread(om_lines), ns_clock=False).select(
+            F.lit("openmetrics").alias("arm"),
+            F.col("labels")["et"].alias("et"),
             F.col("ts").alias("ts_us"),
             "value",
+        ).localCheckpoint(eager=True)
+
+    def lp_arm():
+        lp_lines = rendered.select(F.col("lp").alias("value"))
+        return (
+            parse_line_protocol(spread(lp_lines), precision="ns")
+            .where(F.col("ftype") != "string")
+            .select(
+                F.lit("line_protocol").alias("arm"),
+                F.col("tags")["et"].alias("et"),
+                F.col("ts").alias("ts_us"),
+                "value",
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    def _readback(conn, arm_name):
+        labels = conn.catalog.df().select(
+            "stream_id", F.col("labels")["et"].alias("et")
+        )
+        return (
+            conn.samples_df()
+            .join(F.broadcast(labels), "stream_id")
+            .select(
+                F.lit(arm_name).alias("arm"),
+                "et",
+                F.col("ts").alias("ts_us"),
+                "value",
+            )
+        )
+
     # graphite: full ingest round-trip (fresh db per call — ingest
     # mutates state, so no memoized fixture; same idempotence rationale
     # as delete_series_op)
-    gr_lines = rendered.select(F.col("gr").alias("value"))
-    work = tempfile.mkdtemp(prefix="ty_gr_ingest_")
-    conn = Connection(os.path.join(work, "db"), spark)
-    ingest_graphite(conn, spread(gr_lines), ts_unit="ns")
-    labels = conn.catalog.df().select(
-        "stream_id", F.col("labels")["et"].alias("et")
-    )
-    gr = conn.samples_df().join(F.broadcast(labels), "stream_id").select(
-        F.lit("graphite").alias("arm"),
-        "et",
-        F.col("ts").alias("ts_us"),
-        "value",
-    )
+    def gr_arm():
+        gr_lines = rendered.select(F.col("gr").alias("value"))
+        work = tempfile.mkdtemp(prefix="ty_gr_ingest_")
+        conn = Connection(os.path.join(work, "db"), spark)
+        ingest_graphite(conn, spread(gr_lines), ts_unit="ns")
+        return _readback(conn, "graphite")
     # remote_write (NEW r15 — REGATE): the fourth wire protocol, and
     # the first BINARY one — snappy-compressed protobuf WriteRequests
     # (remote-write 1.0, hand-rolled codecs in sources/remote_write.py).
@@ -1513,23 +1532,13 @@ def q_wire_formats_parse(spark, sf_dir):
         F.col("rw_v").alias("value"),
         F.col("rw_ts").alias("ts"),
     )
-    blobs = render_remote_write(spread(rw_src), ts_unit="ns")
-    work_rw = tempfile.mkdtemp(prefix="ty_rw_ingest_")
-    conn_rw = Connection(os.path.join(work_rw, "db"), spark)
-    ingest_remote_write(conn_rw, blobs, ts_unit="ns")
-    labels_rw = conn_rw.catalog.df().select(
-        "stream_id", F.col("labels")["et"].alias("et")
-    )
-    rw = (
-        conn_rw.samples_df()
-        .join(F.broadcast(labels_rw), "stream_id")
-        .select(
-            F.lit("remote_write").alias("arm"),
-            "et",
-            F.col("ts").alias("ts_us"),
-            "value",
-        )
-    )
+
+    def rw_arm():
+        blobs = render_remote_write(spread(rw_src), ts_unit="ns")
+        work_rw = tempfile.mkdtemp(prefix="ty_rw_ingest_")
+        conn_rw = Connection(os.path.join(work_rw, "db"), spark)
+        ingest_remote_write(conn_rw, blobs, ts_unit="ns")
+        return _readback(conn_rw, "remote_write")
     # otlp (NEW r15 second wave — REGATE): the fifth wire format and
     # second binary one — gzip'd protobuf ExportMetricsServiceRequests
     # (opentelemetry-proto, hand-rolled codec in sources/otlp.py over
@@ -1546,29 +1555,12 @@ def q_wire_formats_parse(spark, sf_dir):
         render_otlp_metrics,
     )
 
-    ot_src = rendered.select(
-        F.lit("ev").alias("name"),
-        F.create_map(F.lit("et"), F.col("rw_et")).alias("labels"),
-        F.col("rw_v").alias("value"),
-        F.col("rw_ts").alias("ts"),
-    )
-    ot_blobs = render_otlp_metrics(spread(ot_src), ts_unit="ns")
-    work_ot = tempfile.mkdtemp(prefix="ty_ot_ingest_")
-    conn_ot = Connection(os.path.join(work_ot, "db"), spark)
-    ingest_otlp(conn_ot, ot_blobs, ts_unit="ns")
-    labels_ot = conn_ot.catalog.df().select(
-        "stream_id", F.col("labels")["et"].alias("et")
-    )
-    ot = (
-        conn_ot.samples_df()
-        .join(F.broadcast(labels_ot), "stream_id")
-        .select(
-            F.lit("otlp").alias("arm"),
-            "et",
-            F.col("ts").alias("ts_us"),
-            "value",
-        )
-    )
+    def ot_arm():
+        ot_blobs = render_otlp_metrics(spread(rw_src), ts_unit="ns")
+        work_ot = tempfile.mkdtemp(prefix="ty_ot_ingest_")
+        conn_ot = Connection(os.path.join(work_ot, "db"), spark)
+        ingest_otlp(conn_ot, ot_blobs, ts_unit="ns")
+        return _readback(conn_ot, "otlp")
     # remote_write_v2 (NEW r15 second wave — same REGATE marker): the
     # sixth arm puts the remote-write 2.0 codec
     # (io.prometheus.write.v2.Request — request-wide interned symbol
@@ -1577,25 +1569,36 @@ def q_wire_formats_parse(spark, sf_dir):
     # the same catalog-join resolution -> read-back. A symbol-table
     # interning bug (wrong ref, off-by-one, missing "" sentinel) would
     # misattribute samples across series and break the hash.
-    v2_blobs = render_remote_write(
-        spread(rw_src), ts_unit="ns", proto="2"
-    )
-    work_v2 = tempfile.mkdtemp(prefix="ty_rw2_ingest_")
-    conn_v2 = Connection(os.path.join(work_v2, "db"), spark)
-    ingest_remote_write(conn_v2, v2_blobs, ts_unit="ns", proto="2")
-    labels_v2 = conn_v2.catalog.df().select(
-        "stream_id", F.col("labels")["et"].alias("et")
-    )
-    v2 = (
-        conn_v2.samples_df()
-        .join(F.broadcast(labels_v2), "stream_id")
-        .select(
-            F.lit("remote_write_v2").alias("arm"),
-            "et",
-            F.col("ts").alias("ts_us"),
-            "value",
+    def v2_arm():
+        v2_blobs = render_remote_write(
+            spread(rw_src), ts_unit="ns", proto="2"
         )
-    )
+        work_v2 = tempfile.mkdtemp(prefix="ty_rw2_ingest_")
+        conn_v2 = Connection(os.path.join(work_v2, "db"), spark)
+        ingest_remote_write(conn_v2, v2_blobs, ts_unit="ns", proto="2")
+        return _readback(conn_v2, "remote_write_v2")
+
+    # The four ingest arms are fully independent (separate throwaway dbs
+    # over the same checkpointed `rendered`), but each one is a chain of
+    # ~5 small actions (parse-materialize, series resolution, sample
+    # count, bulk_load write) — run serially they were the whole query's
+    # wall (measured r15 at sf0.1: 2.4-3.1 s EACH, ~10.6 s total, on
+    # 33k rows — pure job-floor cost, no data-sized stage anywhere).
+    # Spark schedules independent jobs submitted from threads
+    # concurrently (the promql_misc pattern, guide §2.6), so the arms'
+    # ingest side effects overlap and the wall is the slowest arm. The
+    # two text parses checkpoint their fixture-bounded parsed rows in
+    # the pool (so their regex stages overlap the ingests); the ingest
+    # arms' returned frames stay lazy (parquet read-back joins), so the
+    # final union evaluates the four read-backs in one job with no
+    # pinned data-sized intermediates.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        om, lp, gr, rw, ot, v2 = pool.map(
+            lambda arm: arm(),
+            [om_arm, lp_arm, gr_arm, rw_arm, ot_arm, v2_arm],
+        )
     return (
         om.unionByName(lp).unionByName(gr).unionByName(rw)
         .unionByName(ot).unionByName(v2)
