@@ -28,6 +28,12 @@ def _md5_long(col) -> F.Column:
 # overflow is an error (DuckDB oracle) as well as where it wraps (JVM).
 MERSENNE31 = 2_147_483_647
 
+# dedup_clusters collects the (deduped, directed) edge list for a driver
+# union-find below this bound — ~32 MB of id pairs, the same order as
+# _verify_side's broadcast bound; past it the distributed min-label loop
+# runs instead
+_CLUSTERS_COLLECT_MAX = 2_000_000
+
 
 def _md5_halves(col):
     """(h1, h2): two independent 60-bit longs from one md5, reduced mod M."""
@@ -131,6 +137,42 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     )
 
 
+def _shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """shingles(), carried as the two 60-bit md5 halves instead of the
+    text: (id, b1, b2) with b1/b2 = conv(md5[1:15]/[17:15]) — the same
+    substrings _md5_halves reduces mod M31, so every minhash value
+    derived from (b1 % M31, b2 % M31) is bit-identical to the text
+    path's. The 120-bit pair IS the shingle identity for distinct /
+    size / intersection purposes (an md5 half-pair collision between
+    distinct shingles is ~2^-121 per pair — no engine-visible effect),
+    and it is what the dedup shuffles move: ~16 bytes per shingle
+    instead of a 25-60 byte string, computed ONCE before the distinct
+    exchange rather than re-hashed downstream (guide §2.3: shuffle
+    fewer bytes, narrower types)."""
+    toks = tokens(F.col(text_col))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hexstr = F.md5(F.col("shingle"))
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .select(
+            "id",
+            F.conv(F.substring(hexstr, 1, 15), 16, 10).cast("long").alias("b1"),
+            F.conv(F.substring(hexstr, 17, 15), 16, 10).cast("long").alias("b2"),
+        )
+        .distinct()
+    )
+
+
 def decontaminate_ngram(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -198,13 +240,16 @@ def ngram_jaccard_pairs(
     reported Jaccard values stay exact; only pairs whose overlap is
     exclusively capped shingles can be missed. Default None = exact.
     """
-    sh = _materialize(shingles(df, id_col, text_col, n))
+    # r15: postings carry _shingle_hashes' 60-bit md5 halves, not the
+    # text — every shuffle below (inverted-index self-join, distinct,
+    # verify) moves ~16 bytes per shingle instead of the string
+    sh = _materialize(_shingle_hashes(df, id_col, text_col, n))
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("id").alias("doc_a"), "b1", "b2")
+    b = sh.select(F.col("id").alias("doc_b"), "b1", "b2")
     if max_postings is None:
         inter = (
-            a.join(b, "shingle")
+            a.join(b, ["b1", "b2"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("inter"))
@@ -214,13 +259,13 @@ def ngram_jaccard_pairs(
         # recounted over ALL shingles of just those pairs, so Jaccard stays
         # exact (minhash-style verify) — only pairs overlapping exclusively
         # in capped shingles can be missed
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-        keep = freq.where(F.col("__df") <= max_postings).select("shingle")
-        capped = sh.join(F.broadcast(keep), "shingle")
-        ca = capped.select(F.col("id").alias("doc_a"), "shingle")
-        cb = capped.select(F.col("id").alias("doc_b"), "shingle")
+        freq = sh.groupBy("b1", "b2").agg(F.count("*").alias("__df"))
+        keep = freq.where(F.col("__df") <= max_postings).select("b1", "b2")
+        capped = sh.join(F.broadcast(keep), ["b1", "b2"])
+        ca = capped.select(F.col("id").alias("doc_a"), "b1", "b2")
+        cb = capped.select(F.col("id").alias("doc_b"), "b1", "b2")
         candidates = (
-            ca.join(cb, "shingle")
+            ca.join(cb, ["b1", "b2"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
             .distinct()
@@ -228,7 +273,7 @@ def ngram_jaccard_pairs(
         inter = (
             _verify_side(candidates)
             .join(a, "doc_a")
-            .join(b, ["doc_b", "shingle"])
+            .join(b, ["doc_b", "b1", "b2"])
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("inter"))
         )
@@ -294,11 +339,27 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    # one shingling pass feeds BOTH the signatures and the verification join
-    # (sh is read by 4 consumers -> eager cache; sig flows into band_rows
-    # exactly once, so materializing it would only add a pass)
-    sh = _materialize(shingles(df, id_col, text_col, n))
-    sig = minhash_signatures(df, num_hashes, n, id_col, text_col, shingle_df=sh)
+    # one shingling pass feeds BOTH the signatures and the verification
+    # join (sh is read by 4 consumers -> eager cache; sig flows into
+    # band_rows exactly once, so materializing it would only add a
+    # pass). r15: the pass carries _shingle_hashes' 60-bit md5 halves,
+    # not the shingle text — the distinct exchange and the verify join
+    # move ~16 bytes per shingle instead of the string, and the minhash
+    # values derived from them are bit-identical to the text path's
+    # (oracle re-proven STRICT on dedup_minhash_lsh / dedup_clusters /
+    # dedup_keep_best / leakage_safe_split / pipeline_end_to_end).
+    sh = _materialize(_shingle_hashes(df, id_col, text_col, n))
+    hashed = sh.select(
+        "id",
+        (F.col("b1") % MERSENNE31).alias("__h1"),
+        (F.col("b2") % MERSENNE31).alias("__h2"),
+    )
+    sig = hashed.groupBy("id").agg(
+        *[
+            F.min((F.col("__h1") + j * F.col("__h2")) % MERSENNE31).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    ).select("id", F.array(*[f"h{j}" for j in range(num_hashes)]).alias("sig"))
     band_rows = sig.select(
         "id",
         F.explode(
@@ -336,12 +397,12 @@ def minhash_lsh_pairs(
     # are usually few, so they broadcast — but the count is data-dependent,
     # so _verify_side falls back to a shuffle join past a size bound.
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a_sh = sh.select(F.col("id").alias("doc_a"), "shingle")
-    b_sh = sh.select(F.col("id").alias("doc_b"), "shingle")
+    a_sh = sh.select(F.col("id").alias("doc_a"), "b1", "b2")
+    b_sh = sh.select(F.col("id").alias("doc_b"), "b1", "b2")
     inter = (
         _verify_side(candidates)
         .join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "shingle"])
+        .join(b_sh, ["doc_b", "b1", "b2"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -391,6 +452,64 @@ def dedup_clusters(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
     edges = _materialize(edges.distinct())
+    # r15 bounded fast path (same data-dependent bound discipline as
+    # _verify_side / REG_COLLECT_MAX): a verified near-dup pair graph is
+    # usually FAR smaller than the corpus, and below the bound a driver
+    # union-find computes the exact same min-reachable-id closure in one
+    # pass instead of diameter+1 rounds of join+groupBy+checkpoint
+    # actions (measured r15 at 10x: 5.6 s -> ~1.5 s; the loop's wall on
+    # clique-ish LSH graphs is almost entirely per-round job floors).
+    # The result is identical — union-find IS the full closure, which is
+    # also what the oracle replays — and past the bound the distributed
+    # loop below carries the 100 TB posture unchanged.
+    n_edges = edges.count()
+    if 0 < n_edges <= _CLUSTERS_COLLECT_MAX:
+        import pandas as pd
+
+        pdf = edges.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(pdf["src"], pdf["dst"]):
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # attach the larger root under the smaller so the
+                # component root is always its minimum id
+                if rd < rs:
+                    rs, rd = rd, rs
+                parent[rd] = rs
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(list(parent), dtype=pdf["src"].dtype),
+                "cluster_rep": pd.Series(
+                    [find(x) for x in parent], dtype=pdf["src"].dtype
+                ),
+            }
+        )
+        spark = pairs.sparkSession
+        src_type = edges.schema["src"].dataType
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            out,
+            T.StructType(
+                [
+                    T.StructField("doc_id", src_type),
+                    T.StructField("cluster_rep", src_type),
+                ]
+            ),
+        )
     labels = _materialize(
         edges.select(F.col("src").alias("id"))
         .distinct()
