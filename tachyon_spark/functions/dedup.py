@@ -553,7 +553,12 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).where(F.col("tok") != "")
-    h = _md5_long(F.col("tok"))  # 60 usable bits
+    # project the 60-bit token hash ONCE before the aggregate — as an
+    # inline expression all 60 per-bit aggregate updates reference the
+    # md5/conv subtree and its single evaluation rides on codegen CSE;
+    # a named column makes it structural (r15, guide §2.3)
+    tok = tok.select("id", _md5_long(F.col("tok")).alias("__h"))
+    h = F.col("__h")  # 60 usable bits
     agg = tok.groupBy("id").agg(
         *[
             F.sum(
