@@ -1141,17 +1141,30 @@ def q_subquery_windowed_grid(spark, sf_dir):
     sub = f"m[{w6h}:{w1h}]"
     args = (T0_US + w6h, T1_US, w3h)
 
-    r = conn.query_range(f"rate({sub})", *args, lookback=w1h).df().select(
+    # r15: the three plan BUILDS are ~0.27 s of py4j/analysis chatter
+    # each and independent — run them concurrently (guide §2.6; measured
+    # 0.81 s serial -> ~0.3 s pooled). The returned union is identical
+    # (fixed arm order), evaluation stays one lazy job.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(expr):
+        return conn.query_range(expr, *args, lookback=w1h).df()
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        fr, fc, fd = list(
+            ex.map(build, [f"rate({sub})", f"changes({sub})", f"deriv({sub})"])
+        )
+    r = fr.select(
         F.lit("rate").alias("arm"),
         F.col("ts").alias("ts_us"),
         F.round(F.col("value") * 1_000_000, 6).alias("value"),
     )
-    c = conn.query_range(f"changes({sub})", *args, lookback=w1h).df().select(
+    c = fc.select(
         F.lit("changes").alias("arm"),
         F.col("ts").alias("ts_us"),
         F.round(F.col("value").cast("double"), 6).alias("value"),
     )
-    d = conn.query_range(f"deriv({sub})", *args, lookback=w1h).df().select(
+    d = fd.select(
         F.lit("deriv").alias("arm"),
         F.col("ts").alias("ts_us"),
         F.round(F.col("value") * 3_600_000_000, 4).alias("value"),
@@ -2882,44 +2895,49 @@ def q_modifier_matrix(spark, sf_dir):
             F.round("value", 6).alias("value"),
         )
 
-    a = sel(
-        conn.query_range(
+    # r15: five independent plan builds at ~0.25 s of py4j/analysis
+    # chatter each — pooled (guide §2.6; measured 1.25 s serial ->
+    # ~0.4 s). Arm order is fixed by the spec list, so the returned
+    # union (and its evaluation, still one lazy job) is identical.
+    specs = [
+        (
+            "subq_offset",
             f"avg_over_time(m[{w6h}:{w1h}] offset {w3h})",
-            T0_US + 9 * w1h, T1_US, w3h, lookback=w1h,
-        ).df(),
-        "subq_offset",
-    )
-    b = sel(
-        conn.query_range(
+            (T0_US + 9 * w1h, T1_US, w3h),
+        ),
+        (
+            "subq_at",
             f"max_over_time(m[{w6h}:{w1h}] @ {T1_US})",
-            T0_US, T1_US, w12h, lookback=w1h,
-        ).df(),
-        "subq_at",
-    )
-    c = sel(
-        conn.query_range(
+            (T0_US, T1_US, w12h),
+        ),
+        (
+            "at_offset",
             f"max_over_time(m[{w6h}] @ {T1_US} offset {w3h})",
-            T0_US, T1_US, w12h, lookback=w1h,
-        ).df(),
-        "at_offset",
-    )
-    d = sel(
-        conn.query_range(
+            (T0_US, T1_US, w12h),
+        ),
+        (
+            "absent_at_empty",
             f"absent_over_time(m[{w6h}] @ {T0_US - w12h})",
-            T0_US, T1_US, w12h, lookback=w1h,
-        ).df(),
-        "absent_at_empty",
-    )
-    e = sel(
-        conn.query_range(
+            (T0_US, T1_US, w12h),
+        ),
+        (
+            "absent_at_present",
             f"absent_over_time(m[{w6h}] @ {T1_US})",
-            T0_US, T1_US, w12h, lookback=w1h,
-        ).df(),
-        "absent_at_present",
-    )
-    return (
-        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
-    )
+            (T0_US, T1_US, w12h),
+        ),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(spec):
+        arm, promql, rng = spec
+        return sel(conn.query_range(promql, *rng, lookback=w1h).df(), arm)
+
+    with ThreadPoolExecutor(max_workers=len(specs)) as ex:
+        parts = list(ex.map(build, specs))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _subquery_fixture_build(spark, sf_dir):
