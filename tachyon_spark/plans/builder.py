@@ -78,6 +78,23 @@ def rewrite_label_streams(node, streams) -> tuple:
             new_streams.append(replace(s, labels=labels))
     return tuple(new_streams)
 
+def inline_ids_df(spark, ids, col: str = "stream_id") -> DataFrame:
+    """A 1-column DataFrame of driver-known ids WITHOUT createDataFrame.
+
+    createDataFrame costs ~40 ms of py4j/serialization per call even for a
+    handful of rows (measured r16, §4-adjacent driver latency); the grid
+    evaluator builds one id frame per selector instant. Packing the ids
+    into ONE string literal and exploding a split() costs a few round
+    trips. Falls back to createDataFrame when an id contains the
+    separator (never for catalog-generated ids)."""
+    sep = "\x1f"
+    if any(sep in i for i in ids):
+        return spark.createDataFrame([(i,) for i in ids], f"{col} string")
+    return spark.range(1).select(
+        F.explode(F.split(F.lit(sep.join(ids)), sep, -1)).alias(col)
+    )
+
+
 _ARITH = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
@@ -1426,27 +1443,32 @@ class PlanBuilder:
                 time_bucket=self.conn.time_bucket,
                 stream_buckets=buckets,
             )
-        types = {r.value_type for r in rows}
-        dec_u64 = self.conn.u64_decimal and VT_U64 in types
+        value = self._value_expr({r.value_type for r in rows}, self.conn)
+        df = df.select("stream_id", "ts", value.alias("value"))
+        return Plan("vector", df, vt, streams=tuple(rows))
+
+    @staticmethod
+    def _value_expr(types: set, conn):
+        """The promoted value column for a set of per-stream value types —
+        shared by _selector and the grid evaluator's fused-operand scan
+        (two selectors with EQUAL type sets read the identical column, so
+        one scan can serve both)."""
+        dec_u64 = conn.u64_decimal and VT_U64 in types
         if types == {VT_F64}:
-            value = F.col("value")
-        elif VT_F64 in types:  # mixed int/float streams -> promoted f64
+            return F.col("value")
+        if VT_F64 in types:  # mixed int/float streams -> promoted f64
             int_cols = [F.col("value_int").cast("double")]
             if dec_u64:
                 int_cols.insert(0, F.col("value_dec").cast("double"))
-            value = F.coalesce(F.col("value"), *int_cols)
-        elif dec_u64:
+            return F.coalesce(F.col("value"), *int_cols)
+        if dec_u64:
             # u64-exact layout: full-range DECIMAL(20,0). Mixing with i64
             # promotes to i64 (lattice) — the long cast errors (ANSI) above
             # 2^63-1 rather than silently wrapping.
             if types == {VT_U64}:
-                value = F.col("value_dec")
-            else:
-                value = F.coalesce(F.col("value_dec").cast("long"), F.col("value_int"))
-        else:
-            value = F.col("value_int")
-        df = df.select("stream_id", "ts", value.alias("value"))
-        return Plan("vector", df, vt, streams=tuple(rows))
+                return F.col("value_dec")
+            return F.coalesce(F.col("value_dec").cast("long"), F.col("value_int"))
+        return F.col("value_int")
 
     # ----------------------------------------------------------------- binary
     def _binary(self, node: ast.BinaryOp) -> Plan:

@@ -79,10 +79,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tachyon_spark.operators.select import select_range
 from tachyon_spark.operators.topk import grouped_top_k
-from tachyon_spark.plans.builder import _ARITH, _CMP, Plan, PlanBuilder
+from tachyon_spark.plans.builder import (
+    _ARITH,
+    _CMP,
+    Plan,
+    PlanBuilder,
+    inline_ids_df,
+)
 from tachyon_spark.promql import ast
-from tachyon_spark.types import VT_F64, VT_U64
+from tachyon_spark.types import VT_F64, VT_U64, promote
 
 # Prometheus caps range queries at 11,000 points; same order here — the
 # grid is distributed, but an absurd step is almost always a unit bug.
@@ -228,8 +235,8 @@ class RangeEvaluator:
         list; past the IN-list threshold: the distributed catalog frame
         (the grid explode then happens executor-side for 10^5+ series)."""
         if len(streams) <= getattr(self.conn, "isin_threshold", 1_000):
-            return self.conn.spark.createDataFrame(
-                [(s.stream_id,) for s in streams], "stream_id string"
+            return inline_ids_df(
+                self.conn.spark, [s.stream_id for s in streams]
             )
         return self.conn.catalog.resolve_df(sel.name, sel.matchers, sel.or_groups).select(
             "stream_id"
@@ -758,8 +765,368 @@ class RangeEvaluator:
         out = grouped_agg(cdf, func, ["ts"], param=node.param, approx=approx)
         return Plan("vector", out, vt)
 
+    # ------------------------------------------------- fused operand eval
+    def _operand_chain(self, expr):
+        """(selector, transform) when `expr` is a bare VectorSelector
+        wrapped only in presence-preserving columnwise transforms
+        (vector∘scalar arithmetic, math/clamp/round functions) — the
+        operand shapes the fused matched-binop path can serve from one
+        shared instant frame. `transform` maps the instant value Column
+        exactly as the unfused _vec_lit/_columnwise chain would (None =
+        identity). Returns None when the expression needs its own
+        evaluation (windowed functions, aggregates, @/offset-modified
+        selectors, filtering comparisons — those change presence)."""
+        if isinstance(expr, ast.VectorSelector):
+            if expr.at_ts is not None or expr.at_anchor:
+                return None
+            return expr, None
+
+        def _d(f, v):
+            return (v if f is None else f(v)).cast("double")
+
+        if isinstance(expr, ast.MathFunc):
+            sub = self._operand_chain(expr.child)
+            if sub is None or expr.func not in PlanBuilder._MATH:
+                return None
+            sel, f = sub
+            return sel, (
+                lambda v, f=f, k=expr.func: self._math_col(k, _d(f, v))
+            )
+        if isinstance(expr, ast.ClampFunc):
+            sub = self._operand_chain(expr.child)
+            if sub is None:
+                return None
+            sel, f = sub
+            return sel, (
+                lambda v, f=f, n=expr: self._clamp_col(n, _d(f, v))
+            )
+        if isinstance(expr, ast.RoundFunc):
+            sub = self._operand_chain(expr.child)
+            if sub is None:
+                return None
+            sel, f = sub
+            return sel, (
+                lambda v, f=f, n=expr: self._round_col(n, _d(f, v))
+            )
+        if (
+            isinstance(expr, ast.BinaryOp)
+            and expr.matching is None
+            and expr.op in _ARITH
+        ):
+            for vec_e, sc_e, s_left in (
+                (expr.lhs, expr.rhs, False),
+                (expr.rhs, expr.lhs, True),
+            ):
+                if isinstance(sc_e, ast.NumberLiteral):
+                    sub = self._operand_chain(vec_e)
+                    if sub is None:
+                        return None
+                    sel, f = sub
+                    op, s = _ARITH[expr.op], float(sc_e.value)
+                    if s_left:
+                        return sel, (
+                            lambda v, f=f, op=op, s=s: op(F.lit(s), _d(f, v))
+                        )
+                    return sel, (
+                        lambda v, f=f, op=op, s=s: op(_d(f, v), F.lit(s))
+                    )
+        return None
+
+    def _fused_instants(self, sels):
+        """ONE raw scan + ONE grid union + ONE carry-forward window
+        serving several bare selectors that share an offset (guide §2.4 —
+        remove duplicate exchanges outright: per-operand instant
+        evaluation re-ran the identical scan→union→window spine once per
+        operand). Per-stream instants are bit-identical to
+        _selector_instant's because the window partitions per series —
+        extra series add partitions, never rows inside one. Returns
+        (instants_df, per-selector streams, per-selector value_type) or
+        None when one scan cannot serve all selectors (mixed value
+        layouts, past the IN-list threshold, no match — the caller falls
+        back to the per-operand path and its canonical errors)."""
+        off = sels[0].offset or 0
+        rows_per = []
+        for sel in sels:
+            if sel.at_ts is not None or sel.at_anchor or (sel.offset or 0) != off:
+                return None
+            rows = self.conn.catalog.resolve(
+                sel.name, sel.matchers, sel.or_groups
+            )
+            if not rows:
+                return None
+            rows_per.append(rows)
+        tsets = {frozenset(r.value_type for r in rows) for rows in rows_per}
+        if len(tsets) != 1:
+            return None  # per-side value columns would differ
+        ids = sorted({r.stream_id for rows in rows_per for r in rows})
+        n_sb = getattr(self.conn, "stream_buckets", 0) or 0
+        buckets = None
+        if n_sb:
+            from tachyon_spark.connection import stream_bucket_py
+
+            bset = {stream_bucket_py(i, n_sb) for i in ids}
+            if len(bset) < n_sb:
+                buckets = sorted(bset)
+        if len(ids) > getattr(self.conn, "isin_threshold", 1_000):
+            # high-cardinality: one semi-join scan against the UNION of
+            # the operands' catalog-resolved id frames (the same
+            # executor-side posture as _selector past the threshold;
+            # distinct because the operands may overlap and the grid
+            # needs one row per series)
+            id_frames = [
+                self.conn.catalog.resolve_df(
+                    s.name, s.matchers, s.or_groups
+                ).select("stream_id")
+                for s in sels
+            ]
+            ids_frame = id_frames[0]
+            for fr in id_frames[1:]:
+                ids_frame = ids_frame.unionByName(fr)
+            ids_frame = ids_frame.distinct()
+            df = select_range(
+                self.conn.samples_df(), None,
+                self.start - self.lookback - off, self.end - off,
+                time_bucket=self.conn.time_bucket,
+                stream_ids_df=ids_frame, id_count=len(ids),
+                stream_buckets=buckets,
+            )
+            grid_ids = ids_frame
+        else:
+            df = select_range(
+                self.conn.samples_df(), ids,
+                self.start - self.lookback - off, self.end - off,
+                time_bucket=self.conn.time_bucket, stream_buckets=buckets,
+            )
+            grid_ids = inline_ids_df(self.conn.spark, ids)
+        value = PlanBuilder._value_expr(set(next(iter(tsets))), self.conn)
+        s = df.select("stream_id", "ts", value.alias("value"))
+        if off:
+            s = s.select(
+                "stream_id", (F.col("ts") + F.lit(off)).alias("ts"), "value"
+            )
+        vtype = s.schema["value"].dataType
+        grid = grid_ids.select(
+            "stream_id",
+            F.explode(
+                F.sequence(F.lit(self.start), F.lit(self.end), F.lit(self.step))
+            ).alias("ts"),
+            F.lit(None).cast(vtype).alias("value"),
+            F.lit(1).alias("__tag"),
+        )
+        u = s.select(
+            "stream_id", "ts", "value", F.lit(0).alias("__tag")
+        ).unionByName(grid)
+        w = (
+            Window.partitionBy("stream_id")
+            .orderBy("ts", "__tag", "value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        val = F.last("value", ignorenulls=True).over(w)
+        sts = F.last(
+            F.when(F.col("__tag") == 0, F.col("ts")), ignorenulls=True
+        ).over(w)
+        instants = (
+            u.select(
+                "stream_id", "ts", "__tag", val.alias("__v"), sts.alias("__sts")
+            )
+            .where(F.col("__tag") == 1)
+            .where(
+                F.col("__sts").isNotNull()
+                & (F.col("ts") - F.col("__sts") <= F.lit(self.lookback))
+            )
+            .select("stream_id", "ts", F.col("__v").alias("value"))
+        )
+        vts = []
+        for rows in rows_per:
+            vt = rows[0].value_type
+            for r in rows[1:]:
+                vt = promote(vt, r.value_type)
+            vts.append(vt)
+        return instants, rows_per, vts
+
+    def _map_side_df(self, rows, key_cols):
+        """(stream_id, *key_cols, __side) membership frame from driver
+        rows, via one packed string literal (same rationale as
+        inline_ids_df: createDataFrame costs ~40 ms per call)."""
+        cols = ["stream_id"] + key_cols + ["__side"]
+        sep, rsep = "\x1f", "\x1e"
+        if len(rows) > 2_000 or any(
+            sep in str(f) or rsep in str(f) for r in rows for f in r[:-1]
+        ):
+            # big maps: one packed literal would bloat the plan; Arrow
+            # createDataFrame is the right tool past a few thousand rows
+            return self.conn.spark.createDataFrame(rows, cols)
+        packed = rsep.join(sep.join(str(f) for f in r) for r in rows)
+        df = (
+            self.conn.spark.range(1)
+            .select(F.explode(F.split(F.lit(packed), rsep, -1)).alias("__r"))
+            .select(F.split("__r", sep, -1).alias("__a"))
+        )
+        sel = [F.col("__a")[0].alias("stream_id")]
+        for i, k in enumerate(key_cols):
+            sel.append(F.col("__a")[i + 1].alias(k))
+        sel.append(
+            F.col("__a")[len(key_cols) + 1].cast("int").alias("__side")
+        )
+        return df.select(*sel)
+
+    def _try_fused_matched(self, node: ast.BinaryOp):
+        """Fused `a OP b` (vector matching / set ops / default matching /
+        comparisons) when both operands are selector chains over this
+        connection: one scan + one instant window serve both sides, side
+        membership and match keys attach via one broadcast map, and the
+        per-side join/distinct pair collapses into one keyed window or
+        aggregation — the (key, step) exchange happens ONCE (guide
+        §2.3/§2.4; r15 plan audit: the unfused set-op arm chained 5-6
+        tiny exchanges with no data-sized stage anywhere). Semantics are
+        the unfused path's exactly: same per-stream instants, same
+        driver-side match keys, same commonality/uniqueness errors, same
+        value typing (transforms replay _vec_lit/_columnwise). Returns
+        None when a precondition fails; the caller falls back."""
+        lc = self._operand_chain(node.lhs)
+        if lc is None:
+            return None
+        rc = self._operand_chain(node.rhs)
+        if rc is None:
+            return None
+        sel_l, f_l = lc
+        sel_r, f_r = rc
+        if (sel_l.offset or 0) != (sel_r.offset or 0):
+            return None
+        matching = node.matching
+        if (
+            matching is not None
+            and matching.group is not None
+            and node.op not in ast.SET_OPS
+        ):
+            return None  # group_left/right keep the unfused identity path
+        fused = self._fused_instants([sel_l, sel_r])
+        if fused is None:
+            return None
+        instants, (rows_l, rows_r), (vt_l, vt_r) = fused
+        if matching is None:
+            # Prometheus default matching: one-to-one on full label sets
+            matching = ast.VectorMatching(False, ())
+        if matching.on:
+            key_cols = list(matching.labels)
+            if not key_cols:
+                raise ValueError("on() requires at least one label")
+        else:
+            key_cols = ["__match_key"]
+        if set(matching.include) & set(key_cols):
+            raise ValueError(
+                "group_left/right include labels overlap match labels"
+            )
+        lkeys = {s.stream_id: self._b._key(s, matching) for s in rows_l}
+        rkeys = {s.stream_id: self._b._key(s, matching) for s in rows_r}
+        on = key_cols + ["ts"]
+        lv = F.col("value") if f_l is None else f_l(F.col("value"))
+
+        if node.op in ast.SET_OPS:
+            if matching.group is not None:
+                raise ValueError(
+                    "group_left/group_right do not apply to set operators"
+                )
+            rows = [(sid, *k, 0) for sid, k in lkeys.items()] + [
+                (sid, *k, 1) for sid, k in rkeys.items()
+            ]
+            tagged = instants.join(
+                F.broadcast(self._map_side_df(rows, key_cols)), "stream_id"
+            )
+            w = Window.partitionBy(*on)
+            if node.op in ("and", "unless"):
+                t = tagged.withColumn(
+                    "__rp",
+                    F.max(F.when(F.col("__side") == 1, F.lit(1))).over(w),
+                )
+                keep = (
+                    F.col("__rp").isNotNull()
+                    if node.op == "and"
+                    else F.col("__rp").isNull()
+                )
+                out = t.where((F.col("__side") == 0) & keep).select(
+                    *on, lv.alias("value")
+                )
+                return Plan(
+                    "grouped", out, VT_F64 if f_l else vt_l,
+                    group_cols=tuple(on),
+                )
+            # or: all lhs rows, plus rhs rows whose (group, step) has no lhs
+            rv = F.col("value") if f_r is None else f_r(F.col("value"))
+            t = tagged.withColumn(
+                "__lp", F.max(F.when(F.col("__side") == 0, F.lit(1))).over(w)
+            )
+            out = t.where(
+                (F.col("__side") == 0) | F.col("__lp").isNull()
+            ).select(
+                *on,
+                F.when(F.col("__side") == 0, lv)
+                .otherwise(rv)
+                .cast("double")
+                .alias("value"),
+            )
+            return Plan("grouped", out, VT_F64, group_cols=tuple(on))
+
+        common = set(lkeys.values()) & set(rkeys.values())
+        lkeys = {sid: k for sid, k in lkeys.items() if k in common}
+        rkeys = {sid: k for sid, k in rkeys.items() if k in common}
+        if not common:
+            raise ValueError("no matching label groups between operands")
+        from collections import Counter
+
+        for keys, side in ((lkeys, "left"), (rkeys, "right")):
+            dup = [k for k, c in Counter(keys.values()).items() if c > 1]
+            if dup:
+                hint = (
+                    " (use group_left/group_right for many-to-one)"
+                    if matching.group is None
+                    else ""
+                )
+                raise ValueError(
+                    f"vector matching: multiple {side} series in match "
+                    f"group {dup[0]!r}{hint}"
+                )
+        rows = [(sid, *k, 0) for sid, k in lkeys.items()] + [
+            (sid, *k, 1) for sid, k in rkeys.items()
+        ]
+        tagged = instants.join(
+            F.broadcast(self._map_side_df(rows, key_cols)), "stream_id"
+        )
+        rv = F.col("value") if f_r is None else f_r(F.col("value"))
+        # one (key, step) aggregation replaces the two-sided equi-join:
+        # each side is unique per group (asserted above), so max() IS the
+        # side's value and count() its presence — null values stay null,
+        # exactly like the join's output
+        g = tagged.groupBy(*on).agg(
+            F.max(F.when(F.col("__side") == 0, lv.cast("double"))).alias(
+                "__va"
+            ),
+            F.count(F.when(F.col("__side") == 0, F.lit(1))).alias("__na"),
+            F.max(F.when(F.col("__side") == 1, rv.cast("double"))).alias(
+                "__vb"
+            ),
+            F.count(F.when(F.col("__side") == 1, F.lit(1))).alias("__nb"),
+        ).where((F.col("__na") > 0) & (F.col("__nb") > 0))
+        if node.op in _CMP:
+            pred = _CMP[node.op](F.col("__va"), F.col("__vb"))
+            if node.bool_mode:
+                out = g.select(*on, pred.cast("double").alias("value"))
+            else:
+                out = g.where(pred).select(
+                    *on, F.col("__va").alias("value")
+                )
+        else:
+            out = g.select(
+                *on,
+                _ARITH[node.op](F.col("__va"), F.col("__vb")).alias("value"),
+            )
+        return Plan("grouped", out, VT_F64, group_cols=tuple(on))
+
     # --------------------------------------------------------------- binary
     def _binary(self, node: ast.BinaryOp) -> Plan:
+        fused = self._try_fused_matched(node)
+        if fused is not None:
+            return fused
         lhs = self._eval(node.lhs)
         rhs = self._eval(node.rhs)
         if node.matching is not None:
