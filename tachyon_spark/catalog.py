@@ -272,11 +272,18 @@ class Catalog:
         if len(key) > COMPACT_FRAGMENTS:
             self._rewrite(rows)
             key = self._state_key()
-        self._cache_key = key
-        self._cache = rows
-        self._by_name = {}
+        # publish order matters: concurrent plan builders (the pooled
+        # query_range builds) read without a lock, so the data must be
+        # visible BEFORE the key that declares it fresh (ADVICE r15 #2 —
+        # key-first let a racing reader resolve against a stale stream
+        # list). CPython attribute stores are atomic; key-last makes the
+        # worst race a harmless reload.
+        by_name: dict = {}
         for s in rows:
-            self._by_name.setdefault(s.name, []).append(s)
+            by_name.setdefault(s.name, []).append(s)
+        self._cache = rows
+        self._by_name = by_name
+        self._cache_key = key
         return rows
 
     # ----------------------------------------------------------------- api

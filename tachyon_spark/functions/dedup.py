@@ -29,10 +29,17 @@ def _md5_long(col) -> F.Column:
 MERSENNE31 = 2_147_483_647
 
 # dedup_clusters collects the (deduped, directed) edge list for a driver
-# union-find below this bound — ~32 MB of id pairs, the same order as
-# _verify_side's broadcast bound; past it the distributed min-label loop
-# runs instead
-_CLUSTERS_COLLECT_MAX = 2_000_000
+# closure pass when the COLLECTED PAYLOAD fits this many bytes (measured
+# per edge, not per row count: 16 B for integral ids, octet length plus
+# CPython object overhead for strings — r16, sizing the bound the way the
+# driver actually pays it). Working structures (factorize hash, label
+# arrays) are the same order again, so peak driver cost is a small
+# multiple of this. Past the bound the distributed min-label loop runs
+# instead (the 100 TB posture).
+_CLUSTERS_COLLECT_MAX_BYTES = 256 << 20
+# per collected string: ~49 B PyUnicode header + 8 B pointer in the
+# object array, rounded up to cover pandas/Arrow slack
+_STR_OBJ_OVERHEAD = 60
 
 
 def _md5_halves(col):
@@ -116,19 +123,27 @@ def tokens(text_col) -> F.Column:
     return F.split(text_col, " ")
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = tokens(F.col(text_col))
+def _shingle_array(text_col, n: int) -> F.Column:
+    """The word n-gram shingle array expression — the ONE tokenization
+    both shingles() (text results) and _shingle_hashes() (hashed shuffle
+    keys) must share, so the two families can never silently diverge
+    (ADVICE r15 #3)."""
+    toks = tokens(text_col)
     # shingle i = tokens[i..i+n-1] joined via n element_at lookups (O(1) each;
     # a slice() here allocates a sub-array per shingle — measurably slower).
     # guard: sequence(0, neg) would count DOWN
-    sh = F.when(
+    return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    sh = _shingle_array(F.col(text_col), n)
     return (
         _spread(df)
         .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
@@ -151,14 +166,7 @@ def _shingle_hashes(
     instead of a 25-60 byte string, computed ONCE before the distinct
     exchange rather than re-hashed downstream (guide §2.3: shuffle
     fewer bytes, narrower types)."""
-    toks = tokens(F.col(text_col))
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = _shingle_array(F.col(text_col), n)
     hexstr = F.md5(F.col("shingle"))
     return (
         _spread(df)
@@ -452,64 +460,80 @@ def dedup_clusters(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
     edges = _materialize(edges.distinct())
-    # r15 bounded fast path (same data-dependent bound discipline as
+    # r15/r16 bounded fast path (same data-dependent bound discipline as
     # _verify_side / REG_COLLECT_MAX): a verified near-dup pair graph is
-    # usually FAR smaller than the corpus, and below the bound a driver
-    # union-find computes the exact same min-reachable-id closure in one
-    # pass instead of diameter+1 rounds of join+groupBy+checkpoint
-    # actions (measured r15 at 10x: 5.6 s -> ~1.5 s; the loop's wall on
-    # clique-ish LSH graphs is almost entirely per-round job floors).
-    # The result is identical — union-find IS the full closure, which is
-    # also what the oracle replays — and past the bound the distributed
-    # loop below carries the 100 TB posture unchanged.
-    n_edges = edges.count()
-    if 0 < n_edges <= _CLUSTERS_COLLECT_MAX:
+    # usually FAR smaller than the corpus, and below the BYTE bound a
+    # driver closure pass computes the min-reachable-id closure in a few
+    # vectorized rounds instead of diameter+1 rounds of
+    # join+groupBy+checkpoint actions (measured r15 at 10x: 5.6 s ->
+    # ~1.5 s; the loop's wall on clique-ish LSH graphs is almost
+    # entirely per-round job floors). Below the bound the fast path's
+    # result equals the distributed loop's converged closure; the
+    # distributed path can in principle stop at max_iter rounds on a
+    # >max_iter-diameter component (it warns if that ever happens).
+    from pyspark.sql import types as T
+
+    src_type = edges.schema["src"].dataType
+    if isinstance(src_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        n_edges = edges.count()
+        est_bytes = 16 * n_edges
+    else:
+        stats = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.octet_length(F.col("src").cast("string"))
+                + F.octet_length(F.col("dst").cast("string"))
+            ).alias("b"),
+        ).first()
+        n_edges = stats["n"]
+        est_bytes = (stats["b"] or 0) + 2 * _STR_OBJ_OVERHEAD * n_edges
+    if 0 < n_edges and est_bytes <= _CLUSTERS_COLLECT_MAX_BYTES:
+        import numpy as np
         import pandas as pd
 
         pdf = edges.toPandas()
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for s, d in zip(pdf["src"], pdf["dst"]):
-            if s not in parent:
-                parent[s] = s
-            if d not in parent:
-                parent[d] = d
-            rs, rd = find(s), find(d)
-            if rs != rd:
-                # attach the larger root under the smaller so the
-                # component root is always its minimum id
-                if rd < rs:
-                    rs, rd = rd, rs
-                parent[rd] = rs
-        out = pd.DataFrame(
-            {
-                "doc_id": pd.Series(list(parent), dtype=pdf["src"].dtype),
-                "cluster_rep": pd.Series(
-                    [find(x) for x in parent], dtype=pdf["src"].dtype
+        if not (pdf["src"].isna().any() or pdf["dst"].isna().any()):
+            # Factorize with sort=True: code order == id order, so the
+            # minimum CODE in a component is the minimum ID. Min-label
+            # propagation over the (already symmetric) edge arrays with
+            # pointer-jumping contraction — every step is a C-speed
+            # groupby/gather, converging in O(log diameter) rounds.
+            codes, uniq = pd.factorize(
+                pd.concat([pdf["src"], pdf["dst"]], ignore_index=True),
+                sort=True,
+            )
+            m = len(pdf)
+            src, dst = codes[:m], codes[m:]
+            lbl = np.arange(len(uniq), dtype=np.int64)
+            while True:
+                prev = lbl
+                nbr = pd.Series(lbl[src]).groupby(dst).min()
+                lbl = lbl.copy()
+                idx = nbr.index.to_numpy()
+                lbl[idx] = np.minimum(lbl[idx], nbr.to_numpy())
+                lbl = np.minimum(lbl, lbl[lbl])  # pointer jumping
+                if np.array_equal(lbl, prev):
+                    break
+            out = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(uniq),
+                    "cluster_rep": pd.Series(uniq[lbl]),
+                }
+            )
+            spark = pairs.sparkSession
+            return spark.createDataFrame(
+                out,
+                T.StructType(
+                    [
+                        T.StructField("doc_id", src_type),
+                        T.StructField("cluster_rep", src_type),
+                    ]
                 ),
-            }
-        )
-        spark = pairs.sparkSession
-        src_type = edges.schema["src"].dataType
-        from pyspark.sql import types as T
-
-        return spark.createDataFrame(
-            out,
-            T.StructType(
-                [
-                    T.StructField("doc_id", src_type),
-                    T.StructField("cluster_rep", src_type),
-                ]
-            ),
-        )
+            )
+        # null ids fall through: NaN poisons the factorized labels, and
+        # the distributed loop's join semantics (null edges never match,
+        # null nodes label themselves) define the public behavior
+        # (ADVICE r15 #1)
     labels = _materialize(
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -532,6 +556,16 @@ def dedup_clusters(
         labels = new.select("id", "lbl")
         if not changed:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_iter} rounds (component diameter exceeds max_iter); "
+            "cluster representatives may be partial — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_rep")
     )

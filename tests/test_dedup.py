@@ -286,6 +286,32 @@ def test_dedup_clusters_min_label(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
 
 
+def test_dedup_clusters_null_ids_terminate(spark):
+    # ADVICE r15 #1: a null src/dst used to spin the driver fast path
+    # forever (NaN != NaN). Nulls now fall through to the distributed
+    # loop, whose join semantics define the public behavior: null edges
+    # never match, null nodes label themselves.
+    from tachyon_spark.functions.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", None), ("b", "c")], "doc_a string, doc_b string"
+    )
+    got = {r.doc_id: r.cluster_rep for r in dedup_clusters(pairs).collect()}
+    assert got == {"a": "a", None: None, "b": "b", "c": "b"}
+
+
+def test_dedup_clusters_long_ids_and_long_chain(spark):
+    # integer ids ride the 16-bytes-per-edge fast-path bound; the
+    # 40-node chain (diameter 39) exercises the pointer-jumping rounds
+    from tachyon_spark.functions.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_rep for r in dedup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
 def test_dedup_clusters_output_is_linear_in_members(spark):
     from tachyon_spark.functions.dedup import dedup_clusters, minhash_lsh_pairs
 
