@@ -883,10 +883,15 @@ def ingest_otlp(
         blobs, ts_unit=ts_unit, encoding=encoding
     ).cache()
     try:
-        parsed.count()  # atomic: decode errors fire before registration
-        series_df = parsed.select(
-            "series_key", "name", "labels"
-        ).dropDuplicates(["series_key"])
+        # ONE job materializes the distinct-series frame AND (because
+        # dropDuplicates scans every partition) the whole parse — decode
+        # errors still fire before the catalog mutates (the atomicity
+        # contract), without the separate count pass (r16, VERDICT #3)
+        series_df = (
+            parsed.select("series_key", "name", "labels")
+            .dropDuplicates(["series_key"])
+            .localCheckpoint(eager=True)
+        )
         mapping = resolve_series_mapping(conn, series_df, value_type)
         # int-typed streams prefer the exact wire int channel (as_int /
         # counts) and only fall back to the double cast for as_double
@@ -907,9 +912,13 @@ def ingest_otlp(
             .otherwise(F.lit(None).cast("long"))
             .alias("value_int"),
         )
-        n = out.count()
-        conn.bulk_load(out)
-        return n
+        # appended-row count observed on the write job, not a separate
+        # count action (guide §1.2)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        conn.bulk_load(out.observe(obs, F.count(F.lit(1)).alias("n")))
+        return obs.get["n"]
     finally:
         parsed.unpersist()
 

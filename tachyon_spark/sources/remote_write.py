@@ -1026,10 +1026,15 @@ def ingest_remote_write(
         stale_markers=stale_markers,
     ).cache()
     try:
-        parsed.count()  # atomic: decode errors fire before registration
-        series_df = parsed.select(
-            "series_key", "name", "labels"
-        ).dropDuplicates(["series_key"])
+        # ONE job materializes the distinct-series frame AND (because
+        # dropDuplicates scans every partition) the whole parse — decode
+        # errors still fire before the catalog mutates (the atomicity
+        # contract), without the separate count pass (r16, VERDICT #3)
+        series_df = (
+            parsed.select("series_key", "name", "labels")
+            .dropDuplicates(["series_key"])
+            .localCheckpoint(eager=True)
+        )
         mapping = resolve_series_mapping(conn, series_df, value_type)
         out = parsed.join(F.broadcast(mapping), "series_key").select(
             "stream_id",
@@ -1041,9 +1046,13 @@ def ingest_remote_write(
             .otherwise(F.lit(None).cast("long"))
             .alias("value_int"),
         )
-        n = out.count()
-        conn.bulk_load(out)
-        return n
+        # appended-row count observed on the write job, not a separate
+        # count action (guide §1.2)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        conn.bulk_load(out.observe(obs, F.count(F.lit(1)).alias("n")))
+        return obs.get["n"]
     finally:
         parsed.unpersist()
 
