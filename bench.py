@@ -507,6 +507,23 @@ def main():
     import pyspark
 
     total = round(sum(results.values()), 3)
+    # r16 (VERDICT r15 item 2): the sf0.1 suite is job-floor bound at
+    # this fixture size — the driver's 8-core rerun BEAT its 32-core run,
+    # so scaling ratios computed from the sf-suite keys could not
+    # distinguish a serial operator from scheduler overhead. The
+    # data-bound 10x measurements (already taken above, same methodology,
+    # warm best-of-2 noop) now ALSO ride the `queries` dict under their
+    # existing `10x_` names (additions only: no sf-suite key is renamed,
+    # removed, or re-measured, and `value` keeps its historical sf-suite
+    # composition — the merge happens after `total`). The replica BUILD
+    # is fixture scaffolding pinned to the 1x source file layout, not a
+    # query: it stays out of the 10x_ keys (its own `replicate_10x`
+    # entry inside queries_10x is unchanged), and `total_10x_queries`
+    # below reports the pure query-time sum next to the historical
+    # fixture-inclusive `total_10x`.
+    for k, v in queries_10x.items():
+        if k != "replicate_10x":
+            results[f"10x_{k}"] = v
     # Field order matters for artifact robustness: the driver records only
     # the LAST 2000 chars of stdout and the full payload (~4 KB at 77
     # queries) no longer fits, so in r4 the leading totals were cut off.
@@ -544,6 +561,10 @@ def main():
         "value": total,
         "unit": "sec",
         "total_10x": round(sum(queries_10x.values()), 3),
+        "total_10x_queries": round(
+            sum(v for k, v in queries_10x.items() if k != "replicate_10x"),
+            3,
+        ),
         "sf": sf,
         "load": {
             "ambient_1m": round(ambient_load[0], 2),

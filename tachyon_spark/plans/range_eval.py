@@ -224,8 +224,8 @@ class RangeEvaluator:
         b = PlanBuilder(self.conn, self.start - back - off, self.end - off)
         child = b._selector(bare)
         if off:
-            df = child.df.select(
-                "stream_id", (F.col("ts") + F.lit(off)).alias("ts"), "value"
+            df = child.df.selectExpr(
+                "stream_id", f"ts + {off}L as ts", "value"
             )
             child = Plan("vector", df, child.value_type, streams=child.streams)
         return child
@@ -247,37 +247,42 @@ class RangeEvaluator:
             return self._selector_at(sel)
         child = self._scan(sel, self.lookback)
         df = child.df
-        vtype = df.schema["value"].dataType
-        grid = self._ids_df(sel, child.streams).select(
+        # Expressions are composed as SQL strings, ONE py4j round trip
+        # per select instead of one per Column operation: the §5-style
+        # cProfile (r16) put ~600 py4j round trips and ~0.32 s behind a
+        # single query_range build, 0.17 s of it here — the grid/window
+        # column algebra was pure driver-side socket chatter. The parsed
+        # expressions are identical (VERDICT r15 item 4).
+        vtype = df.schema["value"].dataType.simpleString()
+        grid = self._ids_df(sel, child.streams).selectExpr(
             "stream_id",
-            F.explode(
-                F.sequence(F.lit(self.start), F.lit(self.end), F.lit(self.step))
-            ).alias("ts"),
-            F.lit(None).cast(vtype).alias("value"),
-            F.lit(1).alias("__tag"),
+            f"explode(sequence({self.start}L, {self.end}L, {self.step}L))"
+            " as ts",
+            f"cast(null as {vtype}) as value",
+            "1 as __tag",
         )
-        s = df.select("stream_id", "ts", "value", F.lit(0).alias("__tag"))
+        s = df.selectExpr("stream_id", "ts", "value", "0 as __tag")
         u = s.unionByName(grid)
         # samples sort before grid rows at equal ts (sample AT the step
         # counts); same-ts duplicate samples tie-break by value (max wins)
         # — deterministic, mirrored in the DuckDB oracle
         w = (
-            Window.partitionBy("stream_id")
-            .orderBy("ts", "__tag", "value")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            "over (partition by stream_id order by ts, __tag, value "
+            "rows between unbounded preceding and current row)"
         )
-        val = F.last("value", ignorenulls=True).over(w)
-        sts = F.last(
-            F.when(F.col("__tag") == 0, F.col("ts")), ignorenulls=True
-        ).over(w)
         out = (
-            u.select("stream_id", "ts", "__tag", val.alias("__v"), sts.alias("__sts"))
-            .where(F.col("__tag") == 1)
-            .where(
-                F.col("__sts").isNotNull()
-                & (F.col("ts") - F.col("__sts") <= F.lit(self.lookback))
+            u.selectExpr(
+                "stream_id",
+                "ts",
+                "__tag",
+                f"last(value, true) {w} as __v",
+                f"last(if(__tag = 0, ts, null), true) {w} as __sts",
             )
-            .select("stream_id", "ts", F.col("__v").alias("value"))
+            .where(
+                "__tag = 1 and __sts is not null "
+                f"and ts - __sts <= {self.lookback}L"
+            )
+            .selectExpr("stream_id", "ts", "__v as value")
         )
         return Plan("vector", out, child.value_type, streams=child.streams)
 
@@ -299,11 +304,10 @@ class RangeEvaluator:
         )
         sub = RangeEvaluator(self.conn, t, t, self.step, self.lookback)
         child = sub._selector_instant(bare)
-        out = child.df.select(
+        out = child.df.selectExpr(
             "stream_id",
-            F.explode(
-                F.sequence(F.lit(self.start), F.lit(self.end), F.lit(self.step))
-            ).alias("ts"),
+            f"explode(sequence({self.start}L, {self.end}L, {self.step}L))"
+            " as ts",
             "value",
         )
         return Plan("vector", out, child.value_type, streams=child.streams)
@@ -320,28 +324,25 @@ class RangeEvaluator:
                 f"range {r} spans {r // self.step} steps per sample "
                 f"(max {MAX_WINDOWS_PER_SAMPLE}); widen the step"
             )
+        # SQL-string expressions: one py4j round trip per select (see
+        # _selector_instant — this helper was 0.10 s/build of chatter)
         shift = r // self.step + 2  # makes every numerator positive
-        a = F.col("ts") - F.lit(self.start) + F.lit(shift * self.step)
-        k_lo = (a + F.lit(self.step - 1)) / F.lit(self.step)  # ceil…
-        k_lo = F.floor(k_lo).cast("long") - F.lit(shift)  # …div, shifted back
-        b = a + F.lit(r)
-        k_hi = F.floor((b + F.lit(self.step - 1)) / F.lit(self.step)).cast(
-            "long"
-        ) - F.lit(shift) - F.lit(1)
-        k_lo = F.greatest(k_lo, F.lit(0))
-        k_hi = F.least(k_hi, F.lit(self.n_steps - 1))
+        step = self.step
+        a = f"(ts - {self.start}L + {shift * step}L)"  # shifted offset
+        k_lo = (
+            f"greatest(cast(floor(({a} + {step - 1}L) / {step}L) as long)"
+            f" - {shift}L, 0L)"
+        )  # ceil-div, shifted back, clamped to the grid
+        k_hi = (
+            f"least(cast(floor(({a} + {r + step - 1}L) / {step}L) as long)"
+            f" - {shift + 1}L, {self.n_steps - 1}L)"
+        )
         cols = df.columns
         return (
-            df.select(*cols, k_lo.alias("__klo"), k_hi.alias("__khi"))
-            .where(F.col("__klo") <= F.col("__khi"))
-            .select(
-                *cols,
-                F.explode(F.sequence(F.col("__klo"), F.col("__khi"))).alias("__k"),
-            )
-            .select(
-                *cols,
-                (F.lit(self.start) + F.col("__k") * F.lit(self.step)).alias("__step"),
-            )
+            df.selectExpr(*cols, f"{k_lo} as __klo", f"{k_hi} as __khi")
+            .where("__klo <= __khi")
+            .selectExpr(*cols, "explode(sequence(__klo, __khi)) as __k")
+            .selectExpr(*cols, f"{self.start}L + __k * {step}L as __step")
         )
 
     def _windowed_at(self, func: str, msel, arg, family: str) -> Plan:
@@ -368,11 +369,10 @@ class RangeEvaluator:
         )
         sub = RangeEvaluator(self.conn, t, t, self.step, self.lookback)
         child = sub._windowed(func, bare, arg, family)
-        out = child.df.select(
+        out = child.df.selectExpr(
             "stream_id",
-            F.explode(
-                F.sequence(F.lit(self.start), F.lit(self.end), F.lit(self.step))
-            ).alias("ts"),
+            f"explode(sequence({self.start}L, {self.end}L, {self.step}L))"
+            " as ts",
             "value",
         )
         return Plan("vector", out, child.value_type, streams=child.streams)
@@ -901,40 +901,37 @@ class RangeEvaluator:
         value = PlanBuilder._value_expr(set(next(iter(tsets))), self.conn)
         s = df.select("stream_id", "ts", value.alias("value"))
         if off:
-            s = s.select(
-                "stream_id", (F.col("ts") + F.lit(off)).alias("ts"), "value"
-            )
-        vtype = s.schema["value"].dataType
-        grid = grid_ids.select(
+            s = s.selectExpr("stream_id", f"ts + {off}L as ts", "value")
+        # SQL-string expressions — one py4j round trip per select; same
+        # instant spine as _selector_instant (see the rationale there)
+        vtype = s.schema["value"].dataType.simpleString()
+        grid = grid_ids.selectExpr(
             "stream_id",
-            F.explode(
-                F.sequence(F.lit(self.start), F.lit(self.end), F.lit(self.step))
-            ).alias("ts"),
-            F.lit(None).cast(vtype).alias("value"),
-            F.lit(1).alias("__tag"),
+            f"explode(sequence({self.start}L, {self.end}L, {self.step}L))"
+            " as ts",
+            f"cast(null as {vtype}) as value",
+            "1 as __tag",
         )
-        u = s.select(
-            "stream_id", "ts", "value", F.lit(0).alias("__tag")
+        u = s.selectExpr(
+            "stream_id", "ts", "value", "0 as __tag"
         ).unionByName(grid)
         w = (
-            Window.partitionBy("stream_id")
-            .orderBy("ts", "__tag", "value")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            "over (partition by stream_id order by ts, __tag, value "
+            "rows between unbounded preceding and current row)"
         )
-        val = F.last("value", ignorenulls=True).over(w)
-        sts = F.last(
-            F.when(F.col("__tag") == 0, F.col("ts")), ignorenulls=True
-        ).over(w)
         instants = (
-            u.select(
-                "stream_id", "ts", "__tag", val.alias("__v"), sts.alias("__sts")
+            u.selectExpr(
+                "stream_id",
+                "ts",
+                "__tag",
+                f"last(value, true) {w} as __v",
+                f"last(if(__tag = 0, ts, null), true) {w} as __sts",
             )
-            .where(F.col("__tag") == 1)
             .where(
-                F.col("__sts").isNotNull()
-                & (F.col("ts") - F.col("__sts") <= F.lit(self.lookback))
+                "__tag = 1 and __sts is not null "
+                f"and ts - __sts <= {self.lookback}L"
             )
-            .select("stream_id", "ts", F.col("__v").alias("value"))
+            .selectExpr("stream_id", "ts", "__v as value")
         )
         vts = []
         for rows in rows_per:
