@@ -129,3 +129,24 @@ def test_corr_matrix_one_scan(spark):
 
     with pytest.raises(ValueError):
         corr_matrix(df, ["x"])
+
+
+def test_table_profile_split_distinct_branch(spark):
+    # r16: distinct counts aggregate separately from min/max so the
+    # multi-distinct Expand stays a HashAggregate; this pins the values
+    # across the split — typed (numeric) min/max, null accounting, and
+    # exact distincts on a frame with nulls and duplicates
+    from tachyon_spark.functions.util import table_profile
+
+    df = spark.createDataFrame(
+        [(10, "b", None), (9, "a", 2.5), (9, None, 2.5), (100, "a", -1.0)],
+        "n long, s string, v double",
+    )
+    got = {r["column"]: r for r in table_profile(df).collect()}
+    assert [got[c]["n_rows"] for c in ("n", "s", "v")] == [4, 4, 4]
+    assert [got[c]["n_null"] for c in ("n", "s", "v")] == [0, 1, 1]
+    assert [got[c]["n_distinct"] for c in ("n", "s", "v")] == [3, 2, 2]
+    # typed ordering: min/max computed BEFORE the string render
+    assert (got["n"]["min_value"], got["n"]["max_value"]) == ("9", "100")
+    assert (got["v"]["min_value"], got["v"]["max_value"]) == ("-1.0", "2.5")
+    assert (got["s"]["min_value"], got["s"]["max_value"]) == ("a", "b")
