@@ -263,28 +263,54 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("inter"))
         )
     else:
-        # capped postings find the candidate pairs; the intersection is then
-        # recounted over ALL shingles of just those pairs, so Jaccard stays
-        # exact (minhash-style verify) — only pairs overlapping exclusively
-        # in capped shingles can be missed
+        # capped postings find the candidate pairs, and their self-join
+        # ALREADY counts each pair's capped-shingle intersection — so
+        # only the HOT (df > cap) shingles need a per-pair recount, not
+        # every shingle of every candidate (r16; the old recount joined
+        # all postings of 1.13M pairs = a 59M-row join that was 65% of
+        # the query's wall at sf0.1 while the hot side was EMPTY).
+        # inter = capped-shared + hot-shared is exact; only pairs whose
+        # overlap is exclusively capped shingles can be missed — the
+        # documented contract, unchanged. Broadcasting the HOT keys
+        # (bounded by total_postings/cap) instead of the keep-list
+        # (bounded by all distinct shingles) also shrinks the broadcast
+        # at corpus scale.
         freq = sh.groupBy("b1", "b2").agg(F.count("*").alias("__df"))
-        keep = freq.where(F.col("__df") <= max_postings).select("b1", "b2")
-        capped = sh.join(F.broadcast(keep), ["b1", "b2"])
+        hot = _materialize(
+            freq.where(F.col("__df") > max_postings).select("b1", "b2")
+        )
+        capped = sh.join(F.broadcast(hot), ["b1", "b2"], "left_anti")
         ca = capped.select(F.col("id").alias("doc_a"), "b1", "b2")
         cb = capped.select(F.col("id").alias("doc_b"), "b1", "b2")
-        candidates = (
+        inter_cap = (
             ca.join(cb, ["b1", "b2"])
             .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
-        inter = (
-            _verify_side(candidates)
-            .join(a, "doc_a")
-            .join(b, ["doc_b", "b1", "b2"])
             .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter"))
+            .agg(F.count("*").alias("__ic"))
         )
+        if hot.limit(1).count():
+            hot_post = sh.join(F.broadcast(hot), ["b1", "b2"])
+            ha = hot_post.select(F.col("id").alias("doc_a"), "b1", "b2")
+            hb = hot_post.select(F.col("id").alias("doc_b"), "b1", "b2")
+            cand = _verify_side(inter_cap.select("doc_a", "doc_b"))
+            ih = (
+                cand.join(ha, "doc_a")
+                .join(hb, ["doc_b", "b1", "b2"])
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count("*").alias("__ih"))
+            )
+            inter = (
+                inter_cap.join(ih, ["doc_a", "doc_b"], "left")
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    (
+                        F.col("__ic") + F.coalesce(F.col("__ih"), F.lit(0))
+                    ).alias("inter"),
+                )
+            )
+        else:
+            inter = inter_cap.withColumnRenamed("__ic", "inter")
     out = (
         inter.join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
         .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")

@@ -63,6 +63,38 @@ def test_ngram_jaccard_max_postings(docs):
     assert ngram_jaccard_pairs(docs, 0.5, max_postings=0).count() == 0
 
 
+def test_ngram_jaccard_hot_shingles_still_exact(spark):
+    """r16: the capped path counts capped-shingle intersections during
+    candidate generation and recounts ONLY hot (df > cap) shingles per
+    pair — this pins the hot branch: pairs found via capped shingles
+    must still include every shared HOT shingle in their exact
+    jaccard."""
+    boiler = "shared boilerplate trailer text"
+    rows = [
+        (1, "alpha beta gamma delta " + boiler),
+        (2, "alpha beta gamma epsilon " + boiler),
+        (3, "one filler document body " + boiler),
+        (4, "two filler document body " + boiler),
+        (5, "six filler document body " + boiler),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.3).collect()
+    }
+    # cap 4 < the boilerplate trigrams' df of 5 -> they are HOT; the
+    # (1,2) pair is found via its capped "alpha beta gamma" overlap and
+    # its jaccard must still count the shared boilerplate trigrams
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.3, max_postings=4).collect()
+    }
+    assert (1, 2) in capped
+    assert capped[(1, 2)] == exact[(1, 2)]
+    for k, v in capped.items():
+        assert v == exact[k]
+
+
 def test_decontaminate_ngram(spark):
     from tachyon_spark.functions.dedup import decontaminate_ngram
 
